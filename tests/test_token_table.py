@@ -1,0 +1,56 @@
+"""F1 fixture: the deterministic synthetic token table."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from complexity_driven_feature_construction_ray.sources import (
+    TOKEN_TABLE_SCHEMA,
+    token_table_arrow,
+    token_table_dataset,
+)
+
+
+def test_schema_and_invariants():
+    t = token_table_arrow(1000)
+    assert t.schema.equals(TOKEN_TABLE_SCHEMA)
+    assert t.num_rows == 1000
+    # invariant: n_tok == len(tokens), always
+    lens = pc.list_value_length(t["tokens"]).to_numpy()
+    assert np.array_equal(lens, t["n_tok"].to_numpy())
+    n_tok = t["n_tok"].to_numpy()
+    assert n_tok.min() >= 1 and n_tok.max() <= 512
+    toks = t["tokens"].combine_chunks().flatten().to_numpy()
+    assert toks.min() >= 0 and toks.max() < 50257
+    assert t["doc_id"][0].as_py() == "doc-000000000000"
+
+
+def test_deterministic_and_row_independent():
+    a = token_table_arrow(200)
+    b = token_table_arrow(200)
+    assert a.equals(b)
+    # row 150 generated standalone == row 150 of the batch
+    solo = token_table_arrow(1, start=150)
+    assert solo.slice(0, 1).equals(a.slice(150, 1))
+    # different seed -> different data
+    c = token_table_arrow(200, seed=7)
+    assert not a.equals(c)
+
+
+def test_source_skew_and_label_signal():
+    t = token_table_arrow(5000)
+    vc = pc.value_counts(t["source"]).to_pylist()
+    counts = {d["values"]: d["counts"] for d in vc}
+    assert counts["web"] > counts["books"] > counts["chat"]
+    y = t["label"].to_numpy()
+    assert 0.2 < y.mean() < 0.8  # non-degenerate target
+
+
+def test_distributed_matches_driver_side(ray_session):
+    ds = token_table_dataset(500, override_num_blocks=4)
+    t = ds.sort("doc_id").to_pandas()
+    ref = token_table_arrow(500).to_pandas()
+    assert list(t["doc_id"]) == list(ref["doc_id"])
+    assert np.array_equal(np.asarray(t["n_tok"]), np.asarray(ref["n_tok"]))
+    for i in (0, 250, 499):
+        assert np.array_equal(np.asarray(t["tokens"][i]), np.asarray(ref["tokens"][i]))
