@@ -1,0 +1,334 @@
+"""The feature algebra: expression trees, complexity, properties, applicability.
+
+Re-creates the semantics of the reference's CandidateFeature /
+Transformation hierarchy (reference: new_project/fastsklearnfeature/
+candidates/CandidateFeature.py:13-31, transformations/*.py) as plain
+dataclasses compiled to vectorized kernels — NOT sklearn pipelines.
+
+Complexity invariant (reference CandidateFeature.py:168-176):
+    complexity(raw) = 1
+    complexity(op(parents)) = sum(complexity(p)) + 1
+    complexity(identity-concat) = sum only (the +0 combination)
+
+Applicability predicates mirror the reference's static pruning
+(reference transformations/NumericUnaryTransformation.py:10-18,
+LogTransformation.py:19-26, NonCommutativeBinaryTransformation.py:26-27,
+MinMaxScalingTransformation.py:31-35, PandasDiscretizerTransformation.py:41-42,
+FastGroupByThenTransformation.py:46-50).
+
+Property propagation mirrors the analytic derive_properties rules
+(reference transformations/Transformation.py:47-65 and per-op overrides).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any
+
+# ---------------------------------------------------------------------------
+# op registry
+
+# stateless unary numeric -> numeric
+STATELESS_UNARY = ("minus", "reciprocal", "log")
+# fitted unary (state learned on the train fold)
+FITTED_UNARY = ("minmax", "zscore", "impute_mean", "discretize", "mdlp")
+UNARY_OPS = STATELESS_UNARY + FITTED_UNARY
+
+# binary stateless row-wise; add/mul are the reference's nansum/nanprod
+COMMUTATIVE_BINARY = ("add", "mul")
+NONCOMMUTATIVE_BINARY = ("sub", "div")
+BINARY_OPS = COMMUTATIVE_BINARY + NONCOMMUTATIVE_BINARY
+
+# grouped aggregates (reference FastGroupByThenTransformation +
+# generators/GroupByThenGenerator.py:140-149)
+GBT_AGGS = ("max", "min", "mean", "std", "count", "sum", "var", "prod", "median")
+
+DISCRETIZE_BINS = 10
+
+
+@dataclass(frozen=True)
+class Feature:
+    """A node in the feature-expression DAG.
+
+    op: 'raw' | unary | binary | 'onehot' | 'gbt_<agg>' | 'identity'
+    parents: operand features ((value, key) for gbt; any arity for identity)
+    params: op parameters (raw: (column, dtype); onehot: (value,))
+    """
+
+    op: str
+    parents: tuple["Feature", ...] = ()
+    params: tuple = ()
+    properties: dict = field(default_factory=dict, compare=False, hash=False)
+
+    # -- identity / naming ---------------------------------------------------
+
+    @property
+    def name(self) -> str:
+        return _name(self)
+
+    @property
+    def complexity(self) -> int:
+        if self.op == "raw":
+            return 1
+        base = sum(p.complexity for p in self.parents)
+        return base if self.op == "identity" else base + 1
+
+    @property
+    def depth(self) -> int:
+        if self.op == "raw":
+            return 1
+        return 1 + max(p.depth for p in self.parents)
+
+    def walk(self):
+        """Post-order traversal (parents before self)."""
+        for p in self.parents:
+            yield from p.walk()
+        yield self
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Feature({self.name!r}, c={self.complexity})"
+
+
+def _name(f: Feature) -> str:
+    if f.op == "raw":
+        return f.params[0]
+    ps = [p.name for p in f.parents]
+    if f.op == "minus":
+        return f"(-1*{ps[0]})"
+    if f.op == "reciprocal":
+        return f"(1/{ps[0]})"
+    if f.op == "log":
+        return f"log({ps[0]})"
+    if f.op in FITTED_UNARY:
+        return f"{f.op}({ps[0]})"
+    if f.op == "onehot":
+        return f"onehot({ps[0]}={f.params[0]})"
+    if f.op in ("add", "mul"):
+        sym = "+" if f.op == "add" else "*"
+        return "(" + sym.join(sorted(ps)) + ")"
+    if f.op == "sub":
+        return f"({ps[0]}-{ps[1]})"
+    if f.op == "div":
+        return f"({ps[0]}/{ps[1]})"
+    if f.op.startswith("gbt_"):
+        return f"{f.op[4:]}({ps[0]} by {ps[1]})"
+    if f.op == "identity":
+        return "{" + ", ".join(sorted(ps)) + "}"
+    raise ValueError(f"unknown op {f.op}")
+
+
+# -- constructors -----------------------------------------------------------
+
+
+def raw(column: str, dtype: str = "numeric", properties: dict | None = None) -> Feature:
+    """Leaf feature over a physical column. dtype: 'numeric' | 'categorical'."""
+    f = Feature("raw", (), (column, dtype))
+    f.properties.update(
+        {"type": dtype, "missing_values": False, "has_zero": dtype != "numeric"}
+    )
+    if properties:
+        f.properties.update(properties)
+    return f
+
+
+def unary(op: str, parent: Feature) -> Feature:
+    assert op in UNARY_OPS, op
+    f = Feature(op, (parent,))
+    f.properties.update(derive_properties(f))
+    return f
+
+
+def binary(op: str, a: Feature, b: Feature) -> Feature:
+    assert op in BINARY_OPS, op
+    if op in COMMUTATIVE_BINARY and b.name < a.name:
+        a, b = b, a  # canonical operand order for commutative ops
+    f = Feature(op, (a, b))
+    f.properties.update(derive_properties(f))
+    return f
+
+
+def groupbythen(agg: str, value: Feature, key: Feature) -> Feature:
+    assert agg in GBT_AGGS, agg
+    f = Feature(f"gbt_{agg}", (value, key))
+    f.properties.update(derive_properties(f))
+    return f
+
+
+def onehot(parent: Feature, value: Any) -> Feature:
+    f = Feature("onehot", (parent,), (value,))
+    f.properties.update(derive_properties(f))
+    return f
+
+
+def identity(parents: tuple[Feature, ...]) -> Feature:
+    # flatten nested identity sets ({A,{B,A}} == {A,B}; reference
+    # IdentityTransformation.py:8-31)
+    flat: list[Feature] = []
+    for p in parents:
+        flat.extend(p.parents if p.op == "identity" else (p,))
+    uniq = {p.name: p for p in flat}
+    f = Feature("identity", tuple(uniq[k] for k in sorted(uniq)))
+    f.properties.update({"type": "numeric", "missing_values": False, "has_zero": True})
+    return f
+
+
+# ---------------------------------------------------------------------------
+# applicability (static pruning)
+
+
+def _numeric(f: Feature) -> bool:
+    return f.properties.get("type") == "numeric"
+
+
+def _no_missing(f: Feature) -> bool:
+    return not f.properties.get("missing_values", False)
+
+
+def is_applicable(op: str, parents: tuple[Feature, ...], agg: str | None = None) -> bool:
+    if op in UNARY_OPS:
+        (p,) = parents
+        if not _numeric(p):
+            return False
+        if op == "impute_mean":
+            # only features WITH missing values (reference ImputationTransformation.py:35-50)
+            return p.properties.get("missing_values", False)
+        if not _no_missing(p):
+            return False
+        if op == "minus":
+            return True
+        if op == "reciprocal":
+            return not p.properties.get("has_zero", True)
+        if op == "log":
+            mn = p.properties.get("min")
+            return mn is not None and mn > 0
+        if op in ("minmax", "zscore"):
+            # no re-scaling of scaled data (reference MinMaxScalingTransformation.py:31-35)
+            return p.op not in ("minmax", "zscore")
+        if op in ("discretize", "mdlp"):
+            nd = p.properties.get("distinct")
+            if p.op in ("discretize", "mdlp", "onehot"):
+                return False
+            return nd is None or nd > DISCRETIZE_BINS
+        return True
+    if op in BINARY_OPS:
+        a, b = parents
+        if not (_numeric(a) and _numeric(b)):
+            return False
+        if op == "div" and b.properties.get("has_zero", True):
+            return False
+        return True
+    if op == "onehot":
+        (p,) = parents
+        return p.properties.get("type") == "categorical"
+    if op.startswith("gbt_") or op == "gbt":
+        value, key = parents
+        if not (_numeric(value) and _no_missing(value)):
+            return False
+        kd = key.properties.get("distinct")
+        ktype = key.properties.get("type")
+        if ktype == "categorical":
+            return True
+        # numeric keys allowed when discrete enough (reference allows any
+        # column as key; we bound cardinality for the broadcast re-attach)
+        return key.op in ("discretize", "mdlp") or (kd is not None and kd <= 10_000)
+    if op == "identity":
+        return all(_numeric(p) and _no_missing(p) for p in parents)
+    raise ValueError(f"unknown op {op}")
+
+
+# ---------------------------------------------------------------------------
+# analytic property propagation
+
+
+def _corner(vals) -> tuple[float | None, float | None]:
+    vals = [v for v in vals if v is not None and not (isinstance(v, float) and math.isnan(v))]
+    if not vals:
+        return None, None
+    return min(vals), max(vals)
+
+
+def derive_properties(f: Feature) -> dict:
+    ps = f.parents
+    out: dict[str, Any] = {"type": "numeric", "missing_values": any(
+        p.properties.get("missing_values", False) for p in ps
+    )}
+    mn = [p.properties.get("min") for p in ps]
+    mx = [p.properties.get("max") for p in ps]
+
+    def set_range(lo, hi):
+        out["min"], out["max"] = lo, hi
+        if lo is not None and hi is not None:
+            out["has_zero"] = lo <= 0.0 <= hi
+        else:
+            out["has_zero"] = True  # conservative
+
+    if f.op == "minus":
+        set_range(None if mx[0] is None else -mx[0], None if mn[0] is None else -mn[0])
+        out["distinct"] = ps[0].properties.get("distinct")
+    elif f.op == "reciprocal":
+        if mn[0] is not None and mx[0] is not None and (mn[0] > 0 or mx[0] < 0):
+            set_range(1.0 / mx[0], 1.0 / mn[0])
+        else:
+            set_range(None, None)
+        out["distinct"] = ps[0].properties.get("distinct")
+    elif f.op == "log":
+        set_range(
+            None if mn[0] is None or mn[0] <= 0 else math.log(mn[0]),
+            None if mx[0] is None or mx[0] <= 0 else math.log(mx[0]),
+        )
+        out["distinct"] = ps[0].properties.get("distinct")
+    elif f.op == "minmax":
+        set_range(0.0, 1.0)
+        out["distinct"] = ps[0].properties.get("distinct")
+    elif f.op == "zscore":
+        set_range(None, None)
+        out["distinct"] = ps[0].properties.get("distinct")
+    elif f.op == "impute_mean":
+        out["missing_values"] = False
+        set_range(mn[0], mx[0])
+    elif f.op in ("discretize", "mdlp"):
+        set_range(-1.0, float(DISCRETIZE_BINS - 1))
+        out["distinct"] = DISCRETIZE_BINS + 1
+    elif f.op == "onehot":
+        set_range(0.0, 1.0)
+        out["distinct"] = 2
+        out["missing_values"] = False
+    elif f.op == "add":
+        lo = None if mn[0] is None or mn[1] is None else mn[0] + mn[1]
+        hi = None if mx[0] is None or mx[1] is None else mx[0] + mx[1]
+        set_range(lo, hi)
+    elif f.op == "sub":
+        lo = None if mn[0] is None or mx[1] is None else mn[0] - mx[1]
+        hi = None if mx[0] is None or mn[1] is None else mx[0] - mn[1]
+        set_range(lo, hi)
+    elif f.op == "mul":
+        if None in (mn[0], mx[0], mn[1], mx[1]):
+            set_range(None, None)
+        else:
+            lo, hi = _corner([mn[0] * mn[1], mn[0] * mx[1], mx[0] * mn[1], mx[0] * mx[1]])
+            set_range(lo, hi)
+    elif f.op == "div":
+        if None in (mn[0], mx[0], mn[1], mx[1]) or (mn[1] <= 0 <= mx[1]):
+            set_range(None, None)
+        else:
+            lo, hi = _corner([mn[0] / mn[1], mn[0] / mx[1], mx[0] / mn[1], mx[0] / mx[1]])
+            set_range(lo, hi)
+    elif f.op.startswith("gbt_"):
+        agg = f.op[4:]
+        vmn, vmx = ps[0].properties.get("min"), ps[0].properties.get("max")
+        if agg in ("max", "min", "mean", "median"):
+            # inherits the value parent's range (reference
+            # FastGroupByThenTransformation.py:88-107)
+            set_range(vmn, vmx)
+        elif agg in ("std", "var"):
+            set_range(0.0, None)
+        elif agg == "count":
+            set_range(1.0, None)
+            out["has_zero"] = False
+        else:
+            set_range(None, None)
+        out["missing_values"] = False
+    elif f.op == "identity":
+        set_range(None, None)
+    return out

@@ -1,0 +1,275 @@
+"""Vectorized kernels: compile feature expressions to numpy over column dicts.
+
+Semantics mirror the reference transformations exactly (so the numpy
+oracle / allclose parity holds):
+- add/mul are np.nansum/np.nanprod across the two operand columns
+  (reference HigherOrderCommutativeTransformation.py:17-18)
+- sub/div are np.subtract/np.divide (reference
+  binary/NonCommutativeBinaryTransformation.py:15-29)
+- minmax/zscore fit min,max / mean,std on the TRAIN fold only and apply
+  everywhere (reference MinMaxScalingTransformation.py:21-39,
+  StandardScalingTransformation.py:21-26 — population std, sklearn-style)
+- discretize: 10 equal-width bins from train min/max, labels 0..9,
+  NaN -> -1 (reference PandasDiscretizerTransformation.py:23-34)
+- mdlp: supervised entropy/MDL cut points fit on the train fold
+  (reference mdlp_discretization/MDLP.py, re-implemented from the
+  published MDLP recipe, not copied)
+- impute_mean: train-fold nanmean fills NaN (reference ImputationTransformation.py:35-50)
+- onehot: (x == value) as float, unseen value -> zeros
+  (reference OneHotTransformation.py:31-40)
+- gbt_<agg>: fit = per-key aggregate over the train fold; transform =
+  broadcast the aggregate back to every row by key; unseen key -> NaN
+  (reference FastGroupByThenTransformation.py:23-40)
+
+State is a plain dict {node_name: state_tuple} so it can be ray.put()
+once and shared by every backfill actor.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .expr import Feature, DISCRETIZE_BINS
+
+Cols = dict[str, np.ndarray]
+Fitted = dict[str, tuple]
+
+
+# ---------------------------------------------------------------------------
+# group-by helpers (vectorized; no Python loop over rows)
+
+
+def _group_reduce(agg: str, values: np.ndarray, keys: np.ndarray):
+    """Per-key reduction -> (sorted unique keys, aggregate per key)."""
+    uniq, inv = np.unique(keys, return_inverse=True)
+    k = len(uniq)
+    if agg == "count":
+        return uniq, np.bincount(inv, minlength=k).astype(np.float64)
+    order = np.argsort(inv, kind="stable")
+    sv = values[order]
+    sk = inv[order]
+    starts = np.searchsorted(sk, np.arange(k))
+    bounds = np.append(starts, len(sv))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if agg == "sum":
+            out = np.add.reduceat(np.nan_to_num(sv), starts)
+        elif agg == "prod":
+            out = np.multiply.reduceat(np.nan_to_num(sv, nan=1.0), starts)
+        elif agg == "max":
+            out = np.fmax.reduceat(sv, starts)
+        elif agg == "min":
+            out = np.fmin.reduceat(sv, starts)
+        elif agg in ("mean", "std", "var"):
+            cnt = np.diff(bounds) - np.add.reduceat(np.isnan(sv).astype(np.int64), starts)
+            cnt = np.maximum(cnt, 1)
+            s = np.add.reduceat(np.nan_to_num(sv), starts)
+            mean = s / cnt
+            if agg == "mean":
+                out = mean
+            else:
+                ss = np.add.reduceat(np.nan_to_num(sv) ** 2, starts)
+                var = np.maximum(ss / cnt - mean**2, 0.0)  # population (np.nanstd)
+                out = var if agg == "var" else np.sqrt(var)
+        elif agg == "median":
+            out = np.empty(k)
+            for i in range(k):  # k = #distinct keys (small by applicability bound)
+                out[i] = np.nanmedian(sv[bounds[i] : bounds[i + 1]])
+        else:
+            raise ValueError(agg)
+    return uniq, out
+
+
+def _group_lookup(keys: np.ndarray, fit_keys: np.ndarray, fit_vals: np.ndarray) -> np.ndarray:
+    """Broadcast per-key aggregates back onto rows; unseen key -> NaN."""
+    idx = np.searchsorted(fit_keys, keys)
+    idx = np.clip(idx, 0, len(fit_keys) - 1)
+    hit = fit_keys[idx] == keys
+    out = np.where(hit, fit_vals[idx], np.nan)
+    return out.astype(np.float64)
+
+
+# ---------------------------------------------------------------------------
+# MDLP (Fayyad & Irani 1993 entropy/MDL discretization) — compact numpy form
+
+
+def _entropy(counts: np.ndarray) -> float:
+    n = counts.sum()
+    if n == 0:
+        return 0.0
+    p = counts[counts > 0] / n
+    return float(-(p * np.log2(p)).sum())
+
+
+def _mdlp_cuts(x: np.ndarray, y: np.ndarray, max_depth: int = 6) -> list[float]:
+    order = np.argsort(x, kind="stable")
+    xs, ys = x[order], y[order]
+    classes = np.unique(ys)
+    cuts: list[float] = []
+
+    def rec(lo: int, hi: int, depth: int):
+        if hi - lo < 4 or depth >= max_depth:
+            return
+        seg_x, seg_y = xs[lo:hi], ys[lo:hi]
+        n = hi - lo
+        # candidate boundaries: where x changes value
+        change = np.nonzero(np.diff(seg_x) > 0)[0] + 1
+        if len(change) == 0:
+            return
+        onehot_y = seg_y[:, None] == classes[None, :]
+        cum = np.cumsum(onehot_y, axis=0)
+        total = cum[-1]
+        best, best_i = None, None
+        for i in change:
+            left, right = cum[i - 1], total - cum[i - 1]
+            e = (i / n) * _entropy(left) + ((n - i) / n) * _entropy(right)
+            if best is None or e < best:
+                best, best_i = e, i
+        ent = _entropy(total)
+        gain = ent - best
+        k = (total > 0).sum()
+        left, right = cum[best_i - 1], total - cum[best_i - 1]
+        k1, k2 = (left > 0).sum(), (right > 0).sum()
+        delta = np.log2(3.0**k - 2.0) - (k * ent - k1 * _entropy(left) - k2 * _entropy(right))
+        if gain <= (np.log2(n - 1) + delta) / n:
+            return
+        cut = (seg_x[best_i - 1] + seg_x[best_i]) / 2.0
+        cuts.append(float(cut))
+        rec(lo, lo + best_i, depth + 1)
+        rec(lo + best_i, hi, depth + 1)
+
+    rec(0, len(xs), 0)
+    if not cuts:
+        raise ValueError("MDLP found no cut point")  # reference raises too
+    return sorted(cuts)
+
+
+# ---------------------------------------------------------------------------
+# fit / evaluate
+
+
+def _eval_node(f: Feature, cols: Cols, fitted: Fitted, cache: dict) -> np.ndarray:
+    key = f.name
+    if key in cache:
+        return cache[key]
+    out = _eval_inner(f, cols, fitted, cache)
+    cache[key] = out
+    return out
+
+
+def _eval_inner(f: Feature, cols: Cols, fitted: Fitted, cache: dict) -> np.ndarray:
+    op = f.op
+    if op == "raw":
+        arr = cols[f.params[0]]
+        if f.params[1] == "numeric":
+            return np.asarray(arr, dtype=np.float64)
+        return np.asarray(arr)
+    if op == "onehot":
+        p = _eval_node(f.parents[0], cols, fitted, cache)
+        return (p == f.params[0]).astype(np.float64)
+    if op.startswith("gbt_"):
+        v = _eval_node(f.parents[0], cols, fitted, cache)
+        k = _eval_node(f.parents[1], cols, fitted, cache)
+        fit_keys, fit_vals = fitted[f.name]
+        return _group_lookup(k, fit_keys, fit_vals)
+    args = [_eval_node(p, cols, fitted, cache) for p in f.parents]
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        if op == "minus":
+            return -args[0]
+        if op == "reciprocal":
+            return 1.0 / args[0]
+        if op == "log":
+            return np.log(args[0])
+        if op == "minmax":
+            mn, mx = fitted[f.name]
+            rng = mx - mn
+            if rng == 0:
+                return np.zeros_like(args[0])
+            return (args[0] - mn) / rng
+        if op == "zscore":
+            mean, std = fitted[f.name]
+            if std == 0:
+                return np.zeros_like(args[0])
+            return (args[0] - mean) / std
+        if op == "impute_mean":
+            (val,) = fitted[f.name]
+            return np.where(np.isnan(args[0]), val, args[0])
+        if op == "discretize":
+            # right-closed bins, matching pd.cut (reference
+            # PandasDiscretizerTransformation.py:23-34); out-of-range clips
+            (edges,) = fitted[f.name]
+            out = np.digitize(args[0], edges, right=True).astype(np.float64)
+            out = np.clip(out, 0, DISCRETIZE_BINS - 1)
+            out[np.isnan(args[0])] = -1.0
+            return out
+        if op == "mdlp":
+            (cuts,) = fitted[f.name]
+            out = np.digitize(args[0], cuts, right=True).astype(np.float64)
+            out[np.isnan(args[0])] = -1.0
+            return out
+        if op == "add":
+            return np.nansum(np.stack(args), axis=0)
+        if op == "mul":
+            return np.nanprod(np.stack(args), axis=0)
+        if op == "sub":
+            return np.subtract(args[0], args[1])
+        if op == "div":
+            return np.divide(args[0], args[1])
+    raise ValueError(op)
+
+
+def fit_on_arrays(
+    features: list[Feature], cols: Cols, y: np.ndarray | None = None, fitted: Fitted | None = None
+) -> Fitted:
+    """Fit every stateful node of the given trees on in-memory train columns.
+
+    Train-fold-only semantics: pass the TRAIN slice of the columns; apply
+    the returned state to any fold via `evaluate`.
+    """
+    fitted = dict(fitted or {})
+    cache: dict = {}
+    for root in features:
+        for f in root.walk():
+            if f.name in fitted:
+                continue
+            op = f.op
+            if op in ("minmax", "zscore", "impute_mean", "discretize", "mdlp"):
+                p = _eval_node(f.parents[0], cols, fitted, cache)
+                with np.errstate(all="ignore"):
+                    if op == "minmax":
+                        fitted[f.name] = (np.nanmin(p), np.nanmax(p))
+                    elif op == "zscore":
+                        fitted[f.name] = (np.nanmean(p), np.nanstd(p))
+                    elif op == "impute_mean":
+                        fitted[f.name] = (np.nanmean(p),)
+                    elif op == "discretize":
+                        mn, mx = np.nanmin(p), np.nanmax(p)
+                        edges = np.linspace(mn, mx, DISCRETIZE_BINS + 1)[1:-1]
+                        fitted[f.name] = (edges,)
+                    elif op == "mdlp":
+                        if y is None:
+                            raise ValueError("mdlp requires y")
+                        mask = ~np.isnan(p)
+                        fitted[f.name] = (np.asarray(_mdlp_cuts(p[mask], y[mask])),)
+            elif op.startswith("gbt_"):
+                v = _eval_node(f.parents[0], cols, fitted, cache)
+                k = _eval_node(f.parents[1], cols, fitted, cache)
+                fitted[f.name] = _group_reduce(op[4:], v, k)
+    return fitted
+
+
+def evaluate(f: Feature, cols: Cols, fitted: Fitted, cache: dict | None = None) -> np.ndarray:
+    """Materialize one feature column (float64) over the given columns."""
+    return _eval_node(f, cols, fitted, cache if cache is not None else {})
+
+
+def compile_many(features: list[Feature], fitted: Fitted):
+    """Batch evaluator: cols dict -> dict of feature-name -> float64 array.
+
+    Shares the per-batch node cache across features (common subexpressions
+    are computed once per batch)."""
+
+    def run(cols: Cols) -> dict[str, np.ndarray]:
+        cache: dict = {}
+        return {f.name: _eval_node(f, cols, fitted, cache) for f in features}
+
+    return run

@@ -1,0 +1,92 @@
+"""Full-table feature backfill — the core map_batches stage.
+
+The reference backfills selected transformations over the full table in
+15,000-row chunks with an mp.Pool per chunk, parallelizing over
+*features* (reference new_project/fairexp.py:157-182). Here the whole
+selected feature set is evaluated vectorized per Arrow batch and Ray
+parallelizes over *batches* — the shape Ray Data is built for.
+
+Stateful setup (deserializing plans, resolving the broadcast fitted
+state from the object store) happens once per actor in __init__, not
+once per batch. The fitted dict (scaler params, bin edges, per-key
+group aggregates) is `ray.put` once by the driver and read by every
+actor — never re-shipped per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.expr import Feature
+from ..functions.kernels import Fitted, compile_many
+
+
+def _needed_raw(features: list[Feature]) -> list[str]:
+    return sorted({f.params[0] for root in features for f in root.walk() if f.op == "raw"})
+
+
+class FeatureBackfill:
+    """Actor-pool callable: batch in -> batch + one float64 column per feature.
+
+    `features`/`fitted` may be plain objects or ray.ObjectRef (broadcast)."""
+
+    def __init__(self, features, fitted, keep_input: bool = True):
+        import ray
+
+        if isinstance(features, ray.ObjectRef):
+            features = ray.get(features)
+        if isinstance(fitted, ray.ObjectRef):
+            fitted = ray.get(fitted)
+        self.features: list[Feature] = features
+        self.needed = _needed_raw(features)
+        self.keep_input = keep_input
+        self.run = compile_many(features, fitted)
+        # output column name per feature, in complexity order then name
+        # (reference fairexp.py:184-189 sorts backfilled columns by complexity)
+        self.ordered = sorted(self.features, key=lambda f: (f.complexity, f.name))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .token_stats import numpy_base_columns
+
+        cols = numpy_base_columns(batch, self.needed)
+        out = self.run(cols)
+        result = batch if self.keep_input else batch.select(
+            [c for c in ("doc_id",) if c in batch.column_names]
+        )
+        for f in self.ordered:
+            result = result.append_column(
+                _safe_col_name(f.name), pa.array(out[f.name], type=pa.float64())
+            )
+        return result
+
+
+def _safe_col_name(name: str) -> str:
+    return name
+
+
+def backfill_dataset(
+    ds,
+    features: list[Feature],
+    fitted: Fitted,
+    *,
+    concurrency: int | None = None,
+    batch_size: int | None = 4096,
+    keep_input: bool = True,
+):
+    """features + fitted ship once per actor (Ray broadcasts constructor
+    args through the object store); actors evaluate per batch."""
+    import ray
+
+    if concurrency is None:
+        # leave headroom for the read/write stages so the pool doesn't
+        # starve the rest of the pipeline
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = max(2, cpus - 2)
+    return ds.map_batches(
+        FeatureBackfill,
+        fn_constructor_args=(features, fitted, keep_input),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

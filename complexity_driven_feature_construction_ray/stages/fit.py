@@ -1,0 +1,244 @@
+"""Distributed fitting of stateful feature nodes (the scale path).
+
+The reference fits scalers/discretizers/group-aggregates on an
+in-memory train fold (reference MinMaxScalingTransformation.py:21-39,
+FastGroupByThenTransformation.py:23-25). At 100 TB the fit must itself
+be a streaming aggregate: for every stateful node we compute mergeable
+per-batch partials inside map_batches (combiner pattern — the shuffle
+is avoided entirely; only O(batches × keys) summary bytes reach the
+driver) and combine them driver-side into the same `Fitted` state dict
+the in-memory path produces.
+
+Nested stateful nodes (e.g. minmax(gbt_mean(x by k))) need the inner
+state before the outer partials can be computed, so fitting runs in
+stateful-depth passes — depth is almost always ≤ 2.
+
+gbt partials are per-key (count, sum, sumsq, min, max, prod) tuples;
+`median` and `mdlp` are not mergeable — they fit on a seeded sample
+(documented divergence; exact at test scale where the sample is the
+whole table).
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.expr import Feature
+from ..functions.kernels import Fitted, _eval_node, _mdlp_cuts
+
+_MERGEABLE_GBT = {"max", "min", "mean", "std", "count", "sum", "var", "prod"}
+
+
+def _stateful_depth(f: Feature, cache: dict) -> int:
+    if f.name in cache:
+        return cache[f.name]
+    child = max((_stateful_depth(p, cache) for p in f.parents), default=0)
+    d = child + 1 if _is_stateful(f) else child
+    cache[f.name] = d
+    return d
+
+
+def _is_stateful(f: Feature) -> bool:
+    return f.op in ("minmax", "zscore", "impute_mean", "discretize", "mdlp") or f.op.startswith(
+        "gbt_"
+    )
+
+
+def _partial_for(f: Feature, cols: dict, fitted: Fitted, cache: dict):
+    op = f.op
+    if op.startswith("gbt_"):
+        v = _eval_node(f.parents[0], cols, fitted, cache)
+        k = _eval_node(f.parents[1], cols, fitted, cache)
+        uniq, inv = np.unique(k, return_inverse=True)
+        nk = len(uniq)
+        nan = np.isnan(v)
+        cnt = np.bincount(inv, weights=(~nan).astype(np.float64), minlength=nk)
+        vz = np.where(nan, 0.0, v)
+        s = np.bincount(inv, weights=vz, minlength=nk)
+        ss = np.bincount(inv, weights=vz * vz, minlength=nk)
+        vmax = np.full(nk, -np.inf)
+        np.fmax.at(vmax, inv, np.where(nan, -np.inf, v))
+        vmin = np.full(nk, np.inf)
+        np.fmin.at(vmin, inv, np.where(nan, np.inf, v))
+        prod = np.ones(nk)
+        np.multiply.at(prod, inv, np.where(nan, 1.0, v))
+        return ("gbt", uniq, cnt, s, ss, vmin, vmax, prod)
+    p = _eval_node(f.parents[0], cols, fitted, cache)
+    nan = np.isnan(p)
+    pv = p[~nan]
+    n = len(pv)
+    return (
+        "scalar",
+        n,
+        float(pv.sum()) if n else 0.0,
+        float((pv**2).sum()) if n else 0.0,
+        float(pv.min()) if n else np.inf,
+        float(pv.max()) if n else -np.inf,
+    )
+
+
+def _merge_scalar(parts):
+    n = sum(p[1] for p in parts)
+    s = sum(p[2] for p in parts)
+    ss = sum(p[3] for p in parts)
+    mn = min(p[4] for p in parts)
+    mx = max(p[5] for p in parts)
+    return n, s, ss, mn, mx
+
+
+def _merge_gbt(parts):
+    keys = np.unique(np.concatenate([p[1] for p in parts]))
+    nk = len(keys)
+    cnt = np.zeros(nk)
+    s = np.zeros(nk)
+    ss = np.zeros(nk)
+    mn = np.full(nk, np.inf)
+    mx = np.full(nk, -np.inf)
+    prod = np.ones(nk)
+    for p in parts:
+        idx = np.searchsorted(keys, p[1])
+        cnt[idx] += p[2]
+        s[idx] += p[3]
+        ss[idx] += p[4]
+        mn[idx] = np.fmin(mn[idx], p[5])
+        mx[idx] = np.fmax(mx[idx], p[6])
+        prod[idx] *= p[7]
+    return keys, cnt, s, ss, mn, mx, prod
+
+
+def _finalize(f: Feature, merged) -> tuple:
+    from ..functions.expr import DISCRETIZE_BINS
+
+    op = f.op
+    if op.startswith("gbt_"):
+        agg = op[4:]
+        keys, cnt, s, ss, mn, mx, prod = merged
+        safe = np.maximum(cnt, 1)
+        mean = s / safe
+        if agg == "count":
+            vals = cnt
+        elif agg == "sum":
+            vals = s
+        elif agg == "prod":
+            vals = prod
+        elif agg == "min":
+            vals = mn
+        elif agg == "max":
+            vals = mx
+        elif agg == "mean":
+            vals = mean
+        else:  # std / var — population, matching np.nanstd
+            var = np.maximum(ss / safe - mean**2, 0.0)
+            vals = var if agg == "var" else np.sqrt(var)
+        return (keys, vals)
+    n, s, ss, mn, mx = merged
+    if op == "minmax":
+        return (mn, mx)
+    if op == "zscore":
+        mean = s / max(n, 1)
+        var = max(ss / max(n, 1) - mean**2, 0.0)
+        return (mean, float(np.sqrt(var)))
+    if op == "impute_mean":
+        return (s / max(n, 1),)
+    if op == "discretize":
+        from ..functions.expr import DISCRETIZE_BINS as B
+
+        return (np.linspace(mn, mx, B + 1)[1:-1],)
+    raise ValueError(op)
+
+
+def fit_distributed(
+    features: list[Feature],
+    ds,
+    *,
+    y_col: str | None = None,
+    sample_for_unmergeable=None,
+    fitted: Fitted | None = None,
+) -> Fitted:
+    """Fit all stateful nodes of `features` by streaming passes over `ds`.
+
+    `sample_for_unmergeable`: (cols, y) in-memory sample used for mdlp /
+    gbt_median, whose fit state is not a mergeable aggregate.
+    """
+    fitted = dict(fitted or {})
+    depth_cache: dict = {}
+    nodes: dict[str, Feature] = {}
+    for root in features:
+        for f in root.walk():
+            if _is_stateful(f) and f.name not in fitted:
+                nodes[f.name] = f
+    if not nodes:
+        return fitted
+
+    # prune at the read: only the raw columns the trees actually touch
+    # (token-stat columns not yet materialized are derived per batch from
+    # `tokens` inside the pass)
+    needed = sorted(
+        {f.params[0] for root in features for f in root.walk() if f.op == "raw"}
+    )
+    have = set(ds.schema().names)
+    from .token_stats import TOKEN_STAT_COLS
+
+    keep = [c for c in needed if c in have]
+    if any(c not in have for c in needed):
+        missing = [c for c in needed if c not in have]
+        assert all(c in TOKEN_STAT_COLS for c in missing), missing
+        keep.append("tokens")
+    if set(keep) < have:
+        ds = ds.select_columns(sorted(set(keep)))
+
+    max_depth = max(_stateful_depth(nodes[n], depth_cache) for n in nodes)
+    for level in range(1, max_depth + 1):
+        level_nodes = [
+            f
+            for n, f in nodes.items()
+            if _stateful_depth(f, depth_cache) == level and n not in fitted
+        ]
+        if not level_nodes:
+            continue
+        mergeable = [
+            f
+            for f in level_nodes
+            if not (f.op == "mdlp" or (f.op.startswith("gbt_") and f.op[4:] not in _MERGEABLE_GBT))
+        ]
+        unmergeable = [f for f in level_nodes if f not in mergeable]
+
+        if mergeable:
+            plans = mergeable
+            state = dict(fitted)
+
+            def part_batch(
+                batch: pa.Table, _plans=plans, _state=state, _needed=needed
+            ) -> pa.Table:
+                from .token_stats import numpy_base_columns
+
+                cols = numpy_base_columns(batch, _needed)
+                cache: dict = {}
+                parts = {f.name: _partial_for(f, cols, _state, cache) for f in _plans}
+                return pa.table({"blob": pa.array([pickle.dumps(parts)], type=pa.binary())})
+
+            rows = ds.map_batches(part_batch, batch_format="pyarrow").take_all()
+            all_parts: dict[str, list] = {f.name: [] for f in plans}
+            for r in rows:
+                for name, p in pickle.loads(r["blob"]).items():
+                    all_parts[name].append(p)
+            for f in plans:
+                parts = all_parts[f.name]
+                merged = (
+                    _merge_gbt(parts) if parts[0][0] == "gbt" else _merge_scalar(parts)
+                )
+                fitted[f.name] = _finalize(f, merged)
+
+        if unmergeable:
+            if sample_for_unmergeable is None:
+                raise ValueError(
+                    f"nodes {[f.name for f in unmergeable]} need sample_for_unmergeable"
+                )
+            from ..functions.kernels import fit_on_arrays
+
+            cols, y = sample_for_unmergeable
+            fitted = fit_on_arrays(unmergeable, cols, y=y, fitted=fitted)
+    return fitted

@@ -1,0 +1,136 @@
+"""One-pass column-statistics stage → raw-feature properties.
+
+The reference derives per-column properties (dtype, missing, has_zero,
+min/max, distinct count) by materializing the whole table
+(reference candidates/RawFeature.py:80-101, transformations/
+Transformation.py:47-65). Here the same properties come from a single
+streaming pass: per-batch partial stats inside map_batches (one tiny
+summary row per batch), combined driver-side — no shuffle at all.
+
+Distinct counts are exact up to `distinct_cap` tracked values; beyond
+the cap the column is recorded as high-cardinality (the only consumers
+are applicability predicates and the OneHot generator, both of which
+only care about *small* distinct sets).
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.types as pat
+
+from ..functions.expr import Feature, raw
+
+DISTINCT_CAP = 1000
+
+
+def _partial_stats(batch: pa.Table, columns: list[str], cap: int) -> dict:
+    out = {}
+    for c in columns:
+        col = batch[c]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        nulls = arr.null_count
+        if pat.is_floating(arr.type) or pat.is_integer(arr.type) or pat.is_boolean(arr.type):
+            v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+            nan = np.isnan(v)
+            nulls = int(nan.sum())
+            vv = v[~nan]
+            uniq = np.unique(vv)
+            out[c] = {
+                "kind": "numeric",
+                "count": len(v),
+                "nulls": nulls,
+                "min": float(vv.min()) if len(vv) else None,
+                "max": float(vv.max()) if len(vv) else None,
+                "has_zero": bool((vv == 0.0).any()) if len(vv) else False,
+                "distinct": set(uniq[: cap + 1].tolist()),
+            }
+        else:
+            v = arr.to_numpy(zero_copy_only=False)
+            vals, counts = np.unique(v[v != None], return_counts=True)  # noqa: E711
+            out[c] = {
+                "kind": "categorical",
+                "count": len(v),
+                "nulls": nulls,
+                "distinct": dict(zip(vals.tolist()[: cap + 1], counts.tolist())),
+            }
+    return out
+
+
+def _merge(a: dict, b: dict, cap: int) -> dict:
+    for c, s in b.items():
+        if c not in a:
+            a[c] = s
+            continue
+        t = a[c]
+        t["count"] += s["count"]
+        t["nulls"] += s["nulls"]
+        if t["kind"] == "numeric":
+            for k, fn in (("min", min), ("max", max)):
+                if s[k] is not None:
+                    t[k] = s[k] if t[k] is None else fn(t[k], s[k])
+            t["has_zero"] = t["has_zero"] or s["has_zero"]
+            if len(t["distinct"]) <= cap:
+                t["distinct"] |= s["distinct"]
+        else:
+            if len(t["distinct"]) <= cap:
+                for k, n in s["distinct"].items():
+                    t["distinct"][k] = t["distinct"].get(k, 0) + n
+    return a
+
+
+def column_stats(ds, columns: list[str], distinct_cap: int = DISTINCT_CAP) -> dict:
+    """Streamed per-column stats: {col: {kind,count,nulls,min,max,has_zero,distinct}}.
+
+    `distinct` is the exact value set (numeric) or value->count dict
+    (categorical) when cardinality <= distinct_cap, else None (overflow).
+    """
+
+    def part(batch: pa.Table) -> pa.Table:
+        blob = pickle.dumps(_partial_stats(batch, columns, distinct_cap))
+        return pa.table({"blob": pa.array([blob], type=pa.binary())})
+
+    rows = ds.map_batches(part, batch_format="pyarrow").take_all()
+    merged: dict = {}
+    for r in rows:
+        _merge(merged, pickle.loads(r["blob"]), distinct_cap)
+    for c, s in merged.items():
+        if len(s["distinct"]) > distinct_cap:
+            s["distinct"] = None
+        s["n_distinct"] = len(s["distinct"]) if s["distinct"] is not None else None
+    return merged
+
+
+def base_features_from_stats(stats: dict) -> list[Feature]:
+    """Raw Feature leaves with reference-style properties attached."""
+    feats = []
+    for c, s in stats.items():
+        if s["kind"] == "numeric":
+            feats.append(
+                raw(
+                    c,
+                    "numeric",
+                    {
+                        "missing_values": s["nulls"] > 0,
+                        "min": s["min"],
+                        "max": s["max"],
+                        "has_zero": s["has_zero"],
+                        "distinct": s["n_distinct"],
+                    },
+                )
+            )
+        else:
+            feats.append(
+                raw(
+                    c,
+                    "categorical",
+                    {
+                        "missing_values": s["nulls"] > 0,
+                        "distinct": s["n_distinct"],
+                        "values": sorted(s["distinct"]) if s["distinct"] else None,
+                    },
+                )
+            )
+    return feats

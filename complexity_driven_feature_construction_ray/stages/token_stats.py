@@ -1,0 +1,80 @@
+"""Per-row token statistics — the numeric raw features over `tokens`.
+
+The reference's raw features are CSV columns (reference
+reader/Reader.py:15-37); our table's payload is a `list<int32>` token
+column, so the numeric raw-feature set is derived once per row here
+(SURVEY.md §7.1): tok_mean, tok_max, tok_min, tok_std,
+tok_distinct_ratio — all computed zero-copy from the Arrow list
+buffers with segmented numpy reductions (no Python loop over rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_STAT_COLS = ("tok_mean", "tok_max", "tok_min", "tok_std", "tok_distinct_ratio")
+
+
+def token_stats_arrays(tokens_col) -> dict[str, np.ndarray]:
+    """Segmented reductions over a list<int32> column (Array or ChunkedArray)."""
+    arr = tokens_col.combine_chunks() if isinstance(tokens_col, pa.ChunkedArray) else tokens_col
+    lengths = pc.list_value_length(arr).to_numpy().astype(np.int64)
+    values = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(lengths)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    row_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+
+    sums = np.add.reduceat(values, starts)
+    sumsq = np.add.reduceat(values * values, starts)
+    mean = sums / lengths
+    var = np.maximum(sumsq / lengths - mean * mean, 0.0)
+    tmax = np.maximum.reduceat(values, starts)
+    tmin = np.minimum.reduceat(values, starts)
+
+    # distinct count per row: sort within rows, count value-change boundaries
+    order = np.lexsort((values, row_of))
+    sv, sr = values[order], row_of[order]
+    new = np.ones(len(sv), dtype=np.int64)
+    if len(sv) > 1:
+        new[1:] = (sr[1:] != sr[:-1]) | (sv[1:] != sv[:-1])
+    distinct = np.bincount(sr, weights=new, minlength=n)
+
+    return {
+        "tok_mean": mean,
+        "tok_max": tmax,
+        "tok_min": tmin,
+        "tok_std": np.sqrt(var),
+        "tok_distinct_ratio": distinct / lengths,
+    }
+
+
+def add_token_stats(batch: pa.Table) -> pa.Table:
+    stats = token_stats_arrays(batch["tokens"])
+    for name in TOKEN_STAT_COLS:
+        batch = batch.append_column(name, pa.array(stats[name], type=pa.float64()))
+    return batch
+
+
+def token_stats_dataset(ds):
+    """Stateless map_batches stage attaching the token-stat columns."""
+    return ds.map_batches(add_token_stats, batch_format="pyarrow")
+
+
+def numpy_base_columns(batch: pa.Table, needed: list[str]) -> dict[str, np.ndarray]:
+    """Numpy views of the needed base columns, deriving token stats on the
+    fly when a requested stat column isn't materialized in the batch."""
+    cols: dict[str, np.ndarray] = {}
+    stats = None
+    for name in needed:
+        if name in batch.column_names:
+            cols[name] = batch[name].to_numpy(zero_copy_only=False)
+        elif name in TOKEN_STAT_COLS:
+            if stats is None:
+                stats = token_stats_arrays(batch["tokens"])
+            cols[name] = stats[name]
+        else:
+            raise KeyError(f"column {name} not in batch and not a token stat")
+    return cols

@@ -1,0 +1,135 @@
+"""Distributed stages vs the in-memory numpy oracle (allclose parity)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from complexity_driven_feature_construction_ray.functions import (
+    binary,
+    evaluate,
+    fit_on_arrays,
+    groupbythen,
+    raw,
+    unary,
+)
+from complexity_driven_feature_construction_ray.sources import token_table_arrow
+from complexity_driven_feature_construction_ray.stages import (
+    FeatureBackfill,
+    backfill_dataset,
+    base_features_from_stats,
+    column_stats,
+    fit_distributed,
+    token_stats_dataset,
+)
+from complexity_driven_feature_construction_ray.stages.token_stats import (
+    token_stats_arrays,
+)
+
+
+@pytest.fixture(scope="module")
+def table():
+    return token_table_arrow(2000)
+
+
+@pytest.fixture(scope="module")
+def ds(table, ray_session):
+    return ray.data.from_arrow(table).repartition(5)
+
+
+def oracle_cols(table):
+    cols = {
+        "n_tok": table["n_tok"].to_numpy().astype(np.float64),
+        "source": table["source"].to_numpy(zero_copy_only=False),
+        "label": table["label"].to_numpy().astype(np.float64),
+    }
+    cols.update(token_stats_arrays(table["tokens"]))
+    return cols
+
+
+def test_token_stats_match_per_row_oracle(table, ds):
+    out = token_stats_dataset(ds).sort("doc_id").to_pandas()
+    toks = [np.asarray(t, dtype=np.float64) for t in table["tokens"].to_pylist()]
+    assert np.allclose(out["tok_mean"], [t.mean() for t in toks])
+    assert np.allclose(out["tok_std"], [t.std() for t in toks])
+    assert np.allclose(out["tok_max"], [t.max() for t in toks])
+    assert np.allclose(
+        out["tok_distinct_ratio"], [len(np.unique(t)) / len(t) for t in toks]
+    )
+
+
+def test_column_stats(table, ds):
+    stats = column_stats(ds, ["n_tok", "source"])
+    n = table["n_tok"].to_numpy()
+    assert stats["n_tok"]["kind"] == "numeric"
+    assert stats["n_tok"]["min"] == n.min() and stats["n_tok"]["max"] == n.max()
+    assert stats["n_tok"]["count"] == 2000 and stats["n_tok"]["nulls"] == 0
+    assert not stats["n_tok"]["has_zero"]
+    assert stats["source"]["kind"] == "categorical"
+    src = table["source"].to_numpy(zero_copy_only=False)
+    vals, counts = np.unique(src, return_counts=True)
+    assert stats["source"]["distinct"] == dict(zip(vals.tolist(), counts.tolist()))
+    feats = {f.name: f for f in base_features_from_stats(stats)}
+    assert feats["n_tok"].properties["min"] == float(n.min())
+    assert feats["source"].properties["values"] == sorted(vals.tolist())
+
+
+def test_fit_distributed_matches_in_memory(table, ds):
+    cols = oracle_cols(table)
+    n_tok = raw("n_tok", properties={"min": 1.0, "max": 512.0, "has_zero": False, "distinct": 512})
+    tok_mean = raw("tok_mean", properties={"min": 0.0, "max": 50257.0, "distinct": None})
+    src = raw("source", "categorical", {"distinct": 5})
+    feats = [
+        unary("minmax", n_tok),
+        unary("zscore", tok_mean),
+        unary("discretize", tok_mean),
+        groupbythen("mean", tok_mean, src),
+        groupbythen("std", n_tok, src),
+        groupbythen("count", n_tok, src),
+        unary("minmax", groupbythen("mean", n_tok, src)),  # stateful depth 2
+        binary("add", unary("log", n_tok), tok_mean),
+    ]
+    ref = fit_on_arrays(feats, cols)
+    dist = fit_distributed(feats, ds)
+    assert set(ref) == set(dist)
+    for k in ref:
+        for a, b in zip(ref[k], dist[k]):
+            if isinstance(a, np.ndarray) and a.dtype.kind in "OUS":
+                assert np.array_equal(a, b), k
+            else:
+                assert np.allclose(np.asarray(a, dtype=float), np.asarray(b, dtype=float)), k
+
+
+def test_backfill_allclose_and_token_equality(table, ds):
+    cols = oracle_cols(table)
+    n_tok = raw("n_tok", properties={"min": 1.0, "max": 512.0, "has_zero": False, "distinct": 512})
+    src = raw("source", "categorical", {"distinct": 5})
+    feats = [
+        unary("log", n_tok),
+        unary("minmax", n_tok),
+        groupbythen("mean", n_tok, src),
+        binary("div", groupbythen("mean", n_tok, src), n_tok),
+    ]
+    fitted = fit_distributed(feats, ds)
+    out = backfill_dataset(ds, feats, fitted, concurrency=2).sort("doc_id").to_pandas()
+    for f in feats:
+        expect = evaluate(f, cols, fitted)
+        assert np.allclose(np.asarray(out[f.name]), expect, equal_nan=True), f.name
+    # per-row token-array equality vs the source table (BASELINE.md gate)
+    for i in (0, 777, 1999):
+        assert np.array_equal(
+            np.asarray(out["tokens"][i]), np.asarray(table["tokens"][i].as_py())
+        )
+
+
+def test_backfill_callable_smoke(table):
+    # actor __init__ exceptions surface late in Ray — smoke the class directly
+    n_tok = raw("n_tok", properties={"min": 1.0, "max": 512.0, "has_zero": False})
+    f = unary("log", n_tok)
+    bf = FeatureBackfill([f], {})
+    out = bf(table.slice(0, 50))
+    assert "log(n_tok)" in out.column_names
+    assert np.allclose(
+        out["log(n_tok)"].to_numpy(),
+        np.log(table["n_tok"].to_numpy()[:50].astype(float)),
+    )
