@@ -50,7 +50,7 @@ def _group_reduce(agg: str, values: np.ndarray, keys: np.ndarray):
     sk = inv[order]
     starts = np.searchsorted(sk, np.arange(k))
     bounds = np.append(starts, len(sv))
-    with np.errstate(invalid="ignore", divide="ignore"):
+    with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
         if agg == "sum":
             out = np.add.reduceat(np.nan_to_num(sv), starts)
         elif agg == "prod":

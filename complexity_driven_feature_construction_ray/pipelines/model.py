@@ -1,0 +1,115 @@
+"""Numpy scoring model: L2 logistic regression + stratified CV.
+
+The reference scores candidates with sklearn LogisticRegression under a
+C grid and f1-micro (reference ComplexityDrivenFeatureConstruction.py:
+41-52, evaluation/run_evaluation.py:142-243). sklearn is not available
+here, so the model is a small Newton/IRLS implementation — for binary
+single-label data f1-micro equals accuracy, which is what `cv_score`
+returns. Folds are deterministic stratified splits (seeded, mirroring
+the reference's fixed seed 42 in EvaluationFramework.py:179).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+C_GRID = (0.001, 0.01, 0.1, 1.0, 10.0, 100.0, 1000.0)
+
+
+class LogisticRegressionNumpy:
+    """Binary L2-regularized logistic regression via Newton iterations."""
+
+    def __init__(self, C: float = 1.0, max_iter: int = 25, tol: float = 1e-6):
+        self.C = C
+        self.max_iter = max_iter
+        self.tol = tol
+        self.coef_: np.ndarray | None = None
+
+    def fit(self, X: np.ndarray, y: np.ndarray) -> "LogisticRegressionNumpy":
+        n, p = X.shape
+        Xb = np.hstack([X, np.ones((n, 1))])
+        w = np.zeros(p + 1)
+        lam = 1.0 / self.C
+        reg = lam * np.eye(p + 1)
+        reg[-1, -1] = 0.0  # don't regularize the intercept
+        for _ in range(self.max_iter):
+            z = Xb @ w
+            mu = 1.0 / (1.0 + np.exp(-np.clip(z, -35, 35)))
+            g = Xb.T @ (mu - y) + lam * np.r_[w[:-1], 0.0]
+            s = np.maximum(mu * (1 - mu), 1e-9)
+            H = (Xb * s[:, None]).T @ Xb + reg
+            try:
+                step = np.linalg.solve(H, g)
+            except np.linalg.LinAlgError:
+                step = np.linalg.lstsq(H, g, rcond=None)[0]
+            w -= step
+            if np.max(np.abs(step)) < self.tol:
+                break
+        self.coef_ = w
+        return self
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        Xb = np.hstack([X, np.ones((len(X), 1))])
+        z = np.clip(Xb @ self.coef_, -35, 35)
+        return 1.0 / (1.0 + np.exp(-z))
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        return (self.predict_proba(X) >= 0.5).astype(np.int8)
+
+    def log_likelihood(self, X: np.ndarray, y: np.ndarray) -> float:
+        p = np.clip(self.predict_proba(X), 1e-12, 1 - 1e-12)
+        return float(np.sum(y * np.log(p) + (1 - y) * np.log(1 - p)))
+
+
+def stratified_folds(y: np.ndarray, k: int, seed: int = 42) -> np.ndarray:
+    """Deterministic stratified fold ids in [0, k) per row."""
+    rng = np.random.default_rng(seed)
+    fold = np.empty(len(y), dtype=np.int32)
+    for cls in np.unique(y):
+        idx = np.nonzero(y == cls)[0]
+        perm = rng.permutation(len(idx))
+        fold[idx[perm]] = np.arange(len(idx)) % k
+    return fold
+
+
+def _standardize(train: np.ndarray, test: np.ndarray):
+    mu = train.mean(axis=0)
+    sd = train.std(axis=0)
+    sd = np.where(sd == 0, 1.0, sd)
+    return (train - mu) / sd, (test - mu) / sd
+
+
+def cv_score(
+    X: np.ndarray,
+    y: np.ndarray,
+    fold: np.ndarray,
+    c_grid=C_GRID,
+    max_iter: int = 25,
+) -> tuple[float, float, float]:
+    """Grid-searched CV accuracy (== f1-micro, binary).
+
+    Returns (best mean test accuracy over the grid, best C, mean test
+    log-likelihood at the best C). Non-finite feature values are
+    sanitized to 0 for the linear model (the reference's constant/NaN
+    kill happens before scoring; this is the belt-and-braces guard).
+    """
+    X = np.nan_to_num(np.asarray(X, dtype=np.float64), nan=0.0, posinf=0.0, neginf=0.0)
+    if X.ndim == 1:
+        X = X[:, None]
+    k = int(fold.max()) + 1
+    best = (-1.0, 1.0, -np.inf)
+    for C in c_grid:
+        accs, lls = [], []
+        for f in range(k):
+            tr, te = fold != f, fold == f
+            if y[tr].min() == y[tr].max():
+                continue  # degenerate fold
+            Xtr, Xte = _standardize(X[tr], X[te])
+            m = LogisticRegressionNumpy(C=C, max_iter=max_iter).fit(Xtr, y[tr])
+            accs.append(float((m.predict(Xte) == y[te]).mean()))
+            lls.append(m.log_likelihood(Xte, y[te]))
+        if accs:
+            mean_acc = float(np.mean(accs))
+            if mean_acc > best[0]:
+                best = (mean_acc, C, float(np.mean(lls)))
+    return best

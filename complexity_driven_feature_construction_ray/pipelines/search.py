@@ -1,0 +1,418 @@
+"""Complexity-driven candidate search (the engine proper).
+
+Re-creates the reference's layered breadth-first search by complexity
+budget (reference feature_selection/ComplexityDrivenFeatureConstruction.py:
+381-685) Ray-Data-first:
+
+- plan enumeration, sympy dedup, ε-gate, Pareto/AICc selection are
+  driver-side (O(candidates), tiny — SURVEY.md §1.5: "the data is big,
+  the plan is small")
+- candidate SCORING is the heavy stage and runs on a dedicated scoring
+  actor pool: a ray.data Dataset *of candidate plans* mapped through a
+  stateful actor class that holds the (broadcast) scoring sample, fold
+  ids and target once per actor (replacing the reference's fork-globals
+  mp.Pool, run_evaluation.py:433-452 / my_globale_module.py:1-18)
+
+Evaluation semantics per candidate mirror run_evaluation.py:247-398:
+per-fold fit of stateful nodes on the train slice only, transform of
+the test slice, grid-searched CV accuracy; constant-feature kill
+(:287-290); exact value-dedup via a content hash of the per-fold
+outputs (:292-298); the ε-pruning gate keeps a candidate iff its score
+improves on the best parent by more than epsilon, with raw and one-hot
+features always passing (:370-371).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import pickle
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..functions.expr import (
+    BINARY_OPS,
+    Feature,
+    UNARY_OPS,
+    binary,
+    groupbythen,
+    is_applicable,
+    onehot,
+    unary,
+)
+from ..functions.kernels import evaluate, fit_on_arrays
+from ..functions.sympy_rules import canonical_key, canonical_sympy, is_constant_expr
+from .model import C_GRID, cv_score, stratified_folds
+
+DEFAULT_GBT_AGGS = ("max", "min", "mean", "std")  # reference feature_space/division.py:41-56
+
+
+@dataclass
+class Scored:
+    feature: Feature
+    score: float
+    best_C: float
+    loglik: float
+    name: str = ""
+
+    def __post_init__(self):
+        self.name = self.feature.name
+
+    @property
+    def complexity(self) -> int:
+        return self.feature.complexity
+
+
+@dataclass
+class SearchResult:
+    survivors: dict[int, list[Scored]]
+    all_scored: dict[str, Scored]
+    best: Scored
+    pareto: list[Scored]
+    aicc_selected: Scored
+    stats: dict = field(default_factory=dict)
+
+    def all_representations(self) -> list[Feature]:
+        return [s.feature for layer in self.survivors.values() for s in layer]
+
+
+def _eval_candidate(feat: Feature, cols, y, fold, c_grid, max_iter=25):
+    """Per-fold fit/transform + grid CV; returns (score, C, loglik, vhash, const)."""
+    k = int(fold.max()) + 1
+    col_out = np.empty(len(y), dtype=np.float64)
+    hasher = hashlib.blake2b(digest_size=16)
+    for f in range(k):
+        tr = fold != f
+        cols_tr = {c: v[tr] for c, v in cols.items()}
+        fitted = fit_on_arrays([feat], cols_tr, y=y[tr])
+        te = ~tr
+        cols_te = {c: v[te] for c, v in cols.items()}
+        out_te = evaluate(feat, cols_te, fitted)
+        col_out[te] = out_te
+        hasher.update(np.round(np.nan_to_num(out_te, nan=-1e18), 10).tobytes())
+    finite = col_out[np.isfinite(col_out)]
+    if len(finite) == 0 or (len(finite) and finite.min() == finite.max()):
+        return (0.0, 1.0, -np.inf, hasher.hexdigest(), True)
+    score, best_c, ll = cv_score(col_out, y, fold, c_grid, max_iter)
+    return (score, best_c, ll, hasher.hexdigest(), False)
+
+
+class CandidateScorer:
+    """Scoring-pool actor: candidate plans in, scores out.
+
+    The sample (base columns + target + fold ids) ships once per actor
+    via constructor args — the Ray-native replacement for the
+    reference's fork-inherited module globals."""
+
+    def __init__(self, cols_blob: bytes, y: np.ndarray, fold: np.ndarray, c_grid, max_iter: int):
+        self.cols = pickle.loads(cols_blob)
+        self.y = np.asarray(y)
+        self.fold = np.asarray(fold)
+        self.c_grid = tuple(c_grid)
+        self.max_iter = max_iter
+
+    def __call__(self, batch: dict) -> dict:
+        names, scores, cs, lls, hashes, consts = [], [], [], [], [], []
+        for blob in batch["plan"]:
+            feat: Feature = pickle.loads(blob)
+            s, c, ll, vh, const = _eval_candidate(
+                feat, self.cols, self.y, self.fold, self.c_grid, self.max_iter
+            )
+            names.append(feat.name)
+            scores.append(s)
+            cs.append(c)
+            lls.append(ll)
+            hashes.append(vh)
+            consts.append(const)
+        return {
+            "name": np.array(names, dtype=object),
+            "score": np.array(scores),
+            "best_C": np.array(cs),
+            "loglik": np.array(lls),
+            "vhash": np.array(hashes, dtype=object),
+            "const": np.array(consts),
+        }
+
+
+def pareto_front(scored: list[Scored]) -> list[Scored]:
+    """Non-dominated (max score, min complexity) set, one per complexity."""
+    best_at: dict[int, Scored] = {}
+    for s in scored:
+        cur = best_at.get(s.complexity)
+        if cur is None or s.score > cur.score:
+            best_at[s.complexity] = s
+    front: list[Scored] = []
+    best_seen = -np.inf
+    for c in sorted(best_at):
+        if best_at[c].score > best_seen:
+            front.append(best_at[c])
+            best_seen = best_at[c].score
+    return front
+
+
+def aicc_select(champions: list[Scored], n: int) -> Scored:
+    """AICc over per-complexity champions (reference
+    ComplexityDrivenFeatureConstruction.py:754-798): k = expression
+    complexity, LL = held-out log-likelihood at the champion's best C."""
+    best, best_v = None, np.inf
+    for s in champions:
+        k = s.complexity
+        if n - k - 1 <= 0 or not np.isfinite(s.loglik):
+            continue
+        v = -2.0 * s.loglik + 2 * k + (2.0 * k * (k + 1)) / (n - k - 1)
+        if v < best_v:
+            best, best_v = s, v
+    return best if best is not None else max(champions, key=lambda s: s.score)
+
+
+class ComplexityDrivenSearch:
+    def __init__(
+        self,
+        c_max: int = 3,
+        epsilon: float = 0.0,
+        cv: int = 5,
+        seed: int = 42,
+        c_grid=C_GRID,
+        gbt_aggs=DEFAULT_GBT_AGGS,
+        unary_ops=("minmax", "discretize", "reciprocal", "minus", "log", "impute_mean"),
+        binary_ops=("add", "mul"),
+        max_seconds: float | None = None,
+        max_onehot_values: int = 20,
+        scorer_concurrency: int | None = None,
+        score_batch: int = 4,
+        lr_max_iter: int = 25,
+        use_ray: bool = True,
+    ):
+        # default op families = get_transformation_for_division
+        # (reference candidate_generation/feature_space/division.py:23-56)
+        self.c_max = c_max
+        self.epsilon = epsilon
+        self.cv = cv
+        self.seed = seed
+        self.c_grid = tuple(c_grid)
+        self.gbt_aggs = tuple(gbt_aggs)
+        self.unary_ops = tuple(unary_ops)
+        self.binary_ops = tuple(binary_ops)
+        self.max_seconds = max_seconds
+        self.max_onehot_values = max_onehot_values
+        self.scorer_concurrency = scorer_concurrency
+        self.score_batch = score_batch
+        self.lr_max_iter = lr_max_iter
+        self.use_ray = use_ray
+        self._pool = None
+        self._actors: list = []
+
+    # -- scoring -------------------------------------------------------------
+
+    def _score_layer(self, layer: list[Feature], cols, y, fold) -> list[tuple]:
+        if not layer:
+            return []
+        if self.use_ray and len(layer) > 2:
+            return self._score_ray(layer, cols, y, fold)
+        return [
+            (f,) + _eval_candidate(f, cols, y, fold, self.c_grid, self.lr_max_iter)
+            for f in layer
+        ]
+
+    def _ensure_pool(self, cols, y, fold):
+        """Dedicated scoring actor pool, created once per run; the sample
+        ships once per actor through a shared ObjectRef."""
+        import ray
+
+        if self._pool is not None:
+            return self._pool
+        n_cpu = int(ray.cluster_resources().get("CPU", 4))
+        n_actors = self.scorer_concurrency or max(2, n_cpu - 1)
+        Actor = ray.remote(num_cpus=1)(CandidateScorer)
+        blob_ref = ray.put(pickle.dumps(cols))
+        self._actors = [
+            Actor.remote(blob_ref, y, fold, self.c_grid, self.lr_max_iter)
+            for _ in range(n_actors)
+        ]
+        self._pool = ray.util.ActorPool(self._actors)
+        return self._pool
+
+    def _score_ray(self, layer: list[Feature], cols, y, fold) -> list[tuple]:
+        pool = self._ensure_pool(cols, y, fold)
+        chunks = [
+            layer[i : i + self.score_batch] for i in range(0, len(layer), self.score_batch)
+        ]
+        batches = [
+            {"plan": np.array([pickle.dumps(f) for f in ch], dtype=object)} for ch in chunks
+        ]
+        outs = list(pool.map(lambda a, b: a.__call__.remote(b), batches))
+        by_name = {}
+        for out in outs:
+            for i in range(len(out["name"])):
+                by_name[out["name"][i]] = tuple(
+                    out[k][i] for k in ("score", "best_C", "loglik", "vhash", "const")
+                )
+        return [
+            (f, float(r[0]), float(r[1]), float(r[2]), str(r[3]), bool(r[4]))
+            for f in layer
+            for r in (by_name[f.name],)
+        ]
+
+    def _shutdown_pool(self):
+        if self._actors:
+            import ray
+
+            for a in self._actors:
+                ray.kill(a)
+        self._pool = None
+        self._actors = []
+
+    # -- enumeration ---------------------------------------------------------
+
+    def _unary_candidates(self, parents: list[Feature]) -> list[Feature]:
+        out = []
+        for p in parents:
+            for op in self.unary_ops:
+                if op in UNARY_OPS and is_applicable(op, (p,)):
+                    out.append(unary(op, p))
+        return out
+
+    def _binary_candidates(self, a_list: list[Feature], b_list: list[Feature]) -> list[Feature]:
+        """Commutative ops pair combinations-with-replacement; order-matters
+        ops pair all ordered pairs (reference Transformation.get_combinations,
+        transformations/Transformation.py:72-83)."""
+        out = []
+        same = a_list is b_list
+        for i, a in enumerate(a_list):
+            for j, b in enumerate(b_list):
+                for op in self.binary_ops:
+                    commutative = op in ("add", "mul")
+                    if commutative:
+                        if same and j < i:
+                            continue  # (a,b) == (b,a)
+                        if is_applicable(op, (a, b)):
+                            out.append(binary(op, a, b))
+                    else:
+                        if a.name == b.name:
+                            continue
+                        if is_applicable(op, (a, b)):
+                            out.append(binary(op, a, b))
+                        if not same and is_applicable(op, (b, a)):
+                            out.append(binary(op, b, a))
+        return out
+
+    def _gbt_candidates(self, values: list[Feature], keys: list[Feature]) -> list[Feature]:
+        out = []
+        for v in values:
+            for k in keys:
+                if v.name == k.name:
+                    continue
+                for agg in self.gbt_aggs:
+                    if is_applicable(f"gbt_{agg}", (v, k)):
+                        out.append(groupbythen(agg, v, k))
+        return out
+
+    # -- the layered loop ----------------------------------------------------
+
+    def run(self, cols: dict[str, np.ndarray], y: np.ndarray, base_features: list[Feature]) -> SearchResult:
+        t0 = time.time()
+        y = np.asarray(y).astype(np.int8)
+        fold = stratified_folds(y, self.cv, self.seed)
+
+        numeric_raws = [f for f in base_features if f.properties.get("type") == "numeric"]
+        cat_raws = [f for f in base_features if f.properties.get("type") == "categorical"]
+        clean_raws = [f for f in numeric_raws if not f.properties.get("missing_values")]
+        parked = [f for f in numeric_raws if f.properties.get("missing_values")]
+
+        seen_sympy: set[str] = set()
+        seen_values: set[str] = set()
+        scores: dict[str, float] = {f.name: 0.0 for f in parked}
+        all_scored: dict[str, Scored] = {}
+        survivors: dict[int, list[Scored]] = {}
+        stats = {"enumerated": 0, "deduped_sympy": 0, "deduped_value": 0, "constant": 0, "pruned_eps": 0}
+
+        def admit(cands: list[Feature]) -> list[Feature]:
+            fresh = []
+            for f in cands:
+                stats["enumerated"] += 1
+                expr = canonical_sympy(f)
+                if is_constant_expr(expr):
+                    stats["constant"] += 1
+                    continue
+                key = canonical_key(f)
+                if key in seen_sympy:
+                    stats["deduped_sympy"] += 1
+                    continue
+                seen_sympy.add(key)
+                fresh.append(f)
+            return fresh
+
+        for c in range(1, self.c_max + 1):
+            if self.max_seconds is not None and time.time() - t0 > self.max_seconds:
+                stats["deadline_hit"] = True
+                break
+            layer: list[Feature] = []
+            if c == 1:
+                layer = admit(list(clean_raws))
+            else:
+                prev = [s.feature for s in survivors.get(c - 1, [])]
+                un_parents = prev + (parked if c == 2 else [])
+                layer += admit(self._unary_candidates(un_parents))
+                if c == 2:
+                    for cf in cat_raws:
+                        vals = cf.properties.get("values") or []
+                        layer += admit(
+                            [onehot(cf, v) for v in vals[: self.max_onehot_values]]
+                        )
+                # binary over 2-partitions of c-1 (reference :422-461)
+                for c1 in range(1, (c - 1) // 2 + 1):
+                    c2 = c - 1 - c1
+                    if c2 < c1:
+                        continue
+                    a = [s.feature for s in survivors.get(c1, [])]
+                    b = a if c1 == c2 else [s.feature for s in survivors.get(c2, [])]
+                    layer += admit(self._binary_candidates(a, b))
+                # gbt: value complexity + key complexity + 1 == c
+                keys = cat_raws + [
+                    s.feature
+                    for lv in survivors.values()
+                    for s in lv
+                    if s.feature.op in ("discretize", "mdlp")
+                ]
+                for key_f in keys:
+                    cv_needed = c - 1 - key_f.complexity
+                    if cv_needed >= 1 and cv_needed in survivors:
+                        layer += admit(
+                            self._gbt_candidates(
+                                [s.feature for s in survivors[cv_needed]], [key_f]
+                            )
+                        )
+
+            results = self._score_layer(layer, cols, y, fold)
+            kept: list[Scored] = []
+            for f, score, best_c, ll, vhash, const in results:
+                if const:
+                    stats["constant"] += 1
+                    continue
+                if vhash in seen_values:
+                    stats["deduped_value"] += 1
+                    continue
+                seen_values.add(vhash)
+                sc = Scored(f, score, best_c, ll)
+                all_scored[f.name] = sc
+                scores[f.name] = score
+                always_pass = f.op in ("raw", "onehot")
+                parent_best = max(
+                    (scores.get(p.name, 0.0) for p in f.parents), default=0.0
+                )
+                if always_pass or score - parent_best > self.epsilon:
+                    kept.append(sc)
+                else:
+                    stats["pruned_eps"] += 1
+            if kept:
+                survivors[c] = kept
+
+        self._shutdown_pool()
+        flat = list(all_scored.values())
+        best = max(flat, key=lambda s: s.score)
+        front = pareto_front(flat)
+        aicc = aicc_select(front, n=len(y))
+        stats["seconds"] = time.time() - t0
+        stats["scored"] = len(flat)
+        return SearchResult(survivors, all_scored, best, front, aicc, stats)
