@@ -1,0 +1,205 @@
+"""Temporal stages: as-of (point-in-time) join, lag/lead, sessionization.
+
+Net-new semantics relative to the reference (which has no time axis —
+SURVEY.md §2.7 "Streaming: none"), required by the north rule: attach
+each feature's latest non-leaking value at every entity×timestamp.
+
+Partitioning model: every entity is hashed to exactly one of B buckets
+(deterministic pandas hash, stable across processes — NOT Python's
+salted hash()), so no entity ever straddles a partition boundary; the
+groupby(bucket) shuffle co-locates probe and event rows, and each
+bucket is processed with a vectorized sorted-merge (pd.merge_asof — a
+per-key binary-search cursor over ts-sorted frames). Zero temporal
+leakage holds by construction: only events with event_ts <= probe_ts
+can be selected; tests verify row-by-row against a brute-force oracle.
+
+Skew note: buckets are uniform in entities; a single pathological
+entity bounds a bucket from below. B defaults to ~2×CPUs and is
+configurable per call.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_HASH_KEY = "0123456789123456"  # fixed pandas hash key => cross-process determinism
+
+
+def _bucket_of(values, num_buckets: int) -> np.ndarray:
+    arr = np.asarray(values)
+    if arr.dtype.kind in "iu":
+        return (arr % num_buckets).astype(np.int32)
+    h = pd.util.hash_array(arr.astype(object), hash_key=_HASH_KEY)
+    return (h % num_buckets).astype(np.int32)
+
+
+def _default_buckets() -> int:
+    try:
+        import ray
+
+        return max(4, 2 * int(ray.cluster_resources().get("CPU", 4)))
+    except Exception:  # pragma: no cover
+        return 8
+
+
+def asof_join(
+    probe_ds,
+    event_ds,
+    *,
+    key: str,
+    probe_ts: str,
+    event_ts: str,
+    value_cols: list[str],
+    event_key: str | None = None,
+    num_buckets: int | None = None,
+    allow_exact: bool = True,
+):
+    """For each probe row, attach the latest event values with
+    event_ts <= probe_ts (strictly < when allow_exact=False) for the
+    same entity; NULL when no prior event exists — never a later value.
+
+    Implementation: tag + union both sides, hash-bucket by entity,
+    groupby(bucket), per-bucket ts-sorted pd.merge_asof (sorted-merge
+    with a binary-search cursor per key).
+    """
+    event_key = event_key or key
+    B = num_buckets or _default_buckets()
+    probe_schema = probe_ds.schema()
+    probe_cols = probe_schema.names
+    probe_types = dict(zip(probe_schema.names, probe_schema.types))
+    event_schema = event_ds.schema()
+    event_types = dict(zip(event_schema.names, event_schema.types))
+    out_event_cols = [f"asof_{c}" for c in value_cols]
+
+    def tag_probe(batch: pa.Table) -> pa.Table:
+        t = batch.append_column("__bucket", pa.array(_bucket_of(batch[key].to_numpy(zero_copy_only=False), B)))
+        t = t.append_column("__side", pa.array(np.zeros(len(batch), dtype=np.int8)))
+        t = t.append_column("__ts", batch[probe_ts])
+        for c in value_cols:
+            t = t.append_column(f"__ev_{c}", pa.nulls(len(batch), type=event_types[c]))
+        return t
+
+    def tag_event(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        cols = {
+            "__bucket": pa.array(_bucket_of(batch[event_key].to_numpy(zero_copy_only=False), B)),
+            "__side": pa.array(np.ones(n, dtype=np.int8)),
+            "__ts": batch[event_ts],
+            key: batch[event_key].cast(probe_types[key]),
+        }
+        t = pa.table(cols)
+        for c in probe_cols:
+            if c not in t.column_names:
+                t = t.append_column(c, pa.nulls(n, type=probe_types[c]))
+        for c in value_cols:
+            t = t.append_column(f"__ev_{c}", batch[c])
+        return t.select([*probe_cols, "__bucket", "__side", "__ts", *[f"__ev_{c}" for c in value_cols]])
+
+    tagged_probe = probe_ds.map_batches(tag_probe, batch_format="pyarrow").select_columns(
+        [*probe_cols, "__bucket", "__side", "__ts", *[f"__ev_{c}" for c in value_cols]]
+    )
+    tagged_event = event_ds.map_batches(tag_event, batch_format="pyarrow")
+    both = tagged_probe.union(tagged_event)
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        probe = g[g["__side"] == 0]
+        events = g[g["__side"] == 1]
+        probe = probe.sort_values("__ts", kind="stable")
+        if len(events) == 0:
+            out = probe
+        else:
+            events = events.sort_values("__ts", kind="stable")
+            right = events[[key, "__ts", *[f"__ev_{c}" for c in value_cols]]]
+            out = pd.merge_asof(
+                probe.drop(columns=[f"__ev_{c}" for c in value_cols]),
+                right,
+                on="__ts",
+                by=key,
+                direction="backward",
+                allow_exact_matches=allow_exact,
+            )
+        out = out.drop(columns=["__bucket", "__side"])
+        out = out.rename(columns={f"__ev_{c}": n for c, n in zip(value_cols, out_event_cols)})
+        return out.drop(columns=["__ts"])
+
+    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
+def lag_lead(
+    ds,
+    *,
+    key: str,
+    ts: str,
+    cols: list[str],
+    lags: tuple[int, ...] = (1,),
+    leads: tuple[int, ...] = (1,),
+    num_buckets: int | None = None,
+):
+    """Per-entity lag/lead of `cols` ordered by ts (first/last rows NULL).
+
+    One shuffle by entity-hash bucket; inside a bucket the shift is a
+    vectorized pandas groupby over all entities of the bucket at once.
+    Ties on ts break by stable input order within the bucket.
+    """
+    B = num_buckets or _default_buckets()
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", pa.array(_bucket_of(batch[key].to_numpy(zero_copy_only=False), B))
+        )
+
+    def shift_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts], kind="stable")
+        grp = g.groupby(key, sort=False)
+        for c in cols:
+            for n in lags:
+                g[f"{c}_lag{n}"] = grp[c].shift(n)
+            for n in leads:
+                g[f"{c}_lead{n}"] = grp[c].shift(-n)
+        return g.drop(columns=["__bucket"])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(shift_bucket, batch_format="pandas")
+    )
+
+
+def sessionize(
+    ds,
+    *,
+    key: str,
+    ts: str,
+    gap,
+    num_buckets: int | None = None,
+    session_col: str = "session_idx",
+):
+    """Gap-based sessionization: a new session starts when the time since
+    the entity's previous row exceeds `gap` (pd.Timedelta or seconds).
+    Emits a 0-based per-entity session index."""
+    B = num_buckets or _default_buckets()
+    gap_td = pd.Timedelta(seconds=gap) if not isinstance(gap, pd.Timedelta) else gap
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", pa.array(_bucket_of(batch[key].to_numpy(zero_copy_only=False), B))
+        )
+
+    def sess_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts], kind="stable")
+        new_entity = g[key].ne(g[key].shift())
+        gap_break = g[ts].diff() > gap_td
+        new_sess = new_entity | gap_break
+        sid = new_sess.cumsum()
+        # per-entity 0-based index: subtract the entity's first session id
+        first = sid.where(new_entity).ffill()
+        g[session_col] = (sid - first).astype(np.int64)
+        return g.drop(columns=["__bucket"])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(sess_bucket, batch_format="pandas")
+    )
