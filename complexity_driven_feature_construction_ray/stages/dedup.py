@@ -1,0 +1,340 @@
+"""Deduplication stages: exact, MinHash+LSH, SimHash, embedding-cosine.
+
+Training-data curation ops at 100 TB shape:
+- exact: content-hash per batch -> groupby(hash) -> keep min id per
+  distinct content (collision-safe: the group re-checks real content)
+- MinHash+LSH: shingle->minhash signatures per batch (all-vectorized
+  segmented numpy, no Python loop over shingles), explode to
+  (band, band_hash) rows, groupby band bucket, emit candidate pairs
+  with estimated Jaccard >= threshold, then a driver-side union-find
+  over the (tiny) pair set to form duplicate clusters
+- SimHash: 64-bit sign fingerprint, banded into 4x16-bit keys,
+  Hamming-verified within buckets
+- embedding-cosine: random-hyperplane LSH buckets + exact cosine verify
+
+The heavy work (hashing, signatures, banding) streams through
+map_batches; only band-bucket groups (a shuffle of small key rows, not
+documents) and the candidate pair list leave the stream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_U64 = np.uint64
+_PRIME = _U64((1 << 61) - 1)
+_HASH_KEY = "0123456789123456"
+
+
+def _hash_words(words: np.ndarray) -> np.ndarray:
+    return pd.util.hash_array(words, hash_key=_HASH_KEY).astype(_U64)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def exact_dedup(ds, *, content_col: str = "text", id_col: str = "doc_id"):
+    """Keep one row (min id) per distinct content value. Hash-partition
+    by content hash; the per-group step resolves hash collisions by
+    grouping on the actual content."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            np.asarray(batch[content_col].to_pandas(), dtype=object), hash_key=_HASH_KEY
+        )
+        return batch.append_column("__chash", pa.array(h.astype(np.int64)))
+
+    def first_per_content(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.sort_values(id_col, kind="stable").groupby(content_col, sort=False).head(1)
+        return keep.drop(columns=["__chash"])
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("__chash")
+        .map_groups(first_per_content, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+
+
+def _shingle_hashes(texts: list[str], shingle_words: int) -> tuple[np.ndarray, np.ndarray]:
+    """All word-k-gram hashes of a batch + row offsets (segmented layout)."""
+    words_per_row = [t.split() if t else [] for t in texts]
+    counts = np.array([max(len(w) - shingle_words + 1, 0) for w in words_per_row])
+    all_words = np.array(
+        [w for ws in words_per_row for w in ws] or [""], dtype=object
+    )
+    wh = _hash_words(all_words)
+    w_offsets = np.zeros(len(words_per_row) + 1, dtype=np.int64)
+    np.cumsum([len(w) for w in words_per_row], out=w_offsets[1:])
+    # shingle hash = mix of k consecutive word hashes within a row
+    sh_parts = []
+    with np.errstate(over="ignore"):
+        for row, ws in enumerate(words_per_row):
+            n = len(ws)
+            k = shingle_words
+            if n < k:
+                continue
+            base = w_offsets[row]
+            acc = wh[base : base + n - k + 1].copy()
+            for j in range(1, k):
+                acc = acc * _U64(1_000_003) + wh[base + j : base + n - k + 1 + j]
+            sh_parts.append(acc)
+    sh = np.concatenate(sh_parts) if sh_parts else np.empty(0, dtype=_U64)
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return sh, offsets
+
+
+def minhash_signatures(
+    texts: list[str], num_perm: int = 64, shingle_words: int = 3, seed: int = 42
+) -> np.ndarray:
+    """(n_rows, num_perm) uint64 MinHash signatures; empty rows -> max."""
+    sh, offsets = _shingle_hashes(texts, shingle_words)
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 61, num_perm, dtype=np.uint64) | _U64(1)
+    b = rng.integers(0, 1 << 61, num_perm, dtype=np.uint64)
+    n = len(texts)
+    out = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=_U64)
+    if len(sh) == 0:
+        return out
+    with np.errstate(over="ignore"):
+        hashed = sh[:, None] * a[None, :] + b[None, :]  # (n_shingles, num_perm)
+    starts = offsets[:-1]
+    nonempty = offsets[1:] > starts
+    mins = np.minimum.reduceat(hashed, starts[nonempty], axis=0)
+    out[nonempty] = mins
+    return out
+
+
+def _band_keys(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n, bands) int64 band-bucket keys."""
+    n, p = sigs.shape
+    r = p // bands
+    s = sigs[:, : bands * r].reshape(n, bands, r)
+    with np.errstate(over="ignore"):
+        acc = np.zeros((n, bands), dtype=_U64)
+        for j in range(r):
+            acc = acc * _U64(0x9E3779B97F4A7C15) + s[:, :, j]
+    return acc.astype(np.int64)
+
+
+def minhash_lsh_dedup(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Near-duplicate clusters via MinHash+LSH.
+
+    Returns a pandas DataFrame (id, rep_id, is_dup) for every document
+    that appeared in at least one candidate bucket, with rep_id the
+    cluster representative (min id); is_dup marks non-representatives."""
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sigs = minhash_signatures(texts, num_perm, seed=seed)
+        keys = _band_keys(sigs, bands)
+        n = len(texts)
+        band_id = np.tile(np.arange(bands, dtype=np.int32), n)
+        return pa.table(
+            {
+                "band_id": pa.array(band_id),
+                "band_key": pa.array(keys.reshape(-1)),
+                id_col: pa.array(np.repeat(ids, bands)),
+                "sig": pa.array(list(sigs.astype(np.int64)[np.repeat(np.arange(n), bands)])),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "est": []})
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col, kind="stable")
+        ids = g[id_col].to_numpy()
+        sigs = np.stack(g["sig"].to_numpy())
+        eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+        iu = np.triu_indices(len(ids), k=1)
+        est = eq[iu]
+        keep = est >= threshold
+        return pd.DataFrame({"a": ids[iu[0][keep]], "b": ids[iu[1][keep]], "est": est[keep]})
+
+    pairs = (
+        ds.map_batches(to_bands, batch_format="pyarrow")
+        .groupby(["band_id", "band_key"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    return _clusters_from_pairs(pairs)
+
+
+def _clusters_from_pairs(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Driver-side union-find over the (small) candidate pair set."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            if ry < rx:
+                rx, ry = ry, rx
+            parent[ry] = rx
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        union(a, b)
+    ids = sorted(parent)
+    reps = [find(i) for i in ids]
+    return pd.DataFrame({"id": ids, "rep_id": reps, "is_dup": [i != r for i, r in zip(ids, reps)]})
+
+
+# ---------------------------------------------------------------------------
+# simhash
+
+_POP = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
+def _hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (a[:, None] ^ b[None, :]).view(np.uint8).reshape(len(a), len(b), 8)
+    return _POP[x].sum(axis=2)
+
+
+def simhash_values(texts: list[str]) -> np.ndarray:
+    """64-bit SimHash per text (word-level features)."""
+    out = np.zeros(len(texts), dtype=_U64)
+    for i, t in enumerate(texts):
+        ws = t.split() if t else []
+        if not ws:
+            continue
+        wh = _hash_words(np.array(ws, dtype=object))
+        bits = np.unpackbits(wh.view(np.uint8)).reshape(len(wh), 64)
+        score = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        out[i] = np.packbits((score > 0).astype(np.uint8)).view(_U64)[0]
+    return out
+
+
+def simhash_dedup(
+    ds, *, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> pd.DataFrame:
+    """Near-dup clusters where SimHash Hamming distance <= max_hamming.
+    Bucketing: 4 x 16-bit bands (any pair within distance 3 shares a band)."""
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sh = simhash_values(texts)
+        n = len(texts)
+        rows = {
+            "band_id": np.tile(np.arange(4, dtype=np.int32), n),
+            "band_key": np.empty(4 * n, dtype=np.int64),
+            id_col: np.repeat(ids, 4),
+            "simhash": np.repeat(sh.astype(np.int64), 4),
+        }
+        for b in range(4):
+            rows["band_key"][b::4] = ((sh >> _U64(16 * b)) & _U64(0xFFFF)).astype(np.int64)
+        return pa.table({k: pa.array(v) for k, v in rows.items()})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "est": []})
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col, kind="stable")
+        ids = g[id_col].to_numpy()
+        sh = g["simhash"].to_numpy().astype(np.int64).view(_U64)
+        d = _hamming(sh, sh)
+        iu = np.triu_indices(len(ids), k=1)
+        keep = d[iu] <= max_hamming
+        return pd.DataFrame(
+            {"a": ids[iu[0][keep]], "b": ids[iu[1][keep]], "est": d[iu][keep].astype(float)}
+        )
+
+    pairs = (
+        ds.map_batches(to_bands, batch_format="pyarrow")
+        .groupby(["band_id", "band_key"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    return _clusters_from_pairs(pairs)
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+
+
+def embedding_dedup(
+    ds,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Near-dup clusters where cosine similarity >= threshold.
+    Random-hyperplane LSH buckets + exact cosine verify per bucket."""
+    first = ds.take(1)[0]
+    dim = len(first[emb_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(dim, n_planes))
+
+    def to_bucket(batch: pa.Table) -> pa.Table:
+        embs = np.stack(batch[emb_col].to_pylist()).astype(np.float64)
+        norm = np.linalg.norm(embs, axis=1, keepdims=True)
+        embs = embs / np.maximum(norm, 1e-12)
+        bits = (embs @ planes > 0).astype(np.uint64)
+        key = np.zeros(len(embs), dtype=np.uint64)
+        for j in range(n_planes):
+            key = (key << _U64(1)) | bits[:, j]
+        return pa.table(
+            {
+                "bucket": pa.array(key.astype(np.int64)),
+                id_col: batch[id_col],
+                "emb_n": pa.array(list(embs)),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "est": []})
+        g = g.sort_values(id_col, kind="stable")
+        ids = g[id_col].to_numpy()
+        e = np.stack(g["emb_n"].to_numpy())
+        sim = e @ e.T
+        iu = np.triu_indices(len(ids), k=1)
+        keep = sim[iu] >= threshold
+        return pd.DataFrame({"a": ids[iu[0][keep]], "b": ids[iu[1][keep]], "est": sim[iu][keep]})
+
+    pairs = (
+        ds.map_batches(to_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    return _clusters_from_pairs(pairs)
+
+
+def ngram_jaccard(a: str, b: str, n_words: int = 3) -> float:
+    """Exact word-n-gram Jaccard (the verification oracle for MinHash)."""
+
+    def grams(t):
+        ws = t.split()
+        return {tuple(ws[i : i + n_words]) for i in range(len(ws) - n_words + 1)}
+
+    ga, gb = grams(a), grams(b)
+    if not ga and not gb:
+        return 1.0
+    return len(ga & gb) / max(len(ga | gb), 1)

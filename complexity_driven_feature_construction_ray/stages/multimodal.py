@@ -1,0 +1,129 @@
+"""Multimodal column stages (image/audio/video as opaque binary).
+
+The decode/feature-extract kernels are STUBBED — the image/audio
+libraries are not in this container — but the Ray-side plumbing is
+real and tested: schema contract, actor-pool signature, batch sizing
+for wide binary rows, and deterministic fake decoding so the pipeline
+shape can be exercised end-to-end.
+
+Contract: a multimodal table carries `(item_id:string, payload:binary,
+media_type:string, meta:string-json)`. Decode stages are actor pools
+(model load once per actor) over small batches (payloads are wide —
+batch_size must be set from payload size, not row count).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("item_id", pa.string()),
+        ("payload", pa.binary()),
+        ("media_type", pa.string()),
+        ("meta", pa.string()),
+    ]
+)
+
+
+def synthetic_media_table(n_rows: int, seed: int = 42, payload_bytes: int = 4096) -> pa.Table:
+    """Deterministic fake media rows for exercising the plumbing."""
+    rng = np.random.default_rng(seed)
+    payloads = [rng.integers(0, 256, payload_bytes, dtype=np.uint8).tobytes() for _ in range(n_rows)]
+    kinds = [("image/png", {"w": 64, "h": 64}), ("audio/wav", {"sr": 16000, "sec": 1})]
+    ids, types, metas = [], [], []
+    for i in range(n_rows):
+        t, m = kinds[i % len(kinds)]
+        ids.append(f"item-{i:08d}")
+        types.append(t)
+        metas.append(json.dumps(m))
+    return pa.table(
+        {"item_id": ids, "payload": payloads, "media_type": types, "meta": metas},
+        schema=MEDIA_SCHEMA,
+    )
+
+
+class ImageDecode:
+    """Actor-pool stage: binary payload -> decoded feature vector.
+
+    Real decode requires an image library (not in this container):
+    pass `fake=True` for a deterministic content-derived fake feature
+    (tested), else the stage raises NotImplementedError at first batch.
+    """
+
+    FEATURE_DIM = 16
+
+    def __init__(self, fake: bool = False):
+        self.fake = fake
+        if not fake:
+            try:
+                import PIL.Image  # noqa: F401  (absent here by design)
+
+                self.pil = True
+            except ImportError:
+                self.pil = False
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake and not getattr(self, "pil", False):
+            raise NotImplementedError(
+                "image decode needs PIL/opencv (not installed); use fake=True "
+                "for the deterministic test double"
+            )
+        feats = []
+        for payload in batch["payload"].to_pylist():
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            # deterministic fake "embedding": bucketed byte histogram
+            hist = np.bincount(arr >> 4, minlength=self.FEATURE_DIM)[: self.FEATURE_DIM]
+            feats.append((hist / max(len(arr), 1)).astype(np.float32))
+        return batch.append_column(
+            "features", pa.array([f.tolist() for f in feats], type=pa.list_(pa.float32()))
+        )
+
+
+class AudioFrameSample:
+    """Actor-pool stage: sample N fixed-stride frames from an audio payload.
+
+    Stubbed the same way: deterministic byte-stride sampling stands in
+    for a real codec; the schema/actor/batch plumbing is the real part.
+    """
+
+    def __init__(self, n_frames: int = 4, frame_bytes: int = 256):
+        self.n_frames = n_frames
+        self.frame_bytes = frame_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        frames_col = []
+        for payload in batch["payload"].to_pylist():
+            n = len(payload)
+            stride = max((n - self.frame_bytes) // max(self.n_frames - 1, 1), 1)
+            frames = [
+                payload[off : off + self.frame_bytes]
+                for off in range(0, min(n, stride * self.n_frames), stride)
+            ][: self.n_frames]
+            frames_col.append(frames)
+        return batch.append_column(
+            "frames", pa.array(frames_col, type=pa.list_(pa.binary()))
+        )
+
+
+def decode_pipeline(ds, *, fake: bool = True, concurrency: int = 2, batch_size: int = 64):
+    """image-decode + audio-frame-sample over a media dataset.
+
+    batch_size is small on purpose: payload bytes x batch x concurrency
+    must fit each actor's heap (wide-row rule)."""
+    return ds.map_batches(
+        ImageDecode,
+        fn_constructor_args=(fake,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    ).map_batches(
+        AudioFrameSample,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
