@@ -1,16 +1,15 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data feature-construction engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry(): flagship pipeline (token-table -> search -> backfill ->
+as-of/windows) at sf0.001 scale.
+queries(): one callable per implemented operator from SURVEY.md §2
+(+ the curation ops); each takes sf_dir and returns a Dataset /
+DataFrame / Table.
+oracle_sql(): matching DuckDB SQL where SQL can express the op;
+omitted for LSH/search pipelines (rows-only checks).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before import — nothing here calls
+ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +19,21 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from complexity_driven_feature_construction_ray.pipelines.flagship import run_flagship
+
+    out, _search, _selected = run_flagship(
+        3000, c_max=2, sample_rows=1500, use_ray_scoring=True
+    )
+    return out
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from complexity_driven_feature_construction_ray.pipelines.relational import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from complexity_driven_feature_construction_ray.pipelines.relational import QUERIES
+
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

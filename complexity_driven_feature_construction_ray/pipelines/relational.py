@@ -1,0 +1,746 @@
+"""Operator catalog: every engine op as a (Ray pipeline, DuckDB oracle) pair.
+
+Each entry runs the REAL engine path (stats pass -> feature algebra ->
+fit_distributed -> FeatureBackfill, or the dedicated stage) over the
+driver's testdata parquet tables and names every computed column
+exactly as the oracle SQL does, so the driver's order-insensitive
+value-hash comparison is meaningful.
+
+Float policy: single-element-wise IEEE ops (neg, +, -, *, /) are exact
+across engines and ship unrounded; transcendentals (ln) and
+order-dependent aggregates (sum/avg/std over many rows) are rounded on
+BOTH sides (same literal in the SQL) to absorb last-ulp differences.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.expr import binary, groupbythen, onehot, raw, unary
+from ..stages.backfill import backfill_dataset
+from ..stages.fit import fit_distributed
+from ..stages.stats import base_features_from_stats, column_stats
+from ..stages.temporal import asof_join, lag_lead, sessionize
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round_cols(ds, cols: dict[str, int]):
+    def f(batch: pa.Table) -> pa.Table:
+        for c, nd in cols.items():
+            batch = batch.set_column(
+                batch.column_names.index(c), c, pc.round(batch[c], ndigits=nd)
+            )
+        return batch
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _rename(ds, mapping: dict[str, str]):
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns([mapping.get(c, c) for c in batch.column_names])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _lineitem_features(sf_dir, plans_from, keep, rename, rounding=None, table="lineitem"):
+    """stats -> build plans -> distributed fit -> backfill -> project."""
+    stat_cols = plans_from["stats"]
+    read_cols = sorted(set(keep) | set(stat_cols))
+    ds = _read(sf_dir, table, columns=read_cols)
+    stats = column_stats(ds.select_columns(stat_cols), stat_cols) if stat_cols else {}
+    feats = {f.params[0]: f for f in base_features_from_stats(stats)} if stats else {}
+    plans = plans_from["build"](feats)
+    fitted = fit_distributed(plans, ds)
+    out = backfill_dataset(ds, plans, fitted, concurrency=4, keep_input=True)
+    out = _rename(out, rename)
+    if rounding:
+        out = _round_cols(out, rounding)
+    return out.select_columns(list(keep) + list(rename.values()))
+
+
+# ---------------------------------------------------------------------------
+# feature-algebra queries (engine kernels vs SQL oracle)
+
+
+def fe_unary(sf_dir: str):
+    def build(f):
+        return [
+            unary("log", f["l_extendedprice"]),
+            unary("minus", f["l_quantity"]),
+            unary("reciprocal", f["l_quantity"]),
+        ]
+
+    return _lineitem_features(
+        sf_dir,
+        {"stats": ["l_extendedprice", "l_quantity"], "build": build},
+        keep=["l_orderkey", "l_linenumber"],
+        rename={
+            "log(l_extendedprice)": "log_price",
+            "(-1*l_quantity)": "neg_qty",
+            "(1/l_quantity)": "recip_qty",
+        },
+        rounding={"log_price": 6},
+    )
+
+
+FE_UNARY_SQL = """
+SELECT l_orderkey, l_linenumber,
+       round(ln(l_extendedprice), 6) AS log_price,
+       -l_quantity AS neg_qty,
+       1.0 / l_quantity AS recip_qty
+FROM lineitem
+"""
+
+
+def fe_scaling(sf_dir: str):
+    def build(f):
+        return [unary("minmax", f["l_quantity"]), unary("zscore", f["l_extendedprice"])]
+
+    return _lineitem_features(
+        sf_dir,
+        {"stats": ["l_quantity", "l_extendedprice"], "build": build},
+        keep=["l_orderkey", "l_linenumber"],
+        rename={"minmax(l_quantity)": "qty_minmax", "zscore(l_extendedprice)": "price_z"},
+        rounding={"qty_minmax": 6, "price_z": 6},
+    )
+
+
+FE_SCALING_SQL = """
+SELECT l_orderkey, l_linenumber,
+       round((l_quantity - MIN(l_quantity) OVER ())
+             / (MAX(l_quantity) OVER () - MIN(l_quantity) OVER ()), 6) AS qty_minmax,
+       round((l_extendedprice - AVG(l_extendedprice) OVER ())
+             / STDDEV_POP(l_extendedprice) OVER (), 6) AS price_z
+FROM lineitem
+"""
+
+
+def fe_discretize(sf_dir: str):
+    def build(f):
+        return [unary("discretize", f["l_extendedprice"])]
+
+    out = _lineitem_features(
+        sf_dir,
+        {"stats": ["l_extendedprice"], "build": build},
+        keep=["l_orderkey", "l_linenumber"],
+        rename={"discretize(l_extendedprice)": "price_bin"},
+    )
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("price_bin")
+        return batch.set_column(i, "price_bin", pc.cast(batch["price_bin"], pa.int32()))
+
+    return out.map_batches(to_int, batch_format="pyarrow")
+
+
+FE_DISCRETIZE_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(LEAST(GREATEST(CEIL((l_extendedprice - MIN(l_extendedprice) OVER ())
+             / ((MAX(l_extendedprice) OVER () - MIN(l_extendedprice) OVER ()) / 10.0)) - 1,
+             0), 9) AS INT) AS price_bin
+FROM lineitem
+"""
+
+
+def fe_impute(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64).copy()
+        v[np.asarray(batch["event_type"].to_numpy(zero_copy_only=False)) == "error"] = np.nan
+        return batch.append_column("v", pa.array(v, type=pa.float64()))
+
+    ds = ds.map_batches(derive, batch_format="pyarrow")
+    v = raw("v", properties={"missing_values": True})
+    plan = unary("impute_mean", v)
+    fitted = fit_distributed([plan], ds)
+    out = backfill_dataset(ds, [plan], fitted, concurrency=4)
+    out = _rename(out, {"impute_mean(v)": "v_imputed"})
+    out = _round_cols(out, {"v_imputed": 6})
+    return out.select_columns(["event_id", "v_imputed"])
+
+
+FE_IMPUTE_SQL = """
+SELECT event_id,
+       round(COALESCE(CASE WHEN event_type <> 'error' THEN value END,
+             (SELECT AVG(CASE WHEN event_type <> 'error' THEN value END) FROM events)), 6)
+           AS v_imputed
+FROM events
+"""
+
+
+def fe_onehot(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_returnflag"])
+    flag = raw("l_returnflag", "categorical")
+    plans = [onehot(flag, "R"), onehot(flag, "A")]
+    out = backfill_dataset(ds, plans, {}, concurrency=4)
+    out = _rename(out, {"onehot(l_returnflag=R)": "is_r", "onehot(l_returnflag=A)": "is_a"})
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        for c in ("is_r", "is_a"):
+            i = batch.column_names.index(c)
+            batch = batch.set_column(i, c, pc.cast(batch[c], pa.int32()))
+        return batch
+
+    return out.map_batches(to_int, batch_format="pyarrow").select_columns(
+        ["l_orderkey", "l_linenumber", "is_r", "is_a"]
+    )
+
+
+FE_ONEHOT_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_r,
+       CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS is_a
+FROM lineitem
+"""
+
+
+def fe_groupbythen(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"])
+    q = raw("l_quantity", properties={"min": 1.0, "max": 50.0, "has_zero": False})
+    flag = raw("l_returnflag", "categorical", {"distinct": 3})
+    plans = [
+        groupbythen("mean", q, flag),
+        groupbythen("max", q, flag),
+        groupbythen("std", q, flag),
+        groupbythen("count", q, flag),
+    ]
+    fitted = fit_distributed(plans, ds)
+    out = backfill_dataset(ds, plans, fitted, concurrency=4)
+    out = _rename(
+        out,
+        {
+            "mean(l_quantity by l_returnflag)": "qty_mean_by_flag",
+            "max(l_quantity by l_returnflag)": "qty_max_by_flag",
+            "std(l_quantity by l_returnflag)": "qty_std_by_flag",
+            "count(l_quantity by l_returnflag)": "qty_cnt_by_flag",
+        },
+    )
+    out = _round_cols(out, {"qty_mean_by_flag": 6, "qty_std_by_flag": 6})
+    return out.select_columns(
+        ["l_orderkey", "l_linenumber", "qty_mean_by_flag", "qty_max_by_flag",
+         "qty_std_by_flag", "qty_cnt_by_flag"]
+    )
+
+
+FE_GROUPBYTHEN_SQL = """
+SELECT l_orderkey, l_linenumber,
+       round(AVG(l_quantity) OVER (PARTITION BY l_returnflag), 6) AS qty_mean_by_flag,
+       MAX(l_quantity) OVER (PARTITION BY l_returnflag) AS qty_max_by_flag,
+       round(STDDEV_POP(l_quantity) OVER (PARTITION BY l_returnflag), 6) AS qty_std_by_flag,
+       CAST(COUNT(l_quantity) OVER (PARTITION BY l_returnflag) AS DOUBLE) AS qty_cnt_by_flag
+FROM lineitem
+"""
+
+
+def fe_binary(sf_dir: str):
+    def build(f):
+        return [
+            binary("add", f["l_quantity"], f["l_tax"]),
+            binary("mul", f["l_quantity"], f["l_discount"]),
+            binary("sub", f["l_extendedprice"], f["l_tax"]),
+            binary("div", f["l_extendedprice"], f["l_quantity"]),
+        ]
+
+    return _lineitem_features(
+        sf_dir,
+        {"stats": ["l_quantity", "l_tax", "l_discount", "l_extendedprice"], "build": build},
+        keep=["l_orderkey", "l_linenumber"],
+        rename={
+            "(l_quantity+l_tax)": "qty_plus_tax",
+            "(l_discount*l_quantity)": "qty_times_disc",
+            "(l_extendedprice-l_tax)": "price_sub_tax",
+            "(l_extendedprice/l_quantity)": "price_per_qty",
+        },
+    )
+
+
+FE_BINARY_SQL = """
+SELECT l_orderkey, l_linenumber,
+       l_quantity + l_tax AS qty_plus_tax,
+       l_quantity * l_discount AS qty_times_disc,
+       l_extendedprice - l_tax AS price_sub_tax,
+       l_extendedprice / l_quantity AS price_per_qty
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational / aggregate queries
+
+
+def q_pricing_summary(sf_dir: str):
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return batch.append_column("rev", rev)
+
+    ds = ds.map_batches(revenue, batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("rev", alias_name="sum_rev"),
+        Mean("l_quantity", alias_name="avg_qty"),
+        Count(alias_name="n"),
+    )
+    return _round_cols(out, {"sum_qty": 2, "sum_rev": 2, "avg_qty": 6})
+
+
+Q_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_rev,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return batch.append_column("rev", rev)
+
+    out = (
+        ds.map_batches(revenue, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev", alias_name="revenue"))
+        .sort(["revenue", "l_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+    return _round_cols(out, {"revenue": 2})
+
+
+Q_TOP_REVENUE_SQL = """
+SELECT l_orderkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem
+GROUP BY l_orderkey
+ORDER BY sum(l_extendedprice * (1.0 - l_discount)) DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_broadcast_join(sf_dir: str):
+    """Small-side broadcast join: customer dim shipped once via ray.put,
+    hash lookup inside map_batches — no shuffle of the fact table."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .to_pandas()
+        .set_index("c_custkey")["c_mktsegment"]
+    )
+    lookup_ref = ray.put(cust.to_dict())
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        seg = pd.Series(batch["o_custkey"].to_numpy()).map(lk)
+        return batch.append_column("c_mktsegment", pa.array(seg, type=pa.string()))
+
+    out = (
+        orders.map_batches(attach, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_total"))
+    )
+    return _round_cols(out, {"sum_total": 2})
+
+
+Q_BROADCAST_JOIN_SQL = """
+SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_semi_join(sf_dir: str):
+    """Semi join via broadcast key set + vectorized filter."""
+    import ray
+    from ray.data.aggregate import Count
+
+    keys = (
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+        .filter(expr="o_totalprice > 150000.0")
+        .to_pandas()["o_orderkey"]
+        .to_numpy()
+    )
+    key_ref = ray.put(np.sort(keys))
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+
+    def semi(batch: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        ok = batch["l_orderkey"].to_numpy()
+        idx = np.searchsorted(ks, ok)
+        idx = np.clip(idx, 0, len(ks) - 1)
+        return batch.filter(pa.array(ks[idx] == ok))
+
+    return (
+        ds.map_batches(semi, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+Q_SEMI_JOIN_SQL = """
+SELECT l_returnflag, count(*) AS n
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000.0)
+GROUP BY l_returnflag
+"""
+
+
+def q_distinct_parts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_partkey"])
+    pairs = ds.groupby(["l_returnflag", "l_partkey"]).aggregate(Count(alias_name="_c"))
+    return (
+        pairs.select_columns(["l_returnflag"])
+        .groupby("l_returnflag")
+        .aggregate(Count(alias_name="n_parts"))
+    )
+
+
+Q_DISTINCT_SQL = """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_filter_sort_topk(sf_dir: str):
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"],
+    )
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1997-01-01")))),
+        batch_format="pyarrow",
+    )
+    return (
+        ds.sort(["l_extendedprice", "l_orderkey", "l_linenumber"], descending=[True, False, False])
+        .limit(15)
+        .select_columns(["l_orderkey", "l_linenumber", "l_extendedprice"])
+    )
+
+
+Q_TOPK_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1997-01-01'
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 15
+"""
+
+
+# ---------------------------------------------------------------------------
+# temporal queries over events
+
+
+def t_lag_lead(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    out = lag_lead(
+        ds, key="user_id", ts="ts", cols=["value"], lags=(1,), leads=(1,),
+        tiebreak=["event_id"], num_buckets=8,
+    )
+    return out.select_columns(["event_id", "value_lag1", "value_lead1"])
+
+
+T_LAG_LEAD_SQL = """
+SELECT event_id,
+       LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_lag1,
+       LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_lead1
+FROM events
+"""
+
+
+def t_sessionize(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    out = sessionize(
+        ds, key="user_id", ts="ts", gap=1800, tiebreak=["event_id"], num_buckets=8
+    )
+    return out.select_columns(["event_id", "session_idx"])
+
+
+T_SESSIONIZE_SQL = """
+SELECT event_id,
+       CAST(SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) - 1
+           AS BIGINT) AS session_idx
+FROM (
+    SELECT event_id, user_id, ts,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+)
+"""
+
+
+def t_asof(sf_dir: str):
+    """Latest prior purchase value attached to every click, per user —
+    the point-in-time join with zero leakage."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+    clicks = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], pa.scalar("click"))).select(
+            ["event_id", "ts", "user_id"]
+        ),
+        batch_format="pyarrow",
+    )
+    purchases = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], pa.scalar("purchase"))),
+        batch_format="pyarrow",
+    )
+
+    # dedup the event side per (user, ts): keep the max-event_id row
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id", kind="stable")
+        return g.groupby(["user_id", "ts"], sort=False).tail(1)[["user_id", "ts", "value"]]
+
+    purchases = purchases.groupby("user_id").map_groups(dedup, batch_format="pandas")
+    out = asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        probe_ts="ts",
+        event_ts="ts",
+        value_cols=["value"],
+        num_buckets=8,
+    )
+    return out.select_columns(["event_id", "asof_value"])
+
+
+T_ASOF_SQL = """
+SELECT c.event_id, p.value AS asof_value
+FROM (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (
+    SELECT user_id, ts, arg_max(value, event_id) AS value
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, ts
+) p ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# curation queries over documents / embeddings
+
+
+def d_exact_dedup(sf_dir: str):
+    from ..stages.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup(ds).select_columns(["doc_id"])
+
+
+D_EXACT_DEDUP_SQL = """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+"""
+
+
+def d_token_counts(sf_dir: str):
+    from ..stages.text import token_counts
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(token_counts, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens_ws"]
+    )
+
+
+D_TOKEN_COUNTS_SQL = """
+SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens_ws FROM documents
+"""
+
+
+def d_quality(sf_dir: str):
+    from ..stages.text import quality_scores
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(quality_scores, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_words", "punct_ratio", "digit_ratio", "mean_word_len"])
+
+
+D_QUALITY_SQL = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '\\S+')) AS n_words,
+       length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
+           / greatest(length(text), 1) AS punct_ratio,
+       length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+           / greatest(length(text), 1) AS digit_ratio,
+       length(text) * 1.0 / greatest(len(regexp_extract_all(text, '\\S+')), 1) AS mean_word_len
+FROM documents
+"""
+
+
+def d_knn(sf_dir: str):
+    from ..stages.similarity import knn_bruteforce
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .filter(expr="vec_id < 3")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    queries = np.stack(q["embedding"].to_numpy())
+    out = knn_bruteforce(ds, queries, k=5, query_ids=q["vec_id"].to_numpy())
+    out = out.rename(columns={"id": "neighbor_id"})
+    out["score"] = out["score"].round(6)
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["query_id", "neighbor_id", "rank", "score"]]
+
+
+D_KNN_SQL = """
+SELECT query_id, neighbor_id, rank, score FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC, e.vec_id
+           ) AS rank,
+           round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS score
+    FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q
+    CROSS JOIN embeddings e
+) WHERE rank <= 5
+"""
+
+
+def _perturbed_docs(sf_dir: str, n: int = 20, near: bool = True):
+    import ray.data
+
+    pdf = _read(sf_dir, "documents", columns=["doc_id", "text"]).to_pandas()
+    extra = pdf.head(n).copy()
+    extra["doc_id"] = extra["doc_id"] + 10_000_000
+    if near:
+        extra["text"] = extra["text"] + " appended trailer words"
+    return ray.data.from_pandas(pd.concat([pdf, extra], ignore_index=True))
+
+
+def d_minhash_dedup(sf_dir: str):
+    """Near-dup clusters over documents + 20 deterministic perturbed
+    copies (so the output is non-trivial at every sf). No SQL oracle —
+    LSH bucketing is not SQL-expressible; rows-only check."""
+    from ..stages.dedup import minhash_lsh_dedup
+
+    out = minhash_lsh_dedup(_perturbed_docs(sf_dir), threshold=0.5)
+    return out.sort_values("id").reset_index(drop=True)
+
+
+def d_simhash_dedup(sf_dir: str):
+    from ..stages.dedup import simhash_dedup
+
+    out = simhash_dedup(_perturbed_docs(sf_dir, near=False), max_hamming=3)
+    return out.sort_values("id").reset_index(drop=True)
+
+
+def d_embedding_dedup(sf_dir: str):
+    import ray.data
+
+    from ..stages.dedup import embedding_dedup
+
+    pdf = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).to_pandas()
+    clones = pdf.head(10).copy()
+    clones["vec_id"] = clones["vec_id"] + 10_000_000
+    clones["embedding"] = clones["embedding"].map(lambda e: (np.asarray(e) * 1.0005).tolist())
+    both = ray.data.from_pandas(pd.concat([pdf, clones], ignore_index=True))
+    out = embedding_dedup(both, threshold=0.999)
+    return out.sort_values("id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# token-table pipelines (generated input; rows-only checks)
+
+
+def tok_search(sf_dir: str):
+    """Complexity-driven search on the seeded synthetic token table;
+    returns the scored-candidate table (deterministic)."""
+    from .flagship import search_sample
+    from .search import ComplexityDrivenSearch
+    from ..functions.expr import raw as raw_f
+
+    cols, y = search_sample(1500)
+    base = [
+        raw_f("n_tok", properties={"min": 1.0, "max": 512.0, "has_zero": False, "distinct": 512}),
+        raw_f("tok_mean", properties={"min": float(cols["tok_mean"].min()), "max": float(cols["tok_mean"].max()), "has_zero": False, "distinct": None}),
+        raw_f("source", "categorical", {"distinct": 5, "values": ["books", "chat", "code", "web", "wiki"]}),
+    ]
+    res = ComplexityDrivenSearch(c_max=2, epsilon=-1e9, use_ray=True, lr_max_iter=15).run(cols, y, base)
+    rows = sorted(
+        (s.name, s.complexity, round(s.score, 6)) for s in res.all_scored.values()
+    )
+    return pd.DataFrame(rows, columns=["name", "complexity", "score"])
+
+
+def tok_backfill(sf_dir: str):
+    """Flagship backfill + temporal attach over the generated token table;
+    returns a per-source summary (deterministic)."""
+    from .flagship import run_flagship
+    from ..functions.expr import raw as raw_f, unary as unary_f, groupbythen as gbt_f
+
+    n = {"sf0.001": 3000, "sf0.01": 30000, "sf0.1": 300000}.get(
+        sf_dir.rstrip("/").split("/")[-1], 3000
+    )
+    n_tok = raw_f("n_tok", properties={"min": 1.0, "max": 512.0, "has_zero": False, "distinct": 512})
+    src = raw_f("source", "categorical", {"distinct": 5})
+    selected = [
+        unary_f("log", n_tok),
+        unary_f("minmax", n_tok),
+        gbt_f("mean", n_tok, src),
+    ]
+    out, _, _ = run_flagship(n, selected=selected, with_temporal=True)
+    from ray.data.aggregate import Count, Mean, Sum
+
+    summary = out.groupby("source").aggregate(
+        Count(alias_name="n_rows"),
+        Sum("n_tok", alias_name="sum_n_tok"),
+        Mean("log(n_tok)", alias_name="avg_log_n_tok"),
+        Mean("session_idx", alias_name="avg_session_idx"),
+    )
+    return _round_cols(summary, {"avg_log_n_tok": 6, "avg_session_idx": 6})
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+QUERIES: dict[str, tuple] = {
+    "fe_unary": (fe_unary, FE_UNARY_SQL),
+    "fe_scaling": (fe_scaling, FE_SCALING_SQL),
+    "fe_discretize": (fe_discretize, FE_DISCRETIZE_SQL),
+    "fe_impute": (fe_impute, FE_IMPUTE_SQL),
+    "fe_onehot": (fe_onehot, FE_ONEHOT_SQL),
+    "fe_groupbythen": (fe_groupbythen, FE_GROUPBYTHEN_SQL),
+    "fe_binary": (fe_binary, FE_BINARY_SQL),
+    "q_pricing_summary": (q_pricing_summary, Q_PRICING_SQL),
+    "q_top_revenue": (q_top_revenue, Q_TOP_REVENUE_SQL),
+    "q_broadcast_join": (q_broadcast_join, Q_BROADCAST_JOIN_SQL),
+    "q_semi_join": (q_semi_join, Q_SEMI_JOIN_SQL),
+    "q_distinct_parts": (q_distinct_parts, Q_DISTINCT_SQL),
+    "q_filter_sort_topk": (q_filter_sort_topk, Q_TOPK_SQL),
+    "t_lag_lead": (t_lag_lead, T_LAG_LEAD_SQL),
+    "t_sessionize": (t_sessionize, T_SESSIONIZE_SQL),
+    "t_asof": (t_asof, T_ASOF_SQL),
+    "d_exact_dedup": (d_exact_dedup, D_EXACT_DEDUP_SQL),
+    "d_token_counts": (d_token_counts, D_TOKEN_COUNTS_SQL),
+    "d_quality": (d_quality, D_QUALITY_SQL),
+    "d_knn": (d_knn, D_KNN_SQL),
+    "d_minhash_dedup": (d_minhash_dedup, None),
+    "d_simhash_dedup": (d_simhash_dedup, None),
+    "d_embedding_dedup": (d_embedding_dedup, None),
+    "tok_search": (tok_search, None),
+    "tok_backfill": (tok_backfill, None),
+}

@@ -55,6 +55,8 @@ class FeatureBackfill:
             [c for c in ("doc_id",) if c in batch.column_names]
         )
         for f in self.ordered:
+            if f.name in result.column_names:
+                continue  # raw feature already physical in the batch
             result = result.append_column(
                 _safe_col_name(f.name), pa.array(out[f.name], type=pa.float64())
             )

@@ -86,7 +86,7 @@ def asof_join(
         cols = {
             "__bucket": pa.array(_bucket_of(batch[event_key].to_numpy(zero_copy_only=False), B)),
             "__side": pa.array(np.ones(n, dtype=np.int8)),
-            "__ts": batch[event_ts],
+            "__ts": batch[event_ts].cast(probe_types[probe_ts]),
             key: batch[event_key].cast(probe_types[key]),
         }
         t = pa.table(cols)
@@ -136,12 +136,13 @@ def lag_lead(
     lags: tuple[int, ...] = (1,),
     leads: tuple[int, ...] = (1,),
     num_buckets: int | None = None,
+    tiebreak: list[str] | None = None,
 ):
     """Per-entity lag/lead of `cols` ordered by ts (first/last rows NULL).
 
     One shuffle by entity-hash bucket; inside a bucket the shift is a
     vectorized pandas groupby over all entities of the bucket at once.
-    Ties on ts break by stable input order within the bucket.
+    Pass `tiebreak` columns to make ordering total when ts can tie.
     """
     B = num_buckets or _default_buckets()
 
@@ -151,7 +152,7 @@ def lag_lead(
         )
 
     def shift_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key, ts], kind="stable")
+        g = g.sort_values([key, ts, *(tiebreak or [])], kind="stable")
         grp = g.groupby(key, sort=False)
         for c in cols:
             for n in lags:
@@ -175,6 +176,7 @@ def sessionize(
     gap,
     num_buckets: int | None = None,
     session_col: str = "session_idx",
+    tiebreak: list[str] | None = None,
 ):
     """Gap-based sessionization: a new session starts when the time since
     the entity's previous row exceeds `gap` (pd.Timedelta or seconds).
@@ -188,7 +190,7 @@ def sessionize(
         )
 
     def sess_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key, ts], kind="stable")
+        g = g.sort_values([key, ts, *(tiebreak or [])], kind="stable")
         new_entity = g[key].ne(g[key].shift())
         gap_break = g[ts].diff() > gap_td
         new_sess = new_entity | gap_break
