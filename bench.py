@@ -1,0 +1,274 @@
+#!/usr/bin/env python
+"""Benchmark harness for the Ray-Data feature-construction engine.
+
+Default mode: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line:
+
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "backfill_rows": R, "backfill_rows_per_sec": T}
+
+--scaling: run the flagship backfill job twice in FRESH processes
+(num_cpus=8 then num_cpus=32) on the same input and report both
+throughputs plus scaling efficiency (speedup / cpu-ratio). This is the
+sandbox stand-in for the north rule's N-node vs 4N-node cluster run
+(no real cluster here); results are recorded in BASELINE.md.
+
+--job backfill is the internal worker entry used by --scaling so each
+parallelism level gets its own clean Ray session.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# headline subset of the full queries() catalog: the flagship token
+# pipeline plus one representative per operator family (relational
+# aggregate/join/topk, temporal, dedup, text, ANN).
+HEADLINE = [
+    "tok_backfill",
+    "q_pricing_summary",
+    "q_top_revenue",
+    "q_broadcast_join",
+    "t_asof",
+    "t_lag_lead",
+    "t_sessionize",
+    "d_exact_dedup",
+    "d_minhash_dedup",
+    "d_quality",
+    "d_knn",
+    "tok_search",
+]
+
+
+def _disable_thp() -> None:
+    """Disable transparent huge pages for this process tree (inherited by
+    the raylet and all Ray workers forked after ray.init). The sandbox
+    kernel runs THP=madvise and jemalloc/plasma madvise hugepages; the
+    resulting page-compaction storms showed up as 50-160s of ~100%
+    kernel time on identical 25s jobs. Process-scoped (prctl), touches
+    no system files."""
+    import ctypes
+
+    try:
+        libc = ctypes.CDLL(None, use_errno=True)
+        libc.prctl(41, 1, 0, 0, 0)  # PR_SET_THP_DISABLE = 41
+    except Exception:
+        pass
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        _disable_thp()
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            # keep the worker pool warm between dataset executions: the
+            # default idle-worker reaping kills workers in the gaps
+            # between passes, and the respawn fork+import storm shows up
+            # as ~100% kernel time at the start of every execution
+            # (measured: 3M-row fit pass 18.6s with churn vs 6.8s warm)
+            _system_config={
+                "kill_idle_workers_interval_ms": 0,
+                "enable_worker_prestart": True,
+            },
+        )
+
+
+def _consume(obj) -> int:
+    """Force execution; return the result row count."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(obj, pd.DataFrame):
+        return len(obj)
+    if isinstance(obj, pa.Table):
+        return obj.num_rows
+    return obj.count()  # ray.data.Dataset
+
+
+def _backfill_rows(sf_dir: str) -> int:
+    name = sf_dir.rstrip("/").split("/")[-1]
+    return {"sf0.001": 3000, "sf0.01": 30000, "sf0.1": 300000}.get(name, 300000)
+
+
+def run_backfill_job(n_rows: int) -> dict:
+    """The scaling-bench job: generate -> token stats -> distributed fit
+    -> actor-pool backfill -> count. No driver-side search, no
+    low-cardinality map_groups stages — this measures the throughput of
+    the distributed backfill path only (the BASELINE.json metric)."""
+    from complexity_driven_feature_construction_ray.functions.expr import (
+        binary,
+        groupbythen,
+        raw,
+        unary,
+    )
+    from complexity_driven_feature_construction_ray.pipelines.flagship import run_flagship
+
+    n_tok = raw(
+        "n_tok",
+        properties={"min": 1.0, "max": 512.0, "has_zero": False, "distinct": 512},
+    )
+    tok_mean = raw("tok_mean", properties={"min": 0.0, "max": 50257.0, "has_zero": False})
+    src = raw("source", "categorical", {"distinct": 5})
+    selected = [
+        unary("log", n_tok),
+        unary("minmax", n_tok),
+        unary("zscore", tok_mean),
+        unary("reciprocal", n_tok),
+        binary("add", n_tok, tok_mean),
+        binary("div", tok_mean, n_tok),
+        groupbythen("mean", n_tok, src),
+        groupbythen("max", tok_mean, src),
+    ]
+    def mark(msg):
+        sys.stderr.write(f"[bench {time.strftime('%H:%M:%S')}] {msg}\n")
+        sys.stderr.flush()
+
+    # warmup: run the same pipeline tiny so every Ray worker process has
+    # imported numpy/pyarrow/this package — we measure steady-state
+    # throughput, not the one-time ~10s import storm (which at 100 TB
+    # scale is noise but at bench scale would dominate and distort the
+    # N-vs-4N efficiency comparison)
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    # ~4 blocks per CPU: enough waves for balance, big enough blocks
+    # that vectorized kernels amortize per-batch overhead
+    blocks = max(16, 4 * cpus)
+
+    mark("warmup start")
+    warm, _, _ = run_flagship(
+        max(n_rows // 4, 2000), selected=selected, with_temporal=False, num_blocks=blocks
+    )
+    warm.count()
+    mark("warmup done")
+
+    t0 = time.perf_counter()
+    out, _, _ = run_flagship(
+        n_rows, selected=selected, with_temporal=False, num_blocks=blocks
+    )
+    mark("plan+fit done")
+    rows = out.count()
+    elapsed = time.perf_counter() - t0
+    mark(f"backfill done rows={rows} sec={elapsed:.1f}")
+    return {"rows": rows, "sec": elapsed, "rows_per_sec": rows / elapsed}
+
+
+def run_headline(sf_dir: str, num_cpus: int) -> dict:
+    from complexity_driven_feature_construction_ray.pipelines.relational import QUERIES
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _sql = QUERIES[name]
+        t0 = time.perf_counter()
+        _consume(fn(sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # dedicated throughput measurement of the flagship backfill
+    n_rows = _backfill_rows(sf_dir)
+    bf = run_backfill_job(n_rows)
+
+    return {
+        "metric": "headline pipeline wall time (flagship backfill + operator families)",
+        "value": round(sum(timings.values()) + bf["sec"], 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").split("/")[-1],
+        "num_cpus": num_cpus,
+        "backfill_rows": bf["rows"],
+        "backfill_sec": round(bf["sec"], 3),
+        "backfill_rows_per_sec": round(bf["rows_per_sec"], 1),
+    }
+
+
+SCALING_ROWS = 3_000_000  # big enough that per-row compute, not driver
+# overhead, dominates at both parallelism levels (~30s at 32 CPUs)
+
+
+def run_scaling(sf_dir: str, low: int, high: int, n_rows: int | None = None) -> dict:
+    """Same backfill job at two parallelism levels, each in a fresh
+    process/Ray session; efficiency = speedup / cpu-ratio."""
+    n_rows = n_rows or SCALING_ROWS
+    results = {}
+    for cpus in (low, high):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--job", "backfill",
+             "--rows", str(n_rows)],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=REPO,
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr)
+            raise RuntimeError(f"scaling worker (cpus={cpus}) failed")
+        results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+    ratio = high / low
+    speedup = results[high]["rows_per_sec"] / results[low]["rows_per_sec"]
+    return {
+        "metric": "flagship backfill N->4N scaling (fresh ray sessions)",
+        "value": round(speedup / ratio, 3),
+        "unit": "efficiency",
+        "sf": sf_dir.rstrip("/").split("/")[-1],
+        "rows": n_rows,
+        "low_cpus": low,
+        "high_cpus": high,
+        "low_rows_per_sec": round(results[low]["rows_per_sec"], 1),
+        "high_rows_per_sec": round(results[high]["rows_per_sec"], 1),
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(speedup / ratio, 3),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--job", choices=["backfill"], default=None)
+    ap.add_argument("--rows", type=int, default=None)
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    # N vs 4N parallelism levels. Default 2->8, not 8->32: a raw
+    # per-process fixed-work microbenchmark on this sandbox shows flat
+    # wall time from 1->8 procs but 1.38x / 1.6x degradation at 16 / 32
+    # procs (the VM's 32 vCPUs are ~16-20 effective cores), so 8->32
+    # cannot physically show 4x regardless of the engine. 2->8 sits in
+    # the flat region and measures the engine, not the host.
+    ap.add_argument("--low-cpus", type=int, default=2)
+    ap.add_argument("--high-cpus", type=int, default=8)
+    args = ap.parse_args()
+
+    import ray
+
+    if args.job == "backfill":
+        _init_ray(DEFAULT_CPUS)
+        out = run_backfill_job(args.rows or _backfill_rows(args.sf_dir))
+    elif args.scaling:
+        out = run_scaling(args.sf_dir, args.low_cpus, args.high_cpus, args.rows)
+    else:
+        _init_ray(DEFAULT_CPUS)
+        out = run_headline(args.sf_dir, DEFAULT_CPUS)
+
+    print(json.dumps(out))
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

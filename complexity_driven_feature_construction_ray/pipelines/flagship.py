@@ -100,12 +100,29 @@ def run_flagship(
         )
         selected = [s.feature for s in ranked[:top_k_features]]
 
-    fitted = fit_distributed(selected, ds)
+    from ..sources.token_table import TOKEN_TABLE_SCHEMA
+
+    fitted = fit_distributed(
+        selected, ds, input_cols=[*TOKEN_TABLE_SCHEMA.names, *TOKEN_STAT_COLS]
+    )
     out = backfill_dataset(
         ds, selected, fitted, concurrency=concurrency, batch_size=batch_size
     )
 
     if with_temporal:
+        import pyarrow as pa
+
+        from ..sources.token_table import TOKEN_TABLE_SCHEMA
+
+        # backfill output schema, known analytically (avoids ds.schema()
+        # executing the lazy upstream pipeline just to discover it)
+        probe_schema = TOKEN_TABLE_SCHEMA
+        for c in TOKEN_STAT_COLS:
+            probe_schema = probe_schema.append(pa.field(c, pa.float64()))
+        for f in sorted(selected, key=lambda f: (f.complexity, f.name)):
+            if f.name not in probe_schema.names:
+                probe_schema = probe_schema.append(pa.field(f.name, pa.float64()))
+
         events = ray.data.from_pandas(source_feature_events(seed))
         out = asof_join(
             out,
@@ -115,6 +132,7 @@ def run_flagship(
             event_ts="event_ts",
             value_cols=["src_quality"],
             event_key="entity",
+            probe_schema=probe_schema,
         )
         out = lag_lead(
             out, key="source", ts="ingest_ts", cols=["n_tok"], tiebreak=["doc_id"]

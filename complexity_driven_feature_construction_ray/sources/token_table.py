@@ -140,7 +140,9 @@ def token_table_dataset(n_rows: int, seed: int = 42, *, override_num_blocks: int
     def _gen(batch: pa.Table) -> pa.Table:
         return generate_batch(batch.column("id").to_numpy(), seed)
 
-    return ds.map_batches(_gen, batch_format="pyarrow")
+    # batch_size=None => one batch per block: the generator is fully
+    # vectorized, so bigger batches amortize per-call overhead
+    return ds.map_batches(_gen, batch_format="pyarrow", batch_size=None)
 
 
 def write_token_table(

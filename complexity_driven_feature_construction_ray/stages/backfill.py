@@ -67,18 +67,59 @@ def _safe_col_name(name: str) -> str:
     return name
 
 
+# per-worker-process cache for the task path: compile once per worker,
+# keyed by the broadcast refs (equivalent of actor __init__, without
+# paying dedicated-actor-process startup)
+_WORKER_CACHE: dict = {}
+
+
+def _task_backfill(batch, *, features_ref, fitted_ref, keep_input):
+    key = (features_ref.hex(), fitted_ref.hex(), keep_input)
+    bf = _WORKER_CACHE.get(key)
+    if bf is None:
+        if len(_WORKER_CACHE) > 4:  # refs from prior runs are dead weight
+            _WORKER_CACHE.clear()
+        bf = _WORKER_CACHE[key] = FeatureBackfill(features_ref, fitted_ref, keep_input)
+    return bf(batch)
+
+
 def backfill_dataset(
     ds,
     features: list[Feature],
     fitted: Fitted,
     *,
     concurrency: int | None = None,
-    batch_size: int | None = 4096,
+    batch_size: int | None = None,
     keep_input: bool = True,
+    mode: str = "tasks",
 ):
-    """features + fitted ship once per actor (Ray broadcasts constructor
-    args through the object store); actors evaluate per batch."""
+    """Backfill as a map_batches stage over zero-copy Arrow batches.
+
+    mode="tasks" (default): the feature plans + fitted state are tiny
+    (scalar params and small per-key aggregate tables), so they are
+    `ray.put` once and resolved through a per-worker compile cache —
+    tasks reuse the already-warm Ray worker pool. Measured at 300k rows
+    x 32 CPUs: 7.5s cold / 2.6s warm vs 36.4s / 4.7s for a dedicated
+    actor pool (actor startup dominates).
+
+    mode="actors": dedicated actor pool — the right shape when per-actor
+    state is heavy (model weights, large indexes); `features`/`fitted`
+    ship once per actor via constructor args.
+    """
     import ray
+
+    if mode == "tasks":
+        features_ref = ray.put(features)
+        fitted_ref = ray.put(fitted)
+        import functools
+
+        fn = functools.partial(
+            _task_backfill,
+            features_ref=features_ref,
+            fitted_ref=fitted_ref,
+            keep_input=keep_input,
+        )
+        return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
     if concurrency is None:
         # leave headroom for the read/write stages so the pool doesn't

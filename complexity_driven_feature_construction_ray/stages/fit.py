@@ -64,7 +64,8 @@ def _partial_for(f: Feature, cols: dict, fitted: Fitted, cache: dict):
         vmin = np.full(nk, np.inf)
         np.fmin.at(vmin, inv, np.where(nan, np.inf, v))
         prod = np.ones(nk)
-        np.multiply.at(prod, inv, np.where(nan, 1.0, v))
+        with np.errstate(over="ignore"):  # nanprod overflows to inf, as in the reference
+            np.multiply.at(prod, inv, np.where(nan, 1.0, v))
         return ("gbt", uniq, cnt, s, ss, vmin, vmax, prod)
     p = _eval_node(f.parents[0], cols, fitted, cache)
     nan = np.isnan(p)
@@ -98,14 +99,15 @@ def _merge_gbt(parts):
     mn = np.full(nk, np.inf)
     mx = np.full(nk, -np.inf)
     prod = np.ones(nk)
-    for p in parts:
-        idx = np.searchsorted(keys, p[1])
-        cnt[idx] += p[2]
-        s[idx] += p[3]
-        ss[idx] += p[4]
-        mn[idx] = np.fmin(mn[idx], p[5])
-        mx[idx] = np.fmax(mx[idx], p[6])
-        prod[idx] *= p[7]
+    with np.errstate(over="ignore"):
+        for p in parts:
+            idx = np.searchsorted(keys, p[1])
+            cnt[idx] += p[2]
+            s[idx] += p[3]
+            ss[idx] += p[4]
+            mn[idx] = np.fmin(mn[idx], p[5])
+            mx[idx] = np.fmax(mx[idx], p[6])
+            prod[idx] *= p[7]
     return keys, cnt, s, ss, mn, mx, prod
 
 
@@ -157,11 +159,17 @@ def fit_distributed(
     y_col: str | None = None,
     sample_for_unmergeable=None,
     fitted: Fitted | None = None,
+    input_cols: list[str] | None = None,
 ) -> Fitted:
     """Fit all stateful nodes of `features` by streaming passes over `ds`.
 
     `sample_for_unmergeable`: (cols, y) in-memory sample used for mdlp /
     gbt_median, whose fit state is not a mergeable aggregate.
+
+    `input_cols`: the dataset's column names, if the caller knows them.
+    Without it we fall back to ds.schema() — which for a lazy map_batches
+    lineage EXECUTES the upstream pipeline to discover the schema (a full
+    extra pass; 29s at 3M rows in bench) — so hot paths must pass it.
     """
     fitted = dict(fitted or {})
     depth_cache: dict = {}
@@ -179,7 +187,11 @@ def fit_distributed(
     needed = sorted(
         {f.params[0] for root in features for f in root.walk() if f.op == "raw"}
     )
-    have = set(ds.schema().names)
+    if input_cols is not None:
+        have = set(input_cols)
+    else:
+        schema = ds.schema(fetch_if_missing=False)
+        have = set(schema.names) if schema is not None else set(ds.schema().names)
     from .token_stats import TOKEN_STAT_COLS
 
     keep = [c for c in needed if c in have]
@@ -220,7 +232,9 @@ def fit_distributed(
                 parts = {f.name: _partial_for(f, cols, _state, cache) for f in _plans}
                 return pa.table({"blob": pa.array([pickle.dumps(parts)], type=pa.binary())})
 
-            rows = ds.map_batches(part_batch, batch_format="pyarrow").take_all()
+            rows = ds.map_batches(
+                part_batch, batch_format="pyarrow", batch_size=None
+            ).take_all()
             all_parts: dict[str, list] = {f.name: [] for f in plans}
             for r in rows:
                 for name, p in pickle.loads(r["blob"]).items():

@@ -55,6 +55,7 @@ def asof_join(
     event_key: str | None = None,
     num_buckets: int | None = None,
     allow_exact: bool = True,
+    probe_schema: pa.Schema | None = None,
 ):
     """For each probe row, attach the latest event values with
     event_ts <= probe_ts (strictly < when allow_exact=False) for the
@@ -63,10 +64,15 @@ def asof_join(
     Implementation: tag + union both sides, hash-bucket by entity,
     groupby(bucket), per-bucket ts-sorted pd.merge_asof (sorted-merge
     with a binary-search cursor per key).
+
+    Pass `probe_schema` when the probe is a lazy map_batches lineage:
+    ds.schema() on such a dataset executes the upstream pipeline to
+    discover the schema (a full extra pass).
     """
     event_key = event_key or key
     B = num_buckets or _default_buckets()
-    probe_schema = probe_ds.schema()
+    if probe_schema is None:
+        probe_schema = probe_ds.schema(fetch_if_missing=False) or probe_ds.schema()
     probe_cols = probe_schema.names
     probe_types = dict(zip(probe_schema.names, probe_schema.types))
     event_schema = event_ds.schema()

@@ -60,7 +60,7 @@ def add_token_stats(batch: pa.Table) -> pa.Table:
 
 def token_stats_dataset(ds):
     """Stateless map_batches stage attaching the token-stat columns."""
-    return ds.map_batches(add_token_stats, batch_format="pyarrow")
+    return ds.map_batches(add_token_stats, batch_format="pyarrow", batch_size=None)
 
 
 def numpy_base_columns(batch: pa.Table, needed: list[str]) -> dict[str, np.ndarray]:
