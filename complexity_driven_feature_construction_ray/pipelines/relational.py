@@ -509,12 +509,15 @@ def t_asof(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    # dedup the event side per (user, ts): keep the max-event_id row
+    # dedup the event side per (user, ts): keep the max-event_id row.
+    # grouped_map = one call per hash bucket, not one per user
     def dedup(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("event_id", kind="stable")
         return g.groupby(["user_id", "ts"], sort=False).tail(1)[["user_id", "ts", "value"]]
 
-    purchases = purchases.groupby("user_id").map_groups(dedup, batch_format="pandas")
+    from ..stages.temporal import grouped_map
+
+    purchases = grouped_map(purchases, "user_id", dedup)
     out = asof_join(
         clicks,
         purchases,
@@ -621,6 +624,7 @@ SELECT query_id, neighbor_id, rank, score FROM (
 
 
 def _perturbed_docs(sf_dir: str, n: int = 20, near: bool = True):
+    import ray
     import ray.data
 
     pdf = _read(sf_dir, "documents", columns=["doc_id", "text"]).to_pandas()
@@ -628,7 +632,11 @@ def _perturbed_docs(sf_dir: str, n: int = 20, near: bool = True):
     extra["doc_id"] = extra["doc_id"] + 10_000_000
     if near:
         extra["text"] = extra["text"] + " appended trailer words"
-    return ray.data.from_pandas(pd.concat([pdf, extra], ignore_index=True))
+    ds = ray.data.from_pandas(pd.concat([pdf, extra], ignore_index=True))
+    # from_pandas yields ONE block; split so signature hashing (the
+    # dominant cost of the dedup pipelines) parallelizes across CPUs
+    blocks = max(16, int(ray.cluster_resources().get("CPU", 4)))
+    return ds.repartition(blocks)
 
 
 def d_minhash_dedup(sf_dir: str):

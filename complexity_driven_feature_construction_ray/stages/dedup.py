@@ -36,24 +36,34 @@ def _hash_words(words: np.ndarray) -> np.ndarray:
 # exact dedup
 
 
-def exact_dedup(ds, *, content_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, *, content_col: str = "text", id_col: str = "doc_id", num_buckets: int | None = None):
     """Keep one row (min id) per distinct content value. Hash-partition
-    by content hash; the per-group step resolves hash collisions by
-    grouping on the actual content."""
+    by a BUCKET of the content hash (per-partition Python call, not one
+    per distinct content); the per-partition step resolves hash
+    collisions by grouping on the actual content."""
+    if num_buckets is None:
+        try:
+            import ray
+
+            num_buckets = max(16, 2 * int(ray.cluster_resources().get("CPU", 4)))
+        except Exception:  # pragma: no cover
+            num_buckets = 16
 
     def add_hash(batch: pa.Table) -> pa.Table:
         h = pd.util.hash_array(
             np.asarray(batch[content_col].to_pandas(), dtype=object), hash_key=_HASH_KEY
         )
-        return batch.append_column("__chash", pa.array(h.astype(np.int64)))
+        return batch.append_column(
+            "__cbucket", pa.array((h % num_buckets).astype(np.int64))
+        )
 
     def first_per_content(g: pd.DataFrame) -> pd.DataFrame:
         keep = g.sort_values(id_col, kind="stable").groupby(content_col, sort=False).head(1)
-        return keep.drop(columns=["__chash"])
+        return keep.drop(columns=["__cbucket"])
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("__chash")
+        .groupby("__cbucket")
         .map_groups(first_per_content, batch_format="pandas")
     )
 
@@ -104,7 +114,8 @@ def minhash_signatures(
     if len(sh) == 0:
         return out
     with np.errstate(over="ignore"):
-        hashed = sh[:, None] * a[None, :] + b[None, :]  # (n_shingles, num_perm)
+        hashed = np.multiply(sh[:, None], a[None, :])  # (n_shingles, num_perm)
+        hashed += b[None, :]  # in-place: avoids a second ~n_shingles x perm temp
     starts = offsets[:-1]
     nonempty = offsets[1:] > starts
     mins = np.minimum.reduceat(hashed, starts[nonempty], axis=0)
@@ -144,13 +155,18 @@ def minhash_lsh_dedup(
         texts = batch[text_col].to_pylist()
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         sigs = minhash_signatures(texts, num_perm, seed=seed)
-        keys = _band_keys(sigs, bands)
+        keys = _band_keys(sigs, bands)  # (n, bands) int64
         n = len(texts)
-        band_id = np.tile(np.arange(bands, dtype=np.int32), n)
+        # fold (band_id, band_key) into one int64 bucket key so the
+        # downstream count/filter/groupby is single-column + vectorized
+        band_id = np.tile(np.arange(bands, dtype=np.uint64), n)
+        with np.errstate(over="ignore"):
+            bucket = (keys.reshape(-1).view(_U64) * _U64(bands * 2 + 1) + band_id).view(
+                np.int64
+            )
         return pa.table(
             {
-                "band_id": pa.array(band_id),
-                "band_key": pa.array(keys.reshape(-1)),
+                "bucket": pa.array(bucket),
                 id_col: pa.array(np.repeat(ids, bands)),
                 "sig": pa.array(list(sigs.astype(np.int64)[np.repeat(np.arange(n), bands)])),
             }
@@ -168,13 +184,62 @@ def minhash_lsh_dedup(
         keep = est >= threshold
         return pd.DataFrame({"a": ids[iu[0][keep]], "b": ids[iu[1][keep]], "est": est[keep]})
 
-    pairs = (
-        ds.map_batches(to_bands, batch_format="pyarrow")
-        .groupby(["band_id", "band_key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    bands_ds = ds.map_batches(to_bands, batch_format="pyarrow")
+    pairs = _pairs_from_hot_buckets(bands_ds, bucket_pairs, id_col)
+    return _clusters_from_pairs(pairs)
+
+
+def _pairs_from_hot_buckets(bands_ds, bucket_pairs, id_col: str) -> pd.DataFrame:
+    """Candidate pairs from LSH bucket rows, scalably.
+
+    A naive groupby(bucket).map_groups pays a per-group Python call for
+    EVERY bucket — almost all of which are singletons (5000 docs × 16
+    bands = 80k groups; 118s at sf0.1). Instead: a vectorized
+    groupby(bucket).count() finds the (rare) buckets with >= 2 members,
+    the band stream is re-derived and filtered to those with np.isin
+    (broadcast small side), and only collided buckets reach map_groups.
+    The band stream is recomputed rather than materialized — at corpus
+    scale recomputing cheap hashes beats pinning O(corpus) band rows.
+    """
+    import pyarrow.compute as pc
+
+    def hot_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["count()"], 2)).select(["bucket"])
+
+    counts = bands_ds.groupby("bucket").count()
+    hot = counts.map_batches(hot_only, batch_format="pyarrow", batch_size=None)
+    hot_keys = np.sort(hot.to_pandas()["bucket"].to_numpy().astype(np.int64))
+    if len(hot_keys) == 0:
+        return pd.DataFrame({"a": [], "b": [], "est": []})
+
+    # partition collided buckets into ~P coarse groups: map_groups then
+    # pays its per-call overhead P times, not once per bucket; the
+    # per-bucket work loops inside the call (plain pandas, no Ray)
+    P = 64
+
+    def only_hot(batch: pa.Table) -> pa.Table:
+        mask = np.isin(batch["bucket"].to_numpy(), hot_keys)
+        t = batch.filter(pa.array(mask))
+        part = (t["bucket"].to_numpy() % P).astype(np.int32)
+        return t.append_column("__part", pa.array(part))
+
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            bucket_pairs(b.drop(columns=["__part"]))
+            for _, b in g.groupby("bucket", sort=False)
+        ]
+        return (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else pd.DataFrame({"a": [], "b": [], "est": []})
+        )
+
+    return (
+        bands_ds.map_batches(only_hot, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(partition_pairs, batch_format="pandas")
         .to_pandas()
     )
-    return _clusters_from_pairs(pairs)
 
 
 def _clusters_from_pairs(pairs: pd.DataFrame) -> pd.DataFrame:
@@ -239,14 +304,16 @@ def simhash_dedup(
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         sh = simhash_values(texts)
         n = len(texts)
+        band_key = np.empty(4 * n, dtype=np.int64)
+        for b in range(4):
+            band_key[b::4] = ((sh >> _U64(16 * b)) & _U64(0xFFFF)).astype(np.int64)
+        # fold (band_id, 16-bit key) into one int64 bucket key
+        bucket = band_key * 4 + np.tile(np.arange(4, dtype=np.int64), n)
         rows = {
-            "band_id": np.tile(np.arange(4, dtype=np.int32), n),
-            "band_key": np.empty(4 * n, dtype=np.int64),
+            "bucket": bucket,
             id_col: np.repeat(ids, 4),
             "simhash": np.repeat(sh.astype(np.int64), 4),
         }
-        for b in range(4):
-            rows["band_key"][b::4] = ((sh >> _U64(16 * b)) & _U64(0xFFFF)).astype(np.int64)
         return pa.table({k: pa.array(v) for k, v in rows.items()})
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -262,12 +329,8 @@ def simhash_dedup(
             {"a": ids[iu[0][keep]], "b": ids[iu[1][keep]], "est": d[iu][keep].astype(float)}
         )
 
-    pairs = (
-        ds.map_batches(to_bands, batch_format="pyarrow")
-        .groupby(["band_id", "band_key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-    )
+    bands_ds = ds.map_batches(to_bands, batch_format="pyarrow")
+    pairs = _pairs_from_hot_buckets(bands_ds, bucket_pairs, id_col)
     return _clusters_from_pairs(pairs)
 
 
@@ -318,12 +381,8 @@ def embedding_dedup(
         keep = sim[iu] >= threshold
         return pd.DataFrame({"a": ids[iu[0][keep]], "b": ids[iu[1][keep]], "est": sim[iu][keep]})
 
-    pairs = (
-        ds.map_batches(to_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-    )
+    bands_ds = ds.map_batches(to_bucket, batch_format="pyarrow")
+    pairs = _pairs_from_hot_buckets(bands_ds, bucket_pairs, id_col)
     return _clusters_from_pairs(pairs)
 
 

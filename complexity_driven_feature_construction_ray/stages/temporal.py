@@ -35,6 +35,30 @@ def _bucket_of(values, num_buckets: int) -> np.ndarray:
     return (h % num_buckets).astype(np.int32)
 
 
+def _sort_order(t: pa.Table, cols: list[str]) -> np.ndarray:
+    """Stable sort permutation over (small) sort-key columns only; the
+    caller applies it to the wide table with Table.take so payload
+    columns (token lists etc.) never pass through pandas."""
+    df = pd.DataFrame({c: t[c].to_numpy(zero_copy_only=False) for c in cols})
+    return df.sort_values(cols, kind="stable").index.to_numpy()
+
+
+def _shift_within(v: np.ndarray, same: np.ndarray, n: int):
+    """v shifted by n (positive = lag) with nulls at group boundaries.
+    `same[i]` says row i has the same group key as row i-1 (group-sorted
+    input); works for any dtype via Arrow null masking."""
+    import pyarrow.compute as pc
+
+    gid = np.cumsum(~same)
+    m = len(v)
+    idx = np.arange(m) - n
+    valid = (idx >= 0) & (idx < m)
+    src = np.clip(idx, 0, m - 1)
+    valid &= gid[src] == gid
+    arr = pa.array(v[src], from_pandas=True)
+    return pc.if_else(pa.array(valid), arr, pa.nulls(m, type=arr.type))
+
+
 def _default_buckets() -> int:
     try:
         import ray
@@ -42,6 +66,34 @@ def _default_buckets() -> int:
         return max(4, 2 * int(ray.cluster_resources().get("CPU", 4)))
     except Exception:  # pragma: no cover
         return 8
+
+
+def grouped_map(ds, key: str, fn, *, num_buckets: int | None = None, batch_format="pandas"):
+    """Apply `fn` to hash-bucket partitions co-grouped by `key`.
+
+    For per-entity logic that is already vectorized across entities
+    (pandas groupby inside `fn`), this replaces groupby(key).map_groups
+    — which pays a Python call per DISTINCT KEY (10k users = 10k calls)
+    — with one call per bucket (~2xCPUs). `fn` must group by `key`
+    itself; every row of a key lands in exactly one bucket.
+    """
+    B = num_buckets or _default_buckets()
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__gm_bucket",
+            pa.array(_bucket_of(batch[key].to_numpy(zero_copy_only=False), B)),
+        )
+
+    def run(g):
+        g = g.drop(columns=["__gm_bucket"]) if hasattr(g, "drop") else g.drop_columns(["__gm_bucket"])
+        return fn(g)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__gm_bucket")
+        .map_groups(run, batch_format=batch_format)
+    )
 
 
 def asof_join(
@@ -109,28 +161,48 @@ def asof_join(
     tagged_event = event_ds.map_batches(tag_event, batch_format="pyarrow")
     both = tagged_probe.union(tagged_event)
 
-    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        probe = g[g["__side"] == 0]
-        events = g[g["__side"] == 1]
-        probe = probe.sort_values("__ts", kind="stable")
-        if len(events) == 0:
-            out = probe
-        else:
-            events = events.sort_values("__ts", kind="stable")
-            right = events[[key, "__ts", *[f"__ev_{c}" for c in value_cols]]]
-            out = pd.merge_asof(
-                probe.drop(columns=[f"__ev_{c}" for c in value_cols]),
-                right,
-                on="__ts",
-                by=key,
-                direction="backward",
-                allow_exact_matches=allow_exact,
-            )
-        out = out.drop(columns=["__bucket", "__side"])
-        out = out.rename(columns={f"__ev_{c}": n for c, n in zip(value_cols, out_event_cols)})
-        return out.drop(columns=["__ts"])
+    ev_cols = [f"__ev_{c}" for c in value_cols]
 
-    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        # Arrow-native: the merge itself runs on small pandas frames of
+        # (key, ts, event values) only; wide payload columns (token
+        # lists, feature columns) are reordered with Table.take and
+        # never converted to Python objects.
+        side = g["__side"].to_numpy()
+        probe_idx = np.flatnonzero(side == 0)
+        event_idx = np.flatnonzero(side == 1)
+        ts = g["__ts"].to_numpy(zero_copy_only=False)
+        keys_np = g[key].to_numpy(zero_copy_only=False)
+
+        order = probe_idx[np.argsort(ts[probe_idx], kind="stable")]
+        out = g.take(pa.array(order)).drop_columns(
+            ["__bucket", "__side", "__ts", *ev_cols]
+        )
+        if len(event_idx) == 0:
+            for c, name in zip(value_cols, out_event_cols):
+                out = out.append_column(name, pa.nulls(len(out), type=event_types[c]))
+            return out
+
+        probe_small = pd.DataFrame({key: keys_np[order], "__ts": ts[order]})
+        ev_order = event_idx[np.argsort(ts[event_idx], kind="stable")]
+        right = pd.DataFrame({key: keys_np[ev_order], "__ts": ts[ev_order]})
+        for c in ev_cols:
+            right[c] = g[c].to_numpy(zero_copy_only=False)[ev_order]
+        merged = pd.merge_asof(
+            probe_small,
+            right,
+            on="__ts",
+            by=key,
+            direction="backward",
+            allow_exact_matches=allow_exact,
+        )
+        for c, name in zip(value_cols, out_event_cols):
+            out = out.append_column(
+                name, pa.array(merged[f"__ev_{c}"], type=event_types[c], from_pandas=True)
+            )
+        return out
+
+    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pyarrow")
 
 
 def lag_lead(
@@ -157,20 +229,25 @@ def lag_lead(
             "__bucket", pa.array(_bucket_of(batch[key].to_numpy(zero_copy_only=False), B))
         )
 
-    def shift_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key, ts, *(tiebreak or [])], kind="stable")
-        grp = g.groupby(key, sort=False)
+    def shift_bucket(g: pa.Table) -> pa.Table:
+        order = _sort_order(g, [key, ts, *(tiebreak or [])])
+        out = g.take(pa.array(order)).drop_columns(["__bucket"])
+        k = g[key].to_numpy(zero_copy_only=False)[order]
+        same = np.empty(len(k), dtype=bool)  # same[i]: key[i] == key[i-1]
+        same[0] = False
+        same[1:] = k[1:] == k[:-1]
         for c in cols:
+            v = g[c].to_numpy(zero_copy_only=False)[order]
             for n in lags:
-                g[f"{c}_lag{n}"] = grp[c].shift(n)
+                out = out.append_column(f"{c}_lag{n}", _shift_within(v, same, n))
             for n in leads:
-                g[f"{c}_lead{n}"] = grp[c].shift(-n)
-        return g.drop(columns=["__bucket"])
+                out = out.append_column(f"{c}_lead{n}", _shift_within(v, same, -n))
+        return out
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(shift_bucket, batch_format="pandas")
+        .map_groups(shift_bucket, batch_format="pyarrow")
     )
 
 
@@ -195,19 +272,25 @@ def sessionize(
             "__bucket", pa.array(_bucket_of(batch[key].to_numpy(zero_copy_only=False), B))
         )
 
-    def sess_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key, ts, *(tiebreak or [])], kind="stable")
-        new_entity = g[key].ne(g[key].shift())
-        gap_break = g[ts].diff() > gap_td
-        new_sess = new_entity | gap_break
-        sid = new_sess.cumsum()
+    def sess_bucket(g: pa.Table) -> pa.Table:
+        order = _sort_order(g, [key, ts, *(tiebreak or [])])
+        out = g.take(pa.array(order)).drop_columns(["__bucket"])
+        k = g[key].to_numpy(zero_copy_only=False)[order]
+        t_np = g[ts].to_numpy(zero_copy_only=False)[order]
+        m = len(k)
+        new_entity = np.empty(m, dtype=bool)
+        new_entity[0] = True
+        new_entity[1:] = k[1:] != k[:-1]
+        gap_break = np.zeros(m, dtype=bool)
+        gap_break[1:] = (t_np[1:] - t_np[:-1]) > gap_td.to_timedelta64()
+        sid = np.cumsum(new_entity | gap_break)
         # per-entity 0-based index: subtract the entity's first session id
-        first = sid.where(new_entity).ffill()
-        g[session_col] = (sid - first).astype(np.int64)
-        return g.drop(columns=["__bucket"])
+        ent_id = np.cumsum(new_entity)  # 1-based entity ordinal
+        first = sid[new_entity][ent_id - 1]
+        return out.append_column(session_col, pa.array((sid - first).astype(np.int64)))
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(sess_bucket, batch_format="pandas")
+        .map_groups(sess_bucket, batch_format="pyarrow")
     )
