@@ -202,6 +202,7 @@ class ComplexityDrivenSearch:
         self.use_ray = use_ray
         self._pool = None
         self._actors: list = []
+        self._blob_ref = None
 
     # -- scoring -------------------------------------------------------------
 
@@ -215,29 +216,35 @@ class ComplexityDrivenSearch:
             for f in layer
         ]
 
-    def _ensure_pool(self, cols, y, fold):
-        """Dedicated scoring actor pool, created once per run; the sample
-        ships once per actor through a shared ObjectRef."""
+    def _ensure_pool(self, cols, y, fold, want: int):
+        """Dedicated scoring actor pool, created on first use and grown on
+        demand up to min(want, CPUs-1) — spinning up a full CPU-wide pool
+        for a 10-chunk layer pays more in actor startup than the scoring
+        costs. The sample ships once per actor through a shared ObjectRef."""
         import ray
 
-        if self._pool is not None:
-            return self._pool
         n_cpu = int(ray.cluster_resources().get("CPU", 4))
-        n_actors = self.scorer_concurrency or max(2, n_cpu - 1)
+        cap = self.scorer_concurrency or max(2, n_cpu - 1)
+        target = min(cap, max(2, want))
+        if len(self._actors) >= target:
+            if self._pool is None:
+                self._pool = ray.util.ActorPool(self._actors)
+            return self._pool
+        if self._blob_ref is None:
+            self._blob_ref = ray.put(pickle.dumps(cols))
         Actor = ray.remote(num_cpus=1)(CandidateScorer)
-        blob_ref = ray.put(pickle.dumps(cols))
-        self._actors = [
-            Actor.remote(blob_ref, y, fold, self.c_grid, self.lr_max_iter)
-            for _ in range(n_actors)
-        ]
+        self._actors.extend(
+            Actor.remote(self._blob_ref, y, fold, self.c_grid, self.lr_max_iter)
+            for _ in range(target - len(self._actors))
+        )
         self._pool = ray.util.ActorPool(self._actors)
         return self._pool
 
     def _score_ray(self, layer: list[Feature], cols, y, fold) -> list[tuple]:
-        pool = self._ensure_pool(cols, y, fold)
         chunks = [
             layer[i : i + self.score_batch] for i in range(0, len(layer), self.score_batch)
         ]
+        pool = self._ensure_pool(cols, y, fold, want=len(chunks))
         batches = [
             {"plan": np.array([pickle.dumps(f) for f in ch], dtype=object)} for ch in chunks
         ]
@@ -262,6 +269,7 @@ class ComplexityDrivenSearch:
                 ray.kill(a)
         self._pool = None
         self._actors = []
+        self._blob_ref = None
 
     # -- enumeration ---------------------------------------------------------
 
