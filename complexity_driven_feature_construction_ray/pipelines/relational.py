@@ -670,6 +670,157 @@ def d_embedding_dedup(sf_dir: str):
     return out.sort_values("id").reset_index(drop=True)
 
 
+def t_rolling(sf_dir: str):
+    """Per-user rolling 3-row sum of purchase value ordered by (ts,
+    event_id) — the windowed-aggregate operator (Arrow-native bucket
+    scan, vectorized prefix sums)."""
+    from ..stages.temporal import rolling_agg
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    out = rolling_agg(
+        ds, key="user_id", ts="ts", col="value", window=3, agg="sum",
+        out_col="roll_sum3", tiebreak=["event_id"],
+    )
+    return _round_cols(out.select_columns(["event_id", "roll_sum3"]), {"roll_sum3": 6})
+
+
+T_ROLLING_SQL = """
+SELECT event_id,
+       round(sum(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS roll_sum3
+FROM events
+"""
+
+
+def d_lang_id(sf_dir: str):
+    """Stopword-overlap language ID (actor-pool stage; tables compiled
+    once per actor in __init__)."""
+    from ..stages.text import LanguageId
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(LanguageId, batch_format="pyarrow", concurrency=4)
+    return out.select_columns(["doc_id", "lang_pred"])
+
+
+_LANG_SQL_SETS = {
+    "en": "'the','and','of','to','a','in','is','that','it','for','was','with'",
+    "de": "'der','die','das','und','ist','nicht','ein','mit','für','von','zu'",
+    "fr": "'le','la','les','et','est','une','pour','que','dans','des','du'",
+    "es": "'el','la','los','las','y','es','una','para','que','en','del','por'",
+}
+
+D_LANG_ID_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_matches(coalesce(text, ''), '[一-鿿]') AS cjk,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-zà-ÿ]+') AS words
+  FROM documents
+), c AS (
+  SELECT doc_id, cjk,
+         len(list_filter(words, x -> list_contains([{_LANG_SQL_SETS['en']}], x))) AS n_en,
+         len(list_filter(words, x -> list_contains([{_LANG_SQL_SETS['de']}], x))) AS n_de,
+         len(list_filter(words, x -> list_contains([{_LANG_SQL_SETS['fr']}], x))) AS n_fr,
+         len(list_filter(words, x -> list_contains([{_LANG_SQL_SETS['es']}], x))) AS n_es
+  FROM w
+)
+SELECT doc_id,
+       CASE WHEN cjk THEN 'zh'
+            WHEN n_en >= greatest(n_en, n_de, n_fr, n_es) THEN 'en'
+            WHEN n_de >= greatest(n_de, n_fr, n_es) THEN 'de'
+            WHEN n_fr >= greatest(n_fr, n_es) THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM c
+"""
+
+
+def d_jaccard(sf_dir: str):
+    """Exact word-3-gram Jaccard for adjacent doc pairs (doc_id % 50 == 0
+    paired with doc_id + 1): pair members co-located by a grouped_map
+    on the pair key, similarity computed exactly per pair."""
+    from ..stages.dedup import ngram_jaccard
+    from ..stages.temporal import grouped_map
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        mask = (ids % 50 == 0) | (ids % 50 == 1)
+        t = batch.filter(pa.array(mask))
+        pair = t["doc_id"].to_numpy() // 50
+        return t.append_column("pair_id", pa.array(pair))
+
+    def pair_jaccard(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in g.groupby("pair_id", sort=False):
+            if len(grp) != 2:
+                continue
+            grp = grp.sort_values("doc_id")
+            a, b = grp.iloc[0], grp.iloc[1]
+            if b["doc_id"] != a["doc_id"] + 1:
+                continue
+            out.append(
+                (a["doc_id"], b["doc_id"],
+                 round(ngram_jaccard(a["text"] or "", b["text"] or ""), 6))
+            )
+        return pd.DataFrame(out, columns=["a_id", "b_id", "jaccard"])
+
+    picked = ds.map_batches(pick, batch_format="pyarrow")
+    return grouped_map(picked, "pair_id", pair_jaccard)
+
+
+D_JACCARD_SQL = """
+WITH docs AS (
+  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\\S+') AS w FROM documents
+), pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.w AS wa, b.w AS wb
+  FROM docs a JOIN docs b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 50 = 0
+), g AS (
+  SELECT a_id, b_id,
+    list_distinct(list_transform(generate_series(1, greatest(len(wa) - 2, 0)),
+        i -> wa[i] || ' ' || wa[i+1] || ' ' || wa[i+2])) AS ga,
+    list_distinct(list_transform(generate_series(1, greatest(len(wb) - 2, 0)),
+        i -> wb[i] || ' ' || wb[i+1] || ' ' || wb[i+2])) AS gb
+  FROM pairs
+)
+SELECT a_id, b_id,
+       round(CASE WHEN len(ga) = 0 AND len(gb) = 0 THEN 1.0
+            ELSE len(list_intersect(ga, gb)) * 1.0
+                 / greatest(len(list_distinct(ga || gb)), 1) END, 6) AS jaccard
+FROM g
+"""
+
+
+def d_fingerprint(sf_dir: str):
+    """Rolling polynomial-hash document fingerprints (order-sensitive;
+    not SQL-expressible — rows-only check)."""
+    from ..stages.text import fingerprint
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(fingerprint, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "fingerprint"])
+
+
+def d_knn_ivf(sf_dir: str):
+    """IVF-bucketed approximate nearest neighbors (recall < 1 by design
+    vs the exact d_knn; rows-only check)."""
+    from ..stages.similarity import knn_ivf
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .filter(expr="vec_id < 3")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    queries = np.stack(q["embedding"].to_numpy())
+    out = knn_ivf(ds, queries, k=5, n_clusters=8, nprobe=3)
+    out = out.rename(columns={"id": "neighbor_id"})
+    out["score"] = out["score"].round(6)
+    return out[["query_id", "rank", "neighbor_id", "score"]]
+
+
 # ---------------------------------------------------------------------------
 # token-table pipelines (generated input; rows-only checks)
 
@@ -742,6 +893,7 @@ QUERIES: dict[str, tuple] = {
     "t_lag_lead": (t_lag_lead, T_LAG_LEAD_SQL),
     "t_sessionize": (t_sessionize, T_SESSIONIZE_SQL),
     "t_asof": (t_asof, T_ASOF_SQL),
+    "t_rolling": (t_rolling, T_ROLLING_SQL),
     "d_exact_dedup": (d_exact_dedup, D_EXACT_DEDUP_SQL),
     "d_token_counts": (d_token_counts, D_TOKEN_COUNTS_SQL),
     "d_quality": (d_quality, D_QUALITY_SQL),
@@ -749,6 +901,10 @@ QUERIES: dict[str, tuple] = {
     "d_minhash_dedup": (d_minhash_dedup, None),
     "d_simhash_dedup": (d_simhash_dedup, None),
     "d_embedding_dedup": (d_embedding_dedup, None),
+    "d_lang_id": (d_lang_id, D_LANG_ID_SQL),
+    "d_jaccard": (d_jaccard, D_JACCARD_SQL),
+    "d_fingerprint": (d_fingerprint, None),
+    "d_knn_ivf": (d_knn_ivf, None),
     "tok_search": (tok_search, None),
     "tok_backfill": (tok_backfill, None),
 }

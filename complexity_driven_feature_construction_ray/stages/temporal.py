@@ -68,6 +68,60 @@ def _default_buckets() -> int:
         return 8
 
 
+def rolling_agg(
+    ds,
+    *,
+    key: str,
+    ts: str,
+    col: str,
+    window: int,
+    agg: str = "sum",
+    out_col: str | None = None,
+    num_buckets: int | None = None,
+    tiebreak: list[str] | None = None,
+):
+    """Per-entity rolling aggregate over the last `window` rows ordered by
+    ts (ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW). Arrow-native:
+    one entity-hash shuffle, vectorized prefix-sum math per bucket."""
+    B = num_buckets or _default_buckets()
+    out_col = out_col or f"{col}_roll{agg}{window}"
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", pa.array(_bucket_of(batch[key].to_numpy(zero_copy_only=False), B))
+        )
+
+    def roll_bucket(g: pa.Table) -> pa.Table:
+        order = _sort_order(g, [key, ts, *(tiebreak or [])])
+        out = g.take(pa.array(order)).drop_columns(["__bucket"])
+        k = g[key].to_numpy(zero_copy_only=False)[order]
+        v = g[col].to_numpy(zero_copy_only=False)[order].astype(np.float64)
+        m = len(v)
+        # group starts (sorted by key => contiguous)
+        start_of = np.empty(m, dtype=np.int64)  # index of each row's group start
+        is_start = np.empty(m, dtype=bool)
+        is_start[0] = True
+        is_start[1:] = k[1:] != k[:-1]
+        start_of = np.maximum.accumulate(np.where(is_start, np.arange(m), -1))
+        lo = np.maximum(np.arange(m) - window + 1, start_of)
+        csum = np.concatenate(([0.0], np.cumsum(v)))
+        if agg == "sum":
+            res = csum[np.arange(m) + 1] - csum[lo]
+        elif agg == "mean":
+            res = (csum[np.arange(m) + 1] - csum[lo]) / (np.arange(m) - lo + 1)
+        elif agg == "count":
+            res = (np.arange(m) - lo + 1).astype(np.float64)
+        else:
+            raise ValueError(f"unsupported rolling agg {agg}")
+        return out.append_column(out_col, pa.array(res))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(roll_bucket, batch_format="pyarrow")
+    )
+
+
 def grouped_map(ds, key: str, fn, *, num_buckets: int | None = None, batch_format="pandas"):
     """Apply `fn` to hash-bucket partitions co-grouped by `key`.
 

@@ -122,3 +122,49 @@ def test_sessionize_matches_oracle(ray_session):
     # a: [0,0, 1,1, 2]  (gaps 10, 40, 5, 145 min); b: [0, 1, 1] (31, 9)
     assert out[out["k"] == "a"]["session_idx"].tolist() == [0, 0, 1, 1, 2]
     assert out[out["k"] == "b"]["session_idx"].tolist() == [0, 1, 1]
+
+
+def test_rolling_agg_matches_pandas(ray_session):
+    from complexity_driven_feature_construction_ray.stages.temporal import rolling_agg
+
+    rng = np.random.default_rng(7)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "eid": np.arange(n),
+            "k": rng.choice(["u1", "u2", "u3", "u4"], size=n),
+            "t": rng.integers(0, 10_000, size=n),
+            "v": np.round(rng.random(size=n), 4),
+        }
+    )
+    out = (
+        rolling_agg(
+            ray.data.from_pandas(df), key="k", ts="t", col="v", window=3,
+            agg="sum", out_col="r", num_buckets=3, tiebreak=["eid"],
+        )
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["k", "t", "eid"], kind="stable")
+    exp["r"] = exp.groupby("k")["v"].transform(lambda s: s.rolling(3, min_periods=1).sum())
+    exp = exp.sort_values("eid").reset_index(drop=True)
+    assert np.allclose(out["r"].values, exp["r"].values)
+
+    out_m = (
+        rolling_agg(
+            ray.data.from_pandas(df), key="k", ts="t", col="v", window=5,
+            agg="mean", out_col="m", num_buckets=3, tiebreak=["eid"],
+        )
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    exp2 = df.copy()
+    exp2["m"] = (
+        df.sort_values(["k", "t", "eid"], kind="stable")
+        .groupby("k")["v"]
+        .transform(lambda s: s.rolling(5, min_periods=1).mean())
+    )
+    exp2 = exp2.sort_values("eid").reset_index(drop=True)
+    assert np.allclose(out_m["m"].values, exp2["m"].values)
