@@ -1,0 +1,351 @@
+"""FairExp layer: context-conditional fairness measures + SFFS repair.
+
+Re-creates the reference's fairness layer (reference new_project/
+fairexp.py, fmeasures/ROD.py:62-176, fmeasures/CDP.py:30-70,
+fmeasures/CTPB.py:31-73) Ray-Data-first:
+
+- The fairness measures are GROUPED AGGREGATES: one
+  ds.groupby(context, sensitive).aggregate(count, sum(pred), ...) pass
+  produces a tiny per-(context, group) table; the context-weighted
+  combine (odds ratios, rate gaps) is driver-side on that table — the
+  reference instead materializes the whole frame and loops Python-side
+  over unique contexts (ROD.py:95-141).
+- SFFS repair (sequential floating forward selection,
+  fairexp.py:299-420) is a driver loop; the floating-elimination
+  fan-out — the reference's mp.Pool (fairexp.py:361-366) — runs as
+  parallel Ray tasks over a broadcast feature matrix, and the
+  speculative variant (fairexp_optimistic.py:356-460) evaluates the
+  next k additions in parallel, accepting the first improvement.
+
+Semantics per measure (exact reference behavior):
+- ROD (ROD.py:101-141): per context z, with _0 = rows where
+  sensitive != protected and _1 = rows where sensitive == protected,
+  p_1_s = mean(pred) (0.5 when the side is empty in z);
+  OR_z = (p_1_0/p_0_0) * (p_0_1/p_1_1); non-finite OR_z dropped
+  (with its weight); ROD = -|sum_z w_z OR_z - 1|, w_z = n_z / N.
+- CDP / CTPB / CTNB (CDP.py:30-70, CTPB.py:31-73): per context,
+  max-min gap of the group metric (selection rate / TPR / TNR),
+  skipping contexts with < 2 distinct sensitive values present;
+  result = sum_z gap_z * n_z / N (N = all rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+# ---------------------------------------------------------------------------
+# distributed grouped aggregate -> tiny per-(context, group) table
+
+
+def fairness_groups(
+    ds,
+    *,
+    ctx_cols: list[str],
+    sens_col: str,
+    pred_col: str,
+    y_col: str | None = None,
+) -> pd.DataFrame:
+    """One shuffle: (context..., sensitive) -> counts and pred/y sums.
+
+    Output columns: ctx_cols..., sens, n, sum_pred [, n_pos, sum_pred_pos,
+    n_neg, sum_negpred_neg] — everything every measure below needs."""
+    from ray.data.aggregate import Count, Sum
+
+    def project(batch: pa.Table) -> pa.Table:
+        cols = {c: batch[c] for c in (*ctx_cols, sens_col)}
+        pred = batch[pred_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        cols["__pred"] = pa.array(pred)
+        if y_col is not None:
+            y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            cols["__pos"] = pa.array((y > 0).astype(np.float64))
+            cols["__pred_pos"] = pa.array(np.where(y > 0, pred, 0.0))
+            cols["__neg"] = pa.array((y <= 0).astype(np.float64))
+            cols["__negpred_neg"] = pa.array(np.where(y <= 0, 1.0 - pred, 0.0))
+        return pa.table(cols)
+
+    aggs = [Count(alias_name="n"), Sum("__pred", alias_name="sum_pred")]
+    if y_col is not None:
+        aggs += [
+            Sum("__pos", alias_name="n_pos"),
+            Sum("__pred_pos", alias_name="sum_pred_pos"),
+            Sum("__neg", alias_name="n_neg"),
+            Sum("__negpred_neg", alias_name="sum_negpred_neg"),
+        ]
+    out = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby([*ctx_cols, sens_col])
+        .aggregate(*aggs)
+    )
+    return out.to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# driver-side combines (operate on the tiny grouped table)
+
+
+def rod_from_groups(
+    groups: pd.DataFrame, *, ctx_cols: list[str], sens_col: str, protected
+) -> float:
+    n_total = groups["n"].sum()
+    rods, weights = [], []
+    for _, g in groups.groupby(ctx_cols, sort=False):
+        prot = g[g[sens_col] == protected]
+        nonp = g[g[sens_col] != protected]
+        p_1_0 = nonp["sum_pred"].sum() / nonp["n"].sum() if nonp["n"].sum() > 0 else 0.5
+        p_1_1 = prot["sum_pred"].sum() / prot["n"].sum() if prot["n"].sum() > 0 else 0.5
+        p_0_0, p_0_1 = 1.0 - p_1_0, 1.0 - p_1_1
+        with np.errstate(divide="ignore", invalid="ignore"):
+            odds = (p_1_0 / p_0_0) * (p_0_1 / p_1_1)
+        if np.isfinite(odds):
+            rods.append(odds)
+            weights.append(g["n"].sum() / n_total)
+    if not rods:
+        return 0.0
+    return float(-abs(np.dot(rods, weights) - 1.0))
+
+
+def conditional_gap_from_groups(
+    groups: pd.DataFrame, *, ctx_cols: list[str], sens_col: str, kind: str = "cdp"
+) -> float:
+    """kind: cdp (selection rate) / ctpb (TPR) / ctnb (TNR)."""
+    n_total = groups["n"].sum()
+    total = 0.0
+    for _, g in groups.groupby(ctx_cols, sort=False):
+        if g[sens_col].nunique() < 2:
+            continue
+        if kind == "cdp":
+            rates = g["sum_pred"] / g["n"]
+        elif kind == "ctpb":
+            rates = g["sum_pred_pos"] / g["n_pos"]
+        elif kind == "ctnb":
+            rates = g["sum_negpred_neg"] / g["n_neg"]
+        else:
+            raise ValueError(kind)
+        rates = rates[np.isfinite(rates)]
+        if len(rates) < 2:
+            continue
+        total += (rates.max() - rates.min()) * (g["n"].sum() / n_total)
+    return float(total)
+
+
+def rod_measure(ds, *, ctx_cols, sens_col, pred_col, protected) -> float:
+    g = fairness_groups(ds, ctx_cols=ctx_cols, sens_col=sens_col, pred_col=pred_col)
+    return rod_from_groups(g, ctx_cols=ctx_cols, sens_col=sens_col, protected=protected)
+
+
+def gap_measure(ds, *, ctx_cols, sens_col, pred_col, y_col=None, kind="cdp") -> float:
+    g = fairness_groups(
+        ds, ctx_cols=ctx_cols, sens_col=sens_col, pred_col=pred_col, y_col=y_col
+    )
+    return conditional_gap_from_groups(g, ctx_cols=ctx_cols, sens_col=sens_col, kind=kind)
+
+
+# ---------------------------------------------------------------------------
+# in-memory ROD (used inside the SFFS scoring loop, reference
+# fairexp.py:257-296 computes ROD per evaluation on the train sample)
+
+
+def rod_arrays(pred: np.ndarray, sensitive: np.ndarray, contexts: np.ndarray, protected) -> float:
+    df = pd.DataFrame({"__s": sensitive, "__p": np.asarray(pred, dtype=np.float64)})
+    ctx_cols = []
+    contexts = np.atleast_2d(np.asarray(contexts))
+    if contexts.shape[0] == len(pred):
+        contexts = contexts.T
+    for i, col in enumerate(contexts):
+        df[f"__c{i}"] = col
+        ctx_cols.append(f"__c{i}")
+    groups = (
+        df.groupby([*ctx_cols, "__s"], sort=False)
+        .agg(n=("__p", "size"), sum_pred=("__p", "sum"))
+        .reset_index()
+    )
+    return rod_from_groups(groups, ctx_cols=ctx_cols, sens_col="__s", protected=protected)
+
+
+# ---------------------------------------------------------------------------
+# filters (reference fairexp.py:107-134, 192-196)
+
+
+def drop_nan_inf(ds, cols: list[str]):
+    """Drop rows where any of `cols` is NaN/Inf (fairexp.py:192-196)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        mask = np.ones(len(batch), dtype=bool)
+        for c in cols:
+            v = batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            mask &= np.isfinite(v)
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def duplicate_columns(X: np.ndarray, names: list[str]) -> list[str]:
+    """Names of columns whose byte content already appeared (the exact
+    version of the reference's Bloom-filter column dedup,
+    fairexp.py:107-116 — exact is affordable at plan level)."""
+    seen: set[bytes] = set()
+    dups = []
+    for j, name in enumerate(names):
+        key = np.ascontiguousarray(X[:, j]).tobytes()
+        if key in seen:
+            dups.append(name)
+        else:
+            seen.add(key)
+    return dups
+
+
+def mutual_information(x: np.ndarray, y: np.ndarray, bins: int = 10) -> float:
+    """Histogram MI(x; y) in nats for the keep-MI>0 prefilter
+    (fairexp.py:117-126 uses sklearn mutual_info_classif; this is the
+    plain histogram estimator — same keep/drop contract)."""
+    x = np.asarray(x, dtype=np.float64)
+    finite = np.isfinite(x)
+    x, y = x[finite], np.asarray(y)[finite]
+    if len(x) == 0 or x.min() == x.max():
+        return 0.0
+    xb = np.digitize(x, np.linspace(x.min(), x.max(), bins + 1)[1:-1])
+    joint = pd.crosstab(xb, y).to_numpy().astype(np.float64)
+    pxy = joint / joint.sum()
+    px = pxy.sum(axis=1, keepdims=True)
+    py = pxy.sum(axis=0, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        terms = pxy * np.log(pxy / (px @ py))
+    return float(np.nansum(terms))
+
+
+# ---------------------------------------------------------------------------
+# SFFS repair (reference fairexp.py:299-420 phase 1 + floating step;
+# speculative width per fairexp_optimistic.py:356-460)
+
+
+def _cv_f1(X: np.ndarray, y: np.ndarray, fold: np.ndarray, max_iter: int = 25) -> float:
+    from .model import LogisticRegressionNumpy, _standardize
+
+    preds = np.empty(len(y), dtype=np.int8)
+    for f in range(int(fold.max()) + 1):
+        tr, te = fold != f, fold == f
+        Xtr, Xte = _standardize(X[tr], X[te])
+        clf = LogisticRegressionNumpy(C=1.0, max_iter=max_iter).fit(Xtr, y[tr])
+        preds[te] = clf.predict(Xte)
+    tp = int(((preds == 1) & (y == 1)).sum())
+    fp = int(((preds == 1) & (y == 0)).sum())
+    fn = int(((preds == 0) & (y == 1)).sum())
+    denom = 2 * tp + fp + fn
+    return 2 * tp / denom if denom else 0.0
+
+
+def _eval_subset(X, names_sel, all_names, y, fold, sens, ctx, protected, max_iter):
+    idx = [all_names.index(n) for n in names_sel]
+    Xs = X[:, idx]
+    acc = _cv_f1(Xs, y, fold, max_iter)
+    from .model import LogisticRegressionNumpy, _standardize
+
+    Xs2, _ = _standardize(Xs, Xs)
+    pred = LogisticRegressionNumpy(C=1.0, max_iter=max_iter).fit(Xs2, y).predict(Xs2)
+    fair = rod_arrays(pred, sens, ctx, protected)
+    return acc, fair
+
+
+def sffs_repair(
+    X: np.ndarray,
+    names: list[str],
+    y: np.ndarray,
+    *,
+    sensitive: np.ndarray,
+    contexts: np.ndarray,
+    protected,
+    cv: int = 5,
+    seed: int = 42,
+    max_iter: int = 25,
+    use_ray: bool = True,
+) -> dict:
+    """Phase-1 SFFS: add features in the given (complexity) order; accept
+    an addition iff CV-f1 improves; on every improvement try the parallel
+    floating eliminations and accept the best one that does not reduce
+    f1. Returns selected names + the registered (names, acc, fair) log +
+    the (acc, fairness) Pareto front (fairexp.py:235-254)."""
+    from .model import stratified_folds
+
+    y = np.asarray(y).astype(np.int8)
+    fold = stratified_folds(y, cv, seed)
+    args = (X, names, y, fold, sensitive, contexts, protected, max_iter)
+
+    remote_eval = None
+    if use_ray:
+        import ray
+
+        X_ref = ray.put(X)
+
+        @ray.remote(num_cpus=1)
+        def _remote(names_sel, _X=X_ref):
+            import ray as _ray
+
+            Xv = _ray.get(_X) if isinstance(_X, _ray.ObjectRef) else _X
+            return _eval_subset(
+                Xv, names_sel, names, y, fold, sensitive, contexts, protected, max_iter
+            )
+
+        remote_eval = _remote
+
+    current: list[str] = []
+    explored: set[tuple] = set()
+    registered: list[tuple] = []
+    best_acc, best_fair = 0.0, 0.0
+
+    def evaluate(sel: list[str]):
+        return _eval_subset(X, sel, names, y, fold, sensitive, contexts, protected, max_iter)
+
+    for name in names:
+        trial = sorted([*current, name])
+        tkey = tuple(trial)
+        if tkey in explored:
+            continue
+        explored.add(tkey)
+        acc, fair = evaluate(trial)
+        registered.append((trial, acc, fair))
+        if acc > best_acc:
+            best_acc, best_fair = acc, fair
+            current = trial
+            # floating elimination: all unexplored leave-one-out subsets in parallel
+            cands = []
+            if len(current) > 1:
+                for z in current:
+                    sub = tuple(sorted(c for c in current if c != z))
+                    if sub not in explored:
+                        cands.append(list(sub))
+            if cands:
+                if remote_eval is not None:
+                    import ray
+
+                    results = ray.get([remote_eval.remote(c) for c in cands])
+                else:
+                    results = [evaluate(c) for c in cands]
+                for c, (a, fr) in zip(cands, results):
+                    explored.add(tuple(c))
+                    registered.append((c, a, fr))
+                accs = [r[0] for r in results]
+                bi = int(np.argmax(accs))
+                if accs[bi] >= best_acc:
+                    best_acc, best_fair = results[bi]
+                    current = sorted(cands[bi])
+
+    # Pareto front over (acc, fairness) — fairexp.py:235-254
+    front = []
+    for i, (sel_i, a_i, f_i) in enumerate(registered):
+        dominated = any(
+            (a_j >= a_i and f_j >= f_i and (a_j > a_i or f_j > f_i))
+            for j, (_, a_j, f_j) in enumerate(registered)
+            if j != i
+        )
+        if not dominated:
+            front.append((sel_i, a_i, f_i))
+    return {
+        "selected": current,
+        "acc": best_acc,
+        "fair": best_fair,
+        "registered": registered,
+        "pareto": sorted(front, key=lambda r: (-r[1], -r[2], r[0])),
+    }

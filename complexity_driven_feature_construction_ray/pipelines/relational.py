@@ -822,6 +822,147 @@ def d_knn_ivf(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# FairExp fairness measures (grouped aggregate -> driver combine)
+
+
+def _fair_docs(sf_dir: str):
+    """documents + deterministic pred/label: pred = long doc, y = parity
+    of n_chars (guarantees both classes in every context/group)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "source", "n_chars"])
+
+    def add(batch: pa.Table) -> pa.Table:
+        n = batch["n_chars"].to_numpy()
+        batch = batch.append_column("pred", pa.array((n > 300).astype(np.float64)))
+        return batch.append_column("y", pa.array((n % 2 == 0).astype(np.int8)))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def f_rod(sf_dir: str):
+    """Relative Odds Difference conditioned on language contexts,
+    protected group source='web' (reference fmeasures/ROD.py:62-141)."""
+    from .fairexp import rod_measure
+
+    v = rod_measure(
+        _fair_docs(sf_dir), ctx_cols=["lang"], sens_col="source",
+        pred_col="pred", protected="web",
+    )
+    return pd.DataFrame({"rod": [round(v, 6)]})
+
+
+F_ROD_SQL = """
+WITH d AS (
+  SELECT lang AS ctx, source AS s,
+         CASE WHEN n_chars > 300 THEN 1.0 ELSE 0.0 END AS pred
+  FROM documents
+), g AS (
+  SELECT ctx,
+         sum(CASE WHEN s <> 'web' THEN pred END) AS sp0,
+         sum(CASE WHEN s <> 'web' THEN 1 END) AS n0,
+         sum(CASE WHEN s = 'web' THEN pred END) AS sp1,
+         sum(CASE WHEN s = 'web' THEN 1 END) AS n1,
+         count(*) AS n
+  FROM d GROUP BY ctx
+), o AS (
+  SELECT CASE WHEN coalesce(n0, 0) > 0 THEN sp0 / n0 ELSE 0.5 END AS p10,
+         CASE WHEN coalesce(n1, 0) > 0 THEN sp1 / n1 ELSE 0.5 END AS p11,
+         n FROM g
+), v AS (
+  SELECT (p10 / nullif(1 - p10, 0)) * ((1 - p11) / nullif(p11, 0)) AS orv, n FROM o
+)
+SELECT round(-abs(coalesce(sum(orv * n), 0) / (SELECT sum(n) FROM g) - 1), 6) AS rod
+FROM v WHERE orv IS NOT NULL AND isfinite(orv)
+"""
+
+
+def _gap_query(sf_dir: str, kind: str, out_name: str):
+    from .fairexp import gap_measure
+
+    v = gap_measure(
+        _fair_docs(sf_dir), ctx_cols=["lang"], sens_col="source",
+        pred_col="pred", y_col="y", kind=kind,
+    )
+    return pd.DataFrame({out_name: [round(v, 6)]})
+
+
+def f_cdp(sf_dir: str):
+    """Conditional demographic parity: context-weighted max-min gap of
+    selection rate across source groups (reference fmeasures/CDP.py:30-70)."""
+    return _gap_query(sf_dir, "cdp", "cdp")
+
+
+def f_ctpb(sf_dir: str):
+    """Conditional TPR balance (reference fmeasures/CTPB.py:31-73)."""
+    return _gap_query(sf_dir, "ctpb", "ctpb")
+
+
+def f_ctnb(sf_dir: str):
+    """Conditional TNR balance (reference fmeasures/CTNB.py)."""
+    return _gap_query(sf_dir, "ctnb", "ctnb")
+
+
+_F_GAP_SQL_TMPL = """
+WITH d AS (
+  SELECT lang AS ctx, source AS s,
+         CASE WHEN n_chars > 300 THEN 1.0 ELSE 0.0 END AS pred,
+         CASE WHEN n_chars %% 2 = 0 THEN 1 ELSE 0 END AS y
+  FROM documents
+), g AS (
+  SELECT ctx, s, count(*) AS n, avg(pred) AS sr,
+         sum(CASE WHEN y = 1 THEN pred END) AS spp,
+         sum(CASE WHEN y = 1 THEN 1 END) AS np,
+         sum(CASE WHEN y = 0 THEN 1.0 - pred END) AS snn,
+         sum(CASE WHEN y = 0 THEN 1 END) AS nn
+  FROM d GROUP BY ctx, s
+), r AS (
+  SELECT ctx, n, %(rate)s AS rate FROM g
+), c AS (
+  SELECT ctx, max(rate) - min(rate) AS gap, sum(n) AS n,
+         count(*) AS kgroups, count(rate) AS kfinite
+  FROM r GROUP BY ctx
+)
+SELECT round(coalesce(sum(CASE WHEN kgroups >= 2 AND kfinite >= 2 THEN gap * n END), 0)
+       / (SELECT count(*) FROM d), 6) AS %(out)s
+FROM c
+"""
+
+F_CDP_SQL = _F_GAP_SQL_TMPL % {"rate": "sr", "out": "cdp"}
+F_CTPB_SQL = _F_GAP_SQL_TMPL % {
+    "rate": "CASE WHEN coalesce(np, 0) > 0 THEN spp / np END", "out": "ctpb"
+}
+F_CTNB_SQL = _F_GAP_SQL_TMPL % {
+    "rate": "CASE WHEN coalesce(nn, 0) > 0 THEN snn / nn END", "out": "ctnb"
+}
+
+
+def f_sffs(sf_dir: str):
+    """SFFS repair (floating forward selection with parallel
+    eliminations) over in-memory backfilled token features; deterministic
+    result — rows-only check (iterative model fitting, not SQL)."""
+    from .fairexp import sffs_repair
+    from .flagship import search_sample
+
+    cols, y = search_sample(1200)
+    feats = {
+        "log_n_tok": np.log(cols["n_tok"]),
+        "tok_mean": cols["tok_mean"],
+        "tok_std": cols["tok_std"],
+        "recip_n_tok": 1.0 / cols["n_tok"],
+        "tok_distinct_ratio": cols["tok_distinct_ratio"],
+    }
+    names = sorted(feats)
+    X = np.column_stack([feats[n] for n in names])
+    ctx = np.digitize(cols["n_tok"], [64.0, 128.0, 256.0])
+    res = sffs_repair(
+        X, names, y, sensitive=cols["source"], contexts=ctx,
+        protected="web", use_ray=True,
+    )
+    rows = [(n, 1) for n in res["selected"]]
+    rows += [("__acc__", round(res["acc"], 6)), ("__fair__", round(res["fair"], 6))]
+    return pd.DataFrame(rows, columns=["name", "value"])
+
+
+# ---------------------------------------------------------------------------
 # token-table pipelines (generated input; rows-only checks)
 
 
@@ -901,6 +1042,11 @@ QUERIES: dict[str, tuple] = {
     "d_minhash_dedup": (d_minhash_dedup, None),
     "d_simhash_dedup": (d_simhash_dedup, None),
     "d_embedding_dedup": (d_embedding_dedup, None),
+    "f_rod": (f_rod, F_ROD_SQL),
+    "f_cdp": (f_cdp, F_CDP_SQL),
+    "f_ctpb": (f_ctpb, F_CTPB_SQL),
+    "f_ctnb": (f_ctnb, F_CTNB_SQL),
+    "f_sffs": (f_sffs, None),
     "d_lang_id": (d_lang_id, D_LANG_ID_SQL),
     "d_jaccard": (d_jaccard, D_JACCARD_SQL),
     "d_fingerprint": (d_fingerprint, None),
