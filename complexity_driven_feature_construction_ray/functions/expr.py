@@ -31,9 +31,12 @@ from typing import Any
 
 # stateless unary numeric -> numeric
 STATELESS_UNARY = ("minus", "reciprocal", "log")
-# fitted unary (state learned on the train fold)
-FITTED_UNARY = ("minmax", "zscore", "impute_mean", "discretize", "mdlp")
+# fitted unary (state learned on the train fold); the three impute
+# strategies mirror reference ImputationTransformation.py:35-50
+# (sklearn SimpleImputer mean / median / most_frequent)
+FITTED_UNARY = ("minmax", "zscore", "impute_mean", "impute_median", "impute_mode", "discretize", "mdlp")
 UNARY_OPS = STATELESS_UNARY + FITTED_UNARY
+IMPUTE_OPS = ("impute_mean", "impute_median", "impute_mode")
 
 # binary stateless row-wise; add/mul are the reference's nansum/nanprod
 COMMUTATIVE_BINARY = ("add", "mul")
@@ -102,6 +105,10 @@ def _name(f: Feature) -> str:
         return f"log({ps[0]})"
     if f.op in FITTED_UNARY:
         return f"{f.op}({ps[0]})"
+    if f.op == "npfun":
+        return f"np.{f.params[0]}({ps[0]})"
+    if f.op == "dummy_one":
+        return f"one({ps[0]})"
     if f.op == "onehot":
         return f"onehot({ps[0]}={f.params[0]})"
     if f.op in ("add", "mul"):
@@ -161,6 +168,22 @@ def onehot(parent: Feature, value: Any) -> Feature:
     return f
 
 
+def npfunc(fname: str, parent: Feature) -> Feature:
+    """Arbitrary numpy ufunc by name (reference
+    NumericFunctionTransformation.py:1-8)."""
+    assert hasattr(__import__("numpy"), fname), fname
+    f = Feature("npfun", (parent,), (fname,))
+    f.properties.update(derive_properties(f))
+    return f
+
+
+def dummy_one(parent: Feature) -> Feature:
+    """Constant-1 baseline probe (reference DummyOneTransformation.py:11-12)."""
+    f = Feature("dummy_one", (parent,))
+    f.properties.update(derive_properties(f))
+    return f
+
+
 def identity(parents: tuple[Feature, ...]) -> Feature:
     # flatten nested identity sets ({A,{B,A}} == {A,B}; reference
     # IdentityTransformation.py:8-31)
@@ -190,7 +213,7 @@ def is_applicable(op: str, parents: tuple[Feature, ...], agg: str | None = None)
         (p,) = parents
         if not _numeric(p):
             return False
-        if op == "impute_mean":
+        if op in IMPUTE_OPS:
             # only features WITH missing values (reference ImputationTransformation.py:35-50)
             return p.properties.get("missing_values", False)
         if not _no_missing(p):
@@ -218,6 +241,9 @@ def is_applicable(op: str, parents: tuple[Feature, ...], agg: str | None = None)
         if op == "div" and b.properties.get("has_zero", True):
             return False
         return True
+    if op in ("npfun", "dummy_one"):
+        (p,) = parents
+        return _numeric(p)
     if op == "onehot":
         (p,) = parents
         return p.properties.get("type") == "categorical"
@@ -284,9 +310,16 @@ def derive_properties(f: Feature) -> dict:
     elif f.op == "zscore":
         set_range(None, None)
         out["distinct"] = ps[0].properties.get("distinct")
-    elif f.op == "impute_mean":
+    elif f.op in ("impute_mean", "impute_median", "impute_mode"):
         out["missing_values"] = False
         set_range(mn[0], mx[0])
+    elif f.op == "npfun":
+        set_range(None, None)
+        out["distinct"] = ps[0].properties.get("distinct")
+    elif f.op == "dummy_one":
+        set_range(1.0, 1.0)
+        out["distinct"] = 1
+        out["missing_values"] = False
     elif f.op in ("discretize", "mdlp"):
         set_range(-1.0, float(DISCRETIZE_BINS - 1))
         out["distinct"] = DISCRETIZE_BINS + 1

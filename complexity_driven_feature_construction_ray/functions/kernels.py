@@ -190,9 +190,13 @@ def _eval_inner(f: Feature, cols: Cols, fitted: Fitted, cache: dict) -> np.ndarr
             if std == 0:
                 return np.zeros_like(args[0])
             return (args[0] - mean) / std
-        if op == "impute_mean":
+        if op in ("impute_mean", "impute_median", "impute_mode"):
             (val,) = fitted[f.name]
             return np.where(np.isnan(args[0]), val, args[0])
+        if op == "npfun":
+            return getattr(np, f.params[0])(args[0]).astype(np.float64)
+        if op == "dummy_one":
+            return np.ones_like(args[0], dtype=np.float64)
         if op == "discretize":
             # right-closed bins, matching pd.cut (reference
             # PandasDiscretizerTransformation.py:23-34); out-of-range clips
@@ -232,7 +236,7 @@ def fit_on_arrays(
             if f.name in fitted:
                 continue
             op = f.op
-            if op in ("minmax", "zscore", "impute_mean", "discretize", "mdlp"):
+            if op in ("minmax", "zscore", "impute_mean", "impute_median", "impute_mode", "discretize", "mdlp"):
                 p = _eval_node(f.parents[0], cols, fitted, cache)
                 with np.errstate(all="ignore"):
                     if op == "minmax":
@@ -241,6 +245,12 @@ def fit_on_arrays(
                         fitted[f.name] = (np.nanmean(p), np.nanstd(p))
                     elif op == "impute_mean":
                         fitted[f.name] = (np.nanmean(p),)
+                    elif op == "impute_median":
+                        fitted[f.name] = (np.nanmedian(p),)
+                    elif op == "impute_mode":
+                        vals, counts = np.unique(p[~np.isnan(p)], return_counts=True)
+                        # ties -> smallest value (sklearn most_frequent)
+                        fitted[f.name] = (vals[np.argmax(counts)] if len(vals) else 0.0,)
                     elif op == "discretize":
                         mn, mx = np.nanmin(p), np.nanmax(p)
                         edges = np.linspace(mn, mx, DISCRETIZE_BINS + 1)[1:-1]

@@ -23,9 +23,14 @@ import sympy
 
 from .expr import Feature
 
-_IDEMPOTENT_UNARY = {"minmax", "zscore", "impute_mean", "discretize", "mdlp"}
+_IDEMPOTENT_UNARY = {
+    "minmax", "zscore", "impute_mean", "impute_median", "impute_mode", "discretize", "mdlp"
+}
 # injective value->value maps preserve the partition induced by a key
-_KEY_INVARIANT = {"minus", "reciprocal", "log", "minmax", "zscore", "impute_mean"}
+_KEY_INVARIANT = {
+    "minus", "reciprocal", "log",
+    "minmax", "zscore", "impute_mean", "impute_median", "impute_mode",
+}
 
 _GBT_FUNC: dict[str, sympy.Function] = {}
 
@@ -69,6 +74,10 @@ def canonical_sympy(f: Feature) -> sympy.Expr:
         return _ufunc(f.op)(canonical_sympy(p))
     if f.op == "onehot":
         return _ufunc(f"onehot_{f.params[0]}")(canonical_sympy(f.parents[0]))
+    if f.op == "npfun":
+        return _ufunc(f"np_{f.params[0]}")(canonical_sympy(f.parents[0]))
+    if f.op == "dummy_one":
+        return sympy.Integer(1)  # constant: pruned by is_constant_expr
     if f.op == "add":
         return canonical_sympy(f.parents[0]) + canonical_sympy(f.parents[1])
     if f.op == "mul":

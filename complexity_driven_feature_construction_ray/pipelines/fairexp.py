@@ -261,12 +261,19 @@ def sffs_repair(
     seed: int = 42,
     max_iter: int = 25,
     use_ray: bool = True,
+    speculative: int = 0,
 ) -> dict:
     """Phase-1 SFFS: add features in the given (complexity) order; accept
     an addition iff CV-f1 improves; on every improvement try the parallel
     floating eliminations and accept the best one that does not reduce
     f1. Returns selected names + the registered (names, acc, fair) log +
-    the (acc, fairness) Pareto front (fairexp.py:235-254)."""
+    the (acc, fairness) Pareto front (fairexp.py:235-254).
+
+    speculative > 1 enables the optimistic variant
+    (fairexp_optimistic.py:356-460): the next `speculative` additions
+    are evaluated in parallel and the FIRST improving one (in order) is
+    accepted; later speculative results are logged but not accepted
+    (they were evaluated against the pre-acceptance set)."""
     from .model import stratified_folds
 
     y = np.asarray(y).astype(np.int8)
@@ -298,10 +305,69 @@ def sffs_repair(
     def evaluate(sel: list[str]):
         return _eval_subset(X, sel, names, y, fold, sensitive, contexts, protected, max_iter)
 
-    for name in names:
+    def floating_eliminate():
+        nonlocal best_acc, best_fair, current
+        cands = []
+        if len(current) > 1:
+            for z in current:
+                sub = tuple(sorted(c for c in current if c != z))
+                if sub not in explored:
+                    cands.append(list(sub))
+        if not cands:
+            return
+        if remote_eval is not None:
+            import ray
+
+            results = ray.get([remote_eval.remote(c) for c in cands])
+        else:
+            results = [evaluate(c) for c in cands]
+        for c, (a, fr) in zip(cands, results):
+            explored.add(tuple(c))
+            registered.append((c, a, fr))
+        accs = [r[0] for r in results]
+        bi = int(np.argmax(accs))
+        if accs[bi] >= best_acc:
+            best_acc, best_fair = results[bi]
+            current = sorted(cands[bi])
+
+    i = 0
+    while i < len(names):
+        if speculative > 1 and remote_eval is not None:
+            import ray
+
+            batch: list[tuple[int, list[str]]] = []
+            j = i
+            while j < len(names) and len(batch) < speculative:
+                if names[j] not in current:
+                    trial = sorted([*current, names[j]])
+                    if tuple(trial) not in explored:
+                        batch.append((j, trial))
+                j += 1
+            if not batch:
+                i = j
+                continue
+            results = ray.get([remote_eval.remote(t) for _, t in batch])
+            accepted = None
+            for (jj, trial), (acc, fair) in zip(batch, results):
+                explored.add(tuple(trial))
+                registered.append((trial, acc, fair))
+                if accepted is None and acc > best_acc:
+                    accepted = (jj, trial, acc, fair)
+            if accepted is None:
+                i = j
+                continue
+            jj, trial, acc, fair = accepted
+            best_acc, best_fair = acc, fair
+            current = trial
+            floating_eliminate()
+            i = jj + 1
+            continue
+
+        name = names[i]
+        i += 1
         trial = sorted([*current, name])
         tkey = tuple(trial)
-        if tkey in explored:
+        if tkey in explored or name in current:
             continue
         explored.add(tkey)
         acc, fair = evaluate(trial)
@@ -309,28 +375,7 @@ def sffs_repair(
         if acc > best_acc:
             best_acc, best_fair = acc, fair
             current = trial
-            # floating elimination: all unexplored leave-one-out subsets in parallel
-            cands = []
-            if len(current) > 1:
-                for z in current:
-                    sub = tuple(sorted(c for c in current if c != z))
-                    if sub not in explored:
-                        cands.append(list(sub))
-            if cands:
-                if remote_eval is not None:
-                    import ray
-
-                    results = ray.get([remote_eval.remote(c) for c in cands])
-                else:
-                    results = [evaluate(c) for c in cands]
-                for c, (a, fr) in zip(cands, results):
-                    explored.add(tuple(c))
-                    registered.append((c, a, fr))
-                accs = [r[0] for r in results]
-                bi = int(np.argmax(accs))
-                if accs[bi] >= best_acc:
-                    best_acc, best_fair = results[bi]
-                    current = sorted(cands[bi])
+            floating_eliminate()
 
     # Pareto front over (acc, fairness) — fairexp.py:235-254
     front = []

@@ -169,7 +169,7 @@ def aicc_select(champions: list[Scored], n: int) -> Scored:
 class ComplexityDrivenSearch:
     def __init__(
         self,
-        c_max: int = 3,
+        c_max: int | None = 3,
         epsilon: float = 0.0,
         cv: int = 5,
         seed: int = 42,
@@ -178,6 +178,7 @@ class ComplexityDrivenSearch:
         unary_ops=("minmax", "discretize", "reciprocal", "minus", "log", "impute_mean"),
         binary_ops=("add", "mul"),
         max_seconds: float | None = None,
+        hard_c_cap: int = 10,
         max_onehot_values: int = 20,
         scorer_concurrency: int | None = None,
         score_batch: int = 4,
@@ -195,6 +196,7 @@ class ComplexityDrivenSearch:
         self.unary_ops = tuple(unary_ops)
         self.binary_ops = tuple(binary_ops)
         self.max_seconds = max_seconds
+        self.hard_c_cap = hard_c_cap
         self.max_onehot_values = max_onehot_values
         self.scorer_concurrency = scorer_concurrency
         self.score_batch = score_batch
@@ -270,6 +272,21 @@ class ComplexityDrivenSearch:
         self._pool = None
         self._actors = []
         self._blob_ref = None
+
+    @staticmethod
+    def _harmonic_stop(champions: dict, survivors: dict, c: int) -> bool:
+        pop = [s for k, v in survivors.items() if k <= c for s in v]
+        total = len(pop)
+        if total == 0 or any((c - h) not in champions for h in range(3)):
+            return False
+
+        def hm(champ: Scored) -> float:
+            acc = sum(1 for s in pop if s.score <= champ.score) / total
+            simp = sum(1 for s in pop if s.complexity >= champ.complexity) / total
+            return (2 * simp * acc) / (simp + acc) if (simp + acc) else 0.0
+
+        h0, h1, h2 = (hm(champions[c - h]) for h in range(3))
+        return h2 >= h1 and h2 >= h0
 
     # -- enumeration ---------------------------------------------------------
 
@@ -351,7 +368,9 @@ class ComplexityDrivenSearch:
                 fresh.append(f)
             return fresh
 
-        for c in range(1, self.c_max + 1):
+        champions: dict[int, Scored] = {}  # best-so-far after each layer
+        c_limit = self.c_max if self.c_max is not None else self.hard_c_cap
+        for c in range(1, c_limit + 1):
             if self.max_seconds is not None and time.time() - t0 > self.max_seconds:
                 stats["deadline_hit"] = True
                 break
@@ -415,6 +434,16 @@ class ComplexityDrivenSearch:
                     stats["pruned_eps"] += 1
             if kept:
                 survivors[c] = kept
+            if all_scored:
+                champions[c] = max(all_scored.values(), key=lambda s: s.score)
+
+            # harmonic-mean stop (c_max=None mode, reference
+            # ComplexityDrivenFeatureConstruction.py:266-318,660-676):
+            # stop when the 2-layer-old champion's harmonic mean of
+            # P(score <= champ) and P(complexity >= champ) dominates.
+            if self.c_max is None and c > 2 and self._harmonic_stop(champions, survivors, c):
+                stats["harmonic_stop"] = c
+                break
 
         self._shutdown_pool()
         flat = list(all_scored.values())

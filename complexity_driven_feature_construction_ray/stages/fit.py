@@ -41,10 +41,13 @@ def _stateful_depth(f: Feature, cache: dict) -> int:
     return d
 
 
+_STATEFUL_UNARY = (
+    "minmax", "zscore", "impute_mean", "impute_median", "impute_mode", "discretize", "mdlp"
+)
+
+
 def _is_stateful(f: Feature) -> bool:
-    return f.op in ("minmax", "zscore", "impute_mean", "discretize", "mdlp") or f.op.startswith(
-        "gbt_"
-    )
+    return f.op in _STATEFUL_UNARY or f.op.startswith("gbt_")
 
 
 def _partial_for(f: Feature, cols: dict, fitted: Fitted, cache: dict):
@@ -70,6 +73,9 @@ def _partial_for(f: Feature, cols: dict, fitted: Fitted, cache: dict):
     p = _eval_node(f.parents[0], cols, fitted, cache)
     nan = np.isnan(p)
     pv = p[~nan]
+    if op == "impute_mode":
+        vals, counts = np.unique(pv, return_counts=True)
+        return ("counts", vals, counts)
     n = len(pv)
     return (
         "scalar",
@@ -111,10 +117,21 @@ def _merge_gbt(parts):
     return keys, cnt, s, ss, mn, mx, prod
 
 
+def _merge_counts(parts):
+    vals = np.unique(np.concatenate([p[1] for p in parts]))
+    counts = np.zeros(len(vals))
+    for p in parts:
+        counts[np.searchsorted(vals, p[1])] += p[2]
+    return vals, counts
+
+
 def _finalize(f: Feature, merged) -> tuple:
     from ..functions.expr import DISCRETIZE_BINS
 
     op = f.op
+    if op == "impute_mode":
+        vals, counts = merged
+        return (float(vals[np.argmax(counts)]) if len(vals) else 0.0,)
     if op.startswith("gbt_"):
         agg = op[4:]
         keys, cnt, s, ss, mn, mx, prod = merged
@@ -214,7 +231,10 @@ def fit_distributed(
         mergeable = [
             f
             for f in level_nodes
-            if not (f.op == "mdlp" or (f.op.startswith("gbt_") and f.op[4:] not in _MERGEABLE_GBT))
+            if not (
+                f.op in ("mdlp", "impute_median")  # median is not a mergeable aggregate
+                or (f.op.startswith("gbt_") and f.op[4:] not in _MERGEABLE_GBT)
+            )
         ]
         unmergeable = [f for f in level_nodes if f not in mergeable]
 
@@ -241,8 +261,13 @@ def fit_distributed(
                     all_parts[name].append(p)
             for f in plans:
                 parts = all_parts[f.name]
+                kind = parts[0][0]
                 merged = (
-                    _merge_gbt(parts) if parts[0][0] == "gbt" else _merge_scalar(parts)
+                    _merge_gbt(parts)
+                    if kind == "gbt"
+                    else _merge_counts(parts)
+                    if kind == "counts"
+                    else _merge_scalar(parts)
                 )
                 fitted[f.name] = _finalize(f, merged)
 

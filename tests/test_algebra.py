@@ -181,3 +181,63 @@ class TestCanonicalization:  # F6 — reference sympy rewrite system
             unary("minmax", X)
         )
         assert identity((X, identity((B, X)))).name == "{b, x}"
+
+
+class TestNewOps:
+    """impute median/mode, numpy-ufunc, dummy-one (reference
+    ImputationTransformation.py:35-50, NumericFunctionTransformation.py:1-8,
+    DummyOneTransformation.py:11-12)."""
+
+    M = raw("m", properties={"min": 1.0, "max": 9.0, "missing_values": True})
+    COLS_M = {"m": np.array([1.0, np.nan, 3.0, 3.0, 9.0, np.nan, 1.0])}
+
+    def test_impute_median(self):
+        f = unary("impute_median", self.M)
+        fitted = fit_on_arrays([f], self.COLS_M)
+        out = evaluate(f, self.COLS_M, fitted)
+        med = np.nanmedian(self.COLS_M["m"])
+        assert np.allclose(out, [1.0, med, 3.0, 3.0, 9.0, med, 1.0])
+
+    def test_impute_mode_tie_smallest(self):
+        f = unary("impute_mode", self.M)
+        fitted = fit_on_arrays([f], self.COLS_M)
+        # 1.0 and 3.0 both appear twice -> smallest wins (sklearn most_frequent)
+        assert fitted[f.name] == (1.0,)
+
+    def test_impute_applicability(self):
+        clean = raw("c", properties={"missing_values": False})
+        assert not is_applicable("impute_median", (clean,))
+        assert is_applicable("impute_mode", (self.M,))
+
+    def test_npfun_and_dummy_one(self):
+        from complexity_driven_feature_construction_ray.functions.expr import (
+            dummy_one,
+            npfunc,
+        )
+
+        f = npfunc("sqrt", X)
+        out = evaluate(f, COLS, {})
+        assert np.allclose(out, np.sqrt(COLS["x"]))
+        one = dummy_one(X)
+        assert np.allclose(evaluate(one, COLS, {}), 1.0)
+        # constant-1 canonicalizes to a pruned constant
+        assert is_constant_expr(canonical_sympy(one))
+        # idempotence + key invariance extend to the new imputes
+        g = unary("impute_median", unary("impute_median", self.M))
+        assert canonical_key(g) == canonical_key(unary("impute_median", self.M))
+
+
+def test_impute_mode_distributed_matches_in_memory(ray_session):
+    import ray.data
+    import pandas as pd
+    from complexity_driven_feature_construction_ray.stages.fit import fit_distributed
+
+    rng = np.random.default_rng(9)
+    v = rng.integers(0, 5, 5000).astype(np.float64)
+    v[rng.random(5000) < 0.2] = np.nan
+    m = raw("m", properties={"min": 0.0, "max": 4.0, "missing_values": True})
+    f = unary("impute_mode", m)
+    local = fit_on_arrays([f], {"m": v})
+    ds = ray.data.from_pandas(pd.DataFrame({"m": v})).repartition(8)
+    dist = fit_distributed([f], ds, input_cols=["m"])
+    assert local[f.name] == dist[f.name]

@@ -105,3 +105,41 @@ class TestSearch:
         for k in drv.all_scored:
             assert abs(drv.all_scored[k].score - rayres.all_scored[k].score) < 1e-12
         assert drv.best.name == rayres.best.name
+
+
+def test_harmonic_mean_stop(ray_session):
+    """c_max=None stops via the harmonic-mean criterion (reference
+    ComplexityDrivenFeatureConstruction.py:266-318,660-676) before the
+    hard cap."""
+    from complexity_driven_feature_construction_ray.pipelines.flagship import search_sample
+    from complexity_driven_feature_construction_ray.functions.expr import raw as raw_f
+
+    cols, y = search_sample(600)
+    base = [
+        raw_f("n_tok", properties={"min": 1.0, "max": 512.0, "has_zero": False, "distinct": 512}),
+        raw_f("tok_mean", properties={"min": 0.0, "max": 50257.0, "has_zero": False}),
+        raw_f("source", "categorical", {"distinct": 5, "values": ["books", "chat", "code", "web", "wiki"]}),
+    ]
+    s = ComplexityDrivenSearch(c_max=None, hard_c_cap=6, use_ray=False, lr_max_iter=10)
+    res = s.run(cols, y, base)
+    assert "harmonic_stop" in res.stats
+    assert res.stats["harmonic_stop"] <= 6
+
+
+def test_speculative_sffs_matches_selection_quality(ray_session):
+    from complexity_driven_feature_construction_ray.pipelines.fairexp import sffs_repair
+
+    rng = np.random.default_rng(4)
+    n = 400
+    x_good = rng.normal(size=n)
+    y = (x_good + rng.normal(0, 0.3, n) > 0).astype(np.int8)
+    X = np.column_stack([x_good, rng.normal(size=n), rng.normal(size=n), rng.normal(size=n)])
+    names = ["good", "n1", "n2", "n3"]
+    sens = rng.choice(["web", "books"], n)
+    ctx = rng.integers(0, 3, n)
+    res = sffs_repair(
+        X, names, y, sensitive=sens, contexts=ctx, protected="web",
+        use_ray=True, speculative=4,
+    )
+    assert "good" in res["selected"]
+    assert res["acc"] > 0.8
