@@ -49,6 +49,54 @@ GBT_AGGS = ("max", "min", "mean", "std", "count", "sum", "var", "prod", "median"
 
 DISCRETIZE_BINS = 10
 
+# ---------------------------------------------------------------------------
+# user extension surface (SURVEY.md §2.7c): register new ops with their
+# kernel / fit / applicability / property / sympy hooks — the analog of
+# subclassing the reference's Transformation
+# (reference transformations/Transformation.py:7-83)
+
+CUSTOM_OPS: dict[str, dict] = {}
+
+
+def register_op(
+    name: str,
+    *,
+    kernel,
+    arity: int = 1,
+    fit=None,
+    applicable=None,
+    properties=None,
+    sympy_builder=None,
+    name_fmt=None,
+) -> None:
+    """Register a custom operator.
+
+    kernel(args: list[np.ndarray], feature, state) -> np.ndarray
+    fit(parent_arrays: list[np.ndarray], y) -> tuple   (stateful ops only;
+        distributed fitting uses the sample path, like MDLP)
+    applicable(parents) -> bool         (default: all-numeric)
+    properties(feature) -> dict         (default: unknown range)
+    sympy_builder(feature, child_exprs) -> sympy expr (default: opaque fn)
+    name_fmt(feature, parent_names) -> str
+    """
+    CUSTOM_OPS[name] = {
+        "kernel": kernel,
+        "arity": arity,
+        "fit": fit,
+        "applicable": applicable,
+        "properties": properties,
+        "sympy_builder": sympy_builder,
+        "name_fmt": name_fmt,
+    }
+
+
+def custom(op: str, *parents: Feature, params: tuple = ()) -> Feature:
+    spec = CUSTOM_OPS[op]
+    assert len(parents) == spec["arity"], (op, len(parents))
+    f = Feature(op, tuple(parents), params)
+    f.properties.update(derive_properties(f))
+    return f
+
 
 @dataclass(frozen=True)
 class Feature:
@@ -122,6 +170,9 @@ def _name(f: Feature) -> str:
         return f"{f.op[4:]}({ps[0]} by {ps[1]})"
     if f.op == "identity":
         return "{" + ", ".join(sorted(ps)) + "}"
+    if f.op in CUSTOM_OPS:
+        fmt = CUSTOM_OPS[f.op]["name_fmt"]
+        return fmt(f, ps) if fmt else f"{f.op}({', '.join(ps)})"
     raise ValueError(f"unknown op {f.op}")
 
 
@@ -260,6 +311,9 @@ def is_applicable(op: str, parents: tuple[Feature, ...], agg: str | None = None)
         return key.op in ("discretize", "mdlp") or (kd is not None and kd <= 10_000)
     if op == "identity":
         return all(_numeric(p) and _no_missing(p) for p in parents)
+    if op in CUSTOM_OPS:
+        hook = CUSTOM_OPS[op]["applicable"]
+        return hook(parents) if hook else all(_numeric(p) for p in parents)
     raise ValueError(f"unknown op {op}")
 
 
@@ -364,4 +418,10 @@ def derive_properties(f: Feature) -> dict:
         out["missing_values"] = False
     elif f.op == "identity":
         set_range(None, None)
+    elif f.op in CUSTOM_OPS:
+        hook = CUSTOM_OPS[f.op]["properties"]
+        if hook:
+            out.update(hook(f))
+        else:
+            set_range(None, None)
     return out

@@ -218,6 +218,13 @@ def _eval_inner(f: Feature, cols: Cols, fitted: Fitted, cache: dict) -> np.ndarr
             return np.subtract(args[0], args[1])
         if op == "div":
             return np.divide(args[0], args[1])
+        from .expr import CUSTOM_OPS
+
+        if op in CUSTOM_OPS:
+            state = fitted.get(f.name)
+            return np.asarray(
+                CUSTOM_OPS[op]["kernel"](args, f, state), dtype=np.float64
+            )
     raise ValueError(op)
 
 
@@ -264,6 +271,13 @@ def fit_on_arrays(
                 v = _eval_node(f.parents[0], cols, fitted, cache)
                 k = _eval_node(f.parents[1], cols, fitted, cache)
                 fitted[f.name] = _group_reduce(op[4:], v, k)
+            else:
+                from .expr import CUSTOM_OPS
+
+                spec = CUSTOM_OPS.get(op)
+                if spec is not None and spec["fit"] is not None:
+                    parents = [_eval_node(p, cols, fitted, cache) for p in f.parents]
+                    fitted[f.name] = spec["fit"](parents, y)
     return fitted
 
 

@@ -90,6 +90,14 @@ def canonical_sympy(f: Feature) -> sympy.Expr:
         return _canonical_gbt(f)
     if f.op == "identity":
         return sympy.FiniteSet(*[canonical_sympy(p) for p in f.parents])
+    from .expr import CUSTOM_OPS
+
+    if f.op in CUSTOM_OPS:
+        builder = CUSTOM_OPS[f.op]["sympy_builder"]
+        children = [canonical_sympy(p) for p in f.parents]
+        if builder:
+            return builder(f, children)
+        return _ufunc(f.op)(*children)
     raise ValueError(f.op)
 
 

@@ -1,5 +1,7 @@
 from .model import LogisticRegressionNumpy, stratified_folds, cv_score
 from .search import ComplexityDrivenSearch, SearchResult, pareto_front
+from .construct import ConstructionTransformer
+from .fairexp import rod_measure, gap_measure, sffs_repair, drop_nan_inf
 
 __all__ = [
     "LogisticRegressionNumpy",
@@ -8,4 +10,9 @@ __all__ = [
     "ComplexityDrivenSearch",
     "SearchResult",
     "pareto_front",
+    "ConstructionTransformer",
+    "rod_measure",
+    "gap_measure",
+    "sffs_repair",
+    "drop_nan_inf",
 ]

@@ -47,6 +47,11 @@ _STATEFUL_UNARY = (
 
 
 def _is_stateful(f: Feature) -> bool:
+    from ..functions.expr import CUSTOM_OPS
+
+    spec = CUSTOM_OPS.get(f.op)
+    if spec is not None:
+        return spec["fit"] is not None
     return f.op in _STATEFUL_UNARY or f.op.startswith("gbt_")
 
 
@@ -228,11 +233,14 @@ def fit_distributed(
         ]
         if not level_nodes:
             continue
+        from ..functions.expr import CUSTOM_OPS
+
         mergeable = [
             f
             for f in level_nodes
             if not (
                 f.op in ("mdlp", "impute_median")  # median is not a mergeable aggregate
+                or f.op in CUSTOM_OPS  # custom fits are opaque -> sample path
                 or (f.op.startswith("gbt_") and f.op[4:] not in _MERGEABLE_GBT)
             )
         ]
