@@ -42,13 +42,17 @@ HEADLINE = [
     "q_pricing_summary",
     "q_top_revenue",
     "q_broadcast_join",
+    "q_salted_agg",
     "t_asof",
     "t_lag_lead",
     "t_sessionize",
+    "t_rolling",
     "d_exact_dedup",
     "d_minhash_dedup",
     "d_quality",
+    "d_lang_id",
     "d_knn",
+    "f_rod",
     "tok_search",
 ]
 
@@ -173,6 +177,12 @@ def run_backfill_job(n_rows: int) -> dict:
 
 def run_headline(sf_dir: str, num_cpus: int) -> dict:
     from complexity_driven_feature_construction_ray.pipelines.relational import QUERIES
+
+    # session warmup: one tiny pipeline so worker startup / imports are
+    # paid before any per-query timer starts
+    import ray.data
+
+    ray.data.range(10000).map_batches(lambda b: b, batch_format="pyarrow").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -670,6 +670,25 @@ def d_embedding_dedup(sf_dir: str):
     return out.sort_values("id").reset_index(drop=True)
 
 
+def q_salted_agg(sf_dir: str):
+    """Skew-salted two-phase grouped aggregate over the Zipfian-ish
+    order-priority key (explicit salting shuffle; one row per key)."""
+    from ..stages.partition import salted_aggregate
+
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    out = salted_aggregate(
+        ds, key="o_orderpriority", col="o_totalprice", agg="mean",
+        salt=16, out_col="avg_price",
+    )
+    return _round_cols(out, {"avg_price": 4})
+
+
+Q_SALTED_AGG_SQL = """
+SELECT o_orderpriority, round(avg(o_totalprice), 4) AS avg_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def t_rolling(sf_dir: str):
     """Per-user rolling 3-row sum of purchase value ordered by (ts,
     event_id) — the windowed-aggregate operator (Arrow-native bucket
@@ -1031,6 +1050,7 @@ QUERIES: dict[str, tuple] = {
     "q_semi_join": (q_semi_join, Q_SEMI_JOIN_SQL),
     "q_distinct_parts": (q_distinct_parts, Q_DISTINCT_SQL),
     "q_filter_sort_topk": (q_filter_sort_topk, Q_TOPK_SQL),
+    "q_salted_agg": (q_salted_agg, Q_SALTED_AGG_SQL),
     "t_lag_lead": (t_lag_lead, T_LAG_LEAD_SQL),
     "t_sessionize": (t_sessionize, T_SESSIONIZE_SQL),
     "t_asof": (t_asof, T_ASOF_SQL),

@@ -133,3 +133,54 @@ def test_backfill_callable_smoke(table):
         out["log(n_tok)"].to_numpy(),
         np.log(table["n_tok"].to_numpy()[:50].astype(float)),
     )
+
+
+def test_range_partition_sort_global_order(ray_session):
+    from complexity_driven_feature_construction_ray.stages.partition import (
+        range_partition_sort,
+    )
+    from complexity_driven_feature_construction_ray.sources.token_table import (
+        token_table_dataset,
+    )
+
+    ds = token_table_dataset(3000, override_num_blocks=8)
+    out = range_partition_sort(ds, ["doc_id", "ingest_ts"], num_partitions=8)
+    # sorted across block boundaries, not just within blocks
+    prev_last = None
+    import pyarrow.compute as pc
+
+    for b in out.iter_batches(batch_format="pyarrow", batch_size=None):
+        ids = b["doc_id"].to_pylist()
+        assert ids == sorted(ids)
+        if prev_last is not None and ids:
+            assert prev_last <= ids[0]
+        if ids:
+            prev_last = ids[-1]
+
+
+def test_salted_aggregate_matches_plain_groupby(ray_session):
+    import pandas as pd
+    import ray.data
+    from complexity_driven_feature_construction_ray.stages.partition import (
+        salted_aggregate,
+    )
+
+    rng = np.random.default_rng(12)
+    # Zipf-style skew: one key holds ~80% of rows
+    keys = rng.choice(["hot", "a", "b", "c"], p=[0.8, 0.1, 0.05, 0.05], size=20000)
+    vals = rng.random(20000)
+    df = pd.DataFrame({"k": keys, "v": vals})
+    ds = ray.data.from_pandas(df).repartition(8)
+    for agg, expect in (
+        ("sum", df.groupby("k")["v"].sum()),
+        ("mean", df.groupby("k")["v"].mean()),
+        ("count", df.groupby("k")["v"].count().astype(float)),
+        ("max", df.groupby("k")["v"].max()),
+    ):
+        out = (
+            salted_aggregate(ds, key="k", col="v", agg=agg, salt=8, out_col="r")
+            .to_pandas()
+            .set_index("k")["r"]
+            .sort_index()
+        )
+        assert np.allclose(out.to_numpy(dtype=float), expect.sort_index().to_numpy(dtype=float)), agg
