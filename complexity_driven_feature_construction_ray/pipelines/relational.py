@@ -26,10 +26,17 @@ from ..stages.stats import base_features_from_stats, column_stats
 from ..stages.temporal import asof_join, lag_lead, sessionize
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, split: bool = False):
+    """Column-pruned parquet read; `split=True` repartitions to ~CPU
+    blocks — the test tables are single small files (one block), which
+    would otherwise serialize every downstream map stage."""
+    import ray
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    if split:
+        ds = ds.repartition(max(16, int(ray.cluster_resources().get("CPU", 4))))
+    return ds
 
 
 def _round_cols(ds, cols: dict[str, int]):
@@ -457,7 +464,7 @@ LIMIT 15
 
 
 def t_lag_lead(sf_dir: str):
-    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"], split=True)
     out = lag_lead(
         ds, key="user_id", ts="ts", cols=["value"], lags=(1,), leads=(1,),
         tiebreak=["event_id"], num_buckets=8,
@@ -474,7 +481,7 @@ FROM events
 
 
 def t_sessionize(sf_dir: str):
-    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"], split=True)
     out = sessionize(
         ds, key="user_id", ts="ts", gap=1800, tiebreak=["event_id"], num_buckets=8
     )
@@ -497,7 +504,7 @@ FROM (
 def t_asof(sf_dir: str):
     """Latest prior purchase value attached to every click, per user —
     the point-in-time join with zero leakage."""
-    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"], split=True)
     clicks = ds.map_batches(
         lambda t: t.filter(pc.equal(t["event_type"], pa.scalar("click"))).select(
             ["event_id", "ts", "user_id"]
@@ -695,7 +702,7 @@ def t_rolling(sf_dir: str):
     scan, vectorized prefix sums)."""
     from ..stages.temporal import rolling_agg
 
-    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"], split=True)
     out = rolling_agg(
         ds, key="user_id", ts="ts", col="value", window=3, agg="sum",
         out_col="roll_sum3", tiebreak=["event_id"],

@@ -1,6 +1,7 @@
 """F1 fixture: the deterministic synthetic token table."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -54,3 +55,54 @@ def test_distributed_matches_driver_side(ray_session):
     assert np.array_equal(np.asarray(t["n_tok"]), np.asarray(ref["n_tok"]))
     for i in (0, 250, 499):
         assert np.array_equal(np.asarray(t["tokens"][i]), np.asarray(ref["tokens"][i]))
+
+
+def test_read_table_csv_roundtrip(ray_session, tmp_path):
+    from complexity_driven_feature_construction_ray.sources.readers import read_table
+
+    df = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    p = str(tmp_path / "t.csv")
+    df.to_csv(p, index=False)
+    back = (
+        read_table(p, format="csv", columns=["a", "b"])
+        .to_pandas()
+        .sort_values("a")
+        .reset_index(drop=True)
+    )
+    assert back.equals(df)
+
+
+def test_dataset_from_arrays_types(ray_session):
+    from complexity_driven_feature_construction_ray.sources.readers import (
+        dataset_from_arrays,
+    )
+
+    df = pd.DataFrame({"num": ["1", "2", "3.5"], "cat": ["a", "b", "a"]})
+    ds, feats = dataset_from_arrays(df, y=np.array([0, 1, 0]))
+    by_name = {f.params[0]: f for f in feats}
+    assert by_name["num"].properties["type"] == "numeric"
+    assert by_name["num"].properties["max"] == 3.5
+    assert by_name["cat"].properties["type"] == "categorical"
+    assert by_name["cat"].properties["values"] == ["a", "b"]
+    assert ds.to_pandas()["__label"].tolist() == [0, 1, 0]
+
+
+def test_hash_split_deterministic_fractions(ray_session):
+    from complexity_driven_feature_construction_ray.sources.readers import hash_split
+    from complexity_driven_feature_construction_ray.sources.token_table import (
+        token_table_dataset,
+    )
+
+    ds = token_table_dataset(20000)
+    out = hash_split(ds, fractions={"train": 0.6, "valid": 0.2, "test": 0.2})
+    pdf = out.to_pandas()
+    frac = pdf["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.6) < 0.02
+    assert abs(frac["valid"] - 0.2) < 0.02
+    # deterministic: rerun gives identical assignment
+    pdf2 = hash_split(
+        token_table_dataset(20000), fractions={"train": 0.6, "valid": 0.2, "test": 0.2}
+    ).to_pandas()
+    m = pdf.sort_values("doc_id")["split"].to_numpy()
+    m2 = pdf2.sort_values("doc_id")["split"].to_numpy()
+    assert (m == m2).all()
