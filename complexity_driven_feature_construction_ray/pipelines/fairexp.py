@@ -249,6 +249,108 @@ def _eval_subset(X, names_sel, all_names, y, fold, sens, ctx, protected, max_ite
     return acc, fair
 
 
+def fairexp_lifecycle(
+    n_rows: int,
+    *,
+    sample_rows: int = 1500,
+    c_max: int = 2,
+    seed: int = 42,
+    protected="web",
+    mi_threshold: float = 0.0,
+    causal_filter=None,
+    use_ray: bool = True,
+    speculative: int = 0,
+) -> dict:
+    """The reference's full FairExp run (fairexp.py:87-197 + 299-511):
+    sample -> complexity-driven search -> duplicate-column + MI (+
+    optional causal hook) prefilter -> full-table distributed backfill
+    -> NaN/Inf row drop -> SFFS repair on the sample.
+
+    `causal_filter(name, x, y, sensitive) -> bool` is the pluggable
+    stand-in for the reference's R/bnlearn d-separation check
+    (causality/causal_filter.py:3-19): the engine preserves the
+    interface (a per-candidate boolean), not the R subprocess.
+    """
+    from ..sources.token_table import TOKEN_TABLE_SCHEMA, token_table_dataset
+    from ..stages.backfill import backfill_dataset
+    from ..stages.fit import fit_distributed
+    from ..stages.token_stats import TOKEN_STAT_COLS, token_stats_dataset
+    from .flagship import search_sample
+    from .search import ComplexityDrivenSearch
+    from ..functions.expr import raw
+    from ..functions.kernels import evaluate, fit_on_arrays
+
+    # 1. search on the seeded sample
+    cols, y = search_sample(sample_rows, seed=seed)
+    base = [
+        raw("n_tok", properties={"min": 1.0, "max": 512.0, "has_zero": False, "distinct": 512}),
+        raw("tok_mean", properties={"min": float(cols["tok_mean"].min()), "max": float(cols["tok_mean"].max()), "has_zero": False}),
+        raw("tok_std", properties={"min": 0.0, "max": float(cols["tok_std"].max()), "has_zero": True}),
+        raw("source", "categorical", {"distinct": 5, "values": ["books", "chat", "code", "web", "wiki"]}),
+    ]
+    search = ComplexityDrivenSearch(c_max=c_max, epsilon=0.0, use_ray=use_ray, lr_max_iter=15)
+    res = search.run(cols, y, base)
+    constructed = sorted(
+        (s.feature for s in res.all_scored.values() if s.feature.op != "minus"),
+        key=lambda f: (f.complexity, f.name),
+    )
+
+    # 2. prefilter on the sample: exact duplicate columns, MI > threshold,
+    #    optional causal hook (fairexp.py:105-134)
+    mem_fitted = fit_on_arrays(constructed, cols, y=y)
+    cache: dict = {}
+    mat = {f.name: evaluate(f, cols, mem_fitted, cache) for f in constructed}
+    names = [f.name for f in constructed]
+    X = np.column_stack([mat[n] for n in names])
+    dropped_dup = set(duplicate_columns(X, names))
+    kept, dropped_mi, dropped_causal = [], [], []
+    for f in constructed:
+        if f.name in dropped_dup:
+            continue
+        if mutual_information(mat[f.name], y) <= mi_threshold:
+            dropped_mi.append(f.name)
+            continue
+        if causal_filter is not None and not causal_filter(
+            f.name, mat[f.name], y, cols["source"]
+        ):
+            dropped_causal.append(f.name)
+            continue
+        kept.append(f)
+
+    # 3. full-table distributed fit + backfill + NaN/Inf drop
+    ds = token_stats_dataset(token_table_dataset(n_rows, seed=seed))
+    fitted = fit_distributed(
+        kept,
+        ds,
+        input_cols=[*TOKEN_TABLE_SCHEMA.names, *TOKEN_STAT_COLS],
+        sample_for_unmergeable=(cols, y),
+    )
+    out = backfill_dataset(ds, kept, fitted)
+    feature_cols = [f.name for f in kept if f.op != "raw"]
+    out = drop_nan_inf(out, feature_cols)
+
+    # 4. SFFS repair on the sample's backfilled columns
+    sel_names = sorted(f.name for f in kept)
+    Xs = np.column_stack([mat[n] for n in sel_names])
+    ctx = np.digitize(cols["n_tok"], [64.0, 128.0, 256.0])
+    repair = sffs_repair(
+        Xs, sel_names, y, sensitive=cols["source"], contexts=ctx,
+        protected=protected, use_ray=use_ray, speculative=speculative,
+    )
+    return {
+        "dataset": out,
+        "constructed": names,
+        "dropped_dup": sorted(dropped_dup),
+        "dropped_mi": dropped_mi,
+        "dropped_causal": dropped_causal,
+        "backfilled": sel_names,
+        "selected": repair["selected"],
+        "acc": repair["acc"],
+        "fair": repair["fair"],
+        "pareto": repair["pareto"],
+    }
+
+
 def sffs_repair(
     X: np.ndarray,
     names: list[str],

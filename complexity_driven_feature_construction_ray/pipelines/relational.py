@@ -961,6 +961,23 @@ F_CTNB_SQL = _F_GAP_SQL_TMPL % {
 }
 
 
+def f_lifecycle(sf_dir: str):
+    """Full FairExp lifecycle (sample -> search -> dup/MI filter ->
+    distributed backfill -> NaN/Inf drop -> SFFS): returns the selection
+    summary + backfilled row count (deterministic; rows-only check)."""
+    from .fairexp import fairexp_lifecycle
+
+    n = {"sf0.001": 3000, "sf0.01": 20000, "sf0.1": 100000}.get(
+        sf_dir.rstrip("/").split("/")[-1], 20000
+    )
+    res = fairexp_lifecycle(n, sample_rows=1200, c_max=2)
+    rows = [("__rows__", float(res["dataset"].count()))]
+    rows += [("__acc__", round(res["acc"], 6)), ("__fair__", round(res["fair"], 6))]
+    rows += [(f"sel:{s}", 1.0) for s in res["selected"]]
+    rows += [(f"mi_drop:{s}", 0.0) for s in res["dropped_mi"]]
+    return pd.DataFrame(rows, columns=["name", "value"])
+
+
 def f_sffs(sf_dir: str):
     """SFFS repair (floating forward selection with parallel
     eliminations) over in-memory backfilled token features; deterministic
@@ -1074,6 +1091,7 @@ QUERIES: dict[str, tuple] = {
     "f_ctpb": (f_ctpb, F_CTPB_SQL),
     "f_ctnb": (f_ctnb, F_CTNB_SQL),
     "f_sffs": (f_sffs, None),
+    "f_lifecycle": (f_lifecycle, None),
     "d_lang_id": (d_lang_id, D_LANG_ID_SQL),
     "d_jaccard": (d_jaccard, D_JACCARD_SQL),
     "d_fingerprint": (d_fingerprint, None),

@@ -154,3 +154,29 @@ def test_fairness_groups_shape(ray_session, fair_df):
     )
     assert set(g.columns) >= {"ctx", "sens", "n", "sum_pred", "n_pos", "sum_pred_pos"}
     assert g["n"].sum() == len(fair_df)
+
+
+def test_fairexp_lifecycle_with_causal_hook(ray_session):
+    from complexity_driven_feature_construction_ray.pipelines.fairexp import (
+        fairexp_lifecycle,
+    )
+
+    vetoed = []
+
+    def causal(name, x, y, sens):
+        if "tok_std" in name:
+            vetoed.append(name)
+            return False
+        return True
+
+    res = fairexp_lifecycle(
+        3000, sample_rows=800, c_max=2, causal_filter=causal, use_ray=False
+    )
+    # hook vetoes flow into dropped_causal; vetoed features never reach SFFS
+    assert res["dropped_causal"] == vetoed and vetoed
+    assert not any("tok_std" in s for s in res["backfilled"])
+    # backfilled dataset drops NaN/Inf rows but keeps the schema
+    n = res["dataset"].count()
+    assert 0 < n <= 3000
+    assert res["selected"], "SFFS selected at least one feature"
+    assert 0.0 <= res["acc"] <= 1.0
