@@ -26,15 +26,19 @@ from ..stages.stats import base_features_from_stats, column_stats
 from ..stages.temporal import asof_join, lag_lead, sessionize
 
 
-def _read(sf_dir: str, table: str, columns=None, split: bool = False):
-    """Column-pruned parquet read; `split=True` repartitions to ~CPU
-    blocks — the test tables are single small files (one block), which
-    would otherwise serialize every downstream map stage."""
+_BIG_TABLES = {"lineitem", "orders", "events", "customer", "part", "supplier"}
+
+
+def _read(sf_dir: str, table: str, columns=None, split: bool | None = None):
+    """Column-pruned parquet read. The test tables are single-row-group
+    files, so Ray reads each as ONE block and every downstream map stage
+    serializes; big fact tables are repartitioned to ~CPU blocks by
+    default (split=None), tiny dimension tables are not."""
     import ray
     import ray.data
 
     ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
-    if split:
+    if split or (split is None and table in _BIG_TABLES):
         ds = ds.repartition(max(16, int(ray.cluster_resources().get("CPU", 4))))
     return ds
 
