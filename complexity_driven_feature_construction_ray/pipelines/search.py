@@ -135,6 +135,61 @@ class CandidateScorer:
         }
 
 
+def multiple_cv_rescore(
+    features: list[Feature],
+    cols,
+    y,
+    *,
+    repeats: int = 5,
+    cv: int = 5,
+    seed: int = 42,
+    c_grid=None,
+    max_iter: int = 25,
+    use_ray: bool = True,
+) -> dict[str, tuple[float, float]]:
+    """Repeated-CV re-scoring of (top-k) candidates — the reference's
+    multiple-CV stabilization pass (reference evaluation/
+    multiple_cv_scikit.py): each candidate scored under `repeats`
+    different stratified fold splits; returns name -> (mean, std) of the
+    per-repeat scores. Fan-out is (candidate x repeat) Ray tasks over a
+    broadcast sample."""
+    from .model import C_GRID, stratified_folds
+
+    c_grid = tuple(c_grid or C_GRID)
+    y = np.asarray(y).astype(np.int8)
+    folds = [stratified_folds(y, cv, seed + r) for r in range(repeats)]
+
+    if use_ray and len(features) * repeats > 2:
+        import ray
+
+        blob_ref = ray.put(pickle.dumps(cols))
+
+        @ray.remote(num_cpus=1)
+        def score_one(feat_blob, fold, _blob=blob_ref):
+            c = pickle.loads(ray.get(_blob) if isinstance(_blob, ray.ObjectRef) else _blob)
+            feat = pickle.loads(feat_blob)
+            s, *_ = _eval_candidate(feat, c, y, fold, c_grid, max_iter)
+            return feat.name, s
+
+        refs = [
+            score_one.remote(pickle.dumps(f), fold) for f in features for fold in folds
+        ]
+        results = ray.get(refs)
+    else:
+        results = []
+        for f in features:
+            for fold in folds:
+                s, *_ = _eval_candidate(f, cols, y, fold, c_grid, max_iter)
+                results.append((f.name, s))
+
+    by_name: dict[str, list[float]] = {}
+    for name, s in results:
+        by_name.setdefault(name, []).append(s)
+    return {
+        name: (float(np.mean(v)), float(np.std(v))) for name, v in by_name.items()
+    }
+
+
 def pareto_front(scored: list[Scored]) -> list[Scored]:
     """Non-dominated (max score, min complexity) set, one per complexity."""
     best_at: dict[int, Scored] = {}

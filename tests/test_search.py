@@ -143,3 +143,24 @@ def test_speculative_sffs_matches_selection_quality(ray_session):
     )
     assert "good" in res["selected"]
     assert res["acc"] > 0.8
+
+
+def test_multiple_cv_rescore(ray_session):
+    """Repeated-CV re-scoring: mean tracks the single-split score, std is
+    small for a strong feature, ray and serial paths agree."""
+    from complexity_driven_feature_construction_ray.pipelines.search import (
+        multiple_cv_rescore,
+    )
+    from complexity_driven_feature_construction_ray.pipelines.flagship import search_sample
+    from complexity_driven_feature_construction_ray.functions.expr import raw as raw_f, unary as unary_f
+
+    cols, y = search_sample(800)
+    n_tok = raw_f("n_tok", properties={"min": 1.0, "max": 512.0, "has_zero": False, "distinct": 512})
+    feats = [n_tok, unary_f("log", n_tok)]
+    got = multiple_cv_rescore(feats, cols, y, repeats=3, use_ray=True, max_iter=10)
+    ser = multiple_cv_rescore(feats, cols, y, repeats=3, use_ray=False, max_iter=10)
+    assert set(got) == {"n_tok", "log(n_tok)"}
+    for name in got:
+        assert got[name] == ser[name]  # deterministic: identical folds, same math
+        mean, std = got[name]
+        assert 0.4 < mean <= 1.0 and std < 0.1
