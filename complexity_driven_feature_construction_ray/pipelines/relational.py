@@ -330,10 +330,23 @@ def q_top_revenue(sf_dir: str):
         rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
         return batch.append_column("rev", rev)
 
-    out = (
+    agg = (
         ds.map_batches(revenue, batch_format="pyarrow")
         .groupby("l_orderkey")
         .aggregate(Sum("rev", alias_name="revenue"))
+    )
+
+    # top-k combiner: each block keeps its local top 10, the global sort
+    # then touches only ~blocks x 10 rows instead of every group
+    def local_top(batch: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            batch, k=min(10, len(batch)),
+            sort_keys=[("revenue", "descending"), ("l_orderkey", "ascending")],
+        )
+        return batch.take(idx)
+
+    out = (
+        agg.map_batches(local_top, batch_format="pyarrow", batch_size=None)
         .sort(["revenue", "l_orderkey"], descending=[True, False])
         .limit(10)
     )
