@@ -27,7 +27,7 @@ from ..sources.token_table import token_table_arrow, token_table_dataset
 from ..stages.backfill import backfill_dataset
 from ..stages.fit import fit_distributed
 from ..stages.stats import base_features_from_stats, column_stats
-from ..stages.temporal import asof_join, lag_lead, sessionize
+from ..stages.temporal import asof_join, windowed
 from ..stages.token_stats import TOKEN_STAT_COLS, token_stats_arrays, token_stats_dataset
 from .search import ComplexityDrivenSearch, SearchResult
 
@@ -134,10 +134,13 @@ def run_flagship(
             event_key="entity",
             probe_schema=probe_schema,
         )
-        out = lag_lead(
-            out, key="source", ts="ingest_ts", cols=["n_tok"], tiebreak=["doc_id"]
-        )
-        out = sessionize(
-            out, key="source", ts="ingest_ts", gap=1800, tiebreak=["doc_id"]
+        # fused lag/lead + sessionization: one shuffle of the wide table
+        out = windowed(
+            out,
+            key="source",
+            ts="ingest_ts",
+            lag_cols=["n_tok"],
+            gap=1800,
+            tiebreak=["doc_id"],
         )
     return out, search_result, selected

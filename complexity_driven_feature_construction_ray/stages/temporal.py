@@ -305,6 +305,68 @@ def lag_lead(
     )
 
 
+def windowed(
+    ds,
+    *,
+    key: str,
+    ts: str,
+    lag_cols: list[str] | None = None,
+    lags: tuple[int, ...] = (1,),
+    leads: tuple[int, ...] = (1,),
+    gap=None,
+    session_col: str = "session_idx",
+    num_buckets: int | None = None,
+    tiebreak: list[str] | None = None,
+):
+    """Fused lag/lead + sessionization: ONE entity-hash shuffle and ONE
+    per-bucket sorted scan produce both, instead of two full shuffles of
+    the wide table (token payloads move through the exchange once)."""
+    B = num_buckets or _default_buckets()
+    gap_td = (
+        None
+        if gap is None
+        else (pd.Timedelta(seconds=gap) if not isinstance(gap, pd.Timedelta) else gap)
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", pa.array(_bucket_of(batch[key].to_numpy(zero_copy_only=False), B))
+        )
+
+    def scan_bucket(g: pa.Table) -> pa.Table:
+        order = _sort_order(g, [key, ts, *(tiebreak or [])])
+        out = g.take(pa.array(order)).drop_columns(["__bucket"])
+        k = g[key].to_numpy(zero_copy_only=False)[order]
+        m = len(k)
+        same = np.empty(m, dtype=bool)
+        same[0] = False
+        same[1:] = k[1:] == k[:-1]
+        for c in lag_cols or []:
+            v = g[c].to_numpy(zero_copy_only=False)[order]
+            for n in lags:
+                out = out.append_column(f"{c}_lag{n}", _shift_within(v, same, n))
+            for n in leads:
+                out = out.append_column(f"{c}_lead{n}", _shift_within(v, same, -n))
+        if gap_td is not None:
+            t_np = g[ts].to_numpy(zero_copy_only=False)[order]
+            new_entity = ~same
+            gap_break = np.zeros(m, dtype=bool)
+            gap_break[1:] = (t_np[1:] - t_np[:-1]) > gap_td.to_timedelta64()
+            sid = np.cumsum(new_entity | gap_break)
+            ent_id = np.cumsum(new_entity)
+            first = sid[new_entity][ent_id - 1]
+            out = out.append_column(
+                session_col, pa.array((sid - first).astype(np.int64))
+            )
+        return out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(scan_bucket, batch_format="pyarrow")
+    )
+
+
 def sessionize(
     ds,
     *,

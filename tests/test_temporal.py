@@ -168,3 +168,39 @@ def test_rolling_agg_matches_pandas(ray_session):
     )
     exp2 = exp2.sort_values("eid").reset_index(drop=True)
     assert np.allclose(out_m["m"].values, exp2["m"].values)
+
+
+def test_windowed_fused_matches_separate_stages(ray_session):
+    from complexity_driven_feature_construction_ray.stages.temporal import (
+        lag_lead,
+        sessionize,
+        windowed,
+    )
+    from complexity_driven_feature_construction_ray.sources.token_table import (
+        token_table_dataset,
+    )
+
+    ds = token_table_dataset(4000)
+    fused = (
+        windowed(
+            ds, key="source", ts="ingest_ts", lag_cols=["n_tok"], gap=1800,
+            tiebreak=["doc_id"], num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    sep = lag_lead(
+        token_table_dataset(4000), key="source", ts="ingest_ts", cols=["n_tok"],
+        tiebreak=["doc_id"], num_buckets=4,
+    )
+    sep = (
+        sessionize(sep, key="source", ts="ingest_ts", gap=1800, tiebreak=["doc_id"], num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in ("n_tok_lag1", "n_tok_lead1", "session_idx"):
+        assert np.allclose(
+            fused[c].to_numpy(dtype=float), sep[c].to_numpy(dtype=float), equal_nan=True
+        ), c
