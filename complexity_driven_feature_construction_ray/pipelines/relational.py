@@ -1022,6 +1022,39 @@ def f_sffs(sf_dir: str):
     return pd.DataFrame(rows, columns=["name", "value"])
 
 
+def m_decode(sf_dir: str):
+    """Multimodal decode plumbing: synthetic binary media -> actor-pool
+    image-decode (deterministic fake codec) + audio frame sampling;
+    returns per-item feature/frame summaries (rows-only — binary
+    payloads and stub codecs have no SQL analog)."""
+    import ray.data
+
+    from ..stages.multimodal import decode_pipeline, synthetic_media_table
+
+    n = {"sf0.001": 64, "sf0.01": 256, "sf0.1": 1024}.get(
+        sf_dir.rstrip("/").split("/")[-1], 256
+    )
+    ds = ray.data.from_arrow(synthetic_media_table(n)).repartition(8)
+    out = decode_pipeline(ds, fake=True, concurrency=2, batch_size=32)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        feats = batch["features"].to_pylist()
+        frames = batch["frames"].to_pylist()
+        return pa.table(
+            {
+                "item_id": batch["item_id"],
+                "media_type": batch["media_type"],
+                "feat_dim": pa.array([len(f) for f in feats], type=pa.int32()),
+                "feat_sum": pa.array(
+                    [round(float(np.sum(f)), 6) for f in feats], type=pa.float64()
+                ),
+                "n_frames": pa.array([len(fr) for fr in frames], type=pa.int32()),
+            }
+        )
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # token-table pipelines (generated input; rows-only checks)
 
@@ -1113,6 +1146,7 @@ QUERIES: dict[str, tuple] = {
     "d_jaccard": (d_jaccard, D_JACCARD_SQL),
     "d_fingerprint": (d_fingerprint, None),
     "d_knn_ivf": (d_knn_ivf, None),
+    "m_decode": (m_decode, None),
     "tok_search": (tok_search, None),
     "tok_backfill": (tok_backfill, None),
 }
