@@ -31,22 +31,25 @@ def to_pandas(obj) -> pd.DataFrame:
 
 
 def value_hash(df: pd.DataFrame) -> str:
+    """Order-insensitive value hash, fully vectorized (the old per-row
+    Python loop took minutes at 600k rows)."""
     df = df[sorted(df.columns)]
-    rows = []
-    for _, row in df.iterrows():
-        parts = []
-        for v in row:
-            if isinstance(v, float):
-                parts.append("NaN" if np.isnan(v) else repr(np.round(v, 9)))
-            elif v is None or v is pd.NaT:
-                parts.append("NULL")
-            else:
-                parts.append(str(v))
-        rows.append("|".join(parts))
+    cols = []
+    for c in df.columns:
+        s = df[c]
+        if s.dtype.kind == "f":
+            r = s.round(9) + 0.0  # + 0.0 normalizes -0.0
+            col = r.map("{:.9f}".format).astype(str)
+            col = col.where(~s.isna(), "NaN")
+        else:
+            col = s.astype(str).where(~s.isna(), "NULL")
+        cols.append(col.to_numpy())
+    lines = cols[0]
+    for c in cols[1:]:
+        lines = np.char.add(np.char.add(lines.astype(str), "|"), c.astype(str))
+    lines = np.sort(lines.astype(str))
     h = hashlib.blake2b(digest_size=12)
-    for r in sorted(rows):
-        h.update(r.encode())
-        h.update(b"\n")
+    h.update("\n".join(lines.tolist()).encode())
     return h.hexdigest()
 
 
