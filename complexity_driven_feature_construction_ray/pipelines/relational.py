@@ -433,14 +433,14 @@ GROUP BY l_returnflag
 
 
 def q_distinct_parts(sf_dir: str):
-    from ray.data.aggregate import Count
+    """Per-flag exact distinct part count via the set-union combiner —
+    no row shuffle; only per-batch (group -> value set) summaries move
+    (stages/sketch.py; HLL variant for unbounded cardinalities)."""
+    from ..stages.sketch import distinct_exact
 
     ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_partkey"])
-    pairs = ds.groupby(["l_returnflag", "l_partkey"]).aggregate(Count(alias_name="_c"))
-    return (
-        pairs.select_columns(["l_returnflag"])
-        .groupby("l_returnflag")
-        .aggregate(Count(alias_name="n_parts"))
+    return distinct_exact(
+        ds, key_cols=["l_returnflag"], value_col="l_partkey", out_col="n_parts"
     )
 
 

@@ -1,0 +1,112 @@
+"""Distinct-count stages: exact set-union combiner and HyperLogLog.
+
+The reference's distinct counts are exact np.unique calls on the whole
+column (reference candidates/RawFeature.py:92). At scale, per-group
+distinct counting must be a combiner, not a shuffle of every row:
+
+- `distinct_exact`: per-batch (group -> unique-value set) partials,
+  union-merged driver-side. Exact; memory O(total distinct values) on
+  the driver — the right tool while that fits (tests, dimension keys).
+- `distinct_hll`: HyperLogLog(p) register partials per group, merged by
+  elementwise max — O(groups x 2^p bytes) regardless of cardinality,
+  ~1.04/sqrt(2^p) relative error. The scale path.
+
+Both do ZERO row shuffling: only tiny per-batch summaries reach the
+driver.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_HASH_KEY = "0123456789123456"
+
+
+def _hash_u64(values: np.ndarray) -> np.ndarray:
+    return pd.util.hash_array(values.astype(object), hash_key=_HASH_KEY).astype(np.uint64)
+
+
+def _group_indices(batch: pa.Table, key_cols: list[str]):
+    keys = [batch[c].to_numpy(zero_copy_only=False) for c in key_cols]
+    df = pd.DataFrame({i: k for i, k in enumerate(keys)})
+    codes, uniques = pd.factorize(pd.MultiIndex.from_frame(df)) if len(key_cols) > 1 else pd.factorize(df[0])
+    return codes, list(uniques)
+
+
+def distinct_exact(ds, *, key_cols: list[str], value_col: str, out_col: str = "n_distinct") -> pd.DataFrame:
+    """Exact per-group distinct count of value_col; combiner pattern."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        codes, uniques = _group_indices(batch, key_cols)
+        vals = batch[value_col].to_numpy(zero_copy_only=False)
+        out = {}
+        for g in range(len(uniques)):
+            out[uniques[g]] = set(pd.unique(vals[codes == g]).tolist())
+        return pa.table({"blob": pa.array([pickle.dumps(out)], type=pa.binary())})
+
+    merged: dict = {}
+    for row in ds.map_batches(part, batch_format="pyarrow", batch_size=None).take_all():
+        for k, s in pickle.loads(row["blob"]).items():
+            merged.setdefault(k, set()).update(s)
+    rows = [(k, len(s)) for k, s in merged.items()]
+    if len(key_cols) == 1:
+        df = pd.DataFrame(rows, columns=[key_cols[0], out_col])
+    else:
+        df = pd.DataFrame(
+            [(*k, n) for k, n in rows], columns=[*key_cols, out_col]
+        )
+    return df.sort_values(key_cols).reset_index(drop=True)
+
+
+def distinct_hll(
+    ds, *, key_cols: list[str], value_col: str, p: int = 12, out_col: str = "n_distinct"
+) -> pd.DataFrame:
+    """Approximate per-group distinct count (HyperLogLog, 2^p registers)."""
+    m = 1 << p
+
+    def part(batch: pa.Table) -> pa.Table:
+        codes, uniques = _group_indices(batch, key_cols)
+        h = _hash_u64(batch[value_col].to_numpy(zero_copy_only=False))
+        reg_idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = h << np.uint64(p)
+        # rank = leading zeros of the remaining bits + 1 (capped when 0)
+        bl = np.zeros(len(h), dtype=np.int64)  # exact vectorized bit_length
+        v = rest.copy()
+        for s in (32, 16, 8, 4, 2, 1):
+            y = v >> np.uint64(s)
+            has = y != 0
+            bl[has] += s
+            v = np.where(has, y, v)
+        bl += (v != 0).astype(np.int64)
+        nz = np.where(rest != 0, 64 - bl + 1, 64 - p + 1).astype(np.int64)
+        out = {}
+        for g in range(len(uniques)):
+            sel = codes == g
+            regs = np.zeros(m, dtype=np.int8)
+            np.maximum.at(regs, reg_idx[sel], nz[sel].astype(np.int8))
+            out[uniques[g]] = regs
+        return pa.table({"blob": pa.array([pickle.dumps(out)], type=pa.binary())})
+
+    merged: dict = {}
+    for row in ds.map_batches(part, batch_format="pyarrow", batch_size=None).take_all():
+        for k, regs in pickle.loads(row["blob"]).items():
+            cur = merged.get(k)
+            merged[k] = regs if cur is None else np.maximum(cur, regs)
+
+    alpha = 0.7213 / (1 + 1.079 / m)
+    rows = []
+    for k, regs in merged.items():
+        est = alpha * m * m / np.sum(2.0 ** (-regs.astype(np.float64)))
+        zeros = int((regs == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)  # small-range correction
+        rows.append((k, float(est)))
+    if len(key_cols) == 1:
+        df = pd.DataFrame(rows, columns=[key_cols[0], out_col])
+    else:
+        df = pd.DataFrame([(*k, n) for k, n in rows], columns=[*key_cols, out_col])
+    return df.sort_values(key_cols).reset_index(drop=True)

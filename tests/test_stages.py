@@ -184,3 +184,30 @@ def test_salted_aggregate_matches_plain_groupby(ray_session):
             .sort_index()
         )
         assert np.allclose(out.to_numpy(dtype=float), expect.sort_index().to_numpy(dtype=float)), agg
+
+
+def test_distinct_exact_and_hll(ray_session):
+    import pandas as pd
+    import ray.data
+    from complexity_driven_feature_construction_ray.stages.sketch import (
+        distinct_exact,
+        distinct_hll,
+    )
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b"], 50000),
+            "v": rng.integers(0, 8000, 50000),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(8)
+    exact = distinct_exact(ds, key_cols=["g"], value_col="v", out_col="n")
+    truth = df.groupby("g")["v"].nunique().sort_index()
+    assert exact.set_index("g")["n"].sort_index().equals(truth)
+
+    approx = distinct_hll(ds, key_cols=["g"], value_col="v", p=12, out_col="n")
+    for g in ("a", "b"):
+        est = float(approx.set_index("g")["n"][g])
+        true = float(truth[g])
+        assert abs(est - true) / true < 0.05, (g, est, true)
