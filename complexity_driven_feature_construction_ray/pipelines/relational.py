@@ -326,12 +326,18 @@ def q_top_revenue(sf_dir: str):
 
     ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def revenue(batch: pa.Table) -> pa.Table:
+    def revenue_partial(batch: pa.Table) -> pa.Table:
+        # combiner: per-batch partial sums before the shuffle — bounds
+        # shuffle input at (batches x distinct keys in batch); the
+        # reduction grows with key clustering / rows-per-key
         rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
-        return batch.append_column("rev", rev)
+        t = pa.table({"l_orderkey": batch["l_orderkey"], "rev": rev})
+        return t.group_by("l_orderkey").aggregate([("rev", "sum")]).rename_columns(
+            ["l_orderkey", "rev"]
+        )
 
     agg = (
-        ds.map_batches(revenue, batch_format="pyarrow")
+        ds.map_batches(revenue_partial, batch_format="pyarrow", batch_size=None)
         .groupby("l_orderkey")
         .aggregate(Sum("rev", alias_name="revenue"))
     )
