@@ -27,7 +27,7 @@ from ..sources.token_table import token_table_arrow, token_table_dataset
 from ..stages.backfill import backfill_dataset
 from ..stages.fit import fit_distributed
 from ..stages.stats import base_features_from_stats, column_stats
-from ..stages.temporal import asof_join, windowed
+from ..stages.temporal import temporal_attach
 from ..stages.token_stats import TOKEN_STAT_COLS, token_stats_arrays, token_stats_dataset
 from .search import ComplexityDrivenSearch, SearchResult
 
@@ -124,7 +124,9 @@ def run_flagship(
                 probe_schema = probe_schema.append(pa.field(f.name, pa.float64()))
 
         events = ray.data.from_pandas(source_feature_events(seed))
-        out = asof_join(
+        # fully fused temporal layer: as-of attach + lag/lead +
+        # sessionization in ONE shuffle of the wide table
+        out = temporal_attach(
             out,
             events,
             key="source",
@@ -132,15 +134,9 @@ def run_flagship(
             event_ts="event_ts",
             value_cols=["src_quality"],
             event_key="entity",
-            probe_schema=probe_schema,
-        )
-        # fused lag/lead + sessionization: one shuffle of the wide table
-        out = windowed(
-            out,
-            key="source",
-            ts="ingest_ts",
             lag_cols=["n_tok"],
             gap=1800,
             tiebreak=["doc_id"],
+            probe_schema=probe_schema,
         )
     return out, search_result, selected

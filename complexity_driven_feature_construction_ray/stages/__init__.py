@@ -2,7 +2,7 @@ from .token_stats import add_token_stats, token_stats_dataset, TOKEN_STAT_COLS
 from .stats import column_stats, base_features_from_stats
 from .fit import fit_distributed
 from .backfill import FeatureBackfill, backfill_dataset
-from .temporal import asof_join, lag_lead, sessionize, rolling_agg, grouped_map, windowed
+from .temporal import asof_join, lag_lead, sessionize, rolling_agg, grouped_map, windowed, temporal_attach
 from .text import text_analysis_dataset, token_counts, quality_scores, LanguageId, fingerprint
 from .dedup import (
     exact_dedup,
@@ -29,6 +29,7 @@ __all__ = [
     "rolling_agg",
     "grouped_map",
     "windowed",
+    "temporal_attach",
     "text_analysis_dataset",
     "token_counts",
     "quality_scores",

@@ -367,6 +367,156 @@ def windowed(
     )
 
 
+def temporal_attach(
+    probe_ds,
+    event_ds,
+    *,
+    key: str,
+    probe_ts: str,
+    event_ts: str,
+    value_cols: list[str],
+    event_key: str | None = None,
+    lag_cols: list[str] | None = None,
+    lags: tuple[int, ...] = (1,),
+    leads: tuple[int, ...] = (1,),
+    gap=None,
+    session_col: str = "session_idx",
+    num_buckets: int | None = None,
+    tiebreak: list[str] | None = None,
+    allow_exact: bool = True,
+    probe_schema: pa.Schema | None = None,
+):
+    """Fully fused temporal layer: as-of value attach + lag/lead +
+    sessionization in ONE entity shuffle and ONE per-bucket sorted scan.
+
+    asof_join followed by windowed shuffles the wide probe table twice
+    (both bucket by the same entity key); here events ride along in the
+    same exchange and the as-of lookup is a per-key-segment binary
+    search (np.searchsorted cursor) over the ts-sorted events — the
+    probe sort order is (key, ts, tiebreak), which also serves the
+    window pass, so payload columns move exactly once."""
+    event_key = event_key or key
+    B = num_buckets or _default_buckets()
+    if probe_schema is None:
+        probe_schema = probe_ds.schema(fetch_if_missing=False) or probe_ds.schema()
+    probe_cols = probe_schema.names
+    probe_types = dict(zip(probe_schema.names, probe_schema.types))
+    event_schema = event_ds.schema()
+    event_types = dict(zip(event_schema.names, event_schema.types))
+    out_event_cols = [f"asof_{c}" for c in value_cols]
+    ev_cols = [f"__ev_{c}" for c in value_cols]
+    gap_td = (
+        None
+        if gap is None
+        else (pd.Timedelta(seconds=gap) if not isinstance(gap, pd.Timedelta) else gap)
+    )
+
+    def tag_probe(batch: pa.Table) -> pa.Table:
+        t = batch.append_column(
+            "__bucket", pa.array(_bucket_of(batch[key].to_numpy(zero_copy_only=False), B))
+        )
+        t = t.append_column("__side", pa.array(np.zeros(len(batch), dtype=np.int8)))
+        t = t.append_column("__ts", batch[probe_ts])
+        for c in value_cols:
+            t = t.append_column(f"__ev_{c}", pa.nulls(len(batch), type=event_types[c]))
+        return t.select([*probe_cols, "__bucket", "__side", "__ts", *ev_cols])
+
+    def tag_event(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        cols = {
+            "__bucket": pa.array(_bucket_of(batch[event_key].to_numpy(zero_copy_only=False), B)),
+            "__side": pa.array(np.ones(n, dtype=np.int8)),
+            "__ts": batch[event_ts].cast(probe_types[probe_ts]),
+            key: batch[event_key].cast(probe_types[key]),
+        }
+        t = pa.table(cols)
+        for c in probe_cols:
+            if c not in t.column_names:
+                t = t.append_column(c, pa.nulls(n, type=probe_types[c]))
+        for c in value_cols:
+            t = t.append_column(f"__ev_{c}", batch[c])
+        return t.select([*probe_cols, "__bucket", "__side", "__ts", *ev_cols])
+
+    both = probe_ds.map_batches(tag_probe, batch_format="pyarrow").union(
+        event_ds.map_batches(tag_event, batch_format="pyarrow")
+    )
+
+    def scan_bucket(g: pa.Table) -> pa.Table:
+        side = g["__side"].to_numpy()
+        probe_idx = np.flatnonzero(side == 0)
+        event_idx = np.flatnonzero(side == 1)
+        ts = g["__ts"].to_numpy(zero_copy_only=False)
+        keys_np = g[key].to_numpy(zero_copy_only=False)
+
+        # probe order: (key, ts, tiebreak) — serves window AND per-key as-of
+        sub = g.take(pa.array(probe_idx))
+        order_local = _sort_order(sub, [key, "__ts", *(tiebreak or [])])
+        order = probe_idx[order_local]
+        out = g.take(pa.array(order)).drop_columns(["__bucket", "__side", "__ts", *ev_cols])
+        k = keys_np[order]
+        t_np = ts[order]
+        m = len(k)
+        same = np.empty(m, dtype=bool)
+        same[0] = False
+        same[1:] = k[1:] == k[:-1]
+
+        # ---- as-of attach: per-key-segment binary-search cursor
+        ev_order = event_idx[np.argsort(ts[event_idx], kind="stable")]
+        ek, et = keys_np[ev_order], ts[ev_order]
+        attach_src = np.full(m, -1, dtype=np.int64)  # index into ev_order
+        if len(ev_order):
+            ek_sort = np.argsort(ek, kind="stable")  # events grouped by key, ts-sorted within
+            ek_g, et_g = ek[ek_sort], et[ek_sort]
+            key_starts = np.flatnonzero(
+                np.concatenate(([True], ek_g[1:] != ek_g[:-1]))
+            )
+            key_vals = ek_g[key_starts]
+            key_ends = np.append(key_starts[1:], len(ek_g))
+            seg_starts = np.flatnonzero(~same)  # probe key-segment starts
+            seg_ends = np.append(seg_starts[1:], m)
+            for lo, hi in zip(seg_starts, seg_ends):
+                ki = np.searchsorted(key_vals, k[lo])
+                if ki >= len(key_vals) or key_vals[ki] != k[lo]:
+                    continue
+                elo, ehi = key_starts[ki], key_ends[ki]
+                side_ = "right" if allow_exact else "left"
+                pos = np.searchsorted(et_g[elo:ehi], t_np[lo:hi], side=side_) - 1
+                valid = pos >= 0
+                # map back: ek_sort indexes the ev_order-sorted arrays,
+                # ev_order indexes the original bucket rows
+                attach_src[lo:hi][valid] = ev_order[ek_sort[elo + pos[valid]]]
+        mask = attach_src >= 0
+        for c, name in zip(value_cols, out_event_cols):
+            all_vals = g[f"__ev_{c}"].to_numpy(zero_copy_only=False)
+            attached = np.empty(m, dtype=object)
+            attached[:] = None
+            attached[mask] = all_vals[attach_src[mask]]
+            out = out.append_column(
+                name, pa.array(attached, type=event_types[c], from_pandas=True)
+            )
+
+        # ---- lag/lead
+        for c in lag_cols or []:
+            v = g[c].to_numpy(zero_copy_only=False)[order]
+            for n in lags:
+                out = out.append_column(f"{c}_lag{n}", _shift_within(v, same, n))
+            for n in leads:
+                out = out.append_column(f"{c}_lead{n}", _shift_within(v, same, -n))
+
+        # ---- sessionize
+        if gap_td is not None:
+            new_entity = ~same
+            gap_break = np.zeros(m, dtype=bool)
+            gap_break[1:] = (t_np[1:] - t_np[:-1]) > gap_td.to_timedelta64()
+            sid = np.cumsum(new_entity | gap_break)
+            ent_id = np.cumsum(new_entity)
+            first = sid[new_entity][ent_id - 1]
+            out = out.append_column(session_col, pa.array((sid - first).astype(np.int64)))
+        return out
+
+    return both.groupby("__bucket").map_groups(scan_bucket, batch_format="pyarrow")
+
+
 def sessionize(
     ds,
     *,

@@ -204,3 +204,47 @@ def test_windowed_fused_matches_separate_stages(ray_session):
         assert np.allclose(
             fused[c].to_numpy(dtype=float), sep[c].to_numpy(dtype=float), equal_nan=True
         ), c
+
+
+def test_temporal_attach_matches_composition(ray_session, probe_table, events_df):
+    """fused asof+lag/lead+sessionize == asof_join then windowed."""
+    from complexity_driven_feature_construction_ray.stages.temporal import (
+        asof_join,
+        temporal_attach,
+        windowed,
+    )
+
+    probe = ray.data.from_arrow(
+        probe_table.select(["doc_id", "source", "ingest_ts", "n_tok"])
+    ).repartition(4)
+    events = ray.data.from_pandas(
+        events_df.rename(columns={"entity_id": "doc_id"})
+    ).repartition(3)
+    kw = dict(
+        key="doc_id", probe_ts="ingest_ts", event_ts="event_ts",
+        value_cols=["value"], lag_cols=["n_tok"], gap=3600, tiebreak=["source"],
+    )
+    fused = (
+        temporal_attach(probe, events, num_buckets=5, **kw)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    comp = asof_join(
+        probe, events, key="doc_id", probe_ts="ingest_ts", event_ts="event_ts",
+        value_cols=["value"], num_buckets=5,
+    )
+    comp = (
+        windowed(
+            comp, key="doc_id", ts="ingest_ts", lag_cols=["n_tok"], gap=3600,
+            tiebreak=["source"], num_buckets=5,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(fused) == len(comp) == probe_table.num_rows
+    for c in ("asof_value", "n_tok_lag1", "n_tok_lead1", "session_idx"):
+        a = fused[c].to_numpy(dtype=float)
+        b = comp[c].to_numpy(dtype=float)
+        assert np.allclose(a, b, equal_nan=True), c
