@@ -84,6 +84,42 @@ class ImageDecode:
         )
 
 
+class ImageResize:
+    """Actor-pool stage: resize the decoded image payload.
+
+    Stubbed like ImageDecode: without an image library the fake mode
+    byte-strides the payload down to (w*h*scale^2) deterministically;
+    the meta JSON is updated with the new dimensions — the schema/actor
+    plumbing is the real part.
+    """
+
+    def __init__(self, scale: float = 0.5, fake: bool = True):
+        self.scale = scale
+        self.fake = fake
+        if not fake:
+            raise NotImplementedError(
+                "real resize needs PIL/opencv (not installed); use fake=True"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_payload, out_meta = [], []
+        stride = max(int(round(1 / (self.scale**2))), 1)
+        for payload, meta in zip(batch["payload"].to_pylist(), batch["meta"].to_pylist()):
+            out_payload.append(payload[::stride])
+            m = json.loads(meta) if meta else {}
+            for dim in ("w", "h"):
+                if dim in m:
+                    m[dim] = int(m[dim] * self.scale)
+            out_meta.append(json.dumps(m))
+        batch = batch.set_column(
+            batch.column_names.index("payload"), "payload",
+            pa.array(out_payload, type=pa.binary()),
+        )
+        return batch.set_column(
+            batch.column_names.index("meta"), "meta", pa.array(out_meta, type=pa.string())
+        )
+
+
 class AudioFrameSample:
     """Actor-pool stage: sample N fixed-stride frames from an audio payload.
 

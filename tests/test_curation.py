@@ -191,3 +191,24 @@ class TestMultimodal:
         dec = ImageDecode(fake=False)
         with pytest.raises(NotImplementedError):
             dec(synthetic_media_table(2))
+
+
+def test_image_resize_stub(ray_session):
+    import json
+
+    import ray.data
+
+    from complexity_driven_feature_construction_ray.stages.multimodal import (
+        ImageResize,
+        synthetic_media_table,
+    )
+
+    ds = ray.data.from_arrow(synthetic_media_table(32, payload_bytes=1024))
+    out = ds.map_batches(
+        ImageResize, fn_constructor_kwargs={"scale": 0.5, "fake": True},
+        batch_format="pyarrow", batch_size=16, concurrency=2,
+    ).to_pandas()
+    assert len(out) == 32
+    assert all(len(p) == 256 for p in out["payload"])  # stride 4 of 1024
+    metas = [json.loads(m) for m in out["meta"]]
+    assert all(m["w"] == 32 for m in metas if "w" in m)
