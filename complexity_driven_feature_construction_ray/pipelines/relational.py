@@ -1085,6 +1085,42 @@ def tok_search(sf_dir: str):
     return pd.DataFrame(rows, columns=["name", "complexity", "score"])
 
 
+def tok_resumable(sf_dir: str):
+    """Resumable checkpointed backfill: write the token table to
+    /tmp, run the sharded backfill, then rerun — the second pass must
+    skip every shard via its lineage record. Returns the deterministic
+    (phase, computed, skipped) report (rows-only check)."""
+    import shutil
+    import tempfile
+
+    from ..functions.expr import raw as raw_f, unary as unary_f
+    from ..sources.token_table import write_token_table
+    from ..state.checkpoint import resumable_backfill
+    import glob as _glob
+
+    base = tempfile.mkdtemp(prefix="tok_resumable_")
+    try:
+        in_dir = f"{base}/in"
+        out_dir = f"{base}/out"
+        write_token_table(in_dir, 4000, num_files=8)
+        files = sorted(_glob.glob(f"{in_dir}/*.parquet"))
+        n_tok = raw_f(
+            "n_tok", properties={"min": 1.0, "max": 512.0, "has_zero": False, "distinct": 512}
+        )
+        feats = [unary_f("log", n_tok)]
+        r1 = resumable_backfill(files, out_dir, feats, {}, num_shards=4)
+        r2 = resumable_backfill(files, out_dir, feats, {}, num_shards=4)
+        rows = [
+            ("run1_computed", len(r1["computed"])),
+            ("run1_skipped", len(r1["skipped"])),
+            ("run2_computed", len(r2["computed"])),
+            ("run2_skipped", len(r2["skipped"])),
+        ]
+        return pd.DataFrame(rows, columns=["phase", "n"])
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def tok_backfill(sf_dir: str):
     """Flagship backfill + temporal attach over the generated token table;
     returns a per-source summary (deterministic)."""
@@ -1155,4 +1191,5 @@ QUERIES: dict[str, tuple] = {
     "m_decode": (m_decode, None),
     "tok_search": (tok_search, None),
     "tok_backfill": (tok_backfill, None),
+    "tok_resumable": (tok_resumable, None),
 }
