@@ -105,20 +105,40 @@ class CandidateScorer:
     via constructor args — the Ray-native replacement for the
     reference's fork-inherited module globals."""
 
-    def __init__(self, cols_blob: bytes, y: np.ndarray, fold: np.ndarray, c_grid, max_iter: int):
+    def __init__(
+        self,
+        cols_blob: bytes,
+        y: np.ndarray,
+        fold: np.ndarray,
+        c_grid,
+        max_iter: int,
+        custom_ops: dict | None = None,
+    ):
         self.cols = pickle.loads(cols_blob)
         self.y = np.asarray(y)
         self.fold = np.asarray(fold)
         self.c_grid = tuple(c_grid)
         self.max_iter = max_iter
+        if custom_ops:
+            # user-registered ops live per-process: install the driver's
+            # registry snapshot in this actor (specs ship via cloudpickle)
+            from ..functions.expr import CUSTOM_OPS
+
+            CUSTOM_OPS.update(custom_ops)
 
     def __call__(self, batch: dict) -> dict:
         names, scores, cs, lls, hashes, consts = [], [], [], [], [], []
         for blob in batch["plan"]:
             feat: Feature = pickle.loads(blob)
-            s, c, ll, vh, const = _eval_candidate(
-                feat, self.cols, self.y, self.fold, self.c_grid, self.max_iter
-            )
+            try:
+                s, c, ll, vh, const = _eval_candidate(
+                    feat, self.cols, self.y, self.fold, self.c_grid, self.max_iter
+                )
+            except Exception:
+                # a failing candidate is dropped, not fatal (reference
+                # run_evaluation.py:401-414 evaluate_catch); marked
+                # constant so the driver discards it
+                s, c, ll, vh, const = 0.0, 1.0, -np.inf, f"error:{feat.name}", True
             names.append(feat.name)
             scores.append(s)
             cs.append(c)
@@ -268,10 +288,15 @@ class ComplexityDrivenSearch:
             return []
         if self.use_ray and len(layer) > 2:
             return self._score_ray(layer, cols, y, fold)
-        return [
-            (f,) + _eval_candidate(f, cols, y, fold, self.c_grid, self.lr_max_iter)
-            for f in layer
-        ]
+        out = []
+        for f in layer:
+            try:
+                out.append(
+                    (f,) + _eval_candidate(f, cols, y, fold, self.c_grid, self.lr_max_iter)
+                )
+            except Exception:  # semantic skip, as in the ray path
+                out.append((f, 0.0, 1.0, -np.inf, f"error:{f.name}", True))
+        return out
 
     def _ensure_pool(self, cols, y, fold, want: int):
         """Dedicated scoring actor pool, created on first use and grown on
@@ -289,9 +314,14 @@ class ComplexityDrivenSearch:
             return self._pool
         if self._blob_ref is None:
             self._blob_ref = ray.put(pickle.dumps(cols))
+        from ..functions.expr import CUSTOM_OPS
+
         Actor = ray.remote(num_cpus=1)(CandidateScorer)
         self._actors.extend(
-            Actor.remote(self._blob_ref, y, fold, self.c_grid, self.lr_max_iter)
+            Actor.remote(
+                self._blob_ref, y, fold, self.c_grid, self.lr_max_iter,
+                dict(CUSTOM_OPS) or None,
+            )
             for _ in range(target - len(self._actors))
         )
         self._pool = ray.util.ActorPool(self._actors)

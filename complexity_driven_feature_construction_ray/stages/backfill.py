@@ -31,13 +31,19 @@ class FeatureBackfill:
 
     `features`/`fitted` may be plain objects or ray.ObjectRef (broadcast)."""
 
-    def __init__(self, features, fitted, keep_input: bool = True):
+    def __init__(self, features, fitted, keep_input: bool = True, custom_ops: dict | None = None):
         import ray
 
         if isinstance(features, ray.ObjectRef):
             features = ray.get(features)
         if isinstance(fitted, ray.ObjectRef):
             fitted = ray.get(fitted)
+        if custom_ops:
+            # user-registered ops are per-process; install the driver's
+            # registry snapshot in this worker
+            from ..functions.expr import CUSTOM_OPS
+
+            CUSTOM_OPS.update(custom_ops)
         self.features: list[Feature] = features
         self.needed = _needed_raw(features)
         self.keep_input = keep_input
@@ -73,13 +79,15 @@ def _safe_col_name(name: str) -> str:
 _WORKER_CACHE: dict = {}
 
 
-def _task_backfill(batch, *, features_ref, fitted_ref, keep_input):
+def _task_backfill(batch, *, features_ref, fitted_ref, keep_input, custom_ops=None):
     key = (features_ref.hex(), fitted_ref.hex(), keep_input)
     bf = _WORKER_CACHE.get(key)
     if bf is None:
         if len(_WORKER_CACHE) > 4:  # refs from prior runs are dead weight
             _WORKER_CACHE.clear()
-        bf = _WORKER_CACHE[key] = FeatureBackfill(features_ref, fitted_ref, keep_input)
+        bf = _WORKER_CACHE[key] = FeatureBackfill(
+            features_ref, fitted_ref, keep_input, custom_ops
+        )
     return bf(batch)
 
 
@@ -108,6 +116,8 @@ def backfill_dataset(
     """
     import ray
 
+    from ..functions.expr import CUSTOM_OPS
+
     if mode == "tasks":
         features_ref = ray.put(features)
         fitted_ref = ray.put(fitted)
@@ -118,6 +128,7 @@ def backfill_dataset(
             features_ref=features_ref,
             fitted_ref=fitted_ref,
             keep_input=keep_input,
+            custom_ops=dict(CUSTOM_OPS) or None,
         )
         return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
@@ -128,7 +139,7 @@ def backfill_dataset(
         concurrency = max(2, cpus - 2)
     return ds.map_batches(
         FeatureBackfill,
-        fn_constructor_args=(features, fitted, keep_input),
+        fn_constructor_args=(features, fitted, keep_input, dict(CUSTOM_OPS) or None),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -249,12 +249,16 @@ def fit_distributed(
         if mergeable:
             plans = mergeable
             state = dict(fitted)
+            ops_snapshot = dict(CUSTOM_OPS) or None
 
             def part_batch(
-                batch: pa.Table, _plans=plans, _state=state, _needed=needed
+                batch: pa.Table, _plans=plans, _state=state, _needed=needed, _ops=ops_snapshot
             ) -> pa.Table:
+                from ..functions.expr import CUSTOM_OPS as _REG
                 from .token_stats import numpy_base_columns
 
+                if _ops:
+                    _REG.update(_ops)  # per-process registry (worker side)
                 cols = numpy_base_columns(batch, _needed)
                 cache: dict = {}
                 parts = {f.name: _partial_for(f, cols, _state, cache) for f in _plans}

@@ -117,3 +117,28 @@ def test_custom_op_registry(ray_session):
         assert dist[f.name] == fitted[f.name]
     finally:
         CUSTOM_OPS.pop("clip95", None)
+
+
+def test_custom_op_through_distributed_backfill(ray_session):
+    """Registered ops work inside Ray workers (the per-process registry
+    ships with the backfill state)."""
+    register_op(
+        "half",
+        kernel=lambda args, f, state: args[0] * 0.5,
+    )
+    try:
+        import pandas as pd
+        import numpy as np
+        import ray.data
+        from complexity_driven_feature_construction_ray.stages.backfill import (
+            backfill_dataset,
+        )
+
+        x = raw("x", properties={"min": 0.0, "max": 100.0})
+        f = custom("half", x)
+        df = pd.DataFrame({"x": np.arange(100, dtype=np.float64)})
+        ds = ray.data.from_pandas(df).repartition(4)
+        out = backfill_dataset(ds, [f], {}).to_pandas().sort_values("x")
+        assert np.allclose(out["half(x)"], df["x"] * 0.5)
+    finally:
+        CUSTOM_OPS.pop("half", None)

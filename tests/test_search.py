@@ -164,3 +164,33 @@ def test_multiple_cv_rescore(ray_session):
         assert got[name] == ser[name]  # deterministic: identical folds, same math
         mean, std = got[name]
         assert 0.4 < mean <= 1.0 and std < 0.1
+
+
+def test_failing_candidate_is_dropped_not_fatal(ray_session):
+    """A candidate whose kernel raises is skipped (reference
+    run_evaluation.py:401-414 evaluate_catch), in both scoring paths."""
+    from complexity_driven_feature_construction_ray.functions.expr import (
+        CUSTOM_OPS,
+        custom,
+        register_op,
+    )
+    from complexity_driven_feature_construction_ray.pipelines.flagship import search_sample
+
+    def boom(args, f, state):
+        raise RuntimeError("kernel failure")
+
+    register_op("boom", kernel=boom)
+    try:
+        cols, y = search_sample(400)
+        n_tok = raw("n_tok", properties={"min": 1.0, "max": 512.0, "has_zero": False, "distinct": 512})
+        bad = custom("boom", n_tok)
+        s = ComplexityDrivenSearch(use_ray=False, lr_max_iter=5)
+        res_serial = s._score_layer([n_tok, bad], cols, y, np.zeros(len(y), dtype=np.int64) % 2)
+        assert res_serial[1][5] is True or res_serial[1][5] == True  # const flag -> dropped
+        res_ray = ComplexityDrivenSearch(use_ray=True, lr_max_iter=5, score_batch=1)._score_layer(
+            [n_tok, bad, n_tok], cols, y, (np.arange(len(y)) % 2).astype(np.int64)
+        )
+        by_name = {r[0].name: r for r in res_ray}
+        assert by_name["boom(n_tok)"][5]
+    finally:
+        CUSTOM_OPS.pop("boom", None)
