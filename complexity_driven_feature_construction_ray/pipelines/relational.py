@@ -719,6 +719,22 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def t_row_number(sf_dir: str):
+    """ROW_NUMBER() OVER (PARTITION BY user ORDER BY ts, event_id)."""
+    from ..stages.temporal import row_number
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"], split=True)
+    out = row_number(ds, key="user_id", ts="ts", tiebreak=["event_id"], out_col="rn")
+    return out.select_columns(["event_id", "rn"])
+
+
+T_ROW_NUMBER_SQL = """
+SELECT event_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+FROM events
+"""
+
+
 def t_rolling(sf_dir: str):
     """Per-user rolling 3-row sum of purchase value ordered by (ts,
     event_id) — the windowed-aggregate operator (Arrow-native bucket
@@ -1171,6 +1187,7 @@ QUERIES: dict[str, tuple] = {
     "t_sessionize": (t_sessionize, T_SESSIONIZE_SQL),
     "t_asof": (t_asof, T_ASOF_SQL),
     "t_rolling": (t_rolling, T_ROLLING_SQL),
+    "t_row_number": (t_row_number, T_ROW_NUMBER_SQL),
     "d_exact_dedup": (d_exact_dedup, D_EXACT_DEDUP_SQL),
     "d_token_counts": (d_token_counts, D_TOKEN_COUNTS_SQL),
     "d_quality": (d_quality, D_QUALITY_SQL),

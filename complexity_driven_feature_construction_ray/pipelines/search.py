@@ -182,10 +182,17 @@ def multiple_cv_rescore(
     if use_ray and len(features) * repeats > 2:
         import ray
 
+        from ..functions.expr import CUSTOM_OPS
+
         blob_ref = ray.put(pickle.dumps(cols))
+        ops_snapshot = dict(CUSTOM_OPS) or None
 
         @ray.remote(num_cpus=1)
-        def score_one(feat_blob, fold, _blob=blob_ref):
+        def score_one(feat_blob, fold, _blob=blob_ref, _ops=ops_snapshot):
+            if _ops:
+                from ..functions.expr import CUSTOM_OPS as _REG
+
+                _REG.update(_ops)
             c = pickle.loads(ray.get(_blob) if isinstance(_blob, ray.ObjectRef) else _blob)
             feat = pickle.loads(feat_blob)
             s, *_ = _eval_candidate(feat, c, y, fold, c_grid, max_iter)

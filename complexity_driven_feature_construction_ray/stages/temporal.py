@@ -68,6 +68,44 @@ def _default_buckets() -> int:
         return 8
 
 
+def row_number(
+    ds,
+    *,
+    key: str,
+    ts: str,
+    out_col: str = "row_num",
+    num_buckets: int | None = None,
+    tiebreak: list[str] | None = None,
+):
+    """Per-entity 1-based row number ordered by (ts, tiebreak) — the
+    ROW_NUMBER() OVER (PARTITION BY key ORDER BY ts) window. One
+    entity-hash shuffle, vectorized cumcount per bucket."""
+    B = num_buckets or _default_buckets()
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", pa.array(_bucket_of(batch[key].to_numpy(zero_copy_only=False), B))
+        )
+
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        order = _sort_order(g, [key, ts, *(tiebreak or [])])
+        out = g.take(pa.array(order)).drop_columns(["__bucket"])
+        k = g[key].to_numpy(zero_copy_only=False)[order]
+        m = len(k)
+        new_entity = np.empty(m, dtype=bool)
+        new_entity[0] = True
+        new_entity[1:] = k[1:] != k[:-1]
+        idx = np.arange(m)
+        start = np.maximum.accumulate(np.where(new_entity, idx, 0))
+        return out.append_column(out_col, pa.array((idx - start + 1).astype(np.int64)))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(rank_bucket, batch_format="pyarrow")
+    )
+
+
 def rolling_agg(
     ds,
     *,
