@@ -490,7 +490,7 @@ def t_lag_lead(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"], split=True)
     out = lag_lead(
         ds, key="user_id", ts="ts", cols=["value"], lags=(1,), leads=(1,),
-        tiebreak=["event_id"], num_buckets=8,
+        tiebreak=["event_id"],
     )
     return out.select_columns(["event_id", "value_lag1", "value_lead1"])
 
@@ -506,7 +506,7 @@ FROM events
 def t_sessionize(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"], split=True)
     out = sessionize(
-        ds, key="user_id", ts="ts", gap=1800, tiebreak=["event_id"], num_buckets=8
+        ds, key="user_id", ts="ts", gap=1800, tiebreak=["event_id"]
     )
     return out.select_columns(["event_id", "session_idx"])
 
@@ -555,7 +555,7 @@ def t_asof(sf_dir: str):
         probe_ts="ts",
         event_ts="ts",
         value_cols=["value"],
-        num_buckets=8,
+
     )
     return out.select_columns(["event_id", "asof_value"])
 
