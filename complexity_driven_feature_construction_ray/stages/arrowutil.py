@@ -1,0 +1,35 @@
+"""Small Arrow helpers shared by the embedding/dedup/similarity stages."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def list_column_matrix(col, dtype=np.float64) -> np.ndarray:
+    """(n, dim) matrix from a fixed-width list column without a per-row
+    Python conversion: flatten() honors list offsets, the flat values
+    buffer converts zero-copy (or one memcpy for non-native dtypes) and
+    reshapes. Replaces np.stack(col.to_pylist()) — which builds n Python
+    lists — in the embedding hot paths (VERDICT r1 item 10)."""
+    if isinstance(col, pa.ChunkedArray):
+        if col.num_chunks == 0:
+            return np.empty((0, 0), dtype=dtype)
+        col = col.combine_chunks()
+        if isinstance(col, pa.ChunkedArray):  # pyarrow version drift
+            col = col.chunk(0)
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    if not isinstance(col, (pa.ListArray, pa.LargeListArray, pa.FixedSizeListArray)):
+        # Ray's ArrowTensorArray extension (from_pandas of ndarray cells)
+        # and friends: to_numpy yields the (n, dim) tensor directly
+        out = np.asarray(col.to_numpy(zero_copy_only=False))
+        if out.ndim == 1 and out.dtype == object:
+            out = np.stack(out)
+        return out.reshape(n, -1).astype(dtype, copy=False)
+    vals = col.flatten().to_numpy(zero_copy_only=False)
+    if len(vals) % n != 0:
+        raise ValueError("ragged list column; fixed-width embeddings expected")
+    out = vals.reshape(n, len(vals) // n)
+    return out.astype(dtype, copy=False)

@@ -23,6 +23,9 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .arrowutil import list_column_matrix
+from .bucketing import default_buckets
+
 _U64 = np.uint64
 _PRIME = _U64((1 << 61) - 1)
 _HASH_KEY = "0123456789123456"
@@ -42,12 +45,9 @@ def exact_dedup(ds, *, content_col: str = "text", id_col: str = "doc_id", num_bu
     per distinct content); the per-partition step resolves hash
     collisions by grouping on the actual content."""
     if num_buckets is None:
-        try:
-            import ray
-
-            num_buckets = max(16, 2 * int(ray.cluster_resources().get("CPU", 4)))
-        except Exception:  # pragma: no cover
-            num_buckets = 16
+        # data-sized (rows/target from metadata), CPU count only a floor:
+        # a CPU-derived count would grow per-bucket memory with the corpus
+        num_buckets = default_buckets(ds)
 
     def add_hash(batch: pa.Table) -> pa.Table:
         h = pd.util.hash_array(
@@ -135,6 +135,44 @@ def _band_keys(sigs: np.ndarray, bands: int) -> np.ndarray:
     return acc.astype(np.int64)
 
 
+def _sig_est_matrix(sigs: np.ndarray) -> np.ndarray:
+    return (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+
+
+def _grouped_bucket_pairs(ids, rows, est_fn, keep_fn, chain_est_val=1.0) -> pd.DataFrame:
+    """Candidate pairs within one LSH bucket with an exact-equal shortcut:
+    rows with identical feature vectors link to their group min id (O(k));
+    the quadratic scan (est_fn over the unique-row matrix, keep_fn on the
+    upper triangle) runs on group representatives only. With u unique
+    rows a k-member bucket costs O(k + u^2) instead of O(k^2)."""
+    uniq, inv = np.unique(rows, axis=0, return_inverse=True)
+    reps = np.empty(len(uniq), dtype=np.int64)  # index of min-id member per group
+    order = np.lexsort((np.arange(len(ids)), inv))  # ids already id-sorted
+    first_pos = np.searchsorted(inv[order], np.arange(len(uniq)))
+    reps = order[first_pos]
+    # chain: every non-representative pairs with its group's min id
+    nonrep = np.ones(len(ids), dtype=bool)
+    nonrep[reps] = False
+    chain_a = ids[reps[inv[nonrep]]]
+    chain_b = ids[np.flatnonzero(nonrep)]
+    chain_est = np.full(int(nonrep.sum()), float(chain_est_val))
+    if len(uniq) >= 2:
+        est = est_fn(uniq)
+        iu = np.triu_indices(len(uniq), k=1)
+        vals = est[iu]
+        keep = keep_fn(vals)
+        rep_a = ids[reps[iu[0][keep]]]
+        rep_b = ids[reps[iu[1][keep]]]
+        rep_est = vals[keep].astype(float)
+    else:
+        rep_a = rep_b = np.array([], dtype=ids.dtype)
+        rep_est = np.array([])
+    a = np.concatenate([chain_a, rep_a])
+    b = np.concatenate([chain_b, rep_b])
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    return pd.DataFrame({"a": lo, "b": hi, "est": np.concatenate([chain_est, rep_est])})
+
+
 def minhash_lsh_dedup(
     ds,
     *,
@@ -178,11 +216,15 @@ def minhash_lsh_dedup(
         g = g.drop_duplicates(subset=[id_col]).sort_values(id_col, kind="stable")
         ids = g[id_col].to_numpy()
         sigs = np.stack(g["sig"].to_numpy())
-        eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
-        iu = np.triu_indices(len(ids), k=1)
-        est = eq[iu]
-        keep = est >= threshold
-        return pd.DataFrame({"a": ids[iu[0][keep]], "b": ids[iu[1][keep]], "est": est[keep]})
+        # mega-bucket guard: a bucket of k identical docs must cost O(k),
+        # not O(k^2). Group identical signatures first (est == 1.0 within
+        # a group, always >= threshold): chain members to the group min id,
+        # then run the O(g^2) signature scan over group REPRESENTATIVES
+        # only — est(rep_A, rep_B) equals est(any_A, any_B) for identical
+        # signatures, so clusters are unchanged via union-find transitivity.
+        return _grouped_bucket_pairs(
+            ids, sigs, lambda s: _sig_est_matrix(s), lambda est: est >= threshold
+        )
 
     bands_ds = ds.map_batches(to_bands, batch_format="pyarrow")
     pairs = _pairs_from_hot_buckets(bands_ds, bucket_pairs, id_col)
@@ -203,6 +245,8 @@ def _pairs_from_hot_buckets(bands_ds, bucket_pairs, id_col: str) -> pd.DataFrame
     """
     import pyarrow.compute as pc
 
+    import ray
+
     def hot_only(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.greater_equal(batch["count()"], 2)).select(["bucket"])
 
@@ -212,13 +256,21 @@ def _pairs_from_hot_buckets(bands_ds, bucket_pairs, id_col: str) -> pd.DataFrame
     if len(hot_keys) == 0:
         return pd.DataFrame({"a": [], "b": [], "est": []})
 
+    # ship the hot-key set via the object store: ONE shared copy read
+    # zero-copy by every task, instead of re-serializing a closure-captured
+    # array per task submission (unbounded on dup-heavy corpora)
+    hot_ref = ray.put(hot_keys)
+
     # partition collided buckets into ~P coarse groups: map_groups then
     # pays its per-call overhead P times, not once per bucket; the
-    # per-bucket work loops inside the call (plain pandas, no Ray)
-    P = 64
+    # per-bucket work loops inside the call (plain pandas, no Ray).
+    # P scales with the number of collided buckets so each partition
+    # group stays ~1k buckets regardless of corpus duplication rate.
+    P = max(64, len(hot_keys) // 1024 + 1)
 
     def only_hot(batch: pa.Table) -> pa.Table:
-        mask = np.isin(batch["bucket"].to_numpy(), hot_keys)
+        hk = ray.get(hot_ref)
+        mask = np.isin(batch["bucket"].to_numpy(), hk)
         t = batch.filter(pa.array(mask))
         part = (t["bucket"].to_numpy() % P).astype(np.int32)
         return t.append_column("__part", pa.array(part))
@@ -322,11 +374,15 @@ def simhash_dedup(
         g = g.drop_duplicates(subset=[id_col]).sort_values(id_col, kind="stable")
         ids = g[id_col].to_numpy()
         sh = g["simhash"].to_numpy().astype(np.int64).view(_U64)
-        d = _hamming(sh, sh)
-        iu = np.triu_indices(len(ids), k=1)
-        keep = d[iu] <= max_hamming
-        return pd.DataFrame(
-            {"a": ids[iu[0][keep]], "b": ids[iu[1][keep]], "est": d[iu][keep].astype(float)}
+        # mega-bucket guard: identical simhash (distance 0) chains to the
+        # group min id in O(k); the O(g^2) Hamming scan sees only distinct
+        # values (see minhash_lsh_dedup for the correctness argument)
+        return _grouped_bucket_pairs(
+            ids,
+            sh[:, None],
+            lambda s: _hamming(s[:, 0], s[:, 0]).astype(float),
+            lambda d: d <= max_hamming,
+            chain_est_val=0.0,
         )
 
     bands_ds = ds.map_batches(to_bands, batch_format="pyarrow")
@@ -355,7 +411,7 @@ def embedding_dedup(
     planes = rng.normal(size=(dim, n_planes))
 
     def to_bucket(batch: pa.Table) -> pa.Table:
-        embs = np.stack(batch[emb_col].to_pylist()).astype(np.float64)
+        embs = list_column_matrix(batch[emb_col])
         norm = np.linalg.norm(embs, axis=1, keepdims=True)
         embs = embs / np.maximum(norm, 1e-12)
         bits = (embs @ planes > 0).astype(np.uint64)
@@ -376,10 +432,11 @@ def embedding_dedup(
         g = g.sort_values(id_col, kind="stable")
         ids = g[id_col].to_numpy()
         e = np.stack(g["emb_n"].to_numpy())
-        sim = e @ e.T
-        iu = np.triu_indices(len(ids), k=1)
-        keep = sim[iu] >= threshold
-        return pd.DataFrame({"a": ids[iu[0][keep]], "b": ids[iu[1][keep]], "est": sim[iu][keep]})
+        # mega-bucket guard: byte-identical vectors (clones) chain in O(k);
+        # cosine of 1.0 always passes the threshold
+        return _grouped_bucket_pairs(
+            ids, e, lambda u: u @ u.T, lambda sim: sim >= threshold
+        )
 
     bands_ds = ds.map_batches(to_bucket, batch_format="pyarrow")
     pairs = _pairs_from_hot_buckets(bands_ds, bucket_pairs, id_col)
@@ -397,3 +454,36 @@ def ngram_jaccard(a: str, b: str, n_words: int = 3) -> float:
     if not ga and not gb:
         return 1.0
     return len(ga & gb) / max(len(ga | gb), 1)
+
+
+def clusters_dataset(clusters: pd.DataFrame):
+    """Cluster map as a Ray Dataset (id, rep_id, is_dup) so downstream
+    joins/sinks stream. The map itself is assembled on the driver from
+    the union-find over candidate PAIRS (small by LSH construction); the
+    heavy corpus never materializes."""
+    import ray.data
+
+    return ray.data.from_pandas(clusters.reset_index(drop=True))
+
+
+def apply_dedup(ds, clusters: pd.DataFrame, *, id_col: str = "doc_id"):
+    """Drop rows marked is_dup from `ds`, streaming: the dup-id set
+    (only members of near-dup clusters, not the corpus) broadcasts once
+    via ray.put; each batch anti-joins with a sorted-array searchsorted.
+    This is the scale path for consuming minhash/simhash/embedding
+    cluster maps — the full dataset flows through map_batches and is
+    never collected on the driver."""
+    import ray
+
+    dup = clusters.loc[clusters["is_dup"], "id"].to_numpy()
+    dup_ref = ray.put(np.sort(dup))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = ray.get(dup_ref)
+        if len(d) == 0:
+            return batch
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(d, ids), 0, len(d) - 1)
+        return batch.filter(pa.array(d[idx] != ids))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -17,6 +17,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .arrowutil import list_column_matrix
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
@@ -48,7 +50,7 @@ def knn_bruteforce(
 
     def local_topk(batch: pa.Table) -> pa.Table:
         q = ray.get(q_ref)
-        embs = _normalize(np.stack(batch[emb_col].to_pylist()).astype(np.float64))
+        embs = _normalize(list_column_matrix(batch[emb_col]))
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         sims = embs @ q.T  # (n, nq)
         kk = min(k, len(ids))
@@ -118,7 +120,7 @@ def knn_ivf(
 
     def local_topk(batch: pa.Table) -> pa.Table:
         q, cent, prb = ray.get(q_ref)
-        embs = _normalize(np.stack(batch[emb_col].to_pylist()).astype(np.float64))
+        embs = _normalize(list_column_matrix(batch[emb_col]))
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         cell = np.argmax(embs @ cent.T, axis=1)
         rows_q, rows_i, rows_s = [], [], []

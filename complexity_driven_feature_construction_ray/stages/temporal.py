@@ -14,8 +14,11 @@ leakage holds by construction: only events with event_ts <= probe_ts
 can be selected; tests verify row-by-row against a brute-force oracle.
 
 Skew note: buckets are uniform in entities; a single pathological
-entity bounds a bucket from below. B defaults to ~2×CPUs and is
-configurable per call.
+entity bounds a bucket from below. B defaults to a DATA-SIZED count
+(rows / target-rows-per-bucket from Dataset metadata, CPU count only
+as a parallelism floor — stages/bucketing.py) and is configurable per
+call; a CPU-derived default would make per-bucket memory grow linearly
+with the dataset and OOM at 100 TB.
 """
 
 from __future__ import annotations
@@ -23,6 +26,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from .bucketing import default_buckets
 
 _HASH_KEY = "0123456789123456"  # fixed pandas hash key => cross-process determinism
 
@@ -59,13 +64,20 @@ def _shift_within(v: np.ndarray, same: np.ndarray, n: int):
     return pc.if_else(pa.array(valid), arr, pa.nulls(m, type=arr.type))
 
 
-def _default_buckets() -> int:
-    try:
-        import ray
-
-        return max(4, 2 * int(ray.cluster_resources().get("CPU", 4)))
-    except Exception:  # pragma: no cover
-        return 8
+def _as_arrow_schema(schema) -> pa.Schema:
+    """Normalize a Dataset schema to pure-pyarrow types. Pandas-block
+    datasets report Python/numpy types (e.g. <class 'object'>) for
+    which `.cast(t)` raises; map them through pa.from_numpy_dtype with
+    a string fallback for object dtype."""
+    fields = []
+    for name, t in zip(schema.names, schema.types):
+        if not isinstance(t, pa.DataType):
+            try:
+                t = pa.from_numpy_dtype(np.dtype(t))
+            except (TypeError, pa.ArrowNotImplementedError):
+                t = pa.string()
+        fields.append(pa.field(name, t))
+    return pa.schema(fields)
 
 
 def row_number(
@@ -80,7 +92,7 @@ def row_number(
     """Per-entity 1-based row number ordered by (ts, tiebreak) — the
     ROW_NUMBER() OVER (PARTITION BY key ORDER BY ts) window. One
     entity-hash shuffle, vectorized cumcount per bucket."""
-    B = num_buckets or _default_buckets()
+    B = num_buckets or default_buckets(ds)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -121,7 +133,7 @@ def rolling_agg(
     """Per-entity rolling aggregate over the last `window` rows ordered by
     ts (ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW). Arrow-native:
     one entity-hash shuffle, vectorized prefix-sum math per bucket."""
-    B = num_buckets or _default_buckets()
+    B = num_buckets or default_buckets(ds)
     out_col = out_col or f"{col}_roll{agg}{window}"
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -135,23 +147,33 @@ def rolling_agg(
         k = g[key].to_numpy(zero_copy_only=False)[order]
         v = g[col].to_numpy(zero_copy_only=False)[order].astype(np.float64)
         m = len(v)
+        # SQL window semantics under NULLs: a NULL (NaN after astype)
+        # contributes nothing — zero-fill before the prefix sum and keep
+        # a parallel prefix count of non-null values; count counts
+        # non-nulls, sum/mean over an all-NULL window are NULL.
+        ok = ~np.isnan(v)
+        vz = np.where(ok, v, 0.0)
         # group starts (sorted by key => contiguous)
-        start_of = np.empty(m, dtype=np.int64)  # index of each row's group start
         is_start = np.empty(m, dtype=bool)
         is_start[0] = True
         is_start[1:] = k[1:] != k[:-1]
         start_of = np.maximum.accumulate(np.where(is_start, np.arange(m), -1))
         lo = np.maximum(np.arange(m) - window + 1, start_of)
-        csum = np.concatenate(([0.0], np.cumsum(v)))
+        hi = np.arange(m) + 1
+        csum = np.concatenate(([0.0], np.cumsum(vz)))
+        ccnt = np.concatenate(([0], np.cumsum(ok.astype(np.int64))))
+        nn = ccnt[hi] - ccnt[lo]  # non-null values in window
         if agg == "sum":
-            res = csum[np.arange(m) + 1] - csum[lo]
+            res = csum[hi] - csum[lo]
+            res[nn == 0] = np.nan
         elif agg == "mean":
-            res = (csum[np.arange(m) + 1] - csum[lo]) / (np.arange(m) - lo + 1)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                res = (csum[hi] - csum[lo]) / nn
         elif agg == "count":
-            res = (np.arange(m) - lo + 1).astype(np.float64)
+            return out.append_column(out_col, pa.array(nn.astype(np.int64)))
         else:
             raise ValueError(f"unsupported rolling agg {agg}")
-        return out.append_column(out_col, pa.array(res))
+        return out.append_column(out_col, pa.array(pd.Series(res), from_pandas=True))
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
@@ -169,7 +191,7 @@ def grouped_map(ds, key: str, fn, *, num_buckets: int | None = None, batch_forma
     — with one call per bucket (~2xCPUs). `fn` must group by `key`
     itself; every row of a key lands in exactly one bucket.
     """
-    B = num_buckets or _default_buckets()
+    B = num_buckets or default_buckets(ds)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -214,12 +236,13 @@ def asof_join(
     discover the schema (a full extra pass).
     """
     event_key = event_key or key
-    B = num_buckets or _default_buckets()
+    B = num_buckets or default_buckets(probe_ds, event_ds)
     if probe_schema is None:
         probe_schema = probe_ds.schema(fetch_if_missing=False) or probe_ds.schema()
+    probe_schema = _as_arrow_schema(probe_schema)
     probe_cols = probe_schema.names
     probe_types = dict(zip(probe_schema.names, probe_schema.types))
-    event_schema = event_ds.schema()
+    event_schema = _as_arrow_schema(event_ds.schema())
     event_types = dict(zip(event_schema.names, event_schema.types))
     out_event_cols = [f"asof_{c}" for c in value_cols]
 
@@ -314,7 +337,7 @@ def lag_lead(
     vectorized pandas groupby over all entities of the bucket at once.
     Pass `tiebreak` columns to make ordering total when ts can tie.
     """
-    B = num_buckets or _default_buckets()
+    B = num_buckets or default_buckets(ds)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -359,7 +382,7 @@ def windowed(
     """Fused lag/lead + sessionization: ONE entity-hash shuffle and ONE
     per-bucket sorted scan produce both, instead of two full shuffles of
     the wide table (token payloads move through the exchange once)."""
-    B = num_buckets or _default_buckets()
+    B = num_buckets or default_buckets(ds)
     gap_td = (
         None
         if gap is None
@@ -434,12 +457,13 @@ def temporal_attach(
     probe sort order is (key, ts, tiebreak), which also serves the
     window pass, so payload columns move exactly once."""
     event_key = event_key or key
-    B = num_buckets or _default_buckets()
+    B = num_buckets or default_buckets(probe_ds, event_ds)
     if probe_schema is None:
         probe_schema = probe_ds.schema(fetch_if_missing=False) or probe_ds.schema()
+    probe_schema = _as_arrow_schema(probe_schema)
     probe_cols = probe_schema.names
     probe_types = dict(zip(probe_schema.names, probe_schema.types))
-    event_schema = event_ds.schema()
+    event_schema = _as_arrow_schema(event_ds.schema())
     event_types = dict(zip(event_schema.names, event_schema.types))
     out_event_cols = [f"asof_{c}" for c in value_cols]
     ev_cols = [f"__ev_{c}" for c in value_cols]
@@ -495,8 +519,9 @@ def temporal_attach(
         t_np = ts[order]
         m = len(k)
         same = np.empty(m, dtype=bool)
-        same[0] = False
-        same[1:] = k[1:] == k[:-1]
+        if m:  # a bucket can hold ONLY event rows (probe keys absent)
+            same[0] = False
+            same[1:] = k[1:] == k[:-1]
 
         # ---- as-of attach: per-key-segment binary-search cursor
         ev_order = event_idx[np.argsort(ts[event_idx], kind="stable")]
@@ -568,7 +593,7 @@ def sessionize(
     """Gap-based sessionization: a new session starts when the time since
     the entity's previous row exceeds `gap` (pd.Timedelta or seconds).
     Emits a 0-based per-entity session index."""
-    B = num_buckets or _default_buckets()
+    B = num_buckets or default_buckets(ds)
     gap_td = pd.Timedelta(seconds=gap) if not isinstance(gap, pd.Timedelta) else gap
 
     def add_bucket(batch: pa.Table) -> pa.Table:

@@ -6,6 +6,11 @@ language ID, and rolling-hash document fingerprinting. All are
 stateless vectorized map_batches stages; the language-ID stage is a
 callable class (actor pool) because its per-language stopword tables
 and regexes are built once per actor.
+
+Hot-path rule (VERDICT r1 items 1-2): no per-row / per-word Python
+loops. Word streams are flattened once per batch (str.findall ->
+explode), membership tests run as hashed isin over the flat array, and
+per-row reductions are bincount / add.reduceat over row offsets.
 """
 
 from __future__ import annotations
@@ -26,19 +31,30 @@ _LANG_MARKERS = {
     "es": {"el", "la", "los", "las", "y", "es", "una", "para", "que", "en", "del", "por"},
 }
 
-_MOD = np.uint64((1 << 61) - 1)
-_POLY = np.uint64(1_000_003)
+_M61 = np.uint64((1 << 61) - 1)  # Mersenne prime 2^61 - 1
+_POLY = 1_000_003
 
 
 def token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Whitespace token count + a BPE-ish sub-word count (runs of word
     chars / digits / single punctuation, the GPT-2-style pre-tokenizer
     shape)."""
-    s = pd.Series(batch[text_col].to_pandas())
-    n_ws = s.str.split(_WS).map(lambda w: sum(1 for x in w if x))
-    n_bpe = s.str.count(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]")
-    out = batch.append_column("n_tokens_ws", pa.array(n_ws.to_numpy(dtype=np.int64)))
-    return out.append_column("n_tokens_bpe", pa.array(n_bpe.to_numpy(dtype=np.int64)))
+    s = pd.Series(batch[text_col].to_pandas()).fillna("")
+    n_ws = s.str.count(r"\S+").to_numpy(dtype=np.int64)
+    n_bpe = s.str.count(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]").to_numpy(dtype=np.int64)
+    out = batch.append_column("n_tokens_ws", pa.array(n_ws))
+    return out.append_column("n_tokens_bpe", pa.array(n_bpe))
+
+
+def _row_counts_in_set(words: pd.Series, vocab, n_rows: int) -> np.ndarray:
+    """Per-row count of list-column words that are members of `vocab`:
+    one explode + one hashed isin + one bincount — no Python loop."""
+    ex = words.explode().dropna()
+    if len(ex) == 0:
+        return np.zeros(n_rows, dtype=np.int64)
+    rows = ex.index.to_numpy(dtype=np.int64)
+    hit = ex.isin(vocab).to_numpy(dtype=bool)
+    return np.bincount(rows[hit], minlength=n_rows)
 
 
 def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -49,16 +65,17 @@ def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
     n_punct = s.str.count(r"[.,;:!?]").to_numpy(dtype=np.int64)
     n_digit = s.str.count(r"[0-9]").to_numpy(dtype=np.int64)
     words = s.str.lower().str.findall(r"[a-z]+")
-    stop = _LANG_MARKERS["en"]
-    stop_ratio = words.map(
-        lambda ws: sum(1 for w in ws if w in stop) / len(ws) if ws else 0.0
-    ).to_numpy(dtype=np.float64)
+    alpha_counts = np.bincount(
+        words.explode().dropna().index.to_numpy(dtype=np.int64), minlength=len(s)
+    )
+    stop_counts = _row_counts_in_set(words, _LANG_MARKERS["en"], len(s))
+    stop_ratio = stop_counts / np.maximum(alpha_counts, 1)
     safe = np.maximum(n_chars, 1)
     mean_word_len = n_chars / np.maximum(n_words, 1)
     batch = batch.append_column("n_words", pa.array(n_words))
     batch = batch.append_column("punct_ratio", pa.array(n_punct / safe))
     batch = batch.append_column("digit_ratio", pa.array(n_digit / safe))
-    batch = batch.append_column("stopword_ratio", pa.array(stop_ratio))
+    batch = batch.append_column("stopword_ratio", pa.array(stop_ratio.astype(np.float64)))
     batch = batch.append_column("mean_word_len", pa.array(mean_word_len))
     return batch
 
@@ -66,43 +83,110 @@ def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
 class LanguageId:
     """Actor-pool stage: stopword-overlap language scorer.
 
-    Tables/regexes compile once per actor (__init__), work per batch."""
+    Tables/regexes compile once per actor (__init__); per batch the word
+    stream is flattened once and each language's marker hits are a
+    vectorized isin + bincount — (n_langs, n_rows) count matrix, argmax
+    per row (first max wins, so ties resolve in table order, matching
+    the strictly-greater scan this replaces)."""
 
     def __init__(self):
         self.word_re = re.compile(r"[a-zà-ÿ]+")
-        self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
+        self.langs = list(_LANG_MARKERS)  # en first: the tie/zero default
+        self.markers = [frozenset(_LANG_MARKERS[k]) for k in self.langs]
         self.cjk = re.compile(r"[一-鿿]")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        langs = []
-        for t in texts:
-            t = (t or "").lower()
-            if self.cjk.search(t):
-                langs.append("zh")
-                continue
-            words = self.word_re.findall(t)
-            best, best_n = "en", -1
-            for lang, stops in self.markers.items():
-                n = sum(1 for w in words if w in stops)
-                if n > best_n:
-                    best, best_n = lang, n
-            langs.append(best)
+        s = pd.Series(batch["text"].to_pandas()).fillna("").str.lower()
+        n = len(s)
+        is_cjk = s.str.contains(self.cjk).to_numpy(dtype=bool)
+        words = s.str.findall(self.word_re)
+        counts = np.zeros((len(self.langs), n), dtype=np.int64)
+        ex = words.explode().dropna()
+        if len(ex):
+            rows = ex.index.to_numpy(dtype=np.int64)
+            for li, vocab in enumerate(self.markers):
+                hit = ex.isin(vocab).to_numpy(dtype=bool)
+                counts[li] = np.bincount(rows[hit], minlength=n)
+        best = counts.argmax(axis=0)
+        langs = np.array(self.langs, dtype=object)[best]
+        langs[is_cjk] = "zh"
         return batch.append_column("lang_pred", pa.array(langs, type=pa.string()))
 
 
-def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Order-sensitive rolling polynomial hash over word hashes mod 2^61-1."""
-    s = pd.Series(batch[text_col].to_pandas()).fillna("")
-    words = s.str.split(_WS)
-    fps = np.empty(len(s), dtype=np.uint64)
+# ---------------------------------------------------------------------------
+# fingerprint: order-sensitive polynomial hash mod 2^61-1, exact and
+# fully vectorized (segmented Horner via precomputed POLY powers +
+# 32-bit-split segment sums — no per-token Python loop)
+
+
+def _mulmod61(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a * b) mod 2^61-1 elementwise for a, b < 2^61, via 32-bit limb
+    products reduced with 2^61 = 1 (mod p) — full 122-bit precision."""
+    a = a.astype(np.uint64, copy=False)
+    b = b.astype(np.uint64, copy=False)
+    u = np.uint64
+    ah, al = a >> u(32), a & u(0xFFFFFFFF)
+    bh, bl = b >> u(32), b & u(0xFFFFFFFF)
     with np.errstate(over="ignore"):
-        for i, ws in enumerate(words):
-            h = np.uint64(0)
-            hv = pd.util.hash_array(np.array([w for w in ws if w], dtype=object))
-            for x in hv.astype(np.uint64):
-                h = (h * _POLY + x) % _MOD
-            fps[i] = h
+        mid = ah * bl + al * bh  # < 2^62, exact
+        low = al * bl  # < 2^64, exact
+        t = (
+            ((ah * bh) << u(3))  # *2^64 ≡ *8
+            + (mid >> u(29))  # mid*2^32: high part ≡ /2^29
+            + ((mid & u((1 << 29) - 1)) << u(32))
+            + ((low & _M61) + (low >> u(61)))
+        )
+        t = (t & _M61) + (t >> u(61))
+        t = (t & _M61) + (t >> u(61))
+    return np.where(t >= _M61, t - _M61, t)
+
+
+_POW_CACHE = np.array([1], dtype=np.uint64)  # POLY^k mod p, grown on demand
+
+
+def _poly_powers(n: int) -> np.ndarray:
+    global _POW_CACHE
+    if n > len(_POW_CACHE):
+        p = int(_M61)
+        last = int(_POW_CACHE[-1])
+        ext = np.empty(n - len(_POW_CACHE), dtype=np.uint64)
+        for i in range(len(ext)):  # python-int modmul, runs once per process
+            last = (last * _POLY) % p
+            ext[i] = last
+        _POW_CACHE = np.concatenate([_POW_CACHE, ext])
+    return _POW_CACHE
+
+
+def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Order-sensitive rolling polynomial hash over word hashes mod
+    2^61-1: fp(row) = sum_j hash(w_j) * POLY^(L-1-j)  (mod p). Swapping
+    two words changes the fingerprint; equal texts collide exactly."""
+    s = pd.Series(batch[text_col].to_pandas()).fillna("")
+    words = s.str.findall(r"\S+")
+    ex = words.explode().dropna()
+    n = len(s)
+    fps = np.zeros(n, dtype=np.uint64)
+    if len(ex):
+        rows = ex.index.to_numpy(dtype=np.int64)
+        wh = pd.util.hash_array(ex.to_numpy(dtype=object)).astype(np.uint64)
+        wh = (wh & _M61) + (wh >> np.uint64(61))  # reduce 64-bit hash below p
+        wh = np.where(wh >= _M61, wh - _M61, wh)
+        lens = np.bincount(rows, minlength=n)
+        ends = np.cumsum(lens)  # flat-index end (exclusive) per row
+        # position from the end of the row: exponent of POLY for each word
+        exp = ends[rows] - 1 - np.arange(len(rows))
+        powers = _poly_powers(int(lens.max()))
+        terms = _mulmod61(wh, powers[exp])
+        # segment sums can exceed 64 bits: sum 32-bit halves separately
+        starts = ends - lens
+        nonempty = lens > 0
+        hi = np.add.reduceat(terms >> np.uint64(32), starts[nonempty])
+        lo = np.add.reduceat(terms & np.uint64(0xFFFFFFFF), starts[nonempty])
+        hi, lo = hi % _M61, lo % _M61
+        two32 = np.full(len(hi), 1 << 32, dtype=np.uint64)
+        total = _mulmod61(hi, two32) + lo  # < 2^62
+        total = (total & _M61) + (total >> np.uint64(61))
+        fps[nonempty] = np.where(total >= _M61, total - _M61, total)
     return batch.append_column("fingerprint", pa.array(fps.astype(np.int64)))
 
 
