@@ -496,3 +496,187 @@ def sffs_repair(
         "registered": registered,
         "pareto": sorted(front, key=lambda r: (-r[1], -r[2], r[0])),
     }
+
+
+# ---------------------------------------------------------------------------
+# NSGA-II evolutionary search (reference new_project/evolutionary.py:39-239)
+
+
+def _fast_non_dominated_sort(F: np.ndarray) -> list[np.ndarray]:
+    """Fronts of row indices for a MAXIMIZED objective matrix (n, m)."""
+    n = len(F)
+    dominates = np.zeros((n, n), dtype=bool)
+    for i in range(n):
+        ge = (F[i] >= F).all(axis=1)
+        gt = (F[i] > F).any(axis=1)
+        dominates[i] = ge & gt
+    dom_count = dominates.sum(axis=0)  # how many dominate i
+    fronts = []
+    remaining = np.ones(n, dtype=bool)
+    while remaining.any():
+        front = np.flatnonzero(remaining & (dom_count == 0))
+        if len(front) == 0:  # numerical safety: dump the rest
+            front = np.flatnonzero(remaining)
+        fronts.append(front)
+        remaining[front] = False
+        dom_count = dom_count - dominates[front].sum(axis=0)
+    return fronts
+
+
+def _crowding_distance(F: np.ndarray) -> np.ndarray:
+    n, m = F.shape
+    d = np.zeros(n)
+    for j in range(m):
+        order = np.argsort(F[:, j], kind="stable")
+        d[order[0]] = d[order[-1]] = np.inf
+        span = F[order[-1], j] - F[order[0], j]
+        if span > 0 and n > 2:
+            d[order[1:-1]] += (F[order[2:], j] - F[order[:-2], j]) / span
+    return d
+
+
+def nsga2_search(
+    X: np.ndarray,
+    names: list[str],
+    y: np.ndarray,
+    *,
+    sensitive: np.ndarray,
+    contexts: np.ndarray,
+    protected,
+    cv: int = 5,
+    seed: int = 42,
+    max_iter: int = 25,
+    pop_size: int | None = None,
+    generations: int = 20,
+    crossover_rate: float = 0.9,
+    use_ray: bool = True,
+) -> dict:
+    """NSGA-II multi-objective feature selection over binary masks
+    (reference new_project/evolutionary.py:39-239, there via pymoo
+    NSGA2; pymoo is not available here, so the algorithm is
+    re-implemented: fast non-dominated sort + crowding-distance
+    elitism, binary tournament selection, one-point crossover at 0.9,
+    bitflip mutation p=1/n_features, duplicate elimination). Objectives
+    MAXIMIZE (cv_f1, ROD fairness, -n_selected) — evolutionary.py:
+    76-80 objective_() returns [f1, rod, -sum(mask)]. Population
+    defaults to ceil(sqrt(n_features)) as in evolutionary.py:196
+    (floored at 8 so tiny feature sets still explore). Mask
+    evaluations fan out as Ray tasks per generation over a broadcast
+    matrix; all-zero masks get one random bit set, as in the
+    reference's _evaluate (:169-173). Deterministic under `seed`.
+    Returns the final non-dominated front."""
+    from .model import stratified_folds
+
+    y = np.asarray(y).astype(np.int8)
+    fold = stratified_folds(y, cv, seed)
+    n_var = len(names)
+    rng = np.random.default_rng(seed)
+    pop_n = pop_size or max(8, int(np.ceil(np.sqrt(n_var))))
+    p_mut = 1.0 / n_var
+
+    cache: dict[tuple, tuple[float, float, float]] = {}
+
+    def fix(mask: np.ndarray) -> np.ndarray:
+        if not mask.any():
+            mask = mask.copy()
+            mask[rng.integers(n_var)] = True
+        return mask
+
+    remote_eval = None
+    if use_ray:
+        import ray
+
+        X_ref = ray.put(X)
+
+        @ray.remote(num_cpus=1)
+        def _remote(mask, _X=X_ref):
+            import ray as _ray
+
+            Xv = _ray.get(_X) if isinstance(_X, _ray.ObjectRef) else _X
+            sel = [names[i] for i in np.flatnonzero(mask)]
+            acc, fair = _eval_subset(
+                Xv, sel, names, y, fold, sensitive, contexts, protected, max_iter
+            )
+            return acc, fair, float(-mask.sum())
+
+        remote_eval = _remote
+
+    def evaluate_all(masks: list[np.ndarray]) -> np.ndarray:
+        fresh = [m for m in masks if tuple(m) not in cache]
+        uniq = {tuple(m): m for m in fresh}
+        if uniq:
+            if remote_eval is not None:
+                import ray
+
+                vals = ray.get([remote_eval.remote(m) for m in uniq.values()])
+            else:
+                vals = []
+                for m in uniq.values():
+                    sel = [names[i] for i in np.flatnonzero(m)]
+                    acc, fair = _eval_subset(
+                        X, sel, names, y, fold, sensitive, contexts, protected, max_iter
+                    )
+                    vals.append((acc, fair, float(-m.sum())))
+            cache.update(zip(uniq.keys(), vals))
+        return np.array([cache[tuple(m)] for m in masks])
+
+    pop = [fix(rng.random(n_var) < 0.5) for _ in range(pop_n)]
+    F = evaluate_all(pop)
+    for _ in range(generations):
+        fronts = _fast_non_dominated_sort(F)
+        rank = np.empty(len(pop), dtype=np.int64)
+        for r, fr in enumerate(fronts):
+            rank[fr] = r
+        crowd = np.zeros(len(pop))
+        for fr in fronts:
+            crowd[fr] = _crowding_distance(F[fr])
+
+        def tournament() -> np.ndarray:
+            a, b = rng.integers(len(pop), size=2)
+            if (rank[a], -crowd[a]) <= (rank[b], -crowd[b]):
+                return pop[a]
+            return pop[b]
+
+        children: list[np.ndarray] = []
+        seen = {tuple(m) for m in pop}
+        attempts = 0
+        while len(children) < pop_n and attempts < 20 * pop_n:
+            attempts += 1
+            p1, p2 = tournament(), tournament()
+            if rng.random() < crossover_rate and n_var > 1:
+                cut = int(rng.integers(1, n_var))
+                c = np.concatenate([p1[:cut], p2[cut:]])
+            else:
+                c = p1.copy()
+            flip = rng.random(n_var) < p_mut
+            c = fix(np.logical_xor(c, flip))
+            if tuple(c) in seen:  # eliminate duplicates (evolutionary.py:200)
+                continue
+            seen.add(tuple(c))
+            children.append(c)
+        if not children:
+            break
+        Fc = evaluate_all(children)
+        combined = pop + children
+        Fall = np.vstack([F, Fc])
+        fronts = _fast_non_dominated_sort(Fall)
+        next_idx: list[int] = []
+        for fr in fronts:
+            if len(next_idx) + len(fr) <= pop_n:
+                next_idx.extend(fr.tolist())
+            else:
+                cd = _crowding_distance(Fall[fr])
+                order = np.argsort(-cd, kind="stable")
+                next_idx.extend(fr[order][: pop_n - len(next_idx)].tolist())
+                break
+        pop = [combined[i] for i in next_idx]
+        F = Fall[next_idx]
+
+    final = _fast_non_dominated_sort(F)[0]
+    front = []
+    for i in final:
+        sel = sorted(names[j] for j in np.flatnonzero(pop[i]))
+        front.append({"selected": sel, "acc": float(F[i, 0]), "fair": float(F[i, 1]),
+                      "n_features": int(-F[i, 2])})
+    front.sort(key=lambda r: (-r["acc"], -r["fair"], r["n_features"], r["selected"]))
+    return {"front": front, "evaluated": len(cache)}

@@ -113,3 +113,49 @@ def cv_score(
             if mean_acc > best[0]:
                 best = (mean_acc, C, float(np.mean(lls)))
     return best
+
+
+def cnn_instance_selection(
+    X: np.ndarray, y: np.ndarray, *, seed: int = 42, max_passes: int = 5
+) -> np.ndarray:
+    """Condensed Nearest Neighbour instance selection (Hart 1968) — the
+    reference's optional `instance.selection` pre-step
+    (EvaluationFramework.py:175-201 via imblearn
+    CondensedNearestNeighbour, instance_selection/instance_selection_cnn.py).
+    Returns the sorted row indices of the condensed set: one seed point
+    per class, then every point misclassified by 1-NN against the
+    current store joins it, repeated until a full pass adds nothing.
+    Deterministic under `seed`. Distances are vectorized against the
+    store; this runs on the driver-side search sample only."""
+    X = np.nan_to_num(np.asarray(X, dtype=np.float64), nan=0.0, posinf=0.0, neginf=0.0)
+    if X.ndim == 1:
+        X = X[:, None]
+    y = np.asarray(y)
+    mu, sd = X.mean(axis=0), X.std(axis=0)
+    Xs = (X - mu) / np.where(sd == 0, 1.0, sd)
+    rng = np.random.default_rng(seed)
+    n = len(y)
+    store: list[int] = []
+    for cls in np.unique(y):
+        idx = np.flatnonzero(y == cls)
+        store.append(int(rng.choice(idx)))
+    order = rng.permutation(n)
+    in_store = np.zeros(n, dtype=bool)
+    in_store[store] = True
+    for _ in range(max_passes):
+        added = False
+        S = Xs[store]
+        Sy = y[store]
+        for i in order:
+            if in_store[i]:
+                continue
+            d = ((S - Xs[i]) ** 2).sum(axis=1)
+            if Sy[np.argmin(d)] != y[i]:
+                store.append(int(i))
+                in_store[i] = True
+                S = Xs[store]
+                Sy = y[store]
+                added = True
+        if not added:
+            break
+    return np.sort(np.asarray(store))

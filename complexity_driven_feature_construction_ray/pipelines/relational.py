@@ -1065,7 +1065,7 @@ def m_decode(sf_dir: str):
         sf_dir.rstrip("/").split("/")[-1], 256
     )
     ds = ray.data.from_arrow(synthetic_media_table(n)).repartition(8)
-    out = decode_pipeline(ds, fake=True, concurrency=2, batch_size=32)
+    out = decode_pipeline(ds, fake=True, concurrency=2, batch_size=32, resize_scale=0.5)
 
     def summarize(batch: pa.Table) -> pa.Table:
         feats = batch["features"].to_pylist()
@@ -1074,6 +1074,9 @@ def m_decode(sf_dir: str):
             {
                 "item_id": batch["item_id"],
                 "media_type": batch["media_type"],
+                "payload_len": pa.array(
+                    [len(b) for b in batch["payload"].to_pylist()], type=pa.int64()
+                ),
                 "feat_dim": pa.array([len(f) for f in feats], type=pa.int32()),
                 "feat_sum": pa.array(
                     [round(float(np.sum(f)), 6) for f in feats], type=pa.float64()
@@ -1107,6 +1110,120 @@ def tok_search(sf_dir: str):
         (s.name, s.complexity, round(s.score, 6)) for s in res.all_scored.values()
     )
     return pd.DataFrame(rows, columns=["name", "complexity", "score"])
+
+
+def tok_search_explorekit(sf_dir: str):
+    """Same search with the ExploreKit-style producer preset (reference
+    feature_space/explorekit_transformations.py:19-41: equal-width
+    discretize + minmax; add/mul/div/sub binaries)."""
+    from .flagship import search_sample
+    from .search import ComplexityDrivenSearch, EXPLOREKIT_OPS
+    from ..functions.expr import raw as raw_f
+
+    cols, y = search_sample(1500)
+    base = [
+        raw_f("n_tok", properties={"min": 1.0, "max": 512.0, "has_zero": False, "distinct": 512}),
+        raw_f("tok_mean", properties={"min": float(cols["tok_mean"].min()), "max": float(cols["tok_mean"].max()), "has_zero": False, "distinct": None}),
+        raw_f("source", "categorical", {"distinct": 5, "values": ["books", "chat", "code", "web", "wiki"]}),
+    ]
+    res = ComplexityDrivenSearch(
+        c_max=2, epsilon=-1e9, use_ray=True, lr_max_iter=15, **EXPLOREKIT_OPS
+    ).run(cols, y, base)
+    rows = sorted(
+        (s.name, s.complexity, round(s.score, 6)) for s in res.all_scored.values()
+    )
+    return pd.DataFrame(rows, columns=["name", "complexity", "score"])
+
+
+def tok_nested_cv(sf_dir: str):
+    """Nested-CV re-score of the Pareto candidates (reference
+    evaluation/nested_cv_scikit.py): outer folds held out, inner folds
+    pick C, refit + test per outer fold; deterministic (seeded)."""
+    from .flagship import search_sample
+    from .search import ComplexityDrivenSearch, nested_cv_rescore
+    from ..functions.expr import raw as raw_f
+
+    cols, y = search_sample(1200)
+    base = [
+        raw_f("n_tok", properties={"min": 1.0, "max": 512.0, "has_zero": False, "distinct": 512}),
+        raw_f("tok_mean", properties={"min": float(cols["tok_mean"].min()), "max": float(cols["tok_mean"].max()), "has_zero": False, "distinct": None}),
+    ]
+    res = ComplexityDrivenSearch(c_max=2, epsilon=-1e9, use_ray=True, lr_max_iter=15).run(cols, y, base)
+    feats = [s.feature for s in res.pareto]
+    got = nested_cv_rescore(feats, cols, y, cv=4, c_grid=(0.1, 1.0, 10.0), max_iter=15)
+    rows = sorted(
+        (n, round(m, 6), round(s, 6)) for n, (m, s) in got.items()
+    )
+    return pd.DataFrame(rows, columns=["name", "nested_mean", "nested_std"])
+
+
+def tok_side_metrics(sf_dir: str):
+    """Per-candidate side metrics (reference run_evaluation.py:85-138 +
+    196-204): RSS-based AIC/AICc/BIC on both k definitions and label
+    consistency, for the Pareto candidates."""
+    from .flagship import search_sample
+    from .search import ComplexityDrivenSearch, compute_side_metrics
+    from ..functions.expr import raw as raw_f
+
+    cols, y = search_sample(1200)
+    base = [
+        raw_f("n_tok", properties={"min": 1.0, "max": 512.0, "has_zero": False, "distinct": 512}),
+        raw_f("tok_mean", properties={"min": float(cols["tok_mean"].min()), "max": float(cols["tok_mean"].max()), "has_zero": False, "distinct": None}),
+    ]
+    res = ComplexityDrivenSearch(c_max=2, epsilon=-1e9, use_ray=True, lr_max_iter=15).run(cols, y, base)
+    scored = compute_side_metrics(res.pareto, cols, y, cv=4, max_iter=15)
+    rows = sorted(
+        (
+            s.name,
+            round(s.side["rss"], 6),
+            round(s.side["aicc_k1"], 6),
+            round(s.side["bic_kc"], 6),
+            round(s.side["consistency"], 6),
+        )
+        for s in scored
+    )
+    return pd.DataFrame(rows, columns=["name", "rss", "aicc_k1", "bic_kc", "consistency"])
+
+
+def f_nsga2(sf_dir: str):
+    """NSGA-II evolutionary multi-objective feature selection
+    (reference new_project/evolutionary.py:39-239): maximize (cv-f1,
+    ROD fairness, -n_features) over binary masks; deterministic
+    (seeded), rows-only check."""
+    from .fairexp import nsga2_search
+    from .flagship import search_sample
+
+    cols, y = search_sample(1000)
+    feats = {
+        "log_n_tok": np.log(cols["n_tok"]),
+        "tok_mean": cols["tok_mean"],
+        "tok_std": cols["tok_std"],
+        "recip_n_tok": 1.0 / cols["n_tok"],
+        "tok_distinct_ratio": cols["tok_distinct_ratio"],
+    }
+    names = sorted(feats)
+    X = np.column_stack([feats[n] for n in names])
+    ctx = np.digitize(cols["n_tok"], [64.0, 128.0, 256.0])
+    res = nsga2_search(
+        X, names, y, sensitive=cols["source"], contexts=ctx, protected="web",
+        cv=4, generations=8, max_iter=15, use_ray=True,
+    )
+    rows = [
+        (";".join(r["selected"]), round(r["acc"], 6), round(r["fair"], 6), r["n_features"])
+        for r in res["front"]
+    ]
+    return pd.DataFrame(rows, columns=["selected", "acc", "fair", "n_features"])
+
+
+def d_dedup_apply(sf_dir: str):
+    """Streaming consumption of a near-dup cluster map: minhash clusters
+    -> broadcast dup-id set -> map_batches anti-join over the full
+    documents table (apply_dedup); returns surviving doc ids."""
+    from ..stages.dedup import apply_dedup, minhash_lsh_dedup
+
+    ds = _perturbed_docs(sf_dir)
+    clusters = minhash_lsh_dedup(ds, threshold=0.5)
+    return apply_dedup(ds, clusters).select_columns(["doc_id"])
 
 
 def tok_resumable(sf_dir: str):
@@ -1215,6 +1332,11 @@ QUERIES: dict[str, tuple] = {
     "d_knn_ivf": (d_knn_ivf, None),
     "m_decode": (m_decode, None),
     "tok_search": (tok_search, None),
+    "tok_search_explorekit": (tok_search_explorekit, None),
+    "tok_nested_cv": (tok_nested_cv, None),
+    "tok_side_metrics": (tok_side_metrics, None),
+    "f_nsga2": (f_nsga2, None),
+    "d_dedup_apply": (d_dedup_apply, None),
     "tok_backfill": (tok_backfill, None),
     "tok_resumable": (tok_resumable, None),
 }

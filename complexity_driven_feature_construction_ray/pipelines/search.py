@@ -47,6 +47,27 @@ from .model import C_GRID, cv_score, stratified_folds
 
 DEFAULT_GBT_AGGS = ("max", "min", "mean", "std")  # reference feature_space/division.py:41-56
 
+# The default producer (get_transformation_for_division, reference
+# candidate_generation/feature_space/division.py:23-56): MinMaxScaling,
+# MDLP-discretize (supervised), 1/x, -1*x, log, mean-impute; binary
+# nansum/nanprod; GroupByThen{max,min,mean,std}. OneHot candidates are
+# generated separately from categorical raws (as in the reference).
+DIVISION_OPS = dict(
+    unary_ops=("minmax", "mdlp", "reciprocal", "minus", "log", "impute_mean"),
+    binary_ops=("add", "mul"),
+    gbt_aggs=("max", "min", "mean", "std"),
+)
+
+# ExploreKit-style producer (get_transformation_for_feature_space,
+# reference feature_space/explorekit_transformations.py:19-41):
+# equal-width discretize(10) + MinMaxScaling; binary nansum/nanprod +
+# divide/subtract; same GroupByThen family.
+EXPLOREKIT_OPS = dict(
+    unary_ops=("discretize", "minmax"),
+    binary_ops=("add", "mul", "div", "sub"),
+    gbt_aggs=("max", "min", "mean", "std"),
+)
+
 
 @dataclass
 class Scored:
@@ -55,6 +76,7 @@ class Scored:
     best_C: float
     loglik: float
     name: str = ""
+    side: dict | None = None  # AIC/BIC/consistency, see candidate_side_metrics
 
     def __post_init__(self):
         self.name = self.feature.name
@@ -217,6 +239,206 @@ def multiple_cv_rescore(
     }
 
 
+def _nested_cv_one(feat: Feature, cols, y, fold, c_grid, max_iter) -> tuple[float, float]:
+    """Nested CV for one candidate (reference evaluation/
+    nested_cv_scikit.py:run_nested_cross_validation, ~64-107): for each
+    outer test fold, the inner folds rotate as validation to pick C by
+    mean accuracy; the model (feature fit + LR) then refits on all
+    non-test rows and scores the held-out test fold. Returns
+    (mean, std) of the per-test-fold scores."""
+    from .model import LogisticRegressionNumpy, _standardize
+
+    k = int(fold.max()) + 1
+    outer_scores = []
+    for t in range(k):
+        # inner grid search: every non-test fold serves as validation once
+        per_c = {C: [] for C in c_grid}
+        for v in range(k):
+            if v == t:
+                continue
+            tr = (fold != t) & (fold != v)
+            te = fold == v
+            if y[tr].min() == y[tr].max():
+                continue
+            fitted = fit_on_arrays([feat], {c: a[tr] for c, a in cols.items()}, y=y[tr])
+            x_tr = evaluate(feat, {c: a[tr] for c, a in cols.items()}, fitted)
+            x_te = evaluate(feat, {c: a[te] for c, a in cols.items()}, fitted)
+            Xtr, Xte = _standardize(
+                np.nan_to_num(x_tr[:, None], nan=0.0, posinf=0.0, neginf=0.0),
+                np.nan_to_num(x_te[:, None], nan=0.0, posinf=0.0, neginf=0.0),
+            )
+            for C in c_grid:
+                m = LogisticRegressionNumpy(C=C, max_iter=max_iter).fit(Xtr, y[tr])
+                per_c[C].append(float((m.predict(Xte) == y[te]).mean()))
+        best_C = max(c_grid, key=lambda C: np.mean(per_c[C]) if per_c[C] else -1.0)
+        # refit feature + model on everything outside the test fold
+        tr, te = fold != t, fold == t
+        fitted = fit_on_arrays([feat], {c: a[tr] for c, a in cols.items()}, y=y[tr])
+        x_tr = evaluate(feat, {c: a[tr] for c, a in cols.items()}, fitted)
+        x_te = evaluate(feat, {c: a[te] for c, a in cols.items()}, fitted)
+        Xtr, Xte = _standardize(
+            np.nan_to_num(x_tr[:, None], nan=0.0, posinf=0.0, neginf=0.0),
+            np.nan_to_num(x_te[:, None], nan=0.0, posinf=0.0, neginf=0.0),
+        )
+        m = LogisticRegressionNumpy(C=best_C, max_iter=max_iter).fit(Xtr, y[tr])
+        outer_scores.append(float((m.predict(Xte) == y[te]).mean()))
+    return float(np.mean(outer_scores)), float(np.std(outer_scores))
+
+
+def nested_cv_rescore(
+    features: list[Feature],
+    cols,
+    y,
+    *,
+    cv: int = 5,
+    seed: int = 42,
+    c_grid=None,
+    max_iter: int = 25,
+    use_ray: bool = True,
+) -> dict[str, tuple[float, float]]:
+    """Nested-CV re-scoring of (top-k) candidates — the reference's
+    nested_cv pass (evaluation/nested_cv_scikit.py; there with 20 outer
+    folds, here parameterized). One Ray task per candidate over the
+    broadcast sample; returns name -> (mean, std) of outer-fold
+    scores."""
+    from .model import C_GRID, stratified_folds
+
+    c_grid = tuple(c_grid or C_GRID)
+    y = np.asarray(y).astype(np.int8)
+    fold = stratified_folds(y, cv, seed)
+
+    if use_ray and len(features) > 1:
+        import ray
+
+        from ..functions.expr import CUSTOM_OPS
+
+        blob_ref = ray.put(pickle.dumps(cols))
+        ops_snapshot = dict(CUSTOM_OPS) or None
+
+        @ray.remote(num_cpus=1)
+        def nested_one(feat_blob, _blob=blob_ref, _ops=ops_snapshot):
+            if _ops:
+                from ..functions.expr import CUSTOM_OPS as _REG
+
+                _REG.update(_ops)
+            c = pickle.loads(ray.get(_blob) if isinstance(_blob, ray.ObjectRef) else _blob)
+            feat = pickle.loads(feat_blob)
+            return feat.name, _nested_cv_one(feat, c, y, fold, c_grid, max_iter)
+
+        return dict(ray.get([nested_one.remote(pickle.dumps(f)) for f in features]))
+    return {f.name: _nested_cv_one(f, cols, y, fold, c_grid, max_iter) for f in features}
+
+
+def candidate_side_metrics(
+    feat: Feature, cols, y, fold, best_C: float = 1.0, max_iter: int = 25
+) -> dict:
+    """Per-candidate side metrics (reference evaluation/
+    run_evaluation.py:85-138 + 196-204): out-of-fold probability
+    predictions at the candidate's best C give an RSS, from which AIC /
+    AICc / BIC are computed on BOTH k definitions — k=1 (feature count
+    of the single constructed column, `*_k1`) and k=expression
+    complexity (`*_kc`) — plus the label-consistency ratio
+    (calculate_consistency, :118-138): the fraction of rows whose
+    feature value maps to a single label."""
+    from .model import LogisticRegressionNumpy, _standardize
+
+    y = np.asarray(y).astype(np.int8)
+    k = int(fold.max()) + 1
+    col_out = np.empty(len(y), dtype=np.float64)
+    p_out = np.empty(len(y), dtype=np.float64)
+    for f in range(k):
+        tr, te = fold != f, fold == f
+        fitted = fit_on_arrays([feat], {c: a[tr] for c, a in cols.items()}, y=y[tr])
+        x_tr = evaluate(feat, {c: a[tr] for c, a in cols.items()}, fitted)
+        x_te = evaluate(feat, {c: a[te] for c, a in cols.items()}, fitted)
+        col_out[te] = x_te
+        Xtr, Xte = _standardize(
+            np.nan_to_num(x_tr[:, None], nan=0.0, posinf=0.0, neginf=0.0),
+            np.nan_to_num(x_te[:, None], nan=0.0, posinf=0.0, neginf=0.0),
+        )
+        m = LogisticRegressionNumpy(C=best_C, max_iter=max_iter).fit(Xtr, y[tr])
+        p_out[te] = m.predict_proba(Xte)
+
+    n = len(y)
+    rss = float(np.sum((y - p_out) ** 2))
+
+    def ic(kk: int) -> tuple[float, float, float]:
+        base = n * np.log(max(rss, 1e-300) / n)
+        aic = 2 * kk + base
+        bic = np.log(n) * kk + base
+        aicc = aic + (2 * kk * (kk + 1)) / (n - kk - 1) if n - kk - 1 > 0 else np.inf
+        return float(aic), float(bic), float(aicc)
+
+    aic1, bic1, aicc1 = ic(1)
+    kc = feat.complexity
+    aicc_, bicc_, aiccc_ = ic(kc)
+
+    # label consistency of the materialized column (exact value -> label)
+    import pandas as pd
+
+    s = pd.Series(col_out)
+    nun = pd.Series(y).groupby(s).nunique()
+    inconsistent = set(nun[nun > 1].index)
+    consistency = float((~s.isin(inconsistent)).mean())
+    return {
+        "rss": rss,
+        "aic_k1": aic1,
+        "bic_k1": bic1,
+        "aicc_k1": aicc1,
+        "aic_kc": aicc_,
+        "bic_kc": bicc_,
+        "aicc_kc": aiccc_,
+        "consistency": consistency,
+    }
+
+
+def compute_side_metrics(
+    scored: list[Scored],
+    cols,
+    y,
+    *,
+    cv: int = 5,
+    seed: int = 42,
+    max_iter: int = 25,
+    use_ray: bool = True,
+) -> list[Scored]:
+    """Attach side metrics to each Scored (fan-out: one Ray task per
+    candidate over a broadcast sample); returns the same objects."""
+    from .model import stratified_folds
+
+    y = np.asarray(y).astype(np.int8)
+    fold = stratified_folds(y, cv, seed)
+    if use_ray and len(scored) > 1:
+        import ray
+
+        from ..functions.expr import CUSTOM_OPS
+
+        blob_ref = ray.put(pickle.dumps(cols))
+        ops_snapshot = dict(CUSTOM_OPS) or None
+
+        @ray.remote(num_cpus=1)
+        def side_one(feat_blob, best_C, _blob=blob_ref, _ops=ops_snapshot):
+            if _ops:
+                from ..functions.expr import CUSTOM_OPS as _REG
+
+                _REG.update(_ops)
+            c = pickle.loads(ray.get(_blob) if isinstance(_blob, ray.ObjectRef) else _blob)
+            feat = pickle.loads(feat_blob)
+            return feat.name, candidate_side_metrics(feat, c, y, fold, best_C, max_iter)
+
+        got = dict(
+            ray.get([side_one.remote(pickle.dumps(s.feature), s.best_C) for s in scored])
+        )
+    else:
+        got = {
+            s.name: candidate_side_metrics(s.feature, cols, y, fold, s.best_C, max_iter)
+            for s in scored
+        }
+    for s in scored:
+        s.side = got[s.name]
+    return scored
+
+
 def pareto_front(scored: list[Scored]) -> list[Scored]:
     """Non-dominated (max score, min complexity) set, one per complexity."""
     best_at: dict[int, Scored] = {}
@@ -257,8 +479,8 @@ class ComplexityDrivenSearch:
         seed: int = 42,
         c_grid=C_GRID,
         gbt_aggs=DEFAULT_GBT_AGGS,
-        unary_ops=("minmax", "discretize", "reciprocal", "minus", "log", "impute_mean"),
-        binary_ops=("add", "mul"),
+        unary_ops=DIVISION_OPS["unary_ops"],
+        binary_ops=DIVISION_OPS["binary_ops"],
         max_seconds: float | None = None,
         hard_c_cap: int = 10,
         max_onehot_values: int = 20,
@@ -266,6 +488,7 @@ class ComplexityDrivenSearch:
         score_batch: int = 4,
         lr_max_iter: int = 25,
         use_ray: bool = True,
+        instance_selection: bool = False,
     ):
         # default op families = get_transformation_for_division
         # (reference candidate_generation/feature_space/division.py:23-56)
@@ -284,6 +507,9 @@ class ComplexityDrivenSearch:
         self.score_batch = score_batch
         self.lr_max_iter = lr_max_iter
         self.use_ray = use_ray
+        # reference Config 'instance.selection' (EvaluationFramework.py:
+        # 193-199): condense the scoring sample by CNN before the search
+        self.instance_selection = instance_selection
         self._pool = None
         self._actors: list = []
         self._blob_ref = None
@@ -430,6 +656,22 @@ class ComplexityDrivenSearch:
     def run(self, cols: dict[str, np.ndarray], y: np.ndarray, base_features: list[Feature]) -> SearchResult:
         t0 = time.time()
         y = np.asarray(y).astype(np.int8)
+        if self.instance_selection:
+            from .model import cnn_instance_selection
+
+            numeric = [
+                f.params[0]
+                for f in base_features
+                if f.properties.get("type") == "numeric"
+            ]
+            if numeric:
+                keep = cnn_instance_selection(
+                    np.column_stack([np.asarray(cols[c], dtype=np.float64) for c in numeric]),
+                    y,
+                    seed=self.seed,
+                )
+                cols = {c: np.asarray(v)[keep] for c, v in cols.items()}
+                y = y[keep]
         fold = stratified_folds(y, self.cv, self.seed)
 
         numeric_raws = [f for f in base_features if f.properties.get("type") == "numeric"]

@@ -97,11 +97,22 @@ class ImageResize:
         self.scale = scale
         self.fake = fake
         if not fake:
-            raise NotImplementedError(
-                "real resize needs PIL/opencv (not installed); use fake=True"
-            )
+            # runtime-gate the real codec exactly like ImageDecode: the
+            # stage constructs fine where PIL exists and raises a clear
+            # NotImplementedError at first batch where it doesn't
+            try:
+                import PIL.Image  # noqa: F401  (absent here by design)
+
+                self.pil = True
+            except ImportError:
+                self.pil = False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake and not getattr(self, "pil", False):
+            raise NotImplementedError(
+                "real resize needs PIL/opencv (not installed); use fake=True "
+                "for the deterministic test double"
+            )
         out_payload, out_meta = [], []
         stride = max(int(round(1 / (self.scale**2))), 1)
         for payload, meta in zip(batch["payload"].to_pylist(), batch["meta"].to_pylist()):
@@ -146,11 +157,28 @@ class AudioFrameSample:
         )
 
 
-def decode_pipeline(ds, *, fake: bool = True, concurrency: int = 2, batch_size: int = 64):
-    """image-decode + audio-frame-sample over a media dataset.
+def decode_pipeline(
+    ds,
+    *,
+    fake: bool = True,
+    concurrency: int = 2,
+    batch_size: int = 64,
+    resize_scale: float | None = None,
+):
+    """[resize ->] image-decode + audio-frame-sample over a media dataset.
 
     batch_size is small on purpose: payload bytes x batch x concurrency
-    must fit each actor's heap (wide-row rule)."""
+    must fit each actor's heap (wide-row rule). `resize_scale` inserts
+    the ImageResize actor stage ahead of the decode (payload shrink
+    before feature extraction)."""
+    if resize_scale is not None:
+        ds = ds.map_batches(
+            ImageResize,
+            fn_constructor_kwargs={"scale": resize_scale, "fake": fake},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
     return ds.map_batches(
         ImageDecode,
         fn_constructor_args=(fake,),
