@@ -70,7 +70,7 @@ def _lineitem_features(sf_dir, plans_from, keep, rename, rounding=None, table="l
     feats = {f.params[0]: f for f in base_features_from_stats(stats)} if stats else {}
     plans = plans_from["build"](feats)
     fitted = fit_distributed(plans, ds)
-    out = backfill_dataset(ds, plans, fitted, concurrency=4, keep_input=True)
+    out = backfill_dataset(ds, plans, fitted, keep_input=True)
     out = _rename(out, rename)
     if rounding:
         out = _round_cols(out, rounding)
@@ -173,7 +173,7 @@ def fe_impute(sf_dir: str):
     v = raw("v", properties={"missing_values": True})
     plan = unary("impute_mean", v)
     fitted = fit_distributed([plan], ds)
-    out = backfill_dataset(ds, [plan], fitted, concurrency=4)
+    out = backfill_dataset(ds, [plan], fitted)
     out = _rename(out, {"impute_mean(v)": "v_imputed"})
     out = _round_cols(out, {"v_imputed": 6})
     return out.select_columns(["event_id", "v_imputed"])
@@ -192,7 +192,7 @@ def fe_onehot(sf_dir: str):
     ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_returnflag"])
     flag = raw("l_returnflag", "categorical")
     plans = [onehot(flag, "R"), onehot(flag, "A")]
-    out = backfill_dataset(ds, plans, {}, concurrency=4)
+    out = backfill_dataset(ds, plans, {})
     out = _rename(out, {"onehot(l_returnflag=R)": "is_r", "onehot(l_returnflag=A)": "is_a"})
 
     def to_int(batch: pa.Table) -> pa.Table:
@@ -225,7 +225,7 @@ def fe_groupbythen(sf_dir: str):
         groupbythen("count", q, flag),
     ]
     fitted = fit_distributed(plans, ds)
-    out = backfill_dataset(ds, plans, fitted, concurrency=4)
+    out = backfill_dataset(ds, plans, fitted)
     out = _rename(
         out,
         {

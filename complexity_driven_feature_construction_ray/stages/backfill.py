@@ -130,7 +130,14 @@ def backfill_dataset(
             keep_input=keep_input,
             custom_ops=dict(CUSTOM_OPS) or None,
         )
-        return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+        # concurrency caps in-flight tasks here (it is not actor-pool
+        # size); honored rather than silently ignored
+        return ds.map_batches(
+            fn,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
 
     if concurrency is None:
         # leave headroom for the read/write stages so the pool doesn't

@@ -13,10 +13,15 @@ Nested stateful nodes (e.g. minmax(gbt_mean(x by k))) need the inner
 state before the outer partials can be computed, so fitting runs in
 stateful-depth passes — depth is almost always ≤ 2.
 
-gbt partials are per-key (count, sum, sumsq, min, max, prod) tuples;
-`median` and `mdlp` are not mergeable — they fit on a seeded sample
-(documented divergence; exact at test scale where the sample is the
-whole table).
+gbt partials are per-key (count, sum, sumsq, min, max, prod) tuples.
+`impute_median` fits through a mergeable weighted-value sketch: each
+batch contributes its exact (unique value, count) table when it has
+<= _QUANT_K distinct values, else a rank-uniform compression to
+_QUANT_K weighted points (rank error <= n_batch/_QUANT_K per batch, so
+<= N/_QUANT_K ~ 0.02% overall) — exact at test scale, bounded-size at
+100 TB. Only `mdlp` (supervised) and non-mergeable custom/gbt ops fit
+on a seeded sample (documented divergence; exact at test scale where
+the sample is the whole table).
 """
 
 from __future__ import annotations
@@ -81,6 +86,8 @@ def _partial_for(f: Feature, cols: dict, fitted: Fitted, cache: dict):
     if op == "impute_mode":
         vals, counts = np.unique(pv, return_counts=True)
         return ("counts", vals, counts)
+    if op == "impute_median":
+        return ("quant",) + _quant_partial(pv)
     n = len(pv)
     return (
         "scalar",
@@ -90,6 +97,47 @@ def _partial_for(f: Feature, cols: dict, fitted: Fitted, cache: dict):
         float(pv.min()) if n else np.inf,
         float(pv.max()) if n else -np.inf,
     )
+
+
+_QUANT_K = 4096  # weighted points per batch partial for the median sketch
+
+
+def _quant_partial(pv: np.ndarray) -> tuple:
+    """Mergeable weighted-value summary of a batch: exact value/count
+    table when distinct <= _QUANT_K, else _QUANT_K rank-uniform points
+    (deterministic; each carries its rank-segment's weight)."""
+    vals, counts = np.unique(pv, return_counts=True)
+    if len(vals) <= _QUANT_K:
+        return (vals, counts.astype(np.float64))
+    cw = np.cumsum(counts)
+    total = cw[-1]
+    # segment boundaries at uniform ranks; point = value at segment end
+    bounds = np.linspace(0, total, _QUANT_K + 1)[1:]
+    idx = np.searchsorted(cw, bounds, side="left")
+    idx = np.minimum(idx, len(vals) - 1)
+    w = np.diff(np.concatenate(([0.0], cw[idx])))
+    keep = w > 0
+    return (vals[idx][keep], w[keep])
+
+
+def _merge_quant(parts) -> tuple[np.ndarray, np.ndarray]:
+    vals = np.concatenate([p[1] for p in parts])
+    w = np.concatenate([p[2] for p in parts])
+    order = np.argsort(vals, kind="stable")
+    return vals[order], w[order]
+
+
+def _weighted_median(vals: np.ndarray, w: np.ndarray) -> float:
+    """np.nanmedian semantics on an expanded multiset: the mean of the
+    order statistics at 0-based ranks floor((N-1)/2) and floor(N/2)."""
+    if len(vals) == 0:
+        return 0.0
+    cw = np.cumsum(w)
+    total = cw[-1]
+    lo_rank, hi_rank = (total - 1) / 2.0, total / 2.0
+    lo = vals[np.searchsorted(cw, lo_rank, side="right")]
+    hi = vals[np.searchsorted(cw, hi_rank, side="right")]
+    return float((lo + hi) / 2.0)
 
 
 def _merge_scalar(parts):
@@ -158,6 +206,9 @@ def _finalize(f: Feature, merged) -> tuple:
             var = np.maximum(ss / safe - mean**2, 0.0)
             vals = var if agg == "var" else np.sqrt(var)
         return (keys, vals)
+    if op == "impute_median":
+        vals, w = merged
+        return (_weighted_median(vals, w),)
     n, s, ss, mn, mx = merged
     if op == "minmax":
         return (mn, mx)
@@ -239,7 +290,7 @@ def fit_distributed(
             f
             for f in level_nodes
             if not (
-                f.op in ("mdlp", "impute_median")  # median is not a mergeable aggregate
+                f.op == "mdlp"  # supervised, needs y -> sample path
                 or f.op in CUSTOM_OPS  # custom fits are opaque -> sample path
                 or (f.op.startswith("gbt_") and f.op[4:] not in _MERGEABLE_GBT)
             )
@@ -279,6 +330,8 @@ def fit_distributed(
                     if kind == "gbt"
                     else _merge_counts(parts)
                     if kind == "counts"
+                    else _merge_quant(parts)
+                    if kind == "quant"
                     else _merge_scalar(parts)
                 )
                 fitted[f.name] = _finalize(f, merged)

@@ -261,3 +261,36 @@ class TestVectorizedText:
                     best, best_n = lang, m
             exp.append(best)
         assert got == exp
+
+
+class TestDistributedMedian:
+    def test_impute_median_streams_exact(self, ray_session):
+        """impute_median now fits via the mergeable weighted-value sketch
+        — no driver-side sample needed, exact at small distinct counts
+        (ADVICE r1 #4)."""
+        import pandas as pd
+        import ray.data
+
+        from complexity_driven_feature_construction_ray.functions.expr import raw, unary
+        from complexity_driven_feature_construction_ray.stages.fit import fit_distributed
+
+        rng = np.random.default_rng(2)
+        v = rng.integers(0, 40, 5001).astype(np.float64)
+        v[rng.choice(5001, 500, replace=False)] = np.nan
+        ds = ray.data.from_pandas(pd.DataFrame({"v": v})).repartition(6)
+        plan = unary("impute_median", raw("v", properties={"missing_values": True}))
+        fitted = fit_distributed([plan], ds, input_cols=["v"])  # no sample arg
+        assert fitted[plan.name][0] == np.nanmedian(v)
+
+    def test_sketch_bounded_error_on_wide_distribution(self):
+        from complexity_driven_feature_construction_ray.stages.fit import (
+            _merge_quant,
+            _quant_partial,
+            _weighted_median,
+        )
+
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=150_000)
+        parts = [("quant",) + _quant_partial(c) for c in np.array_split(x, 12)]
+        got = _weighted_median(*_merge_quant(parts))
+        assert abs((x < got).mean() - 0.5) < 1e-3  # rank error ~ 1/4096
