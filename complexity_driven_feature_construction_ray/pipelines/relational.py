@@ -26,7 +26,13 @@ from ..stages.stats import base_features_from_stats, column_stats
 from ..stages.temporal import asof_join, lag_lead, sessionize
 
 
-_BIG_TABLES = {"lineitem", "orders", "events", "customer", "part", "supplier"}
+_BIG_TABLES = {
+    "lineitem", "orders", "events", "customer", "part", "supplier",
+    # text/embedding tables are few-row but byte-heavy single files:
+    # without splitting, every downstream text/dedup/ANN stage runs on
+    # ONE block and serializes
+    "documents", "embeddings",
+}
 
 
 def _read(sf_dir: str, table: str, columns=None, split: bool | None = None):
@@ -769,10 +775,10 @@ FROM events
 def d_lang_id(sf_dir: str):
     """Stopword-overlap language ID (actor-pool stage; tables compiled
     once per actor in __init__)."""
-    from ..stages.text import LanguageId
+    from ..stages.text import language_id
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = ds.map_batches(LanguageId, batch_format="pyarrow", concurrency=4)
+    out = ds.map_batches(language_id, batch_format="pyarrow")
     return out.select_columns(["doc_id", "lang_pred"])
 
 

@@ -3,9 +3,10 @@
 Large-scale training-data curation ops (beyond the reference's scope,
 first-class here): token counting, quality scoring, n-gram-heuristic
 language ID, and rolling-hash document fingerprinting. All are
-stateless vectorized map_batches stages; the language-ID stage is a
-callable class (actor pool) because its per-language stopword tables
-and regexes are built once per actor.
+stateless vectorized map_batches stages; language ID carries small
+compiled state (stopword tables, regexes) built once per worker
+process — task mode via `language_id` (default; warm task pool, no
+actor startup) or a dedicated actor pool via the LanguageId class.
 
 Hot-path rule (VERDICT r1 items 1-2): no per-row / per-word Python
 loops. Word streams are flattened once per batch (str.findall ->
@@ -190,11 +191,33 @@ def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("fingerprint", pa.array(fps.astype(np.int64)))
 
 
-def text_analysis_dataset(ds, *, lang_concurrency: int = 4):
-    """token counts + quality + language id + fingerprint, one pipeline."""
-    return (
-        ds.map_batches(token_counts, batch_format="pyarrow")
-        .map_batches(quality_scores, batch_format="pyarrow")
-        .map_batches(LanguageId, batch_format="pyarrow", concurrency=lang_concurrency)
-        .map_batches(fingerprint, batch_format="pyarrow")
+_LANG_SINGLETON: list = []  # per-worker-process LanguageId cache
+
+
+def language_id(batch: pa.Table) -> pa.Table:
+    """Task-mode language ID: the marker tables/regexes build once per
+    WORKER PROCESS (module cache) instead of once per dedicated actor —
+    same amortization, none of the actor-pool startup latency. Use the
+    LanguageId class directly with map_batches(concurrency=N) when a
+    dedicated pool is wanted (heavy models); for this lightweight state
+    the warm task pool wins."""
+    if not _LANG_SINGLETON:
+        _LANG_SINGLETON.append(LanguageId())
+    return _LANG_SINGLETON[0](batch)
+
+
+def text_analysis_dataset(ds, *, lang_concurrency: int | None = None):
+    """token counts + quality + language id + fingerprint, one pipeline.
+
+    lang_concurrency=None (default) runs language ID in the shared task
+    pool; an int runs it as a dedicated actor pool of that size."""
+    ds = ds.map_batches(token_counts, batch_format="pyarrow").map_batches(
+        quality_scores, batch_format="pyarrow"
     )
+    if lang_concurrency:
+        ds = ds.map_batches(
+            LanguageId, batch_format="pyarrow", concurrency=lang_concurrency
+        )
+    else:
+        ds = ds.map_batches(language_id, batch_format="pyarrow")
+    return ds.map_batches(fingerprint, batch_format="pyarrow")
