@@ -772,6 +772,50 @@ FROM events
 """
 
 
+def t_rolling_range(sf_dir: str):
+    """Per-user trailing 6-hour TIME window sum (RANGE frame) — the
+    time-range variant of the windowed aggregate; per-entity-segment
+    binary-search frame start, exact ns arithmetic."""
+    from ..stages.temporal import rolling_agg
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"], split=True)
+    out = rolling_agg(
+        ds, key="user_id", ts="ts", col="value", window=0,
+        range_seconds=6 * 3600.0, agg="sum", out_col="roll6h", tiebreak=["event_id"],
+    )
+    return _round_cols(out.select_columns(["event_id", "roll6h"]), {"roll6h": 6})
+
+
+T_ROLLING_RANGE_SQL = """
+SELECT event_id,
+       round(sum(value) OVER (
+           PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW), 6) AS roll6h
+FROM events
+"""
+
+
+def q_grouped_median(sf_dir: str):
+    """Per-group exact-semantics median via the mergeable weighted-value
+    sketch combiner (stages/sketch.py:grouped_median) — no row shuffle,
+    only per-(batch, group) summaries leave the stream."""
+    from ..stages.sketch import grouped_median
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    out = grouped_median(
+        ds, key_cols=["l_returnflag"], value_col="l_quantity", out_col="med_qty"
+    )
+    out["med_qty"] = out["med_qty"].round(6)
+    return out
+
+
+Q_GROUPED_MEDIAN_SQL = """
+SELECT l_returnflag, round(median(l_quantity), 6) AS med_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 def d_lang_id(sf_dir: str):
     """Stopword-overlap language ID (actor-pool stage; tables compiled
     once per actor in __init__)."""
@@ -1319,6 +1363,8 @@ QUERIES: dict[str, tuple] = {
     "t_asof": (t_asof, T_ASOF_SQL),
     "t_rolling": (t_rolling, T_ROLLING_SQL),
     "t_row_number": (t_row_number, T_ROW_NUMBER_SQL),
+    "t_rolling_range": (t_rolling_range, T_ROLLING_RANGE_SQL),
+    "q_grouped_median": (q_grouped_median, Q_GROUPED_MEDIAN_SQL),
     "d_exact_dedup": (d_exact_dedup, D_EXACT_DEDUP_SQL),
     "d_token_counts": (d_token_counts, D_TOKEN_COUNTS_SQL),
     "d_quality": (d_quality, D_QUALITY_SQL),

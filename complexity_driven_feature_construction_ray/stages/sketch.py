@@ -10,6 +10,10 @@ distinct counting must be a combiner, not a shuffle of every row:
 - `distinct_hll`: HyperLogLog(p) register partials per group, merged by
   elementwise max — O(groups x 2^p bytes) regardless of cardinality,
   ~1.04/sqrt(2^p) relative error. The scale path.
+- `grouped_median`: per-(batch, group) weighted-value sketch partials
+  (stages/fit.py:_quant_partial — exact under 4096 distinct values per
+  partial, rank-uniform compression above), merged driver-side into an
+  exact-semantics weighted median per group.
 
 Both do ZERO row shuffling: only tiny per-batch summaries reach the
 driver.
@@ -109,4 +113,34 @@ def distinct_hll(
         df = pd.DataFrame(rows, columns=[key_cols[0], out_col])
     else:
         df = pd.DataFrame([(*k, n) for k, n in rows], columns=[*key_cols, out_col])
+    return df.sort_values(key_cols).reset_index(drop=True)
+
+
+def grouped_median(
+    ds, *, key_cols: list[str], value_col: str, out_col: str = "median"
+) -> pd.DataFrame:
+    """Exact-semantics per-group median via the mergeable weighted-value
+    sketch (combiner pattern: only O(batches x groups x 4096) summary
+    bytes leave the stream — no row shuffle). NaNs are skipped
+    (np.nanmedian / SQL median semantics)."""
+    from .fit import _merge_quant, _quant_partial, _weighted_median
+
+    def part(batch: pa.Table) -> pa.Table:
+        codes, uniques = _group_indices(batch, key_cols)
+        vals = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        out = {}
+        for g in range(len(uniques)):
+            pv = vals[codes == g]
+            out[uniques[g]] = _quant_partial(pv[~np.isnan(pv)])
+        return pa.table({"blob": pa.array([pickle.dumps(out)], type=pa.binary())})
+
+    merged: dict = {}
+    for row in ds.map_batches(part, batch_format="pyarrow", batch_size=None).take_all():
+        for k, p_ in pickle.loads(row["blob"]).items():
+            merged.setdefault(k, []).append(("quant",) + p_)
+    rows = [(k, _weighted_median(*_merge_quant(parts))) for k, parts in merged.items()]
+    if len(key_cols) == 1:
+        df = pd.DataFrame(rows, columns=[key_cols[0], out_col])
+    else:
+        df = pd.DataFrame([(*k, v) for k, v in rows], columns=[*key_cols, out_col])
     return df.sort_values(key_cols).reset_index(drop=True)

@@ -129,10 +129,19 @@ def rolling_agg(
     out_col: str | None = None,
     num_buckets: int | None = None,
     tiebreak: list[str] | None = None,
+    range_seconds: float | None = None,
 ):
-    """Per-entity rolling aggregate over the last `window` rows ordered by
-    ts (ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW). Arrow-native:
-    one entity-hash shuffle, vectorized prefix-sum math per bucket."""
+    """Per-entity rolling aggregate ordered by ts. Arrow-native: one
+    entity-hash shuffle, vectorized prefix-sum math per bucket.
+
+    window frame:
+    - default: last `window` ROWS (ROWS BETWEEN window-1 PRECEDING AND
+      CURRENT ROW)
+    - range_seconds set: trailing TIME window (RANGE BETWEEN INTERVAL
+      range_seconds PRECEDING AND CURRENT ROW) — the window start is a
+      binary search for ts_i - range per entity segment; `window` is
+      ignored. SQL RANGE frame semantics: all peers of the current
+      row's ts are in the frame, including rows after it in order."""
     B = num_buckets or default_buckets(ds)
     out_col = out_col or f"{col}_roll{agg}{window}"
 
@@ -158,8 +167,31 @@ def rolling_agg(
         is_start[0] = True
         is_start[1:] = k[1:] != k[:-1]
         start_of = np.maximum.accumulate(np.where(is_start, np.arange(m), -1))
-        lo = np.maximum(np.arange(m) - window + 1, start_of)
         hi = np.arange(m) + 1
+        if range_seconds is None:
+            lo = np.maximum(np.arange(m) - window + 1, start_of)
+        else:
+            # trailing time window: within each entity segment (ts is
+            # sorted there) the frame start is searchsorted(ts, ts_i - w).
+            # One numpy searchsorted per segment — the same per-key-segment
+            # cursor shape as the as-of attach; exact int64-ns arithmetic.
+            t_ns = (
+                g[ts].to_numpy(zero_copy_only=False)[order]
+                .astype("datetime64[ns]")
+                .view(np.int64)
+            )
+            w_ns = np.int64(round(range_seconds * 1e9))
+            lo = np.empty(m, dtype=np.int64)
+            hi = np.empty(m, dtype=np.int64)
+            seg_starts = np.flatnonzero(is_start)
+            seg_ends = np.append(seg_starts[1:], m)
+            for s0, s1 in zip(seg_starts, seg_ends):
+                lo[s0:s1] = s0 + np.searchsorted(
+                    t_ns[s0:s1], t_ns[s0:s1] - w_ns, side="left"
+                )
+                hi[s0:s1] = s0 + np.searchsorted(
+                    t_ns[s0:s1], t_ns[s0:s1], side="right"
+                )
         csum = np.concatenate(([0.0], np.cumsum(vz)))
         ccnt = np.concatenate(([0], np.cumsum(ok.astype(np.int64))))
         nn = ccnt[hi] - ccnt[lo]  # non-null values in window

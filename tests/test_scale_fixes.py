@@ -294,3 +294,56 @@ class TestDistributedMedian:
         parts = [("quant",) + _quant_partial(c) for c in np.array_split(x, 12)]
         got = _weighted_median(*_merge_quant(parts))
         assert abs((x < got).mean() - 0.5) < 1e-3  # rank error ~ 1/4096
+
+
+class TestRangeWindowAndGroupedMedian:
+    def test_rolling_range_matches_bruteforce(self, ray_session):
+        """Trailing time window with SQL RANGE semantics (equal-ts peers
+        included) vs an O(n^2) brute-force oracle."""
+        from complexity_driven_feature_construction_ray.stages.temporal import rolling_agg
+
+        rng = np.random.default_rng(4)
+        n = 300
+        df = pd.DataFrame(
+            {
+                "k": rng.choice(["a", "b", "c"], n),
+                # coarse grid so duplicate (k, ts) pairs occur -> peers
+                "ts": pd.Timestamp("2025-01-01")
+                + pd.to_timedelta(rng.integers(0, 48, n) * 3600, unit="s"),
+                "v": rng.normal(0, 1, n).round(3),
+                "i": np.arange(n),
+            }
+        )
+        out = (
+            rolling_agg(
+                ray.data.from_arrow(pa.Table.from_pandas(df)),
+                key="k", ts="ts", col="v", window=0,
+                range_seconds=3 * 3600.0, agg="sum", out_col="r",
+                tiebreak=["i"], num_buckets=4,
+            )
+            .to_pandas()
+            .set_index("i")["r"]
+        )
+        w = pd.Timedelta(hours=3)
+        for _, row in df.iterrows():
+            frame = df[
+                (df["k"] == row["k"])
+                & (df["ts"] <= row["ts"])
+                & (df["ts"] >= row["ts"] - w)
+            ]
+            assert out[row["i"]] == pytest.approx(frame["v"].sum())
+
+    def test_grouped_median_matches_numpy(self, ray_session):
+        from complexity_driven_feature_construction_ray.stages.sketch import grouped_median
+
+        rng = np.random.default_rng(7)
+        df = pd.DataFrame(
+            {
+                "g": rng.choice(["x", "y"], 5001),
+                "v": rng.integers(0, 30, 5001).astype(np.float64),
+            }
+        )
+        ds = ray.data.from_pandas(df).repartition(5)
+        out = grouped_median(ds, key_cols=["g"], value_col="v").set_index("g")["median"]
+        for g in ("x", "y"):
+            assert out[g] == np.median(df.loc[df["g"] == g, "v"])
