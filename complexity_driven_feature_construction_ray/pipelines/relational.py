@@ -562,6 +562,10 @@ def t_asof(sf_dir: str):
     from ..stages.temporal import grouped_map
 
     purchases = grouped_map(purchases, "user_id", dedup)
+    # both sides are lazy map lineages: derive their schemas from the
+    # parquet read's metadata so asof_join doesn't execute each pipeline
+    # an extra time just to discover column types
+    base = {n: t for n, t in zip(ds.schema().names, ds.schema().types)}
     out = asof_join(
         clicks,
         purchases,
@@ -569,7 +573,8 @@ def t_asof(sf_dir: str):
         probe_ts="ts",
         event_ts="ts",
         value_cols=["value"],
-
+        probe_schema=pa.schema([(c, base[c]) for c in ["event_id", "ts", "user_id"]]),
+        event_schema=pa.schema([(c, base[c]) for c in ["user_id", "ts", "value"]]),
     )
     return out.select_columns(["event_id", "asof_value"])
 

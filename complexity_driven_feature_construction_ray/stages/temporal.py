@@ -254,6 +254,7 @@ def asof_join(
     num_buckets: int | None = None,
     allow_exact: bool = True,
     probe_schema: pa.Schema | None = None,
+    event_schema: pa.Schema | None = None,
 ):
     """For each probe row, attach the latest event values with
     event_ts <= probe_ts (strictly < when allow_exact=False) for the
@@ -263,9 +264,9 @@ def asof_join(
     groupby(bucket), per-bucket ts-sorted pd.merge_asof (sorted-merge
     with a binary-search cursor per key).
 
-    Pass `probe_schema` when the probe is a lazy map_batches lineage:
-    ds.schema() on such a dataset executes the upstream pipeline to
-    discover the schema (a full extra pass).
+    Pass `probe_schema` / `event_schema` when that side is a lazy
+    map_batches lineage: ds.schema() on such a dataset EXECUTES the
+    upstream pipeline to discover the schema (a full extra pass).
     """
     event_key = event_key or key
     B = num_buckets or default_buckets(probe_ds, event_ds)
@@ -274,7 +275,9 @@ def asof_join(
     probe_schema = _as_arrow_schema(probe_schema)
     probe_cols = probe_schema.names
     probe_types = dict(zip(probe_schema.names, probe_schema.types))
-    event_schema = _as_arrow_schema(event_ds.schema())
+    if event_schema is None:
+        event_schema = event_ds.schema(fetch_if_missing=False) or event_ds.schema()
+    event_schema = _as_arrow_schema(event_schema)
     event_types = dict(zip(event_schema.names, event_schema.types))
     out_event_cols = [f"asof_{c}" for c in value_cols]
 
@@ -478,6 +481,7 @@ def temporal_attach(
     tiebreak: list[str] | None = None,
     allow_exact: bool = True,
     probe_schema: pa.Schema | None = None,
+    event_schema: pa.Schema | None = None,
 ):
     """Fully fused temporal layer: as-of value attach + lag/lead +
     sessionization in ONE entity shuffle and ONE per-bucket sorted scan.
@@ -495,7 +499,9 @@ def temporal_attach(
     probe_schema = _as_arrow_schema(probe_schema)
     probe_cols = probe_schema.names
     probe_types = dict(zip(probe_schema.names, probe_schema.types))
-    event_schema = _as_arrow_schema(event_ds.schema())
+    if event_schema is None:
+        event_schema = event_ds.schema(fetch_if_missing=False) or event_ds.schema()
+    event_schema = _as_arrow_schema(event_schema)
     event_types = dict(zip(event_schema.names, event_schema.types))
     out_event_cols = [f"asof_{c}" for c in value_cols]
     ev_cols = [f"__ev_{c}" for c in value_cols]
