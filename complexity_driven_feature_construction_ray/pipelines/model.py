@@ -159,3 +159,49 @@ def cnn_instance_selection(
         if not added:
             break
     return np.sort(np.asarray(store))
+
+
+def smote_oversample(
+    X: np.ndarray,
+    y: np.ndarray,
+    *,
+    k: int = 5,
+    seed: int = 42,
+    target_ratio: float = 1.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """SMOTE minority oversampling (the reference's sampling wrapper,
+    transformations/sampling/SmoteTransformation.py via imblearn SMOTE;
+    re-implemented): synthesize minority samples by interpolating a
+    random fraction of the way toward one of the k nearest minority
+    neighbours until n_minority >= target_ratio * n_majority.
+    Deterministic under `seed`; returns (X_aug, y_aug) with the
+    synthetic rows appended. Runs on the driver-side sample (the
+    reference applies it inside the sklearn pipeline on in-memory
+    folds)."""
+    X = np.asarray(X, dtype=np.float64)
+    y = np.asarray(y)
+    classes, counts = np.unique(y, return_counts=True)
+    if len(classes) != 2:
+        raise ValueError("smote_oversample expects binary labels")
+    minority = classes[np.argmin(counts)]
+    maj_n, min_n = counts.max(), counts.min()
+    n_new = int(np.ceil(target_ratio * maj_n)) - min_n
+    if n_new <= 0:
+        return X, y
+    Xm = X[y == minority]
+    k_eff = min(k, len(Xm) - 1)
+    if k_eff < 1:
+        return X, y
+    # pairwise distances within the minority class (driver sample scale)
+    d2 = ((Xm[:, None, :] - Xm[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    nn = np.argsort(d2, axis=1, kind="stable")[:, :k_eff]
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, len(Xm), n_new)
+    pick = nn[base, rng.integers(0, k_eff, n_new)]
+    gap = rng.random((n_new, 1))
+    X_new = Xm[base] + gap * (Xm[pick] - Xm[base])
+    return (
+        np.vstack([X, X_new]),
+        np.concatenate([y, np.full(n_new, minority, dtype=y.dtype)]),
+    )

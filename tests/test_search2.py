@@ -189,3 +189,37 @@ class TestNSGA2:
         # the informative feature carries the best-accuracy solutions
         best = max(front, key=lambda r: r["acc"])
         assert "sig" in best["selected"] and best["acc"] > 0.8
+
+
+class TestSmote:
+    def test_balances_and_interpolates(self):
+        from complexity_driven_feature_construction_ray.pipelines.model import (
+            smote_oversample,
+        )
+
+        rng = np.random.default_rng(6)
+        X_maj = rng.normal(0, 1, (180, 3))
+        X_min = rng.normal(5, 0.5, (20, 3))
+        X = np.vstack([X_maj, X_min])
+        y = np.array([0] * 180 + [1] * 20, dtype=np.int8)
+        Xa, ya = smote_oversample(X, y, seed=42)
+        assert (ya == 1).sum() == (ya == 0).sum() == 180
+        assert len(Xa) == len(ya) == 360
+        # synthetic rows interpolate between minority points: they stay
+        # inside the minority bounding box, far from the majority blob
+        new = Xa[len(X):]
+        lo, hi = X_min.min(axis=0), X_min.max(axis=0)
+        assert (new >= lo - 1e-9).all() and (new <= hi + 1e-9).all()
+        # deterministic
+        Xb, yb = smote_oversample(X, y, seed=42)
+        assert np.array_equal(Xa, Xb)
+
+    def test_already_balanced_is_identity(self):
+        from complexity_driven_feature_construction_ray.pipelines.model import (
+            smote_oversample,
+        )
+
+        X = np.arange(20, dtype=np.float64).reshape(10, 2)
+        y = np.array([0] * 5 + [1] * 5, dtype=np.int8)
+        Xa, ya = smote_oversample(X, y)
+        assert np.array_equal(Xa, X) and np.array_equal(ya, y)
