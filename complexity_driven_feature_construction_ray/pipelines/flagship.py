@@ -123,12 +123,17 @@ def run_flagship(
             if f.name not in probe_schema.names:
                 probe_schema = probe_schema.append(pa.field(f.name, pa.float64()))
 
+        from ..stages.bucketing import data_sized_buckets
+
         events = ray.data.from_pandas(source_feature_events(seed))
         # fully fused temporal layer: as-of attach + lag/lead +
-        # sessionization in ONE shuffle of the wide table
+        # sessionization in ONE shuffle of the wide table. The probe is
+        # a lazy backfill lineage (no metadata count) — size the
+        # entity-hash buckets from the known input row count.
         out = temporal_attach(
             out,
             events,
+            num_buckets=data_sized_buckets(n_rows),
             key="source",
             probe_ts="ingest_ts",
             event_ts="event_ts",

@@ -559,12 +559,16 @@ def t_asof(sf_dir: str):
         g = g.sort_values("event_id", kind="stable")
         return g.groupby(["user_id", "ts"], sort=False).tail(1)[["user_id", "ts", "value"]]
 
+    from ..stages.bucketing import default_buckets
     from ..stages.temporal import grouped_map
 
-    purchases = grouped_map(purchases, "user_id", dedup)
-    # both sides are lazy map lineages: derive their schemas from the
-    # parquet read's metadata so asof_join doesn't execute each pipeline
-    # an extra time just to discover column types
+    # the filtered sides are lazy map lineages with no metadata row
+    # count; size the hash buckets from the SOURCE read instead
+    nb = default_buckets(ds)
+    purchases = grouped_map(purchases, "user_id", dedup, num_buckets=nb)
+    # likewise derive both schemas from the parquet read's metadata so
+    # asof_join doesn't execute each pipeline an extra time just to
+    # discover column types
     base = {n: t for n, t in zip(ds.schema().names, ds.schema().types)}
     out = asof_join(
         clicks,
@@ -573,6 +577,7 @@ def t_asof(sf_dir: str):
         probe_ts="ts",
         event_ts="ts",
         value_cols=["value"],
+        num_buckets=nb,
         probe_schema=pa.schema([(c, base[c]) for c in ["event_id", "ts", "user_id"]]),
         event_schema=pa.schema([(c, base[c]) for c in ["user_id", "ts", "value"]]),
     )
