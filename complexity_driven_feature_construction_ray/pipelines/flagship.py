@@ -86,11 +86,13 @@ def run_flagship(
     ds = token_table_dataset(n_rows, seed=seed, override_num_blocks=num_blocks)
     ds = token_stats_dataset(ds)
 
+    sample = None  # (cols, y) for unmergeable fits (mdlp is supervised)
     if selected is None:
         if search_result is None:
             stats = column_stats(ds, ["n_tok", "source", *TOKEN_STAT_COLS])
             base = base_features_from_stats(stats)
             cols, y = search_sample(min(sample_rows, n_rows), seed=seed)
+            sample = (cols, y)
             search = ComplexityDrivenSearch(
                 c_max=c_max, epsilon=0.0, use_ray=use_ray_scoring, lr_max_iter=15
             )
@@ -102,8 +104,13 @@ def run_flagship(
 
     from ..sources.token_table import TOKEN_TABLE_SCHEMA
 
+    if sample is None:
+        sample = search_sample(min(sample_rows, n_rows), seed=seed)
     fitted = fit_distributed(
-        selected, ds, input_cols=[*TOKEN_TABLE_SCHEMA.names, *TOKEN_STAT_COLS]
+        selected,
+        ds,
+        input_cols=[*TOKEN_TABLE_SCHEMA.names, *TOKEN_STAT_COLS],
+        sample_for_unmergeable=sample,
     )
     out = backfill_dataset(
         ds, selected, fitted, concurrency=concurrency, batch_size=batch_size
