@@ -452,6 +452,83 @@ GROUP BY l_returnflag
 """
 
 
+def q_anti_join(sf_dir: str):
+    """Anti join (NOT IN) via the broadcast sorted-key-set pattern:
+    customers with no high-value order, counted per market segment. No
+    shuffle of either side; the key set ships once via ray.put."""
+    import ray
+    from ray.data.aggregate import Count
+
+    keys = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .filter(expr="o_totalprice > 400000.0")
+        .to_pandas()["o_custkey"]
+        .unique()
+    )
+    key_ref = ray.put(np.sort(keys))
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def anti(batch: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        ck = batch["c_custkey"].to_numpy()
+        idx = np.clip(np.searchsorted(ks, ck), 0, len(ks) - 1)
+        return batch.filter(pa.array(ks[idx] != ck))
+
+    return (
+        ds.map_batches(anti, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_never_ordered"))
+    )
+
+
+Q_ANTI_JOIN_SQL = """
+SELECT c_mktsegment, count(*) AS n_never_ordered
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+GROUP BY c_mktsegment
+"""
+
+
+_PRICE_BANDS = [(0.0, 20000.0), (20000.0, 40000.0), (40000.0, 70000.0), (70000.0, 1e12)]
+
+
+def q_range_join(sf_dir: str):
+    """Range (band) join: each lineitem row joins the price band whose
+    [lo, hi) interval contains l_extendedprice. The band table is tiny
+    and SORTED, so the join is a broadcast searchsorted per batch — the
+    custom-operator answer to an interval join that Ray Data lacks
+    (partitioning assumption: the band table fits in the object store;
+    the fact side streams)."""
+    from ray.data.aggregate import Count, Sum
+
+    lows = np.array([b[0] for b in _PRICE_BANDS])
+
+    def band(batch: pa.Table) -> pa.Table:
+        v = batch["l_extendedprice"].to_numpy()
+        idx = np.searchsorted(lows, v, side="right") - 1
+        return pa.table(
+            {"band": pa.array(idx.astype(np.int64)), "price": batch["l_extendedprice"]}
+        )
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    out = (
+        ds.map_batches(band, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(Count(alias_name="n"), Sum("price", alias_name="sum_price"))
+    )
+    return _round_cols(out, {"sum_price": 2})
+
+
+Q_RANGE_JOIN_SQL = """
+SELECT b.band, count(*) AS n, round(sum(l.l_extendedprice), 2) AS sum_price
+FROM lineitem l
+JOIN (VALUES (0, 0.0, 20000.0), (1, 20000.0, 40000.0),
+             (2, 40000.0, 70000.0), (3, 70000.0, 1e12)) AS b(band, lo, hi)
+  ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+GROUP BY b.band
+"""
+
+
 def q_distinct_parts(sf_dir: str):
     """Per-flag exact distinct part count via the set-union combiner —
     no row shuffle; only per-batch (group -> value set) summaries move
@@ -1365,6 +1442,8 @@ QUERIES: dict[str, tuple] = {
     "q_top_revenue": (q_top_revenue, Q_TOP_REVENUE_SQL),
     "q_broadcast_join": (q_broadcast_join, Q_BROADCAST_JOIN_SQL),
     "q_semi_join": (q_semi_join, Q_SEMI_JOIN_SQL),
+    "q_anti_join": (q_anti_join, Q_ANTI_JOIN_SQL),
+    "q_range_join": (q_range_join, Q_RANGE_JOIN_SQL),
     "q_distinct_parts": (q_distinct_parts, Q_DISTINCT_SQL),
     "q_filter_sort_topk": (q_filter_sort_topk, Q_TOPK_SQL),
     "q_salted_agg": (q_salted_agg, Q_SALTED_AGG_SQL),
