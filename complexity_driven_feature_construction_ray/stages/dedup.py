@@ -72,33 +72,43 @@ def exact_dedup(ds, *, content_col: str = "text", id_col: str = "doc_id", num_bu
 # minhash + LSH
 
 
-def _shingle_hashes(texts: list[str], shingle_words: int) -> tuple[np.ndarray, np.ndarray]:
-    """All word-k-gram hashes of a batch + row offsets (segmented layout)."""
-    words_per_row = [t.split() if t else [] for t in texts]
-    counts = np.array([max(len(w) - shingle_words + 1, 0) for w in words_per_row])
-    all_words = np.array(
-        [w for ws in words_per_row for w in ws] or [""], dtype=object
+def _flat_words(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(word hashes, per-row word counts) for a batch — one explode, one
+    vectorized hash pass, no per-row Python loop."""
+    s = pd.Series(texts).fillna("")
+    ex = s.str.findall(r"\S+").explode().dropna()
+    counts = np.bincount(ex.index.to_numpy(dtype=np.int64), minlength=len(texts))
+    wh = (
+        _hash_words(ex.to_numpy(dtype=object))
+        if len(ex)
+        else np.empty(0, dtype=_U64)
     )
-    wh = _hash_words(all_words)
-    w_offsets = np.zeros(len(words_per_row) + 1, dtype=np.int64)
-    np.cumsum([len(w) for w in words_per_row], out=w_offsets[1:])
-    # shingle hash = mix of k consecutive word hashes within a row
-    sh_parts = []
-    with np.errstate(over="ignore"):
-        for row, ws in enumerate(words_per_row):
-            n = len(ws)
-            k = shingle_words
-            if n < k:
-                continue
-            base = w_offsets[row]
-            acc = wh[base : base + n - k + 1].copy()
-            for j in range(1, k):
-                acc = acc * _U64(1_000_003) + wh[base + j : base + n - k + 1 + j]
-            sh_parts.append(acc)
-    sh = np.concatenate(sh_parts) if sh_parts else np.empty(0, dtype=_U64)
+    return wh, counts
+
+
+def _shingle_hashes(texts: list[str], shingle_words: int) -> tuple[np.ndarray, np.ndarray]:
+    """All word-k-gram hashes of a batch + row offsets (segmented layout).
+    Fully vectorized: shingle starts are the flat positions whose k-th
+    successor is still in the same row; the k-way mix is k-1 shifted
+    vector ops over the whole flat hash array."""
+    k = shingle_words
+    wh, word_counts = _flat_words(texts)
+    counts = np.maximum(word_counts - k + 1, 0)
     offsets = np.zeros(len(texts) + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
-    return sh, offsets
+    W = len(wh)
+    if W == 0 or counts.sum() == 0:
+        return np.empty(0, dtype=_U64), offsets
+    row_of = np.repeat(np.arange(len(texts)), word_counts)
+    valid = np.zeros(W, dtype=bool)
+    if W >= k:
+        valid[: W - k + 1] = row_of[: W - k + 1] == row_of[k - 1 :]
+    starts = np.flatnonzero(valid)
+    with np.errstate(over="ignore"):
+        acc = wh[starts].copy()
+        for j in range(1, k):
+            acc = acc * _U64(1_000_003) + wh[starts + j]
+    return acc, offsets
 
 
 def minhash_signatures(
@@ -332,16 +342,28 @@ def _hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def simhash_values(texts: list[str]) -> np.ndarray:
-    """64-bit SimHash per text (word-level features)."""
-    out = np.zeros(len(texts), dtype=_U64)
-    for i, t in enumerate(texts):
-        ws = t.split() if t else []
-        if not ws:
-            continue
-        wh = _hash_words(np.array(ws, dtype=object))
-        bits = np.unpackbits(wh.view(np.uint8)).reshape(len(wh), 64)
-        score = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-        out[i] = np.packbits((score > 0).astype(np.uint8)).view(_U64)[0]
+    """64-bit SimHash per text (word-level features). Vectorized: one
+    flat hash pass, one unpackbits over all words, per-row bit-score
+    sums via add.reduceat."""
+    n = len(texts)
+    out = np.zeros(n, dtype=_U64)
+    wh, counts = _flat_words(texts)
+    if len(wh) == 0:
+        return out
+    # (64, W) layout so the segmented row-sum runs over contiguous memory
+    bits = (
+        np.unpackbits(wh.view(np.uint8)).reshape(len(wh), 64).T.astype(np.int64)
+    )
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    nonempty = counts > 0
+    # score per (row, bit): sum of (2b-1) = 2*sum(b) - n_words
+    bit_sums = np.add.reduceat(np.ascontiguousarray(bits), starts[nonempty], axis=1)
+    score = 2 * bit_sums.T - counts[nonempty][:, None]
+    packed = np.ascontiguousarray(
+        np.packbits((score > 0).astype(np.uint8), axis=1)
+    ).view(_U64).ravel()
+    out[nonempty] = packed
     return out
 
 
