@@ -120,6 +120,42 @@ def _eval_candidate(feat: Feature, cols, y, fold, c_grid, max_iter=25):
     return (score, best_c, ll, hasher.hexdigest(), False)
 
 
+_WORKER_COLS: dict = {}  # per-worker-process cache of the scoring sample
+
+
+def _score_chunk(wrapped_blob_ref, plan_blobs, y, fold, c_grid, max_iter, custom_ops):
+    """Task-mode scoring kernel: the sample ships once via the object
+    store and is deserialized once per WORKER PROCESS (module cache) —
+    the same amortization as a dedicated actor without paying
+    actor-process startup (see stages/backfill.py:_task_backfill for
+    the measured gap). `wrapped_blob_ref` is a 1-tuple so Ray does not
+    auto-resolve the ObjectRef before the task body runs."""
+    import ray
+
+    if custom_ops:
+        from ..functions.expr import CUSTOM_OPS as _REG
+
+        _REG.update(custom_ops)
+    (blob_ref,) = wrapped_blob_ref
+    key = blob_ref.hex()
+    cols = _WORKER_COLS.get(key)
+    if cols is None:
+        if len(_WORKER_COLS) > 4:
+            _WORKER_COLS.clear()
+        cols = _WORKER_COLS[key] = pickle.loads(ray.get(blob_ref))
+    out = []
+    for blob in plan_blobs:
+        feat: Feature = pickle.loads(blob)
+        try:
+            r = _eval_candidate(feat, cols, y, fold, c_grid, max_iter)
+        except Exception:
+            # a failing candidate is dropped, not fatal (reference
+            # run_evaluation.py:401-414 evaluate_catch)
+            r = (0.0, 1.0, -np.inf, f"error:{feat.name}", True)
+        out.append((feat.name, *r))
+    return out
+
+
 class CandidateScorer:
     """Scoring-pool actor: candidate plans in, scores out.
 
@@ -489,6 +525,7 @@ class ComplexityDrivenSearch:
         lr_max_iter: int = 25,
         use_ray: bool = True,
         instance_selection: bool = False,
+        scorer_mode: str = "tasks",
     ):
         # default op families = get_transformation_for_division
         # (reference candidate_generation/feature_space/division.py:23-56)
@@ -510,6 +547,10 @@ class ComplexityDrivenSearch:
         # reference Config 'instance.selection' (EvaluationFramework.py:
         # 193-199): condense the scoring sample by CNN before the search
         self.instance_selection = instance_selection
+        # "tasks" (default): warm task pool + per-worker sample cache —
+        # no actor startup on cold runs; "actors": dedicated pool (the
+        # right shape if per-candidate state ever becomes heavy)
+        self.scorer_mode = scorer_mode
         self._pool = None
         self._actors: list = []
         self._blob_ref = None
@@ -564,6 +605,35 @@ class ComplexityDrivenSearch:
         chunks = [
             layer[i : i + self.score_batch] for i in range(0, len(layer), self.score_batch)
         ]
+        if self.scorer_mode == "tasks":
+            import ray
+
+            from ..functions.expr import CUSTOM_OPS
+
+            if self._blob_ref is None:
+                self._blob_ref = ray.put(pickle.dumps(cols))
+            ops = dict(CUSTOM_OPS) or None
+            fn = ray.remote(num_cpus=1)(_score_chunk)
+            refs = [
+                fn.remote(
+                    (self._blob_ref,),
+                    [pickle.dumps(f) for f in ch],
+                    y,
+                    fold,
+                    self.c_grid,
+                    self.lr_max_iter,
+                    ops,
+                )
+                for ch in chunks
+            ]
+            by_name = {
+                name: rest for out in ray.get(refs) for (name, *rest) in out
+            }
+            return [
+                (f, float(r[0]), float(r[1]), float(r[2]), str(r[3]), bool(r[4]))
+                for f in layer
+                for r in (by_name[f.name],)
+            ]
         pool = self._ensure_pool(cols, y, fold, want=len(chunks))
         batches = [
             {"plan": np.array([pickle.dumps(f) for f in ch], dtype=object)} for ch in chunks
