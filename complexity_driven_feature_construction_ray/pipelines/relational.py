@@ -758,7 +758,9 @@ def _perturbed_docs(sf_dir: str, n: int = 20, near: bool = True):
     import ray
     import ray.data
 
-    pdf = _read(sf_dir, "documents", columns=["doc_id", "text"]).to_pandas()
+    # split=False: this read is immediately collected to pandas; the
+    # repartition would just add a pass
+    pdf = _read(sf_dir, "documents", columns=["doc_id", "text"], split=False).to_pandas()
     extra = pdf.head(n).copy()
     extra["doc_id"] = extra["doc_id"] + 10_000_000
     if near:
