@@ -548,6 +548,49 @@ GROUP BY l_returnflag
 """
 
 
+def q_union_distinct(sf_dir: str):
+    """Row-level set op: UNION (ALL + distinct) of two key projections
+    — Dataset.union then the exact-dedup shuffle, counted per flag."""
+    from ray.data.aggregate import Count
+
+    hi = (
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_quantity"])
+        .filter(expr="l_quantity >= 45.0")
+    )
+    lo = (
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_quantity"])
+        .filter(expr="l_quantity <= 5.0")
+    )
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return batch.select(["l_orderkey", "l_returnflag"])
+
+    both = hi.map_batches(proj, batch_format="pyarrow").union(
+        lo.map_batches(proj, batch_format="pyarrow")
+    )
+    distinct = both.groupby(["l_orderkey", "l_returnflag"]).count()
+
+    def drop_cnt(batch: pa.Table) -> pa.Table:
+        return batch.select(["l_orderkey", "l_returnflag"])
+
+    return (
+        distinct.map_batches(drop_cnt, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Count(alias_name="n_keys"))
+    )
+
+
+Q_UNION_DISTINCT_SQL = """
+SELECT l_returnflag, count(*) AS n_keys FROM (
+    SELECT DISTINCT l_orderkey, l_returnflag FROM (
+        SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_quantity >= 45.0
+        UNION ALL
+        SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_quantity <= 5.0
+    )
+) GROUP BY l_returnflag
+"""
+
+
 def q_filter_sort_topk(sf_dir: str):
     ds = _read(
         sf_dir, "lineitem",
@@ -1448,6 +1491,7 @@ QUERIES: dict[str, tuple] = {
     "q_range_join": (q_range_join, Q_RANGE_JOIN_SQL),
     "q_distinct_parts": (q_distinct_parts, Q_DISTINCT_SQL),
     "q_filter_sort_topk": (q_filter_sort_topk, Q_TOPK_SQL),
+    "q_union_distinct": (q_union_distinct, Q_UNION_DISTINCT_SQL),
     "q_salted_agg": (q_salted_agg, Q_SALTED_AGG_SQL),
     "t_lag_lead": (t_lag_lead, T_LAG_LEAD_SQL),
     "t_sessionize": (t_sessionize, T_SESSIONIZE_SQL),
