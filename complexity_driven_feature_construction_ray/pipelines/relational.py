@@ -395,10 +395,11 @@ def q_broadcast_join(sf_dir: str):
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def attach(batch: pa.Table) -> pa.Table:
+        from ..stages.arrowutil import sorted_lookup
+
         ks, vs = ray.get(lookup_ref)
-        ok = batch["o_custkey"].to_numpy()
-        idx = np.clip(np.searchsorted(ks, ok), 0, len(ks) - 1)
-        seg = np.where(ks[idx] == ok, vs[idx], None)
+        idx, found = sorted_lookup(ks, batch["o_custkey"].to_numpy())
+        seg = np.where(found, vs[idx], None)
         return batch.append_column("c_mktsegment", pa.array(seg, type=pa.string()))
 
     out = (
@@ -431,11 +432,10 @@ def q_semi_join(sf_dir: str):
     ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
 
     def semi(batch: pa.Table) -> pa.Table:
-        ks = ray.get(key_ref)
-        ok = batch["l_orderkey"].to_numpy()
-        idx = np.searchsorted(ks, ok)
-        idx = np.clip(idx, 0, len(ks) - 1)
-        return batch.filter(pa.array(ks[idx] == ok))
+        from ..stages.arrowutil import sorted_lookup
+
+        _, found = sorted_lookup(ray.get(key_ref), batch["l_orderkey"].to_numpy())
+        return batch.filter(pa.array(found))
 
     return (
         ds.map_batches(semi, batch_format="pyarrow")
@@ -469,10 +469,10 @@ def q_anti_join(sf_dir: str):
     ds = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
 
     def anti(batch: pa.Table) -> pa.Table:
-        ks = ray.get(key_ref)
-        ck = batch["c_custkey"].to_numpy()
-        idx = np.clip(np.searchsorted(ks, ck), 0, len(ks) - 1)
-        return batch.filter(pa.array(ks[idx] != ck))
+        from ..stages.arrowutil import sorted_lookup
+
+        _, found = sorted_lookup(ray.get(key_ref), batch["c_custkey"].to_numpy())
+        return batch.filter(pa.array(~found))
 
     return (
         ds.map_batches(anti, batch_format="pyarrow")

@@ -121,6 +121,7 @@ def _eval_candidate(feat: Feature, cols, y, fold, c_grid, max_iter=25):
 
 
 _WORKER_COLS: dict = {}  # per-worker-process cache of the scoring sample
+_SCORE_REMOTE = None  # lazily-created ray.remote wrapper (exported once)
 
 
 def _score_chunk(wrapped_blob_ref, plan_blobs, y, fold, c_grid, max_iter, custom_ops):
@@ -613,7 +614,10 @@ class ComplexityDrivenSearch:
             if self._blob_ref is None:
                 self._blob_ref = ray.put(pickle.dumps(cols))
             ops = dict(CUSTOM_OPS) or None
-            fn = ray.remote(num_cpus=1)(_score_chunk)
+            global _SCORE_REMOTE
+            if _SCORE_REMOTE is None:
+                _SCORE_REMOTE = ray.remote(num_cpus=1)(_score_chunk)
+            fn = _SCORE_REMOTE
             refs = [
                 fn.remote(
                     (self._blob_ref,),

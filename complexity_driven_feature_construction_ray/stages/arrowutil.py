@@ -28,8 +28,27 @@ def list_column_matrix(col, dtype=np.float64) -> np.ndarray:
         if out.ndim == 1 and out.dtype == object:
             out = np.stack(out)
         return out.reshape(n, -1).astype(dtype, copy=False)
+    if isinstance(col, (pa.ListArray, pa.LargeListArray)):
+        # validate via the offsets, not total-length divisibility: a
+        # ragged batch whose total happens to divide n would otherwise
+        # reshape into silently-wrong rows
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        if len(widths) and (widths != widths[0]).any():
+            raise ValueError("ragged list column; fixed-width embeddings expected")
     vals = col.flatten().to_numpy(zero_copy_only=False)
     if len(vals) % n != 0:
         raise ValueError("ragged list column; fixed-width embeddings expected")
     out = vals.reshape(n, len(vals) // n)
     return out.astype(dtype, copy=False)
+
+
+def sorted_lookup(sorted_keys: np.ndarray, values: np.ndarray):
+    '''(idx, found) for probing `values` against a SORTED key array --
+    the broadcast-membership primitive shared by the semi/anti joins,
+    the broadcast hash join, and apply_dedup. Safe on an empty key set
+    (found is all-False).'''
+    if len(sorted_keys) == 0:
+        return np.zeros(len(values), dtype=np.int64), np.zeros(len(values), dtype=bool)
+    idx = np.clip(np.searchsorted(sorted_keys, values), 0, len(sorted_keys) - 1)
+    return idx, sorted_keys[idx] == values

@@ -501,11 +501,11 @@ def apply_dedup(ds, clusters: pd.DataFrame, *, id_col: str = "doc_id"):
     dup_ref = ray.put(np.sort(dup))
 
     def keep(batch: pa.Table) -> pa.Table:
+        from .arrowutil import sorted_lookup
+
         d = ray.get(dup_ref)
-        if len(d) == 0:
-            return batch
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        idx = np.clip(np.searchsorted(d, ids), 0, len(d) - 1)
-        return batch.filter(pa.array(d[idx] != ids))
+        _, found = sorted_lookup(d, ids)
+        return batch.filter(pa.array(~found))
 
     return ds.map_batches(keep, batch_format="pyarrow")

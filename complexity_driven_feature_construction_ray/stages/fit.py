@@ -131,7 +131,7 @@ def _weighted_median(vals: np.ndarray, w: np.ndarray) -> float:
     """np.nanmedian semantics on an expanded multiset: the mean of the
     order statistics at 0-based ranks floor((N-1)/2) and floor(N/2)."""
     if len(vals) == 0:
-        return 0.0
+        return float("nan")  # all-NULL input: median is NULL (np.nanmedian / SQL)
     cw = np.cumsum(w)
     total = cw[-1]
     lo_rank, hi_rank = (total - 1) / 2.0, total / 2.0

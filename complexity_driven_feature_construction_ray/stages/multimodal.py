@@ -115,7 +115,17 @@ class ImageResize:
             )
         out_payload, out_meta = [], []
         stride = max(int(round(1 / (self.scale**2))), 1)
-        for payload, meta in zip(batch["payload"].to_pylist(), batch["meta"].to_pylist()):
+        types = batch["media_type"].to_pylist() if "media_type" in batch.column_names else None
+        for i, (payload, meta) in enumerate(
+            zip(batch["payload"].to_pylist(), batch["meta"].to_pylist())
+        ):
+            # resize applies to image rows only; audio/video payloads
+            # pass through untouched (a mixed media table must not have
+            # its audio bytes decimated before frame sampling)
+            if types is not None and not (types[i] or "").startswith("image"):
+                out_payload.append(payload)
+                out_meta.append(meta)
+                continue
             out_payload.append(payload[::stride])
             m = json.loads(meta) if meta else {}
             for dim in ("w", "h"):

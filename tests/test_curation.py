@@ -209,6 +209,9 @@ def test_image_resize_stub(ray_session):
         batch_format="pyarrow", batch_size=16, concurrency=2,
     ).to_pandas()
     assert len(out) == 32
-    assert all(len(p) == 256 for p in out["payload"])  # stride 4 of 1024
+    # image rows are strided 4x; audio rows pass through UNTOUCHED (a
+    # mixed media table must not have its audio bytes decimated)
+    for mt, p in zip(out["media_type"], out["payload"]):
+        assert len(p) == (256 if mt.startswith("image") else 1024), mt
     metas = [json.loads(m) for m in out["meta"]]
     assert all(m["w"] == 32 for m in metas if "w" in m)

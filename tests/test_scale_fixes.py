@@ -35,9 +35,10 @@ class TestDataSizedBuckets:
         # growth without building a huge frame
         n = 10_000
         ds = ray.data.from_pandas(pd.DataFrame({"a": np.arange(n)}))
-        assert default_buckets(ds, target_rows=100) == n // 100
+        floor = cpu_floor()  # expectations respect the parallelism floor
+        assert default_buckets(ds, target_rows=100) == max(floor, n // 100)
         # two inputs (as-of probe+event) sum their counts
-        assert default_buckets(ds, ds, target_rows=100) == 2 * n // 100
+        assert default_buckets(ds, ds, target_rows=100) == max(floor, 2 * n // 100)
 
     def test_lineage_without_metadata_falls_back(self, ray_session):
         ds = ray.data.from_pandas(pd.DataFrame({"a": np.arange(10_000)}))
@@ -45,7 +46,9 @@ class TestDataSizedBuckets:
         assert mapped._meta_count() is None
         assert default_buckets(mapped, target_rows=100) == cpu_floor()
         # an explicit row hint restores data sizing on lazy lineages
-        assert default_buckets(mapped, num_rows=10_000, target_rows=100) == 100
+        assert default_buckets(mapped, num_rows=10_000, target_rows=100) == max(
+            cpu_floor(), 100
+        )
 
 
 class TestTemporalEdgeCases:
