@@ -1408,6 +1408,29 @@ def d_dedup_apply(sf_dir: str):
     return apply_dedup(ds, clusters).select_columns(["doc_id"])
 
 
+def d_decontaminate(sf_dir: str):
+    """Benchmark decontamination: drop documents sharing any 6-gram with
+    a deterministic "benchmark" slice (the first 20 docs); returns the
+    surviving ids + per-source counts of the flagged set. Rows-only —
+    n-gram set overlap is not reasonably SQL-expressible."""
+    from ..stages.dedup import decontaminate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    bench = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"], split=False)
+        .to_pandas()
+        .sort_values("doc_id")
+        .head(20)["text"]
+        .tolist()
+    )
+    flagged = decontaminate(ds, bench, ngram_words=6, mode="flag")
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "source", "contaminated"])
+
+    return flagged.map_batches(summarize, batch_format="pyarrow")
+
+
 def tok_resumable(sf_dir: str):
     """Resumable checkpointed backfill: write the token table to
     /tmp, run the sharded backfill, then rerun — the second pass must
@@ -1524,6 +1547,7 @@ QUERIES: dict[str, tuple] = {
     "tok_side_metrics": (tok_side_metrics, None),
     "f_nsga2": (f_nsga2, None),
     "d_dedup_apply": (d_dedup_apply, None),
+    "d_decontaminate": (d_decontaminate, None),
     "tok_backfill": (tok_backfill, None),
     "tok_resumable": (tok_resumable, None),
 }

@@ -509,3 +509,49 @@ def apply_dedup(ds, clusters: pd.DataFrame, *, id_col: str = "doc_id"):
         return batch.filter(pa.array(~found))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def decontaminate(
+    ds,
+    benchmark_texts,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_words: int = 8,
+    mode: str = "flag",
+):
+    """Benchmark decontamination: flag (mode="flag") or drop
+    (mode="drop") training documents sharing any word-n-gram with a
+    benchmark/eval set — the train-test-overlap removal step of LLM
+    data pipelines (GPT-3 appendix C / Llama-style 8-gram rule).
+
+    The benchmark n-gram hash set is tiny relative to the corpus and
+    broadcasts once via ray.put; each batch computes its shingle hashes
+    with the vectorized MinHash machinery and probes them with a
+    sorted-array lookup; per-row "any hit" is a segmented reduction.
+    The corpus streams — nothing materializes."""
+    import ray
+
+    from .arrowutil import sorted_lookup
+
+    bench_sh, _ = _shingle_hashes(list(benchmark_texts), ngram_words)
+    bench_ref = ray.put(np.unique(bench_sh))  # stays uint64: casting a
+    # sorted uint64 array to int64 wraps and breaks the sort order
+
+    def mark(batch: pa.Table) -> pa.Table:
+        sh, offsets = _shingle_hashes(batch[text_col].to_pylist(), ngram_words)
+        bs = ray.get(bench_ref)
+        _, found = sorted_lookup(bs, sh)
+        n = len(batch)
+        counts = np.diff(offsets)
+        hit = np.zeros(n, dtype=bool)
+        nonempty = counts > 0
+        if found.any() and nonempty.any():
+            hit[nonempty] = (
+                np.add.reduceat(found.astype(np.int64), offsets[:-1][nonempty]) > 0
+            )
+        if mode == "drop":
+            return batch.filter(pa.array(~hit))
+        return batch.append_column("contaminated", pa.array(hit))
+
+    return ds.map_batches(mark, batch_format="pyarrow")

@@ -215,3 +215,53 @@ def test_image_resize_stub(ray_session):
         assert len(p) == (256 if mt.startswith("image") else 1024), mt
     metas = [json.loads(m) for m in out["meta"]]
     assert all(m["w"] == 32 for m in metas if "w" in m)
+
+
+class TestDecontaminate:
+    def test_flags_ngram_overlap(self, ray_session):
+        from complexity_driven_feature_construction_ray.stages.dedup import decontaminate
+
+        bench = ["alpha beta gamma delta epsilon zeta eta theta iota kappa"]
+        train = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    # contains the benchmark 8-gram "alpha..theta" verbatim
+                    "prefix words alpha beta gamma delta epsilon zeta eta theta suffix",
+                    # shares words but no 8-gram run
+                    "alpha beta gamma OTHER delta epsilon zeta eta theta",
+                    "completely unrelated text about data engines and arrow batches",
+                    "",
+                ],
+            }
+        )
+        ds = ray.data.from_pandas(train)
+        out = (
+            decontaminate(ds, bench, ngram_words=8, mode="flag")
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out["contaminated"].tolist() == [True, False, False, False]
+        kept = decontaminate(ds, bench, ngram_words=8, mode="drop").to_pandas()
+        assert sorted(kept["doc_id"]) == [1, 2, 3]
+
+    def test_single_entity_skew_still_runs(self, ray_session):
+        """A pathological 1-entity dataset lands in one hash bucket by
+        construction (per-entity semantics); the data-sized bucket count
+        must not break it and the scan must stay correct."""
+        from complexity_driven_feature_construction_ray.stages.temporal import rolling_agg
+
+        n = 50_000
+        df = pd.DataFrame(
+            {
+                "k": ["only"] * n,
+                "ts": pd.Timestamp("2025-01-01") + pd.to_timedelta(np.arange(n), unit="s"),
+                "v": np.ones(n),
+            }
+        )
+        out = rolling_agg(
+            ray.data.from_pandas(df).repartition(8),
+            key="k", ts="ts", col="v", window=10, agg="sum", out_col="r",
+        ).to_pandas()
+        assert len(out) == n
+        assert out["r"].iloc[-1] == 10.0
