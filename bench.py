@@ -47,6 +47,9 @@ HEADLINE = [
     "t_lag_lead",
     "t_sessionize",
     "t_rolling",
+    "t_rolling_range",
+    "q_grouped_median",
+    "q_union_distinct",
     "d_exact_dedup",
     "d_minhash_dedup",
     "d_quality",
