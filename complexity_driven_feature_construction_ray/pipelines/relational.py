@@ -948,6 +948,32 @@ GROUP BY l_returnflag
 """
 
 
+def q_grouped_p90(sf_dir: str):
+    """Per-group discrete 90th percentile via the mergeable sketch
+    (percentile_disc semantics: smallest value at cumulative rank
+    >= 0.9 N)."""
+    from ..stages.sketch import grouped_quantile
+
+    # low-cardinality value column: exact at EVERY scale (the sketch
+    # compresses only past sketch_k distinct values per batch-group;
+    # high-cardinality columns get bounded rank error instead)
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    out = grouped_quantile(
+        ds, key_cols=["l_returnflag"], value_col="l_quantity",
+        q=0.9, out_col="p90_qty",
+    )
+    out["p90_qty"] = out["p90_qty"].round(6)
+    return out
+
+
+Q_GROUPED_P90_SQL = """
+SELECT l_returnflag,
+       round(percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity), 6) AS p90_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 def d_lang_id(sf_dir: str):
     """Stopword-overlap language ID (actor-pool stage; tables compiled
     once per actor in __init__)."""
@@ -1523,6 +1549,7 @@ QUERIES: dict[str, tuple] = {
     "t_row_number": (t_row_number, T_ROW_NUMBER_SQL),
     "t_rolling_range": (t_rolling_range, T_ROLLING_RANGE_SQL),
     "q_grouped_median": (q_grouped_median, Q_GROUPED_MEDIAN_SQL),
+    "q_grouped_p90": (q_grouped_p90, Q_GROUPED_P90_SQL),
     "d_exact_dedup": (d_exact_dedup, D_EXACT_DEDUP_SQL),
     "d_token_counts": (d_token_counts, D_TOKEN_COUNTS_SQL),
     "d_quality": (d_quality, D_QUALITY_SQL),

@@ -102,17 +102,18 @@ def _partial_for(f: Feature, cols: dict, fitted: Fitted, cache: dict):
 _QUANT_K = 4096  # weighted points per batch partial for the median sketch
 
 
-def _quant_partial(pv: np.ndarray) -> tuple:
+def _quant_partial(pv: np.ndarray, k: int = None) -> tuple:
     """Mergeable weighted-value summary of a batch: exact value/count
-    table when distinct <= _QUANT_K, else _QUANT_K rank-uniform points
-    (deterministic; each carries its rank-segment's weight)."""
+    table when distinct <= k (default _QUANT_K), else k rank-uniform
+    points (deterministic; each carries its rank-segment's weight)."""
+    k = k or _QUANT_K
     vals, counts = np.unique(pv, return_counts=True)
-    if len(vals) <= _QUANT_K:
+    if len(vals) <= k:
         return (vals, counts.astype(np.float64))
     cw = np.cumsum(counts)
     total = cw[-1]
     # segment boundaries at uniform ranks; point = value at segment end
-    bounds = np.linspace(0, total, _QUANT_K + 1)[1:]
+    bounds = np.linspace(0, total, k + 1)[1:]
     idx = np.searchsorted(cw, bounds, side="left")
     idx = np.minimum(idx, len(vals) - 1)
     w = np.diff(np.concatenate(([0.0], cw[idx])))

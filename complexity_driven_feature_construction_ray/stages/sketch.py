@@ -116,14 +116,15 @@ def distinct_hll(
     return df.sort_values(key_cols).reset_index(drop=True)
 
 
-def grouped_median(
-    ds, *, key_cols: list[str], value_col: str, out_col: str = "median"
-) -> pd.DataFrame:
-    """Exact-semantics per-group median via the mergeable weighted-value
-    sketch (combiner pattern: only O(batches x groups x 4096) summary
-    bytes leave the stream — no row shuffle). NaNs are skipped
-    (np.nanmedian / SQL median semantics)."""
-    from .fit import _merge_quant, _quant_partial, _weighted_median
+def _grouped_quant_parts(
+    ds, key_cols: list[str], value_col: str, sketch_k: int | None = None
+) -> dict:
+    """Per-group mergeable weighted-value sketch partials (combiner
+    pattern: only O(batches x groups x sketch_k) summary bytes leave
+    the stream — no row shuffle). NaNs are skipped. Exact while each
+    (batch, group) stays under sketch_k distinct values; rank error
+    <= 1/sketch_k per partial beyond that."""
+    from .fit import _quant_partial
 
     def part(batch: pa.Table) -> pa.Table:
         codes, uniques = _group_indices(batch, key_cols)
@@ -131,16 +132,58 @@ def grouped_median(
         out = {}
         for g in range(len(uniques)):
             pv = vals[codes == g]
-            out[uniques[g]] = _quant_partial(pv[~np.isnan(pv)])
+            out[uniques[g]] = _quant_partial(pv[~np.isnan(pv)], sketch_k)
         return pa.table({"blob": pa.array([pickle.dumps(out)], type=pa.binary())})
 
     merged: dict = {}
     for row in ds.map_batches(part, batch_format="pyarrow", batch_size=None).take_all():
         for k, p_ in pickle.loads(row["blob"]).items():
             merged.setdefault(k, []).append(("quant",) + p_)
-    rows = [(k, _weighted_median(*_merge_quant(parts))) for k, parts in merged.items()]
+    return merged
+
+
+def _keyed_frame(rows, key_cols, out_cols) -> pd.DataFrame:
     if len(key_cols) == 1:
-        df = pd.DataFrame(rows, columns=[key_cols[0], out_col])
+        df = pd.DataFrame(rows, columns=[key_cols[0], *out_cols])
     else:
-        df = pd.DataFrame([(*k, v) for k, v in rows], columns=[*key_cols, out_col])
+        df = pd.DataFrame([(*k, *v) for k, *v in rows], columns=[*key_cols, *out_cols])
     return df.sort_values(key_cols).reset_index(drop=True)
+
+
+def grouped_median(
+    ds, *, key_cols: list[str], value_col: str, out_col: str = "median"
+) -> pd.DataFrame:
+    """Exact-semantics per-group median via the mergeable weighted-value
+    sketch. NaNs are skipped (np.nanmedian / SQL median semantics)."""
+    from .fit import _merge_quant, _weighted_median
+
+    merged = _grouped_quant_parts(ds, key_cols, value_col)
+    rows = [(k, _weighted_median(*_merge_quant(parts))) for k, parts in merged.items()]
+    return _keyed_frame(rows, key_cols, [out_col])
+
+
+def grouped_quantile(
+    ds,
+    *,
+    key_cols: list[str],
+    value_col: str,
+    q: float,
+    out_col: str = "quantile",
+    sketch_k: int | None = None,
+) -> pd.DataFrame:
+    """Per-group discrete quantile (SQL percentile_disc semantics: the
+    smallest value whose cumulative weight reaches q of the total) via
+    the same mergeable sketch — exact when per-partial distinct counts
+    stay under the sketch cap, bounded rank error otherwise."""
+    from .fit import _merge_quant
+
+    def disc(vals: np.ndarray, w: np.ndarray) -> float:
+        if len(vals) == 0:
+            return float("nan")
+        cw = np.cumsum(w)
+        target = q * cw[-1]
+        return float(vals[np.searchsorted(cw, target, side="left")])
+
+    merged = _grouped_quant_parts(ds, key_cols, value_col, sketch_k)
+    rows = [(k, disc(*_merge_quant(parts))) for k, parts in merged.items()]
+    return _keyed_frame(rows, key_cols, [out_col])

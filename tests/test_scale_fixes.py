@@ -350,3 +350,25 @@ class TestRangeWindowAndGroupedMedian:
         out = grouped_median(ds, key_cols=["g"], value_col="v").set_index("g")["median"]
         for g in ("x", "y"):
             assert out[g] == np.median(df.loc[df["g"] == g, "v"])
+
+    def test_grouped_quantile_disc_semantics(self, ray_session):
+        """percentile_disc: smallest value whose cumulative count
+        reaches q*N — checked against a numpy rank oracle."""
+        from complexity_driven_feature_construction_ray.stages.sketch import (
+            grouped_quantile,
+        )
+
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame(
+            {"g": rng.choice(["a", "b"], 4000), "v": rng.integers(0, 25, 4000).astype(float)}
+        )
+        ds = ray.data.from_pandas(df).repartition(4)
+        for q in (0.1, 0.5, 0.9):
+            out = grouped_quantile(ds, key_cols=["g"], value_col="v", q=q).set_index("g")[
+                "quantile"
+            ]
+            for g in ("a", "b"):
+                v = np.sort(df.loc[df["g"] == g, "v"].to_numpy())
+                # smallest value at cumulative rank >= q*N (1-based)
+                exp = v[int(np.ceil(q * len(v))) - 1]
+                assert out[g] == exp, (g, q)
