@@ -620,7 +620,19 @@ def nsga2_search(
             cache.update(zip(uniq.keys(), vals))
         return np.array([cache[tuple(m)] for m in masks])
 
-    pop = [fix(rng.random(n_var) < 0.5) for _ in range(pop_n)]
+    # unique initial population (duplicate elimination applies from
+    # generation 0, not only to children — a duplicate mask in the
+    # elite pool would waste slots for the whole run)
+    pop: list[np.ndarray] = []
+    seen0: set = set()
+    attempts0 = 0
+    while len(pop) < pop_n and attempts0 < 50 * pop_n:
+        attempts0 += 1
+        m = fix(rng.random(n_var) < 0.5)
+        if tuple(m) in seen0:
+            continue
+        seen0.add(tuple(m))
+        pop.append(m)
     F = evaluate_all(pop)
     for _ in range(generations):
         fronts = _fast_non_dominated_sort(F)

@@ -124,19 +124,14 @@ _WORKER_COLS: dict = {}  # per-worker-process cache of the scoring sample
 _SCORE_REMOTE = None  # lazily-created ray.remote wrapper (exported once)
 
 
-def _score_chunk(wrapped_blob_ref, plan_blobs, y, fold, c_grid, max_iter, custom_ops):
-    """Task-mode scoring kernel: the sample ships once via the object
-    store and is deserialized once per WORKER PROCESS (module cache) —
-    the same amortization as a dedicated actor without paying
-    actor-process startup (see stages/backfill.py:_task_backfill for
-    the measured gap). `wrapped_blob_ref` is a 1-tuple so Ray does not
-    auto-resolve the ObjectRef before the task body runs."""
+def _cached_broadcast(wrapped_blob_ref):
+    """Resolve the broadcast pickled sample through the per-worker-
+    process cache — ONE deserialization per worker, however many tasks
+    land on it. `wrapped_blob_ref` is a 1-tuple so Ray does not
+    auto-resolve the ObjectRef before the task body runs. Shared by the
+    scoring / nested-CV / side-metrics fan-outs."""
     import ray
 
-    if custom_ops:
-        from ..functions.expr import CUSTOM_OPS as _REG
-
-        _REG.update(custom_ops)
     (blob_ref,) = wrapped_blob_ref
     key = blob_ref.hex()
     cols = _WORKER_COLS.get(key)
@@ -144,6 +139,25 @@ def _score_chunk(wrapped_blob_ref, plan_blobs, y, fold, c_grid, max_iter, custom
         if len(_WORKER_COLS) > 4:
             _WORKER_COLS.clear()
         cols = _WORKER_COLS[key] = pickle.loads(ray.get(blob_ref))
+    return cols
+
+
+def _install_ops(custom_ops):
+    if custom_ops:
+        from ..functions.expr import CUSTOM_OPS as _REG
+
+        _REG.update(custom_ops)
+
+
+def _score_chunk(wrapped_blob_ref, plan_blobs, y, fold, c_grid, max_iter, custom_ops):
+    """Task-mode scoring kernel: the sample ships once via the object
+    store and is deserialized once per WORKER PROCESS (module cache) —
+    the same amortization as a dedicated actor without paying
+    actor-process startup (see stages/backfill.py:_task_backfill for
+    the measured gap). `wrapped_blob_ref` is a 1-tuple so Ray does not
+    auto-resolve the ObjectRef before the task body runs."""
+    _install_ops(custom_ops)
+    cols = _cached_broadcast(wrapped_blob_ref)
     out = []
     for blob in plan_blobs:
         feat: Feature = pickle.loads(blob)
@@ -344,6 +358,15 @@ def nested_cv_rescore(
     y = np.asarray(y).astype(np.int8)
     fold = stratified_folds(y, cv, seed)
 
+    def safe_one(feat, c):
+        # a candidate whose refit fails on some slice (e.g. MDLP finding
+        # no cut) scores (0.0, 0.0), as in the reference's except branch
+        # (nested_cv_scikit.py:107-110) — never aborts the pass
+        try:
+            return _nested_cv_one(feat, c, y, fold, c_grid, max_iter)
+        except Exception:
+            return (0.0, 0.0)
+
     if use_ray and len(features) > 1:
         import ray
 
@@ -354,16 +377,13 @@ def nested_cv_rescore(
 
         @ray.remote(num_cpus=1)
         def nested_one(feat_blob, _blob=blob_ref, _ops=ops_snapshot):
-            if _ops:
-                from ..functions.expr import CUSTOM_OPS as _REG
-
-                _REG.update(_ops)
-            c = pickle.loads(ray.get(_blob) if isinstance(_blob, ray.ObjectRef) else _blob)
+            _install_ops(_ops)
+            c = _cached_broadcast((_blob,))
             feat = pickle.loads(feat_blob)
-            return feat.name, _nested_cv_one(feat, c, y, fold, c_grid, max_iter)
+            return feat.name, safe_one(feat, c)
 
         return dict(ray.get([nested_one.remote(pickle.dumps(f)) for f in features]))
-    return {f.name: _nested_cv_one(f, cols, y, fold, c_grid, max_iter) for f in features}
+    return {f.name: safe_one(f, cols) for f in features}
 
 
 def candidate_side_metrics(
@@ -445,6 +465,17 @@ def compute_side_metrics(
 
     y = np.asarray(y).astype(np.int8)
     fold = stratified_folds(y, cv, seed)
+    _NAN_SIDE = {
+        k: float("nan")
+        for k in ("rss", "aic_k1", "bic_k1", "aicc_k1", "aic_kc", "bic_kc", "aicc_kc", "consistency")
+    }
+
+    def safe_side(feat, c, best_C):
+        try:
+            return candidate_side_metrics(feat, c, y, fold, best_C, max_iter)
+        except Exception:  # drop-not-crash, as in the scoring fan-out
+            return dict(_NAN_SIDE)
+
     if use_ray and len(scored) > 1:
         import ray
 
@@ -455,22 +486,16 @@ def compute_side_metrics(
 
         @ray.remote(num_cpus=1)
         def side_one(feat_blob, best_C, _blob=blob_ref, _ops=ops_snapshot):
-            if _ops:
-                from ..functions.expr import CUSTOM_OPS as _REG
-
-                _REG.update(_ops)
-            c = pickle.loads(ray.get(_blob) if isinstance(_blob, ray.ObjectRef) else _blob)
+            _install_ops(_ops)
+            c = _cached_broadcast((_blob,))
             feat = pickle.loads(feat_blob)
-            return feat.name, candidate_side_metrics(feat, c, y, fold, best_C, max_iter)
+            return feat.name, safe_side(feat, c, best_C)
 
         got = dict(
             ray.get([side_one.remote(pickle.dumps(s.feature), s.best_C) for s in scored])
         )
     else:
-        got = {
-            s.name: candidate_side_metrics(s.feature, cols, y, fold, s.best_C, max_iter)
-            for s in scored
-        }
+        got = {s.name: safe_side(s.feature, cols, s.best_C) for s in scored}
     for s in scored:
         s.side = got[s.name]
     return scored
@@ -778,6 +803,28 @@ class ComplexityDrivenSearch:
 
         champions: dict[int, Scored] = {}  # best-so-far after each layer
         c_limit = self.c_max if self.c_max is not None else self.hard_c_cap
+        try:
+            self._run_layers(
+                c_limit, t0, cols, y, fold, clean_raws, parked, cat_raws,
+                admit, survivors, all_scored, scores, seen_values, stats, champions,
+            )
+        finally:
+            # a failed run must not leave a stale broadcast sample or a
+            # live pool behind: a retry would silently score against the
+            # previous run's columns
+            self._shutdown_pool()
+        flat = list(all_scored.values())
+        best = max(flat, key=lambda s: s.score)
+        front = pareto_front(flat)
+        aicc = aicc_select(front, n=len(y))
+        stats["seconds"] = time.time() - t0
+        stats["scored"] = len(flat)
+        return SearchResult(survivors, all_scored, best, front, aicc, stats)
+
+    def _run_layers(
+        self, c_limit, t0, cols, y, fold, clean_raws, parked, cat_raws,
+        admit, survivors, all_scored, scores, seen_values, stats, champions,
+    ):
         for c in range(1, c_limit + 1):
             if self.max_seconds is not None and time.time() - t0 > self.max_seconds:
                 stats["deadline_hit"] = True
@@ -852,12 +899,3 @@ class ComplexityDrivenSearch:
             if self.c_max is None and c > 2 and self._harmonic_stop(champions, survivors, c):
                 stats["harmonic_stop"] = c
                 break
-
-        self._shutdown_pool()
-        flat = list(all_scored.values())
-        best = max(flat, key=lambda s: s.score)
-        front = pareto_front(flat)
-        aicc = aicc_select(front, n=len(y))
-        stats["seconds"] = time.time() - t0
-        stats["scored"] = len(flat)
-        return SearchResult(survivors, all_scored, best, front, aicc, stats)

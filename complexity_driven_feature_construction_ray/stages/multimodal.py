@@ -68,10 +68,14 @@ class ImageDecode:
                 self.pil = False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake and not getattr(self, "pil", False):
+        if not self.fake:
+            # the real codec path is a declared stub: raise whether or
+            # not an image library is importable, so real payloads are
+            # never silently run through the fake histogram
             raise NotImplementedError(
-                "image decode needs PIL/opencv (not installed); use fake=True "
-                "for the deterministic test double"
+                "real image decode is not implemented"
+                + ("" if getattr(self, "pil", False) else " (and PIL/opencv is not installed)")
+                + "; use fake=True for the deterministic test double"
             )
         feats = []
         for payload in batch["payload"].to_pylist():
@@ -108,10 +112,11 @@ class ImageResize:
                 self.pil = False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake and not getattr(self, "pil", False):
+        if not self.fake:
             raise NotImplementedError(
-                "real resize needs PIL/opencv (not installed); use fake=True "
-                "for the deterministic test double"
+                "real image resize is not implemented"
+                + ("" if getattr(self, "pil", False) else " (and PIL/opencv is not installed)")
+                + "; use fake=True for the deterministic test double"
             )
         out_payload, out_meta = [], []
         stride = max(int(round(1 / (self.scale**2))), 1)

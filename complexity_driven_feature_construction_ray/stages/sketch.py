@@ -57,13 +57,7 @@ def distinct_exact(ds, *, key_cols: list[str], value_col: str, out_col: str = "n
         for k, s in pickle.loads(row["blob"]).items():
             merged.setdefault(k, set()).update(s)
     rows = [(k, len(s)) for k, s in merged.items()]
-    if len(key_cols) == 1:
-        df = pd.DataFrame(rows, columns=[key_cols[0], out_col])
-    else:
-        df = pd.DataFrame(
-            [(*k, n) for k, n in rows], columns=[*key_cols, out_col]
-        )
-    return df.sort_values(key_cols).reset_index(drop=True)
+    return _keyed_frame(rows, key_cols, [out_col])
 
 
 def distinct_hll(
@@ -109,11 +103,7 @@ def distinct_hll(
         if est <= 2.5 * m and zeros:
             est = m * np.log(m / zeros)  # small-range correction
         rows.append((k, float(est)))
-    if len(key_cols) == 1:
-        df = pd.DataFrame(rows, columns=[key_cols[0], out_col])
-    else:
-        df = pd.DataFrame([(*k, n) for k, n in rows], columns=[*key_cols, out_col])
-    return df.sort_values(key_cols).reset_index(drop=True)
+    return _keyed_frame(rows, key_cols, [out_col])
 
 
 def _grouped_quant_parts(
