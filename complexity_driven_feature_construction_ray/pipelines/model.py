@@ -79,6 +79,43 @@ def _standardize(train: np.ndarray, test: np.ndarray):
     return (train - mu) / sd, (test - mu) / sd
 
 
+class LogisticRegressionOvR:
+    """Multiclass logistic regression by one-vs-rest binary heads — the
+    engine's stand-in for sklearn's multiclass LogisticRegression (the
+    reference scores any label arity via sklearn; f1-micro equals
+    accuracy for single-label multiclass, which cv_score returns)."""
+
+    def __init__(self, C: float = 1.0, max_iter: int = 25):
+        self.C = C
+        self.max_iter = max_iter
+        self.classes_: np.ndarray | None = None
+        self.heads_: list[LogisticRegressionNumpy] = []
+
+    def fit(self, X: np.ndarray, y: np.ndarray) -> "LogisticRegressionOvR":
+        self.classes_ = np.unique(y)
+        self.heads_ = [
+            LogisticRegressionNumpy(C=self.C, max_iter=self.max_iter).fit(
+                X, (y == cls).astype(np.int8)
+            )
+            for cls in self.classes_
+        ]
+        return self
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        """(n, k) class probabilities: OvR head scores normalized to 1."""
+        raw = np.column_stack([h.predict_proba(X) for h in self.heads_])
+        return raw / np.maximum(raw.sum(axis=1, keepdims=True), 1e-12)
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        return self.classes_[np.argmax(self.predict_proba(X), axis=1)]
+
+    def log_likelihood(self, X: np.ndarray, y: np.ndarray) -> float:
+        p = self.predict_proba(X)
+        col = np.searchsorted(self.classes_, y)
+        pt = np.clip(p[np.arange(len(y)), col], 1e-12, 1.0)
+        return float(np.sum(np.log(pt)))
+
+
 def cv_score(
     X: np.ndarray,
     y: np.ndarray,
@@ -86,7 +123,8 @@ def cv_score(
     c_grid=C_GRID,
     max_iter: int = 25,
 ) -> tuple[float, float, float]:
-    """Grid-searched CV accuracy (== f1-micro, binary).
+    """Grid-searched CV accuracy (== f1-micro for single-label data,
+    binary or multiclass — multiclass runs one-vs-rest heads).
 
     Returns (best mean test accuracy over the grid, best C, mean test
     log-likelihood at the best C). Non-finite feature values are
@@ -96,6 +134,7 @@ def cv_score(
     X = np.nan_to_num(np.asarray(X, dtype=np.float64), nan=0.0, posinf=0.0, neginf=0.0)
     if X.ndim == 1:
         X = X[:, None]
+    multiclass = len(np.unique(y)) > 2
     k = int(fold.max()) + 1
     best = (-1.0, 1.0, -np.inf)
     for C in c_grid:
@@ -105,7 +144,8 @@ def cv_score(
             if y[tr].min() == y[tr].max():
                 continue  # degenerate fold
             Xtr, Xte = _standardize(X[tr], X[te])
-            m = LogisticRegressionNumpy(C=C, max_iter=max_iter).fit(Xtr, y[tr])
+            cls = LogisticRegressionOvR if multiclass else LogisticRegressionNumpy
+            m = cls(C=C, max_iter=max_iter).fit(Xtr, y[tr])
             accs.append(float((m.predict(Xte) == y[te]).mean()))
             lls.append(m.log_likelihood(Xte, y[te]))
         if accs:

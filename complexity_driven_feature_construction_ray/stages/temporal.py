@@ -253,12 +253,16 @@ def asof_join(
     event_key: str | None = None,
     num_buckets: int | None = None,
     allow_exact: bool = True,
+    tolerance=None,
     probe_schema: pa.Schema | None = None,
     event_schema: pa.Schema | None = None,
 ):
     """For each probe row, attach the latest event values with
     event_ts <= probe_ts (strictly < when allow_exact=False) for the
     same entity; NULL when no prior event exists — never a later value.
+    `tolerance` (seconds or pd.Timedelta) bounds staleness: events older
+    than probe_ts - tolerance attach as NULL (the feature-store max-age
+    rule).
 
     Implementation: tag + union both sides, hash-bucket by entity,
     groupby(bucket), per-bucket ts-sorted pd.merge_asof (sorted-merge
@@ -338,6 +342,15 @@ def asof_join(
         right = pd.DataFrame({key: keys_np[ev_order], "__ts": ts[ev_order]})
         for c in ev_cols:
             right[c] = g[c].to_numpy(zero_copy_only=False)[ev_order]
+        tol = (
+            None
+            if tolerance is None
+            else (
+                pd.Timedelta(seconds=tolerance)
+                if not isinstance(tolerance, pd.Timedelta)
+                else tolerance
+            )
+        )
         merged = pd.merge_asof(
             probe_small,
             right,
@@ -345,6 +358,7 @@ def asof_join(
             by=key,
             direction="backward",
             allow_exact_matches=allow_exact,
+            tolerance=tol,
         )
         for c, name in zip(value_cols, out_event_cols):
             out = out.append_column(
@@ -480,6 +494,7 @@ def temporal_attach(
     num_buckets: int | None = None,
     tiebreak: list[str] | None = None,
     allow_exact: bool = True,
+    tolerance=None,
     probe_schema: pa.Schema | None = None,
     event_schema: pa.Schema | None = None,
 ):
@@ -509,6 +524,15 @@ def temporal_attach(
         None
         if gap is None
         else (pd.Timedelta(seconds=gap) if not isinstance(gap, pd.Timedelta) else gap)
+    )
+    tol_td = (
+        None
+        if tolerance is None
+        else (
+            pd.Timedelta(seconds=tolerance)
+            if not isinstance(tolerance, pd.Timedelta)
+            else tolerance
+        )
     )
 
     def tag_probe(batch: pa.Table) -> pa.Table:
@@ -583,6 +607,11 @@ def temporal_attach(
                 side_ = "right" if allow_exact else "left"
                 pos = np.searchsorted(et_g[elo:ehi], t_np[lo:hi], side=side_) - 1
                 valid = pos >= 0
+                if tol_td is not None:
+                    # staleness bound: the matched event must lie within
+                    # tolerance of the probe ts
+                    ev_ts = et_g[elo + np.clip(pos, 0, None)]
+                    valid &= (t_np[lo:hi] - ev_ts) <= tol_td.to_timedelta64()
                 # map back: ek_sort indexes the ev_order-sorted arrays,
                 # ev_order indexes the original bucket rows
                 attach_src[lo:hi][valid] = ev_order[ek_sort[elo + pos[valid]]]

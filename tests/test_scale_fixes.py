@@ -372,3 +372,54 @@ class TestRangeWindowAndGroupedMedian:
                 # smallest value at cumulative rank >= q*N (1-based)
                 exp = v[int(np.ceil(q * len(v))) - 1]
                 assert out[g] == exp, (g, q)
+
+
+class TestAsofTolerance:
+    def test_staleness_bound(self, ray_session):
+        """tolerance nulls out matches older than the bound — verified
+        against a brute-force oracle on both the asof_join and the
+        fused temporal_attach paths."""
+        from complexity_driven_feature_construction_ray.stages.temporal import (
+            asof_join,
+            temporal_attach,
+        )
+
+        rng = np.random.default_rng(12)
+        n = 200
+        probe = pd.DataFrame(
+            {
+                "k": rng.choice(["a", "b", "c"], n),
+                "ts": pd.Timestamp("2025-01-02")
+                + pd.to_timedelta(rng.integers(0, 96 * 3600, n), unit="s"),
+                "pid": np.arange(n),
+            }
+        )
+        event = pd.DataFrame(
+            {
+                "k": rng.choice(["a", "b", "c"], 60),
+                "ts": pd.Timestamp("2025-01-01")
+                + pd.to_timedelta(rng.integers(0, 120 * 3600, 60), unit="s"),
+                "v": rng.normal(0, 1, 60).round(3),
+            }
+        )
+        tol = 12 * 3600.0
+        for fn, kw in (
+            (asof_join, {}),
+            (temporal_attach, {}),
+        ):
+            out = fn(
+                ray.data.from_arrow(pa.Table.from_pandas(probe)),
+                ray.data.from_arrow(pa.Table.from_pandas(event)),
+                key="k", probe_ts="ts", event_ts="ts",
+                value_cols=["v"], tolerance=tol, num_buckets=4, **kw,
+            ).to_pandas().set_index("pid")["asof_v"]
+            w = pd.Timedelta(seconds=tol)
+            for _, row in probe.iterrows():
+                cand = event[
+                    (event["k"] == row["k"])
+                    & (event["ts"] <= row["ts"])
+                    & (event["ts"] >= row["ts"] - w)
+                ]
+                exp = cand.sort_values("ts")["v"].iloc[-1] if len(cand) else np.nan
+                got = out[row["pid"]]
+                assert (np.isnan(exp) and np.isnan(got)) or got == exp, row["pid"]

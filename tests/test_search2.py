@@ -223,3 +223,41 @@ class TestSmote:
         y = np.array([0] * 5 + [1] * 5, dtype=np.int8)
         Xa, ya = smote_oversample(X, y)
         assert np.array_equal(Xa, X) and np.array_equal(ya, y)
+
+
+class TestMulticlass:
+    def test_cv_score_three_classes(self, ray_session):
+        from complexity_driven_feature_construction_ray.pipelines.model import (
+            cv_score,
+            stratified_folds,
+        )
+
+        rng = np.random.default_rng(8)
+        n = 600
+        x = rng.uniform(0, 3, n)
+        y = np.floor(x).astype(np.int8)  # 3 bands, perfectly separable by x
+        y_noisy = np.where(rng.random(n) < 0.05, (y + 1) % 3, y).astype(np.int8)
+        fold = stratified_folds(y_noisy, 4, 42)
+        acc, best_c, ll = cv_score(x, y_noisy, fold, c_grid=(1.0, 10.0), max_iter=15)
+        assert acc > 0.85
+        assert np.isfinite(ll)
+
+    def test_search_runs_on_multiclass_labels(self, ray_session):
+        from complexity_driven_feature_construction_ray.pipelines.search import (
+            ComplexityDrivenSearch,
+        )
+
+        rng = np.random.default_rng(9)
+        n = 400
+        a = rng.uniform(0, 3, n)
+        b = rng.uniform(0, 1, n)
+        y = np.floor(a).astype(np.int8)
+        cols = {"a": a, "b": b}
+        base = [
+            raw("a", properties={"min": 0.0, "max": 3.0, "has_zero": True, "distinct": None}),
+            raw("b", properties={"min": 0.0, "max": 1.0, "has_zero": True, "distinct": None}),
+        ]
+        res = ComplexityDrivenSearch(
+            c_max=1, epsilon=-1e9, use_ray=False, lr_max_iter=10
+        ).run(cols, y, base)
+        assert res.best.name == "a" and res.best.score > 0.85
