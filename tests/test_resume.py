@@ -68,3 +68,30 @@ def test_plan_change_invalidates_lineage(tmp_path, input_dir, ray_session):
     resumable_backfill(files, out, [unary("log", n_tok)], {}, num_shards=2)
     r = resumable_backfill(files, out, [unary("minus", n_tok)], {}, num_shards=2)
     assert r["skipped"] == [] and r["computed"] == [0, 1]  # different plan -> recompute
+
+
+def test_partitioned_parquet_sink(ray_session, tmp_path):
+    """Hive-partitioned output (one directory per key value): the layout
+    that lets a 100-TB run prune at the read and resume per partition."""
+    import os
+
+    import ray.data
+
+    from complexity_driven_feature_construction_ray.sources.token_table import (
+        token_table_dataset,
+    )
+
+    out = str(tmp_path / "by_source")
+    token_table_dataset(2000).drop_columns(["tokens"]).write_parquet(
+        out, partition_cols=["source"]
+    )
+    parts = sorted(d for d in os.listdir(out) if d.startswith("source="))
+    assert parts == [
+        "source=books", "source=chat", "source=code", "source=web", "source=wiki"
+    ]
+    # partition pruning at the read: only one directory's files load
+    web = ray.data.read_parquet(os.path.join(out, "source=web"))
+    n_web = web.count()
+    assert 0 < n_web < 2000
+    total = ray.data.read_parquet(out).count()
+    assert total == 2000
