@@ -423,3 +423,89 @@ class TestAsofTolerance:
                 exp = cand.sort_values("ts")["v"].iloc[-1] if len(cand) else np.nan
                 got = out[row["pid"]]
                 assert (np.isnan(exp) and np.isnan(got)) or got == exp, row["pid"]
+
+
+@pytest.mark.parametrize("seed", [1, 7, 23])
+def test_temporal_family_randomized_vs_bruteforce(ray_session, seed):
+    """Randomized cross-check of the whole windowed family against
+    row-by-row oracles: duplicate timestamps, missing entities, and
+    entities spanning bucket boundaries all drawn at random."""
+    from complexity_driven_feature_construction_ray.stages.temporal import (
+        asof_join,
+        lag_lead,
+        row_number,
+        sessionize,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = 250
+    probe = pd.DataFrame(
+        {
+            "k": rng.choice([f"u{i}" for i in range(12)], n),
+            "ts": pd.Timestamp("2025-02-01")
+            + pd.to_timedelta(rng.integers(0, 2000, n) * 60, unit="s"),
+            "pid": np.arange(n),
+        }
+    )
+    event = pd.DataFrame(
+        {
+            "k": rng.choice([f"u{i}" for i in range(15)], 80),  # some keys unseen
+            "ts": pd.Timestamp("2025-01-28")
+            + pd.to_timedelta(rng.integers(0, 9000, 80) * 60, unit="s"),
+            "v": rng.normal(0, 1, 80).round(3),
+        }
+    ).drop_duplicates(subset=["k", "ts"])  # as-of needs a deterministic winner per (k, ts)
+    pds = ray.data.from_arrow(pa.Table.from_pandas(probe)).repartition(3)
+    eds = ray.data.from_arrow(pa.Table.from_pandas(event)).repartition(2)
+
+    # as-of
+    got = (
+        asof_join(pds, eds, key="k", probe_ts="ts", event_ts="ts",
+                  value_cols=["v"], num_buckets=5)
+        .to_pandas().set_index("pid")["asof_v"]
+    )
+    for _, row in probe.iterrows():
+        cand = event[(event["k"] == row["k"]) & (event["ts"] <= row["ts"])]
+        exp = cand.sort_values("ts")["v"].iloc[-1] if len(cand) else np.nan
+        g = got[row["pid"]]
+        assert (np.isnan(exp) and np.isnan(g)) or g == exp
+
+    # lag/lead (tiebreak on pid makes the order total)
+    ll = (
+        lag_lead(pds, key="k", ts="ts", cols=["pid"], lags=(1,), leads=(1,),
+                 tiebreak=["pid"], num_buckets=4)
+        .to_pandas().set_index("pid")
+    )
+    sp = probe.sort_values(["k", "ts", "pid"]).reset_index(drop=True)
+    for i in range(len(sp)):
+        pid = sp.loc[i, "pid"]
+        exp_lag = sp.loc[i - 1, "pid"] if i > 0 and sp.loc[i - 1, "k"] == sp.loc[i, "k"] else None
+        exp_lead = (
+            sp.loc[i + 1, "pid"] if i + 1 < len(sp) and sp.loc[i + 1, "k"] == sp.loc[i, "k"] else None
+        )
+        got_lag, got_lead = ll.loc[pid, "pid_lag1"], ll.loc[pid, "pid_lead1"]
+        assert (pd.isna(got_lag) and exp_lag is None) or got_lag == exp_lag
+        assert (pd.isna(got_lead) and exp_lead is None) or got_lead == exp_lead
+
+    # row_number: a permutation of 1..count(k) per entity, matching rank order
+    rn = (
+        row_number(pds, key="k", ts="ts", tiebreak=["pid"], num_buckets=4)
+        .to_pandas()
+    )
+    for k, g in rn.groupby("k"):
+        g = g.sort_values(["ts", "pid"]).reset_index(drop=True)
+        assert g["row_num"].tolist() == list(range(1, len(g) + 1))
+
+    # sessionize: 2h gap oracle
+    sess = (
+        sessionize(pds, key="k", ts="ts", gap=7200, tiebreak=["pid"], num_buckets=4)
+        .to_pandas().set_index("pid")["session_idx"]
+    )
+    for k, g in probe.groupby("k"):
+        g = g.sort_values(["ts", "pid"])
+        sid, prev = 0, None
+        for _, row in g.iterrows():
+            if prev is not None and (row["ts"] - prev).total_seconds() > 7200:
+                sid += 1
+            assert sess[row["pid"]] == sid, (k, row["pid"])
+            prev = row["ts"]
