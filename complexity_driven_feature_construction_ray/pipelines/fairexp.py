@@ -260,6 +260,7 @@ def fairexp_lifecycle(
     causal_filter=None,
     use_ray: bool = True,
     speculative: int = 0,
+    strategy: str = "sffs",
 ) -> dict:
     """The reference's full FairExp run (fairexp.py:87-197 + 299-511):
     sample -> complexity-driven search -> duplicate-column + MI (+
@@ -329,14 +330,28 @@ def fairexp_lifecycle(
     feature_cols = [f.name for f in kept if f.op != "raw"]
     out = drop_nan_inf(out, feature_cols)
 
-    # 4. SFFS repair on the sample's backfilled columns
+    # 4. selection on the sample's backfilled columns: SFFS repair
+    #    (default) or the NSGA-II evolutionary strategy
     sel_names = sorted(f.name for f in kept)
     Xs = np.column_stack([mat[n] for n in sel_names])
     ctx = np.digitize(cols["n_tok"], [64.0, 128.0, 256.0])
-    repair = sffs_repair(
-        Xs, sel_names, y, sensitive=cols["source"], contexts=ctx,
-        protected=protected, use_ray=use_ray, speculative=speculative,
-    )
+    if strategy == "nsga2":
+        evo = nsga2_search(
+            Xs, sel_names, y, sensitive=cols["source"], contexts=ctx,
+            protected=protected, use_ray=use_ray, generations=8, seed=seed,
+        )
+        best = evo["front"][0]
+        repair = {
+            "selected": best["selected"],
+            "acc": best["acc"],
+            "fair": best["fair"],
+            "pareto": [(r["selected"], r["acc"], r["fair"]) for r in evo["front"]],
+        }
+    else:
+        repair = sffs_repair(
+            Xs, sel_names, y, sensitive=cols["source"], contexts=ctx,
+            protected=protected, use_ray=use_ray, speculative=speculative,
+        )
     return {
         "dataset": out,
         "constructed": names,

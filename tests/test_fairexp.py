@@ -180,3 +180,16 @@ def test_fairexp_lifecycle_with_causal_hook(ray_session):
     assert 0 < n <= 3000
     assert res["selected"], "SFFS selected at least one feature"
     assert 0.0 <= res["acc"] <= 1.0
+
+
+def test_lifecycle_nsga2_strategy(ray_session):
+    from complexity_driven_feature_construction_ray.pipelines.fairexp import (
+        fairexp_lifecycle,
+    )
+
+    res = fairexp_lifecycle(
+        1200, sample_rows=800, c_max=1, use_ray=False, strategy="nsga2"
+    )
+    assert res["selected"]  # a non-empty selection off the evolutionary front
+    assert 0.0 <= res["acc"] <= 1.0
+    assert res["pareto"]
