@@ -34,6 +34,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from complexity_driven_feature_construction_ray.pipelines.relational import QUERIES
+    from complexity_driven_feature_construction_ray.pipelines.relational import (
+        QUERIES,
+        ensure_tok_oracle_fixtures,
+    )
 
+    # the tok_backfill oracle reads a seeded parquet twin of the
+    # generated token table from /tmp; write it before the driver's
+    # DuckDB pass can run (idempotent, driver-side, ~1s)
+    ensure_tok_oracle_fixtures()
     return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

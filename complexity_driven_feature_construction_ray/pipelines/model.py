@@ -111,9 +111,14 @@ class LogisticRegressionOvR:
 
     def log_likelihood(self, X: np.ndarray, y: np.ndarray) -> float:
         p = self.predict_proba(X)
-        col = np.searchsorted(self.classes_, y)
-        pt = np.clip(p[np.arange(len(y)), col], 1e-12, 1.0)
-        return float(np.sum(np.log(pt)))
+        k = len(self.classes_)
+        col = np.clip(np.searchsorted(self.classes_, y), 0, k - 1)
+        # a test label absent from the training fold (singleton class in
+        # CV) has no head: floor its probability instead of silently
+        # reading a neighboring class's column
+        seen = self.classes_[col] == y
+        pt = np.where(seen, p[np.arange(len(y)), col], 1e-12)
+        return float(np.sum(np.log(np.clip(pt, 1e-12, 1.0))))
 
 
 def cv_score(

@@ -1518,15 +1518,51 @@ def tok_resumable(sf_dir: str):
         shutil.rmtree(base, ignore_errors=True)
 
 
+# Driver-side parquet twins of the seeded inputs the flagship consumes
+# (scalar token columns + the as-of event stream), so DuckDB can oracle
+# the WHOLE pipeline — distributed fit (minmax), backfill (log, gbt
+# mean), leak-free as-of attach, and sessionization. The generator is a
+# pure function of (seed, row index), so this twin is byte-identical to
+# what token_table_dataset streams through the engine.
+TOK_ORACLE_DIR = "/tmp/cdfc_tok_oracle"
+_TOK_ORACLE_NS = (3000, 30000, 300000)  # sf0.001 / sf0.01 / sf0.1
+
+
+def ensure_tok_oracle_fixtures(seed: int = 42) -> str:
+    """Idempotently write the oracle twins; returns the fixture dir."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..sources.token_table import token_table_arrow
+    from .flagship import source_feature_events
+
+    os.makedirs(TOK_ORACLE_DIR, exist_ok=True)
+    ev_path = f"{TOK_ORACLE_DIR}/events_seed{seed}.parquet"
+    if not os.path.exists(ev_path):
+        pq.write_table(
+            pa.Table.from_pandas(source_feature_events(seed), preserve_index=False),
+            ev_path,
+        )
+    for n in _TOK_ORACLE_NS:
+        p = f"{TOK_ORACLE_DIR}/tokens_{n}_seed{seed}.parquet"
+        if not os.path.exists(p):
+            pq.write_table(token_table_arrow(n, seed=seed).drop_columns(["tokens"]), p)
+    return TOK_ORACLE_DIR
+
+
 def tok_backfill(sf_dir: str):
     """Flagship backfill + temporal attach over the generated token table;
-    returns a per-source summary (deterministic)."""
+    returns a per-source summary covering every stage: count/sum (read),
+    log (backfill kernel), minmax (distributed fit), gbt mean (grouped
+    fit), as-of src_quality (PIT join) and session_idx (sessionize)."""
     from .flagship import run_flagship
     from ..functions.expr import raw as raw_f, unary as unary_f, groupbythen as gbt_f
 
     n = {"sf0.001": 3000, "sf0.01": 30000, "sf0.1": 300000}.get(
         sf_dir.rstrip("/").split("/")[-1], 3000
     )
+    ensure_tok_oracle_fixtures()
     n_tok = raw_f("n_tok", properties={"min": 1.0, "max": 512.0, "has_zero": False, "distinct": 512})
     src = raw_f("source", "categorical", {"distinct": 5})
     selected = [
@@ -1541,9 +1577,84 @@ def tok_backfill(sf_dir: str):
         Count(alias_name="n_rows"),
         Sum("n_tok", alias_name="sum_n_tok"),
         Mean("log(n_tok)", alias_name="avg_log_n_tok"),
+        Mean("minmax(n_tok)", alias_name="avg_minmax_n_tok"),
+        Mean("mean(n_tok by source)", alias_name="avg_gbt_n_tok"),
+        Mean("asof_src_quality", alias_name="avg_src_quality"),
         Mean("session_idx", alias_name="avg_session_idx"),
     )
-    return _round_cols(summary, {"avg_log_n_tok": 6, "avg_session_idx": 6})
+    def cast_sum(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("sum_n_tok")
+        return batch.set_column(i, "sum_n_tok", pc.cast(batch["sum_n_tok"], pa.int64()))
+
+    summary = summary.map_batches(cast_sum, batch_format="pyarrow")
+    return _round_cols(
+        summary,
+        {
+            "avg_log_n_tok": 6,
+            "avg_minmax_n_tok": 6,
+            "avg_gbt_n_tok": 6,
+            "avg_src_quality": 6,
+            "avg_session_idx": 6,
+        },
+    )
+
+
+# Oracle for the flagship: the driver's correctness gate runs at
+# sf=0.01 (30,000 rows); the SQL reads the seeded parquet twin written
+# by ensure_tok_oracle_fixtures() and re-derives every stage — global
+# minmax fit, ln backfill, per-source gbt mean, DuckDB-native ASOF JOIN
+# for the PIT attach (engine: latest event_ts <= ingest_ts, exact
+# allowed), and gap-sessionization via lag + running sum with the same
+# strict ">1800s" break compared at microsecond precision.
+TOK_BACKFILL_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, n_tok, CAST(n_tok AS DOUBLE) AS n_tok_d, source, ingest_ts
+  FROM read_parquet('{TOK_ORACLE_DIR}/tokens_30000_seed42.parquet')
+),
+mm AS (SELECT MIN(n_tok_d) AS lo, MAX(n_tok_d) AS hi FROM tok),
+att AS (
+  SELECT t.*, e.src_quality
+  FROM tok t
+  ASOF LEFT JOIN (
+    SELECT entity, event_ts, src_quality
+    FROM read_parquet('{TOK_ORACLE_DIR}/events_seed42.parquet')
+  ) e ON t.source = e.entity AND t.ingest_ts >= e.event_ts
+),
+lagged AS (
+  SELECT *, lag(ingest_ts) OVER (PARTITION BY source ORDER BY ingest_ts, doc_id) AS prev_ts
+  FROM att
+),
+sess AS (
+  SELECT *, SUM(CASE WHEN prev_ts IS NOT NULL
+                      AND date_diff('microsecond', prev_ts, ingest_ts) > 1800000000
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY source ORDER BY ingest_ts, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM lagged
+)
+SELECT source,
+       COUNT(*) AS n_rows,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_n_tok,
+       round(AVG(LN(n_tok_d)), 6) AS avg_log_n_tok,
+       round(AVG((n_tok_d - (SELECT lo FROM mm))
+                 / ((SELECT hi FROM mm) - (SELECT lo FROM mm))), 6) AS avg_minmax_n_tok,
+       round(AVG(n_tok_d), 6) AS avg_gbt_n_tok,
+       round(AVG(src_quality), 6) AS avg_src_quality,
+       round(AVG(CAST(session_idx AS DOUBLE)), 6) AS avg_session_idx
+FROM sess
+GROUP BY source
+"""
+
+# Resume-report oracle: the checkpointed rerun must compute all 4
+# shards on pass 1 and skip all 4 on pass 2 — the report is a
+# deterministic contract, so the oracle is the literal expected table.
+TOK_RESUMABLE_SQL = """
+SELECT * FROM (VALUES
+  ('run1_computed', CAST(4 AS BIGINT)),
+  ('run1_skipped',  CAST(0 AS BIGINT)),
+  ('run2_computed', CAST(0 AS BIGINT)),
+  ('run2_skipped',  CAST(4 AS BIGINT))) AS t(phase, n)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1600,6 +1711,6 @@ QUERIES: dict[str, tuple] = {
     "f_nsga2": (f_nsga2, None),
     "d_dedup_apply": (d_dedup_apply, None),
     "d_decontaminate": (d_decontaminate, None),
-    "tok_backfill": (tok_backfill, None),
-    "tok_resumable": (tok_resumable, None),
+    "tok_backfill": (tok_backfill, TOK_BACKFILL_SQL),
+    "tok_resumable": (tok_resumable, TOK_RESUMABLE_SQL),
 }
