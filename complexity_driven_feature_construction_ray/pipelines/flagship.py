@@ -105,7 +105,11 @@ def run_flagship(
     from ..sources.token_table import TOKEN_TABLE_SCHEMA
 
     if sample is None:
-        sample = search_sample(min(sample_rows, n_rows), seed=seed)
+        # lazy: generated only if a selected plan actually contains an
+        # unmergeable (mdlp/custom) fit node — the common mergeable-only
+        # resume/selected path skips driver-side sample generation
+        m = min(sample_rows, n_rows)
+        sample = lambda: search_sample(m, seed=seed)  # noqa: E731
     fitted = fit_distributed(
         selected,
         ds,

@@ -395,21 +395,27 @@ def q_broadcast_join(sf_dir: str):
         .to_pandas()
         .sort_values("c_custkey", kind="stable")
     )
-    # broadcast two parallel SORTED numpy arrays, not a Python dict: the
-    # object-store read is zero-copy per task (a dict re-deserializes on
-    # every ray.get) and the probe is a vectorized searchsorted, not
-    # per-row Python hashing (VERDICT r1 item 6)
+    # broadcast SORTED numpy arrays, not a Python dict: the object-store
+    # read is zero-copy per task (a dict re-deserializes on every
+    # ray.get) and the probe is a vectorized searchsorted, not per-row
+    # Python hashing (VERDICT r1 item 6). The string values ship
+    # DICTIONARY-ENCODED (int32 codes + a distinct-label array): every
+    # per-row array in the broadcast is then numeric/zero-copy; only the
+    # tiny label list (|distinct segments| elements) re-materializes per
+    # ray.get.
     keys = cust["c_custkey"].to_numpy()
-    vals = cust["c_mktsegment"].to_numpy(dtype=object)
-    lookup_ref = ray.put((keys, vals))
+    codes, labels = pd.factorize(cust["c_mktsegment"])
+    lookup_ref = ray.put(
+        (keys, codes.astype(np.int32), np.asarray(labels, dtype=object))
+    )
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def attach(batch: pa.Table) -> pa.Table:
         from ..stages.arrowutil import sorted_lookup
 
-        ks, vs = ray.get(lookup_ref)
+        ks, cs, lab = ray.get(lookup_ref)
         idx, found = sorted_lookup(ks, batch["o_custkey"].to_numpy())
-        seg = np.where(found, vs[idx], None)
+        seg = np.where(found, lab[cs[idx]], None)
         return batch.append_column("c_mktsegment", pa.array(seg, type=pa.string()))
 
     out = (
@@ -583,7 +589,12 @@ def q_union_distinct(sf_dir: str):
     # than a generic 2-column groupby over ~every key; see q_top_revenue)
     from ..stages.bucketing import default_buckets
 
-    B = default_buckets(hi, lo)
+    # hi/lo are .filter() lineages with no metadata count; size the
+    # buckets from the UNFILTERED parquet read's metadata (an upper
+    # bound — errs toward more buckets, keeping per-bucket memory
+    # bounded as the data grows) rather than falling back to the CPU
+    # floor.
+    B = default_buckets(_read(sf_dir, "lineitem", columns=["l_orderkey"], split=False))
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         b = (batch["l_orderkey"].to_numpy() % B).astype(np.int32)
@@ -843,32 +854,35 @@ def _perturbed_docs(sf_dir: str, n: int = 20, near: bool = True):
 def d_minhash_dedup(sf_dir: str):
     """Near-dup clusters over documents + 20 deterministic perturbed
     copies (so the output is non-trivial at every sf). No SQL oracle —
-    LSH bucketing is not SQL-expressible; rows-only check."""
-    from ..stages.dedup import minhash_lsh_dedup
+    LSH bucketing is not SQL-expressible; rows-only check. Published as
+    a streaming Dataset via clusters_dataset — the path a consumer joins
+    or sinks at scale; the pandas cluster map stays a test helper."""
+    from ..stages.dedup import clusters_dataset, minhash_lsh_dedup
 
     out = minhash_lsh_dedup(_perturbed_docs(sf_dir), threshold=0.5)
-    return out.sort_values("id").reset_index(drop=True)
+    return clusters_dataset(out.sort_values("id").reset_index(drop=True))
 
 
 def d_simhash_dedup(sf_dir: str):
-    from ..stages.dedup import simhash_dedup
+    from ..stages.dedup import clusters_dataset, simhash_dedup
 
     out = simhash_dedup(_perturbed_docs(sf_dir, near=False), max_hamming=3)
-    return out.sort_values("id").reset_index(drop=True)
+    return clusters_dataset(out.sort_values("id").reset_index(drop=True))
 
 
 def d_embedding_dedup(sf_dir: str):
     import ray.data
 
-    from ..stages.dedup import embedding_dedup
+    from ..stages.dedup import clusters_dataset, embedding_dedup
 
     pdf = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).to_pandas()
+    dim = len(pdf["embedding"].iloc[0])
     clones = pdf.head(10).copy()
     clones["vec_id"] = clones["vec_id"] + 10_000_000
     clones["embedding"] = clones["embedding"].map(lambda e: (np.asarray(e) * 1.0005).tolist())
     both = ray.data.from_pandas(pd.concat([pdf, clones], ignore_index=True))
-    out = embedding_dedup(both, threshold=0.999)
-    return out.sort_values("id").reset_index(drop=True)
+    out = embedding_dedup(both, threshold=0.999, dim=dim)
+    return clusters_dataset(out.sort_values("id").reset_index(drop=True))
 
 
 def q_salted_agg(sf_dir: str):

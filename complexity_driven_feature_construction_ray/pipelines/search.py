@@ -143,10 +143,16 @@ def _cached_broadcast(wrapped_blob_ref):
 
 
 def _install_ops(custom_ops):
-    if custom_ops:
-        from ..functions.expr import CUSTOM_OPS as _REG
+    """Make the driver's registry snapshot AUTHORITATIVE in this worker
+    process: warm Ray workers outlive a run, so stale entries from a
+    previous run (same name, different implementation — or a name the
+    new run expects absent) must not leak into candidate scoring."""
+    from ..functions.expr import CUSTOM_OPS as _REG
 
-        _REG.update(custom_ops)
+    snap = custom_ops or {}
+    for k in [k for k in _REG if k not in snap]:
+        del _REG[k]
+    _REG.update(snap)
 
 
 def _score_chunk(wrapped_blob_ref, plan_blobs, y, fold, c_grid, max_iter, custom_ops):

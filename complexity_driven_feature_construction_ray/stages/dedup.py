@@ -212,11 +212,18 @@ def minhash_lsh_dedup(
             bucket = (keys.reshape(-1).view(_U64) * _U64(bands * 2 + 1) + band_id).view(
                 np.int64
             )
+        # sig as a FixedSizeList over the flat repeated buffer (the
+        # inverse of arrowutil.list_column_matrix) — no Python list of
+        # numpy arrays materializes on the way into Arrow
+        rep = np.repeat(sigs.astype(np.int64), bands, axis=0)
+        sig_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(rep.reshape(-1)), num_perm
+        )
         return pa.table(
             {
                 "bucket": pa.array(bucket),
                 id_col: pa.array(np.repeat(ids, bands)),
-                "sig": pa.array(list(sigs.astype(np.int64)[np.repeat(np.arange(n), bands)])),
+                "sig": sig_arr,
             }
         )
 
@@ -260,7 +267,11 @@ def _pairs_from_hot_buckets(bands_ds, bucket_pairs, id_col: str) -> pd.DataFrame
     def hot_only(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.greater_equal(batch["count()"], 2)).select(["bucket"])
 
-    counts = bands_ds.groupby("bucket").count()
+    # count pass shuffles ONLY the 8-byte bucket column — the wide band
+    # rows (ids + signatures, ~0.5 KB/row for minhash) would multiply
+    # the counting shuffle's bytes ~50x for no benefit; the band stream
+    # is recomputed for the pair pass anyway
+    counts = bands_ds.select_columns(["bucket"]).groupby("bucket").count()
     hot = counts.map_batches(hot_only, batch_format="pyarrow", batch_size=None)
     hot_keys = np.sort(hot.to_pandas()["bucket"].to_numpy().astype(np.int64))
     if len(hot_keys) == 0:
@@ -424,11 +435,23 @@ def embedding_dedup(
     threshold: float = 0.95,
     n_planes: int = 12,
     seed: int = 42,
+    dim: int | None = None,
 ) -> pd.DataFrame:
     """Near-dup clusters where cosine similarity >= threshold.
-    Random-hyperplane LSH buckets + exact cosine verify per bucket."""
-    first = ds.take(1)[0]
-    dim = len(first[emb_col])
+    Random-hyperplane LSH buckets + exact cosine verify per bucket.
+
+    `dim`: embedding width. Read from the schema when the column is a
+    fixed-size list; for variable list columns pass it explicitly —
+    the ds.take(1) fallback partially executes the upstream pipeline."""
+    if dim is None:
+        sch = ds.schema(fetch_if_missing=False)
+        base = getattr(sch, "base_schema", sch)
+        if isinstance(base, pa.Schema) and emb_col in base.names:
+            t = base.field(emb_col).type
+            if pa.types.is_fixed_size_list(t):
+                dim = t.list_size
+    if dim is None:
+        dim = len(ds.take(1)[0][emb_col])
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(dim, n_planes))
 
@@ -444,7 +467,11 @@ def embedding_dedup(
             {
                 "bucket": pa.array(key.astype(np.int64)),
                 id_col: batch[id_col],
-                "emb_n": pa.array(list(embs)),
+                # fixed-size list over the flat normalized buffer — no
+                # Python list of row arrays
+                "emb_n": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.ascontiguousarray(embs).reshape(-1)), dim
+                ),
             }
         )
 

@@ -237,8 +237,9 @@ def fit_distributed(
 ) -> Fitted:
     """Fit all stateful nodes of `features` by streaming passes over `ds`.
 
-    `sample_for_unmergeable`: (cols, y) in-memory sample used for mdlp /
-    gbt_median, whose fit state is not a mergeable aggregate.
+    `sample_for_unmergeable`: (cols, y) in-memory sample — or a zero-arg
+    callable returning one, invoked only if actually needed — used for
+    mdlp / custom ops, whose fit state is not a mergeable aggregate.
 
     `input_cols`: the dataset's column names, if the caller knows them.
     Without it we fall back to ds.schema() — which for a lazy map_batches
@@ -344,6 +345,10 @@ def fit_distributed(
                 )
             from ..functions.kernels import fit_on_arrays
 
+            # a callable defers sample generation to first actual need —
+            # the common mergeable-only run never pays for it
+            if callable(sample_for_unmergeable):
+                sample_for_unmergeable = sample_for_unmergeable()
             cols, y = sample_for_unmergeable
             fitted = fit_on_arrays(unmergeable, cols, y=y, fitted=fitted)
     return fitted
