@@ -1360,9 +1360,11 @@ def tok_search(sf_dir: str):
 
 
 def tok_search_explorekit(sf_dir: str):
-    """Same search with the ExploreKit-style producer preset (reference
-    feature_space/explorekit_transformations.py:19-41: equal-width
-    discretize + minmax; add/mul/div/sub binaries)."""
+    """Search with the ExploreKit op preset (reference feature_space/
+    explorekit_transformations.py:19-41: equal-width discretize +
+    minmax; add/mul/div/sub binaries) AND ExploreKit's own one-shot
+    Fui/Foi/Foui enumeration order (candidate_generation/explorekit/
+    Generator.py:27-94) instead of the layered complexity loop."""
     from .flagship import search_sample
     from .search import ComplexityDrivenSearch, EXPLOREKIT_OPS
     from ..functions.expr import raw as raw_f
@@ -1374,7 +1376,8 @@ def tok_search_explorekit(sf_dir: str):
         raw_f("source", "categorical", {"distinct": 5, "values": ["books", "chat", "code", "web", "wiki"]}),
     ]
     res = ComplexityDrivenSearch(
-        c_max=2, epsilon=-1e9, use_ray=True, lr_max_iter=15, **EXPLOREKIT_OPS
+        c_max=2, epsilon=-1e9, use_ray=True, lr_max_iter=15,
+        strategy="explorekit", **EXPLOREKIT_OPS
     ).run(cols, y, base)
     rows = sorted(
         (s.name, s.complexity, round(s.score, 6)) for s in res.all_scored.values()

@@ -558,6 +558,7 @@ class ComplexityDrivenSearch:
         use_ray: bool = True,
         instance_selection: bool = False,
         scorer_mode: str = "tasks",
+        strategy: str = "layered",
     ):
         # default op families = get_transformation_for_division
         # (reference candidate_generation/feature_space/division.py:23-56)
@@ -583,6 +584,10 @@ class ComplexityDrivenSearch:
         # no actor startup on cold runs; "actors": dedicated pool (the
         # right shape if per-candidate state ever becomes heavy)
         self.scorer_mode = scorer_mode
+        # "layered" = the reference's complexity-budget BFS;
+        # "explorekit" = one-shot Fui/Foi/Foui enumeration
+        # (candidate_generation/explorekit/Generator.py)
+        self.strategy = strategy
         self._pool = None
         self._actors: list = []
         self._blob_ref = None
@@ -810,10 +815,16 @@ class ComplexityDrivenSearch:
         champions: dict[int, Scored] = {}  # best-so-far after each layer
         c_limit = self.c_max if self.c_max is not None else self.hard_c_cap
         try:
-            self._run_layers(
-                c_limit, t0, cols, y, fold, clean_raws, parked, cat_raws,
-                admit, survivors, all_scored, scores, seen_values, stats, champions,
-            )
+            if self.strategy == "explorekit":
+                self._run_explorekit(
+                    cols, y, fold, clean_raws, parked, cat_raws,
+                    admit, survivors, all_scored, scores, seen_values, stats, champions,
+                )
+            else:
+                self._run_layers(
+                    c_limit, t0, cols, y, fold, clean_raws, parked, cat_raws,
+                    admit, survivors, all_scored, scores, seen_values, stats, champions,
+                )
         finally:
             # a failed run must not leave a stale broadcast sample or a
             # live pool behind: a retry would silently score against the
@@ -905,3 +916,108 @@ class ComplexityDrivenSearch:
             if self.c_max is None and c > 2 and self._harmonic_stop(champions, survivors, c):
                 stats["harmonic_stop"] = c
                 break
+
+    def _run_explorekit(
+        self, cols, y, fold, clean_raws, parked, cat_raws,
+        admit, survivors, all_scored, scores, seen_values, stats, champions,
+    ):
+        """ExploreKit's one-shot enumeration instead of the layered
+        complexity loop: Fui / Foi / Foui generated up front (reference
+        candidate_generation/explorekit/Generator.py:27-94), scored in a
+        single pass. No ε-parent gate — ExploreKit ranks candidates
+        standalone; the engine's constant/sympy/value dedup still
+        applies."""
+        fi = clean_raws + parked + cat_raws
+        layer = admit(list(fi)) + admit(
+            explorekit_generate(
+                fi,
+                unary_ops=tuple(op for op in self.unary_ops if op in UNARY_OPS),
+                commutative_ops=tuple(op for op in self.binary_ops if op in ("add", "mul")),
+                ordered_ops=tuple(op for op in self.binary_ops if op in ("div", "sub")),
+                gbt_aggs=self.gbt_aggs,
+            )
+        )
+        results = self._score_layer(layer, cols, y, fold)
+        for f, score, best_c, ll, vhash, const in results:
+            if const:
+                stats["constant"] += 1
+                continue
+            if vhash in seen_values:
+                stats["deduped_value"] += 1
+                continue
+            seen_values.add(vhash)
+            sc = Scored(f, score, best_c, ll)
+            all_scored[f.name] = sc
+            scores[f.name] = score
+            survivors.setdefault(f.complexity, []).append(sc)
+        if all_scored:
+            champions[1] = max(all_scored.values(), key=lambda s: s.score)
+
+
+def explorekit_generate(
+    base_features: list[Feature],
+    *,
+    unary_ops: tuple = ("discretize", "minmax"),
+    commutative_ops: tuple = ("add", "mul"),
+    ordered_ops: tuple = ("div", "sub"),
+    gbt_aggs: tuple = DEFAULT_GBT_AGGS,
+    include_raw: bool = False,
+) -> list[Feature]:
+    """ExploreKit's enumeration order (reference candidate_generation/
+    explorekit/Generator.py:27-94 with the op families of
+    feature_space/explorekit_transformations.py:19-41), over this
+    engine's feature algebra:
+
+      Fui  = unary(Fi)            discretize(10) then minmax, each over
+                                  all of Fi (transformation-major)
+      Foi  = higher-order(Fi+Fui) nansum/nanprod over combinations WITH
+                                  replacement (commutative, repetition
+                                  allowed); divide/subtract over ordered
+                                  pairs (no repetition); GroupByThen
+                                  {max,min,mean,std} over (value, key)
+                                  ordered pairs — the three
+                                  get_combinations branches of
+                                  transformations/Transformation.py:72-83
+      Foui = unary(Foi)
+
+    Returns Fui + Foi + Foui in enumeration order (generate_candidates);
+    include_raw=True appends Fi (generate_all_candidates:21-24).
+    Applicability runs the engine's predicates
+    (functions/expr.py:is_applicable), which mirror the reference's
+    per-transformation is_applicable checks (numeric-only operands,
+    no re-discretize/re-scale, div-by-zero guard, gbt value without
+    missing values)."""
+    from itertools import combinations_with_replacement, permutations
+
+    def unary_over(feats: list[Feature]) -> list[Feature]:
+        out = []
+        for op in unary_ops:
+            for p in feats:
+                if is_applicable(op, (p,)):
+                    out.append(unary(op, p))
+        return out
+
+    def higher_order_over(feats: list[Feature]) -> list[Feature]:
+        out = []
+        for op in commutative_ops:
+            for a, b in combinations_with_replacement(feats, 2):
+                if is_applicable(op, (a, b)):
+                    out.append(binary(op, a, b))
+        for op in ordered_ops:
+            for a, b in permutations(feats, 2):
+                if is_applicable(op, (a, b)):
+                    out.append(binary(op, a, b))
+        for agg in gbt_aggs:
+            for v, k in permutations(feats, 2):
+                if is_applicable(f"gbt_{agg}", (v, k)):
+                    out.append(groupbythen(agg, v, k))
+        return out
+
+    fi = list(base_features)
+    fui = unary_over(fi)
+    foi = higher_order_over(fi + fui)
+    foui = unary_over(foi)
+    out = fui + foi + foui
+    if include_raw:
+        out.extend(fi)
+    return out
