@@ -1465,6 +1465,34 @@ def f_nsga2(sf_dir: str):
     return pd.DataFrame(rows, columns=["selected", "acc", "fair", "n_features"])
 
 
+def f_select(sf_dir: str):
+    """Feature-selection wrapper analogs (reference transformations/
+    feature_selection/: RFE, SelectKBest(MI), Boruta, ReliefF) over the
+    seeded token-table feature sample; returns each selector's kept
+    set (deterministic, rows-only check — the selectors are iterative
+    model fits, not SQL-expressible)."""
+    from .flagship import search_sample
+    from .selection import boruta_select, relieff_select, rfe_select, select_k_best_mi
+
+    cols, y = search_sample(1000)
+    feats = {
+        "log_n_tok": np.log(cols["n_tok"]),
+        "tok_mean": cols["tok_mean"],
+        "tok_std": cols["tok_std"],
+        "recip_n_tok": 1.0 / cols["n_tok"],
+        "tok_distinct_ratio": cols["tok_distinct_ratio"],
+    }
+    names = sorted(feats)
+    X = np.column_stack([feats[n] for n in names])
+    rows = [
+        ("rfe", ";".join(rfe_select(X, names, y, n_select=3))),
+        ("select_k_mi", ";".join(select_k_best_mi(X, names, y, k=3))),
+        ("boruta_accepted", ";".join(boruta_select(X, names, y, n_trials=12)["accepted"])),
+        ("relieff", ";".join(relieff_select(X, names, y, k=3, sample=400))),
+    ]
+    return pd.DataFrame(rows, columns=["selector", "kept"])
+
+
 def d_dedup_apply(sf_dir: str):
     """Streaming consumption of a near-dup cluster map: minhash clusters
     -> broadcast dup-id set -> map_batches anti-join over the full
@@ -1726,6 +1754,7 @@ QUERIES: dict[str, tuple] = {
     "tok_nested_cv": (tok_nested_cv, None),
     "tok_side_metrics": (tok_side_metrics, None),
     "f_nsga2": (f_nsga2, None),
+    "f_select": (f_select, None),
     "d_dedup_apply": (d_dedup_apply, None),
     "d_decontaminate": (d_decontaminate, None),
     "tok_backfill": (tok_backfill, TOK_BACKFILL_SQL),
