@@ -1335,6 +1335,53 @@ def m_decode(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def m_decode_ppm(sf_dir: str):
+    """REAL codec path: deterministic P6 PPM payloads decoded in-
+    container (pure-numpy PPM/BMP codecs) through the actor-pool
+    resize(0.5, nearest) -> decode -> 16-bin luminance histogram
+    stages; returns per-item resized dims + feature summaries."""
+    import ray.data
+
+    from ..stages.multimodal import ImageDecode, ImageResize, synthetic_ppm_table
+
+    n = {"sf0.001": 64, "sf0.01": 256, "sf0.1": 1024}.get(
+        sf_dir.rstrip("/").split("/")[-1], 256
+    )
+    ds = ray.data.from_arrow(synthetic_ppm_table(n)).repartition(8)
+    out = ds.map_batches(
+        ImageResize,
+        fn_constructor_kwargs={"scale": 0.5, "fake": False},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+    ).map_batches(
+        ImageDecode,
+        fn_constructor_args=(False,),
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        import json as _json
+
+        feats = batch["features"].to_pylist()
+        metas = [_json.loads(m) for m in batch["meta"].to_pylist()]
+        return pa.table(
+            {
+                "item_id": batch["item_id"],
+                "w": pa.array([m["w"] for m in metas], type=pa.int32()),
+                "h": pa.array([m["h"] for m in metas], type=pa.int32()),
+                "feat_dim": pa.array([len(f) for f in feats], type=pa.int32()),
+                "feat_sum": pa.array(
+                    [round(float(np.sum(f)), 6) for f in feats], type=pa.float64()
+                ),
+            }
+        )
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # token-table pipelines (generated input; rows-only checks)
 
@@ -1749,6 +1796,7 @@ QUERIES: dict[str, tuple] = {
     "d_fingerprint": (d_fingerprint, None),
     "d_knn_ivf": (d_knn_ivf, None),
     "m_decode": (m_decode, None),
+    "m_decode_ppm": (m_decode_ppm, None),
     "tok_search": (tok_search, None),
     "tok_search_explorekit": (tok_search_explorekit, None),
     "tok_nested_cv": (tok_nested_cv, None),

@@ -1,10 +1,14 @@
 """Multimodal column stages (image/audio/video as opaque binary).
 
-The decode/feature-extract kernels are STUBBED — the image/audio
-libraries are not in this container — but the Ray-side plumbing is
-real and tested: schema contract, actor-pool signature, batch sizing
-for wide binary rows, and deterministic fake decoding so the pipeline
-shape can be exercised end-to-end.
+Two codec tiers:
+- REAL, in-container: PPM (P6) and BMP (24-bpp uncompressed) decode,
+  nearest-neighbor resize, and PPM encode are pure-numpy — no image
+  library needed — so the real-codec path is exercisable end-to-end
+  here (decode -> luminance histogram features, resize -> re-encode).
+- STUBBED: compressed formats (PNG/JPEG/WAV/...) need codecs absent
+  from this container; those payloads raise a clearly-marked
+  NotImplementedError in real mode, and `fake=True` provides the
+  deterministic content-derived test double for plumbing tests.
 
 Contract: a multimodal table carries `(item_id:string, payload:binary,
 media_type:string, meta:string-json)`. Decode stages are actor pools
@@ -18,6 +22,90 @@ import json
 
 import numpy as np
 import pyarrow as pa
+
+
+# ---------------------------------------------------------------------------
+# pure-numpy codecs (the in-container "real" tier)
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (h, w, 3) uint8. Handles whitespace-separated
+    header fields and '#' comment lines per the netpbm spec."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3:
+        # skip whitespace and comments
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    n = w * h * 3
+    arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return arr.reshape(h, w, 3)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6) payload."""
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(img, dtype=np.uint8).tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bpp BMP (BITMAPINFOHEADER) -> (h, w, 3) uint8 RGB.
+    Rows are stored bottom-up and padded to 4 bytes; pixels are BGR."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+    img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        img = img[::-1]
+    return img[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def resize_nearest(img: np.ndarray, scale: float) -> np.ndarray:
+    """Nearest-neighbor resize by `scale` (pure index maps, no codec)."""
+    h, w = img.shape[:2]
+    nh, nw = max(int(round(h * scale)), 1), max(int(round(w * scale)), 1)
+    ri = np.minimum((np.arange(nh) / scale).astype(np.int64), h - 1)
+    ci = np.minimum((np.arange(nw) / scale).astype(np.int64), w - 1)
+    return img[ri][:, ci]
+
+
+def decode_image(payload: bytes, media_type: str | None = None) -> np.ndarray:
+    """Dispatch on payload magic (authoritative) with media_type as the
+    error-message hint. PPM/BMP decode in pure numpy; anything else is
+    the declared stub."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        f"no in-container codec for payload (media_type={media_type!r}); "
+        "PPM (P6) and 24-bpp BMP decode here; PNG/JPEG need an image "
+        "library absent from this environment"
+    )
 
 
 MEDIA_SCHEMA = pa.schema(
@@ -47,77 +135,85 @@ def synthetic_media_table(n_rows: int, seed: int = 42, payload_bytes: int = 4096
     )
 
 
+def synthetic_ppm_table(n_rows: int, seed: int = 42, w: int = 32, h: int = 24) -> pa.Table:
+    """Deterministic REAL PPM payloads (decodable in-container) — a
+    gradient + per-item noise pattern, encoded P6."""
+    rng = np.random.default_rng(seed)
+    ids, payloads, metas = [], [], []
+    gx = np.linspace(0, 255, w, dtype=np.float64)
+    for i in range(n_rows):
+        base = np.zeros((h, w, 3), dtype=np.float64)
+        base[:, :, 0] = gx[None, :]
+        base[:, :, 1] = np.linspace(0, 255, h)[:, None]
+        base[:, :, 2] = (i * 37) % 256
+        noise = rng.integers(0, 32, size=(h, w, 3))
+        img = np.clip(base + noise, 0, 255).astype(np.uint8)
+        ids.append(f"ppm-{i:08d}")
+        payloads.append(encode_ppm(img))
+        metas.append(json.dumps({"w": w, "h": h}))
+    return pa.table(
+        {
+            "item_id": ids,
+            "payload": payloads,
+            "media_type": ["image/x-portable-pixmap"] * n_rows,
+            "meta": metas,
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
 class ImageDecode:
     """Actor-pool stage: binary payload -> decoded feature vector.
 
-    Real decode requires an image library (not in this container):
-    pass `fake=True` for a deterministic content-derived fake feature
-    (tested), else the stage raises NotImplementedError at first batch.
+    Real mode decodes PPM/BMP payloads with the pure-numpy codecs above
+    and emits a 16-bin luminance histogram; unsupported formats raise
+    the declared NotImplementedError. `fake=True` keeps the
+    content-derived byte-histogram double for plumbing tests.
     """
 
     FEATURE_DIM = 16
 
     def __init__(self, fake: bool = False):
         self.fake = fake
-        if not fake:
-            try:
-                import PIL.Image  # noqa: F401  (absent here by design)
-
-                self.pil = True
-            except ImportError:
-                self.pil = False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            # the real codec path is a declared stub: raise whether or
-            # not an image library is importable, so real payloads are
-            # never silently run through the fake histogram
-            raise NotImplementedError(
-                "real image decode is not implemented"
-                + ("" if getattr(self, "pil", False) else " (and PIL/opencv is not installed)")
-                + "; use fake=True for the deterministic test double"
-            )
         feats = []
-        for payload in batch["payload"].to_pylist():
-            arr = np.frombuffer(payload, dtype=np.uint8)
-            # deterministic fake "embedding": bucketed byte histogram
-            hist = np.bincount(arr >> 4, minlength=self.FEATURE_DIM)[: self.FEATURE_DIM]
-            feats.append((hist / max(len(arr), 1)).astype(np.float32))
+        types = batch["media_type"].to_pylist() if "media_type" in batch.column_names else [None] * len(batch)
+        for payload, mtype in zip(batch["payload"].to_pylist(), types):
+            if self.fake:
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                # deterministic fake "embedding": bucketed byte histogram
+                hist = np.bincount(arr >> 4, minlength=self.FEATURE_DIM)[: self.FEATURE_DIM]
+                feats.append((hist / max(len(arr), 1)).astype(np.float32))
+                continue
+            img = decode_image(payload, mtype)
+            luma = (
+                0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+            ).astype(np.uint8)
+            hist = np.bincount(luma.reshape(-1) >> 4, minlength=self.FEATURE_DIM)[
+                : self.FEATURE_DIM
+            ]
+            feats.append((hist / max(luma.size, 1)).astype(np.float32))
         return batch.append_column(
             "features", pa.array([f.tolist() for f in feats], type=pa.list_(pa.float32()))
         )
 
 
 class ImageResize:
-    """Actor-pool stage: resize the decoded image payload.
+    """Actor-pool stage: resize the image payload.
 
-    Stubbed like ImageDecode: without an image library the fake mode
-    byte-strides the payload down to (w*h*scale^2) deterministically;
-    the meta JSON is updated with the new dimensions — the schema/actor
-    plumbing is the real part.
+    Real mode decodes PPM/BMP with the numpy codecs, nearest-neighbor
+    resizes, and re-encodes as PPM (meta w/h updated from the ACTUAL
+    decoded dimensions); unsupported formats raise the declared
+    NotImplementedError. Fake mode byte-strides the payload down to
+    ~(w*h*scale^2) deterministically for plumbing tests.
     """
 
     def __init__(self, scale: float = 0.5, fake: bool = True):
         self.scale = scale
         self.fake = fake
-        if not fake:
-            # runtime-gate the real codec exactly like ImageDecode: the
-            # stage constructs fine where PIL exists and raises a clear
-            # NotImplementedError at first batch where it doesn't
-            try:
-                import PIL.Image  # noqa: F401  (absent here by design)
-
-                self.pil = True
-            except ImportError:
-                self.pil = False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "real image resize is not implemented"
-                + ("" if getattr(self, "pil", False) else " (and PIL/opencv is not installed)")
-                + "; use fake=True for the deterministic test double"
-            )
         out_payload, out_meta = [], []
         stride = max(int(round(1 / (self.scale**2))), 1)
         types = batch["media_type"].to_pylist() if "media_type" in batch.column_names else None
@@ -131,11 +227,16 @@ class ImageResize:
                 out_payload.append(payload)
                 out_meta.append(meta)
                 continue
-            out_payload.append(payload[::stride])
             m = json.loads(meta) if meta else {}
-            for dim in ("w", "h"):
-                if dim in m:
-                    m[dim] = int(m[dim] * self.scale)
+            if self.fake:
+                out_payload.append(payload[::stride])
+                for dim in ("w", "h"):
+                    if dim in m:
+                        m[dim] = int(m[dim] * self.scale)
+            else:
+                img = resize_nearest(decode_image(payload, types[i] if types else None), self.scale)
+                out_payload.append(encode_ppm(img))
+                m["h"], m["w"] = int(img.shape[0]), int(img.shape[1])
             out_meta.append(json.dumps(m))
         batch = batch.set_column(
             batch.column_names.index("payload"), "payload",

@@ -1,0 +1,146 @@
+"""Pure-numpy PPM/BMP codecs + the real decode/resize actor path."""
+
+import json
+import struct
+
+import numpy as np
+import pytest
+
+from complexity_driven_feature_construction_ray.stages.multimodal import (
+    ImageDecode,
+    ImageResize,
+    decode_bmp,
+    decode_image,
+    decode_ppm,
+    encode_ppm,
+    resize_nearest,
+    synthetic_ppm_table,
+)
+
+
+def _bmp_bytes(img_rgb: np.ndarray, top_down: bool = False) -> bytes:
+    """Hand-build an uncompressed 24-bpp BMP (the golden the decoder is
+    tested against — independent of the decoder's own parsing)."""
+    h, w, _ = img_rgb.shape
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    order = range(h) if top_down else range(h - 1, -1, -1)
+    for r in order:
+        row = img_rgb[r, :, ::-1].astype(np.uint8).tobytes()  # RGB -> BGR
+        rows.append(row + b"\x00" * (stride - len(row)))
+    pixel_data = b"".join(rows)
+    data_off = 14 + 40
+    file_size = data_off + len(pixel_data)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, (h if not top_down else -h), 1, 24, 0,
+        len(pixel_data), 2835, 2835, 0, 0,
+    )
+    return header + info + pixel_data
+
+
+@pytest.fixture
+def img():
+    rng = np.random.default_rng(3)
+    return rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+
+
+class TestCodecs:
+    def test_ppm_roundtrip(self, img):
+        assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+
+    def test_ppm_header_comments(self, img):
+        payload = encode_ppm(img)
+        # inject a comment line after the magic, per netpbm spec
+        with_comment = b"P6\n# a comment\n" + payload[3:]
+        assert np.array_equal(decode_ppm(with_comment), img)
+
+    def test_ppm_rejects_non_p6(self):
+        with pytest.raises(ValueError):
+            decode_ppm(b"P3\n1 1\n255\n000")
+
+    def test_bmp_bottom_up(self, img):
+        assert np.array_equal(decode_bmp(_bmp_bytes(img)), img)
+
+    def test_bmp_top_down(self, img):
+        assert np.array_equal(decode_bmp(_bmp_bytes(img, top_down=True)), img)
+
+    def test_bmp_row_padding(self):
+        # w=3 -> 9 bytes/row, padded to 12: padding must be dropped
+        img = np.arange(3 * 3 * 3, dtype=np.uint8).reshape(3, 3, 3)
+        assert np.array_equal(decode_bmp(_bmp_bytes(img)), img)
+
+    def test_dispatch_and_stub(self, img):
+        assert np.array_equal(decode_image(encode_ppm(img)), img)
+        assert np.array_equal(decode_image(_bmp_bytes(img)), img)
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG\r\n\x1a\n....", "image/png")
+
+    def test_resize_nearest_golden(self):
+        img = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+        small = resize_nearest(img, 0.5)
+        # nearest with scale 0.5 picks rows/cols 0 and 2
+        assert np.array_equal(small[:, :, 0], np.array([[0, 2], [8, 10]]))
+        big = resize_nearest(small, 2.0)
+        assert big.shape == (4, 4, 1)
+
+
+class TestRealActorPath:
+    def test_decode_features_match_numpy_oracle(self, img):
+        import pyarrow as pa
+
+        t = pa.table(
+            {
+                "item_id": ["a"],
+                "payload": [encode_ppm(img)],
+                "media_type": ["image/x-portable-pixmap"],
+                "meta": [json.dumps({"w": 7, "h": 5})],
+            }
+        )
+        out = ImageDecode(fake=False)(t)
+        luma = (0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]).astype(np.uint8)
+        expect = np.bincount(luma.reshape(-1) >> 4, minlength=16)[:16] / luma.size
+        got = np.array(out["features"].to_pylist()[0])
+        assert np.allclose(got, expect, atol=1e-6)
+
+    def test_resize_real_updates_dims_and_reencodes(self, ray_session):
+        import ray.data
+
+        ds = ray.data.from_arrow(synthetic_ppm_table(16, w=32, h=24))
+        out = ds.map_batches(
+            ImageResize, fn_constructor_kwargs={"scale": 0.5, "fake": False},
+            batch_format="pyarrow", batch_size=8, concurrency=2,
+        ).to_pandas()
+        assert len(out) == 16
+        for payload, meta in zip(out["payload"], out["meta"]):
+            m = json.loads(meta)
+            assert (m["w"], m["h"]) == (16, 12)
+            dec = decode_ppm(bytes(payload))
+            assert dec.shape == (12, 16, 3)
+
+    def test_resize_then_decode_matches_driver_side(self, ray_session):
+        """The distributed resize->decode equals the same numpy ops run
+        driver-side on the same payloads (allclose parity)."""
+        import ray.data
+
+        t = synthetic_ppm_table(8, w=16, h=16)
+        ds = ray.data.from_arrow(t)
+        out = (
+            ds.map_batches(
+                ImageResize, fn_constructor_kwargs={"scale": 0.5, "fake": False},
+                batch_format="pyarrow", batch_size=4, concurrency=2,
+            )
+            .map_batches(
+                ImageDecode, fn_constructor_args=(False,),
+                batch_format="pyarrow", batch_size=4, concurrency=2,
+            )
+            .to_pandas()
+            .sort_values("item_id")
+        )
+        for payload, feats in zip(t["payload"].to_pylist(), out["features"]):
+            img = resize_nearest(decode_ppm(payload), 0.5)
+            luma = (
+                0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+            ).astype(np.uint8)
+            expect = np.bincount(luma.reshape(-1) >> 4, minlength=16)[:16] / luma.size
+            assert np.allclose(np.array(feats), expect, atol=1e-6)
