@@ -1272,6 +1272,28 @@ def f_lifecycle(sf_dir: str):
     return pd.DataFrame(rows, columns=["name", "value"])
 
 
+def f_lifecycle_causal(sf_dir: str):
+    """FairExp lifecycle with the BUILT-IN d-separation causal filter
+    (pure-Python IAMB Markov-blanket stand-in for the reference's
+    R/bnlearn subprocess, causality/d_separation.py): candidates whose
+    values are not d-separated from `source` are vetoed before the
+    backfill. Deterministic; rows-only check."""
+    from .causality import builtin_causal_filter
+    from .fairexp import fairexp_lifecycle
+
+    n = {"sf0.001": 3000, "sf0.01": 20000, "sf0.1": 100000}.get(
+        sf_dir.rstrip("/").split("/")[-1], 20000
+    )
+    res = fairexp_lifecycle(
+        n, sample_rows=1200, c_max=2, causal_filter=builtin_causal_filter()
+    )
+    rows = [("__rows__", float(res["dataset"].count()))]
+    rows += [("__acc__", round(res["acc"], 6))]
+    rows += [(f"sel:{s}", 1.0) for s in res["selected"]]
+    rows += [(f"causal_drop:{s}", 0.0) for s in res["dropped_causal"]]
+    return pd.DataFrame(rows, columns=["name", "value"])
+
+
 def f_sffs(sf_dir: str):
     """SFFS repair (floating forward selection with parallel
     eliminations) over in-memory backfilled token features; deterministic
@@ -1791,6 +1813,7 @@ QUERIES: dict[str, tuple] = {
     "f_ctnb": (f_ctnb, F_CTNB_SQL),
     "f_sffs": (f_sffs, None),
     "f_lifecycle": (f_lifecycle, None),
+    "f_lifecycle_causal": (f_lifecycle_causal, None),
     "d_lang_id": (d_lang_id, D_LANG_ID_SQL),
     "d_jaccard": (d_jaccard, D_JACCARD_SQL),
     "d_fingerprint": (d_fingerprint, None),
