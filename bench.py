@@ -187,12 +187,26 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
 
     ray.data.range(10000).map_batches(lambda b: b, batch_format="pyarrow").count()
 
+    # variance-robust timing: the shared sandbox shows 4x swings on
+    # identical code (BASELINE.md documents 65-126s suite spread), so
+    # each query runs k times and reports the MIN (the best proxy for
+    # the code's actual cost under noise), plus the observed spread.
+    # Queries whose first run is already expensive (>5s) stop at 2 reps
+    # to bound total bench wall time.
+    reps = max(1, int(os.environ.get("GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
         fn, _sql = QUERIES[name]
-        t0 = time.perf_counter()
-        _consume(fn(sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs: list[float] = []
+        for rep in range(reps):
+            t0 = time.perf_counter()
+            _consume(fn(sf_dir))
+            runs.append(time.perf_counter() - t0)
+            if runs[0] > 5.0 and rep >= 1:
+                break
+        timings[name] = round(min(runs), 3)
+        spread[name] = round(max(runs) - min(runs), 3)
 
     # dedicated throughput measurement of the flagship backfill
     n_rows = _backfill_rows(sf_dir)
@@ -203,6 +217,8 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         "value": round(sum(timings.values()) + bf["sec"], 3),
         "unit": "sec",
         "queries": timings,
+        "query_spread": spread,
+        "bench_reps": reps,
         "sf": sf_dir.rstrip("/").split("/")[-1],
         "num_cpus": num_cpus,
         "backfill_rows": bf["rows"],
