@@ -801,6 +801,78 @@ FROM documents
 """
 
 
+def d_repetition(sf_dir: str):
+    """Gopher-style within-document repetition quality signals
+    (duplicate-word fraction + top-word fraction), exact vs the SQL
+    word-frequency oracle."""
+    from ..stages.text import repetition_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(repetition_stats, batch_format="pyarrow")
+    out = _round_cols(out, {"dup_word_frac": 6, "top_word_frac": 6})
+    return out.select_columns(["doc_id", "dup_word_frac", "top_word_frac"])
+
+
+D_REPETITION_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents
+),
+c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+p AS (
+  SELECT doc_id, sum(c) * 1.0 AS total, count(*) * 1.0 AS distinct_w, max(c) * 1.0 AS top
+  FROM c GROUP BY doc_id
+)
+SELECT d.doc_id,
+       round(COALESCE(1.0 - p.distinct_w / p.total, 0.0), 6) AS dup_word_frac,
+       round(COALESCE(p.top / p.total, 0.0), 6) AS top_word_frac
+FROM documents d LEFT JOIN p USING (doc_id)
+"""
+
+
+def d_pii(sf_dir: str):
+    """PII email/phone scan: deterministic synthetic PII is injected
+    into every 5th document (the test tables carry none), then the
+    vectorized regex counter runs; the oracle applies the SAME injection
+    and RE2-compatible patterns in DuckDB."""
+    from ..stages.text import pii_scan
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        s = pd.Series(batch["text"].to_pandas()).fillna("")
+        suffix = pd.Series(
+            [
+                f" contact u{i}@ex.com call 555-123-4567" if i % 5 == 0 else ""
+                for i in ids
+            ]
+        )
+        t = (s + suffix).to_numpy(dtype=object)
+        return batch.set_column(
+            batch.column_names.index("text"), "text", pa.array(t, type=pa.string())
+        )
+
+    out = ds.map_batches(inject, batch_format="pyarrow").map_batches(
+        pii_scan, batch_format="pyarrow"
+    )
+    return out.select_columns(["doc_id", "n_emails", "n_phones"])
+
+
+D_PII_SQL = """
+WITH injected AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 5 = 0
+                      THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com call 555-123-4567'
+                      ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(text, '\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}')) AS n_phones
+FROM injected
+"""
+
+
 def d_knn(sf_dir: str):
     from ..stages.similarity import knn_bruteforce
 
@@ -1803,6 +1875,8 @@ QUERIES: dict[str, tuple] = {
     "d_exact_dedup": (d_exact_dedup, D_EXACT_DEDUP_SQL),
     "d_token_counts": (d_token_counts, D_TOKEN_COUNTS_SQL),
     "d_quality": (d_quality, D_QUALITY_SQL),
+    "d_repetition": (d_repetition, D_REPETITION_SQL),
+    "d_pii": (d_pii, D_PII_SQL),
     "d_knn": (d_knn, D_KNN_SQL),
     "d_minhash_dedup": (d_minhash_dedup, None),
     "d_simhash_dedup": (d_simhash_dedup, None),

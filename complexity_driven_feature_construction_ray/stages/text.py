@@ -81,6 +81,64 @@ def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch
 
 
+def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style within-document repetition signals: duplicate-word
+    fraction (1 - distinct/total) and top-word fraction (mode count /
+    total) — the repeated-content quality rules LLM pipelines filter on.
+    Vectorized: one findall/explode, one (row, word) hash groupby; the
+    per-row total/distinct/top reductions are C-level groupby aggregates
+    over the flat array, no Python loop."""
+    s = pd.Series(batch[text_col].to_pandas()).fillna("")
+    ex = s.str.findall(r"\S+").explode().dropna()
+    n = len(s)
+    dup = np.zeros(n, dtype=np.float64)
+    top = np.zeros(n, dtype=np.float64)
+    if len(ex):
+        df = pd.DataFrame({"r": ex.index.to_numpy(dtype=np.int64), "w": ex.to_numpy()})
+        c = df.groupby(["r", "w"], sort=False).size()
+        by_row = c.groupby(level=0)
+        total = by_row.sum()
+        distinct = by_row.size()
+        mode = by_row.max()
+        idx = total.index.to_numpy(dtype=np.int64)
+        t = total.to_numpy(dtype=np.float64)
+        dup[idx] = 1.0 - distinct.to_numpy(dtype=np.float64) / t
+        top[idx] = mode.to_numpy(dtype=np.float64) / t
+    batch = batch.append_column("dup_word_frac", pa.array(dup))
+    return batch.append_column("top_word_frac", pa.array(top))
+
+
+# PII patterns shared by the Python scan and the DuckDB oracle: kept
+# RE2-compatible (no backrefs/lookaround) so both engines find the same
+# leftmost non-overlapping matches.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+
+
+def pii_scan(batch: pa.Table, text_col: str = "text", mode: str = "count") -> pa.Table:
+    """Email/phone PII pass over a text column.
+
+    mode="count": append n_emails / n_phones match counts.
+    mode="mask": additionally redact matches in place ([EMAIL]/[PHONE])
+    — the anonymization step of a training-data pipeline. Vectorized
+    pandas str ops over the batch; patterns are module-level compiled.
+    """
+    s = pd.Series(batch[text_col].to_pandas()).fillna("")
+    n_email = s.str.count(PII_EMAIL_RE).to_numpy(dtype=np.int64)
+    n_phone = s.str.count(PII_PHONE_RE).to_numpy(dtype=np.int64)
+    batch = batch.append_column("n_emails", pa.array(n_email))
+    batch = batch.append_column("n_phones", pa.array(n_phone))
+    if mode == "mask":
+        masked = s.str.replace(PII_EMAIL_RE, "[EMAIL]", regex=True).str.replace(
+            PII_PHONE_RE, "[PHONE]", regex=True
+        )
+        batch = batch.set_column(
+            batch.column_names.index(text_col), text_col,
+            pa.array(masked.to_numpy(dtype=object), type=pa.string()),
+        )
+    return batch
+
+
 class LanguageId:
     """Actor-pool stage: stopword-overlap language scorer.
 

@@ -3,6 +3,7 @@ multimodal plumbing — over the driver-provided testdata tables."""
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 import ray.data
 
@@ -265,3 +266,45 @@ class TestDecontaminate:
         ).to_pandas()
         assert len(out) == n
         assert out["r"].iloc[-1] == 10.0
+
+
+class TestRepetitionAndPII:
+    def test_repetition_stats_known_values(self):
+        from complexity_driven_feature_construction_ray.stages.text import repetition_stats
+
+        t = pa.table(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "a a a a",          # 1 distinct / 4 -> dup .75, top 1.0
+                    "a b c d",          # all distinct -> dup 0, top .25
+                    "a a b b",          # dup .5, top .5
+                    "",                 # empty -> 0 / 0
+                ],
+            }
+        )
+        out = repetition_stats(t)
+        assert out["dup_word_frac"].to_pylist() == [0.75, 0.0, 0.5, 0.0]
+        assert out["top_word_frac"].to_pylist() == [1.0, 0.25, 0.5, 0.0]
+
+    def test_pii_counts_and_mask(self):
+        from complexity_driven_feature_construction_ray.stages.text import pii_scan
+
+        t = pa.table(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "mail me at a.b+c@site.org or boss@x.co thanks",
+                    "call 555-123-4567 or +49 123-456-7890",
+                    "no pii here",
+                ],
+            }
+        )
+        out = pii_scan(t)
+        assert out["n_emails"].to_pylist() == [2, 0, 0]
+        assert out["n_phones"].to_pylist() == [0, 2, 0]
+        masked = pii_scan(t, mode="mask")
+        texts = masked["text"].to_pylist()
+        assert texts[0] == "mail me at [EMAIL] or [EMAIL] thanks"
+        assert "[PHONE]" in texts[1] and "555" not in texts[1]
+        assert texts[2] == "no pii here"
