@@ -130,6 +130,32 @@ def fe_scaling(sf_dir: str):
     )
 
 
+def fe_npfun(sf_dir: str):
+    """NumericFunction (arbitrary numpy ufunc by name, reference
+    NumericFunctionTransformation.py) — sqrt/exp backfilled and
+    hash-checked against the SQL builtins."""
+    from ..functions.expr import npfunc
+
+    def build(f):
+        return [npfunc("sqrt", f["l_extendedprice"]), npfunc("exp", f["l_discount"])]
+
+    return _lineitem_features(
+        sf_dir,
+        {"stats": ["l_extendedprice", "l_discount"], "build": build},
+        keep=["l_orderkey", "l_linenumber"],
+        rename={"np.sqrt(l_extendedprice)": "sqrt_price", "np.exp(l_discount)": "exp_disc"},
+        rounding={"sqrt_price": 6, "exp_disc": 6},
+    )
+
+
+FE_NPFUN_SQL = """
+SELECT l_orderkey, l_linenumber,
+       round(sqrt(l_extendedprice), 6) AS sqrt_price,
+       round(exp(l_discount), 6) AS exp_disc
+FROM lineitem
+"""
+
+
 FE_SCALING_SQL = """
 SELECT l_orderkey, l_linenumber,
        round((l_quantity - MIN(l_quantity) OVER ())
@@ -1714,7 +1740,7 @@ TOK_ORACLE_DIR = "/tmp/cdfc_tok_oracle"
 _TOK_ORACLE_NS = (3000, 30000, 300000)  # sf0.001 / sf0.01 / sf0.1
 
 
-def ensure_tok_oracle_fixtures(seed: int = 42) -> str:
+def ensure_tok_oracle_fixtures(seed: int = 42, ns: tuple = _TOK_ORACLE_NS) -> str:
     """Idempotently write the oracle twins; returns the fixture dir."""
     import os
 
@@ -1730,7 +1756,7 @@ def ensure_tok_oracle_fixtures(seed: int = 42) -> str:
             pa.Table.from_pandas(source_feature_events(seed), preserve_index=False),
             ev_path,
         )
-    for n in _TOK_ORACLE_NS:
+    for n in ns:
         p = f"{TOK_ORACLE_DIR}/tokens_{n}_seed{seed}.parquet"
         if not os.path.exists(p):
             pq.write_table(token_table_arrow(n, seed=seed).drop_columns(["tokens"]), p)
@@ -1748,7 +1774,10 @@ def tok_backfill(sf_dir: str):
     n = {"sf0.001": 3000, "sf0.01": 30000, "sf0.1": 300000}.get(
         sf_dir.rstrip("/").split("/")[-1], 3000
     )
-    ensure_tok_oracle_fixtures()
+    # only this sf's twin (the oracle path writes all sizes via
+    # __ray_entry__.oracle_sql); keeps bench reps from paying a 300k-row
+    # driver-side generation they never read
+    ensure_tok_oracle_fixtures(ns=(n,))
     n_tok = raw_f("n_tok", properties={"min": 1.0, "max": 512.0, "has_zero": False, "distinct": 512})
     src = raw_f("source", "categorical", {"distinct": 5})
     selected = [
@@ -1849,6 +1878,7 @@ SELECT * FROM (VALUES
 QUERIES: dict[str, tuple] = {
     "fe_unary": (fe_unary, FE_UNARY_SQL),
     "fe_scaling": (fe_scaling, FE_SCALING_SQL),
+    "fe_npfun": (fe_npfun, FE_NPFUN_SQL),
     "fe_discretize": (fe_discretize, FE_DISCRETIZE_SQL),
     "fe_impute": (fe_impute, FE_IMPUTE_SQL),
     "fe_onehot": (fe_onehot, FE_ONEHOT_SQL),
