@@ -1552,6 +1552,35 @@ def tok_search_explorekit(sf_dir: str):
     return pd.DataFrame(rows, columns=["name", "complexity", "score"])
 
 
+def tok_search_tree(sf_dir: str):
+    """Search with TreeGenerator's depth-layered expansion (reference
+    candidate_generation/TreeGenerator.py:62-143): each round applies
+    every transformation of its hard-coded op set — discretize(10),
+    minmax, nansum/nanprod, divide/subtract, GroupByThen
+    {max,min,mean,std} — to ALL features accumulated so far. Two rounds
+    with a score-ranked frontier cap keep the query bounded; the
+    strategy itself supports the reference's unbounded depth-3 run."""
+    from .flagship import search_sample
+    from .search import TREE_OPS, ComplexityDrivenSearch
+
+    from ..functions.expr import raw as raw_f
+
+    cols, y = search_sample(1000)
+    base = [
+        raw_f("n_tok", properties={"min": 1.0, "max": 512.0, "has_zero": False, "distinct": 512}),
+        raw_f("tok_mean", properties={"min": float(cols["tok_mean"].min()), "max": float(cols["tok_mean"].max()), "has_zero": False, "distinct": None}),
+        raw_f("source", "categorical", {"distinct": 5, "values": ["books", "chat", "code", "web", "wiki"]}),
+    ]
+    res = ComplexityDrivenSearch(
+        c_max=2, epsilon=-1e9, use_ray=True, lr_max_iter=15,
+        strategy="tree", tree_depth=2, tree_frontier_cap=8, **TREE_OPS,
+    ).run(cols, y, base)
+    rows = sorted(
+        (s.name, s.complexity, round(s.score, 6)) for s in res.all_scored.values()
+    )
+    return pd.DataFrame(rows, columns=["name", "complexity", "score"])
+
+
 def tok_nested_cv(sf_dir: str):
     """Nested-CV re-score of the Pareto candidates (reference
     evaluation/nested_cv_scikit.py): outer folds held out, inner folds
@@ -1926,6 +1955,7 @@ QUERIES: dict[str, tuple] = {
     "m_decode_ppm": (m_decode_ppm, None),
     "tok_search": (tok_search, None),
     "tok_search_explorekit": (tok_search_explorekit, None),
+    "tok_search_tree": (tok_search_tree, None),
     "tok_nested_cv": (tok_nested_cv, None),
     "tok_side_metrics": (tok_side_metrics, None),
     "f_nsga2": (f_nsga2, None),

@@ -68,6 +68,12 @@ EXPLOREKIT_OPS = dict(
     gbt_aggs=("max", "min", "mean", "std"),
 )
 
+# TreeGenerator's hard-coded transformation set (reference
+# candidate_generation/TreeGenerator.py:66-84): discretize(10) +
+# MinMaxScaling; nansum/nanprod; divide/subtract; GroupByThen
+# {max,min,mean,std} — the same families as the ExploreKit space.
+TREE_OPS = dict(EXPLOREKIT_OPS)
+
 
 @dataclass
 class Scored:
@@ -559,6 +565,8 @@ class ComplexityDrivenSearch:
         instance_selection: bool = False,
         scorer_mode: str = "tasks",
         strategy: str = "layered",
+        tree_depth: int = 3,
+        tree_frontier_cap: int | None = None,
     ):
         # default op families = get_transformation_for_division
         # (reference candidate_generation/feature_space/division.py:23-56)
@@ -586,8 +594,17 @@ class ComplexityDrivenSearch:
         self.scorer_mode = scorer_mode
         # "layered" = the reference's complexity-budget BFS;
         # "explorekit" = one-shot Fui/Foi/Foui enumeration
-        # (candidate_generation/explorekit/Generator.py)
+        # (candidate_generation/explorekit/Generator.py);
+        # "tree" = TreeGenerator's depth-layered expansion over the
+        # accumulated feature set (candidate_generation/TreeGenerator.py)
         self.strategy = strategy
+        # tree strategy only: number of expansion rounds (reference
+        # runs `for depth in range(3)`, TreeGenerator.py:138-140) and an
+        # optional score-ranked cap on the accumulated frontier (the
+        # reference is unbounded; a cap keeps depth-3 runs tractable on
+        # wider schemas — None = faithful)
+        self.tree_depth = tree_depth
+        self.tree_frontier_cap = tree_frontier_cap
         self._pool = None
         self._actors: list = []
         self._blob_ref = None
@@ -820,6 +837,11 @@ class ComplexityDrivenSearch:
                     cols, y, fold, clean_raws, parked, cat_raws,
                     admit, survivors, all_scored, scores, seen_values, stats, champions,
                 )
+            elif self.strategy == "tree":
+                self._run_tree(
+                    cols, y, fold, clean_raws, parked, cat_raws,
+                    admit, survivors, all_scored, scores, seen_values, stats, champions,
+                )
             else:
                 self._run_layers(
                     c_limit, t0, cols, y, fold, clean_raws, parked, cat_raws,
@@ -952,6 +974,102 @@ class ComplexityDrivenSearch:
             survivors.setdefault(f.complexity, []).append(sc)
         if all_scored:
             champions[1] = max(all_scored.values(), key=lambda s: s.score)
+
+    def _run_tree(
+        self, cols, y, fold, clean_raws, parked, cat_raws,
+        admit, survivors, all_scored, scores, seen_values, stats, champions,
+    ):
+        """TreeGenerator's depth-layered BFS (reference
+        candidate_generation/TreeGenerator.py:62-143): F[0] = the raw
+        features; layer d+1 applies EVERY transformation to ALL features
+        accumulated in F[0..d] (generate_in_parallel fans out per
+        transformation over chain(*F)), for tree_depth expansion rounds.
+        The reference enumerates without score pruning (materialize only
+        reports transform failures); here each layer runs through the
+        engine's shared constant/sympy/value dedup and the scoring pool
+        so the result table has the same shape as the other strategies.
+        No ε-parent gate, matching the reference."""
+        fi = clean_raws + parked + cat_raws
+        frontier = admit(list(fi))
+        accumulated: list[Feature] = []
+        for d in range(self.tree_depth + 1):
+            results = self._score_layer(frontier, cols, y, fold)
+            for f, score, best_c, ll, vhash, const in results:
+                if const:
+                    stats["constant"] += 1
+                    continue
+                if vhash in seen_values:
+                    stats["deduped_value"] += 1
+                    continue
+                seen_values.add(vhash)
+                sc = Scored(f, score, best_c, ll)
+                all_scored[f.name] = sc
+                scores[f.name] = score
+                survivors.setdefault(f.complexity, []).append(sc)
+                accumulated.append(f)
+            if all_scored:
+                champions[d + 1] = max(all_scored.values(), key=lambda s: s.score)
+            if d == self.tree_depth:
+                break
+            pool = accumulated
+            if self.tree_frontier_cap is not None and len(pool) > self.tree_frontier_cap:
+                ranked = sorted(
+                    (all_scored[f.name] for f in pool), key=lambda s: -s.score
+                )
+                pool = [s.feature for s in ranked[: self.tree_frontier_cap]]
+            frontier = admit(
+                tree_expand(
+                    pool,
+                    unary_ops=tuple(op for op in self.unary_ops if op in UNARY_OPS),
+                    commutative_ops=tuple(
+                        op for op in self.binary_ops if op in ("add", "mul")
+                    ),
+                    ordered_ops=tuple(
+                        op for op in self.binary_ops if op in ("div", "sub")
+                    ),
+                    gbt_aggs=self.gbt_aggs,
+                )
+            )
+
+
+def tree_expand(
+    feats: list[Feature],
+    *,
+    unary_ops: tuple = TREE_OPS["unary_ops"],
+    commutative_ops: tuple = ("add", "mul"),
+    ordered_ops: tuple = ("div", "sub"),
+    gbt_aggs: tuple = DEFAULT_GBT_AGGS,
+) -> list[Feature]:
+    """One TreeGenerator expansion step: every transformation applied to
+    the whole accumulated feature set, transformation-major (reference
+    TreeGenerator.py:46-53 generate_for_transformation over the
+    transformations list built at :66-84 — unaries first, then
+    nansum/nanprod, then divide/subtract, then GroupByThen). Pair
+    semantics follow Transformation.get_combinations
+    (transformations/Transformation.py:72-83): combinations WITH
+    replacement for commutative ops, ordered pairs without repetition
+    for binary and (value, key) GroupByThen. Applicability runs this
+    engine's predicates (functions/expr.py:is_applicable)."""
+    from itertools import combinations_with_replacement, permutations
+
+    out: list[Feature] = []
+    for op in unary_ops:
+        for p in feats:
+            if is_applicable(op, (p,)):
+                out.append(unary(op, p))
+    for op in commutative_ops:
+        for a, b in combinations_with_replacement(feats, 2):
+            if is_applicable(op, (a, b)):
+                out.append(binary(op, a, b))
+    for op in ordered_ops:
+        for a, b in permutations(feats, 2):
+            if is_applicable(op, (a, b)):
+                out.append(binary(op, a, b))
+    for agg in gbt_aggs:
+        for v, k in permutations(feats, 2):
+            if is_applicable(f"gbt_{agg}", (v, k)):
+                out.append(groupbythen(agg, v, k))
+    return out
 
 
 def explorekit_generate(
