@@ -899,6 +899,99 @@ FROM injected
 """
 
 
+def d_mixture_sample(sf_dir: str):
+    """Deterministic source-weighted mixture sampling (DoReMi / Pile
+    style source re-weighting): rate per source from the arithmetic
+    rule idx%4 -> {1.0, 0.5, 0.25, 0.1}, decided row-locally by a
+    multiplicative hash of doc_id — a pure streaming filter whose exact
+    predicate the SQL oracle replays."""
+    from ..stages.sampling import mixture_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    sources = [r["source"] for r in ds.groupby("source").count().take_all()]
+    rate_of = [1.0, 0.5, 0.25, 0.1]
+    rates = {s: rate_of[int(s[3:]) % 4] for s in sources}
+    return mixture_sample(ds, rates, key_col="doc_id", group_col="source", seed=17)
+
+
+D_MIXTURE_SAMPLE_SQL = """
+SELECT doc_id, source FROM documents
+WHERE ((doc_id * 2710938419 + 17) % 4294967296) % 10000 <
+      CASE (CAST(substr(source, 4) AS INTEGER) % 4)
+           WHEN 0 THEN 10000 WHEN 1 THEN 5000 WHEN 2 THEN 2500 ELSE 1000 END
+"""
+
+
+def d_det_shuffle(sf_dir: str):
+    """Deterministic seeded global shuffle of the corpus (the
+    training-output ordering pass): hash sort key -> global sort ->
+    head. Reproducible across runs and cluster sizes, unlike
+    random_shuffle; verified by the oracle re-deriving the same order."""
+    from ..stages.sampling import deterministic_shuffle_key
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    keyed = deterministic_shuffle_key(ds, key_col="doc_id", seed=29, out_col="shuffle_key")
+    return keyed.sort("shuffle_key").limit(100)
+
+
+D_DET_SHUFFLE_SQL = """
+SELECT doc_id, (doc_id * 1992887243 + 29) % 4294967296 AS shuffle_key
+FROM documents ORDER BY shuffle_key LIMIT 100
+"""
+
+
+def d_dup_passages(sf_dir: str):
+    """Corpus-level duplicated word-5-gram fraction per document (the
+    Lee-et-al substring-dedup measurement); the oracle rebuilds the
+    5-gram occurrence table in SQL and counts repeats."""
+    from ..stages.dedup import dup_passages
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dup_passages(ds, shingle_words=5)
+
+
+D_DUP_PASSAGES_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(ws) - 4, 0)),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]
+         )) AS sh
+  FROM w
+),
+c AS (SELECT sh, count(*) AS c FROM g GROUP BY sh)
+SELECT doc_id, count(*) AS n_shingles,
+       round(sum(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_frac
+FROM g JOIN c USING (sh) GROUP BY doc_id
+"""
+
+
+def d_quality_clf(sf_dir: str):
+    """CCNet/fastText-style model-based quality filter: train the
+    hashed-BoW logistic classifier on a deterministic labeled sample
+    (docs whose source index is divisible by 4 act as the "high
+    quality" class), broadcast the weights, score the corpus streaming.
+    Model scoring is not SQL-expressible -> rows-only check; pytest
+    covers separability and determinism."""
+    from ..stages.qualityclf import score_quality, train_quality_classifier
+
+    sample = (
+        _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+        .sort("doc_id")
+        .limit(400)
+        .to_pandas()
+    )
+    labels = (sample["source"].str[3:].astype(int) % 4 == 0).to_numpy(np.float64)
+    w = train_quality_classifier(sample["text"].fillna("").tolist(), labels)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = score_quality(ds, w, concurrency=4)
+    return out.select_columns(["doc_id", "quality_prob"])
+
+
 def d_knn(sf_dir: str):
     from ..stages.similarity import knn_bruteforce
 
@@ -1936,6 +2029,10 @@ QUERIES: dict[str, tuple] = {
     "d_quality": (d_quality, D_QUALITY_SQL),
     "d_repetition": (d_repetition, D_REPETITION_SQL),
     "d_pii": (d_pii, D_PII_SQL),
+    "d_mixture_sample": (d_mixture_sample, D_MIXTURE_SAMPLE_SQL),
+    "d_det_shuffle": (d_det_shuffle, D_DET_SHUFFLE_SQL),
+    "d_dup_passages": (d_dup_passages, D_DUP_PASSAGES_SQL),
+    "d_quality_clf": (d_quality_clf, None),
     "d_knn": (d_knn, D_KNN_SQL),
     "d_minhash_dedup": (d_minhash_dedup, None),
     "d_simhash_dedup": (d_simhash_dedup, None),

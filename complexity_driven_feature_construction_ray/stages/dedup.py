@@ -582,3 +582,75 @@ def decontaminate(
         return batch.append_column("contaminated", pa.array(hit))
 
     return ds.map_batches(mark, batch_format="pyarrow")
+
+
+def dup_passages(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 5,
+    num_buckets: int | None = None,
+):
+    """Corpus-level duplicated-passage statistics (the suffix-array
+    substring-dedup measurement of Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", at word-n-gram granularity): a
+    shingle OCCURRENCE is duplicated iff that word-n-gram appears >= 2
+    times anywhere in the corpus (within- or cross-document). Returns
+    one row per document with >= 1 shingle: (id, n_shingles, dup_frac).
+
+    Scale shape: the corpus streams once through the vectorized shingle
+    kernel; only (id, shingle-hash) occurrence rows shuffle, co-located
+    by a data-sized hash bucket of the shingle so every equal shingle
+    meets in one group. Each group marks duplicates with one np.unique
+    and pre-aggregates per document BEFORE the second (tiny) per-doc
+    combine — the wide shuffle carries 16-byte rows, the narrow one
+    O(docs) partials."""
+    from ray.data.aggregate import Sum
+
+    if num_buckets is None:
+        num_buckets = default_buckets(ds)
+
+    def to_occurrences(batch: pa.Table) -> pa.Table:
+        sh, offsets = _shingle_hashes(batch[text_col].to_pylist(), shingle_words)
+        counts = np.diff(offsets)
+        ids = np.repeat(batch[id_col].to_numpy(zero_copy_only=False), counts)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "sh": pa.array(sh.view(np.int64)),
+                "__b": pa.array((sh % _U64(num_buckets)).view(np.int64)),
+            }
+        )
+
+    def mark_and_combine(g: pd.DataFrame) -> pd.DataFrame:
+        sh = g["sh"].to_numpy()
+        _, inv, cnt = np.unique(sh, return_inverse=True, return_counts=True)
+        dup = (cnt[inv] >= 2).astype(np.int64)
+        part = pd.DataFrame({id_col: g[id_col].to_numpy(), "dup": dup})
+        agg = part.groupby(id_col, sort=False).agg(
+            n_shingles=("dup", "size"), n_dup=("dup", "sum")
+        )
+        return agg.reset_index()
+
+    partials = (
+        ds.map_batches(to_occurrences, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(mark_and_combine, batch_format="pandas")
+    )
+    per_doc = partials.groupby(id_col).aggregate(
+        Sum("n_shingles", alias_name="n_shingles"), Sum("n_dup", alias_name="n_dup")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_shingles"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = batch["n_dup"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_shingles": batch["n_shingles"],
+                "dup_frac": pa.array(np.round(d / np.maximum(n, 1.0), 6)),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")

@@ -1,0 +1,180 @@
+"""Round-3 curation ops: mixture sampling, deterministic shuffle,
+duplicated-passage stats, and the hashed-BoW quality classifier —
+each against a brute-force pure-Python oracle."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+from complexity_driven_feature_construction_ray.stages.dedup import dup_passages
+from complexity_driven_feature_construction_ray.stages.qualityclf import (
+    QualityClassifierScorer,
+    hashed_bow,
+    score_quality,
+    train_quality_classifier,
+)
+from complexity_driven_feature_construction_ray.stages.sampling import (
+    det_hash_u32,
+    deterministic_shuffle_key,
+    mixture_sample,
+)
+
+
+def _docs_ds(rows: dict) -> "ray.data.Dataset":
+    return ray.data.from_arrow(pa.table(rows))
+
+
+class TestMixtureSample:
+    def test_matches_bruteforce_predicate(self, ray_session):
+        n = 2000
+        ids = np.arange(n, dtype=np.int64)
+        src = np.array([f"s{i % 3}" for i in ids], dtype=object)
+        rates = {"s0": 1.0, "s1": 0.4, "s2": 0.0}
+        ds = _docs_ds({"doc_id": ids, "source": src})
+        got = set(
+            mixture_sample(ds, rates, seed=17).to_pandas()["doc_id"].tolist()
+        )
+        h = det_hash_u32(ids, 17) % np.uint64(10_000)
+        thr = np.array([int(rates[s] * 10_000) for s in src])
+        expected = set(ids[h.astype(np.int64) < thr].tolist())
+        assert got == expected
+        # rate-0 source fully dropped, rate-1 source fully kept
+        assert all(src[i] != "s2" for i in got)
+        assert {int(i) for i in ids[src == "s0"]} <= got
+
+    def test_unknown_source_dropped_and_deterministic(self, ray_session):
+        ids = np.arange(500, dtype=np.int64)
+        src = np.where(ids % 2 == 0, "known", "mystery").astype(object)
+        ds = _docs_ds({"doc_id": ids, "source": src})
+        a = mixture_sample(ds, {"known": 0.5}, seed=3).to_pandas()
+        b = mixture_sample(ds, {"known": 0.5}, seed=3).to_pandas()
+        assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+        assert set(a["source"]) == {"known"}
+
+    def test_approximates_requested_rate(self, ray_session):
+        ids = np.arange(20_000, dtype=np.int64)
+        ds = _docs_ds({"doc_id": ids, "source": np.full(len(ids), "w", dtype=object)})
+        kept = mixture_sample(ds, {"w": 0.25}, seed=11).count()
+        assert abs(kept / len(ids) - 0.25) < 0.02
+
+
+class TestDeterministicShuffle:
+    def test_key_is_hash_of_id_and_sort_is_stable_across_runs(self, ray_session):
+        ids = np.arange(1000, dtype=np.int64)
+        ds = _docs_ds({"doc_id": ids})
+        out = (
+            deterministic_shuffle_key(ds, seed=29, out_col="k")
+            .sort("k")
+            .to_pandas()
+        )
+        assert (out["k"].to_numpy() == det_hash_u32(ids, 29).astype(np.int64)[out["doc_id"]]).all()
+        assert (np.diff(out["k"].to_numpy()) >= 0).all()
+        # different seed -> different order; same seed -> same order
+        out2 = (
+            deterministic_shuffle_key(ds, seed=29, out_col="k").sort("k").to_pandas()
+        )
+        assert out["doc_id"].tolist() == out2["doc_id"].tolist()
+        out3 = (
+            deterministic_shuffle_key(ds, seed=30, out_col="k").sort("k").to_pandas()
+        )
+        assert out["doc_id"].tolist() != out3["doc_id"].tolist()
+
+
+def _brute_dup_passages(texts: list[str], k: int) -> pd.DataFrame:
+    from collections import Counter
+
+    grams = []
+    for i, t in enumerate(texts):
+        ws = t.split()
+        grams.append([" ".join(ws[j : j + k]) for j in range(len(ws) - k + 1)])
+    corpus = Counter(g for doc in grams for g in doc)
+    rows = []
+    for i, doc in enumerate(grams):
+        if not doc:
+            continue
+        dup = sum(1 for g in doc if corpus[g] >= 2)
+        rows.append((i, len(doc), round(dup / len(doc), 6)))
+    return pd.DataFrame(rows, columns=["doc_id", "n_shingles", "dup_frac"])
+
+
+class TestDupPassages:
+    def test_matches_bruteforce_on_planted_duplicates(self, ray_session):
+        rng = np.random.default_rng(5)
+        vocab = [f"w{i}" for i in range(50)]
+        passage = "alpha beta gamma delta epsilon zeta eta"
+        texts = []
+        for i in range(40):
+            words = list(rng.choice(vocab, size=30))
+            t = " ".join(words)
+            if i % 4 == 0:  # plant a shared passage in a quarter of docs
+                t = t + " " + passage
+            texts.append(t)
+        texts.append("too short")  # < k words -> no row
+        ds = _docs_ds(
+            {"doc_id": np.arange(len(texts), dtype=np.int64), "text": np.array(texts, dtype=object)}
+        )
+        got = (
+            dup_passages(ds, shingle_words=5)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        exp = _brute_dup_passages(texts, 5)
+        pd.testing.assert_frame_equal(
+            got, exp, check_dtype=False, check_exact=False, atol=1e-6
+        )
+        # planted docs must show duplicated shingles
+        planted = got[got["doc_id"] % 4 == 0]
+        assert (planted["dup_frac"] > 0).all()
+
+    def test_within_document_repeat_counts_as_duplicate(self, ray_session):
+        texts = ["a b c d e f a b c d e f", "x y z q r s t"]
+        ds = _docs_ds({"doc_id": np.array([0, 1]), "text": np.array(texts, dtype=object)})
+        got = dup_passages(ds, shingle_words=5).to_pandas().set_index("doc_id")
+        exp = _brute_dup_passages(texts, 5).set_index("doc_id")
+        assert got.loc[0, "dup_frac"] == exp.loc[0, "dup_frac"] > 0
+        assert got.loc[1, "dup_frac"] == 0.0
+
+
+class TestQualityClassifier:
+    def test_separates_planted_quality_classes(self, ray_session):
+        rng = np.random.default_rng(9)
+        hi_vocab = ["theorem", "analysis", "citation", "paragraph", "reference"]
+        lo_vocab = ["click", "buy", "free", "winner", "casino"]
+        texts, labels = [], []
+        for i in range(300):
+            hi = i % 2 == 0
+            vocab = hi_vocab if hi else lo_vocab
+            texts.append(" ".join(rng.choice(vocab, size=20)))
+            labels.append(1.0 if hi else 0.0)
+        w = train_quality_classifier(texts, np.array(labels), n_features=256)
+        ds = _docs_ds(
+            {"doc_id": np.arange(len(texts), dtype=np.int64), "text": np.array(texts, dtype=object)}
+        )
+        out = score_quality(ds, w, concurrency=2).to_pandas().sort_values("doc_id")
+        p = out["quality_prob"].to_numpy()
+        y = np.array(labels)
+        assert p[y == 1].min() > 0.9
+        assert p[y == 0].max() < 0.1
+
+    def test_scorer_matches_driver_side_model(self, ray_session):
+        texts = ["one two three four", "five six seven", "one one one"]
+        labels = np.array([1.0, 0.0, 1.0])
+        w = train_quality_classifier(texts, labels, n_features=64)
+        M = hashed_bow(texts, 64)
+        z = np.clip(M @ w[:-1] + w[-1], -35, 35).astype(np.float64)
+        expected = np.round(1.0 / (1.0 + np.exp(-z)), 6)
+        scorer = QualityClassifierScorer(w)
+        got = scorer(
+            pa.table({"doc_id": np.arange(3), "text": np.array(texts, dtype=object)})
+        )["quality_prob"].to_numpy()
+        np.testing.assert_allclose(got, expected, atol=1e-9)
+
+    def test_training_is_deterministic(self):
+        texts = [f"word{i % 7} filler text here" for i in range(100)]
+        labels = (np.arange(100) % 2).astype(np.float64)
+        w1 = train_quality_classifier(texts, labels, n_features=128)
+        w2 = train_quality_classifier(texts, labels, n_features=128)
+        np.testing.assert_array_equal(w1, w2)
