@@ -992,6 +992,53 @@ def d_quality_clf(sf_dir: str):
     return out.select_columns(["doc_id", "quality_prob"])
 
 
+def d_tfidf(sf_dir: str):
+    """Per-document TF·IDF mass with corpus-exact document frequencies
+    (two-pass distributed weighting: posting lists co-located by word
+    hash, df computed bucket-locally, per-doc partials combined)."""
+    from ..stages.text import tfidf_sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_sum(ds)
+
+
+D_TFIDF_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents
+),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM w GROUP BY doc_id, w),
+df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id, round(sum(tf * ln(n.n * 1.0 / df.df)), 6) AS tfidf_sum
+FROM tf JOIN df USING (w) CROSS JOIN n GROUP BY doc_id
+"""
+
+
+def d_pca(sf_dir: str):
+    """Streaming-covariance PCA over the embedding column: per-batch
+    (n, sum, X'X) partials -> driver eigh -> broadcast projection.
+    Eigenvectors are not SQL-expressible -> rows-only check; pytest
+    compares against a full in-memory numpy PCA."""
+    from ..stages.embedding import pca_fit, pca_transform
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    mean, comps, _ = pca_fit(ds, n_components=2)
+    return pca_transform(ds, mean, comps).select_columns(["vec_id", "pc0", "pc1"])
+
+
+def d_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means over embeddings: seeded kmeans++ init
+    on a deterministic sample, per-iteration broadcast centroids +
+    per-cluster (sum, count) partials, final assignment pass. Iterative
+    model fitting is not SQL-expressible -> rows-only; pytest verifies
+    exact agreement with a driver-side numpy Lloyd run."""
+    from ..stages.embedding import kmeans_assign, kmeans_fit
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    centers = kmeans_fit(ds, n_clusters=8, n_iter=10, seed=42)
+    return kmeans_assign(ds, centers)
+
+
 def d_knn(sf_dir: str):
     from ..stages.similarity import knn_bruteforce
 
@@ -2033,6 +2080,9 @@ QUERIES: dict[str, tuple] = {
     "d_det_shuffle": (d_det_shuffle, D_DET_SHUFFLE_SQL),
     "d_dup_passages": (d_dup_passages, D_DUP_PASSAGES_SQL),
     "d_quality_clf": (d_quality_clf, None),
+    "d_tfidf": (d_tfidf, D_TFIDF_SQL),
+    "d_pca": (d_pca, None),
+    "d_kmeans": (d_kmeans, None),
     "d_knn": (d_knn, D_KNN_SQL),
     "d_minhash_dedup": (d_minhash_dedup, None),
     "d_simhash_dedup": (d_simhash_dedup, None),

@@ -1,0 +1,174 @@
+"""Distributed embedding-matrix operators: PCA and Lloyd k-means.
+
+Both follow the classic two-phase distributed-ML shape (the Spark
+MLlib pattern, re-expressed on Ray Data):
+
+- a STATISTICS pass streams the corpus through `map_batches`, each
+  batch emitting a tiny mergeable partial (count / sum / X'X, or
+  per-cluster sums) — only O(batches × d²) bytes leave the stream;
+- the DRIVER combines the partials and solves the small dense problem
+  (eigendecomposition / centroid update);
+- an APPLY pass broadcasts the model via `ray.put` and streams the
+  corpus again (projection / assignment), zero-copy per batch.
+
+Nothing materializes the embedding matrix; per-iteration cost is one
+linear pass, so k-means at 100 TB is n_iter passes with backpressure.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .arrowutil import list_column_matrix
+
+
+def _canonical_signs(components: np.ndarray) -> np.ndarray:
+    """Fix each eigenvector's sign so its largest-|.| coordinate is
+    positive — eigh's sign choice is arbitrary, and a deterministic
+    convention keeps projections reproducible across runs/BLAS builds."""
+    idx = np.argmax(np.abs(components), axis=1)
+    signs = np.sign(components[np.arange(len(components)), idx])
+    signs[signs == 0] = 1.0
+    return components * signs[:, None]
+
+
+def pca_fit(ds, *, emb_col: str = "embedding", n_components: int = 2):
+    """Streaming-covariance PCA fit: per-batch (n, sum, X'X) partials,
+    driver-side eigh of the (d, d) covariance. Returns (mean,
+    components (n_components, d), explained_variance)."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        X = list_column_matrix(batch[emb_col]).astype(np.float64)
+        d = X.shape[1]
+        return pa.table(
+            {
+                "n": pa.array([float(len(X))]),
+                "s": pa.array([X.sum(axis=0)]),
+                "xtx": pa.array([(X.T @ X).reshape(-1)]),
+                "d": pa.array([d], type=pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    d = int(parts["d"].iloc[0])
+    n = float(parts["n"].sum())
+    s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
+    xtx = np.sum(np.stack(parts["xtx"].to_numpy()), axis=0).reshape(d, d)
+    mean = s / n
+    cov = xtx / n - np.outer(mean, mean)
+    cov = (cov + cov.T) / 2.0
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    components = _canonical_signs(evecs[:, order].T)
+    return mean, components, evals[order]
+
+
+def pca_transform(ds, mean: np.ndarray, components: np.ndarray, *, emb_col: str = "embedding", id_col: str = "vec_id", round_to: int | None = 6):
+    """Project every row onto the fitted components (broadcast model,
+    one matmul per batch). Output: (id, pc0..pc{k-1})."""
+    import ray
+
+    model_ref = ray.put((np.asarray(mean), np.asarray(components)))
+
+    def project(batch: pa.Table) -> pa.Table:
+        m, comp = ray.get(model_ref)
+        X = list_column_matrix(batch[emb_col]).astype(np.float64)
+        Z = (X - m) @ comp.T
+        if round_to is not None:
+            Z = np.round(Z, round_to)
+        cols = {id_col: batch[id_col]}
+        for j in range(Z.shape[1]):
+            cols[f"pc{j}"] = pa.array(Z[:, j])
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def kmeans_fit(
+    ds,
+    n_clusters: int,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_iter: int = 10,
+    seed: int = 42,
+    init_sample: int = 2048,
+) -> np.ndarray:
+    """Distributed Lloyd's algorithm (Euclidean): centroids broadcast
+    per iteration; every batch assigns its rows and emits per-cluster
+    (sum, count) partials — k rows per batch, never the vectors. Init
+    is seeded k-means++ on a deterministic driver-side sample (first
+    `init_sample` rows by id: reproducible regardless of block order).
+    Returns the (k, d) centroid matrix."""
+    import ray
+
+    sample_df = ds.sort(id_col).limit(init_sample).to_pandas()
+    S = np.stack(sample_df[emb_col].to_numpy()).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    centers = _kmeanspp_init(S, n_clusters, rng)
+
+    for _ in range(n_iter):
+        c_ref = ray.put(centers)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(c_ref)
+            X = list_column_matrix(batch[emb_col]).astype(np.float64)
+            d2 = ((X**2).sum(axis=1)[:, None] - 2.0 * X @ c.T + (c**2).sum(axis=1)[None, :])
+            a = np.argmin(d2, axis=1)
+            k = len(c)
+            cnt = np.bincount(a, minlength=k).astype(np.float64)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, X)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                    "s": pa.array(list(sums)),
+                    "n": pa.array(cnt),
+                }
+            )
+
+        parts = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+        agg_n = parts.groupby("cluster")["n"].sum()
+        sums = parts.groupby("cluster")["s"].apply(lambda col: np.sum(np.stack(col.to_numpy()), axis=0))
+        new = centers.copy()
+        for ci in agg_n.index:
+            if agg_n.loc[ci] > 0:
+                new[ci] = sums.loc[ci] / agg_n.loc[ci]
+        if np.allclose(new, centers, atol=1e-9):
+            centers = new
+            break
+        centers = new
+    return centers
+
+
+def _kmeanspp_init(S: np.ndarray, k: int, rng: np.random.Generator) -> np.ndarray:
+    centers = [S[int(rng.integers(len(S)))]]
+    for _ in range(1, min(k, len(S))):
+        d2 = np.min(
+            ((S[:, None, :] - np.stack(centers)[None, :, :]) ** 2).sum(axis=2), axis=1
+        )
+        p = d2 / max(d2.sum(), 1e-12)
+        centers.append(S[int(rng.choice(len(S), p=p))])
+    return np.stack(centers).astype(np.float64)
+
+
+def kmeans_assign(ds, centers: np.ndarray, *, emb_col: str = "embedding", id_col: str = "vec_id"):
+    """Label every row with its nearest centroid (broadcast centers)."""
+    import ray
+
+    c_ref = ray.put(np.asarray(centers, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        X = list_column_matrix(batch[emb_col]).astype(np.float64)
+        d2 = ((X**2).sum(axis=1)[:, None] - 2.0 * X @ c.T + (c**2).sum(axis=1)[None, :])
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster": pa.array(np.argmin(d2, axis=1).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -108,6 +108,78 @@ def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("top_word_frac", pa.array(top))
 
 
+def tfidf_sum(ds, *, text_col: str = "text", id_col: str = "doc_id", num_buckets: int | None = None):
+    """Per-document sum of TF·IDF over its distinct words, with
+    corpus-exact document frequencies — the two-pass weighting behind
+    TF-IDF/BM25 relevance features and importance-weighted sampling.
+
+    Scale shape: each document contributes (id, word-hash, tf) rows
+    (distinct words only, computed in one vectorized explode+groupby per
+    batch); rows co-locate by a data-sized hash bucket of the WORD, so
+    every bucket holds each word's complete posting list and computes
+    exact df locally — no global vocabulary table, no broadcast. Each
+    bucket pre-aggregates per document before the second (narrow,
+    O(docs)) per-doc combine. N comes from Dataset metadata (parquet
+    row count), not a materializing pass."""
+    from ray.data.aggregate import Sum
+
+    from .bucketing import default_buckets
+    from .dedup import _hash_words
+
+    if num_buckets is None:
+        num_buckets = default_buckets(ds)
+    n_docs = float(ds.count())
+
+    def to_tf(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch[text_col].to_pandas()).fillna("")
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        ex = s.str.findall(r"\S+").explode().dropna()
+        if not len(ex):
+            return pa.table(
+                {
+                    id_col: pa.array([], type=batch[id_col].type),
+                    "wh": pa.array([], type=pa.int64()),
+                    "tf": pa.array([], type=pa.int64()),
+                    "__b": pa.array([], type=pa.int64()),
+                }
+            )
+        wh = _hash_words(ex.to_numpy(dtype=object))
+        df = pd.DataFrame({"r": ex.index.to_numpy(dtype=np.int64), "wh": wh.view(np.int64)})
+        tf = df.groupby(["r", "wh"], sort=False).size().reset_index(name="tf")
+        return pa.table(
+            {
+                id_col: pa.array(ids[tf["r"].to_numpy()]),
+                "wh": pa.array(tf["wh"].to_numpy()),
+                "tf": pa.array(tf["tf"].to_numpy(dtype=np.int64)),
+                "__b": pa.array(
+                    (tf["wh"].to_numpy().view(np.uint64) % np.uint64(num_buckets)).view(np.int64)
+                ),
+            }
+        )
+
+    def weigh(g: pd.DataFrame) -> pd.DataFrame:
+        wh = g["wh"].to_numpy()
+        _, inv, df_cnt = np.unique(wh, return_inverse=True, return_counts=True)
+        idf = np.log(n_docs / df_cnt[inv])
+        part = pd.DataFrame(
+            {id_col: g[id_col].to_numpy(), "w": g["tf"].to_numpy(dtype=np.float64) * idf}
+        )
+        return part.groupby(id_col, sort=False)["w"].sum().reset_index(name="tfidf_part")
+
+    partials = (
+        ds.map_batches(to_tf, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(weigh, batch_format="pandas")
+    )
+    per_doc = partials.groupby(id_col).aggregate(Sum("tfidf_part", alias_name="tfidf_sum"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        v = batch["tfidf_sum"].to_numpy(zero_copy_only=False)
+        return pa.table({id_col: batch[id_col], "tfidf_sum": pa.array(np.round(v, 6))})
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
 # PII patterns shared by the Python scan and the DuckDB oracle: kept
 # RE2-compatible (no backrefs/lookaround) so both engines find the same
 # leftmost non-overlapping matches.
