@@ -624,6 +624,14 @@ def dup_passages(
         )
 
     def mark_and_combine(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):  # keep dtypes on empty groups (schema stability)
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype=np.int64),
+                    "n_shingles": pd.Series([], dtype=np.int64),
+                    "n_dup": pd.Series([], dtype=np.int64),
+                }
+            )
         sh = g["sh"].to_numpy()
         _, inv, cnt = np.unique(sh, return_inverse=True, return_counts=True)
         dup = (cnt[inv] >= 2).astype(np.int64)
