@@ -623,13 +623,15 @@ def dup_passages(
             }
         )
 
-    def mark_and_combine(g: pd.DataFrame) -> pd.DataFrame:
-        if not len(g):  # keep dtypes on empty groups (schema stability)
-            return pd.DataFrame(
+    def mark_and_combine(g: pd.DataFrame) -> pa.Table:
+        # emit ARROW blocks (typed even when empty): the downstream Ray
+        # Sum aggregate runs ~10x slower on pandas-format blocks
+        if not len(g):
+            return pa.table(
                 {
-                    id_col: pd.Series([], dtype=np.int64),
-                    "n_shingles": pd.Series([], dtype=np.int64),
-                    "n_dup": pd.Series([], dtype=np.int64),
+                    id_col: pa.array([], type=pa.int64()),
+                    "n_shingles": pa.array([], type=pa.int64()),
+                    "n_dup": pa.array([], type=pa.int64()),
                 }
             )
         sh = g["sh"].to_numpy()
@@ -639,7 +641,7 @@ def dup_passages(
         agg = part.groupby(id_col, sort=False).agg(
             n_shingles=("dup", "size"), n_dup=("dup", "sum")
         )
-        return agg.reset_index()
+        return pa.Table.from_pandas(agg.reset_index(), preserve_index=False)
 
     partials = (
         ds.map_batches(to_occurrences, batch_format="pyarrow")
