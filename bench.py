@@ -55,6 +55,9 @@ HEADLINE = [
     "d_quality",
     "d_lang_id",
     "d_knn",
+    "d_tfidf",
+    "d_mixture_sample",
+    "d_dup_passages",
     "f_rod",
     "tok_search",
 ]
