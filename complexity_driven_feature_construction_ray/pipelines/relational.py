@@ -44,6 +44,15 @@ def _read(sf_dir: str, table: str, columns=None, split: bool | None = None):
     import ray.data
 
     ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    # drop the writer's pandas schema metadata (an unhashable dict): Ray
+    # hashes block schemas to deduplicate them in every shuffle reduce,
+    # and metadata-carrying schemas defeat that. Zero-copy; fuses with
+    # the read task.
+    ds = ds.map_batches(
+        lambda t: t.replace_schema_metadata(None),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
     if split or (split is None and table in _BIG_TABLES):
         ds = ds.repartition(max(16, int(ray.cluster_resources().get("CPU", 4))))
     return ds

@@ -641,7 +641,15 @@ def dup_passages(
         agg = part.groupby(id_col, sort=False).agg(
             n_shingles=("dup", "size"), n_dup=("dup", "sum")
         )
-        return pa.Table.from_pandas(agg.reset_index(), preserve_index=False)
+        # metadata-free schema so Ray can hash it for block-schema dedup
+        agg = agg.reset_index()
+        return pa.table(
+            {
+                id_col: pa.array(agg[id_col].to_numpy(), type=pa.int64()),
+                "n_shingles": pa.array(agg["n_shingles"].to_numpy(), type=pa.int64()),
+                "n_dup": pa.array(agg["n_dup"].to_numpy(), type=pa.int64()),
+            }
+        )
 
     partials = (
         ds.map_batches(to_occurrences, batch_format="pyarrow")

@@ -166,8 +166,14 @@ def tfidf_sum(ds, *, text_col: str = "text", id_col: str = "doc_id", num_buckets
         )
         agg = part.groupby(id_col, sort=False)["w"].sum().reset_index(name="tfidf_part")
         # emit ARROW blocks: the downstream Ray Sum aggregate runs ~10x
-        # slower on pandas-format blocks than on arrow ones
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        # slower on pandas-format blocks than on arrow ones. Metadata-free
+        # schema so Ray can hash it for block-schema deduplication.
+        return pa.table(
+            {
+                id_col: pa.array(agg[id_col].to_numpy(), type=pa.int64()),
+                "tfidf_part": pa.array(agg["tfidf_part"].to_numpy(), type=pa.float64()),
+            }
+        )
 
     partials = (
         ds.map_batches(to_tf, batch_format="pyarrow")
