@@ -978,6 +978,34 @@ FROM g JOIN c USING (sh) GROUP BY doc_id
 """
 
 
+def d_pack(sf_dir: str):
+    """Concat-and-chunk sequence packing layout (the GPT/Llama
+    pre-training stream): concatenate documents in doc_id order, slice
+    into 2048-unit sequences, report per document where it lands. A
+    distributed ordered prefix-scan — per-bucket totals, driver-side
+    exclusive scan over B ints, within-bucket cumsum; the oracle is the
+    same rule as one SQL window cumsum."""
+    from ..stages.packing import packed_layout
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return packed_layout(ds, id_col="doc_id", size_col="n_chars", chunk=2048)
+
+
+D_PACK_SQL = """
+WITH s AS (
+  SELECT doc_id, n_chars,
+         COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+  FROM documents
+)
+SELECT doc_id, tok_start,
+       tok_start // 2048 AS seq_first,
+       (tok_start + greatest(n_chars - 1, 0)) // 2048 AS seq_last,
+       (tok_start + greatest(n_chars - 1, 0)) // 2048 - tok_start // 2048 + 1 AS n_seqs
+FROM s
+"""
+
+
 def d_quality_clf(sf_dir: str):
     """CCNet/fastText-style model-based quality filter: train the
     hashed-BoW logistic classifier on a deterministic labeled sample
@@ -2088,6 +2116,7 @@ QUERIES: dict[str, tuple] = {
     "d_mixture_sample": (d_mixture_sample, D_MIXTURE_SAMPLE_SQL),
     "d_det_shuffle": (d_det_shuffle, D_DET_SHUFFLE_SQL),
     "d_dup_passages": (d_dup_passages, D_DUP_PASSAGES_SQL),
+    "d_pack": (d_pack, D_PACK_SQL),
     "d_quality_clf": (d_quality_clf, None),
     "d_tfidf": (d_tfidf, D_TFIDF_SQL),
     "d_pca": (d_pca, None),
