@@ -978,6 +978,41 @@ FROM g JOIN c USING (sh) GROUP BY doc_id
 """
 
 
+def d_lm_score(sf_dir: str):
+    """CCNet-style bigram-LM perplexity scoring: fit the add-alpha
+    bigram model on the corpus in one streaming pass (per-batch
+    distinct-count partials -> one Ray aggregate over distinct n-grams,
+    model O(vocab) on the driver), broadcast it once, score every
+    document streaming. The oracle rebuilds the same counts and the
+    same smoothed log-likelihood in SQL."""
+    from ..stages.lm import fit_bigram_lm, score_bigram_lm
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    lm = fit_bigram_lm(ds, alpha=0.5)
+    return score_bigram_lm(ds, lm)
+
+
+D_LM_SCORE_SQL = """
+WITH w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents),
+u AS (SELECT unnest(ws) AS t FROM w),
+uc AS (SELECT t, count(*) AS c FROM u GROUP BY t),
+v AS (SELECT count(*) AS v FROM uc),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS b,
+         unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+                               i -> ws[i])) AS w1
+  FROM w
+),
+bc AS (SELECT b, count(*) AS c FROM bg GROUP BY b)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(sum(ln(uc.c + 0.5 * v.v) - ln(bc.c + 0.5)) / count(*), 6) AS avg_nll
+FROM bg JOIN bc USING (b) JOIN uc ON bg.w1 = uc.t CROSS JOIN v
+GROUP BY doc_id
+"""
+
+
 def d_pack(sf_dir: str):
     """Concat-and-chunk sequence packing layout (the GPT/Llama
     pre-training stream): concatenate documents in doc_id order, slice
@@ -2116,6 +2151,7 @@ QUERIES: dict[str, tuple] = {
     "d_mixture_sample": (d_mixture_sample, D_MIXTURE_SAMPLE_SQL),
     "d_det_shuffle": (d_det_shuffle, D_DET_SHUFFLE_SQL),
     "d_dup_passages": (d_dup_passages, D_DUP_PASSAGES_SQL),
+    "d_lm_score": (d_lm_score, D_LM_SCORE_SQL),
     "d_pack": (d_pack, D_PACK_SQL),
     "d_quality_clf": (d_quality_clf, None),
     "d_tfidf": (d_tfidf, D_TFIDF_SQL),
