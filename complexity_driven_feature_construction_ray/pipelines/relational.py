@@ -978,6 +978,40 @@ FROM g JOIN c USING (sh) GROUP BY doc_id
 """
 
 
+def t_tumbling(sf_dir: str):
+    """Tumbling 1-hour window aggregate per user over the event stream
+    (the windowed-aggregate family's fixed-window member; rolling/RANGE
+    and sessionization are its siblings in `stages/temporal.py`)."""
+    from ..stages.temporal import tumbling_agg
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    return tumbling_agg(ds, key="user_id", ts="ts", value="value", width_s=3600)
+
+
+T_TUMBLING_SQL = """
+SELECT user_id, epoch_us(ts) // 3600000000 AS win,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY user_id, epoch_us(ts) // 3600000000
+"""
+
+
+def d_top_tokens(sf_dir: str):
+    """Exact corpus-wide heavy hitters: the 25 most frequent tokens
+    with exact counts (vocab-sized aggregate + per-block local top-k
+    prefilter + tiny global sort; ties break on token text)."""
+    from ..stages.text import top_tokens
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return top_tokens(ds, k=25)
+
+
+D_TOP_TOKENS_SQL = """
+WITH u AS (SELECT unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents)
+SELECT token, count(*) AS c FROM u GROUP BY token
+ORDER BY c DESC, token LIMIT 25
+"""
+
+
 def d_lm_score(sf_dir: str):
     """CCNet-style bigram-LM perplexity scoring: fit the add-alpha
     bigram model on the corpus in one streaming pass (per-batch
@@ -2151,6 +2185,8 @@ QUERIES: dict[str, tuple] = {
     "d_mixture_sample": (d_mixture_sample, D_MIXTURE_SAMPLE_SQL),
     "d_det_shuffle": (d_det_shuffle, D_DET_SHUFFLE_SQL),
     "d_dup_passages": (d_dup_passages, D_DUP_PASSAGES_SQL),
+    "t_tumbling": (t_tumbling, T_TUMBLING_SQL),
+    "d_top_tokens": (d_top_tokens, D_TOP_TOKENS_SQL),
     "d_lm_score": (d_lm_score, D_LM_SCORE_SQL),
     "d_pack": (d_pack, D_PACK_SQL),
     "d_quality_clf": (d_quality_clf, None),

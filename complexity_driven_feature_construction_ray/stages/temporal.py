@@ -690,3 +690,62 @@ def sessionize(
         .groupby("__bucket")
         .map_groups(sess_bucket, batch_format="pyarrow")
     )
+
+
+def tumbling_agg(
+    ds,
+    *,
+    key: str,
+    ts: str,
+    value: str,
+    width_s: int,
+    ndigits: int = 6,
+):
+    """Tumbling-window aggregate: count + sum of ``value`` per
+    (``key``, fixed ``width_s``-second window of ``ts``).
+
+    The window index is row-local arithmetic (one vectorized cast +
+    integer floor-divide), so the ONLY exchange is Ray's hash
+    aggregate, which partially combines per block before the shuffle —
+    per-window partials move, not events. Scale-correct for skewed
+    keys too: the grouping key is (entity, window), so a hot entity
+    spreads across its windows."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    width_us = int(width_s) * 1_000_000
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        # normalize whatever timestamp unit the source used to us
+        epoch_us = pc.cast(
+            pc.cast(batch[ts], pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                key: batch[key],
+                "win": pa.array(epoch_us // width_us),
+                value: batch[value],
+            }
+        )
+
+    agg = (
+        ds.map_batches(add_window, batch_format="pyarrow")
+        .groupby([key, "win"])
+        .aggregate(Count(), Sum(value, alias_name="sum_value"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key: batch[key],
+                "win": batch["win"],
+                "n_events": batch["count()"].cast(pa.int64()),
+                "sum_value": pa.array(
+                    np.round(
+                        batch["sum_value"].to_numpy(zero_copy_only=False), ndigits
+                    )
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -360,3 +360,54 @@ def text_analysis_dataset(ds, *, lang_concurrency: int | None = None):
     else:
         ds = ds.map_batches(language_id, batch_format="pyarrow")
     return ds.map_batches(fingerprint, batch_format="pyarrow")
+
+
+def top_tokens(ds, *, text_col: str = "text", k: int = 25):
+    """Exact corpus-wide top-k most frequent tokens (the heavy-hitters
+    measurement behind vocab builds and boilerplate detection).
+
+    Per-batch value_counts partials -> Ray hash aggregate over DISTINCT
+    tokens (vocabulary-sized, not corpus-sized) -> per-block local
+    top-k prefilter -> tiny global sort. Ties break on token text so
+    the result is deterministic. The global sort touches at most
+    k x blocks rows; nothing corpus-sized leaves the aggregate."""
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch[text_col].to_pylist()).fillna("")
+        ex = s.str.findall(r"\S+").explode().dropna()
+        if not len(ex):
+            return pa.table(
+                {"token": pa.array([], type=pa.string()), "c": pa.array([], type=pa.int64())}
+            )
+        vc = ex.value_counts()
+        return pa.table(
+            {
+                "token": pa.array(vc.index.to_numpy(dtype=object), type=pa.string()),
+                "c": pa.array(vc.to_numpy(np.int64)),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        df = batch.to_pandas()
+        df = df.sort_values(["c", "token"], ascending=[False, True], kind="stable")
+        return pa.table(
+            {
+                "token": pa.array(df["token"].head(k).to_numpy(dtype=object), type=pa.string()),
+                "c": pa.array(df["c"].head(k).to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        counts.map_batches(local_topk, batch_format="pyarrow")
+        .sort(["c", "token"], descending=[True, False])
+        .limit(k)
+    )
