@@ -978,6 +978,62 @@ FROM g JOIN c USING (sh) GROUP BY doc_id
 """
 
 
+def d_grouped_topn(sf_dir: str):
+    """Keep the 3 longest documents per source (the per-domain
+    best-of-N curation cut). Per-batch local top-n combiner bounds the
+    exchange at n rows per (batch, group); ties break on doc_id."""
+    from ..stages.sampling import grouped_topn
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    return grouped_topn(
+        ds, key_col="source", order_col="n_chars", n=3, descending=True,
+        tiebreak_col="doc_id",
+    )
+
+
+D_GROUPED_TOPN_SQL = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn <= 3
+"""
+
+
+def d_quantile_filter(sf_dir: str):
+    """Quantile-threshold filter: keep documents above the corpus-wide
+    discrete p90 of n_chars. The threshold comes from the mergeable
+    weighted-value sketch (one streaming pass, O(batches x sketch_k)
+    summary bytes to the driver); the filter is a second streaming
+    pass against the broadcast scalar — a data-dependent predicate
+    costs exactly two passes, never a materialization."""
+    import pyarrow.compute as pc_
+
+    from ..stages.sketch import grouped_quantile
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def const_key(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__g", pa.array(np.zeros(batch.num_rows, np.int64)))
+
+    thr = grouped_quantile(
+        ds.map_batches(const_key, batch_format="pyarrow"),
+        key_cols=["__g"], value_col="n_chars", q=0.9, out_col="p90",
+    )["p90"].iloc[0]
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc_.greater(batch["n_chars"], pa.scalar(float(thr))))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+D_QUANTILE_FILTER_SQL = """
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars > (SELECT percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars)
+                 FROM documents)
+"""
+
+
 def t_tumbling(sf_dir: str):
     """Tumbling 1-hour window aggregate per user over the event stream
     (the windowed-aggregate family's fixed-window member; rolling/RANGE
@@ -2185,6 +2241,8 @@ QUERIES: dict[str, tuple] = {
     "d_mixture_sample": (d_mixture_sample, D_MIXTURE_SAMPLE_SQL),
     "d_det_shuffle": (d_det_shuffle, D_DET_SHUFFLE_SQL),
     "d_dup_passages": (d_dup_passages, D_DUP_PASSAGES_SQL),
+    "d_grouped_topn": (d_grouped_topn, D_GROUPED_TOPN_SQL),
+    "d_quantile_filter": (d_quantile_filter, D_QUANTILE_FILTER_SQL),
     "t_tumbling": (t_tumbling, T_TUMBLING_SQL),
     "d_top_tokens": (d_top_tokens, D_TOP_TOKENS_SQL),
     "d_lm_score": (d_lm_score, D_LM_SCORE_SQL),

@@ -90,3 +90,46 @@ def deterministic_shuffle_key(
         )
 
     return ds.map_batches(add_key, batch_format="pyarrow")
+
+
+def grouped_topn(
+    ds,
+    *,
+    key_col: str,
+    order_col: str,
+    n: int,
+    descending: bool = True,
+    tiebreak_col: str | None = None,
+):
+    """Top-n rows per group ("keep the best n documents per source"),
+    deterministic: order by (order_col, tiebreak_col) with the
+    tiebreak always ascending.
+
+    Scale shape: every batch FIRST reduces itself to its own local
+    top-n per group (a vectorized sort + groupby-head combiner), so
+    the per-group exchange moves at most n rows per (batch, group) —
+    never the corpus. The final per-group head runs on survivors only.
+    Skewed groups are bounded the same way: a hot group contributes n
+    rows per upstream batch, not its full membership."""
+    import pandas as pd
+
+    by = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+    asc = [not descending] + ([True] if tiebreak_col else [])
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return batch
+        return (
+            batch.sort_values(by, ascending=asc, kind="stable")
+            .groupby(key_col, sort=False)
+            .head(n)
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return local(g)
+
+    return (
+        ds.map_batches(local, batch_format="pandas")
+        .groupby(key_col)
+        .map_groups(finish, batch_format="pandas")
+    )

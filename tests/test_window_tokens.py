@@ -52,3 +52,42 @@ def test_top_tokens_k_larger_than_vocab():
     got = top_tokens(ds, k=10).to_pandas()
     assert got["token"].tolist() == ["y", "x"]
     assert got["c"].tolist() == [2, 1]
+
+
+def test_grouped_topn_matches_pandas_with_ties():
+    from complexity_driven_feature_construction_ray.stages.sampling import grouped_topn
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(1000),
+            "g": rng.integers(0, 7, 1000),
+            "v": rng.integers(0, 20, 1000),  # many ties
+        }
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = (
+        grouped_topn(ds, key_col="g", order_col="v", n=5, tiebreak_col="id")
+        .to_pandas()
+        .sort_values(["g", "id"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.sort_values(["v", "id"], ascending=[False, True], kind="stable")
+        .groupby("g", sort=False)
+        .head(5)
+        .sort_values(["g", "id"])
+        .reset_index(drop=True)
+    )
+    assert got[["id", "g", "v"]].values.tolist() == exp[["id", "g", "v"]].values.tolist()
+
+
+def test_grouped_topn_ascending():
+    from complexity_driven_feature_construction_ray.stages.sampling import grouped_topn
+
+    df = pd.DataFrame({"id": [0, 1, 2, 3], "g": [0, 0, 0, 0], "v": [9, 1, 5, 3]})
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = grouped_topn(
+        ds, key_col="g", order_col="v", n=2, descending=False, tiebreak_col="id"
+    ).to_pandas()
+    assert sorted(got["v"].tolist()) == [1, 3]
