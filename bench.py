@@ -58,6 +58,8 @@ HEADLINE = [
     "d_tfidf",
     "d_mixture_sample",
     "d_dup_passages",
+    "d_lm_score",
+    "d_pack",
     "f_rod",
     "tok_search",
 ]

@@ -1119,14 +1119,15 @@ def d_pack(sf_dir: str):
 D_PACK_SQL = """
 WITH s AS (
   SELECT doc_id, n_chars,
-         COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+         CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
   FROM documents
 )
 SELECT doc_id, tok_start,
-       tok_start // 2048 AS seq_first,
-       (tok_start + greatest(n_chars - 1, 0)) // 2048 AS seq_last,
-       (tok_start + greatest(n_chars - 1, 0)) // 2048 - tok_start // 2048 + 1 AS n_seqs
+       CAST(tok_start // 2048 AS BIGINT) AS seq_first,
+       CAST((tok_start + greatest(n_chars - 1, 0)) // 2048 AS BIGINT) AS seq_last,
+       CAST((tok_start + greatest(n_chars - 1, 0)) // 2048
+            - tok_start // 2048 + 1 AS BIGINT) AS n_seqs
 FROM s
 """
 
