@@ -1758,6 +1758,30 @@ def m_decode(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def m_decode_wav(sf_dir: str):
+    """REAL audio codec path: deterministic RIFF/PCM16 payloads decoded
+    in-container (pure-numpy WAV codec) through the AudioDecode actor
+    pool -> per-item duration / RMS / zero-crossing-rate / frame-RMS
+    features. Model-free but codec-real; rows-only check + pytest
+    goldens (sine RMS = amplitude/sqrt(2))."""
+    import ray.data
+
+    from ..stages.multimodal import AudioDecode, synthetic_wav_table
+
+    n = {"sf0.001": 64, "sf0.01": 256, "sf0.1": 1024}.get(
+        sf_dir.rstrip("/").split("/")[-1], 256
+    )
+    ds = ray.data.from_arrow(synthetic_wav_table(n)).repartition(8)
+    out = ds.map_batches(
+        AudioDecode,
+        fn_constructor_kwargs={"n_frames": 8},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+    )
+    return out.select_columns(["item_id", "duration_s", "rms", "zcr"])
+
+
 def m_decode_ppm(sf_dir: str):
     """REAL codec path: deterministic P6 PPM payloads decoded in-
     container (pure-numpy PPM/BMP codecs) through the actor-pool
@@ -2242,6 +2266,7 @@ QUERIES: dict[str, tuple] = {
     "d_mixture_sample": (d_mixture_sample, D_MIXTURE_SAMPLE_SQL),
     "d_det_shuffle": (d_det_shuffle, D_DET_SHUFFLE_SQL),
     "d_dup_passages": (d_dup_passages, D_DUP_PASSAGES_SQL),
+    "m_decode_wav": (m_decode_wav, None),
     "d_grouped_topn": (d_grouped_topn, D_GROUPED_TOPN_SQL),
     "d_quantile_filter": (d_quantile_filter, D_QUANTILE_FILTER_SQL),
     "t_tumbling": (t_tumbling, T_TUMBLING_SQL),

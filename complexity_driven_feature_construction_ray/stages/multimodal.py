@@ -307,3 +307,113 @@ def decode_pipeline(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# real WAV (RIFF PCM16) codec — pure numpy/struct, no audio library
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Mono or (n, ch) int16 samples -> canonical RIFF/WAVE PCM16 bytes."""
+    import struct
+
+    x = np.asarray(samples, dtype="<i2")
+    n_ch = 1 if x.ndim == 1 else x.shape[1]
+    data = x.tobytes()
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, n_ch, sample_rate, sample_rate * 2 * n_ch, 2 * n_ch, 16
+    )
+    hdr = b"RIFF" + struct.pack("<I", 4 + len(fmt) + 8 + len(data)) + b"WAVE"
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 -> (samples int16 [n] or [n, ch], sample_rate).
+    Walks chunks (odd sizes padded per RIFF); only uncompressed 16-bit
+    PCM decodes — anything else is the declared stub."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("payload is not a RIFF/WAVE container")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (sz,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # RIFF pads odd chunks
+    if fmt is None or data is None:
+        raise ValueError("malformed WAV: missing fmt or data chunk")
+    audio_format, n_ch, sr, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only PCM16 decodes in-container (format={audio_format}, bits={bits})"
+        )
+    x = np.frombuffer(data[: (len(data) // (2 * n_ch)) * 2 * n_ch], dtype="<i2")
+    return (x if n_ch == 1 else x.reshape(-1, n_ch)), sr
+
+
+def synthetic_wav_table(n_rows: int, seed: int = 42, sr: int = 8000, n_samples: int = 2048) -> pa.Table:
+    """Deterministic seeded sine+noise PCM16 payloads."""
+    rng = np.random.default_rng(seed)
+    rows = {"item_id": [], "payload": [], "media_type": [], "meta": []}
+    t = np.arange(n_samples) / sr
+    for i in range(n_rows):
+        f = 100 + 50 * (i % 17)
+        amp = 0.2 + 0.6 * ((i % 5) / 4)
+        wave = amp * np.sin(2 * np.pi * f * t) + 0.01 * rng.standard_normal(n_samples)
+        pcm = np.clip(wave * 32767, -32768, 32767).astype(np.int16)
+        rows["item_id"].append(f"wav{i:05d}")
+        rows["payload"].append(encode_wav(pcm, sr))
+        rows["media_type"].append("audio/wav")
+        rows["meta"].append(json.dumps({"sr": sr, "n": n_samples, "freq": f}))
+    return pa.table(
+        {
+            "item_id": pa.array(rows["item_id"], type=pa.string()),
+            "payload": pa.array(rows["payload"], type=pa.binary()),
+            "media_type": pa.array(rows["media_type"], type=pa.string()),
+            "meta": pa.array(rows["meta"], type=pa.string()),
+        }
+    )
+
+
+class AudioDecode:
+    """Actor-pool stage: REAL WAV decode -> per-item acoustic features
+    (duration, normalized RMS, zero-crossing rate, per-frame RMS).
+    Same wide-row rule as images: batch_size from payload size."""
+
+    def __init__(self, n_frames: int = 8):
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        dur, rms, zcr, frames = [], [], [], []
+        for payload in batch["payload"].to_pylist():
+            x, sr = decode_wav(payload)
+            if x.ndim > 1:
+                x = x.mean(axis=1)
+            xf = x.astype(np.float64) / 32768.0
+            dur.append(round(len(xf) / sr, 6))
+            rms.append(round(float(np.sqrt(np.mean(xf**2))) if len(xf) else 0.0, 6))
+            zcr.append(
+                round(float(np.mean(np.diff(np.signbit(xf)) != 0)) if len(xf) > 1 else 0.0, 6)
+            )
+            k = max(len(xf) // self.n_frames, 1)
+            usable = xf[: k * self.n_frames] if len(xf) >= self.n_frames else xf
+            fr = (
+                np.sqrt(np.mean(usable.reshape(-1, k) ** 2, axis=1))
+                if len(usable) >= self.n_frames
+                else np.array([rms[-1]])
+            )
+            frames.append(np.round(fr, 6).tolist())
+        return pa.table(
+            {
+                "item_id": batch["item_id"],
+                "duration_s": pa.array(dur, type=pa.float64()),
+                "rms": pa.array(rms, type=pa.float64()),
+                "zcr": pa.array(zcr, type=pa.float64()),
+                "frame_rms": pa.array(frames, type=pa.list_(pa.float64())),
+            }
+        )

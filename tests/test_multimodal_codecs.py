@@ -4,6 +4,7 @@ import json
 import struct
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from complexity_driven_feature_construction_ray.stages.multimodal import (
@@ -144,3 +145,59 @@ class TestRealActorPath:
             ).astype(np.uint8)
             expect = np.bincount(luma.reshape(-1) >> 4, minlength=16)[:16] / luma.size
             assert np.allclose(np.array(feats), expect, atol=1e-6)
+
+
+class TestWavCodec:
+    def test_roundtrip_mono_and_stereo(self):
+        from complexity_driven_feature_construction_ray.stages.multimodal import (
+            decode_wav,
+            encode_wav,
+        )
+
+        x = (np.sin(np.linspace(0, 40, 3000)) * 15000).astype(np.int16)
+        y, sr = decode_wav(encode_wav(x, 16000))
+        assert sr == 16000 and np.array_equal(x, y)
+        st = np.stack([x, -x], axis=1)
+        y2, sr2 = decode_wav(encode_wav(st, 8000))
+        assert sr2 == 8000 and np.array_equal(st, y2)
+
+    def test_sine_rms_golden(self):
+        from complexity_driven_feature_construction_ray.stages.multimodal import (
+            AudioDecode,
+            encode_wav,
+        )
+
+        sr, amp = 8000, 0.5
+        t = np.arange(sr) / sr
+        pcm = (amp * 32767 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+        batch = pa.table(
+            {
+                "item_id": pa.array(["a"]),
+                "payload": pa.array([encode_wav(pcm, sr)], type=pa.binary()),
+            }
+        )
+        out = AudioDecode(n_frames=4)(batch)
+        assert abs(out["duration_s"][0].as_py() - 1.0) < 1e-9
+        assert abs(out["rms"][0].as_py() - amp / np.sqrt(2)) < 1e-3
+        assert len(out["frame_rms"][0].as_py()) == 4
+
+    def test_non_riff_and_nonpcm_are_declared_stubs(self):
+        import struct
+
+        from complexity_driven_feature_construction_ray.stages.multimodal import decode_wav
+
+        with pytest.raises(NotImplementedError):
+            decode_wav(b"\x89PNG not audio at all........")
+        # a float-format (3) WAV: stub, not silent garbage
+        fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)
+        payload = b"RIFF" + struct.pack("<I", 4 + len(fmt) + 8) + b"WAVE" + fmt + b"data" + struct.pack("<I", 0)
+        with pytest.raises(NotImplementedError):
+            decode_wav(payload)
+
+    def test_query_runs_deterministically(self, ray_session):
+        from complexity_driven_feature_construction_ray.pipelines.relational import m_decode_wav
+
+        a = m_decode_wav("/root/testdata/sf0.001").to_pandas().sort_values("item_id")
+        b = m_decode_wav("/root/testdata/sf0.001").to_pandas().sort_values("item_id")
+        assert len(a) == 64
+        assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
