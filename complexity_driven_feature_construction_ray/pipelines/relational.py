@@ -662,6 +662,42 @@ SELECT l_returnflag, count(*) AS n_keys FROM (
 """
 
 
+def q_shuffle_join(sf_dir: str):
+    """Large x large partitioned equi-join: lineitem JOIN orders on the
+    order key via the bucketed shuffle hash join (stages/partition.py:
+    shuffle_hash_join — both sides hash-partition into shared data-sized
+    buckets, pyarrow C++ hash join per bucket, neither side broadcast),
+    then revenue per order priority. The join for two fact tables; the
+    broadcast family (q_broadcast_join etc.) covers the small-side case."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.partition import shuffle_hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = shuffle_hash_join(li, orders, left_on="l_orderkey", right_on="o_orderkey")
+
+    def rev(batch: pa.Table) -> pa.Table:
+        r = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        return pa.table({"o_orderpriority": batch["o_orderpriority"], "__r": r})
+
+    out = (
+        joined.map_batches(rev, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("__r", alias_name="revenue"))
+    )
+    return _round_cols(out, {"revenue": 2})
+
+
+Q_SHUFFLE_JOIN_SQL = """
+SELECT o_orderpriority, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def q_filter_sort_topk(sf_dir: str):
     ds = _read(
         sf_dir, "lineitem",
@@ -2249,6 +2285,7 @@ QUERIES: dict[str, tuple] = {
     "q_distinct_parts": (q_distinct_parts, Q_DISTINCT_SQL),
     "q_filter_sort_topk": (q_filter_sort_topk, Q_TOPK_SQL),
     "q_union_distinct": (q_union_distinct, Q_UNION_DISTINCT_SQL),
+    "q_shuffle_join": (q_shuffle_join, Q_SHUFFLE_JOIN_SQL),
     "q_salted_agg": (q_salted_agg, Q_SALTED_AGG_SQL),
     "t_lag_lead": (t_lag_lead, T_LAG_LEAD_SQL),
     "t_sessionize": (t_sessionize, T_SESSIONIZE_SQL),

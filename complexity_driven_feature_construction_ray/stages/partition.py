@@ -99,3 +99,104 @@ def salted_aggregate(
     _, merge_kind = _MERGE[agg]
     a2 = {"sum": Sum, "min": Min, "max": Max}[merge_kind]("__p", alias_name=out_col)
     return part.groupby(key).aggregate(a2)
+
+
+def shuffle_hash_join(
+    left,
+    right,
+    *,
+    left_on: str,
+    right_on: str | None = None,
+    join_type: str = "inner",
+    num_buckets: int | None = None,
+    suffix: str = "_r",
+):
+    """Large x large partitioned equi-join (the join for two FACT tables).
+
+    Both sides hash-partition by join key into the same data-sized
+    buckets (stages/bucketing.py: rows / 250k, CPUs only a floor), then
+    each bucket joins locally via pyarrow's C++ hash join — one
+    all-to-all exchange per side and nothing ever materializes
+    driver-side. Complements the broadcast/semi/anti/range joins
+    (pipelines/relational.py:387-540), which require one side to fit in
+    the object store; the reference's only join is that broadcast
+    re-attach (reference FastGroupByThenTransformation.py:38-40), so
+    this operator is part of the net-new scale surface.
+
+    Partitioning assumption: rows of ONE key land in one bucket, so a
+    pathologically hot key (>~250k rows on both sides) makes that
+    bucket's local join quadratic-ish in the hot-key rows; pre-split
+    such keys to the broadcast path. `join_type` is "inner" or
+    "left outer" (pyarrow Table.join naming).
+
+    Column names: right columns colliding with a left column get
+    `suffix`; the right key column is dropped (equi-join, same values).
+    """
+    import pandas as pd
+
+    from .bucketing import default_buckets
+
+    right_on = right_on or left_on
+    B = num_buckets or default_buckets(left, right)
+
+    left_schema = left.schema().base_schema
+    right_schema = right.schema().base_schema
+    left_names = list(left_schema.names)
+    right_payload = [n for n in right_schema.names if n != right_on]
+    rename_right = {
+        n: (n + suffix if n in left_names else n) for n in right_payload
+    }
+    out_right = [rename_right[n] for n in right_payload]
+
+    def _hash_mod(arr) -> pa.Array:
+        h = pd.util.hash_array(
+            arr.to_numpy(zero_copy_only=False), hash_key="0123456789123456"
+        )
+        return pa.array((h % np.uint64(B)).astype(np.int32))
+
+    # Pad each side to the shared (key + left payload + right payload)
+    # schema with typed nulls, tag it, and union: one stream, one
+    # groupby shuffle. The pad columns are all-null Arrow arrays —
+    # O(1) validity bitmaps, not materialized values.
+    def tag_left(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        cols = {"__k": batch[left_on].cast(left_schema.field(left_on).type)}
+        for name in left_names:
+            if name != left_on:
+                cols[name] = batch[name]
+        for rn in right_payload:
+            cols[rename_right[rn]] = pa.nulls(n, type=right_schema.field(rn).type)
+        cols["__side"] = pa.array(np.zeros(n, dtype=np.int8))
+        cols["__b"] = _hash_mod(batch[left_on])
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        cols = {"__k": batch[right_on].cast(left_schema.field(left_on).type)}
+        for name in left_names:
+            if name != left_on:
+                cols[name] = pa.nulls(n, type=left_schema.field(name).type)
+        for rn in right_payload:
+            cols[rename_right[rn]] = batch[rn]
+        cols["__side"] = pa.array(np.ones(n, dtype=np.int8))
+        cols["__b"] = _hash_mod(batch[right_on])
+        return pa.table(cols)
+
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    left_out = [n for n in left_names if n != left_on]
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        side = group["__side"]
+        lt = group.filter(pc.equal(side, 0)).select(["__k", *left_out])
+        rt = group.filter(pc.equal(side, 1)).select(["__k", *out_right])
+        out = lt.join(rt, keys="__k", join_type=join_type)
+        # pyarrow join may reorder columns; pin the output layout
+        out = out.select(["__k", *left_out, *out_right])
+        return out.rename_columns([left_on, *left_out, *out_right])
+
+    return both.groupby("__b").map_groups(join_bucket, batch_format="pyarrow")

@@ -211,3 +211,77 @@ def test_distinct_exact_and_hll(ray_session):
         est = float(approx.set_index("g")["n"][g])
         true = float(truth[g])
         assert abs(est - true) / true < 0.05, (g, est, true)
+
+
+class TestShuffleHashJoin:
+    """Large x large bucketed equi-join vs a pandas merge oracle."""
+
+    def _sides(self, n_left=5000, n_right=800, seed=7):
+        rng = np.random.default_rng(seed)
+        left = pa.table(
+            {
+                "k": rng.integers(0, 1000, n_left).astype(np.int64),
+                "lv": rng.standard_normal(n_left),
+            }
+        )
+        right = pa.table(
+            {
+                "rk": np.arange(n_right, dtype=np.int64),
+                "rv": rng.standard_normal(n_right),
+                # name-collision column: must get the _r suffix
+                "lv": rng.standard_normal(n_right),
+            }
+        )
+        return left, right
+
+    def test_inner_matches_pandas_merge(self, ray_session):
+        from complexity_driven_feature_construction_ray.stages.partition import (
+            shuffle_hash_join,
+        )
+
+        left, right = self._sides()
+        out = shuffle_hash_join(
+            ray.data.from_arrow(left).repartition(8),
+            ray.data.from_arrow(right).repartition(4),
+            left_on="k",
+            right_on="rk",
+        ).to_pandas()
+        exp = (
+            left.to_pandas()
+            .merge(right.to_pandas(), left_on="k", right_on="rk", suffixes=("", "_r"))
+            .drop(columns=["rk"])
+        )
+        assert sorted(out.columns) == sorted(exp.columns)
+        key = ["k", "lv", "rv", "lv_r"]
+        got = out.sort_values(key).reset_index(drop=True)
+        want = exp[out.columns].sort_values(key).reset_index(drop=True)
+        assert len(got) == len(want)
+        for c in out.columns:
+            assert np.allclose(got[c], want[c])
+
+    def test_left_outer_keeps_unmatched(self, ray_session):
+        from complexity_driven_feature_construction_ray.stages.partition import (
+            shuffle_hash_join,
+        )
+
+        left, right = self._sides(n_left=2000, n_right=100)
+        out = shuffle_hash_join(
+            ray.data.from_arrow(left).repartition(8),
+            ray.data.from_arrow(right).repartition(4),
+            left_on="k",
+            right_on="rk",
+            join_type="left outer",
+        ).to_pandas()
+        exp = left.to_pandas().merge(
+            right.to_pandas(), left_on="k", right_on="rk", how="left", suffixes=("", "_r")
+        )
+        assert len(out) == len(exp)
+        assert out["rv"].isna().sum() == exp["rv"].isna().sum()
+        # matched subset agrees
+        got_m = out.dropna(subset=["rv"]).sort_values(["k", "lv"]).reset_index(drop=True)
+        exp_m = (
+            exp.dropna(subset=["rv"])[out.columns]
+            .sort_values(["k", "lv"])
+            .reset_index(drop=True)
+        )
+        assert np.allclose(got_m["rv"], exp_m["rv"])
