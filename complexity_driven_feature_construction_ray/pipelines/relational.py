@@ -1238,6 +1238,28 @@ def d_kmeans(sf_dir: str):
     return kmeans_assign(ds, centers)
 
 
+def d_semdedup(sf_dir: str):
+    """SemDeDup-shaped semantic near-dedup (Abbas et al. 2023): k-means
+    the embedding space (streaming partials), then per-cluster greedy
+    cosine dedup inside groupby(cluster).map_groups — O(cluster^2) work
+    bounded by id-hash sub-sharding of mega-clusters. Iterative fit ->
+    rows-only; pytest verifies planted near-dup pairs are flagged and
+    every flag has a kept neighbor >= threshold."""
+    import ray.data
+
+    from ..stages.embedding import semdedup
+
+    # plant scaled clones (same recipe as d_embedding_dedup) so the
+    # result exercises the flag path, not just the keep path
+    pdf = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).to_pandas()
+    clones = pdf.head(10).copy()
+    clones["vec_id"] = clones["vec_id"] + 10_000_000
+    clones["embedding"] = clones["embedding"].map(lambda e: (np.asarray(e) * 1.0005).tolist())
+    both = ray.data.from_pandas(pd.concat([pdf, clones], ignore_index=True)).repartition(8)
+    out = semdedup(both, n_clusters=8, threshold=0.999, n_iter=10, seed=42)
+    return out.sort("vec_id")
+
+
 def d_knn(sf_dir: str):
     from ..stages.similarity import knn_bruteforce
 
@@ -2314,6 +2336,7 @@ QUERIES: dict[str, tuple] = {
     "d_tfidf": (d_tfidf, D_TFIDF_SQL),
     "d_pca": (d_pca, None),
     "d_kmeans": (d_kmeans, None),
+    "d_semdedup": (d_semdedup, None),
     "d_knn": (d_knn, D_KNN_SQL),
     "d_minhash_dedup": (d_minhash_dedup, None),
     "d_simhash_dedup": (d_simhash_dedup, None),

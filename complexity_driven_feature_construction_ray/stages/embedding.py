@@ -172,3 +172,113 @@ def kmeans_assign(ds, centers: np.ndarray, *, emb_col: str = "embedding", id_col
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def semdedup(
+    ds,
+    *,
+    n_clusters: int,
+    threshold: float = 0.95,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_iter: int = 10,
+    seed: int = 42,
+    max_cluster: int = 8192,
+):
+    """Semantic near-dedup, SemDeDup-shaped (Abbas et al. 2023, public):
+    k-means the embedding space, then within each cluster greedily keep
+    the first item (id order) and mark any later item whose cosine
+    similarity to an already-kept item reaches `threshold` as a dup of
+    that keeper.
+
+    Scale shape: the k-means fit is the streaming-partials pass above;
+    the dedup pass shuffles only (id, cluster, embedding) grouped by
+    cluster, and each cluster's O(k^2) similarity work is bounded by
+    sub-splitting clusters larger than `max_cluster` by id hash (the
+    standard within-cluster shard approximation: cross-shard dups in a
+    mega-cluster are missed, never false-flagged). Returns a Dataset of
+    (id, cluster, is_dup, rep_id) — the same cluster-map contract as
+    stages/dedup.py.
+    """
+    import pandas as pd
+
+    centers = kmeans_fit(
+        ds, n_clusters, emb_col=emb_col, id_col=id_col, n_iter=n_iter, seed=seed
+    )
+    import ray
+
+    c_ref = ray.put(np.asarray(centers, dtype=np.float64))
+
+    def assign_keep(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        X = list_column_matrix(batch[emb_col]).astype(np.float64)
+        d2 = (X**2).sum(axis=1)[:, None] - 2.0 * X @ c.T + (c**2).sum(axis=1)[None, :]
+        a = np.argmin(d2, axis=1).astype(np.int64)
+        sub = (
+            pd.util.hash_array(batch[id_col].to_numpy(zero_copy_only=False).astype(object))
+            % np.uint64(2**31)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                emb_col: batch[emb_col],
+                "cluster": pa.array(a),
+                "__sub": pa.array(sub),
+            }
+        )
+
+    assigned = ds.map_batches(assign_keep, batch_format="pyarrow")
+
+    def dedup_cluster(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        X = list_column_matrix(group[emb_col]).astype(np.float64)[order]
+        ids = ids[order]
+        cluster = group["cluster"].to_numpy(zero_copy_only=False)[order]
+        n = len(ids)
+        norms = np.linalg.norm(X, axis=1)
+        Xn = X / np.maximum(norms, 1e-12)[:, None]
+        is_dup = np.zeros(n, dtype=bool)
+        rep = ids.copy()
+        kept: list[int] = []
+        for i in range(n):
+            if kept:
+                sims = Xn[np.array(kept)] @ Xn[i]
+                j = int(np.argmax(sims))
+                if sims[j] >= threshold:
+                    is_dup[i] = True
+                    rep[i] = ids[kept[j]]
+                    continue
+            kept.append(i)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "cluster": pa.array(cluster),
+                "is_dup": pa.array(is_dup),
+                "rep_id": pa.array(rep),
+            }
+        )
+
+    # shard count is a row-local pure function of (cluster, id-hash):
+    # no second pass needed; shards=1 (exact) unless the mean cluster
+    # would exceed max_cluster
+    n_rows = None
+    try:
+        n_rows = ds._meta_count()
+    except Exception:
+        pass
+    shards = 1
+    if n_rows:
+        shards = max(1, int(np.ceil((n_rows / max(n_clusters, 1)) / max_cluster)))
+
+    def key_col(batch: pa.Table) -> pa.Table:
+        gk = batch["cluster"].to_numpy(zero_copy_only=False) * shards + (
+            batch["__sub"].to_numpy(zero_copy_only=False) % shards
+        )
+        return batch.append_column("__g", pa.array(gk.astype(np.int64)))
+
+    return (
+        assigned.map_batches(key_col, batch_format="pyarrow")
+        .groupby("__g")
+        .map_groups(dedup_cluster, batch_format="pyarrow")
+    )

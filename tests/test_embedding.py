@@ -139,3 +139,60 @@ class TestTfidf:
         assert set(got) == set(exp)
         for k in exp:
             assert abs(got[k] - exp[k]) < 1e-5, k
+
+
+class TestSemDeDup:
+    """Planted near-duplicates must be flagged; every flag must have a
+    kept same-cluster neighbor at/above the threshold (no false reps)."""
+
+    def _corpus(self, seed=3, n_base=120, d=16, thr=0.95):
+        rng = np.random.default_rng(seed)
+        # unstructured gaussians: random pairwise cosine in d=16 is
+        # ~N(0, 1/sqrt(d)) — far below threshold — while planted dups
+        # sit at cosine ~1 (a mean-offset corpus would make every
+        # same-mode pair near-parallel and flag everything)
+        base = rng.standard_normal((n_base, d))
+        # plant a near-dup of every 10th base vector: tiny perturbation
+        dup_src = np.arange(0, n_base, 10)
+        dups = base[dup_src] + 1e-3 * rng.standard_normal((len(dup_src), d))
+        X = np.concatenate([base, dups])
+        return X, dup_src, n_base
+
+    def test_planted_dups_flagged(self, ray_session):
+        from complexity_driven_feature_construction_ray.stages.embedding import semdedup
+
+        X, dup_src, n_base = self._corpus()
+        out = (
+            semdedup(_emb_ds(X, 6), n_clusters=4, threshold=0.95, n_iter=8, seed=0)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        assert len(out) == len(X)
+        # each planted (src, dup) pair loses exactly one member
+        for k, src in enumerate(dup_src):
+            pair = out[out.vec_id.isin([src, n_base + k])]
+            assert pair.is_dup.sum() == 1, (src, n_base + k)
+        # soundness: every dup's rep is a kept row in the same cluster
+        # with cosine >= threshold
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        kept_ids = set(out[~out.is_dup].vec_id)
+        for _, r in out[out.is_dup].iterrows():
+            assert r.rep_id in kept_ids
+            rep_row = out[out.vec_id == r.rep_id].iloc[0]
+            assert rep_row.cluster == r.cluster
+            assert Xn[int(r.vec_id)] @ Xn[int(r.rep_id)] >= 0.95 - 1e-9
+
+    def test_deterministic_across_block_layouts(self, ray_session):
+        from complexity_driven_feature_construction_ray.stages.embedding import semdedup
+
+        X, _, _ = self._corpus(seed=11)
+        a = (
+            semdedup(_emb_ds(X, 3), n_clusters=4, threshold=0.95, n_iter=8, seed=0)
+            .to_pandas().sort_values("vec_id").reset_index(drop=True)
+        )
+        b = (
+            semdedup(_emb_ds(X, 9), n_clusters=4, threshold=0.95, n_iter=8, seed=0)
+            .to_pandas().sort_values("vec_id").reset_index(drop=True)
+        )
+        assert a.equals(b)
