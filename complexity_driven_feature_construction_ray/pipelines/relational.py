@@ -1087,6 +1087,27 @@ FROM events GROUP BY user_id, epoch_us(ts) // 3600000000
 """
 
 
+def t_hopping(sf_dir: str):
+    """Hopping 1-hour window advancing every 20 minutes per user (the
+    sliding-window member of the windowed-aggregate family): row-local
+    3x explode + partially-combined hash aggregate — per-window
+    partials shuffle, not events."""
+    from ..stages.temporal import hopping_agg
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    return hopping_agg(
+        ds, key="user_id", ts="ts", value="value", width_s=3600, hop_s=1200
+    )
+
+
+T_HOPPING_SQL = """
+SELECT user_id, (epoch_us(ts) // 1200000000) - k AS win,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)
+GROUP BY user_id, win
+"""
+
+
 def d_top_tokens(sf_dir: str):
     """Exact corpus-wide heavy hitters: the 25 most frequent tokens
     with exact counts (vocab-sized aggregate + per-block local top-k
@@ -2329,6 +2350,7 @@ QUERIES: dict[str, tuple] = {
     "d_grouped_topn": (d_grouped_topn, D_GROUPED_TOPN_SQL),
     "d_quantile_filter": (d_quantile_filter, D_QUANTILE_FILTER_SQL),
     "t_tumbling": (t_tumbling, T_TUMBLING_SQL),
+    "t_hopping": (t_hopping, T_HOPPING_SQL),
     "d_top_tokens": (d_top_tokens, D_TOP_TOKENS_SQL),
     "d_lm_score": (d_lm_score, D_LM_SCORE_SQL),
     "d_pack": (d_pack, D_PACK_SQL),

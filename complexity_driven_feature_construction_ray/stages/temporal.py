@@ -749,3 +749,65 @@ def tumbling_agg(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def hopping_agg(
+    ds,
+    *,
+    key: str,
+    ts: str,
+    value: str,
+    width_s: int,
+    hop_s: int,
+    ndigits: int = 6,
+):
+    """Hopping (sliding) window aggregate: count + sum of ``value`` per
+    (``key``, ``width_s``-second window advancing every ``hop_s``).
+    Window ``win`` covers [win*hop, win*hop + width).
+
+    Row-local explode: each event belongs to exactly width/hop windows,
+    so a batch is repeated m = width/hop times with shifted window
+    indexes — an explicit, bounded m× amplification — and the only
+    exchange is the partially-combining hash aggregate on (key, win):
+    per-window partials move, not the exploded events. ``width_s`` must
+    be a multiple of ``hop_s`` (align-free arithmetic windows)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    if width_s % hop_s:
+        raise ValueError("width_s must be a multiple of hop_s")
+    m = width_s // hop_s
+    hop_us = int(hop_s) * 1_000_000
+
+    def explode(batch: pa.Table) -> pa.Table:
+        epoch_us = pc.cast(
+            pc.cast(batch[ts], pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        base = epoch_us // hop_us
+        n = len(base)
+        idx = np.repeat(np.arange(n), m)
+        win = np.repeat(base, m) - np.tile(np.arange(m, dtype=np.int64), n)
+        t = batch.select([key, value]).take(pa.array(idx))
+        return t.append_column("win", pa.array(win))
+
+    agg = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby([key, "win"])
+        .aggregate(Count(), Sum(value, alias_name="sum_value"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key: batch[key],
+                "win": batch["win"],
+                "n_events": batch["count()"].cast(pa.int64()),
+                "sum_value": pa.array(
+                    np.round(
+                        batch["sum_value"].to_numpy(zero_copy_only=False), ndigits
+                    )
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -38,6 +38,53 @@ def test_tumbling_matches_pandas():
     assert np.allclose(got["sum_value"], np.round(exp["sum_value"], 6), atol=1e-6)
 
 
+def test_hopping_matches_pandas():
+    from complexity_driven_feature_construction_ray.stages.temporal import hopping_agg
+
+    rng = np.random.default_rng(9)
+    n = 1500
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(rng.integers(0, 86400, n), unit="s")
+    df = pd.DataFrame(
+        {"user_id": rng.integers(0, 10, n), "ts": ts, "value": rng.normal(size=n)}
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(6)
+    got = (
+        hopping_agg(ds, key="user_id", ts="ts", value="value", width_s=3600, hop_s=1200)
+        .to_pandas()
+        .sort_values(["user_id", "win"])
+        .reset_index(drop=True)
+    )
+    # brute force: event at t belongs to windows base-2..base of 20-min hops
+    base = df["ts"].astype("int64") // (1200 * 10**9)
+    rows = []
+    for k in (0, 1, 2):
+        rows.append(df.assign(win=base - k))
+    exp = (
+        pd.concat(rows)
+        .groupby(["user_id", "win"])
+        .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+        .reset_index()
+        .sort_values(["user_id", "win"])
+        .reset_index(drop=True)
+    )
+    assert got["n_events"].tolist() == exp["n_events"].tolist()
+    assert got["win"].tolist() == exp["win"].tolist()
+    assert np.allclose(got["sum_value"], np.round(exp["sum_value"], 6), atol=1e-6)
+    # every event lands in exactly width/hop = 3 windows
+    assert got["n_events"].sum() == 3 * n
+
+
+def test_hopping_rejects_misaligned_hop():
+    import pytest
+
+    from complexity_driven_feature_construction_ray.stages.temporal import hopping_agg
+
+    df = pd.DataFrame({"user_id": [0], "ts": [pd.Timestamp("2024-01-01")], "value": [1.0]})
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    with pytest.raises(ValueError):
+        hopping_agg(ds, key="user_id", ts="ts", value="value", width_s=3600, hop_s=700)
+
+
 def test_top_tokens_exact_with_ties():
     texts = ["b a", "a c b", "d d", ""] * 10  # a:20 b:20 c:10 d:20
     ds = ray.data.from_arrow(pa.table({"text": pa.array(texts)}))
