@@ -34,7 +34,7 @@ STATELESS_UNARY = ("minus", "reciprocal", "log")
 # fitted unary (state learned on the train fold); the three impute
 # strategies mirror reference ImputationTransformation.py:35-50
 # (sklearn SimpleImputer mean / median / most_frequent)
-FITTED_UNARY = ("minmax", "zscore", "impute_mean", "impute_median", "impute_mode", "discretize", "mdlp")
+FITTED_UNARY = ("minmax", "zscore", "impute_mean", "impute_median", "impute_mode", "discretize", "mdlp", "winsor")
 UNARY_OPS = STATELESS_UNARY + FITTED_UNARY
 IMPUTE_OPS = ("impute_mean", "impute_median", "impute_mode")
 
@@ -151,6 +151,9 @@ def _name(f: Feature) -> str:
         return f"(1/{ps[0]})"
     if f.op == "log":
         return f"log({ps[0]})"
+    if f.op == "winsor":
+        lo, hi = f.params or (0.05, 0.95)
+        return f"winsor[{lo},{hi}]({ps[0]})"
     if f.op in FITTED_UNARY:
         return f"{f.op}({ps[0]})"
     if f.op == "npfun":
@@ -231,6 +234,17 @@ def npfunc(fname: str, parent: Feature) -> Feature:
 def dummy_one(parent: Feature) -> Feature:
     """Constant-1 baseline probe (reference DummyOneTransformation.py:11-12)."""
     f = Feature("dummy_one", (parent,))
+    f.properties.update(derive_properties(f))
+    return f
+
+
+def winsorize(parent: Feature, q_lo: float = 0.05, q_hi: float = 0.95) -> Feature:
+    """Quantile-clip (winsorize): clip to the train fold's discrete
+    [q_lo, q_hi] quantiles (SQL percentile_disc semantics). A curation-
+    era extension op — not in the reference's producer set, so it joins
+    the algebra but not the default search space."""
+    assert 0.0 <= q_lo < q_hi <= 1.0, (q_lo, q_hi)
+    f = Feature("winsor", (parent,), (q_lo, q_hi))
     f.properties.update(derive_properties(f))
     return f
 
@@ -374,6 +388,10 @@ def derive_properties(f: Feature) -> dict:
         set_range(1.0, 1.0)
         out["distinct"] = 1
         out["missing_values"] = False
+    elif f.op == "winsor":
+        # clipping can only shrink the range
+        set_range(mn[0], mx[0])
+        out["distinct"] = ps[0].properties.get("distinct")
     elif f.op in ("discretize", "mdlp"):
         set_range(-1.0, float(DISCRETIZE_BINS - 1))
         out["distinct"] = DISCRETIZE_BINS + 1

@@ -143,6 +143,19 @@ def _mdlp_cuts(x: np.ndarray, y: np.ndarray, max_depth: int = 6) -> list[float]:
     return sorted(cuts)
 
 
+def _winsor_bounds_exact(p: np.ndarray, q: tuple) -> tuple[float, float]:
+    """Discrete-quantile clip bounds, SQL percentile_disc semantics:
+    the value at 1-based rank ceil(q*n) of the sorted non-NaN values."""
+    q_lo, q_hi = q
+    sv = np.sort(p[~np.isnan(p)])
+    n = len(sv)
+    if n == 0:
+        return (float("nan"), float("nan"))
+    lo = sv[max(int(np.ceil(q_lo * n)) - 1, 0)]
+    hi = sv[max(int(np.ceil(q_hi * n)) - 1, 0)]
+    return (float(lo), float(hi))
+
+
 # ---------------------------------------------------------------------------
 # fit / evaluate
 
@@ -193,6 +206,9 @@ def _eval_inner(f: Feature, cols: Cols, fitted: Fitted, cache: dict) -> np.ndarr
         if op in ("impute_mean", "impute_median", "impute_mode"):
             (val,) = fitted[f.name]
             return np.where(np.isnan(args[0]), val, args[0])
+        if op == "winsor":
+            lo, hi = fitted[f.name]
+            return np.clip(args[0], lo, hi)  # NaN propagates through clip
         if op == "npfun":
             return getattr(np, f.params[0])(args[0]).astype(np.float64)
         if op == "dummy_one":
@@ -243,7 +259,7 @@ def fit_on_arrays(
             if f.name in fitted:
                 continue
             op = f.op
-            if op in ("minmax", "zscore", "impute_mean", "impute_median", "impute_mode", "discretize", "mdlp"):
+            if op in ("minmax", "zscore", "impute_mean", "impute_median", "impute_mode", "discretize", "mdlp", "winsor"):
                 p = _eval_node(f.parents[0], cols, fitted, cache)
                 with np.errstate(all="ignore"):
                     if op == "minmax":
@@ -262,6 +278,8 @@ def fit_on_arrays(
                         mn, mx = np.nanmin(p), np.nanmax(p)
                         edges = np.linspace(mn, mx, DISCRETIZE_BINS + 1)[1:-1]
                         fitted[f.name] = (edges,)
+                    elif op == "winsor":
+                        fitted[f.name] = _winsor_bounds_exact(p, f.params or (0.05, 0.95))
                     elif op == "mdlp":
                         if y is None:
                             raise ValueError("mdlp requires y")

@@ -165,6 +165,36 @@ FROM lineitem
 """
 
 
+def fe_winsorize(sf_dir: str):
+    """Winsorize (quantile-clip) at the discrete [p05, p95]: fit is the
+    mergeable weighted-value sketch (stages/fit.py — the impute_median
+    path), apply is a stateless clip. Values are unchanged or snapped to
+    an existing value, so the compare is exact (no rounding)."""
+    from ..functions.expr import winsorize
+
+    def build(f):
+        return [winsorize(f["l_extendedprice"], 0.05, 0.95)]
+
+    return _lineitem_features(
+        sf_dir,
+        {"stats": ["l_extendedprice"], "build": build},
+        keep=["l_orderkey", "l_linenumber"],
+        rename={"winsor[0.05,0.95](l_extendedprice)": "wins_price"},
+    )
+
+
+FE_WINSORIZE_SQL = """
+WITH b AS (
+    SELECT percentile_disc(0.05) WITHIN GROUP (ORDER BY l_extendedprice) AS lo,
+           percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS hi
+    FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       least(greatest(l_extendedprice, b.lo), b.hi) AS wins_price
+FROM lineitem, b
+"""
+
+
 FE_SCALING_SQL = """
 SELECT l_orderkey, l_linenumber,
        round((l_quantity - MIN(l_quantity) OVER ())
@@ -2314,6 +2344,7 @@ QUERIES: dict[str, tuple] = {
     "fe_unary": (fe_unary, FE_UNARY_SQL),
     "fe_scaling": (fe_scaling, FE_SCALING_SQL),
     "fe_npfun": (fe_npfun, FE_NPFUN_SQL),
+    "fe_winsorize": (fe_winsorize, FE_WINSORIZE_SQL),
     "fe_discretize": (fe_discretize, FE_DISCRETIZE_SQL),
     "fe_impute": (fe_impute, FE_IMPUTE_SQL),
     "fe_onehot": (fe_onehot, FE_ONEHOT_SQL),

@@ -47,7 +47,8 @@ def _stateful_depth(f: Feature, cache: dict) -> int:
 
 
 _STATEFUL_UNARY = (
-    "minmax", "zscore", "impute_mean", "impute_median", "impute_mode", "discretize", "mdlp"
+    "minmax", "zscore", "impute_mean", "impute_median", "impute_mode", "discretize", "mdlp",
+    "winsor",
 )
 
 
@@ -86,7 +87,8 @@ def _partial_for(f: Feature, cols: dict, fitted: Fitted, cache: dict):
     if op == "impute_mode":
         vals, counts = np.unique(pv, return_counts=True)
         return ("counts", vals, counts)
-    if op == "impute_median":
+    if op in ("impute_median", "winsor"):
+        # both fit through the mergeable weighted-value sketch
         return ("quant",) + _quant_partial(pv)
     n = len(pv)
     return (
@@ -210,6 +212,20 @@ def _finalize(f: Feature, merged) -> tuple:
     if op == "impute_median":
         vals, w = merged
         return (_weighted_median(vals, w),)
+    if op == "winsor":
+        vals, w = merged
+        if len(vals) == 0:
+            return (float("nan"), float("nan"))
+        q_lo, q_hi = f.params or (0.05, 0.95)
+        cw = np.cumsum(w)
+        total = cw[-1]
+
+        def disc(q: float) -> float:
+            # percentile_disc: value at 1-based rank ceil(q*N)
+            r = max(np.ceil(q * total), 1.0)
+            return float(vals[np.searchsorted(cw, r, side="left")])
+
+        return (disc(q_lo), disc(q_hi))
     n, s, ss, mn, mx = merged
     if op == "minmax":
         return (mn, mx)

@@ -285,3 +285,46 @@ class TestShuffleHashJoin:
             .reset_index(drop=True)
         )
         assert np.allclose(got_m["rv"], exp_m["rv"])
+
+
+class TestWinsorize:
+    def test_exact_bounds_and_clip(self, ray_session):
+        from complexity_driven_feature_construction_ray.functions.expr import winsorize
+        from complexity_driven_feature_construction_ray.functions.kernels import (
+            evaluate,
+            fit_on_arrays,
+        )
+
+        rng = np.random.default_rng(2)
+        x = rng.normal(100.0, 25.0, 5000)
+        x[::97] = np.nan
+        f = winsorize(
+            raw("x", properties={"min": 0.0, "max": 200.0}), 0.1, 0.9
+        )
+        fitted = fit_on_arrays([f], {"x": x})
+        lo, hi = fitted[f.name]
+        sv = np.sort(x[~np.isnan(x)])
+        n = len(sv)
+        # percentile_disc: value at 1-based rank ceil(q*n)
+        assert lo == sv[int(np.ceil(0.1 * n)) - 1]
+        assert hi == sv[int(np.ceil(0.9 * n)) - 1]
+        out = evaluate(f, {"x": x}, fitted)
+        assert np.nanmin(out) == lo and np.nanmax(out) == hi
+        assert np.isnan(out[np.isnan(x)]).all()  # NaN propagates
+
+    def test_distributed_fit_matches_in_memory(self, ray_session):
+        import ray.data
+
+        from complexity_driven_feature_construction_ray.functions.expr import winsorize
+        from complexity_driven_feature_construction_ray.functions.kernels import (
+            fit_on_arrays,
+        )
+        from complexity_driven_feature_construction_ray.stages.fit import fit_distributed
+
+        rng = np.random.default_rng(4)
+        x = rng.integers(0, 500, 20000).astype(np.float64)  # discrete: sketch exact
+        f = winsorize(raw("x", properties={"min": 0.0, "max": 500.0}), 0.05, 0.95)
+        ref = fit_on_arrays([f], {"x": x})
+        ds = ray.data.from_arrow(pa.table({"x": pa.array(x)})).repartition(8)
+        dist = fit_distributed([f], ds, input_cols=["x"])
+        assert ref[f.name] == dist[f.name]
