@@ -50,6 +50,9 @@ HEADLINE = [
     "t_rolling_range",
     "q_grouped_median",
     "q_union_distinct",
+    "q_shuffle_join",
+    "t_hopping",
+    "fe_winsorize",
     "d_exact_dedup",
     "d_minhash_dedup",
     "d_quality",

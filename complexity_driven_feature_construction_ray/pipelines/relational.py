@@ -728,6 +728,22 @@ GROUP BY o_orderpriority
 """
 
 
+def q_approx_distinct(sf_dir: str):
+    """Per-flag APPROXIMATE distinct part count via HyperLogLog register
+    partials (stages/sketch.py:distinct_hll — O(groups x 2^p) bytes move,
+    zero row shuffle; the 100TB path where the exact set-union combiner's
+    driver memory would blow up). ~1.6% expected error at p=12 -> no
+    value-hash oracle; pytest asserts the estimate lands within 5% of
+    exact on this same shape."""
+    from ..stages.sketch import distinct_hll
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_partkey"])
+    out = distinct_hll(
+        ds, key_cols=["l_returnflag"], value_col="l_partkey", p=12, out_col="n_approx"
+    )
+    return out
+
+
 def q_filter_sort_topk(sf_dir: str):
     ds = _read(
         sf_dir, "lineitem",
@@ -2360,6 +2376,7 @@ QUERIES: dict[str, tuple] = {
     "q_filter_sort_topk": (q_filter_sort_topk, Q_TOPK_SQL),
     "q_union_distinct": (q_union_distinct, Q_UNION_DISTINCT_SQL),
     "q_shuffle_join": (q_shuffle_join, Q_SHUFFLE_JOIN_SQL),
+    "q_approx_distinct": (q_approx_distinct, None),
     "q_salted_agg": (q_salted_agg, Q_SALTED_AGG_SQL),
     "t_lag_lead": (t_lag_lead, T_LAG_LEAD_SQL),
     "t_sessionize": (t_sessionize, T_SESSIONIZE_SQL),

@@ -328,3 +328,27 @@ class TestWinsorize:
         ds = ray.data.from_arrow(pa.table({"x": pa.array(x)})).repartition(8)
         dist = fit_distributed([f], ds, input_cols=["x"])
         assert ref[f.name] == dist[f.name]
+
+
+def test_q_approx_distinct_within_tolerance(ray_session):
+    import duckdb
+
+    from complexity_driven_feature_construction_ray.pipelines.relational import (
+        q_approx_distinct,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_approx_distinct(sf).set_index("l_returnflag")["n_approx"]
+    exp = (
+        duckdb.connect()
+        .execute(
+            f"SELECT l_returnflag, count(DISTINCT l_partkey) n "
+            f"FROM read_parquet('{sf}/lineitem.parquet') GROUP BY 1"
+        )
+        .df()
+        .set_index("l_returnflag")["n"]
+    )
+    assert set(got.index) == set(exp.index)
+    for k in exp.index:
+        rel = abs(got[k] - exp[k]) / exp[k]
+        assert rel < 0.05, (k, got[k], exp[k])
