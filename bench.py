@@ -51,8 +51,11 @@ HEADLINE = [
     "q_grouped_median",
     "q_union_distinct",
     "q_shuffle_join",
+    "q_bloom_semi_join",
     "t_hopping",
+    "t_ntile",
     "fe_winsorize",
+    "d_c4_filter",
     "d_exact_dedup",
     "d_minhash_dedup",
     "d_quality",

@@ -2354,6 +2354,241 @@ SELECT * FROM (VALUES
 
 
 # ---------------------------------------------------------------------------
+# windows (rank family, cumulative), reshape, bloom join, curation rules
+
+
+def t_cumsum(sf_dir: str):
+    """Per-user CUMULATIVE (expanding-frame) running sum ordered by
+    (ts, event_id) — ROWS UNBOUNDED PRECEDING; same one-shuffle
+    prefix-sum machinery as the rolling windows."""
+    from ..stages.temporal import rolling_agg
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"], split=True)
+    out = rolling_agg(
+        ds, key="user_id", ts="ts", col="value", window=0, expanding=True,
+        agg="sum", out_col="cum_value", tiebreak=["event_id"],
+    )
+    return _round_cols(out.select_columns(["event_id", "cum_value"]), {"cum_value": 6})
+
+
+T_CUMSUM_SQL = """
+SELECT event_id,
+       round(sum(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_value
+FROM events
+"""
+
+
+def t_ntile(sf_dir: str):
+    """Rank-family windows per user ordered by (ts, event_id):
+    NTILE(4), PERCENT_RANK, CUME_DIST in one pass
+    (stages/temporal.py:window_rank — per-segment vectorized
+    arithmetic, no per-key Python)."""
+    from ..stages.temporal import window_rank
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"], split=True)
+    out = window_rank(ds, key="user_id", ts="ts", ntile=4, tiebreak=["event_id"])
+    return _round_cols(
+        out.select_columns(["event_id", "ntile", "percent_rank", "cume_dist"]),
+        {"percent_rank": 9, "cume_dist": 9},
+    )
+
+
+T_NTILE_SQL = """
+SELECT event_id,
+       CAST(ntile(4) OVER w AS BIGINT) AS ntile,
+       round(percent_rank() OVER w, 9) AS percent_rank,
+       round(cume_dist() OVER w, 9) AS cume_dist
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_pivot(sf_dir: str):
+    """Pivot (long -> wide): sum of l_quantity per return flag, one
+    column per line status (stages/reshape.py:pivot_wide — per-batch
+    Arrow partial aggregate, one tiny merge, index-sized wide frame)."""
+    from ..stages.reshape import pivot_wide
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    out = pivot_wide(
+        ds, index_col="l_returnflag", pivot_col="l_linestatus",
+        value_col="l_quantity", agg="sum", prefix="qty_",
+    )
+    for c in out.columns:
+        if c != "l_returnflag":
+            out[c] = out[c].round(6)
+    return out
+
+
+Q_PIVOT_SQL = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 6) AS qty_F,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 6) AS qty_O
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_unpivot(sf_dir: str):
+    """Unpivot/melt (wide -> long): three lineitem measures exploded to
+    (variable, value) rows — pure row-local flat map, zero shuffle —
+    then a small per-variable aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.reshape import unpivot
+
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"]
+    )
+    long = unpivot(
+        ds, id_cols=["l_orderkey"],
+        value_cols=["l_quantity", "l_extendedprice", "l_discount"],
+    )
+    out = long.groupby("variable").aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value")
+    )
+    return _round_cols(out, {"sum_value": 4})
+
+
+Q_UNPIVOT_SQL = """
+SELECT variable, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM (
+  SELECT 'l_quantity' AS variable, l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', l_discount FROM lineitem
+)
+GROUP BY variable
+"""
+
+
+def q_bloom_semi_join(sf_dir: str):
+    """Semi join with a Bloom-filter pre-filter (stages/bloom.py):
+    bits at ~10 bits/key ship to every task (10-60x smaller than the
+    sorted key array — the broadcast that still fits at 10^9 keys);
+    the exact sorted-array verify touches only the ~1%-fp
+    bloom-positive subset. Result is exactly the semi join, so the
+    SQL oracle is exact."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from ..stages.bloom import BloomFilter
+
+    keys = (
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+        .filter(expr="o_totalprice > 250000.0")
+        .to_pandas()["o_orderkey"]
+        .to_numpy()
+    )
+    bloom_ref = ray.put(BloomFilter.build(keys))
+    exact_ref = ray.put(np.sort(keys))
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+
+    def semi(batch: pa.Table) -> pa.Table:
+        from ..stages.arrowutil import sorted_lookup
+
+        k = batch["l_orderkey"].to_numpy()
+        maybe = ray.get(bloom_ref).contains(k)
+        cand = np.flatnonzero(maybe)
+        if len(cand) == 0:
+            return batch.slice(0, 0)
+        _, found = sorted_lookup(ray.get(exact_ref), k[cand])
+        return batch.take(pa.array(cand[found]))
+
+    return (
+        ds.map_batches(semi, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+Q_BLOOM_SEMI_JOIN_SQL = """
+SELECT l_returnflag, count(*) AS n
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 250000.0)
+GROUP BY l_returnflag
+"""
+
+
+def d_stratified_sample(sf_dir: str):
+    """Exact-n-per-stratum deterministic sample: 10 documents per
+    source, ordered by a Fibonacci-hash key both engines can compute
+    ((doc_id * 2654435761) % 2^32 — bijective mod 2^32, so keys are
+    unique and the sample is total-order deterministic across runs and
+    cluster sizes). Uses the grouped_topn local-combiner (each batch
+    contributes <= n rows per stratum to the exchange)."""
+    from ..stages.sampling import grouped_topn
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        k = (batch["doc_id"].to_numpy().astype(np.int64) * 2654435761) % 4294967296
+        return batch.append_column("__key", pa.array(k))
+
+    out = grouped_topn(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        key_col="source", order_col="__key", n=10, descending=False,
+    )
+    return (
+        out.to_pandas()[["doc_id", "source"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+D_STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, source
+FROM documents
+QUALIFY row_number() OVER (
+    PARTITION BY source ORDER BY (doc_id * 2654435761) % 4294967296) <= 10
+ORDER BY doc_id
+"""
+
+
+def d_c4_filter(sf_dir: str):
+    """C4/RefinedWeb-style rule-based document filter (doc-level
+    rules): word count in [30, 10000], mean word length <= 4.6, no
+    curly brace, no 'lorem ipsum'. Vectorized pandas-str mask per
+    batch, streaming filter, per-source survivor count."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", columns=["text", "source"])
+
+    def rules(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch["text"].to_pandas()).fillna("")
+        n_words = s.str.count(r"\S+").to_numpy(dtype=np.int64)
+        nonws = s.str.replace(r"\s+", "", regex=True).str.len().to_numpy(dtype=np.int64)
+        mean_wl = nonws / np.maximum(n_words, 1)
+        keep = (
+            (n_words >= 30) & (n_words <= 10000) & (mean_wl <= 4.6)
+            & ~s.str.contains("{", regex=False).to_numpy()
+            & ~s.str.lower().str.contains("lorem ipsum", regex=False).to_numpy()
+        )
+        return batch.filter(pa.array(keep))
+
+    return (
+        ds.map_batches(rules, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Count(alias_name="n_kept"))
+    )
+
+
+D_C4_FILTER_SQL = """
+SELECT source, count(*) AS n_kept
+FROM documents
+WHERE length(regexp_extract_all(text, '\\S+')) BETWEEN 30 AND 10000
+  AND length(regexp_replace(text, '\\s+', '', 'g'))
+      / greatest(length(regexp_extract_all(text, '\\S+')), 1) <= 4.6
+  AND position('{' IN text) = 0
+  AND position('lorem ipsum' IN lower(text)) = 0
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES: dict[str, tuple] = {
@@ -2384,6 +2619,13 @@ QUERIES: dict[str, tuple] = {
     "t_rolling": (t_rolling, T_ROLLING_SQL),
     "t_row_number": (t_row_number, T_ROW_NUMBER_SQL),
     "t_rolling_range": (t_rolling_range, T_ROLLING_RANGE_SQL),
+    "t_cumsum": (t_cumsum, T_CUMSUM_SQL),
+    "t_ntile": (t_ntile, T_NTILE_SQL),
+    "q_pivot": (q_pivot, Q_PIVOT_SQL),
+    "q_unpivot": (q_unpivot, Q_UNPIVOT_SQL),
+    "q_bloom_semi_join": (q_bloom_semi_join, Q_BLOOM_SEMI_JOIN_SQL),
+    "d_stratified_sample": (d_stratified_sample, D_STRATIFIED_SAMPLE_SQL),
+    "d_c4_filter": (d_c4_filter, D_C4_FILTER_SQL),
     "q_grouped_median": (q_grouped_median, Q_GROUPED_MEDIAN_SQL),
     "q_grouped_p90": (q_grouped_p90, Q_GROUPED_P90_SQL),
     "d_exact_dedup": (d_exact_dedup, D_EXACT_DEDUP_SQL),

@@ -118,6 +118,73 @@ def row_number(
     )
 
 
+def window_rank(
+    ds,
+    *,
+    key: str,
+    ts: str,
+    ntile: int | None = None,
+    tiebreak: list[str] | None = None,
+    num_buckets: int | None = None,
+    cols: tuple[str, ...] = ("ntile", "percent_rank", "cume_dist"),
+):
+    """Per-entity rank-family windows ordered by (ts, tiebreak):
+    NTILE(n), PERCENT_RANK(), CUME_DIST(). Same shape as row_number —
+    one entity-hash shuffle, vectorized per-segment arithmetic (no
+    per-key Python). With a unique (ts, tiebreak) order, rank equals
+    row number, so percent_rank = (rn-1)/(cnt-1) and cume_dist =
+    rn/cnt exactly match SQL; NTILE uses the SQL split (first cnt%n
+    tiles get ceil(cnt/n) rows)."""
+    B = num_buckets or default_buckets(ds)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", pa.array(_bucket_of(batch[key].to_numpy(zero_copy_only=False), B))
+        )
+
+    def rank_bucket(g: pa.Table) -> pa.Table:
+        order = _sort_order(g, [key, ts, *(tiebreak or [])])
+        out = g.take(pa.array(order)).drop_columns(["__bucket"])
+        k = g[key].to_numpy(zero_copy_only=False)[order]
+        m = len(k)
+        new_entity = np.empty(m, dtype=bool)
+        new_entity[0] = True
+        new_entity[1:] = k[1:] != k[:-1]
+        idx = np.arange(m)
+        start = np.maximum.accumulate(np.where(new_entity, idx, 0))
+        # segment length broadcast to every row: next segment start - start
+        seg_starts = np.flatnonzero(new_entity)
+        seg_ends = np.append(seg_starts[1:], m)
+        cnt = np.repeat(seg_ends - seg_starts, seg_ends - seg_starts)
+        rn0 = idx - start  # 0-based row number within entity
+        if "ntile" in cols:
+            n = ntile or 4
+            q, r = cnt // n, cnt % n
+            boundary = r * (q + 1)  # rows below this sit in the big tiles
+            in_big = rn0 < boundary
+            with np.errstate(divide="ignore", invalid="ignore"):
+                tile = np.where(
+                    in_big,
+                    rn0 // np.maximum(q + 1, 1),
+                    r + (rn0 - boundary) // np.maximum(q, 1),
+                )
+            out = out.append_column("ntile", pa.array((tile + 1).astype(np.int64)))
+        if "percent_rank" in cols:
+            pr = np.where(cnt > 1, rn0 / np.maximum(cnt - 1, 1), 0.0)
+            out = out.append_column("percent_rank", pa.array(pr.astype(np.float64)))
+        if "cume_dist" in cols:
+            out = out.append_column(
+                "cume_dist", pa.array(((rn0 + 1) / cnt).astype(np.float64))
+            )
+        return out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(rank_bucket, batch_format="pyarrow")
+    )
+
+
 def rolling_agg(
     ds,
     *,
@@ -130,6 +197,7 @@ def rolling_agg(
     num_buckets: int | None = None,
     tiebreak: list[str] | None = None,
     range_seconds: float | None = None,
+    expanding: bool = False,
 ):
     """Per-entity rolling aggregate ordered by ts. Arrow-native: one
     entity-hash shuffle, vectorized prefix-sum math per bucket.
@@ -137,6 +205,9 @@ def rolling_agg(
     window frame:
     - default: last `window` ROWS (ROWS BETWEEN window-1 PRECEDING AND
       CURRENT ROW)
+    - expanding=True: cumulative frame (ROWS BETWEEN UNBOUNDED
+      PRECEDING AND CURRENT ROW — running sum/mean/count); `window`
+      is ignored
     - range_seconds set: trailing TIME window (RANGE BETWEEN INTERVAL
       range_seconds PRECEDING AND CURRENT ROW) — the window start is a
       binary search for ts_i - range per entity segment; `window` is
@@ -168,7 +239,9 @@ def rolling_agg(
         is_start[1:] = k[1:] != k[:-1]
         start_of = np.maximum.accumulate(np.where(is_start, np.arange(m), -1))
         hi = np.arange(m) + 1
-        if range_seconds is None:
+        if expanding:
+            lo = start_of
+        elif range_seconds is None:
             lo = np.maximum(np.arange(m) - window + 1, start_of)
         else:
             # trailing time window: within each entity segment (ts is

@@ -352,3 +352,120 @@ def test_q_approx_distinct_within_tolerance(ray_session):
     for k in exp.index:
         rel = abs(got[k] - exp[k]) / exp[k]
         assert rel < 0.05, (k, got[k], exp[k])
+
+
+class TestBloomFilter:
+    def test_no_false_negatives_and_low_fp(self):
+        from complexity_driven_feature_construction_ray.stages.bloom import BloomFilter
+
+        rng = np.random.default_rng(7)
+        members = rng.choice(10_000_000, size=5000, replace=False)
+        bf = BloomFilter.build(members, bits_per_key=10)
+        assert bf.contains(members).all()  # Bloom guarantee: zero false negatives
+        probe = rng.integers(10_000_000, 20_000_000, size=20000)
+        fp = bf.contains(probe).mean()
+        assert fp < 0.03, fp  # ~1% expected at 10 bits/key, k=7
+
+    def test_empty_keys(self):
+        from complexity_driven_feature_construction_ray.stages.bloom import BloomFilter
+
+        bf = BloomFilter.build(np.array([], dtype=np.int64))
+        assert not bf.contains(np.array([1, 2, 3])).any()
+
+
+class TestRankAndExpandingWindows:
+    def _events(self, n=400, users=7, seed=3):
+        rng = np.random.default_rng(seed)
+        return pa.table({
+            "eid": pa.array(np.arange(n)),
+            "u": pa.array(rng.integers(0, users, n)),
+            "ts": pa.array(rng.integers(0, 10_000, n)),
+            "v": pa.array(rng.normal(size=n)),
+        })
+
+    def test_window_rank_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from complexity_driven_feature_construction_ray.stages.temporal import window_rank
+
+        t = self._events()
+        ds = ray.data.from_arrow(t).repartition(6)
+        got = (
+            window_rank(ds, key="u", ts="ts", ntile=3, tiebreak=["eid"])
+            .to_pandas()[["eid", "ntile", "percent_rank", "cume_dist"]]
+            .sort_values("eid").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("e", t.to_pandas())
+        exp = con.execute("""
+            SELECT eid, ntile(3) OVER w AS ntile,
+                   percent_rank() OVER w AS percent_rank,
+                   cume_dist() OVER w AS cume_dist
+            FROM e WINDOW w AS (PARTITION BY u ORDER BY ts, eid) ORDER BY eid
+        """).df()
+        assert (got["ntile"].to_numpy() == exp["ntile"].to_numpy()).all()
+        np.testing.assert_allclose(got["percent_rank"], exp["percent_rank"])
+        np.testing.assert_allclose(got["cume_dist"], exp["cume_dist"])
+
+    def test_window_rank_tiny_groups(self, ray_session):
+        # groups smaller than the tile count: each row is its own tile
+        from complexity_driven_feature_construction_ray.stages.temporal import window_rank
+
+        t = pa.table({"eid": pa.array([0, 1, 2]), "u": pa.array([1, 1, 2]),
+                      "ts": pa.array([5, 1, 9])})
+        got = (
+            window_rank(ray.data.from_arrow(t), key="u", ts="ts", ntile=4,
+                        tiebreak=["eid"])
+            .to_pandas().sort_values("eid").reset_index(drop=True)
+        )
+        assert got.loc[got.eid == 1, "ntile"].item() == 1  # earliest ts of u=1
+        assert got.loc[got.eid == 0, "ntile"].item() == 2
+        assert got.loc[got.eid == 2, "percent_rank"].item() == 0.0  # singleton
+
+    def test_expanding_matches_pandas_cumsum(self, ray_session):
+        from complexity_driven_feature_construction_ray.stages.temporal import rolling_agg
+
+        t = self._events(seed=11)
+        ds = ray.data.from_arrow(t).repartition(6)
+        got = (
+            rolling_agg(ds, key="u", ts="ts", col="v", window=0, expanding=True,
+                        agg="sum", out_col="cs", tiebreak=["eid"])
+            .to_pandas().sort_values("eid").reset_index(drop=True)
+        )
+        df = t.to_pandas().sort_values(["u", "ts", "eid"])
+        df["cs"] = df.groupby("u")["v"].cumsum()
+        exp = df.sort_values("eid").reset_index(drop=True)
+        np.testing.assert_allclose(got["cs"], exp["cs"], rtol=1e-9)
+
+
+class TestReshape:
+    def test_pivot_mean_merges_partials(self, ray_session):
+        from complexity_driven_feature_construction_ray.stages.reshape import pivot_wide
+
+        rng = np.random.default_rng(5)
+        t = pa.table({
+            "g": pa.array(rng.choice(["a", "b", "c"], 500).astype(object)),
+            "p": pa.array(rng.choice(["x", "y"], 500).astype(object)),
+            "v": pa.array(rng.normal(size=500)),
+        })
+        # many blocks => mean MUST merge as sum/count, not mean-of-means
+        ds = ray.data.from_arrow(t).repartition(9)
+        got = pivot_wide(ds, index_col="g", pivot_col="p", value_col="v", agg="mean")
+        exp = (
+            t.to_pandas().pivot_table(index="g", columns="p", values="v", aggfunc="mean")
+        )
+        for gkey in ["a", "b", "c"]:
+            for pkey in ["x", "y"]:
+                np.testing.assert_allclose(
+                    got.loc[got.g == gkey, f"v_{pkey}"].item(), exp.loc[gkey, pkey]
+                )
+
+    def test_unpivot_shape(self, ray_session):
+        from complexity_driven_feature_construction_ray.stages.reshape import unpivot
+
+        t = pa.table({"id": pa.array([1, 2]), "a": pa.array([1.0, 2.0]),
+                      "b": pa.array([3.0, 4.0])})
+        out = unpivot(ray.data.from_arrow(t), id_cols=["id"], value_cols=["a", "b"]).to_pandas()
+        assert len(out) == 4
+        assert set(out["variable"]) == {"a", "b"}
+        assert out.loc[(out["id"] == 2) & (out.variable == "b"), "value"].item() == 4.0
