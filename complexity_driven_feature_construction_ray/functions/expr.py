@@ -34,7 +34,8 @@ STATELESS_UNARY = ("minus", "reciprocal", "log")
 # fitted unary (state learned on the train fold); the three impute
 # strategies mirror reference ImputationTransformation.py:35-50
 # (sklearn SimpleImputer mean / median / most_frequent)
-FITTED_UNARY = ("minmax", "zscore", "impute_mean", "impute_median", "impute_mode", "discretize", "mdlp", "winsor")
+FITTED_UNARY = ("minmax", "zscore", "impute_mean", "impute_median", "impute_mode", "discretize", "mdlp", "winsor", "robust", "ranknorm")
+SCALER_OPS = ("minmax", "zscore", "robust", "ranknorm")  # no re-scaling of scaled data
 UNARY_OPS = STATELESS_UNARY + FITTED_UNARY
 IMPUTE_OPS = ("impute_mean", "impute_median", "impute_mode")
 
@@ -171,6 +172,9 @@ def _name(f: Feature) -> str:
         return f"({ps[0]}/{ps[1]})"
     if f.op.startswith("gbt_"):
         return f"{f.op[4:]}({ps[0]} by {ps[1]})"
+    if f.op == "target_encode":
+        (m,) = f.params or (20.0,)
+        return f"tenc[{m:g}]({ps[0]} by {ps[1]})"
     if f.op == "identity":
         return "{" + ", ".join(sorted(ps)) + "}"
     if f.op in CUSTOM_OPS:
@@ -238,6 +242,42 @@ def dummy_one(parent: Feature) -> Feature:
     return f
 
 
+def robust_scale(parent: Feature) -> Feature:
+    """Robust scaling: (x - median) / IQR, both learned on the train
+    fold via the mergeable weighted-value sketch (SQL percentile_disc
+    semantics for the three quartiles — NOT sklearn's interpolated
+    quantiles, documented so the DuckDB oracle is exact). sklearn
+    RobustScaler analog; outlier-insensitive sibling of minmax/zscore."""
+    f = Feature("robust", (parent,))
+    f.properties.update(derive_properties(f))
+    return f
+
+
+def rank_normalize(parent: Feature) -> Feature:
+    """Rank/CDF transform: x -> P(train value <= x), i.e. SQL
+    cume_dist() over the train distribution — the distribution-free
+    normalization (sklearn QuantileTransformer with a uniform output,
+    minus the interpolation). Fit state is the (sorted values,
+    cumulative weights) table from the mergeable sketch; exact while
+    per-(batch) distinct counts stay under the sketch cap."""
+    f = Feature("ranknorm", (parent,))
+    f.properties.update(derive_properties(f))
+    return f
+
+
+def target_encode(value: Feature, key: Feature, m: float = 20.0) -> Feature:
+    """Smoothed target (mean) encoding of `key` by `value`:
+    enc(k) = (sum_k + m * global_mean) / (count_k + m)
+    (Micci-Barreca 2001 empirical-Bayes shrinkage; the m
+    pseudo-observations pull rare categories toward the global mean).
+    Unseen keys at apply time get the global mean. Fits through the
+    same mergeable per-key partials as GroupByThen."""
+    assert m >= 0.0, m
+    f = Feature("target_encode", (value, key), (float(m),))
+    f.properties.update(derive_properties(f))
+    return f
+
+
 def winsorize(parent: Feature, q_lo: float = 0.05, q_hi: float = 0.95) -> Feature:
     """Quantile-clip (winsorize): clip to the train fold's discrete
     [q_lo, q_hi] quantiles (SQL percentile_disc semantics). A curation-
@@ -290,9 +330,9 @@ def is_applicable(op: str, parents: tuple[Feature, ...], agg: str | None = None)
         if op == "log":
             mn = p.properties.get("min")
             return mn is not None and mn > 0
-        if op in ("minmax", "zscore"):
+        if op in SCALER_OPS:
             # no re-scaling of scaled data (reference MinMaxScalingTransformation.py:31-35)
-            return p.op not in ("minmax", "zscore")
+            return p.op not in SCALER_OPS
         if op in ("discretize", "mdlp"):
             nd = p.properties.get("distinct")
             if p.op in ("discretize", "mdlp", "onehot"):
@@ -312,7 +352,7 @@ def is_applicable(op: str, parents: tuple[Feature, ...], agg: str | None = None)
     if op == "onehot":
         (p,) = parents
         return p.properties.get("type") == "categorical"
-    if op.startswith("gbt_") or op == "gbt":
+    if op.startswith("gbt_") or op in ("gbt", "target_encode"):
         value, key = parents
         if not (_numeric(value) and _no_missing(value)):
             return False
@@ -375,9 +415,16 @@ def derive_properties(f: Feature) -> dict:
     elif f.op == "minmax":
         set_range(0.0, 1.0)
         out["distinct"] = ps[0].properties.get("distinct")
-    elif f.op == "zscore":
+    elif f.op in ("zscore", "robust"):
         set_range(None, None)
         out["distinct"] = ps[0].properties.get("distinct")
+    elif f.op == "ranknorm":
+        set_range(0.0, 1.0)
+        out["distinct"] = ps[0].properties.get("distinct")
+    elif f.op == "target_encode":
+        # shrinkage keeps the encoding inside the value parent's range
+        set_range(mn[0], mx[0])
+        out["missing_values"] = False
     elif f.op in ("impute_mean", "impute_median", "impute_mode"):
         out["missing_values"] = False
         set_range(mn[0], mx[0])

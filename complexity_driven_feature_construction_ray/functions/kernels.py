@@ -184,6 +184,11 @@ def _eval_inner(f: Feature, cols: Cols, fitted: Fitted, cache: dict) -> np.ndarr
         k = _eval_node(f.parents[1], cols, fitted, cache)
         fit_keys, fit_vals = fitted[f.name]
         return _group_lookup(k, fit_keys, fit_vals)
+    if op == "target_encode":
+        k = _eval_node(f.parents[1], cols, fitted, cache)
+        fit_keys, fit_vals, gm = fitted[f.name]
+        out = _group_lookup(k, fit_keys, fit_vals)
+        return np.where(np.isnan(out), gm, out)  # unseen key -> global mean
     args = [_eval_node(p, cols, fitted, cache) for p in f.parents]
     with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         if op == "minus":
@@ -209,6 +214,21 @@ def _eval_inner(f: Feature, cols: Cols, fitted: Fitted, cache: dict) -> np.ndarr
         if op == "winsor":
             lo, hi = fitted[f.name]
             return np.clip(args[0], lo, hi)  # NaN propagates through clip
+        if op == "robust":
+            med, q25, q75 = fitted[f.name]
+            iqr = q75 - q25
+            if iqr == 0 or np.isnan(iqr):
+                return np.zeros_like(args[0])
+            return (args[0] - med) / iqr
+        if op == "ranknorm":
+            vals, cw = fitted[f.name]
+            x = args[0]
+            if len(vals) == 0:
+                return np.full_like(x, np.nan)
+            idx = np.searchsorted(vals, x, side="right")
+            total = cw[-1]
+            cdf = np.where(idx > 0, cw[np.maximum(idx, 1) - 1] / total, 0.0)
+            return np.where(np.isnan(x), np.nan, cdf)
         if op == "npfun":
             return getattr(np, f.params[0])(args[0]).astype(np.float64)
         if op == "dummy_one":
@@ -259,7 +279,7 @@ def fit_on_arrays(
             if f.name in fitted:
                 continue
             op = f.op
-            if op in ("minmax", "zscore", "impute_mean", "impute_median", "impute_mode", "discretize", "mdlp", "winsor"):
+            if op in ("minmax", "zscore", "impute_mean", "impute_median", "impute_mode", "discretize", "mdlp", "winsor", "robust", "ranknorm"):
                 p = _eval_node(f.parents[0], cols, fitted, cache)
                 with np.errstate(all="ignore"):
                     if op == "minmax":
@@ -280,6 +300,13 @@ def fit_on_arrays(
                         fitted[f.name] = (edges,)
                     elif op == "winsor":
                         fitted[f.name] = _winsor_bounds_exact(p, f.params or (0.05, 0.95))
+                    elif op == "robust":
+                        q25, med = _winsor_bounds_exact(p, (0.25, 0.5))
+                        _, q75 = _winsor_bounds_exact(p, (0.25, 0.75))
+                        fitted[f.name] = (med, q25, q75)
+                    elif op == "ranknorm":
+                        vals, counts = np.unique(p[~np.isnan(p)], return_counts=True)
+                        fitted[f.name] = (vals, np.cumsum(counts).astype(np.float64))
                     elif op == "mdlp":
                         if y is None:
                             raise ValueError("mdlp requires y")
@@ -289,6 +316,15 @@ def fit_on_arrays(
                 v = _eval_node(f.parents[0], cols, fitted, cache)
                 k = _eval_node(f.parents[1], cols, fitted, cache)
                 fitted[f.name] = _group_reduce(op[4:], v, k)
+            elif op == "target_encode":
+                v = _eval_node(f.parents[0], cols, fitted, cache)
+                k = _eval_node(f.parents[1], cols, fitted, cache)
+                uniq, s = _group_reduce("sum", v, k)
+                _, cnt = _group_reduce("count", v, k)
+                (m,) = f.params or (20.0,)
+                ok = ~np.isnan(v)
+                gm = float(v[ok].sum() / max(ok.sum(), 1))
+                fitted[f.name] = (uniq, (s + m * gm) / (cnt + m), gm)
             else:
                 from .expr import CUSTOM_OPS
 

@@ -2357,6 +2357,92 @@ SELECT * FROM (VALUES
 # windows (rank family, cumulative), reshape, bloom join, curation rules
 
 
+def fe_robust(sf_dir: str):
+    """Robust scaling (x - median)/IQR — quartiles learned by the
+    mergeable weighted-value sketch (percentile_disc semantics, so the
+    oracle is exact; documented divergence from sklearn's interpolated
+    quantiles)."""
+    from ..functions.expr import robust_scale
+
+    def build(f):
+        return [robust_scale(f["l_extendedprice"])]
+
+    return _lineitem_features(
+        sf_dir,
+        {"stats": ["l_extendedprice"], "build": build},
+        keep=["l_orderkey", "l_linenumber"],
+        rename={"robust(l_extendedprice)": "robust_price"},
+        rounding={"robust_price": 6},
+    )
+
+
+FE_ROBUST_SQL = """
+WITH q AS (
+  SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS med,
+         percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS q25,
+         percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS q75
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       round((l_extendedprice - (SELECT med FROM q))
+             / ((SELECT q75 FROM q) - (SELECT q25 FROM q)), 6) AS robust_price
+FROM lineitem
+"""
+
+
+def fe_ranknorm(sf_dir: str):
+    """Rank/CDF normalization: x -> P(value <= x) over the fitted
+    distribution — SQL cume_dist(). Exact here because l_quantity's
+    per-batch distinct count is far under the sketch cap."""
+    from ..functions.expr import rank_normalize
+
+    def build(f):
+        return [rank_normalize(f["l_quantity"])]
+
+    return _lineitem_features(
+        sf_dir,
+        {"stats": ["l_quantity"], "build": build},
+        keep=["l_orderkey", "l_linenumber"],
+        rename={"ranknorm(l_quantity)": "qty_cdf"},
+        rounding={"qty_cdf": 9},
+    )
+
+
+FE_RANKNORM_SQL = """
+SELECT l_orderkey, l_linenumber,
+       round(cume_dist() OVER (ORDER BY l_quantity), 9) AS qty_cdf
+FROM lineitem
+"""
+
+
+def fe_target_encode(sf_dir: str):
+    """Smoothed mean target encoding of order priority by order value
+    (m = 20 pseudo-observations of the global mean — Micci-Barreca
+    shrinkage): per-key mergeable partials + one global scalar, applied
+    as a broadcast lookup."""
+    from ..functions.expr import target_encode
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderpriority"])
+    price = raw("o_totalprice", properties={"min": 0.0, "max": 1e9})
+    prio = raw("o_orderpriority", "categorical", {"distinct": 5})
+    plans = [target_encode(price, prio, m=20.0)]
+    fitted = fit_distributed(plans, ds)
+    out = backfill_dataset(ds, plans, fitted)
+    out = _rename(out, {plans[0].name: "prio_tenc"})
+    out = _round_cols(out, {"prio_tenc": 4})
+    return out.select_columns(["o_orderkey", "prio_tenc"])
+
+
+FE_TARGET_ENCODE_SQL = """
+WITH g AS (
+  SELECT o_orderpriority, sum(o_totalprice) AS s, count(*) AS c
+  FROM orders GROUP BY o_orderpriority),
+gm AS (SELECT avg(o_totalprice) AS m FROM orders)
+SELECT o.o_orderkey,
+       round((g.s + 20.0 * (SELECT m FROM gm)) / (g.c + 20.0), 4) AS prio_tenc
+FROM orders o JOIN g USING (o_orderpriority)
+"""
+
+
 def t_cumsum(sf_dir: str):
     """Per-user CUMULATIVE (expanding-frame) running sum ordered by
     (ts, event_id) — ROWS UNBOUNDED PRECEDING; same one-shuffle
@@ -2601,6 +2687,9 @@ QUERIES: dict[str, tuple] = {
     "fe_onehot": (fe_onehot, FE_ONEHOT_SQL),
     "fe_groupbythen": (fe_groupbythen, FE_GROUPBYTHEN_SQL),
     "fe_binary": (fe_binary, FE_BINARY_SQL),
+    "fe_robust": (fe_robust, FE_ROBUST_SQL),
+    "fe_ranknorm": (fe_ranknorm, FE_RANKNORM_SQL),
+    "fe_target_encode": (fe_target_encode, FE_TARGET_ENCODE_SQL),
     "q_pricing_summary": (q_pricing_summary, Q_PRICING_SQL),
     "q_top_revenue": (q_top_revenue, Q_TOP_REVENUE_SQL),
     "q_broadcast_join": (q_broadcast_join, Q_BROADCAST_JOIN_SQL),

@@ -48,7 +48,7 @@ def _stateful_depth(f: Feature, cache: dict) -> int:
 
 _STATEFUL_UNARY = (
     "minmax", "zscore", "impute_mean", "impute_median", "impute_mode", "discretize", "mdlp",
-    "winsor",
+    "winsor", "robust", "ranknorm",
 )
 
 
@@ -58,12 +58,12 @@ def _is_stateful(f: Feature) -> bool:
     spec = CUSTOM_OPS.get(f.op)
     if spec is not None:
         return spec["fit"] is not None
-    return f.op in _STATEFUL_UNARY or f.op.startswith("gbt_")
+    return f.op in _STATEFUL_UNARY or f.op.startswith("gbt_") or f.op == "target_encode"
 
 
 def _partial_for(f: Feature, cols: dict, fitted: Fitted, cache: dict):
     op = f.op
-    if op.startswith("gbt_"):
+    if op.startswith("gbt_") or op == "target_encode":
         v = _eval_node(f.parents[0], cols, fitted, cache)
         k = _eval_node(f.parents[1], cols, fitted, cache)
         uniq, inv = np.unique(k, return_inverse=True)
@@ -87,8 +87,8 @@ def _partial_for(f: Feature, cols: dict, fitted: Fitted, cache: dict):
     if op == "impute_mode":
         vals, counts = np.unique(pv, return_counts=True)
         return ("counts", vals, counts)
-    if op in ("impute_median", "winsor"):
-        # both fit through the mergeable weighted-value sketch
+    if op in ("impute_median", "winsor", "robust", "ranknorm"):
+        # all fit through the mergeable weighted-value sketch
         return ("quant",) + _quant_partial(pv)
     n = len(pv)
     return (
@@ -188,6 +188,11 @@ def _finalize(f: Feature, merged) -> tuple:
     if op == "impute_mode":
         vals, counts = merged
         return (float(vals[np.argmax(counts)]) if len(vals) else 0.0,)
+    if op == "target_encode":
+        keys, cnt, s, ss, mn, mx, prod = merged
+        (m,) = f.params or (20.0,)
+        gm = float(s.sum() / max(cnt.sum(), 1.0))
+        return (keys, (s + m * gm) / (cnt + m), gm)
     if op.startswith("gbt_"):
         agg = op[4:]
         keys, cnt, s, ss, mn, mx, prod = merged
@@ -212,10 +217,14 @@ def _finalize(f: Feature, merged) -> tuple:
     if op == "impute_median":
         vals, w = merged
         return (_weighted_median(vals, w),)
-    if op == "winsor":
+    if op == "ranknorm":
+        vals, w = merged  # sorted, possibly duplicated across partials:
+        # cumulative weights make searchsorted(side='right') exact anyway
+        return (vals, np.cumsum(w).astype(np.float64))
+    if op in ("winsor", "robust"):
         vals, w = merged
         if len(vals) == 0:
-            return (float("nan"), float("nan"))
+            return (float("nan"),) * (3 if op == "robust" else 2)
         q_lo, q_hi = f.params or (0.05, 0.95)
         cw = np.cumsum(w)
         total = cw[-1]
@@ -225,6 +234,8 @@ def _finalize(f: Feature, merged) -> tuple:
             r = max(np.ceil(q * total), 1.0)
             return float(vals[np.searchsorted(cw, r, side="left")])
 
+        if op == "robust":
+            return (disc(0.5), disc(0.25), disc(0.75))
         return (disc(q_lo), disc(q_hi))
     n, s, ss, mn, mx = merged
     if op == "minmax":

@@ -469,3 +469,97 @@ class TestReshape:
         assert len(out) == 4
         assert set(out["variable"]) == {"a", "b"}
         assert out.loc[(out["id"] == 2) & (out.variable == "b"), "value"].item() == 4.0
+
+
+class TestRobustRanknormTargetEncode:
+    def test_robust_distributed_matches_in_memory(self, ray_session):
+        from complexity_driven_feature_construction_ray.functions.expr import robust_scale
+        from complexity_driven_feature_construction_ray.functions.kernels import (
+            evaluate,
+            fit_on_arrays,
+        )
+        from complexity_driven_feature_construction_ray.stages.fit import fit_distributed
+
+        rng = np.random.default_rng(9)
+        x = rng.integers(0, 300, 15000).astype(np.float64)
+        f = robust_scale(raw("x", properties={"min": 0.0, "max": 300.0}))
+        ref = fit_on_arrays([f], {"x": x})
+        ds = ray.data.from_arrow(pa.table({"x": pa.array(x)})).repartition(7)
+        dist = fit_distributed([f], ds, input_cols=["x"])
+        assert ref[f.name] == dist[f.name]
+        med, q25, q75 = ref[f.name]
+        out = evaluate(f, {"x": x}, ref)
+        np.testing.assert_allclose(out, (x - med) / (q75 - q25))
+
+    def test_robust_constant_column_is_zero(self):
+        from complexity_driven_feature_construction_ray.functions.expr import robust_scale
+        from complexity_driven_feature_construction_ray.functions.kernels import (
+            evaluate,
+            fit_on_arrays,
+        )
+
+        x = np.full(100, 7.0)
+        f = robust_scale(raw("x", properties={"min": 7.0, "max": 7.0}))
+        fitted = fit_on_arrays([f], {"x": x})
+        assert (evaluate(f, {"x": x}, fitted) == 0.0).all()  # IQR 0 -> zeros
+
+    def test_ranknorm_is_cume_dist(self, ray_session):
+        from complexity_driven_feature_construction_ray.functions.expr import rank_normalize
+        from complexity_driven_feature_construction_ray.functions.kernels import (
+            evaluate,
+            fit_on_arrays,
+        )
+        from complexity_driven_feature_construction_ray.stages.fit import fit_distributed
+
+        rng = np.random.default_rng(3)
+        x = rng.integers(0, 40, 5000).astype(np.float64)
+        x[::53] = np.nan
+        f = rank_normalize(raw("x", properties={"min": 0.0, "max": 40.0}))
+        ref = fit_on_arrays([f], {"x": x})
+        out = evaluate(f, {"x": x}, ref)
+        ok = ~np.isnan(x)
+        n = ok.sum()
+        # cume_dist: P(train value <= x)
+        exp = np.array([np.sum(x[ok] <= v) / n for v in x[ok]])
+        np.testing.assert_allclose(out[ok], exp)
+        assert np.isnan(out[~ok]).all()
+        ds = ray.data.from_arrow(pa.table({"x": pa.array(x)})).repartition(6)
+        dist = fit_distributed([f], ds, input_cols=["x"])
+        out2 = evaluate(f, {"x": x}, dist)
+        np.testing.assert_allclose(out2[ok], exp)
+
+    def test_target_encode_shrinks_to_global_mean(self, ray_session):
+        from complexity_driven_feature_construction_ray.functions.expr import target_encode
+        from complexity_driven_feature_construction_ray.functions.kernels import (
+            evaluate,
+            fit_on_arrays,
+        )
+        from complexity_driven_feature_construction_ray.stages.fit import fit_distributed
+
+        rng = np.random.default_rng(1)
+        k = rng.choice(np.array(["a", "b", "rare"], dtype=object), 2000, p=[0.5, 0.49, 0.01])
+        v = np.where(k == "a", 10.0, np.where(k == "b", 20.0, 1000.0))
+        f = target_encode(
+            raw("v", properties={"min": 0.0, "max": 1000.0}),
+            raw("k", "categorical", {"distinct": 3}),
+            m=50.0,
+        )
+        ref = fit_on_arrays([f], {"v": v, "k": k})
+        keys, vals, gm = ref[f.name]
+        np.testing.assert_allclose(gm, v.mean())
+        enc = dict(zip(keys, vals))
+        # heavy shrinkage pulls the rare key's 1000.0 most of the way to gm
+        assert abs(enc["rare"] - gm) < abs(1000.0 - gm) / 2
+        assert abs(enc["a"] - 10.0) < 2.0  # frequent keys barely move
+        # unseen key at apply -> global mean
+        out = evaluate(f, {"v": np.zeros(2), "k": np.array(["zz", "a"], dtype=object)}, ref)
+        np.testing.assert_allclose(out[0], gm)
+        # distributed fit parity
+        ds = ray.data.from_arrow(
+            pa.table({"v": pa.array(v), "k": pa.array(k.astype(str))})
+        ).repartition(5)
+        dist = fit_distributed([f], ds, input_cols=["v", "k"])
+        dkeys, dvals, dgm = dist[f.name]
+        assert list(dkeys) == list(keys)
+        np.testing.assert_allclose(dvals, vals)
+        np.testing.assert_allclose(dgm, gm)
