@@ -2357,6 +2357,55 @@ SELECT * FROM (VALUES
 # windows (rank family, cumulative), reshape, bloom join, curation rules
 
 
+def q_corr(sf_dir: str):
+    """Pairwise Pearson correlation matrix over four lineitem measures
+    in ONE streaming pass (stages/stats.py:correlation_matrix — per
+    batch only (n, sums, X^T X) = O(k^2) floats leave the stream; no
+    shuffle). Population/sample normalization cancels, so equals SQL
+    corr() exactly."""
+    from ..stages.stats import correlation_matrix
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = _read(sf_dir, "lineitem", columns=cols)
+    out = correlation_matrix(ds, cols)
+    out["corr"] = out["corr"].round(6)
+    return out
+
+
+Q_CORR_SQL = """
+SELECT col_a, col_b, round(corr(a, b), 6) AS corr FROM (
+  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+         l_quantity AS a, l_extendedprice AS b FROM lineitem
+  UNION ALL SELECT 'l_quantity', 'l_discount', l_quantity, l_discount FROM lineitem
+  UNION ALL SELECT 'l_quantity', 'l_tax', l_quantity, l_tax FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', 'l_discount', l_extendedprice, l_discount FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', 'l_tax', l_extendedprice, l_tax FROM lineitem
+  UNION ALL SELECT 'l_discount', 'l_tax', l_discount, l_tax FROM lineitem
+)
+GROUP BY col_a, col_b
+"""
+
+
+def d_cms_counts(sf_dir: str):
+    """Approximate token counts via a count-min sketch (the linear
+    sketch whose depth x width partials merge by addition — the
+    100TB path where the exact vocabulary aggregate stops fitting).
+    Point-queries the corpus's exact top-10 tokens; estimates only
+    overcount, by <= e/width of total token mass. No SQL oracle
+    (biased estimator); pytest asserts the over-count envelope
+    against exact counts."""
+    from ..stages.sketch import cms_token_counts
+    from ..stages.text import top_tokens
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    top = top_tokens(ds, k=10).to_pandas()
+    out = cms_token_counts(
+        _read(sf_dir, "documents", columns=["text"]),
+        query_tokens=top["token"].tolist(),
+    )
+    return out.sort_values("token").reset_index(drop=True)
+
+
 def fe_robust(sf_dir: str):
     """Robust scaling (x - median)/IQR — quartiles learned by the
     mergeable weighted-value sketch (percentile_disc semantics, so the
@@ -2701,6 +2750,8 @@ QUERIES: dict[str, tuple] = {
     "q_union_distinct": (q_union_distinct, Q_UNION_DISTINCT_SQL),
     "q_shuffle_join": (q_shuffle_join, Q_SHUFFLE_JOIN_SQL),
     "q_approx_distinct": (q_approx_distinct, None),
+    "q_corr": (q_corr, Q_CORR_SQL),
+    "d_cms_counts": (d_cms_counts, None),
     "q_salted_agg": (q_salted_agg, Q_SALTED_AGG_SQL),
     "t_lag_lead": (t_lag_lead, T_LAG_LEAD_SQL),
     "t_sessionize": (t_sessionize, T_SESSIONIZE_SQL),

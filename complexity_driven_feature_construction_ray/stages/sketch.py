@@ -177,3 +177,60 @@ def grouped_quantile(
     merged = _grouped_quant_parts(ds, key_cols, value_col, sketch_k)
     rows = [(k, disc(*_merge_quant(parts))) for k, parts in merged.items()]
     return _keyed_frame(rows, key_cols, [out_col])
+
+
+def cms_token_counts(
+    ds,
+    *,
+    text_col: str = "text",
+    query_tokens: list[str] | None = None,
+    depth: int = 4,
+    width: int = 1 << 14,
+) -> pd.DataFrame:
+    """Count-min sketch over whitespace tokens (Cormode & Muthukrishnan
+    2005): per-batch depth x width counter partials merged by ADDITION
+    (CMS is a linear sketch), so the exchange is O(depth x width) ints
+    regardless of corpus size — the approximate-counting path where the
+    exact vocabulary aggregate (top_tokens) stops fitting. Estimates
+    only OVERCOUNT: true_n <= est <= true_n + eps * N with
+    eps = e / width at probability 1 - (1/e)^depth.
+
+    Returns (token, approx_n) for `query_tokens` (required: a CMS
+    answers point queries, it does not enumerate)."""
+    if not query_tokens:
+        raise ValueError("cms_token_counts needs query_tokens")
+
+    def _positions(tokens: np.ndarray) -> np.ndarray:
+        # depth hash rows via salted pandas hash; (d, n) positions
+        return np.stack([
+            (
+                pd.util.hash_array(tokens.astype(object), hash_key=f"{d:016d}")
+                % np.uint64(width)
+            ).astype(np.int64)
+            for d in range(depth)
+        ])
+
+    def part(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch[text_col].to_pylist()).fillna("")
+        ex = s.str.findall(r"\S+").explode().dropna()
+        cms = np.zeros((depth, width), dtype=np.int64)
+        if len(ex):
+            # collapse to (unique token, count) first: add.at cost is
+            # then vocab-sized, not corpus-sized
+            vc = ex.value_counts()
+            pos = _positions(vc.index.to_numpy(dtype=object))
+            w = vc.to_numpy(np.int64)
+            for d in range(depth):
+                np.add.at(cms[d], pos[d], w)
+        return pa.table({"blob": pa.array([pickle.dumps(cms)], type=pa.binary())})
+
+    cms = np.zeros((depth, width), dtype=np.int64)
+    for row in ds.map_batches(part, batch_format="pyarrow", batch_size=None).take_all():
+        cms += pickle.loads(row["blob"])
+
+    q = np.array(query_tokens, dtype=object)
+    pos = _positions(q)
+    est = np.min(
+        np.stack([cms[d][pos[d]] for d in range(depth)]), axis=0
+    )
+    return pd.DataFrame({"token": query_tokens, "approx_n": est.astype(np.int64)})

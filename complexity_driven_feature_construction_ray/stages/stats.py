@@ -134,3 +134,44 @@ def base_features_from_stats(stats: dict) -> list[Feature]:
                 )
             )
     return feats
+
+
+def correlation_matrix(ds, columns: list[str]) -> "pd.DataFrame":
+    """Pairwise Pearson correlations over `columns` in ONE streaming
+    pass: each batch contributes (n, column sums, X^T X) — O(k^2)
+    floats regardless of rows — merged by addition driver-side. No
+    shuffle; NaN rows are dropped listwise (SQL corr() drops pairwise,
+    so feed NaN-free columns for oracle parity). Population-vs-sample
+    normalization cancels in the ratio, so this equals SQL corr()
+    exactly. Returns long format (col_a, col_b, corr) for a < b."""
+    import pandas as pd
+
+    k = len(columns)
+
+    def part(batch: pa.Table) -> pa.Table:
+        x = np.column_stack(
+            [batch[c].to_numpy(zero_copy_only=False).astype(np.float64) for c in columns]
+        )
+        x = x[~np.isnan(x).any(axis=1)]
+        blob = pickle.dumps((len(x), x.sum(axis=0), x.T @ x))
+        return pa.table({"blob": pa.array([blob], type=pa.binary())})
+
+    n = 0
+    s = np.zeros(k)
+    c = np.zeros((k, k))
+    for row in ds.map_batches(part, batch_format="pyarrow", batch_size=None).take_all():
+        pn, ps, pc = pickle.loads(row["blob"])
+        n += pn
+        s += ps
+        c += pc
+    mean = s / max(n, 1)
+    cov = c / max(n, 1) - np.outer(mean, mean)
+    sd = np.sqrt(np.maximum(np.diag(cov), 0.0))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        corr = cov / np.outer(sd, sd)
+    rows = [
+        (columns[i], columns[j], float(corr[i, j]))
+        for i in range(k)
+        for j in range(i + 1, k)
+    ]
+    return pd.DataFrame(rows, columns=["col_a", "col_b", "corr"])

@@ -563,3 +563,32 @@ class TestRobustRanknormTargetEncode:
         assert list(dkeys) == list(keys)
         np.testing.assert_allclose(dvals, vals)
         np.testing.assert_allclose(dgm, gm)
+
+
+def test_cms_overcount_envelope(ray_session):
+    """CMS estimates: never under the true count, over by <= eps*N."""
+    import duckdb
+
+    from complexity_driven_feature_construction_ray.pipelines.relational import (
+        d_cms_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = d_cms_counts(sf).set_index("token")["approx_n"]
+    exact = (
+        duckdb.connect()
+        .execute(
+            f"""SELECT tok, count(*) n FROM (
+                 SELECT unnest(regexp_extract_all(text, '\\S+')) tok
+                 FROM read_parquet('{sf}/documents.parquet'))
+               GROUP BY tok"""
+        )
+        .df()
+        .set_index("tok")["n"]
+    )
+    total = int(exact.sum())
+    eps_bound = np.e / (1 << 14) * total
+    for tok, est in got.items():
+        true_n = int(exact[tok])
+        assert est >= true_n, (tok, est, true_n)  # CMS never undercounts
+        assert est <= true_n + max(eps_bound, 1), (tok, est, true_n)
