@@ -2357,6 +2357,104 @@ SELECT * FROM (VALUES
 # windows (rank family, cumulative), reshape, bloom join, curation rules
 
 
+def t_user_trend(sf_dir: str):
+    """Per-user OLS trend of event value over time (grouped simple
+    regression via the five-sufficient-statistics combiner,
+    stages/regression.py). x is epoch seconds shifted to 2024-01-01 on
+    BOTH sides (slope-invariant, kills the n·Σxx − Σx² cancellation)."""
+    from ..stages.regression import grouped_ols
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"], split=True)
+
+    def epochs(batch: pa.Table) -> pa.Table:
+        t_ns = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[ns]")
+        sec = t_ns.view(np.int64).astype(np.float64) / 1e9
+        return pa.table({
+            "user_id": batch["user_id"], "x": pa.array(sec), "value": batch["value"],
+        })
+
+    out = grouped_ols(
+        ds.map_batches(epochs, batch_format="pyarrow"),
+        key="user_id", x_col="x", y_col="value",
+        x_shift=1704067200.0,  # epoch of 2024-01-01 00:00:00 UTC
+    )
+    return _round_cols(out, {"slope": 9, "intercept": 4})
+
+
+T_USER_TREND_SQL = """
+SELECT user_id, count(*) AS n,
+       round(regr_slope(value, epoch(ts) - 1704067200), 9) AS slope,
+       round(regr_intercept(value, epoch(ts) - 1704067200), 4) AS intercept
+FROM events
+GROUP BY user_id
+"""
+
+
+def t_session_stats(sf_dir: str):
+    """Session-level aggregate table: sessionize (gap 30 min), then one
+    hash aggregate per (user, session) — events per session, exact
+    integer-microsecond duration, value sum."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ..stages.temporal import sessionize
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"], split=True)
+    sess = sessionize(ds, key="user_id", ts="ts", gap=1800, tiebreak=["event_id"])
+
+    def epoch_us(batch: pa.Table) -> pa.Table:
+        t_us = (
+            batch["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view(np.int64)
+        )
+        return pa.table({
+            "user_id": batch["user_id"], "session_idx": batch["session_idx"],
+            "t_us": pa.array(t_us), "value": batch["value"],
+        })
+
+    out = (
+        sess.map_batches(epoch_us, batch_format="pyarrow")
+        .groupby(["user_id", "session_idx"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Min("t_us", alias_name="t0"),
+            Max("t_us", alias_name="t1"),
+            Sum("value", alias_name="sum_value"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        dur = batch["t1"].to_numpy() - batch["t0"].to_numpy()
+        return pa.table({
+            "user_id": batch["user_id"], "session_idx": batch["session_idx"],
+            "n_events": batch["n_events"],
+            "duration_us": pa.array(dur.astype(np.int64)),
+            "sum_value": pc.round(batch["sum_value"], ndigits=6),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+T_SESSION_STATS_SQL = """
+WITH lagged AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+sess AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) - 1
+              AS BIGINT) AS session_idx
+  FROM lagged)
+SELECT user_id, session_idx, count(*) AS n_events,
+       CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS duration_us,
+       round(sum(value), 6) AS sum_value
+FROM sess
+GROUP BY user_id, session_idx
+"""
+
+
 def q_corr(sf_dir: str):
     """Pairwise Pearson correlation matrix over four lineitem measures
     in ONE streaming pass (stages/stats.py:correlation_matrix — per
@@ -2760,6 +2858,8 @@ QUERIES: dict[str, tuple] = {
     "t_row_number": (t_row_number, T_ROW_NUMBER_SQL),
     "t_rolling_range": (t_rolling_range, T_ROLLING_RANGE_SQL),
     "t_cumsum": (t_cumsum, T_CUMSUM_SQL),
+    "t_user_trend": (t_user_trend, T_USER_TREND_SQL),
+    "t_session_stats": (t_session_stats, T_SESSION_STATS_SQL),
     "t_ntile": (t_ntile, T_NTILE_SQL),
     "q_pivot": (q_pivot, Q_PIVOT_SQL),
     "q_unpivot": (q_unpivot, Q_UNPIVOT_SQL),
