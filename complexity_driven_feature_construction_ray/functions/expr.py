@@ -34,7 +34,7 @@ STATELESS_UNARY = ("minus", "reciprocal", "log")
 # fitted unary (state learned on the train fold); the three impute
 # strategies mirror reference ImputationTransformation.py:35-50
 # (sklearn SimpleImputer mean / median / most_frequent)
-FITTED_UNARY = ("minmax", "zscore", "impute_mean", "impute_median", "impute_mode", "discretize", "mdlp", "winsor", "robust", "ranknorm")
+FITTED_UNARY = ("minmax", "zscore", "impute_mean", "impute_median", "impute_mode", "discretize", "mdlp", "winsor", "robust", "ranknorm", "qcut")
 SCALER_OPS = ("minmax", "zscore", "robust", "ranknorm")  # no re-scaling of scaled data
 UNARY_OPS = STATELESS_UNARY + FITTED_UNARY
 IMPUTE_OPS = ("impute_mean", "impute_median", "impute_mode")
@@ -155,6 +155,9 @@ def _name(f: Feature) -> str:
     if f.op == "winsor":
         lo, hi = f.params or (0.05, 0.95)
         return f"winsor[{lo},{hi}]({ps[0]})"
+    if f.op == "qcut":
+        (b,) = f.params or (DISCRETIZE_BINS,)
+        return f"qcut[{b}]({ps[0]})"
     if f.op in FITTED_UNARY:
         return f"{f.op}({ps[0]})"
     if f.op == "npfun":
@@ -278,6 +281,19 @@ def target_encode(value: Feature, key: Feature, m: float = 20.0) -> Feature:
     return f
 
 
+def quantile_discretize(parent: Feature, bins: int = DISCRETIZE_BINS) -> Feature:
+    """Equal-FREQUENCY binning (pd.qcut analog): bin edges are the
+    train fold's 1/bins..(bins-1)/bins discrete quantiles from the
+    mergeable sketch, applied with right-closed intervals like
+    `discretize`. The skew-robust sibling of the equal-width
+    PandasDiscretizer; heavy ties collapse bins rather than splitting
+    a value across bins (percentile_disc semantics, SQL-oracle exact)."""
+    assert bins >= 2, bins
+    f = Feature("qcut", (parent,), (int(bins),))
+    f.properties.update(derive_properties(f))
+    return f
+
+
 def winsorize(parent: Feature, q_lo: float = 0.05, q_hi: float = 0.95) -> Feature:
     """Quantile-clip (winsorize): clip to the train fold's discrete
     [q_lo, q_hi] quantiles (SQL percentile_disc semantics). A curation-
@@ -333,9 +349,9 @@ def is_applicable(op: str, parents: tuple[Feature, ...], agg: str | None = None)
         if op in SCALER_OPS:
             # no re-scaling of scaled data (reference MinMaxScalingTransformation.py:31-35)
             return p.op not in SCALER_OPS
-        if op in ("discretize", "mdlp"):
+        if op in ("discretize", "mdlp", "qcut"):
             nd = p.properties.get("distinct")
-            if p.op in ("discretize", "mdlp", "onehot"):
+            if p.op in ("discretize", "mdlp", "qcut", "onehot"):
                 return False
             return nd is None or nd > DISCRETIZE_BINS
         return True
@@ -442,6 +458,10 @@ def derive_properties(f: Feature) -> dict:
     elif f.op in ("discretize", "mdlp"):
         set_range(-1.0, float(DISCRETIZE_BINS - 1))
         out["distinct"] = DISCRETIZE_BINS + 1
+    elif f.op == "qcut":
+        b = (f.params or (DISCRETIZE_BINS,))[0]
+        set_range(-1.0, float(b - 1))
+        out["distinct"] = b + 1
     elif f.op == "onehot":
         set_range(0.0, 1.0)
         out["distinct"] = 2

@@ -241,6 +241,11 @@ def _eval_inner(f: Feature, cols: Cols, fitted: Fitted, cache: dict) -> np.ndarr
             out = np.clip(out, 0, DISCRETIZE_BINS - 1)
             out[np.isnan(args[0])] = -1.0
             return out
+        if op == "qcut":
+            (edges,) = fitted[f.name]
+            out = np.digitize(args[0], edges, right=True).astype(np.float64)
+            out[np.isnan(args[0])] = -1.0
+            return out
         if op == "mdlp":
             (cuts,) = fitted[f.name]
             out = np.digitize(args[0], cuts, right=True).astype(np.float64)
@@ -279,7 +284,7 @@ def fit_on_arrays(
             if f.name in fitted:
                 continue
             op = f.op
-            if op in ("minmax", "zscore", "impute_mean", "impute_median", "impute_mode", "discretize", "mdlp", "winsor", "robust", "ranknorm"):
+            if op in ("minmax", "zscore", "impute_mean", "impute_median", "impute_mode", "discretize", "mdlp", "winsor", "robust", "ranknorm", "qcut"):
                 p = _eval_node(f.parents[0], cols, fitted, cache)
                 with np.errstate(all="ignore"):
                     if op == "minmax":
@@ -307,6 +312,18 @@ def fit_on_arrays(
                     elif op == "ranknorm":
                         vals, counts = np.unique(p[~np.isnan(p)], return_counts=True)
                         fitted[f.name] = (vals, np.cumsum(counts).astype(np.float64))
+                    elif op == "qcut":
+                        (b,) = f.params or (10,)
+                        sv = np.sort(p[~np.isnan(p)])
+                        n = len(sv)
+                        if n == 0:
+                            fitted[f.name] = (np.array([]),)
+                        else:
+                            ranks = [
+                                max(int(np.ceil(k / b * n)) - 1, 0)
+                                for k in range(1, b)
+                            ]
+                            fitted[f.name] = (sv[ranks].astype(np.float64),)
                     elif op == "mdlp":
                         if y is None:
                             raise ValueError("mdlp requires y")

@@ -35,23 +35,45 @@ _BIG_TABLES = {
 }
 
 
+def _table_schema(sf_dir: str, table: str, columns=None) -> pa.Schema:
+    """The table's Arrow schema from parquet FILE metadata (no Ray
+    execution), with the writer's pandas metadata stripped."""
+    import pyarrow.parquet as pq
+
+    s = pq.read_schema(f"{sf_dir}/{table}.parquet").remove_metadata()
+    return pa.schema([s.field(c) for c in columns]) if columns else s
+
+
+def _table_nrows(sf_dir: str, table: str) -> int:
+    """Row count from parquet FILE metadata (no Ray execution) — the
+    bucket-count hint for stages whose input is a map lineage that has
+    lost its plan metadata count."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+
+
 def _read(sf_dir: str, table: str, columns=None, split: bool | None = None):
     """Column-pruned parquet read. The test tables are single-row-group
     files, so Ray reads each as ONE block and every downstream map stage
     serializes; big fact tables are repartitioned to ~CPU blocks by
-    default (split=None), tiny dimension tables are not."""
+    default (split=None), tiny dimension tables are not.
+
+    The explicit `schema=` (from file metadata, pandas metadata
+    stripped) does three things at once: Ray's per-shuffle schema
+    hashing works (the writer's pandas metadata dict is unhashable),
+    `ds.schema()` is known WITHOUT executing the pipeline (a strip-
+    metadata map_batches here used to make every schema probe a full
+    scan — 6s per probe at sf0.1 inside t_asof / shuffle_hash_join),
+    and the plan keeps its metadata row count so data-sized bucket
+    hints survive."""
     import ray
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
-    # drop the writer's pandas schema metadata (an unhashable dict): Ray
-    # hashes block schemas to deduplicate them in every shuffle reduce,
-    # and metadata-carrying schemas defeat that. Zero-copy; fuses with
-    # the read task.
-    ds = ds.map_batches(
-        lambda t: t.replace_schema_metadata(None),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/{table}.parquet",
+        columns=columns,
+        schema=_table_schema(sf_dir, table, columns),
     )
     if split or (split is None and table in _BIG_TABLES):
         ds = ds.repartition(max(16, int(ray.cluster_resources().get("CPU", 4))))
@@ -2357,6 +2379,85 @@ SELECT * FROM (VALUES
 # windows (rank family, cumulative), reshape, bloom join, curation rules
 
 
+def fe_qcut(sf_dir: str):
+    """Equal-frequency (quantile) discretization: 10 bins whose edges
+    are the train distribution's discrete deciles from the mergeable
+    sketch — the skew-robust sibling of the equal-width discretizer."""
+    from ..functions.expr import quantile_discretize
+
+    def build(f):
+        return [quantile_discretize(f["l_extendedprice"], bins=10)]
+
+    return _lineitem_features(
+        sf_dir,
+        {"stats": ["l_extendedprice"], "build": build},
+        keep=["l_orderkey", "l_linenumber"],
+        rename={"qcut[10](l_extendedprice)": "price_decile"},
+    )
+
+
+FE_QCUT_SQL = """
+WITH e AS (
+  SELECT percentile_disc(0.1) WITHIN GROUP (ORDER BY l_extendedprice) AS e1,
+         percentile_disc(0.2) WITHIN GROUP (ORDER BY l_extendedprice) AS e2,
+         percentile_disc(0.3) WITHIN GROUP (ORDER BY l_extendedprice) AS e3,
+         percentile_disc(0.4) WITHIN GROUP (ORDER BY l_extendedprice) AS e4,
+         percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS e5,
+         percentile_disc(0.6) WITHIN GROUP (ORDER BY l_extendedprice) AS e6,
+         percentile_disc(0.7) WITHIN GROUP (ORDER BY l_extendedprice) AS e7,
+         percentile_disc(0.8) WITHIN GROUP (ORDER BY l_extendedprice) AS e8,
+         percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS e9
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       CAST((l_extendedprice > e.e1)::INT + (l_extendedprice > e.e2)::INT
+          + (l_extendedprice > e.e3)::INT + (l_extendedprice > e.e4)::INT
+          + (l_extendedprice > e.e5)::INT + (l_extendedprice > e.e6)::INT
+          + (l_extendedprice > e.e7)::INT + (l_extendedprice > e.e8)::INT
+          + (l_extendedprice > e.e9)::INT AS DOUBLE) AS price_decile
+FROM lineitem CROSS JOIN e
+"""
+
+
+def d_mutual_info(sf_dir: str):
+    """Mutual information (nats) between document language and source —
+    the distributed analog of the FairExp MI filter: per-batch Arrow
+    contingency partials -> one cell-cardinality-sized hash aggregate
+    -> closed form on the tiny table. Never shuffles rows."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang", "source"]).aggregate([([], "count_all")])
+        return pa.table({
+            "lang": g["lang"], "source": g["source"], "n": g["count_all"],
+        })
+
+    cells = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    n = cells["n"].to_numpy(np.float64)
+    total = n.sum()
+    px = cells.groupby("lang")["n"].transform("sum").to_numpy(np.float64)
+    py = cells.groupby("source")["n"].transform("sum").to_numpy(np.float64)
+    mi = float(np.sum((n / total) * np.log(n * total / (px * py))))
+    return pd.DataFrame({"mi": [round(mi, 9)]})
+
+
+D_MUTUAL_INFO_SQL = """
+WITH c AS (SELECT lang, source, CAST(count(*) AS DOUBLE) AS n
+           FROM documents GROUP BY lang, source),
+t AS (SELECT sum(n) AS total FROM c),
+px AS (SELECT lang, sum(n) AS nx FROM c GROUP BY lang),
+py AS (SELECT source, sum(n) AS ny FROM c GROUP BY source)
+SELECT round(sum((c.n / t.total) * ln(c.n * t.total / (px.nx * py.ny))), 9) AS mi
+FROM c JOIN px USING (lang) JOIN py USING (source) CROSS JOIN t
+"""
+
+
 def t_user_trend(sf_dir: str):
     """Per-user OLS trend of event value over time (grouped simple
     regression via the five-sufficient-statistics combiner,
@@ -2835,6 +2936,8 @@ QUERIES: dict[str, tuple] = {
     "fe_groupbythen": (fe_groupbythen, FE_GROUPBYTHEN_SQL),
     "fe_binary": (fe_binary, FE_BINARY_SQL),
     "fe_robust": (fe_robust, FE_ROBUST_SQL),
+    "fe_qcut": (fe_qcut, FE_QCUT_SQL),
+    "d_mutual_info": (d_mutual_info, D_MUTUAL_INFO_SQL),
     "fe_ranknorm": (fe_ranknorm, FE_RANKNORM_SQL),
     "fe_target_encode": (fe_target_encode, FE_TARGET_ENCODE_SQL),
     "q_pricing_summary": (q_pricing_summary, Q_PRICING_SQL),

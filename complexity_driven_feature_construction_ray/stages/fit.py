@@ -48,7 +48,7 @@ def _stateful_depth(f: Feature, cache: dict) -> int:
 
 _STATEFUL_UNARY = (
     "minmax", "zscore", "impute_mean", "impute_median", "impute_mode", "discretize", "mdlp",
-    "winsor", "robust", "ranknorm",
+    "winsor", "robust", "ranknorm", "qcut",
 )
 
 
@@ -87,7 +87,7 @@ def _partial_for(f: Feature, cols: dict, fitted: Fitted, cache: dict):
     if op == "impute_mode":
         vals, counts = np.unique(pv, return_counts=True)
         return ("counts", vals, counts)
-    if op in ("impute_median", "winsor", "robust", "ranknorm"):
+    if op in ("impute_median", "winsor", "robust", "ranknorm", "qcut"):
         # all fit through the mergeable weighted-value sketch
         return ("quant",) + _quant_partial(pv)
     n = len(pv)
@@ -221,6 +221,18 @@ def _finalize(f: Feature, merged) -> tuple:
         vals, w = merged  # sorted, possibly duplicated across partials:
         # cumulative weights make searchsorted(side='right') exact anyway
         return (vals, np.cumsum(w).astype(np.float64))
+    if op == "qcut":
+        vals, w = merged
+        (b,) = f.params or (10,)
+        if len(vals) == 0:
+            return (np.array([]),)
+        cw = np.cumsum(w)
+        total = cw[-1]
+        edges = [
+            float(vals[np.searchsorted(cw, max(np.ceil(k / b * total), 1.0), side="left")])
+            for k in range(1, b)
+        ]
+        return (np.asarray(edges, dtype=np.float64),)
     if op in ("winsor", "robust"):
         vals, w = merged
         if len(vals) == 0:

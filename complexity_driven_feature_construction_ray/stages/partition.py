@@ -139,8 +139,13 @@ def shuffle_hash_join(
     right_on = right_on or left_on
     B = num_buckets or default_buckets(left, right)
 
-    left_schema = left.schema().base_schema
-    right_schema = right.schema().base_schema
+    # metadata-known schemas when available (read_parquet lineages);
+    # .schema() on a lazy map lineage EXECUTES a limit-1 pass which,
+    # behind a repartition, is a full scan — only fall back to it
+    _ls = left.schema(fetch_if_missing=False) or left.schema()
+    _rs = right.schema(fetch_if_missing=False) or right.schema()
+    left_schema = _ls.base_schema
+    right_schema = _rs.base_schema
     left_names = list(left_schema.names)
     right_payload = [n for n in right_schema.names if n != right_on]
     rename_right = {

@@ -592,3 +592,36 @@ def test_cms_overcount_envelope(ray_session):
         true_n = int(exact[tok])
         assert est >= true_n, (tok, est, true_n)  # CMS never undercounts
         assert est <= true_n + max(eps_bound, 1), (tok, est, true_n)
+
+
+class TestQcut:
+    def test_qcut_matches_quantile_edges_and_distributed(self, ray_session):
+        from complexity_driven_feature_construction_ray.functions.expr import (
+            quantile_discretize,
+        )
+        from complexity_driven_feature_construction_ray.functions.kernels import (
+            evaluate,
+            fit_on_arrays,
+        )
+        from complexity_driven_feature_construction_ray.stages.fit import fit_distributed
+
+        rng = np.random.default_rng(13)
+        x = rng.lognormal(3, 1, 8000).round(2)  # skewed, discrete-ish
+        x[::71] = np.nan
+        f = quantile_discretize(raw("x", properties={"min": 0.0, "max": 1e6}), bins=4)
+        ref = fit_on_arrays([f], {"x": x})
+        (edges,) = ref[f.name]
+        sv = np.sort(x[~np.isnan(x)])
+        n = len(sv)
+        # percentile_disc edges at ranks ceil(k/4 * n)
+        for k, e in enumerate(edges, start=1):
+            assert e == sv[int(np.ceil(k / 4 * n)) - 1]
+        out = evaluate(f, {"x": x}, ref)
+        ok = ~np.isnan(x)
+        # equal-frequency: each bin holds ~n/4 values
+        counts = np.bincount(out[ok].astype(int), minlength=4)
+        assert counts.min() > 0.8 * n / 4 and counts.max() < 1.2 * n / 4
+        assert (out[~ok] == -1.0).all()
+        ds = ray.data.from_arrow(pa.table({"x": pa.array(x)})).repartition(6)
+        dist = fit_distributed([f], ds, input_cols=["x"])
+        np.testing.assert_array_equal(dist[f.name][0], edges)
