@@ -1411,6 +1411,30 @@ def d_minhash_dedup(sf_dir: str):
     return clusters_dataset(out.sort_values("id").reset_index(drop=True))
 
 
+def d_components(sf_dir: str):
+    """Duplicate-cluster map via DISTRIBUTED connected components
+    (stages/graph.py:connected_components — min-label propagation, two
+    hash shuffles per pass, converged flag by aggregate): the 100TB
+    path where the LSH pair graph itself outgrows driver-side
+    union-find. Labels = component min doc id, deterministic. Pytest
+    checks exact equality with the driver-side union-find clusters."""
+    import ray.data
+
+    from ..stages.dedup import minhash_lsh_dedup
+    from ..stages.graph import connected_components
+
+    docs = _perturbed_docs(sf_dir)
+    pairs = minhash_lsh_dedup(docs, threshold=0.5, return_pairs=True)
+    edges = ray.data.from_pandas(
+        pd.DataFrame({"src": pairs["a"].astype(np.int64), "dst": pairs["b"].astype(np.int64)})
+    )
+    nodes = docs.map_batches(
+        lambda t: pa.table({"id": t["doc_id"]}), batch_format="pyarrow"
+    )
+    out = connected_components(edges, nodes, max_iter=30)
+    return out.to_pandas().sort_values("id").reset_index(drop=True)
+
+
 def d_simhash_dedup(sf_dir: str):
     from ..stages.dedup import clusters_dataset, simhash_dedup
 
@@ -2994,6 +3018,7 @@ QUERIES: dict[str, tuple] = {
     "d_semdedup": (d_semdedup, None),
     "d_knn": (d_knn, D_KNN_SQL),
     "d_minhash_dedup": (d_minhash_dedup, None),
+    "d_components": (d_components, None),
     "d_simhash_dedup": (d_simhash_dedup, None),
     "d_embedding_dedup": (d_embedding_dedup, None),
     "f_rod": (f_rod, F_ROD_SQL),

@@ -192,12 +192,16 @@ def minhash_lsh_dedup(
     bands: int = 16,
     threshold: float = 0.7,
     seed: int = 42,
+    return_pairs: bool = False,
 ) -> pd.DataFrame:
     """Near-duplicate clusters via MinHash+LSH.
 
     Returns a pandas DataFrame (id, rep_id, is_dup) for every document
     that appeared in at least one candidate bucket, with rep_id the
-    cluster representative (min id); is_dup marks non-representatives."""
+    cluster representative (min id); is_dup marks non-representatives.
+    With return_pairs=True, returns the raw candidate-pair frame
+    (a, b, est) instead — the edge list for the distributed
+    connected-components path (stages/graph.py)."""
 
     def to_bands(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
@@ -245,6 +249,8 @@ def minhash_lsh_dedup(
 
     bands_ds = ds.map_batches(to_bands, batch_format="pyarrow")
     pairs = _pairs_from_hot_buckets(bands_ds, bucket_pairs, id_col)
+    if return_pairs:
+        return pairs
     return _clusters_from_pairs(pairs)
 
 
@@ -420,6 +426,8 @@ def simhash_dedup(
 
     bands_ds = ds.map_batches(to_bands, batch_format="pyarrow")
     pairs = _pairs_from_hot_buckets(bands_ds, bucket_pairs, id_col)
+    if return_pairs:
+        return pairs
     return _clusters_from_pairs(pairs)
 
 

@@ -625,3 +625,89 @@ class TestQcut:
         ds = ray.data.from_arrow(pa.table({"x": pa.array(x)})).repartition(6)
         dist = fit_distributed([f], ds, input_cols=["x"])
         np.testing.assert_array_equal(dist[f.name][0], edges)
+
+
+class TestConnectedComponents:
+    @staticmethod
+    def _brute(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # min id of each component
+        comp = {}
+        for n in nodes:
+            r = find(n)
+            comp.setdefault(r, []).append(n)
+        out = {}
+        for members in comp.values():
+            m = min(members)
+            for n in members:
+                out[n] = m
+        return out
+
+    def test_random_graph_matches_union_find(self, ray_session):
+        import ray.data
+
+        from complexity_driven_feature_construction_ray.stages.graph import (
+            connected_components,
+        )
+
+        rng = np.random.default_rng(21)
+        n_nodes = 300
+        nodes = list(range(n_nodes))
+        edges = [tuple(sorted(e)) for e in rng.integers(0, n_nodes, (250, 2)) if e[0] != e[1]]
+        exp = self._brute(edges, nodes)
+        eds = ray.data.from_arrow(pa.table({
+            "src": pa.array([a for a, _ in edges], type=pa.int64()),
+            "dst": pa.array([b for _, b in edges], type=pa.int64()),
+        })).repartition(4)
+        nds = ray.data.from_arrow(pa.table({"id": pa.array(nodes, type=pa.int64())}))
+        got = connected_components(eds, nds).to_pandas()
+        got_map = dict(zip(got["id"], got["component"]))
+        assert got_map == exp
+
+    def test_long_chain_converges(self, ray_session):
+        # a path graph stresses convergence depth; pointer jumping
+        # makes it ~log2(n) passes
+        import ray.data
+
+        from complexity_driven_feature_construction_ray.stages.graph import (
+            connected_components,
+        )
+
+        n = 12
+        eds = ray.data.from_arrow(pa.table({
+            "src": pa.array(list(range(n - 1)), type=pa.int64()),
+            "dst": pa.array(list(range(1, n)), type=pa.int64()),
+        }))
+        got = connected_components(eds).to_pandas()
+        assert (got["component"] == 0).all()
+        assert len(got) == n
+
+
+def test_d_components_matches_union_find_clusters(ray_session):
+    """The distributed label-propagation component map must equal the
+    driver-side union-find cluster map on the same LSH pair graph."""
+    from complexity_driven_feature_construction_ray.pipelines.relational import (
+        _perturbed_docs,
+        d_components,
+    )
+    from complexity_driven_feature_construction_ray.stages.dedup import (
+        minhash_lsh_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    comp = d_components(sf).set_index("id")["component"]
+    clusters = minhash_lsh_dedup(_perturbed_docs(sf), threshold=0.5)
+    uf = dict(zip(clusters["id"], clusters["rep_id"]))
+    for doc_id, c in comp.items():
+        assert c == uf.get(doc_id, doc_id), (doc_id, c)
