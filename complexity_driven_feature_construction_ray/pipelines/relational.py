@@ -2580,6 +2580,61 @@ GROUP BY user_id, session_idx
 """
 
 
+def t_ewma(sf_dir: str):
+    """Per-user exponential moving average of event value (alpha 0.3,
+    pandas ewm(adjust=False) recursion) — sequential per entity, so one
+    entity-hash shuffle co-locates each user and the C-level ewm kernel
+    runs per segment. No SQL oracle (EWMA is a recursion DuckDB has no
+    aggregate for); pytest checks against an independent Python
+    recursion."""
+    from ..stages.temporal import ewma
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"], split=True)
+    out = ewma(
+        ds, key="user_id", ts="ts", col="value", alpha=0.3,
+        out_col="ewma_value", tiebreak=["event_id"],
+    )
+    pdf = out.to_pandas()[["event_id", "ewma_value"]]
+    pdf["ewma_value"] = pdf["ewma_value"].round(9)
+    return pdf.sort_values("event_id").reset_index(drop=True)
+
+
+def q_rollup(sf_dir: str):
+    """ROLLUP (flag, status) aggregate: one streaming pass produces the
+    finest level; the coarser levels (per-flag, grand total) re-aggregate
+    the FINEST-LEVEL result, which is group-cardinality-sized — never a
+    second pass over rows. NULL marks the rolled-up dimension, as in
+    SQL ROLLUP."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    fine = (
+        ds.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty"))
+        .to_pandas()
+    )
+    per_flag = (
+        fine.groupby("l_returnflag", as_index=False)[["n", "sum_qty"]].sum()
+    )
+    per_flag["l_linestatus"] = None
+    total = pd.DataFrame({
+        "l_returnflag": [None], "l_linestatus": [None],
+        "n": [fine["n"].sum()], "sum_qty": [fine["sum_qty"].sum()],
+    })
+    out = pd.concat([fine, per_flag, total], ignore_index=True)[
+        ["l_returnflag", "l_linestatus", "n", "sum_qty"]
+    ]
+    out["sum_qty"] = out["sum_qty"].round(6)
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+Q_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 6) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def q_corr(sf_dir: str):
     """Pairwise Pearson correlation matrix over four lineitem measures
     in ONE streaming pass (stages/stats.py:correlation_matrix — per
@@ -2976,6 +3031,7 @@ QUERIES: dict[str, tuple] = {
     "q_shuffle_join": (q_shuffle_join, Q_SHUFFLE_JOIN_SQL),
     "q_approx_distinct": (q_approx_distinct, None),
     "q_corr": (q_corr, Q_CORR_SQL),
+    "q_rollup": (q_rollup, Q_ROLLUP_SQL),
     "d_cms_counts": (d_cms_counts, None),
     "q_salted_agg": (q_salted_agg, Q_SALTED_AGG_SQL),
     "t_lag_lead": (t_lag_lead, T_LAG_LEAD_SQL),
@@ -2986,6 +3042,7 @@ QUERIES: dict[str, tuple] = {
     "t_rolling_range": (t_rolling_range, T_ROLLING_RANGE_SQL),
     "t_cumsum": (t_cumsum, T_CUMSUM_SQL),
     "t_user_trend": (t_user_trend, T_USER_TREND_SQL),
+    "t_ewma": (t_ewma, None),
     "t_session_stats": (t_session_stats, T_SESSION_STATS_SQL),
     "t_ntile": (t_ntile, T_NTILE_SQL),
     "q_pivot": (q_pivot, Q_PIVOT_SQL),

@@ -884,3 +884,34 @@ def hopping_agg(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def ewma(
+    ds,
+    *,
+    key: str,
+    ts: str,
+    col: str,
+    alpha: float,
+    out_col: str = "ewma",
+    num_buckets: int | None = None,
+    tiebreak: list[str] | None = None,
+):
+    """Per-entity exponential moving average ordered by (ts, tiebreak):
+    y_0 = x_0;  y_i = alpha * x_i + (1 - alpha) * y_{i-1}
+    (pandas ewm(adjust=False) recursion). The state is inherently
+    sequential per entity, so the stage co-locates each entity in one
+    hash bucket (the same single-shuffle contract as the other
+    windows) and runs the C-level pandas ewm kernel per entity segment
+    inside the bucket."""
+    assert 0.0 < alpha <= 1.0, alpha
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts, *(tiebreak or [])], kind="stable")
+        g[out_col] = (
+            g.groupby(key, sort=False)[col]
+            .transform(lambda s: s.ewm(alpha=alpha, adjust=False).mean())
+        )
+        return g
+
+    return grouped_map(ds, key, per_bucket, num_buckets=num_buckets)

@@ -711,3 +711,31 @@ def test_d_components_matches_union_find_clusters(ray_session):
     uf = dict(zip(clusters["id"], clusters["rep_id"]))
     for doc_id, c in comp.items():
         assert c == uf.get(doc_id, doc_id), (doc_id, c)
+
+
+def test_ewma_matches_recursion(ray_session):
+    from complexity_driven_feature_construction_ray.stages.temporal import ewma
+
+    rng = np.random.default_rng(17)
+    n, users, a = 500, 6, 0.25
+    t = pa.table({
+        "eid": pa.array(np.arange(n)),
+        "u": pa.array(rng.integers(0, users, n)),
+        "ts": pa.array(rng.integers(0, 10_000, n)),
+        "v": pa.array(rng.normal(size=n)),
+    })
+    ds = ray.data.from_arrow(t).repartition(5)
+    got = (
+        ewma(ds, key="u", ts="ts", col="v", alpha=a, out_col="e", tiebreak=["eid"])
+        .to_pandas().sort_values("eid").reset_index(drop=True)
+    )
+    df = t.to_pandas().sort_values(["u", "ts", "eid"])
+    # independent recursion, plain Python loop per user
+    exp = {}
+    for u, g in df.groupby("u"):
+        y = None
+        for eid, x in zip(g["eid"], g["v"]):
+            y = x if y is None else a * x + (1 - a) * y
+            exp[eid] = y
+    for eid, e in zip(got["eid"], got["e"]):
+        np.testing.assert_allclose(e, exp[eid], rtol=1e-12)
