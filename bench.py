@@ -55,6 +55,10 @@ HEADLINE = [
     "t_hopping",
     "t_ntile",
     "fe_winsorize",
+    "fe_target_encode",
+    "q_corr",
+    "t_user_trend",
+    "d_stratified_sample",
     "d_c4_filter",
     "d_exact_dedup",
     "d_minhash_dedup",

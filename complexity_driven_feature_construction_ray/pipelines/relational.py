@@ -1953,6 +1953,30 @@ def m_decode_wav(sf_dir: str):
     return out.select_columns(["item_id", "duration_s", "rms", "zcr"])
 
 
+def m_decode_y4m(sf_dir: str):
+    """REAL video path: deterministic Y4M (YUV4MPEG2) clips — a plain
+    uncompressed container, pure-numpy decodable — through the
+    actor-pool frame-sample stage (decode, every-4th-frame sample,
+    per-frame luma means). Compressed codecs would slot into the same
+    actor signature; the container/schema/actor plumbing is real."""
+    import ray.data
+
+    from ..stages.multimodal import VideoFrameSample, synthetic_y4m_table
+
+    n = {"sf0.001": 32, "sf0.01": 128, "sf0.1": 512}.get(
+        sf_dir.rstrip("/").split("/")[-1], 128
+    )
+    ds = ray.data.from_arrow(synthetic_y4m_table(n)).repartition(8)
+    out = ds.map_batches(
+        VideoFrameSample,
+        fn_constructor_kwargs={"stride": 4},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=2,
+    )
+    return out.to_pandas().sort_values("media_id").reset_index(drop=True)
+
+
 def m_decode_ppm(sf_dir: str):
     """REAL codec path: deterministic P6 PPM payloads decoded in-
     container (pure-numpy PPM/BMP codecs) through the actor-pool
@@ -3091,6 +3115,7 @@ QUERIES: dict[str, tuple] = {
     "d_knn_ivf": (d_knn_ivf, None),
     "m_decode": (m_decode, None),
     "m_decode_ppm": (m_decode_ppm, None),
+    "m_decode_y4m": (m_decode_y4m, None),
     "tok_search": (tok_search, None),
     "tok_search_explorekit": (tok_search_explorekit, None),
     "tok_search_tree": (tok_search_tree, None),

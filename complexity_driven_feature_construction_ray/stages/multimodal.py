@@ -417,3 +417,120 @@ class AudioDecode:
                 "frame_rms": pa.array(frames, type=pa.list_(pa.float64())),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# video: Y4M (YUV4MPEG2) — a REAL, pure-numpy-decodable container
+# (plain-text stream header + uncompressed C420 frames), so the video
+# frame-sample path is exercisable in-container without codec libs.
+
+
+def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """frames: (n, h, w) uint8 LUMA planes; chroma written as flat 128
+    (C420jpeg: per frame w*h luma bytes + 2 * (w/2*h/2) chroma)."""
+    n, h, w = frames.shape
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420jpeg\n".encode()]
+    chroma = np.full((h // 2) * (w // 2), 128, dtype=np.uint8).tobytes()
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(frames[i].tobytes())
+        out.append(chroma)
+        out.append(chroma)
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, int]:
+    """Returns ((n_frames, h, w) uint8 luma, fps). Zero-copy per frame
+    via np.frombuffer slices; chroma planes are skipped, not copied."""
+    nl = payload.index(b"\n")
+    header = payload[:nl].decode("ascii", "replace").split()
+    if not header or header[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = 0
+    fps = 25
+    for tok in header[1:]:
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("F"):
+            num, den = tok[1:].split(":")
+            fps = max(1, int(round(int(num) / int(den))))
+        elif tok.startswith("C") and not tok.startswith("C420"):
+            raise ValueError(f"unsupported chroma mode {tok}")
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    luma_n, chroma_n = w * h, 2 * (w // 2) * (h // 2)
+    frame_n = len(b"FRAME\n") + luma_n + chroma_n
+    pos = nl + 1
+    frames = []
+    while pos + frame_n <= len(payload) + chroma_n:  # last chroma may be exact end
+        fh_end = payload.index(b"\n", pos)  # FRAME line (may carry params)
+        if not payload[pos:fh_end].startswith(b"FRAME"):
+            raise ValueError("bad FRAME marker")
+        start = fh_end + 1
+        if start + luma_n > len(payload):
+            break
+        luma = np.frombuffer(payload, dtype=np.uint8, count=luma_n, offset=start)
+        frames.append(luma.reshape(h, w))
+        pos = start + luma_n + chroma_n
+        if pos >= len(payload):
+            break
+    if not frames:
+        raise ValueError("no frames")
+    return np.stack(frames), fps
+
+
+def synthetic_y4m_table(
+    n_rows: int, seed: int = 42, w: int = 32, h: int = 24, n_frames: int = 12
+) -> pa.Table:
+    """Deterministic Y4M clips: a moving bright square over a per-row
+    base gray — frame k's luma mean is analytically checkable."""
+    rng = np.random.default_rng(seed)
+    payloads, ids = [], []
+    for i in range(n_rows):
+        base = int(rng.integers(20, 120))
+        frames = np.full((n_frames, h, w), base, dtype=np.uint8)
+        for k in range(n_frames):
+            x = (3 * k) % (w - 8)
+            frames[k, 4:12, x : x + 8] = 235
+        payloads.append(encode_y4m(frames, fps=25))
+        ids.append(i)
+    return pa.table({
+        "media_id": pa.array(ids, type=pa.int64()),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "media_type": pa.array(["video/x-yuv4mpeg"] * n_rows),
+    })
+
+
+class VideoFrameSample:
+    """Actor-pool stage: decode Y4M, sample every `stride`-th frame,
+    emit per-item clip stats + per-sampled-frame luma means. Stateful
+    setup (none needed for Y4M, but the class shape matches the
+    image/audio stages so a real codec lib slots in via __init__)."""
+
+    def __init__(self, stride: int = 4):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        n_frames, fpss, means, dims = [], [], [], []
+        for payload in batch["payload"].to_pylist():
+            frames, fps = decode_y4m(payload)
+            sampled = frames[:: self.stride]
+            n_frames.append(len(frames))
+            fpss.append(fps)
+            means.append(sampled.reshape(len(sampled), -1).mean(axis=1))
+            dims.append((frames.shape[2], frames.shape[1]))
+        return pa.table({
+            "media_id": pa.array(ids),
+            "n_frames": pa.array(np.array(n_frames, dtype=np.int64)),
+            "fps": pa.array(np.array(fpss, dtype=np.int64)),
+            "n_sampled": pa.array(np.array([len(m) for m in means], dtype=np.int64)),
+            "width": pa.array(np.array([d[0] for d in dims], dtype=np.int64)),
+            "height": pa.array(np.array([d[1] for d in dims], dtype=np.int64)),
+            "frame_luma_mean": pa.array(
+                [np.round(m, 6).tolist() for m in means], type=pa.list_(pa.float64())
+            ),
+        })

@@ -201,3 +201,50 @@ class TestWavCodec:
         b = m_decode_wav("/root/testdata/sf0.001").to_pandas().sort_values("item_id")
         assert len(a) == 64
         assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+class TestY4M:
+    def test_roundtrip_and_chroma_skip(self):
+        from complexity_driven_feature_construction_ray.stages.multimodal import (
+            decode_y4m,
+            encode_y4m,
+        )
+
+        rng = np.random.default_rng(5)
+        frames = rng.integers(0, 256, (5, 8, 10), dtype=np.uint8)
+        dec, fps = decode_y4m(encode_y4m(frames, fps=30))
+        assert fps == 30
+        np.testing.assert_array_equal(dec, frames)
+
+    def test_rejects_non_y4m(self):
+        import pytest
+
+        from complexity_driven_feature_construction_ray.stages.multimodal import decode_y4m
+
+        with pytest.raises(ValueError):
+            decode_y4m(b"RIFF....not a y4m stream")
+
+    def test_frame_sample_luma_golden(self, ray_session):
+        # the synthetic clip's sampled-frame luma mean is analytic:
+        # base gray + bright-square lift (64 px of 235 over w*h)
+        import ray.data
+
+        from complexity_driven_feature_construction_ray.stages.multimodal import (
+            VideoFrameSample,
+            decode_y4m,
+            synthetic_y4m_table,
+        )
+
+        t = synthetic_y4m_table(6, w=32, h=24, n_frames=12)
+        out = (
+            ray.data.from_arrow(t)
+            .map_batches(VideoFrameSample, fn_constructor_kwargs={"stride": 4},
+                         batch_format="pyarrow", concurrency=1)
+            .to_pandas().sort_values("media_id")
+        )
+        assert (out["n_frames"] == 12).all() and (out["n_sampled"] == 3).all()
+        assert (out["fps"] == 25).all()
+        for mid, means in zip(out["media_id"], out["frame_luma_mean"]):
+            frames, _ = decode_y4m(t["payload"][mid].as_py())
+            for k, m in enumerate(means):
+                np.testing.assert_allclose(m, frames[::4][k].mean(), atol=1e-6)
