@@ -743,6 +743,36 @@ def q_shuffle_join(sf_dir: str):
     return _round_cols(out, {"revenue": 2})
 
 
+def q_skew_join(sf_dir: str):
+    """Skew-aware join: exact LEFT key-count pass routes hot keys
+    (here: customers with > 12 orders) to a broadcast pyarrow join and
+    the cold tail through the bucketed shuffle join
+    (stages/partition.py:skew_join) — the answer to shuffle_hash_join's
+    documented hot-key straggler. Result is the exact inner join, so
+    the SQL oracle is a plain JOIN."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    from ..stages.partition import skew_join
+
+    joined = skew_join(
+        orders, cust, left_on="o_custkey", right_on="c_custkey", hot_threshold=12
+    )
+    out = (
+        joined.groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="sum_price"))
+    )
+    return _round_cols(out, {"sum_price": 2})
+
+
+Q_SKEW_JOIN_SQL = """
+SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 Q_SHUFFLE_JOIN_SQL = """
 SELECT o_orderpriority, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -3053,6 +3083,7 @@ QUERIES: dict[str, tuple] = {
     "q_filter_sort_topk": (q_filter_sort_topk, Q_TOPK_SQL),
     "q_union_distinct": (q_union_distinct, Q_UNION_DISTINCT_SQL),
     "q_shuffle_join": (q_shuffle_join, Q_SHUFFLE_JOIN_SQL),
+    "q_skew_join": (q_skew_join, Q_SKEW_JOIN_SQL),
     "q_approx_distinct": (q_approx_distinct, None),
     "q_corr": (q_corr, Q_CORR_SQL),
     "q_rollup": (q_rollup, Q_ROLLUP_SQL),

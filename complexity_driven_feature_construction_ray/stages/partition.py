@@ -205,3 +205,117 @@ def shuffle_hash_join(
         return out.rename_columns([left_on, *left_out, *out_right])
 
     return both.groupby("__b").map_groups(join_bucket, batch_format="pyarrow")
+
+
+def skew_join(
+    left,
+    right,
+    *,
+    left_on: str,
+    right_on: str | None = None,
+    hot_threshold: int = 250_000,
+    num_buckets: int | None = None,
+    suffix: str = "_r",
+):
+    """Skew-aware large x large inner equi-join.
+
+    `shuffle_hash_join`'s documented hazard is the hot key: all rows of
+    one key land in one bucket, so a key with millions of rows on the
+    probe side makes that bucket's local join the straggler. This
+    operator splits the key space by an exact LEFT-side count pass
+    (projected to the key column only — the count shuffle moves 8
+    bytes/row):
+
+    - keys with count > hot_threshold ("hot", by construction at most
+      |left| / hot_threshold of them): the matching RIGHT rows are
+      collected and broadcast via ray.put, and the hot LEFT rows join
+      against them batch-locally with pyarrow's C++ join — perfectly
+      parallel, no co-location needed;
+    - everything else streams through the bucketed shuffle join.
+
+    Assumption (documented): the RIGHT side is not itself skewed on the
+    same keys — right rows for hot keys must fit in the object store
+    (true for the fact x dimension shape this targets). Output =
+    exact inner-join rows, same layout as shuffle_hash_join.
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    right_on = right_on or left_on
+
+    # pass 1: exact per-key count on the key column only (combiner:
+    # per-batch value_counts, then a key-cardinality-sized aggregate)
+    def key_counts(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        vc = pd.Series(batch[left_on].to_numpy(zero_copy_only=False)).value_counts()
+        return pa.table({"__k": pa.array(vc.index.to_numpy()),
+                         "c": pa.array(vc.to_numpy(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        left.select_columns([left_on])
+        .map_batches(key_counts, batch_format="pyarrow")
+        .groupby("__k")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    hot = counts.filter(expr=f"c > {int(hot_threshold)}").to_pandas()
+    hot_keys = np.sort(hot["__k"].to_numpy())
+
+    if len(hot_keys) == 0:
+        return shuffle_hash_join(
+            left, right, left_on=left_on, right_on=right_on,
+            num_buckets=num_buckets, suffix=suffix,
+        )
+
+    hot_ref = ray.put(hot_keys)
+
+    def is_hot(arr: np.ndarray, keys: np.ndarray) -> np.ndarray:
+        idx = np.clip(np.searchsorted(keys, arr), 0, len(keys) - 1)
+        return keys[idx] == arr
+
+    def split(batch: pa.Table, want_hot: bool, col: str) -> pa.Table:
+        mask = is_hot(batch[col].to_numpy(zero_copy_only=False), ray.get(hot_ref))
+        return batch.filter(pa.array(mask if want_hot else ~mask))
+
+    # broadcast the right rows of hot keys (small by assumption)
+    right_hot_tbl = pa.Table.from_pandas(
+        right.map_batches(
+            lambda t: split(t, True, right_on), batch_format="pyarrow"
+        ).to_pandas(),
+        preserve_index=False,
+    )
+    # rename right payload to the joined layout
+    l_schema = (left.schema(fetch_if_missing=False) or left.schema()).base_schema
+    left_names = list(l_schema.names)
+    right_payload = [n for n in right_hot_tbl.column_names if n != right_on]
+    rename_right = {n: (n + suffix if n in left_names else n) for n in right_payload}
+    right_hot_tbl = right_hot_tbl.rename_columns(
+        ["__k" if c == right_on else rename_right[c] for c in right_hot_tbl.column_names]
+    )
+    rh_ref = ray.put(right_hot_tbl)
+    left_out = [n for n in left_names if n != left_on]
+    out_right = [rename_right[n] for n in right_payload]
+
+    def hot_join(batch: pa.Table) -> pa.Table:
+        lt = split(batch, True, left_on)
+        if len(lt) == 0:
+            return pa.table({c: pa.array([], type=f.type) for c, f in zip(
+                [left_on, *left_out, *out_right],
+                [l_schema.field(left_on), *[l_schema.field(n) for n in left_out],
+                 *[ray.get(rh_ref).schema.field(c) for c in out_right]],
+            )})
+        names = ["__k" if c == left_on else c for c in lt.column_names]
+        out = lt.rename_columns(names).join(ray.get(rh_ref), keys="__k", join_type="inner")
+        out = out.select(["__k", *left_out, *out_right])
+        return out.rename_columns([left_on, *left_out, *out_right])
+
+    hot_part = left.map_batches(hot_join, batch_format="pyarrow")
+    cold_part = shuffle_hash_join(
+        left.map_batches(lambda t: split(t, False, left_on), batch_format="pyarrow"),
+        right.map_batches(lambda t: split(t, False, right_on), batch_format="pyarrow"),
+        left_on=left_on, right_on=right_on,
+        num_buckets=num_buckets, suffix=suffix,
+    )
+    return hot_part.union(cold_part)

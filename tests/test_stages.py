@@ -739,3 +739,34 @@ def test_ewma_matches_recursion(ray_session):
             exp[eid] = y
     for eid, e in zip(got["eid"], got["e"]):
         np.testing.assert_allclose(e, exp[eid], rtol=1e-12)
+
+
+def test_skew_join_hot_and_cold_paths(ray_session):
+    """A deliberately hot key (80% of left rows) plus a cold tail:
+    the skew join must produce exactly the plain-join rows."""
+    import duckdb
+
+    from complexity_driven_feature_construction_ray.stages.partition import skew_join
+
+    rng = np.random.default_rng(8)
+    n = 4000
+    keys = np.where(rng.random(n) < 0.8, 7, rng.integers(0, 50, n)).astype(np.int64)
+    left = pa.table({"k": pa.array(keys), "x": pa.array(rng.normal(size=n))})
+    right = pa.table({
+        "rk": pa.array(np.arange(50, dtype=np.int64)),
+        "label": pa.array([f"g{i}" for i in range(50)]),
+    })
+    lds = ray.data.from_arrow(left).repartition(6)
+    rds = ray.data.from_arrow(right).repartition(2)
+    out = skew_join(lds, rds, left_on="k", right_on="rk", hot_threshold=500).to_pandas()
+    con = duckdb.connect()
+    con.register("l", left.to_pandas())
+    con.register("r", right.to_pandas())
+    exp = con.execute(
+        "SELECT label, count(*) n, sum(x) s FROM l JOIN r ON k = rk GROUP BY label"
+    ).df().set_index("label")
+    got = out.groupby("label").agg(n=("x", "size"), s=("x", "sum"))
+    assert len(out) == int(exp["n"].sum())
+    for lbl in exp.index:
+        assert got.loc[lbl, "n"] == exp.loc[lbl, "n"]
+        np.testing.assert_allclose(got.loc[lbl, "s"], exp.loc[lbl, "s"], rtol=1e-9)
