@@ -2496,6 +2496,56 @@ FROM lineitem CROSS JOIN e
 """
 
 
+def d_chunk(sf_dir: str):
+    """RAG-style document chunking: fixed 200-char windows with 50-char
+    overlap (stride 150), emitted as (doc_id, chunk_idx, chunk) rows —
+    pure row-local explode (numpy repeat + vectorized substring), zero
+    shuffle; the count/length summary keeps the oracle result small."""
+    from ray.data.aggregate import Count, Sum
+
+    size, stride = 200, 150
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch["text"].to_pandas()).fillna("")
+        ids = batch["doc_id"].to_numpy()
+        lens = s.str.len().to_numpy(dtype=np.int64)
+        n_chunks = np.maximum((np.maximum(lens - size, 0) + stride - 1) // stride, 0) + 1
+        ridx = np.repeat(np.arange(len(s)), n_chunks)
+        cidx = np.concatenate([np.arange(k) for k in n_chunks]) if len(s) else np.array([], dtype=np.int64)
+        starts = cidx * stride
+        texts = s.to_numpy()
+        out_chunks = [texts[r][st : st + size] for r, st in zip(ridx, starts)]
+        return pa.table({
+            "doc_id": pa.array(ids[ridx]),
+            "chunk_idx": pa.array(cidx.astype(np.int64)),
+            "chunk_len": pa.array(
+                np.array([len(c) for c in out_chunks], dtype=np.int64)
+            ),
+        })
+
+    out = (
+        ds.map_batches(chunks, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_chunks"), Sum("chunk_len", alias_name="sum_len"))
+    )
+    return out
+
+
+D_CHUNK_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         unnest(generate_series(0,
+            CAST(ceil(greatest(length(text) - 200, 0) / 150.0) AS INT))) AS chunk_idx,
+         length(text) AS len
+  FROM documents)
+SELECT doc_id, count(*) AS n_chunks,
+       CAST(sum(least(200, len - chunk_idx * 150)) AS BIGINT) AS sum_len
+FROM c
+GROUP BY doc_id
+"""
+
+
 def d_mutual_info(sf_dir: str):
     """Mutual information (nats) between document language and source —
     the distributed analog of the FairExp MI filter: per-batch Arrow
@@ -3071,6 +3121,7 @@ QUERIES: dict[str, tuple] = {
     "fe_robust": (fe_robust, FE_ROBUST_SQL),
     "fe_qcut": (fe_qcut, FE_QCUT_SQL),
     "d_mutual_info": (d_mutual_info, D_MUTUAL_INFO_SQL),
+    "d_chunk": (d_chunk, D_CHUNK_SQL),
     "fe_ranknorm": (fe_ranknorm, FE_RANKNORM_SQL),
     "fe_target_encode": (fe_target_encode, FE_TARGET_ENCODE_SQL),
     "q_pricing_summary": (q_pricing_summary, Q_PRICING_SQL),
