@@ -385,10 +385,13 @@ def simhash_values(texts: list[str]) -> np.ndarray:
 
 
 def simhash_dedup(
-    ds, *, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    ds, *, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3,
+    return_pairs: bool = False,
 ) -> pd.DataFrame:
     """Near-dup clusters where SimHash Hamming distance <= max_hamming.
-    Bucketing: 4 x 16-bit bands (any pair within distance 3 shares a band)."""
+    Bucketing: 4 x 16-bit bands (any pair within distance 3 shares a band).
+    return_pairs=True returns the raw (a, b, est) candidate-pair frame
+    for the distributed connected-components path."""
 
     def to_bands(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
