@@ -190,8 +190,10 @@ FROM lineitem
 def fe_winsorize(sf_dir: str):
     """Winsorize (quantile-clip) at the discrete [p05, p95]: fit is the
     mergeable weighted-value sketch (stages/fit.py — the impute_median
-    path), apply is a stateless clip. Values are unchanged or snapped to
-    an existing value, so the compare is exact (no rounding)."""
+    path with a 64k-point per-partial cap), apply is a stateless clip.
+    Values are unchanged or snapped to an existing value, so the compare
+    is exact (no rounding) while per-block distinct counts stay under
+    the cap (true at every test sf; bounded rank error beyond)."""
     from ..functions.expr import winsorize
 
     def build(f):
@@ -2790,9 +2792,10 @@ def d_cms_counts(sf_dir: str):
 
 def fe_robust(sf_dir: str):
     """Robust scaling (x - median)/IQR — quartiles learned by the
-    mergeable weighted-value sketch (percentile_disc semantics, so the
-    oracle is exact; documented divergence from sklearn's interpolated
-    quantiles)."""
+    mergeable weighted-value sketch (percentile_disc semantics with the
+    64k per-partial cap: oracle-exact while per-block distinct counts
+    stay under it, bounded rank error beyond; documented divergence
+    from sklearn's interpolated quantiles)."""
     from ..functions.expr import robust_scale
 
     def build(f):

@@ -104,7 +104,24 @@ def kmeans_fit(
     Returns the (k, d) centroid matrix."""
     import ray
 
-    sample_df = ds.sort(id_col).limit(init_sample).to_pandas()
+    # deterministic init sample = the `init_sample` smallest ids, taken
+    # WITHOUT a global sort: each block reduces to its local min-k rows
+    # (a combiner), and the tiny driver merge picks the global min-k.
+    # ds.sort(id).limit(k) would all-to-all-shuffle the whole corpus
+    # just to drop everything past row 2048.
+    def local_min_k(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) > init_sample:
+            keep = np.argpartition(ids, init_sample - 1)[:init_sample]
+            batch = batch.take(pa.array(np.sort(keep)))
+        return batch.select([id_col, emb_col])
+
+    sample_df = (
+        ds.map_batches(local_min_k, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(id_col, kind="stable")
+        .head(init_sample)
+    )
     S = np.stack(sample_df[emb_col].to_numpy()).astype(np.float64)
     rng = np.random.default_rng(seed)
     centers = _kmeanspp_init(S, n_clusters, rng)

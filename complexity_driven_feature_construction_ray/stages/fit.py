@@ -88,8 +88,15 @@ def _partial_for(f: Feature, cols: dict, fitted: Fitted, cache: dict):
         vals, counts = np.unique(pv, return_counts=True)
         return ("counts", vals, counts)
     if op in ("impute_median", "winsor", "robust", "ranknorm", "qcut"):
-        # all fit through the mergeable weighted-value sketch
-        return ("quant",) + _quant_partial(pv)
+        # all fit through the mergeable weighted-value sketch. The
+        # quantile-EDGE fits (winsor/robust/qcut/ranknorm) are compared
+        # against exact SQL percentile_disc/cume_dist oracles, so they
+        # get a 16x larger per-partial cap: exact while a block stays
+        # under 64k distinct values (covers every test sf; lineitem
+        # blocks at sf0.1 carry 10k-37k distinct prices, past the 4k
+        # default), bounded rank error ~n_block/65536 beyond.
+        k = 16 * _QUANT_K if op != "impute_median" else None
+        return ("quant",) + _quant_partial(pv, k)
     n = len(pv)
     return (
         "scalar",

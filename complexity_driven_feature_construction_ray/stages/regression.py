@@ -36,7 +36,8 @@ def grouped_ols(
     slope_col: str = "slope",
     intercept_col: str = "intercept",
 ):
-    """Returns a Dataset of (key, n, slope, intercept) per group."""
+    """Returns a Dataset of (key, n, slope, intercept) per group.
+    Rows with a null group key are dropped (no NULL-key group)."""
     from ray.data.aggregate import Sum
 
     def part(batch: pa.Table) -> pa.Table:
@@ -45,7 +46,18 @@ def grouped_ols(
         y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
         ok = ~(np.isnan(x) | np.isnan(y))
         codes, uniques = pd.factorize(k)
+        # null group keys factorize to code -1, which np.bincount
+        # rejects; drop those rows (documented: no NULL-key group)
+        ok &= codes >= 0
+        codes = np.where(codes < 0, 0, codes)
         nk = len(uniques)
+        if nk == 0:
+            return pa.table({key: pa.array([], type=batch[key].type),
+                             "n": pa.array([], type=pa.float64()),
+                             "sx": pa.array([], type=pa.float64()),
+                             "sy": pa.array([], type=pa.float64()),
+                             "sxx": pa.array([], type=pa.float64()),
+                             "sxy": pa.array([], type=pa.float64())})
         xz = np.where(ok, x, 0.0)
         yz = np.where(ok, y, 0.0)
         return pa.table({
