@@ -143,17 +143,19 @@ def _mdlp_cuts(x: np.ndarray, y: np.ndarray, max_depth: int = 6) -> list[float]:
     return sorted(cuts)
 
 
-def _winsor_bounds_exact(p: np.ndarray, q: tuple) -> tuple[float, float]:
-    """Discrete-quantile clip bounds, SQL percentile_disc semantics:
-    the value at 1-based rank ceil(q*n) of the sorted non-NaN values."""
-    q_lo, q_hi = q
+def _quantiles_disc(p: np.ndarray, qs: tuple) -> tuple:
+    """Discrete quantiles, SQL percentile_disc semantics: the value at
+    1-based rank ceil(q*n) of the sorted non-NaN values. One sort for
+    any number of quantiles."""
     sv = np.sort(p[~np.isnan(p)])
     n = len(sv)
     if n == 0:
-        return (float("nan"), float("nan"))
-    lo = sv[max(int(np.ceil(q_lo * n)) - 1, 0)]
-    hi = sv[max(int(np.ceil(q_hi * n)) - 1, 0)]
-    return (float(lo), float(hi))
+        return tuple(float("nan") for _ in qs)
+    return tuple(float(sv[max(int(np.ceil(q * n)) - 1, 0)]) for q in qs)
+
+
+def _winsor_bounds_exact(p: np.ndarray, q: tuple) -> tuple[float, float]:
+    return _quantiles_disc(p, q)
 
 
 # ---------------------------------------------------------------------------
@@ -306,8 +308,7 @@ def fit_on_arrays(
                     elif op == "winsor":
                         fitted[f.name] = _winsor_bounds_exact(p, f.params or (0.05, 0.95))
                     elif op == "robust":
-                        q25, med = _winsor_bounds_exact(p, (0.25, 0.5))
-                        _, q75 = _winsor_bounds_exact(p, (0.25, 0.75))
+                        med, q25, q75 = _quantiles_disc(p, (0.5, 0.25, 0.75))
                         fitted[f.name] = (med, q25, q75)
                     elif op == "ranknorm":
                         vals, counts = np.unique(p[~np.isnan(p)], return_counts=True)

@@ -3040,12 +3040,14 @@ def d_stratified_sample(sf_dir: str):
     unique and the sample is total-order deterministic across runs and
     cluster sizes). Uses the grouped_topn local-combiner (each batch
     contributes <= n rows per stratum to the exchange)."""
-    from ..stages.sampling import grouped_topn
+    from ..stages.sampling import det_hash_u32, grouped_topn
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
 
     def keyed(batch: pa.Table) -> pa.Table:
-        k = (batch["doc_id"].to_numpy().astype(np.int64) * 2654435761) % 4294967296
+        # seed=0 makes det_hash_u32's multiplier the bare Knuth constant,
+        # exactly the SQL oracle's (doc_id * 2654435761) % 2^32
+        k = det_hash_u32(batch["doc_id"].to_numpy(), seed=0).astype(np.int64)
         return batch.append_column("__key", pa.array(k))
 
     out = grouped_topn(

@@ -217,6 +217,7 @@ class ImageResize:
         out_payload, out_meta = [], []
         stride = max(int(round(1 / (self.scale**2))), 1)
         types = batch["media_type"].to_pylist() if "media_type" in batch.column_names else None
+        out_types = list(types) if types is not None else None
         for i, (payload, meta) in enumerate(
             zip(batch["payload"].to_pylist(), batch["meta"].to_pylist())
         ):
@@ -237,11 +238,21 @@ class ImageResize:
                 img = resize_nearest(decode_image(payload, types[i] if types else None), self.scale)
                 out_payload.append(encode_ppm(img))
                 m["h"], m["w"] = int(img.shape[0]), int(img.shape[1])
+                # real mode transcodes every image to PPM; the column
+                # must say so or downstream dispatch-by-declared-type
+                # reads stale BMP metadata against PPM bytes
+                if out_types is not None:
+                    out_types[i] = "image/x-portable-pixmap"
             out_meta.append(json.dumps(m))
         batch = batch.set_column(
             batch.column_names.index("payload"), "payload",
             pa.array(out_payload, type=pa.binary()),
         )
+        if out_types is not None and not self.fake:
+            batch = batch.set_column(
+                batch.column_names.index("media_type"), "media_type",
+                pa.array(out_types, type=pa.string()),
+            )
         return batch.set_column(
             batch.column_names.index("meta"), "meta", pa.array(out_meta, type=pa.string())
         )

@@ -279,12 +279,19 @@ def skew_join(
         mask = is_hot(batch[col].to_numpy(zero_copy_only=False), ray.get(hot_ref))
         return batch.filter(pa.array(mask if want_hot else ~mask))
 
-    # broadcast the right rows of hot keys (small by assumption)
-    right_hot_tbl = pa.Table.from_pandas(
-        right.map_batches(
-            lambda t: split(t, True, right_on), batch_format="pyarrow"
-        ).to_pandas(),
-        preserve_index=False,
+    # broadcast the right rows of hot keys (small by assumption).
+    # Collected as Arrow batches — no pandas roundtrip (which would
+    # bounce strings through object arrays). Note the two-scan trade:
+    # the RIGHT side is read once here for hot rows and again in the
+    # cold shuffle path; acceptable because hot-row extraction is a
+    # pruned streaming filter, and caching the right side instead
+    # would materialize it.
+    hot_right = right.map_batches(lambda t: split(t, True, right_on), batch_format="pyarrow")
+    hot_blocks = list(hot_right.iter_batches(batch_format="pyarrow", batch_size=None))
+    right_hot_tbl = (
+        pa.concat_tables(hot_blocks).combine_chunks()
+        if hot_blocks
+        else pa.Table.from_pylist([], schema=hot_right.schema().base_schema)
     )
     # rename right payload to the joined layout
     l_schema = (left.schema(fetch_if_missing=False) or left.schema()).base_schema

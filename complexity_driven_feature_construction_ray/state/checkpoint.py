@@ -123,7 +123,11 @@ def resumable_backfill(
             batch_size=batch_size,
             keep_input=keep_input,
         )
-        tmp = store.shard_dir(i) + ".tmp"
+        # per-run-unique tmp dir: a concurrent run (or a stale dir from
+        # a killed one) must not be clobbered mid-write by this run's
+        # cleanup; only the atomic rename in commit() races, and the
+        # loser's rename fails loudly instead of corrupting the shard
+        tmp = store.shard_dir(i) + f".tmp-{os.getpid()}"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         out.write_parquet(tmp)
