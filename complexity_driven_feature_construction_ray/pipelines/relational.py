@@ -3110,6 +3110,219 @@ GROUP BY source
 """
 
 
+def q_left_join(sf_dir: str):
+    """LEFT OUTER equi-join at fact-table scale: every customer row
+    survives, order payload is NULL where no order matched. Same
+    bucketed shuffle join as q_shuffle_join (stages/partition.py:
+    shuffle_hash_join) — outer semantics are per-bucket-correct because
+    both sides of a key co-locate, so a left row unmatched in its
+    bucket is unmatched globally."""
+    from ..stages.partition import shuffle_hash_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    return shuffle_hash_join(
+        cust, orders, left_on="c_custkey", right_on="o_custkey",
+        join_type="left outer",
+    )
+
+
+Q_LEFT_JOIN_SQL = """
+SELECT c_custkey, c_acctbal, o_totalprice
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+"""
+
+
+def q_full_outer_join(sf_dir: str):
+    """FULL OUTER join of two filtered streams (big orders x rich
+    customers): unmatched rows of BOTH sides survive with NULL payload
+    from the other. The bucketed join's union-pad-shuffle layout makes
+    this the same single exchange as the inner case; pyarrow coalesces
+    the key, so unmatched right rows carry their own key value."""
+    from ..stages.partition import shuffle_hash_join
+
+    big = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).filter(
+        expr="o_totalprice > 150000.0"
+    )
+    rich = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment", "c_acctbal"]).filter(
+        expr="c_acctbal > 5000.0"
+    )
+    joined = shuffle_hash_join(
+        big, rich, left_on="o_custkey", right_on="c_custkey",
+        join_type="full outer",
+    )
+    return joined.select_columns(["o_custkey", "o_totalprice", "c_mktsegment"])
+
+
+Q_FULL_OUTER_JOIN_SQL = """
+SELECT COALESCE(o.o_custkey, c.c_custkey) AS o_custkey, o.o_totalprice, c.c_mktsegment
+FROM (SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 150000.0) o
+FULL OUTER JOIN (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000.0) c
+ON o.o_custkey = c.c_custkey
+"""
+
+
+def q_cube(sf_dir: str):
+    """CUBE (flag, status): all four grouping sets. Like q_rollup, one
+    streaming pass produces the finest level; the per-flag, per-status
+    and grand-total sets re-aggregate the group-cardinality-sized fine
+    result driver-side — never a second pass over rows. NULL marks each
+    rolled-up dimension, as in SQL CUBE."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    fine = (
+        ds.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty"))
+        .to_pandas()
+    )
+    per_flag = fine.groupby("l_returnflag", as_index=False)[["n", "sum_qty"]].sum()
+    per_flag["l_linestatus"] = None
+    per_status = fine.groupby("l_linestatus", as_index=False)[["n", "sum_qty"]].sum()
+    per_status["l_returnflag"] = None
+    total = pd.DataFrame({
+        "l_returnflag": [None], "l_linestatus": [None],
+        "n": [fine["n"].sum()], "sum_qty": [fine["sum_qty"].sum()],
+    })
+    out = pd.concat([fine, per_flag, per_status, total], ignore_index=True)[
+        ["l_returnflag", "l_linestatus", "n", "sum_qty"]
+    ]
+    out["sum_qty"] = out["sum_qty"].round(6)
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+Q_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 6) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def t_fill_forward(sf_dir: str):
+    """Per-entity forward fill (LOCF): the last observed click value is
+    carried to every later event of the same user; leading rows before
+    the first click stay NULL (stages/temporal.py:fill_forward — one
+    entity-hash shuffle, vectorized running-maximum source index inside
+    the bucket). The gap-fill primitive for feature freshness."""
+    from ..stages.temporal import fill_forward
+
+    ds = _read(
+        sf_dir, "events",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+        split=True,
+    )
+
+    def sparse(batch: pa.Table) -> pa.Table:
+        v = pc.if_else(
+            pc.equal(batch["event_type"], pa.scalar("click")),
+            batch["value"],
+            pa.nulls(len(batch), type=batch.schema.field("value").type),
+        )
+        return pa.table({
+            "event_id": batch["event_id"], "ts": batch["ts"],
+            "user_id": batch["user_id"], "v": v,
+        })
+
+    out = fill_forward(
+        ds.map_batches(sparse, batch_format="pyarrow"),
+        key="user_id", ts="ts", cols=["v"], tiebreak=["event_id"],
+    )
+    return out.select_columns(["event_id", "v_ffill"])
+
+
+T_FILL_FORWARD_SQL = """
+SELECT event_id,
+       last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+FROM (SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'click' THEN value END AS v
+      FROM events)
+"""
+
+
+def d_mad_filter(sf_dir: str):
+    """Robust per-group outlier cut: keep documents whose length is
+    within 3 median-absolute-deviations of their source's median. Two
+    mergeable grouped-median sketch passes (stages/sketch.py) — only
+    O(batches x sources x k) summary bytes leave each — then the tiny
+    (median, MAD) maps broadcast into one streaming filter pass. The
+    length-outlier curation cut, skew-immune where a mean/std cut is
+    not."""
+    import ray
+
+    from ..stages.sketch import grouped_median
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    med = grouped_median(ds, key_cols=["source"], value_col="n_chars", out_col="med")
+    med_map = dict(zip(med["source"], med["med"]))
+    med_ref = ray.put(med_map)
+
+    def dev(batch: pa.Table) -> pa.Table:
+        m = (
+            pd.Series(batch["source"].to_numpy(zero_copy_only=False))
+            .map(ray.get(med_ref))
+            .to_numpy(np.float64)
+        )
+        x = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"source": batch["source"], "dv": pa.array(np.abs(x - m))})
+
+    mad = grouped_median(
+        ds.map_batches(dev, batch_format="pyarrow"),
+        key_cols=["source"], value_col="dv", out_col="mad",
+    )
+    mad_map = dict(zip(mad["source"], mad["mad"]))
+    bound_ref = ray.put(
+        {s: (med_map[s], 3.0 * mad_map[s]) for s in med_map}
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        bounds = ray.get(bound_ref)
+        src = pd.Series(batch["source"].to_numpy(zero_copy_only=False))
+        m = src.map({s: b[0] for s, b in bounds.items()}).to_numpy(np.float64)
+        r = src.map({s: b[1] for s, b in bounds.items()}).to_numpy(np.float64)
+        x = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return batch.filter(pa.array(np.abs(x - m) <= r))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+D_MAD_FILTER_SQL = """
+WITH med AS (SELECT source, median(n_chars) AS m FROM documents GROUP BY source),
+dev AS (SELECT d.doc_id, d.source, d.n_chars, abs(d.n_chars - med.m) AS dv, med.m AS m
+        FROM documents d JOIN med USING (source)),
+mad AS (SELECT source, median(dv) AS s FROM dev GROUP BY source)
+SELECT dev.doc_id, dev.source, dev.n_chars
+FROM dev JOIN mad USING (source)
+WHERE abs(dev.n_chars - dev.m) <= 3 * mad.s
+"""
+
+
+def q_string_agg(sf_dir: str):
+    """Ordered per-group string aggregation (the shard-concat /
+    training-doc-assembly shape): language codes of each source joined
+    in doc_id order. One entity-hash-bucket shuffle via grouped_map;
+    inside a bucket, a C-level pandas sort + groupby-join handles every
+    source of the bucket at once."""
+    from ..stages.temporal import grouped_map
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "lang"])
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="stable")
+        out = g.groupby("source", sort=False)["lang"].agg(",".join).reset_index()
+        return out.rename(columns={"lang": "langs"})
+
+    return grouped_map(ds, "source", agg)
+
+
+Q_STRING_AGG_SQL = """
+SELECT source, string_agg(lang, ',' ORDER BY doc_id) AS langs
+FROM documents
+GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3143,6 +3356,12 @@ QUERIES: dict[str, tuple] = {
     "q_approx_distinct": (q_approx_distinct, None),
     "q_corr": (q_corr, Q_CORR_SQL),
     "q_rollup": (q_rollup, Q_ROLLUP_SQL),
+    "q_cube": (q_cube, Q_CUBE_SQL),
+    "q_left_join": (q_left_join, Q_LEFT_JOIN_SQL),
+    "q_full_outer_join": (q_full_outer_join, Q_FULL_OUTER_JOIN_SQL),
+    "q_string_agg": (q_string_agg, Q_STRING_AGG_SQL),
+    "t_fill_forward": (t_fill_forward, T_FILL_FORWARD_SQL),
+    "d_mad_filter": (d_mad_filter, D_MAD_FILTER_SQL),
     "d_cms_counts": (d_cms_counts, None),
     "q_salted_agg": (q_salted_agg, Q_SALTED_AGG_SQL),
     "t_lag_lead": (t_lag_lead, T_LAG_LEAD_SQL),

@@ -126,8 +126,10 @@ def shuffle_hash_join(
     Partitioning assumption: rows of ONE key land in one bucket, so a
     pathologically hot key (>~250k rows on both sides) makes that
     bucket's local join quadratic-ish in the hot-key rows; pre-split
-    such keys to the broadcast path. `join_type` is "inner" or
-    "left outer" (pyarrow Table.join naming).
+    such keys to the broadcast path. `join_type` is "inner",
+    "left outer" or "full outer" (pyarrow Table.join naming) — outer
+    semantics are per-bucket-correct because both sides of a key
+    co-locate, so a row unmatched in its bucket is unmatched globally.
 
     Column names: right columns colliding with a left column get
     `suffix`; the right key column is dropped (equi-join, same values).
@@ -144,8 +146,10 @@ def shuffle_hash_join(
     # behind a repartition, is a full scan — only fall back to it
     _ls = left.schema(fetch_if_missing=False) or left.schema()
     _rs = right.schema(fetch_if_missing=False) or right.schema()
-    left_schema = _ls.base_schema
-    right_schema = _rs.base_schema
+    from .temporal import _as_arrow_schema
+
+    left_schema = _as_arrow_schema(_ls)
+    right_schema = _as_arrow_schema(_rs)
     left_names = list(left_schema.names)
     right_payload = [n for n in right_schema.names if n != right_on]
     rename_right = {
@@ -291,10 +295,12 @@ def skew_join(
     right_hot_tbl = (
         pa.concat_tables(hot_blocks).combine_chunks()
         if hot_blocks
-        else pa.Table.from_pylist([], schema=hot_right.schema().base_schema)
+        else pa.Table.from_pylist([], schema=_aas(hot_right.schema()))
     )
     # rename right payload to the joined layout
-    l_schema = (left.schema(fetch_if_missing=False) or left.schema()).base_schema
+    from .temporal import _as_arrow_schema as _aas
+
+    l_schema = _aas(left.schema(fetch_if_missing=False) or left.schema())
     left_names = list(l_schema.names)
     right_payload = [n for n in right_hot_tbl.column_names if n != right_on]
     rename_right = {n: (n + suffix if n in left_names else n) for n in right_payload}

@@ -915,3 +915,63 @@ def ewma(
         return g
 
     return grouped_map(ds, key, per_bucket, num_buckets=num_buckets)
+
+
+def fill_forward(
+    ds,
+    *,
+    key: str,
+    ts: str,
+    cols: list[str],
+    suffix: str = "_ffill",
+    num_buckets: int | None = None,
+    tiebreak: list[str] | None = None,
+):
+    """Per-entity last-observation-carried-forward: each NULL in `cols`
+    takes the most recent non-NULL value of the SAME entity ordered by
+    (ts, tiebreak); leading NULLs stay NULL (SQL
+    `last_value(x IGNORE NULLS) OVER (... ROWS UNBOUNDED PRECEDING)`).
+
+    Same single-shuffle contract as lag_lead: one entity-hash-bucket
+    exchange, then a vectorized fill inside the bucket — the carried
+    source INDEX is a running maximum (np.maximum.accumulate), clipped
+    to the entity segment's first row so state never leaks across
+    entities. No per-row Python, any number of fill columns per pass.
+    """
+    B = num_buckets or default_buckets(ds)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket", pa.array(_bucket_of(batch[key].to_numpy(zero_copy_only=False), B))
+        )
+
+    def fill_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = _sort_order(g, [key, ts, *(tiebreak or [])])
+        out = g.take(pa.array(order)).drop_columns(["__bucket"])
+        k = out[key].to_numpy(zero_copy_only=False)
+        m = len(k)
+        same = np.empty(m, dtype=bool)
+        same[0] = False
+        same[1:] = k[1:] == k[:-1]
+        pos = np.arange(m)
+        # first row index of each entity segment, carried forward
+        seg_first = np.maximum.accumulate(np.where(~same, pos, -1))
+        for c in cols:
+            arr = out[c].combine_chunks() if out[c].num_chunks > 1 else out[c].chunk(0) if out[c].num_chunks else pa.nulls(0, type=out.schema.field(c).type)
+            valid = ~np.asarray(pc.is_null(arr, nan_is_null=True))
+            src = np.maximum.accumulate(np.where(valid, pos, -1))
+            ok = src >= seg_first  # a carry from before the segment is no carry
+            filled = arr.take(pa.array(np.where(ok, src, 0)))
+            out = out.append_column(
+                f"{c}{suffix}",
+                pc.if_else(pa.array(ok), filled, pa.nulls(m, type=arr.type)),
+            )
+        return out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(fill_bucket, batch_format="pyarrow")
+    )

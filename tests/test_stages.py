@@ -770,3 +770,33 @@ def test_skew_join_hot_and_cold_paths(ray_session):
     for lbl in exp.index:
         assert got.loc[lbl, "n"] == exp.loc[lbl, "n"]
         np.testing.assert_allclose(got.loc[lbl, "s"], exp.loc[lbl, "s"], rtol=1e-9)
+
+
+def test_outer_join_types(ray_session):
+    """left/full outer shuffle_hash_join vs pandas merge."""
+    import pandas as pd
+
+    from complexity_driven_feature_construction_ray.stages.partition import shuffle_hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4, 4], "a": [10.0, 20.0, 30.0, 40.0, 41.0]})
+    right = pd.DataFrame({"k": [2, 4, 5], "b": ["x", "y", "z"]})
+    lds = ray.data.from_pandas(left).repartition(3)
+    rds = ray.data.from_pandas(right).repartition(2)
+
+    got_left = (
+        shuffle_hash_join(lds, rds, left_on="k", join_type="left outer", num_buckets=4)
+        .to_pandas().sort_values(["k", "a"]).reset_index(drop=True)
+    )
+    exp_left = left.merge(right, on="k", how="left").sort_values(["k", "a"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got_left, exp_left.astype(got_left.dtypes.to_dict()), check_like=True
+    )
+
+    got_full = (
+        shuffle_hash_join(lds, rds, left_on="k", join_type="full outer", num_buckets=4)
+        .to_pandas().sort_values(["k", "a"]).reset_index(drop=True)
+    )
+    exp_full = left.merge(right, on="k", how="outer").sort_values(["k", "a"]).reset_index(drop=True)
+    assert len(got_full) == len(exp_full)
+    assert sorted(got_full["k"]) == sorted(exp_full["k"])
+    assert set(got_full.loc[got_full["a"].isna(), "k"]) == {5}

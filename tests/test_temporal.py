@@ -248,3 +248,57 @@ def test_temporal_attach_matches_composition(ray_session, probe_table, events_df
         a = fused[c].to_numpy(dtype=float)
         b = comp[c].to_numpy(dtype=float)
         assert np.allclose(a, b, equal_nan=True), c
+
+
+def test_fill_forward_matches_pandas_ffill(ray_session):
+    """LOCF vs pandas groupby.ffill on a fixture with leading NULLs,
+    all-NULL entities, NULL runs, and ts ties broken by a tiebreak col."""
+    from complexity_driven_feature_construction_ray.stages.temporal import fill_forward
+
+    rng = np.random.default_rng(11)
+    n = 800
+    df = pd.DataFrame(
+        {
+            "eid": np.arange(n),
+            "ts": rng.integers(0, 50, n),  # heavy ties
+            "k": rng.integers(0, 17, n),
+            "v": np.where(rng.random(n) < 0.55, np.nan, rng.integers(0, 99, n).astype(float)),
+        }
+    )
+    df.loc[df["k"] == 3, "v"] = np.nan  # an entirely-NULL entity
+    ds = ray.data.from_pandas(df).repartition(7)
+    got = (
+        fill_forward(ds, key="k", ts="ts", cols=["v"], tiebreak=["eid"])
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["k", "ts", "eid"], kind="stable")
+    exp["v_ffill"] = exp.groupby("k", sort=False)["v"].ffill()
+    exp = exp.sort_values("eid").reset_index(drop=True)
+    assert np.allclose(got["v_ffill"], exp["v_ffill"], equal_nan=True)
+    # the input column is untouched
+    assert np.allclose(got["v"], exp["v"], equal_nan=True)
+
+
+def test_fill_forward_block_count_invariance(ray_session):
+    from complexity_driven_feature_construction_ray.stages.temporal import fill_forward
+
+    df = pd.DataFrame(
+        {
+            "eid": np.arange(60),
+            "ts": np.arange(60) % 6,
+            "k": np.arange(60) % 4,
+            "v": [np.nan if i % 3 else float(i) for i in range(60)],
+        }
+    )
+    outs = []
+    for parts in (1, 13):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        outs.append(
+            fill_forward(ds, key="k", ts="ts", cols=["v"], tiebreak=["eid"])
+            .to_pandas()
+            .sort_values("eid")
+            .reset_index(drop=True)["v_ffill"]
+        )
+    assert np.allclose(outs[0], outs[1], equal_nan=True)
