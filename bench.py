@@ -72,6 +72,12 @@ HEADLINE = [
     "d_pack",
     "f_rod",
     "tok_search",
+    "q_left_join",
+    "q_full_outer_join",
+    "q_cube",
+    "t_fill_forward",
+    "d_mad_filter",
+    "q_string_agg",
 ]
 
 
