@@ -3323,6 +3323,39 @@ GROUP BY source
 """
 
 
+def d_token_budget(sf_dir: str):
+    """Per-source token-budget cut — the data-mixing primitive (DoReMi /
+    Pile recipes cap each source's contribution at a fixed token
+    budget): documents are taken in deterministic doc_id order and kept
+    while the source's running total stays within budget. One
+    entity-hash shuffle (grouped_map); inside a bucket the running
+    total is a single C-level groupby-cumsum over every source of the
+    bucket. Complements d_mixture_sample (rate-based) with an absolute
+    cap."""
+    from ..stages.temporal import grouped_map
+
+    BUDGET = 5000  # chars stand in for tokens in the test tables
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def cut(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "doc_id"], kind="stable")
+        cum = g.groupby("source", sort=False)["n_chars"].cumsum()
+        return g[cum <= BUDGET]
+
+    return grouped_map(ds, "source", cut)
+
+
+D_TOKEN_BUDGET_SQL = """
+SELECT doc_id, source, n_chars FROM (
+    SELECT doc_id, source, n_chars,
+           SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM documents)
+WHERE cum <= 5000
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3362,6 +3395,7 @@ QUERIES: dict[str, tuple] = {
     "q_string_agg": (q_string_agg, Q_STRING_AGG_SQL),
     "t_fill_forward": (t_fill_forward, T_FILL_FORWARD_SQL),
     "d_mad_filter": (d_mad_filter, D_MAD_FILTER_SQL),
+    "d_token_budget": (d_token_budget, D_TOKEN_BUDGET_SQL),
     "d_cms_counts": (d_cms_counts, None),
     "q_salted_agg": (q_salted_agg, Q_SALTED_AGG_SQL),
     "t_lag_lead": (t_lag_lead, T_LAG_LEAD_SQL),
