@@ -3356,6 +3356,103 @@ WHERE cum <= 5000
 """
 
 
+def q_grouped_p90_cont(sf_dir: str):
+    """Per-group INTERPOLATED 90th percentile (SQL percentile_cont /
+    quantile_cont semantics — linear between the two straddling order
+    statistics) via the same mergeable weighted-value sketch as the
+    discrete variant; completes the quantile-semantics family.
+    l_extendedprice is high-cardinality: exact while per-(batch, group)
+    distinct counts stay under the 4k sketch cap (true at the sf0.01
+    gate), bounded rank error ~n_batch/4096 beyond."""
+    from ..stages.sketch import grouped_quantile
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    out = grouped_quantile(
+        ds, key_cols=["l_returnflag"], value_col="l_extendedprice",
+        q=0.9, out_col="p90_price", interpolate=True,
+    )
+    out["p90_price"] = out["p90_price"].round(6)
+    return out
+
+
+Q_GROUPED_P90_CONT_SQL = """
+SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_three_way_join(sf_dir: str):
+    """TPC-H-Q3-shaped three-way pipeline: revenue per market segment
+    and order priority. Join strategy chosen per edge the way a 100 TB
+    plan would: customer (small dim) broadcasts into orders via the
+    sorted-array searchsorted probe; the resulting fact stream then
+    shuffle-hash-joins lineitem (fact x fact); one partially-combined
+    hash aggregate finishes."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.partition import shuffle_hash_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    order_keys = np.sort(cust["c_custkey"].to_numpy())
+    # dictionary-encode the small side: int codes broadcast zero-copy
+    seg_codes, seg_labels = pd.factorize(
+        cust.sort_values("c_custkey")["c_mktsegment"].to_numpy()
+    )
+    keys_ref = ray.put(order_keys)
+    codes_ref = ray.put(seg_codes.astype(np.int32))
+    labels = list(seg_labels)
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderpriority"])
+
+    def attach_segment(batch: pa.Table) -> pa.Table:
+        keys, codes = ray.get(keys_ref), ray.get(codes_ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, ck)
+        # every order has a customer in the fixture; guard anyway
+        idx = np.clip(idx, 0, len(keys) - 1)
+        seg = pa.DictionaryArray.from_arrays(
+            pa.array(codes[idx]), pa.array(labels, type=pa.string())
+        )
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "o_orderpriority": batch["o_orderpriority"],
+            "c_mktsegment": seg.cast(pa.string()),
+        })
+
+    fact = orders.map_batches(attach_segment, batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    joined = shuffle_hash_join(li, fact, left_on="l_orderkey", right_on="o_orderkey")
+
+    def rev(batch: pa.Table) -> pa.Table:
+        r = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        return pa.table({
+            "c_mktsegment": batch["c_mktsegment"],
+            "o_orderpriority": batch["o_orderpriority"],
+            "__r": r,
+        })
+
+    out = (
+        joined.map_batches(rev, batch_format="pyarrow")
+        .groupby(["c_mktsegment", "o_orderpriority"])
+        .aggregate(Sum("__r", alias_name="revenue"))
+    )
+    return _round_cols(out, {"revenue": 2})
+
+
+Q_THREE_WAY_JOIN_SQL = """
+SELECT c_mktsegment, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment, o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3396,6 +3493,8 @@ QUERIES: dict[str, tuple] = {
     "t_fill_forward": (t_fill_forward, T_FILL_FORWARD_SQL),
     "d_mad_filter": (d_mad_filter, D_MAD_FILTER_SQL),
     "d_token_budget": (d_token_budget, D_TOKEN_BUDGET_SQL),
+    "q_grouped_p90_cont": (q_grouped_p90_cont, Q_GROUPED_P90_CONT_SQL),
+    "q_three_way_join": (q_three_way_join, Q_THREE_WAY_JOIN_SQL),
     "d_cms_counts": (d_cms_counts, None),
     "q_salted_agg": (q_salted_agg, Q_SALTED_AGG_SQL),
     "t_lag_lead": (t_lag_lead, T_LAG_LEAD_SQL),

@@ -160,11 +160,17 @@ def grouped_quantile(
     q: float,
     out_col: str = "quantile",
     sketch_k: int | None = None,
+    interpolate: bool = False,
 ) -> pd.DataFrame:
-    """Per-group discrete quantile (SQL percentile_disc semantics: the
-    smallest value whose cumulative weight reaches q of the total) via
-    the same mergeable sketch — exact when per-partial distinct counts
-    stay under the sketch cap, bounded rank error otherwise."""
+    """Per-group quantile via the same mergeable sketch — exact when
+    per-partial distinct counts stay under the sketch cap, bounded rank
+    error otherwise. Two SQL semantics:
+
+    - interpolate=False: percentile_disc — the smallest value whose
+      cumulative weight reaches q of the total.
+    - interpolate=True: percentile_cont — linear interpolation between
+      the order statistics at 0-based ranks floor(h) and ceil(h) with
+      h = q*(N-1)."""
     from .fit import _merge_quant
 
     def disc(vals: np.ndarray, w: np.ndarray) -> float:
@@ -174,8 +180,18 @@ def grouped_quantile(
         target = q * cw[-1]
         return float(vals[np.searchsorted(cw, target, side="left")])
 
+    def cont(vals: np.ndarray, w: np.ndarray) -> float:
+        if len(vals) == 0:
+            return float("nan")
+        cw = np.cumsum(w)
+        h = q * (cw[-1] - 1.0)
+        lo = vals[np.searchsorted(cw, np.floor(h), side="right")]
+        hi = vals[np.searchsorted(cw, np.ceil(h), side="right")]
+        return float(lo + (hi - lo) * (h - np.floor(h)))
+
+    pick = cont if interpolate else disc
     merged = _grouped_quant_parts(ds, key_cols, value_col, sketch_k)
-    rows = [(k, disc(*_merge_quant(parts))) for k, parts in merged.items()]
+    rows = [(k, pick(*_merge_quant(parts))) for k, parts in merged.items()]
     return _keyed_frame(rows, key_cols, [out_col])
 
 
