@@ -4,7 +4,7 @@ from .token_table import (
     write_token_table,
     TOKEN_TABLE_SCHEMA,
 )
-from .readers import read_table, dataset_from_arrays, hash_split
+from .readers import read_table, write_table, dataset_from_arrays, hash_split
 
 __all__ = [
     "token_table_dataset",
@@ -12,6 +12,7 @@ __all__ = [
     "write_token_table",
     "TOKEN_TABLE_SCHEMA",
     "read_table",
+    "write_table",
     "dataset_from_arrays",
     "hash_split",
 ]

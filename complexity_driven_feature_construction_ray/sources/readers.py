@@ -34,6 +34,27 @@ def read_table(path: str, *, format: str = "parquet", columns: list[str] | None 
         if columns:
             ds = ds.select_columns(columns)
         return ds
+    if format in ("json", "jsonl"):
+        # newline-delimited JSON — the lingua franca of raw LLM corpora
+        # (one document object per line); Arrow's JSON reader streams it
+        # file-parallel like any other source
+        ds = ray.data.read_json(path)
+        if columns:
+            ds = ds.select_columns(columns)
+        return ds
+    raise ValueError(f"unsupported format {format}")
+
+
+def write_table(ds, path: str, *, format: str = "parquet") -> None:
+    """Partitioned sink (one file per block — resumable layout, never
+    one giant file). `jsonl` targets interchange with external corpus
+    tooling; parquet is the engine's native checkpoint format."""
+    if format == "parquet":
+        ds.write_parquet(path)
+        return
+    if format in ("json", "jsonl"):
+        ds.write_json(path)
+        return
     raise ValueError(f"unsupported format {format}")
 
 

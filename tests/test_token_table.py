@@ -106,3 +106,34 @@ def test_hash_split_deterministic_fractions(ray_session):
     m = pdf.sort_values("doc_id")["split"].to_numpy()
     m2 = pdf2.sort_values("doc_id")["split"].to_numpy()
     assert (m == m2).all()
+
+
+def test_read_write_table_jsonl_roundtrip(ray_session, tmp_path):
+    """JSONL in -> transform -> JSONL out -> read back equal (the raw
+    LLM-corpus interchange path)."""
+    import json
+
+    from complexity_driven_feature_construction_ray.sources.readers import (
+        read_table,
+        write_table,
+    )
+
+    p = str(tmp_path / "docs.jsonl")
+    rows = [{"doc_id": i, "text": f"doc number {i}", "n": i * 2} for i in range(50)]
+    with open(p, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+    ds = read_table(p, format="jsonl", columns=["doc_id", "n"])
+    back = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert back["n"].tolist() == [i * 2 for i in range(50)]
+
+    out_dir = str(tmp_path / "out")
+    write_table(read_table(p, format="jsonl"), out_dir, format="jsonl")
+    again = (
+        read_table(out_dir, format="jsonl")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert again[["doc_id", "text", "n"]].to_dict("records") == rows
