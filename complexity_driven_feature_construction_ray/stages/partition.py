@@ -290,6 +290,8 @@ def skew_join(
     # cold shuffle path; acceptable because hot-row extraction is a
     # pruned streaming filter, and caching the right side instead
     # would materialize it.
+    from .temporal import _as_arrow_schema as _aas
+
     hot_right = right.map_batches(lambda t: split(t, True, right_on), batch_format="pyarrow")
     hot_blocks = list(hot_right.iter_batches(batch_format="pyarrow", batch_size=None))
     right_hot_tbl = (
@@ -298,8 +300,6 @@ def skew_join(
         else pa.Table.from_pylist([], schema=_aas(hot_right.schema()))
     )
     # rename right payload to the joined layout
-    from .temporal import _as_arrow_schema as _aas
-
     l_schema = _aas(left.schema(fetch_if_missing=False) or left.schema())
     left_names = list(l_schema.names)
     right_payload = [n for n in right_hot_tbl.column_names if n != right_on]

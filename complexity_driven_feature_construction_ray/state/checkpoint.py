@@ -123,13 +123,18 @@ def resumable_backfill(
             batch_size=batch_size,
             keep_input=keep_input,
         )
-        # per-run-unique tmp dir: a concurrent run (or a stale dir from
-        # a killed one) must not be clobbered mid-write by this run's
-        # cleanup; only the atomic rename in commit() races, and the
-        # loser's rename fails loudly instead of corrupting the shard
+        # pid-suffixed tmp dir + stale sweep. The suffix keeps THIS
+        # run's cleanup from deleting another live writer's in-progress
+        # tmp; the glob sweep reclaims shard-sized leftovers of KILLED
+        # runs (otherwise they leak forever under new pids). Ownership
+        # contract: one writer per out_dir at a time — commit() is
+        # last-writer-wins (rmtree + rename), so concurrent writers to
+        # the same out_dir must be serialized by the caller.
+        import glob
+
+        for stale in glob.glob(store.shard_dir(i) + ".tmp-*"):
+            shutil.rmtree(stale, ignore_errors=True)
         tmp = store.shard_dir(i) + f".tmp-{os.getpid()}"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
         out.write_parquet(tmp)
         # row count from the written files' metadata — no extra data pass
         import pyarrow.parquet as pq

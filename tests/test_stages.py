@@ -800,3 +800,26 @@ def test_outer_join_types(ray_session):
     assert len(got_full) == len(exp_full)
     assert sorted(got_full["k"]) == sorted(exp_full["k"])
     assert set(got_full.loc[got_full["a"].isna(), "k"]) == {5}
+
+
+def test_skew_join_hot_key_with_no_right_match(ray_session):
+    """A hot left key absent from the right side must flow through
+    (inner join drops it) instead of crashing the hot-broadcast path."""
+    import pandas as pd
+
+    from complexity_driven_feature_construction_ray.stages.partition import skew_join
+
+    left = pd.DataFrame({"k": [7] * 10 + [1, 2, 3], "a": range(13)})
+    right = pd.DataFrame({"k": [1, 2, 3], "b": ["x", "y", "z"]})
+    out = (
+        skew_join(
+            ray.data.from_pandas(left).repartition(3),
+            ray.data.from_pandas(right),
+            left_on="k", hot_threshold=5, num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 2, 3]
+    assert out["b"].tolist() == ["x", "y", "z"]
