@@ -53,7 +53,7 @@ def _table_nrows(sf_dir: str, table: str) -> int:
     return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
 
 
-def _read(sf_dir: str, table: str, columns=None, split: bool | None = None):
+def _read(sf_dir: str, table: str, columns=None, split: bool | None = None, where=None):
     """Column-pruned parquet read. The test tables are single-row-group
     files, so Ray reads each as ONE block and every downstream map stage
     serializes; big fact tables are repartitioned to ~CPU blocks by
@@ -66,7 +66,19 @@ def _read(sf_dir: str, table: str, columns=None, split: bool | None = None):
     metadata map_batches here used to make every schema probe a full
     scan — 6s per probe at sf0.1 inside t_asof / shuffle_hash_join),
     and the plan keeps its metadata row count so data-sized bucket
-    hints survive."""
+    hints survive.
+
+    `where` (a pyarrow.compute expression) pushes the row filter INTO
+    the scan: row groups whose statistics exclude the predicate are
+    never read from storage — at 100 TB the difference between reading
+    a slice and reading everything to throw most of it away. Columns
+    the predicate references must be listed in `columns` (the scanner
+    projects first); callers that don't want them downstream drop them
+    with select_columns right after the read — a metadata-only
+    projection, nothing ships through an exchange. Composes with the
+    explicit schema=, so schema probes stay metadata-cheap; the plan's
+    metadata row count is the PRE-filter count (an upper bound for
+    bucket hints)."""
     import ray
     import ray.data
 
@@ -74,6 +86,7 @@ def _read(sf_dir: str, table: str, columns=None, split: bool | None = None):
         f"{sf_dir}/{table}.parquet",
         columns=columns,
         schema=_table_schema(sf_dir, table, columns),
+        **({"filter": where} if where is not None else {}),
     )
     if split or (split is None and table in _BIG_TABLES):
         ds = ds.repartition(max(16, int(ray.cluster_resources().get("CPU", 4))))
@@ -3145,16 +3158,17 @@ def q_full_outer_join(sf_dir: str):
     the key, so unmatched right rows carry their own key value."""
     from ..stages.partition import shuffle_hash_join
 
-    big = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).filter(
-        expr="o_totalprice > 150000.0"
+    # both predicates push into the scan (row-group pruning at the
+    # read); acctbal is dropped right after the reader — a metadata
+    # projection — so it never ships through the join exchange
+    big = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_totalprice"],
+        where=pc.field("o_totalprice") > 150000.0,
     )
-    rich = (
-        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment", "c_acctbal"])
-        .filter(expr="c_acctbal > 5000.0")
-        # acctbal served the filter only — drop it BEFORE the exchange
-        # so the join doesn't pad/shuffle a column the output discards
-        .select_columns(["c_custkey", "c_mktsegment"])
-    )
+    rich = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+        where=pc.field("c_acctbal") > 5000.0,
+    ).select_columns(["c_custkey", "c_mktsegment"])
     joined = shuffle_hash_join(
         big, rich, left_on="o_custkey", right_on="c_custkey",
         join_type="full outer",
