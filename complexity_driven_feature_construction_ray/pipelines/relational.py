@@ -541,8 +541,8 @@ def q_semi_join(sf_dir: str):
     from ray.data.aggregate import Count
 
     keys = (
-        _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
-        .filter(expr="o_totalprice > 150000.0")
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"],
+              where=pc.field("o_totalprice") > 150000.0)
         .to_pandas()["o_orderkey"]
         .to_numpy()
     )
@@ -578,8 +578,8 @@ def q_anti_join(sf_dir: str):
     from ray.data.aggregate import Count
 
     keys = (
-        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-        .filter(expr="o_totalprice > 400000.0")
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"],
+              where=pc.field("o_totalprice") > 400000.0)
         .to_pandas()["o_custkey"]
         .unique()
     )
@@ -671,13 +671,13 @@ def q_union_distinct(sf_dir: str):
     — Dataset.union then the exact-dedup shuffle, counted per flag."""
     from ray.data.aggregate import Count
 
-    hi = (
-        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_quantity"])
-        .filter(expr="l_quantity >= 45.0")
+    hi = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_quantity"],
+        where=pc.field("l_quantity") >= 45.0,
     )
-    lo = (
-        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_quantity"])
-        .filter(expr="l_quantity <= 5.0")
+    lo = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_quantity"],
+        where=pc.field("l_quantity") <= 5.0,
     )
 
     def proj(batch: pa.Table) -> pa.Table:
@@ -3015,8 +3015,8 @@ def q_bloom_semi_join(sf_dir: str):
     from ..stages.bloom import BloomFilter
 
     keys = (
-        _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
-        .filter(expr="o_totalprice > 250000.0")
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"],
+              where=pc.field("o_totalprice") > 250000.0)
         .to_pandas()["o_orderkey"]
         .to_numpy()
     )
