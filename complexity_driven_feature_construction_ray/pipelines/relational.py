@@ -3377,6 +3377,60 @@ WHERE cum <= 5000
 """
 
 
+def d_embed_decontaminate(sf_dir: str):
+    """Embedding-space benchmark decontamination — the SEMANTIC
+    complement of the n-gram overlap check (d_decontaminate): flag any
+    corpus vector whose cosine similarity to ANY benchmark vector
+    crosses the threshold (paraphrased eval leakage that shingle
+    hashing misses). The benchmark matrix (here: vec_id < 10) is tiny
+    and broadcasts once via ray.put; each batch does one float64
+    matmul against it (zero-copy embedding extraction) — the corpus
+    streams, nothing materializes."""
+    import ray
+
+    from ..stages.arrowutil import list_column_matrix
+
+    THRESH = 0.85
+    bench_df = (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .filter(expr="vec_id < 10")
+        .to_pandas()
+    )
+    B = np.stack(bench_df["embedding"].to_numpy()).astype(np.float64)
+    B_ref = ray.put(B / np.linalg.norm(B, axis=1, keepdims=True))
+
+    corpus = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).filter(
+        expr="vec_id >= 10"
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        Bn = ray.get(B_ref)
+        X = list_column_matrix(batch["embedding"], dtype=np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        mc = (Xn @ Bn.T).max(axis=1)
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "max_cos": pa.array(np.round(mc, 6)),
+            "is_contaminated": pa.array(mc > THRESH),
+        })
+
+    return corpus.map_batches(score, batch_format="pyarrow")
+
+
+D_EMBED_DECONTAMINATE_SQL = """
+WITH bench AS (
+    SELECT CAST(embedding AS DOUBLE[]) AS bemb FROM embeddings WHERE vec_id < 10),
+scored AS (
+    SELECT e.vec_id,
+           max(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), b.bemb)) AS mc
+    FROM embeddings e CROSS JOIN bench b
+    WHERE e.vec_id >= 10
+    GROUP BY e.vec_id)
+SELECT vec_id, round(mc, 6) AS max_cos, mc > 0.85 AS is_contaminated
+FROM scored
+"""
+
+
 def q_grouped_p90_cont(sf_dir: str):
     """Per-group INTERPOLATED 90th percentile (SQL percentile_cont /
     quantile_cont semantics — linear between the two straddling order
@@ -3517,6 +3571,7 @@ QUERIES: dict[str, tuple] = {
     "d_mad_filter": (d_mad_filter, D_MAD_FILTER_SQL),
     "d_token_budget": (d_token_budget, D_TOKEN_BUDGET_SQL),
     "q_grouped_p90_cont": (q_grouped_p90_cont, Q_GROUPED_P90_CONT_SQL),
+    "d_embed_decontaminate": (d_embed_decontaminate, D_EMBED_DECONTAMINATE_SQL),
     "q_three_way_join": (q_three_way_join, Q_THREE_WAY_JOIN_SQL),
     "d_cms_counts": (d_cms_counts, None),
     "q_salted_agg": (q_salted_agg, Q_SALTED_AGG_SQL),
