@@ -332,3 +332,105 @@ def skew_join(
         num_buckets=num_buckets, suffix=suffix,
     )
     return hot_part.union(cold_part)
+
+
+def broadcast_join(
+    left,
+    right,
+    *,
+    left_on: str,
+    right_on: str | None = None,
+    join_type: str = "inner",
+    suffix: str = "_r",
+):
+    """Small-side broadcast equi-join: the RIGHT side is collected as
+    one Arrow table, shipped ONCE via ray.put, and every left batch
+    joins against it locally with pyarrow's C++ hash join — zero
+    shuffle of the left stream. The right side must fit in the object
+    store (the caller's contract; auto_join enforces a row bound).
+    `join_type` "inner" or "left outer". Output layout matches
+    shuffle_hash_join: [left_on, left payload..., right payload...],
+    right collisions suffixed, right key dropped."""
+    import ray
+
+    from .temporal import _as_arrow_schema as _aas
+
+    right_on = right_on or left_on
+    blocks = list(right.iter_batches(batch_format="pyarrow", batch_size=None))
+    right_tbl = (
+        pa.concat_tables(blocks).combine_chunks()
+        if blocks
+        else pa.Table.from_pylist([], schema=_aas(right.schema()))
+    )
+
+    l_schema = _aas(left.schema(fetch_if_missing=False) or left.schema())
+    left_names = list(l_schema.names)
+    left_out = [n for n in left_names if n != left_on]
+    right_payload = [n for n in right_tbl.column_names if n != right_on]
+    rename_right = {n: (n + suffix if n in left_names else n) for n in right_payload}
+    out_right = [rename_right[n] for n in right_payload]
+    right_tbl = right_tbl.rename_columns(
+        ["__k" if c == right_on else rename_right[c] for c in right_tbl.column_names]
+    )
+    r_ref = ray.put(right_tbl)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        rt = ray.get(r_ref)  # zero-copy from the local object store
+        names = ["__k" if c == left_on else c for c in batch.column_names]
+        out = batch.rename_columns(names).join(rt, keys="__k", join_type=join_type)
+        out = out.select(["__k", *left_out, *out_right])
+        return out.rename_columns([left_on, *left_out, *out_right])
+
+    return left.map_batches(probe, batch_format="pyarrow")
+
+
+# Right sides under this row count broadcast by default: ~2M rows of a
+# few narrow columns is tens of MB — one object-store put, read
+# zero-copy by every task. Above it, the bucketed shuffle wins.
+BROADCAST_MAX_ROWS = 2_000_000
+
+
+def auto_join(
+    left,
+    right,
+    *,
+    left_on: str,
+    right_on: str | None = None,
+    join_type: str = "inner",
+    suffix: str = "_r",
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
+    hot_threshold: int | None = None,
+):
+    """Strategy-dispatching equi-join — the one entry point callers
+    should use unless they know better:
+
+    - RIGHT side's metadata row count known and under
+      `broadcast_max_rows` -> `broadcast_join` (no shuffle at all);
+    - `hot_threshold` given -> `skew_join` (exact key-count pass routes
+      hot keys to a broadcast, cold tail to the bucketed shuffle);
+    - else -> `shuffle_hash_join` (both sides bucketed, pyarrow join
+      per bucket).
+
+    Row counts come from Dataset METADATA only (free for read/
+    repartition lineages, None for map lineages) — an unknown count
+    falls through to the shuffle path rather than risking an unbounded
+    driver collect."""
+    from .bucketing import _cheap_count
+
+    n_right = _cheap_count(right)
+    if n_right is not None and n_right <= broadcast_max_rows:
+        return broadcast_join(
+            left, right, left_on=left_on, right_on=right_on,
+            join_type=join_type, suffix=suffix,
+        )
+    if hot_threshold is not None:
+        if join_type != "inner":
+            raise ValueError("skew_join path supports inner joins only")
+        return skew_join(
+            left, right, left_on=left_on, right_on=right_on,
+            hot_threshold=hot_threshold, suffix=suffix,
+        )
+    return shuffle_hash_join(
+        left, right, left_on=left_on, right_on=right_on,
+        join_type=join_type, suffix=suffix,
+    )

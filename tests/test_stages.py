@@ -823,3 +823,48 @@ def test_skew_join_hot_key_with_no_right_match(ray_session):
     )
     assert out["k"].tolist() == [1, 2, 3]
     assert out["b"].tolist() == ["x", "y", "z"]
+
+
+def test_broadcast_and_auto_join_parity(ray_session):
+    """broadcast_join == shuffle_hash_join == pandas merge; auto_join
+    dispatches to broadcast for a metadata-small right side and to the
+    shuffle for an unknown-count (map-lineage) right side."""
+    import pandas as pd
+
+    from complexity_driven_feature_construction_ray.stages.partition import (
+        auto_join,
+        broadcast_join,
+        shuffle_hash_join,
+    )
+
+    left = pd.DataFrame({"k": [1, 2, 2, 3, 5], "a": [1.0, 2.0, 2.5, 3.0, 5.0]})
+    right = pd.DataFrame({"k": [1, 2, 4], "b": ["x", "y", "w"], "a": [9.0, 8.0, 7.0]})
+    lds = ray.data.from_pandas(left).repartition(3)
+    rds = ray.data.from_pandas(right).repartition(2)
+    exp = left.merge(right, on="k", how="inner", suffixes=("", "_r"))
+
+    def norm(ds):
+        df = ds.to_pandas().sort_values(["k", "a"]).reset_index(drop=True)
+        return df[["k", "a", "b", "a_r"]]
+
+    got_b = norm(broadcast_join(lds, rds, left_on="k"))
+    got_s = norm(shuffle_hash_join(lds, rds, left_on="k", num_buckets=4))
+    want = exp.sort_values(["k", "a"]).reset_index(drop=True)[["k", "a", "b", "a_r"]]
+    pd.testing.assert_frame_equal(got_b, want.astype(got_b.dtypes.to_dict()))
+    pd.testing.assert_frame_equal(got_s, want.astype(got_s.dtypes.to_dict()))
+
+    # auto: metadata count known + small -> broadcast (same rows)
+    got_a = norm(auto_join(lds, rds, left_on="k"))
+    pd.testing.assert_frame_equal(got_a, want.astype(got_a.dtypes.to_dict()))
+
+    # auto: map lineage loses the count -> falls to the shuffle path
+    rds_map = rds.map_batches(lambda t: t, batch_format="pyarrow")
+    got_m = norm(auto_join(lds, rds_map, left_on="k"))
+    pd.testing.assert_frame_equal(got_m, want.astype(got_m.dtypes.to_dict()))
+
+    # left outer through broadcast keeps unmatched left rows
+    got_lo = (
+        broadcast_join(lds, rds, left_on="k", join_type="left outer")
+        .to_pandas().sort_values(["k", "a"]).reset_index(drop=True)
+    )
+    assert len(got_lo) == 5 and got_lo.loc[got_lo["k"] == 5, "b"].isna().all()
