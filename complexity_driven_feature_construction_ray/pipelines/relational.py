@@ -3128,17 +3128,19 @@ GROUP BY source
 
 
 def q_left_join(sf_dir: str):
-    """LEFT OUTER equi-join at fact-table scale: every customer row
-    survives, order payload is NULL where no order matched. Same
-    bucketed shuffle join as q_shuffle_join (stages/partition.py:
-    shuffle_hash_join) — outer semantics are per-bucket-correct because
-    both sides of a key co-locate, so a left row unmatched in its
-    bucket is unmatched globally."""
-    from ..stages.partition import shuffle_hash_join
+    """LEFT OUTER equi-join: every customer row survives, order payload
+    is NULL where no order matched. Routed through the strategy planner
+    (stages/partition.py:auto_join): the right side's metadata row
+    count is under the broadcast bound at test scale, so this resolves
+    to broadcast_join (zero shuffle of the left stream); at production
+    row counts the same call dispatches to the bucketed shuffle join,
+    whose outer semantics are per-bucket-correct (both sides of a key
+    co-locate)."""
+    from ..stages.partition import auto_join
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    return shuffle_hash_join(
+    return auto_join(
         cust, orders, left_on="c_custkey", right_on="o_custkey",
         join_type="left outer",
     )
