@@ -3433,6 +3433,46 @@ FROM scored
 """
 
 
+def q_skew_report(sf_dir: str):
+    """Key-skew diagnostic — the report you run BEFORE choosing a join
+    or salting strategy at 100 TB: per-key group-size distribution
+    (key count, max, p50/p99) for a prospective shuffle key. The
+    per-key counts come from the partial-combining hash aggregate
+    (key-cardinality-sized, never raw rows); their distribution is then
+    summarized by the mergeable quantile sketch, so the full report
+    streams even when the key space itself is huge."""
+    from ray.data.aggregate import Count, Max
+
+    from ..stages.sketch import grouped_quantile
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    counts = ds.groupby("l_orderkey").count()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "g": pa.array(np.zeros(len(batch), dtype=np.int32)),
+            "c": batch["count()"].cast(pa.int64()),
+        })
+
+    c_ds = counts.map_batches(tag, batch_format="pyarrow")
+    tot = c_ds.groupby("g").aggregate(Count(alias_name="n_keys"), Max("c", alias_name="max_c")).to_pandas()
+    p50 = grouped_quantile(c_ds, key_cols=["g"], value_col="c", q=0.5, out_col="p50_c")
+    p99 = grouped_quantile(c_ds, key_cols=["g"], value_col="c", q=0.99, out_col="p99_c")
+    out = tot.merge(p50, on="g").merge(p99, on="g").drop(columns=["g"])
+    out["p50_c"] = out["p50_c"].astype(np.int64)
+    out["p99_c"] = out["p99_c"].astype(np.int64)
+    return out[["n_keys", "max_c", "p50_c", "p99_c"]]
+
+
+Q_SKEW_REPORT_SQL = """
+WITH c AS (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey)
+SELECT count(*) AS n_keys, max(c) AS max_c,
+       CAST(quantile_disc(c, 0.5) AS BIGINT) AS p50_c,
+       CAST(quantile_disc(c, 0.99) AS BIGINT) AS p99_c
+FROM c
+"""
+
+
 def q_grouped_p90_cont(sf_dir: str):
     """Per-group INTERPOLATED 90th percentile (SQL percentile_cont /
     quantile_cont semantics — linear between the two straddling order
@@ -3574,6 +3614,7 @@ QUERIES: dict[str, tuple] = {
     "d_token_budget": (d_token_budget, D_TOKEN_BUDGET_SQL),
     "q_grouped_p90_cont": (q_grouped_p90_cont, Q_GROUPED_P90_CONT_SQL),
     "d_embed_decontaminate": (d_embed_decontaminate, D_EMBED_DECONTAMINATE_SQL),
+    "q_skew_report": (q_skew_report, Q_SKEW_REPORT_SQL),
     "q_three_way_join": (q_three_way_join, Q_THREE_WAY_JOIN_SQL),
     "d_cms_counts": (d_cms_counts, None),
     "q_salted_agg": (q_salted_agg, Q_SALTED_AGG_SQL),
