@@ -3433,6 +3433,70 @@ FROM scored
 """
 
 
+def d_span_mask(sf_dir: str):
+    """Deterministic span-corruption planning stats (the T5/BERT
+    masked-span layout): every token position is masked by a seeded
+    hash rule (~20%), and the per-document report counts tokens, masked
+    positions and contiguous masked SPANS (islands). Fully vectorized:
+    token counts come from a C-level space count (never materializing
+    tokens), positions explode through one np.repeat, and island starts
+    are a shifted-compare — no per-row Python, no shuffle (doc-local).
+    The same hash rule is replayed by the SQL oracle, so mask placement
+    is verified cross-engine, not just the counts."""
+    K, K2, M32 = 2654435761, 40503, 1 << 32
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        txt = pd.Series(batch["text"].to_numpy(zero_copy_only=False))
+        n = (txt.str.count(" ") + 1).to_numpy(np.int64)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        # explode (doc, idx) pairs flat; hash rule mirrors the oracle
+        doc_rep = np.repeat(did, n)
+        idx = np.arange(int(n.sum()), dtype=np.uint64) - np.repeat(
+            np.concatenate(([0], np.cumsum(n)[:-1])).astype(np.uint64), n
+        )
+        masked = ((doc_rep * np.uint64(K) + idx * np.uint64(K2)) % np.uint64(M32)) % np.uint64(5) == 0
+        # island starts: masked and (first of doc or previous unmasked)
+        prev = np.empty_like(masked)
+        prev[0] = False
+        prev[1:] = masked[:-1]
+        first = idx == 0
+        starts = masked & (first | ~prev)
+        seg = np.repeat(np.arange(len(n)), n)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n),
+            "n_masked": pa.array(np.bincount(seg, weights=masked, minlength=len(n)).astype(np.int64)),
+            "n_spans": pa.array(np.bincount(seg, weights=starts, minlength=len(n)).astype(np.int64)),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+D_SPAN_MASK_SQL = """
+WITH toks AS (
+    SELECT doc_id, CAST(t.idx AS BIGINT) AS idx
+    FROM documents,
+         UNNEST(range(0, len(string_split(text, ' ')))) AS t(idx)),
+m AS (
+    SELECT doc_id, idx,
+           ((doc_id * 2654435761 + idx * 40503) % 4294967296) % 5 = 0 AS masked
+    FROM toks),
+island AS (
+    SELECT doc_id, masked,
+           CASE WHEN masked AND NOT coalesce(
+                LAG(masked) OVER (PARTITION BY doc_id ORDER BY idx), FALSE)
+                THEN 1 ELSE 0 END AS start
+    FROM m)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       CAST(sum(start) AS BIGINT) AS n_spans
+FROM island
+GROUP BY doc_id
+"""
+
+
 def q_skew_report(sf_dir: str):
     """Key-skew diagnostic — the report you run BEFORE choosing a join
     or salting strategy at 100 TB: per-key group-size distribution
@@ -3615,6 +3679,7 @@ QUERIES: dict[str, tuple] = {
     "q_grouped_p90_cont": (q_grouped_p90_cont, Q_GROUPED_P90_CONT_SQL),
     "d_embed_decontaminate": (d_embed_decontaminate, D_EMBED_DECONTAMINATE_SQL),
     "q_skew_report": (q_skew_report, Q_SKEW_REPORT_SQL),
+    "d_span_mask": (d_span_mask, D_SPAN_MASK_SQL),
     "q_three_way_join": (q_three_way_join, Q_THREE_WAY_JOIN_SQL),
     "d_cms_counts": (d_cms_counts, None),
     "q_salted_agg": (q_salted_agg, Q_SALTED_AGG_SQL),
