@@ -78,6 +78,12 @@ HEADLINE = [
     "t_fill_forward",
     "d_mad_filter",
     "q_string_agg",
+    "d_token_budget",
+    "q_grouped_p90_cont",
+    "q_three_way_join",
+    "q_skew_report",
+    "d_span_mask",
+    "d_embed_decontaminate",
 ]
 
 

@@ -3503,11 +3503,13 @@ def q_skew_report(sf_dir: str):
     (key count, max, p50/p99) for a prospective shuffle key. The
     per-key counts come from the partial-combining hash aggregate
     (key-cardinality-sized, never raw rows); their distribution is then
-    summarized by the mergeable quantile sketch, so the full report
-    streams even when the key space itself is huge."""
-    from ray.data.aggregate import Count, Max
-
-    from ..stages.sketch import grouped_quantile
+    summarized by ONE mergeable quantile-sketch pass — every statistic
+    (n_keys = total sketch weight, max = last sketch value, p50/p99 =
+    rank lookups) reads the same merged sketch, so the count stream
+    executes exactly once and the report streams even when the key
+    space itself is huge."""
+    from ..stages.fit import _merge_quant
+    from ..stages.sketch import _grouped_quant_parts
 
     ds = _read(sf_dir, "lineitem", columns=["l_orderkey"])
     counts = ds.groupby("l_orderkey").count()
@@ -3515,17 +3517,24 @@ def q_skew_report(sf_dir: str):
     def tag(batch: pa.Table) -> pa.Table:
         return pa.table({
             "g": pa.array(np.zeros(len(batch), dtype=np.int32)),
-            "c": batch["count()"].cast(pa.int64()),
+            "c": batch["count()"].cast(pa.float64()),
         })
 
     c_ds = counts.map_batches(tag, batch_format="pyarrow")
-    tot = c_ds.groupby("g").aggregate(Count(alias_name="n_keys"), Max("c", alias_name="max_c")).to_pandas()
-    p50 = grouped_quantile(c_ds, key_cols=["g"], value_col="c", q=0.5, out_col="p50_c")
-    p99 = grouped_quantile(c_ds, key_cols=["g"], value_col="c", q=0.99, out_col="p99_c")
-    out = tot.merge(p50, on="g").merge(p99, on="g").drop(columns=["g"])
-    out["p50_c"] = out["p50_c"].astype(np.int64)
-    out["p99_c"] = out["p99_c"].astype(np.int64)
-    return out[["n_keys", "max_c", "p50_c", "p99_c"]]
+    merged = _grouped_quant_parts(c_ds, ["g"], "c")
+    vals, w = _merge_quant(merged[0])  # the single constant group
+    cw = np.cumsum(w)
+    total = cw[-1]
+
+    def disc(q: float) -> int:
+        return int(vals[np.searchsorted(cw, max(np.ceil(q * total), 1.0), side="left")])
+
+    return pd.DataFrame({
+        "n_keys": [int(total)],
+        "max_c": [int(vals[-1])],  # rank-uniform compression keeps the max
+        "p50_c": [disc(0.5)],
+        "p99_c": [disc(0.99)],
+    })
 
 
 Q_SKEW_REPORT_SQL = """
