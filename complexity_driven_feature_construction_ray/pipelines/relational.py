@@ -2073,6 +2073,54 @@ def m_decode_ppm(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def m_decode_png(sf_dir: str):
+    """REAL compressed-codec path: deterministic PNG payloads (stdlib
+    zlib + numpy decoder, stages/multimodal.py:decode_png) through the
+    same actor-pool resize -> decode -> luminance-histogram stages as
+    the PPM twin. Resize transcodes PNG -> PPM and updates media_type;
+    decode dispatches on payload magic."""
+    import ray.data
+
+    from ..stages.multimodal import ImageDecode, ImageResize, synthetic_png_table
+
+    n = {"sf0.001": 64, "sf0.01": 256, "sf0.1": 1024}.get(
+        sf_dir.rstrip("/").split("/")[-1], 256
+    )
+    ds = ray.data.from_arrow(synthetic_png_table(n)).repartition(8)
+    out = ds.map_batches(
+        ImageResize,
+        fn_constructor_kwargs={"scale": 0.5, "fake": False},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+    ).map_batches(
+        ImageDecode,
+        fn_constructor_args=(False,),
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        import json as _json
+
+        feats = batch["features"].to_pylist()
+        metas = [_json.loads(m) for m in batch["meta"].to_pylist()]
+        return pa.table(
+            {
+                "item_id": batch["item_id"],
+                "w": pa.array([m["w"] for m in metas], type=pa.int32()),
+                "h": pa.array([m["h"] for m in metas], type=pa.int32()),
+                "feat_dim": pa.array([len(f) for f in feats], type=pa.int32()),
+                "feat_sum": pa.array(
+                    [round(float(np.sum(f)), 6) for f in feats], type=pa.float64()
+                ),
+            }
+        )
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # token-table pipelines (generated input; rows-only checks)
 
@@ -3689,6 +3737,7 @@ QUERIES: dict[str, tuple] = {
     "d_embed_decontaminate": (d_embed_decontaminate, D_EMBED_DECONTAMINATE_SQL),
     "q_skew_report": (q_skew_report, Q_SKEW_REPORT_SQL),
     "d_span_mask": (d_span_mask, D_SPAN_MASK_SQL),
+    "m_decode_png": (m_decode_png, None),
     "q_three_way_join": (q_three_way_join, Q_THREE_WAY_JOIN_SQL),
     "d_cms_counts": (d_cms_counts, None),
     "q_salted_agg": (q_salted_agg, Q_SALTED_AGG_SQL),

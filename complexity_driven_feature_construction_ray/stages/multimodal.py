@@ -84,6 +84,114 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return img[:, :, ::-1].copy()  # BGR -> RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> (h, w, c) uint8, pure stdlib-zlib + numpy (no image lib).
+
+    Supports the dominant web shapes: 8-bit depth, grayscale (color
+    type 0), RGB (2) and RGBA (6), non-interlaced. All five scanline
+    filters reconstruct correctly: None/Up are whole-row vector ops,
+    Sub is a per-channel-lane cumsum (uint8 wraparound = mod-256
+    arithmetic for free), Average/Paeth carry a true left dependency
+    and run a per-pixel loop within the row — correctness-first; the
+    in-repo encoder emits filter 0, so the hot roundtrip path stays
+    fully vectorized."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    idat = bytearray()
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + tag + body + crc
+        if tag == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, ctype, interlace = body[8], body[9], body[12]
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    channels = {0: 1, 2: 3, 6: 4}.get(ctype)
+    if w is None or depth != 8 or channels is None or interlace != 0:
+        raise NotImplementedError(
+            f"unsupported PNG (depth={depth}, color_type={ctype}, "
+            f"interlace={interlace}); 8-bit gray/RGB/RGBA non-interlaced decode here"
+        )
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * channels
+    rows = raw.reshape(h, stride + 1)
+    filters = rows[:, 0]
+    data = rows[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = filters[y]
+        line = data[y]
+        if f == 0:  # None
+            rec = line.copy()
+        elif f == 2:  # Up
+            rec = line + prev  # uint8 wraps = mod 256
+        elif f == 1:  # Sub: prefix sum per channel lane
+            lanes = line.reshape(w, bpp).astype(np.uint64)
+            rec = np.cumsum(lanes, axis=0).astype(np.uint8).reshape(stride)
+        elif f == 3:  # Average
+            rec = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+                rec[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = rec
+        prev = rec
+    return out.reshape(h, w, channels)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w) or (h, w, c) uint8 -> PNG bytes (filter 0, one zlib
+    stream) — the minimal spec-valid writer, every row vectorized."""
+    import struct
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    ctype = {1: 0, 3: 2, 4: 6}[c]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    flat = np.ascontiguousarray(img, dtype=np.uint8).reshape(h, w * c)
+    scan = np.concatenate([np.zeros((h, 1), dtype=np.uint8), flat], axis=1)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def resize_nearest(img: np.ndarray, scale: float) -> np.ndarray:
     """Nearest-neighbor resize by `scale` (pure index maps, no codec)."""
     h, w = img.shape[:2]
@@ -101,10 +209,17 @@ def decode_image(payload: bytes, media_type: str | None = None) -> np.ndarray:
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        img = decode_png(payload)
+        if img.shape[2] == 1:  # grayscale -> RGB for a uniform contract
+            img = np.repeat(img, 3, axis=2)
+        elif img.shape[2] == 4:  # drop alpha
+            img = img[:, :, :3].copy()
+        return img
     raise NotImplementedError(
         f"no in-container codec for payload (media_type={media_type!r}); "
-        "PPM (P6) and 24-bpp BMP decode here; PNG/JPEG need an image "
-        "library absent from this environment"
+        "PPM (P6), 24-bpp BMP and 8-bit PNG decode here; JPEG needs an "
+        "image library absent from this environment"
     )
 
 
@@ -131,6 +246,34 @@ def synthetic_media_table(n_rows: int, seed: int = 42, payload_bytes: int = 4096
         metas.append(json.dumps(m))
     return pa.table(
         {"item_id": ids, "payload": payloads, "media_type": types, "meta": metas},
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def synthetic_png_table(n_rows: int, seed: int = 43, w: int = 32, h: int = 24) -> pa.Table:
+    """Deterministic REAL PNG payloads (stdlib-zlib codec, decodable
+    in-container) — same gradient+noise pattern as the PPM twin, so the
+    downstream feature stages are exercised over a compressed format."""
+    rng = np.random.default_rng(seed)
+    ids, payloads, metas = [], [], []
+    gx = np.linspace(0, 255, w, dtype=np.float64)
+    for i in range(n_rows):
+        base = np.zeros((h, w, 3), dtype=np.float64)
+        base[:, :, 0] = gx[None, :]
+        base[:, :, 1] = np.linspace(0, 255, h)[:, None]
+        base[:, :, 2] = (i * 53) % 256
+        noise = rng.integers(0, 32, size=(h, w, 3))
+        img = np.clip(base + noise, 0, 255).astype(np.uint8)
+        ids.append(f"png-{i:08d}")
+        payloads.append(encode_png(img))
+        metas.append(json.dumps({"w": w, "h": h}))
+    return pa.table(
+        {
+            "item_id": ids,
+            "payload": payloads,
+            "media_type": ["image/png"] * n_rows,
+            "meta": metas,
+        },
         schema=MEDIA_SCHEMA,
     )
 

@@ -248,3 +248,105 @@ class TestY4M:
             frames, _ = decode_y4m(t["payload"][mid].as_py())
             for k, m in enumerate(means):
                 np.testing.assert_allclose(m, frames[::4][k].mean(), atol=1e-6)
+
+
+class TestPNGCodec:
+    def test_roundtrip_rgb_gray_rgba(self):
+        from complexity_driven_feature_construction_ray.stages.multimodal import (
+            decode_image,
+            decode_png,
+            encode_png,
+        )
+
+        rng = np.random.default_rng(5)
+        for c in (1, 3, 4):
+            img = rng.integers(0, 256, (11, 7, c), dtype=np.uint8)
+            back = decode_png(encode_png(img))
+            np.testing.assert_array_equal(back, img)
+        # dispatch: gray expands to RGB, alpha drops
+        g = rng.integers(0, 256, (5, 4, 1), dtype=np.uint8)
+        out = decode_image(encode_png(g))
+        assert out.shape == (5, 4, 3)
+        np.testing.assert_array_equal(out[:, :, 0], g[:, :, 0])
+        a = rng.integers(0, 256, (5, 4, 4), dtype=np.uint8)
+        out = decode_image(encode_png(a))
+        np.testing.assert_array_equal(out, a[:, :, :3])
+
+    def test_all_five_filters_reconstruct(self):
+        """Encode each row with an explicit filter type (the spec's
+        filter math applied forward), decode, expect the original."""
+        import struct
+        import zlib
+
+        from complexity_driven_feature_construction_ray.stages.multimodal import (
+            _PNG_SIG,
+            decode_png,
+        )
+
+        rng = np.random.default_rng(9)
+        h, w, c = 10, 6, 3
+        img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+        flat = img.reshape(h, w * c).astype(np.int64)
+        bpp = c
+        scan = bytearray()
+        for y in range(h):
+            f = y % 5
+            row = flat[y]
+            prev = flat[y - 1] if y else np.zeros(w * c, dtype=np.int64)
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), row[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, dtype=np.int64), prev[:-bpp]])
+            if f == 0:
+                filt = row
+            elif f == 1:
+                filt = row - left
+            elif f == 2:
+                filt = row - prev
+            elif f == 3:
+                filt = row - ((left + prev) >> 1)
+            else:  # Paeth
+                p = left + prev - upleft
+                pa_, pb, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+                pred = np.where(
+                    (pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, prev, upleft)
+                )
+                filt = row - pred
+            scan.append(f)
+            scan.extend((filt & 0xFF).astype(np.uint8).tobytes())
+
+        def chunk(tag, body):
+            return (
+                struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        payload = (
+            _PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(scan)))
+            + chunk(b"IEND", b"")
+        )
+        np.testing.assert_array_equal(decode_png(payload), img)
+
+    def test_interlaced_rejected(self):
+        import struct
+        import zlib
+
+        from complexity_driven_feature_construction_ray.stages.multimodal import (
+            _PNG_SIG,
+            decode_png,
+        )
+
+        def chunk(tag, body):
+            return (
+                struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        payload = (
+            _PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError):
+            decode_png(payload)
