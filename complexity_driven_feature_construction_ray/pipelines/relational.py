@@ -2002,6 +2002,29 @@ def m_decode_wav(sf_dir: str):
     return out.select_columns(["item_id", "duration_s", "rms", "zcr"])
 
 
+def m_audio_spectral(sf_dir: str):
+    """REAL DSP path: spectral centroid / rolloff / band energies via
+    numpy's FFT (stages/multimodal.py:AudioSpectral) — the WAV corpus's
+    frames stack into ONE batched rfft per actor call. Rows-only check;
+    pytest golden pins a pure sine's centroid to its frequency."""
+    import ray.data
+
+    from ..stages.multimodal import AudioSpectral, synthetic_wav_table
+
+    n = {"sf0.001": 64, "sf0.01": 256, "sf0.1": 1024}.get(
+        sf_dir.rstrip("/").split("/")[-1], 256
+    )
+    ds = ray.data.from_arrow(synthetic_wav_table(n)).repartition(8)
+    out = ds.map_batches(
+        AudioSpectral,
+        fn_constructor_kwargs={"frame": 512},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+    )
+    return out.select_columns(["item_id", "centroid_hz", "rolloff_hz"])
+
+
 def m_decode_y4m(sf_dir: str):
     """REAL video path: deterministic Y4M (YUV4MPEG2) clips — a plain
     uncompressed container, pure-numpy decodable — through the
@@ -3738,6 +3761,7 @@ QUERIES: dict[str, tuple] = {
     "q_skew_report": (q_skew_report, Q_SKEW_REPORT_SQL),
     "d_span_mask": (d_span_mask, D_SPAN_MASK_SQL),
     "m_decode_png": (m_decode_png, None),
+    "m_audio_spectral": (m_audio_spectral, None),
     "q_three_way_join": (q_three_way_join, Q_THREE_WAY_JOIN_SQL),
     "d_cms_counts": (d_cms_counts, None),
     "q_salted_agg": (q_salted_agg, Q_SALTED_AGG_SQL),

@@ -350,3 +350,54 @@ class TestPNGCodec:
         )
         with pytest.raises(NotImplementedError):
             decode_png(payload)
+
+
+class TestAudioSpectral:
+    def test_pure_sine_centroid_matches_frequency(self):
+        """A pure sine's magnitude spectrum concentrates at its
+        frequency, so centroid and rolloff both pin to ~f0."""
+        from complexity_driven_feature_construction_ray.stages.multimodal import (
+            AudioSpectral,
+            encode_wav,
+        )
+
+        sr, f0, n = 8000, 1000.0, 4096
+        t = np.arange(n) / sr
+        x = (0.5 * np.sin(2 * np.pi * f0 * t) * 32767).astype(np.int16)
+        batch = pa.table(
+            {
+                "item_id": ["sine"],
+                "payload": pa.array([encode_wav(x, sr)], type=pa.binary()),
+            }
+        )
+        out = AudioSpectral(frame=512)(batch)
+        c = out["centroid_hz"][0].as_py()
+        r = out["rolloff_hz"][0].as_py()
+        assert abs(c - f0) < 60.0, c  # Hann leakage keeps it within a bin or two
+        assert abs(r - f0) < 60.0, r
+        assert len(out["band_log_energy"][0].as_py()) == 4
+
+    def test_batched_fft_matches_single_item(self):
+        """Two items in one batch give the same features as each alone
+        (the owner-indexed batched FFT does not mix items)."""
+        from complexity_driven_feature_construction_ray.stages.multimodal import (
+            AudioSpectral,
+            encode_wav,
+        )
+
+        rng = np.random.default_rng(3)
+        sr = 8000
+        xs = [
+            (0.4 * np.sin(2 * np.pi * 500.0 * np.arange(3000) / sr) * 32767).astype(np.int16),
+            (rng.normal(0, 0.2, 2500) * 32767).clip(-32768, 32767).astype(np.int16),
+        ]
+        pl = [encode_wav(x, sr) for x in xs]
+        both = AudioSpectral(frame=512)(
+            pa.table({"item_id": ["a", "b"], "payload": pa.array(pl, type=pa.binary())})
+        )
+        for i, name in enumerate(["a", "b"]):
+            solo = AudioSpectral(frame=512)(
+                pa.table({"item_id": [name], "payload": pa.array([pl[i]], type=pa.binary())})
+            )
+            assert abs(both["centroid_hz"][i].as_py() - solo["centroid_hz"][0].as_py()) < 1e-9
+            assert abs(both["rolloff_hz"][i].as_py() - solo["rolloff_hz"][0].as_py()) < 1e-9
