@@ -2025,6 +2025,37 @@ def m_audio_spectral(sf_dir: str):
     return out.select_columns(["item_id", "centroid_hz", "rolloff_hz"])
 
 
+def m_phash_dedup(sf_dir: str):
+    """IMAGE near-dup detection via perceptual hash (DCT pHash) —
+    SimHash's multimodal sibling (stages/dedup.py:phash_dedup). The
+    corpus is the deterministic PPM set plus, for every 8th item, a
+    near-copy that is noise-perturbed AND re-encoded as PNG — so a
+    cluster match proves perceptual identity across both pixel noise
+    and container format. Rows-only check; pytest asserts planted
+    pairs cluster and unrelated images don't."""
+    import ray.data
+
+    from ..stages.dedup import phash_dedup
+    from ..stages.multimodal import decode_image, encode_png, synthetic_ppm_table
+
+    n = {"sf0.001": 48, "sf0.01": 96, "sf0.1": 384}.get(
+        sf_dir.rstrip("/").split("/")[-1], 96
+    )
+    base = synthetic_ppm_table(n)
+    rng = np.random.default_rng(7)
+    ids, payloads = list(base["item_id"].to_pylist()), list(base["payload"].to_pylist())
+    for i in range(0, n, 8):
+        img = decode_image(payloads[i]).astype(np.int64)
+        noisy = np.clip(img + rng.integers(-1, 2, img.shape), 0, 255).astype(np.uint8)
+        ids.append(f"dup-of-{ids[i]}")
+        payloads.append(encode_png(noisy))
+    ds = ray.data.from_arrow(
+        pa.table({"item_id": ids, "payload": pa.array(payloads, type=pa.binary())})
+    ).repartition(8)
+    out = phash_dedup(ds, payload_col="payload", id_col="item_id", max_hamming=6)
+    return out.sort_values("id").reset_index(drop=True)
+
+
 def m_decode_y4m(sf_dir: str):
     """REAL video path: deterministic Y4M (YUV4MPEG2) clips — a plain
     uncompressed container, pure-numpy decodable — through the
@@ -3762,6 +3793,7 @@ QUERIES: dict[str, tuple] = {
     "d_span_mask": (d_span_mask, D_SPAN_MASK_SQL),
     "m_decode_png": (m_decode_png, None),
     "m_audio_spectral": (m_audio_spectral, None),
+    "m_phash_dedup": (m_phash_dedup, None),
     "q_three_way_join": (q_three_way_join, Q_THREE_WAY_JOIN_SQL),
     "d_cms_counts": (d_cms_counts, None),
     "q_salted_agg": (q_salted_agg, Q_SALTED_AGG_SQL),

@@ -683,3 +683,53 @@ def dup_passages(
         )
 
     return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
+def phash_dedup(
+    ds, *, payload_col: str = "payload", id_col: str = "item_id", max_hamming: int = 6,
+    return_pairs: bool = False,
+) -> pd.DataFrame:
+    """IMAGE near-dup clusters via perceptual hash (DCT pHash) Hamming
+    distance — the multimodal member of the SimHash family. Identical
+    banding/verify machinery as simhash_dedup: 4 x 16-bit bands (a pair
+    within Hamming 3 always shares a band; larger max_hamming values
+    are verified when the pair happens to collide, the standard
+    banded-LSH recall trade), mega-bucket guard, hot-bucket routing.
+    The DCT + hashing streams through map_batches (one batched einsum
+    per batch); only small (bucket, id, hash) rows shuffle."""
+    from .multimodal import phash64_batch
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        payloads = batch[payload_col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        ph = phash64_batch(payloads)
+        n = len(payloads)
+        band_key = np.empty(4 * n, dtype=np.int64)
+        for b in range(4):
+            band_key[b::4] = ((ph >> _U64(16 * b)) & _U64(0xFFFF)).astype(np.int64)
+        bucket = band_key * 4 + np.tile(np.arange(4, dtype=np.int64), n)
+        return pa.table({
+            "bucket": pa.array(bucket),
+            id_col: pa.array(np.repeat(ids, 4)),
+            "phash": pa.array(np.repeat(ph.astype(np.int64), 4)),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "est": []})
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col, kind="stable")
+        ids = g[id_col].to_numpy()
+        ph = g["phash"].to_numpy().astype(np.int64).view(_U64)
+        return _grouped_bucket_pairs(
+            ids,
+            ph[:, None],
+            lambda s: _hamming(s[:, 0], s[:, 0]).astype(float),
+            lambda d: d <= max_hamming,
+            chain_est_val=0.0,
+        )
+
+    bands_ds = ds.map_batches(to_bands, batch_format="pyarrow")
+    pairs = _pairs_from_hot_buckets(bands_ds, bucket_pairs, id_col)
+    if return_pairs:
+        return pairs
+    return _clusters_from_pairs(pairs)

@@ -573,6 +573,39 @@ class AudioDecode:
         )
 
 
+def _dct_matrix(n: int = 32) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    return np.cos(np.pi * (x + 0.5) * k / n)
+
+
+_DCT32 = _dct_matrix(32)
+
+
+def phash64_batch(payloads: list[bytes]) -> np.ndarray:
+    """Perceptual hashes (uint64) for a batch of image payloads — the
+    image-space analog of SimHash: decode -> luma -> 32x32 -> 2D DCT-II
+    (one batched einsum for the whole batch) -> top-left 8x8 low-
+    frequency block thresholded at its median. Near-identical images
+    (re-encode, slight noise, small edits) land within a few bits;
+    unrelated images ~32 bits apart."""
+    lumas = []
+    for p in payloads:
+        img = decode_image(p).astype(np.float64)
+        luma = 0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+        h, w = luma.shape
+        ri = np.minimum((np.arange(32) * h) // 32, h - 1)
+        ci = np.minimum((np.arange(32) * w) // 32, w - 1)
+        lumas.append(luma[ri][:, ci])
+    X = np.stack(lumas)  # (n, 32, 32)
+    F = np.einsum("kn,bnm,lm->bkl", _DCT32, X, _DCT32)  # batched D X D^T
+    block = F[:, :8, :8].reshape(len(X), 64)[:, 1:]  # drop the DC term
+    med = np.median(block, axis=1, keepdims=True)
+    bits = block > med  # (n, 63)
+    weights = (np.uint64(1) << np.arange(63, dtype=np.uint64))
+    return (bits.astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
+
+
 class AudioSpectral:
     """Actor-pool stage: REAL spectral features via numpy's FFT —
     per-item spectral centroid/rolloff (Hz) and log energy in four

