@@ -3748,6 +3748,106 @@ GROUP BY c_mktsegment, o_orderpriority
 
 
 # ---------------------------------------------------------------------------
+# data-mixing / domain-selection diagnostics (DoReMi / XLM-R / DSIR shapes)
+
+
+def d_kl_mix(sf_dir: str):
+    """Per-source token-distribution KL divergence vs the corpus-wide
+    distribution — the domain-drift diagnostic data-mixing weights are
+    derived from. Vocabulary-sized cell aggregate; token rows never
+    shuffle (stages/text.py:source_token_divergence)."""
+    from ..stages.text import source_token_divergence
+
+    ds = _read(sf_dir, "documents", columns=["text", "source"])
+    return source_token_divergence(ds)
+
+
+D_KL_MIX_SQL = """
+WITH w AS (
+  SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents
+),
+c AS (SELECT source, t, CAST(count(*) AS DOUBLE) AS n FROM w GROUP BY source, t),
+gt AS (SELECT source, sum(n) AS gn FROM c GROUP BY source),
+tt AS (SELECT t, sum(n) AS tn FROM c GROUP BY t),
+a AS (SELECT sum(n) AS total FROM c)
+SELECT c.source,
+       CAST(gt.gn AS BIGINT) AS n_tok,
+       round(sum((c.n / gt.gn) * ln((c.n / gt.gn) / (tt.tn / a.total))), 9) AS kl
+FROM c JOIN gt USING (source) JOIN tt USING (t) CROSS JOIN a
+GROUP BY c.source, gt.gn
+ORDER BY c.source
+"""
+
+
+def d_temperature_mix(sf_dir: str):
+    """Temperature-scaled source sampling weights w_s ∝ n_s^0.5 (the
+    mBERT/XLM-R/Pile upsampling rule for small sources). One per-group
+    token-count pass; weights are driver arithmetic on the group-sized
+    table."""
+    from ..stages.text import temperature_mix_weights
+
+    ds = _read(sf_dir, "documents", columns=["text", "source"])
+    return temperature_mix_weights(ds, alpha=0.5)
+
+
+D_TEMPERATURE_MIX_SQL = """
+WITH c AS (
+  SELECT source,
+         CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS DOUBLE) AS n
+  FROM documents GROUP BY source
+),
+z AS (SELECT sum(pow(n, 0.5)) AS z FROM c)
+SELECT source, CAST(n AS BIGINT) AS n_tok, round(pow(n, 0.5) / z.z, 9) AS weight
+FROM c CROSS JOIN z ORDER BY source
+"""
+
+
+_TAG_TAXONOMY = [
+    ("joins", ["join", "merge"]),
+    ("windows", ["window", "stream"]),
+    ("storage", ["table", "scan"]),
+]
+
+
+def d_keyword_tag(sf_dir: str):
+    """Keyword-taxonomy topic tagging (the cheap router used to label
+    web corpora before a trained classifier exists): ordered topic
+    list, first-match-wins on vectorized substring hits, counts per
+    (source, topic). Only (group, topic) cells shuffle."""
+    from ..stages.text import keyword_tag_counts
+
+    ds = _read(sf_dir, "documents", columns=["text", "source"])
+    return keyword_tag_counts(ds, _TAG_TAXONOMY)
+
+
+D_KEYWORD_TAG_SQL = """
+SELECT source,
+       CASE
+         WHEN text LIKE '%join%' OR text LIKE '%merge%' THEN 'joins'
+         WHEN text LIKE '%window%' OR text LIKE '%stream%' THEN 'windows'
+         WHEN text LIKE '%table%' OR text LIKE '%scan%' THEN 'storage'
+         ELSE 'none'
+       END AS topic,
+       count(*) AS n
+FROM documents
+GROUP BY source, topic
+ORDER BY source, topic
+"""
+
+
+def d_dsir(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023): hashed-unigram
+    log-ratio of the English-language target domain vs the raw corpus,
+    scored per document in one vectorized pass. The hash bucketing is
+    not SQL-expressible -> rows-only check; pytest plants vocabulary-
+    disjoint domains and asserts target-like docs outrank the rest."""
+    from ..stages.text import dsir_weights
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return dsir_weights(ds, target_col="lang", target_value="en").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES: dict[str, tuple] = {
@@ -3866,4 +3966,8 @@ QUERIES: dict[str, tuple] = {
     "d_decontaminate": (d_decontaminate, None),
     "tok_backfill": (tok_backfill, TOK_BACKFILL_SQL),
     "tok_resumable": (tok_resumable, TOK_RESUMABLE_SQL),
+    "d_kl_mix": (d_kl_mix, D_KL_MIX_SQL),
+    "d_temperature_mix": (d_temperature_mix, D_TEMPERATURE_MIX_SQL),
+    "d_keyword_tag": (d_keyword_tag, D_KEYWORD_TAG_SQL),
+    "d_dsir": (d_dsir, None),
 }

@@ -411,3 +411,260 @@ def top_tokens(ds, *, text_col: str = "text", k: int = 25):
         .sort(["c", "token"], descending=[True, False])
         .limit(k)
     )
+
+
+def source_token_divergence(ds, *, text_col: str = "text", group_col: str = "source"):
+    """Per-group token-distribution KL divergence vs the corpus-wide
+    distribution, in nats — the domain-drift / mixture diagnostic used
+    when picking data-mixing weights (the measurement DoReMi-style
+    reweighting starts from).
+
+    Per-batch (group, token, n) count partials (vocabulary x groups
+    sized, never corpus sized) -> one hash aggregate -> closed-form KL
+    on the tiny table driver-side. Token rows never shuffle; the only
+    exchange is the distinct-(group, token) cells."""
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch[text_col].to_pylist()).fillna("")
+        grp = np.asarray(batch[group_col].to_pylist(), dtype=object)
+        ex = s.str.findall(r"\S+").explode().dropna()
+        if not len(ex):
+            return pa.table(
+                {
+                    group_col: pa.array([], type=pa.string()),
+                    "token": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        cells = (
+            pd.DataFrame(
+                {
+                    group_col: grp[ex.index.to_numpy(np.int64)],
+                    "token": ex.to_numpy(dtype=object),
+                }
+            )
+            .groupby([group_col, "token"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                group_col: pa.array(cells[group_col].to_numpy(dtype=object), type=pa.string()),
+                "token": pa.array(cells["token"].to_numpy(dtype=object), type=pa.string()),
+                "n": pa.array(cells["n"].to_numpy(np.int64)),
+            }
+        )
+
+    cells = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby([group_col, "token"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    n = cells["n"].to_numpy(np.float64)
+    grp_tot = cells.groupby(group_col)["n"].transform("sum").to_numpy(np.float64)
+    tok_tot = cells.groupby("token")["n"].transform("sum").to_numpy(np.float64)
+    total = n.sum()
+    p = n / grp_tot  # p(token | group)
+    q = tok_tot / total  # p(token) corpus-wide
+    contrib = pd.Series(p * np.log(p / q), index=cells[group_col].to_numpy(dtype=object))
+    kl = contrib.groupby(level=0).sum()
+    n_tok = (
+        cells.groupby(group_col)["n"].sum().reindex(kl.index)
+    )
+    out = pd.DataFrame(
+        {
+            group_col: kl.index.to_numpy(dtype=object),
+            "n_tok": n_tok.to_numpy(np.int64),
+            "kl": np.round(kl.to_numpy(np.float64), 9),
+        }
+    ).sort_values(group_col, kind="stable")
+    return out.reset_index(drop=True)
+
+
+def temperature_mix_weights(ds, *, alpha: float = 0.5, text_col: str = "text", group_col: str = "source"):
+    """Temperature-scaled source sampling weights w_s ∝ (tokens_s)^alpha
+    (the multilingual-corpus mixing rule of mBERT/XLM-R and the Pile:
+    alpha < 1 upsamples small sources). One streaming pass of per-batch
+    per-group token-count partials; everything after the group-sized
+    aggregate is driver arithmetic."""
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch[text_col].to_pylist()).fillna("")
+        toks = s.str.count(r"\S+").to_numpy(np.int64)
+        g = (
+            pd.DataFrame({group_col: np.asarray(batch[group_col].to_pylist(), dtype=object), "n": toks})
+            .groupby(group_col, sort=False)["n"]
+            .sum()
+        )
+        return pa.table(
+            {
+                group_col: pa.array(g.index.to_numpy(dtype=object), type=pa.string()),
+                "n": pa.array(g.to_numpy(np.int64)),
+            }
+        )
+
+    per_source = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(group_col, kind="stable")
+    )
+    n = per_source["n"].to_numpy(np.float64)
+    scaled = np.power(n, alpha)
+    w = scaled / scaled.sum()
+    return pd.DataFrame(
+        {
+            group_col: per_source[group_col].to_numpy(dtype=object),
+            "n_tok": per_source["n"].to_numpy(np.int64),
+            "weight": np.round(w, 9),
+        }
+    ).reset_index(drop=True)
+
+
+def keyword_tag_counts(ds, taxonomy, *, text_col: str = "text", group_col: str = "source"):
+    """Multi-keyword taxonomy tagging (topic classification by keyword
+    lists — the cheap router used to label web corpora before training
+    a real classifier). `taxonomy` is an ordered list of
+    (topic, [keywords]); first matching topic wins, unmatched rows get
+    'none'. Per-batch vectorized substring matching (one compiled Arrow
+    match_substring per keyword, a few ORs) + batch-local count
+    partials; only (group, topic) cells shuffle."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    topics = [t for t, _ in taxonomy]
+
+    def partials(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        n_rows = batch.num_rows
+        tag = np.full(n_rows, "none", dtype=object)
+        assigned = np.zeros(n_rows, dtype=bool)
+        for topic, kws in taxonomy:
+            hit = np.zeros(n_rows, dtype=bool)
+            for kw in kws:
+                m = pc.match_substring(col, kw)
+                hit |= m.to_numpy(zero_copy_only=False).astype(bool)
+            take = hit & ~assigned
+            tag[take] = topic
+            assigned |= hit
+        cells = (
+            pd.DataFrame(
+                {
+                    group_col: np.asarray(batch[group_col].to_pylist(), dtype=object),
+                    "topic": tag,
+                }
+            )
+            .groupby([group_col, "topic"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                group_col: pa.array(cells[group_col].to_numpy(dtype=object), type=pa.string()),
+                "topic": pa.array(cells["topic"].to_numpy(dtype=object), type=pa.string()),
+                "n": pa.array(cells["n"].to_numpy(np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby([group_col, "topic"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values([group_col, "topic"], kind="stable")
+    )
+    return out.reset_index(drop=True)
+
+
+def dsir_weights(
+    ds,
+    *,
+    target_col: str,
+    target_value,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 4096,
+    smoothing: float = 0.5,
+):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): hashed-unigram
+    bag-of-words distributions for a target domain vs the raw corpus,
+    per-document importance log-weight = sum over tokens of
+    log(p_target(bucket) / p_raw(bucket)).
+
+    Pass 1 streams per-batch (bucket, target_n, raw_n) partials (dim
+    rows max per batch) through one dim-sized hash aggregate; the
+    smoothed log-ratio vector (dim floats) broadcasts back by closure.
+    Pass 2 scores each document with one explode + bincount — no
+    per-row Python. Returns (id, n_tok, logw) per document."""
+    from ray.data.aggregate import Sum
+
+    from .dedup import _flat_words
+
+    udim = np.uint64(dim)
+
+    def count_partials(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        wh, counts = _flat_words(texts)
+        if not len(wh):
+            return pa.table(
+                {
+                    "bucket": pa.array([], type=pa.int64()),
+                    "tgt": pa.array([], type=pa.int64()),
+                    "raw": pa.array([], type=pa.int64()),
+                }
+            )
+        cols = (wh % udim).astype(np.int64)
+        is_tgt = np.asarray(
+            [v == target_value for v in batch[target_col].to_pylist()], dtype=bool
+        )
+        row_of = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+        tgt_mask = is_tgt[row_of]
+        raw_vec = np.bincount(cols, minlength=dim)
+        tgt_vec = np.bincount(cols[tgt_mask], minlength=dim)
+        nz = np.flatnonzero(raw_vec)
+        return pa.table(
+            {
+                "bucket": pa.array(nz, type=pa.int64()),
+                "tgt": pa.array(tgt_vec[nz], type=pa.int64()),
+                "raw": pa.array(raw_vec[nz], type=pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(count_partials, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("tgt", alias_name="tgt"), Sum("raw", alias_name="raw"))
+        .to_pandas()
+    )
+    tgt = np.full(dim, 0.0)
+    raw = np.full(dim, 0.0)
+    tgt[agg["bucket"].to_numpy(np.int64)] = agg["tgt"].to_numpy(np.float64)
+    raw[agg["bucket"].to_numpy(np.int64)] = agg["raw"].to_numpy(np.float64)
+    p_t = (tgt + smoothing) / (tgt.sum() + smoothing * dim)
+    p_r = (raw + smoothing) / (raw.sum() + smoothing * dim)
+    log_ratio = np.log(p_t / p_r)
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        wh, counts = _flat_words(texts)
+        n = len(texts)
+        if len(wh):
+            cols = (wh % udim).astype(np.int64)
+            row_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+            logw = np.bincount(row_of, weights=log_ratio[cols], minlength=n)
+        else:
+            logw = np.zeros(n)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tok": pa.array(counts.astype(np.int64)),
+                "logw": pa.array(np.round(logw, 9)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -1,0 +1,175 @@
+"""Data-mixing / domain-selection diagnostics: per-source KL
+divergence, temperature sampling weights, keyword taxonomy tagging,
+and DSIR importance weights — each against a brute-force oracle."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from complexity_driven_feature_construction_ray.stages.text import (
+    dsir_weights,
+    keyword_tag_counts,
+    source_token_divergence,
+    temperature_mix_weights,
+)
+
+
+def _docs(texts, groups, ids=None):
+    tbl = {
+        "doc_id": np.arange(len(texts), dtype=np.int64) if ids is None else np.asarray(ids),
+        "text": np.asarray(texts, dtype=object),
+        "source": np.asarray(groups, dtype=object),
+    }
+    return ray.data.from_arrow(pa.table(tbl)).repartition(3)
+
+
+class TestSourceTokenDivergence:
+    def test_matches_bruteforce_kl(self, ray_session):
+        rng = np.random.default_rng(7)
+        vocab_a = ["alpha", "beta", "gamma", "delta"]
+        vocab_b = ["delta", "eps", "zeta"]
+        texts, groups = [], []
+        for i in range(60):
+            v = vocab_a if i % 2 == 0 else vocab_b
+            texts.append(" ".join(rng.choice(v, size=rng.integers(3, 9))))
+            groups.append("sA" if i % 2 == 0 else "sB")
+        out = source_token_divergence(_docs(texts, groups))
+
+        # brute force
+        cells = {}
+        for t, g in zip(texts, groups):
+            for w in t.split():
+                cells[(g, w)] = cells.get((g, w), 0) + 1
+        total = sum(cells.values())
+        for g in ("sA", "sB"):
+            gn = sum(n for (gg, _), n in cells.items() if gg == g)
+            kl = 0.0
+            for (gg, w), n in cells.items():
+                if gg != g:
+                    continue
+                p = n / gn
+                q = sum(m for (_, ww), m in cells.items() if ww == w) / total
+                kl += p * np.log(p / q)
+            row = out[out["source"] == g].iloc[0]
+            assert row["n_tok"] == gn
+            assert abs(row["kl"] - kl) < 1e-8
+
+    def test_identical_distribution_zero_kl(self, ray_session):
+        texts = ["a b c"] * 40
+        groups = ["s0" if i % 2 else "s1" for i in range(40)]
+        out = source_token_divergence(_docs(texts, groups))
+        assert np.allclose(out["kl"].to_numpy(), 0.0)
+
+
+class TestTemperatureMix:
+    def test_alpha_one_proportional_alpha_zero_uniform(self, ray_session):
+        texts = ["w " * 10, "w " * 10, "w"] * 10  # s0: 200 tok, s1: 110 tok
+        groups = (["s0", "s1", "s1"] * 10)
+        ds = _docs(texts, groups)
+        w1 = temperature_mix_weights(ds, alpha=1.0)
+        n = w1.set_index("source")["n_tok"]
+        assert n["s0"] == 100 and n["s1"] == 110
+        exp = n / n.sum()
+        assert np.allclose(w1.set_index("source")["weight"], exp.loc[w1["source"]], atol=1e-9)
+        w0 = temperature_mix_weights(ds, alpha=0.0)
+        assert np.allclose(w0["weight"].to_numpy(), 0.5)
+
+    def test_sqrt_upsamples_small_source(self, ray_session):
+        texts = ["tok " * 100] * 9 + ["tok"]
+        groups = ["big"] * 9 + ["small"]
+        w = temperature_mix_weights(_docs(texts, groups), alpha=0.5).set_index("source")
+        frac_tokens = 1 / (900 + 1)
+        assert w.loc["small", "weight"] > frac_tokens  # upsampled
+        assert abs(w["weight"].sum() - 1.0) < 1e-9
+
+
+class TestKeywordTag:
+    def test_first_match_wins_and_counts(self, ray_session):
+        taxonomy = [("x", ["foo", "bar"]), ("y", ["baz"])]
+        texts = [
+            "foo only",          # x
+            "baz only",          # y
+            "foo and baz",       # x (precedence)
+            "barbed wire",       # x (substring match, like SQL LIKE)
+            "nothing here",      # none
+        ]
+        groups = ["g"] * 5
+        out = keyword_tag_counts(_docs(texts, groups), taxonomy)
+        got = {(r["source"], r["topic"]): r["n"] for _, r in out.iterrows()}
+        assert got == {("g", "x"): 3, ("g", "y"): 1, ("g", "none"): 1}
+
+    def test_grouped_by_source(self, ray_session):
+        taxonomy = [("t", ["kw"])]
+        texts = ["kw", "kw", "no"] * 4
+        groups = ["a", "b", "a"] * 4
+        out = keyword_tag_counts(_docs(texts, groups), taxonomy)
+        got = {(r["source"], r["topic"]): r["n"] for _, r in out.iterrows()}
+        assert got == {("a", "t"): 4, ("a", "none"): 4, ("b", "t"): 4}
+
+
+class TestDSIR:
+    def test_target_like_docs_outrank(self, ray_session):
+        rng = np.random.default_rng(11)
+        tgt_vocab = ["law", "court", "judge", "statute"]
+        raw_vocab = ["pixel", "render", "frame", "shader"]
+        texts, langs = [], []
+        # 20 target-domain docs (lang=en), 60 raw docs, 10 unlabeled
+        # target-LIKE docs that DSIR should surface
+        for _ in range(20):
+            texts.append(" ".join(rng.choice(tgt_vocab, size=12)))
+            langs.append("en")
+        for _ in range(60):
+            texts.append(" ".join(rng.choice(raw_vocab, size=12)))
+            langs.append("xx")
+        for _ in range(10):
+            texts.append(" ".join(rng.choice(tgt_vocab, size=12)))
+            langs.append("xx")
+        ids = np.arange(len(texts), dtype=np.int64)
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": ids, "text": np.asarray(texts, dtype=object),
+                      "lang": np.asarray(langs, dtype=object)})
+        ).repartition(4)
+        out = (
+            dsir_weights(ds, target_col="lang", target_value="en", dim=512)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        target_like = out.loc[80:89, "logw"]
+        raw_like = out.loc[20:79, "logw"]
+        assert target_like.min() > raw_like.max()
+        assert (out.loc[0:19, "logw"] > 0).all()
+
+    def test_logw_matches_bruteforce(self, ray_session):
+        texts = ["law court", "pixel render", "law pixel"]
+        langs = ["en", "xx", "xx"]
+        ids = np.arange(3, dtype=np.int64)
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": ids, "text": np.asarray(texts, dtype=object),
+                      "lang": np.asarray(langs, dtype=object)})
+        )
+        dim, smoothing = 64, 0.5
+        out = dsir_weights(ds, target_col="lang", target_value="en",
+                           dim=dim, smoothing=smoothing).to_pandas().set_index("doc_id")
+
+        from complexity_driven_feature_construction_ray.stages.dedup import _hash_words
+
+        def bucket(w):
+            # NB: uint64 % python-int promotes to float64 and garbles
+            # the modulus — must mod by np.uint64 like the library does
+            return int(_hash_words(np.array([w], dtype=object))[0] % np.uint64(dim))
+
+        tgt = np.zeros(dim)
+        raw = np.zeros(dim)
+        for t, l in zip(texts, langs):
+            for w in t.split():
+                raw[bucket(w)] += 1
+                if l == "en":
+                    tgt[bucket(w)] += 1
+        p_t = (tgt + smoothing) / (tgt.sum() + smoothing * dim)
+        p_r = (raw + smoothing) / (raw.sum() + smoothing * dim)
+        lam = np.log(p_t / p_r)
+        for i, t in enumerate(texts):
+            exp = sum(lam[bucket(w)] for w in t.split())
+            assert abs(out.loc[i, "logw"] - exp) < 1e-8
