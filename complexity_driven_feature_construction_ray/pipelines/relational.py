@@ -2462,6 +2462,12 @@ def ensure_tok_oracle_fixtures(seed: int = 42, ns: tuple = _TOK_ORACLE_NS) -> st
         p = f"{TOK_ORACLE_DIR}/tokens_{n}_seed{seed}.parquet"
         if not os.path.exists(p):
             pq.write_table(token_table_arrow(n, seed=seed).drop_columns(["tokens"]), p)
+        if n <= 30000:
+            # tokens-included twin for the oracles that unnest the list
+            # column (tok_bigram_counts); kept to the gate sizes only
+            pf = f"{TOK_ORACLE_DIR}/tokens_full_{n}_seed{seed}.parquet"
+            if not os.path.exists(pf):
+                pq.write_table(token_table_arrow(n, seed=seed), pf)
     return TOK_ORACLE_DIR
 
 
@@ -3847,6 +3853,43 @@ def d_dsir(sf_dir: str):
     return dsir_weights(ds, target_col="lang", target_value="en").sort("doc_id")
 
 
+def tok_bigram_counts(sf_dir: str):
+    """Exact top-50 adjacent token-pair frequencies over the generated
+    token table — the counting step of one BPE merge. Pair encode +
+    np.unique partials per batch, one distinct-pair aggregate, local
+    top-k prefilter, deterministic (n desc, a, b) ties."""
+    from ..sources.token_table import token_table_dataset
+    from ..stages.token_stats import bigram_pair_counts
+
+    n = {"sf0.001": 3000, "sf0.01": 30000, "sf0.1": 300000}.get(
+        sf_dir.rstrip("/").split("/")[-1], 3000
+    )
+    if n <= 30000:
+        ensure_tok_oracle_fixtures(ns=(n,))
+    return bigram_pair_counts(token_table_dataset(n), k=50)
+
+
+# Oracle pinned at the driver gate size (sf0.01 -> 30,000 rows), same
+# convention as TOK_BACKFILL_SQL; reads the tokens-included twin.
+TOK_BIGRAM_SQL = f"""
+WITH t AS (
+  SELECT row_number() OVER () AS rid, tokens
+  FROM read_parquet('{TOK_ORACLE_DIR}/tokens_full_30000_seed42.parquet')
+),
+u AS (
+  SELECT rid, unnest(tokens) AS tok, generate_subscripts(tokens, 1) AS i FROM t
+),
+p AS (
+  SELECT x.tok AS a, y.tok AS b
+  FROM u x JOIN u y ON x.rid = y.rid AND y.i = x.i + 1
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, count(*) AS n
+FROM p GROUP BY a, b
+ORDER BY n DESC, a, b
+LIMIT 50
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -3970,4 +4013,5 @@ QUERIES: dict[str, tuple] = {
     "d_temperature_mix": (d_temperature_mix, D_TEMPERATURE_MIX_SQL),
     "d_keyword_tag": (d_keyword_tag, D_KEYWORD_TAG_SQL),
     "d_dsir": (d_dsir, None),
+    "tok_bigram_counts": (tok_bigram_counts, TOK_BIGRAM_SQL),
 }

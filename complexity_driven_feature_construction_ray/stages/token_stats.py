@@ -78,3 +78,74 @@ def numpy_base_columns(batch: pa.Table, needed: list[str]) -> dict[str, np.ndarr
         else:
             raise KeyError(f"column {name} not in batch and not a token stat")
     return cols
+
+
+def bigram_pair_counts(ds, *, tokens_col: str = "tokens", k: int = 50):
+    """Corpus-wide adjacent token-pair frequencies, exact top-k — the
+    counting step of one BPE merge (Sennrich et al. 2016) and the
+    bigram table vocabulary analyses start from.
+
+    Per-batch segmented pair encode ((a << 32) | b over the zero-copy
+    list buffers) + np.unique partials -> pair-hash bucket shuffle with
+    one C-level groupby-sum + local top-k per bucket (grouped_map; a
+    Ray Aggregate here pays ~Python-per-distinct-key and measured 43 s
+    on 2.5M pairs vs ~2 s for the bucketed path) -> tiny global sort
+    with deterministic (count desc, a, b) ties. Token lists never
+    shuffle; the exchange is the distinct (pair, n) cells. At corpus
+    scale where even distinct pairs are too many, the approximate path
+    is stages/sketch.py:cms_token_counts."""
+    import pandas as pd
+
+    from .temporal import grouped_map
+
+    def partials(batch: pa.Table) -> pa.Table:
+        arr = batch[tokens_col]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        lengths = pc.list_value_length(arr).to_numpy().astype(np.int64)
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(flat)
+        if n == 0:
+            return pa.table(
+                {"pair": pa.array([], type=pa.int64()), "n": pa.array([], type=pa.int64())}
+            )
+        ends = np.cumsum(lengths)
+        valid = np.ones(n, dtype=bool)
+        # last token of each row starts no pair (empty rows resolve to
+        # the previous row's end / the global tail, both already False)
+        valid[ends - 1] = False
+        pos = np.flatnonzero(valid)
+        key = (flat[pos] << 32) | flat[pos + 1]
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({"pair": pa.array(uniq), "n": pa.array(cnt.astype(np.int64))})
+
+    def bucket_topk(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby("pair")["n"].sum().reset_index()
+        s = s.sort_values(["n", "pair"], ascending=[False, True], kind="stable").head(k)
+        return pa.table(
+            {
+                "pair": pa.array(s["pair"].to_numpy(np.int64)),
+                "n": pa.array(s["n"].to_numpy(np.int64)),
+            }
+        )
+
+    # every partial row of a pair lands in one bucket, so the global
+    # top-k is contained in the union of per-bucket top-k's
+    counts = grouped_map(
+        ds.map_batches(partials, batch_format="pyarrow"), "pair", bucket_topk
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        pair = batch["pair"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": pa.array(pair >> 32),
+                "b": pa.array(pair & 0xFFFFFFFF),
+                "n": batch["n"],
+            }
+        )
+
+    return (
+        counts.sort(["n", "pair"], descending=[True, False])
+        .limit(k)
+        .map_batches(decode, batch_format="pyarrow")
+    )

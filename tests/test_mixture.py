@@ -173,3 +173,39 @@ class TestDSIR:
         for i, t in enumerate(texts):
             exp = sum(lam[bucket(w)] for w in t.split())
             assert abs(out.loc[i, "logw"] - exp) < 1e-8
+
+
+class TestBigramPairCounts:
+    def test_matches_bruteforce(self, ray_session):
+        from complexity_driven_feature_construction_ray.stages.token_stats import (
+            bigram_pair_counts,
+        )
+
+        rng = np.random.default_rng(3)
+        rows = [rng.integers(0, 50, size=rng.integers(0, 12)).astype(np.int32)
+                for _ in range(300)]
+        tbl = pa.table({"tokens": pa.array([r.tolist() for r in rows],
+                                           type=pa.list_(pa.int32()))})
+        ds = ray.data.from_arrow(tbl).repartition(5)
+        got = bigram_pair_counts(ds, k=20).to_pandas()
+
+        from collections import Counter
+        c = Counter()
+        for r in rows:
+            for a, b in zip(r[:-1], r[1:]):
+                c[(int(a), int(b))] += 1
+        exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        assert len(got) == 20
+        for (pair, n), (_, row) in zip(exp, got.iterrows()):
+            assert (row["a"], row["b"], row["n"]) == (pair[0], pair[1], n)
+
+    def test_empty_and_single_token_rows(self, ray_session):
+        from complexity_driven_feature_construction_ray.stages.token_stats import (
+            bigram_pair_counts,
+        )
+
+        tbl = pa.table({"tokens": pa.array([[], [7], [1, 2], [2], []],
+                                           type=pa.list_(pa.int32()))})
+        got = bigram_pair_counts(ray.data.from_arrow(tbl), k=10).to_pandas()
+        assert len(got) == 1
+        assert (got.iloc[0]["a"], got.iloc[0]["b"], got.iloc[0]["n"]) == (1, 2, 1)
