@@ -3853,6 +3853,65 @@ def d_dsir(sf_dir: str):
     return dsir_weights(ds, target_col="lang", target_value="en").sort("doc_id")
 
 
+def _set_op_sides(sf_dir: str):
+    """Shared projections for the INTERSECT / EXCEPT queries: urgent
+    order keys vs heavy-lineitem order keys, both renamed to `k`."""
+    urgent = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"],
+        where=pc.field("o_orderpriority") == "1-URGENT",
+    ).map_batches(
+        lambda b: pa.table({"k": b["o_orderkey"]}), batch_format="pyarrow"
+    )
+    heavy = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"],
+        where=pc.field("l_quantity") >= 45.0,
+    ).map_batches(
+        lambda b: pa.table({"k": b["l_orderkey"]}), batch_format="pyarrow"
+    )
+    # both sides are .filter() lineages (no metadata count); size the
+    # buckets from the unfiltered reads, an upper bound
+    from ..stages.bucketing import default_buckets
+
+    B = max(
+        default_buckets(_read(sf_dir, "orders", columns=["o_orderkey"], split=False)),
+        default_buckets(_read(sf_dir, "lineitem", columns=["l_orderkey"], split=False)),
+    )
+    return urgent, heavy, B
+
+
+def q_intersect(sf_dir: str):
+    """Set op: urgent order keys INTERSECT heavy-lineitem order keys
+    (distinct semantics; key-hash co-location + per-bucket merge)."""
+    from ..stages.partition import distinct_set_op
+
+    urgent, heavy, B = _set_op_sides(sf_dir)
+    return distinct_set_op(urgent, heavy, on=["k"], op="intersect", num_buckets=B).sort("k")
+
+
+Q_INTERSECT_SQL = """
+SELECT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT l_orderkey FROM lineitem WHERE l_quantity >= 45
+ORDER BY k
+"""
+
+
+def q_except(sf_dir: str):
+    """Set op: urgent order keys EXCEPT heavy-lineitem order keys."""
+    from ..stages.partition import distinct_set_op
+
+    urgent, heavy, B = _set_op_sides(sf_dir)
+    return distinct_set_op(urgent, heavy, on=["k"], op="except", num_buckets=B).sort("k")
+
+
+Q_EXCEPT_SQL = """
+SELECT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+EXCEPT
+SELECT l_orderkey FROM lineitem WHERE l_quantity >= 45
+ORDER BY k
+"""
+
+
 def tok_bigram_counts(sf_dir: str):
     """Exact top-50 adjacent token-pair frequencies over the generated
     token table — the counting step of one BPE merge. Pair encode +
@@ -4014,4 +4073,6 @@ QUERIES: dict[str, tuple] = {
     "d_keyword_tag": (d_keyword_tag, D_KEYWORD_TAG_SQL),
     "d_dsir": (d_dsir, None),
     "tok_bigram_counts": (tok_bigram_counts, TOK_BIGRAM_SQL),
+    "q_intersect": (q_intersect, Q_INTERSECT_SQL),
+    "q_except": (q_except, Q_EXCEPT_SQL),
 }

@@ -434,3 +434,55 @@ def auto_join(
         left, right, left_on=left_on, right_on=right_on,
         join_type=join_type, suffix=suffix,
     )
+
+
+def distinct_set_op(left, right, *, on: list[str], op: str, num_buckets: int | None = None):
+    """Row-level INTERSECT / EXCEPT with SQL DISTINCT semantics.
+
+    Both sides project to the key columns, get a side tag, and
+    co-locate by key-hash bucket (one shuffle of the key projections
+    only); each bucket resolves the set logic with a C-level pandas
+    merge. Every occurrence of a key lands in exactly one bucket, so
+    per-bucket results are globally correct and the union is the
+    answer. Bucket count is data-sized via `default_buckets` on the
+    larger side.
+    """
+    import pandas as pd
+
+    from .bucketing import default_buckets
+
+    if op not in ("intersect", "except"):
+        raise ValueError(f"op must be 'intersect' or 'except', got {op!r}")
+    B = num_buckets or max(default_buckets(left), default_buckets(right))
+
+    def tag(side: int):
+        def _tag(batch: pa.Table) -> pa.Table:
+            batch = batch.select(on)
+            h = np.zeros(batch.num_rows, dtype=np.uint64)
+            for c in on:
+                h ^= pd.util.hash_array(
+                    batch[c].to_numpy(zero_copy_only=False)
+                ).astype(np.uint64)
+            return batch.append_column(
+                "__b", pa.array((h % np.uint64(B)).astype(np.int32))
+            ).append_column("__side", pa.array(np.full(batch.num_rows, side, np.int8)))
+
+        return _tag
+
+    both = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["__side"] == 0, on].drop_duplicates()
+        r = g.loc[g["__side"] == 1, on].drop_duplicates()
+        if op == "intersect":
+            out = l.merge(r, on=on)
+        else:
+            out = l.merge(r, on=on, how="left", indicator=True)
+            out = out.loc[out["_merge"] == "left_only", on]
+        return out.reset_index(drop=True)
+
+    return both.groupby("__b").map_groups(
+        lambda g: resolve(g.drop(columns=["__b"])), batch_format="pandas"
+    )

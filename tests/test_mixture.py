@@ -209,3 +209,30 @@ class TestBigramPairCounts:
         got = bigram_pair_counts(ray.data.from_arrow(tbl), k=10).to_pandas()
         assert len(got) == 1
         assert (got.iloc[0]["a"], got.iloc[0]["b"], got.iloc[0]["n"]) == (1, 2, 1)
+
+
+class TestDistinctSetOp:
+    def _sides(self):
+        l = pa.table({"k": np.array([1, 1, 2, 3, 5, 5], dtype=np.int64),
+                      "s": np.asarray(list("aabbcc"), dtype=object)})
+        r = pa.table({"k": np.array([2, 3, 3, 4], dtype=np.int64),
+                      "s": np.asarray(["b", "b", "x", "d"], dtype=object)})
+        return ray.data.from_arrow(l).repartition(3), ray.data.from_arrow(r).repartition(2)
+
+    def test_intersect_and_except_multicol(self, ray_session):
+        from complexity_driven_feature_construction_ray.stages.partition import distinct_set_op
+
+        l, r = self._sides()
+        inter = distinct_set_op(l, r, on=["k", "s"], op="intersect", num_buckets=4).to_pandas()
+        assert sorted(map(tuple, inter.to_numpy())) == [(2, "b"), (3, "b")]
+        exc = distinct_set_op(l, r, on=["k", "s"], op="except", num_buckets=4).to_pandas()
+        assert sorted(map(tuple, exc.to_numpy())) == [(1, "a"), (5, "c")]
+
+    def test_distinct_semantics_single_col(self, ray_session):
+        from complexity_driven_feature_construction_ray.stages.partition import distinct_set_op
+
+        l, r = self._sides()
+        inter = distinct_set_op(l, r, on=["k"], op="intersect", num_buckets=4).to_pandas()
+        assert sorted(inter["k"].tolist()) == [2, 3]  # no dup rows despite dup inputs
+        exc = distinct_set_op(l, r, on=["k"], op="except", num_buckets=4).to_pandas()
+        assert sorted(exc["k"].tolist()) == [1, 5]
