@@ -84,6 +84,10 @@ HEADLINE = [
     "q_skew_report",
     "d_span_mask",
     "d_embed_decontaminate",
+    "d_kl_mix",
+    "tok_bigram_counts",
+    "q_intersect",
+    "fe_boxcox",
 ]
 
 

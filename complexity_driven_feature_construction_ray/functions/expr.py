@@ -34,7 +34,7 @@ STATELESS_UNARY = ("minus", "reciprocal", "log")
 # fitted unary (state learned on the train fold); the three impute
 # strategies mirror reference ImputationTransformation.py:35-50
 # (sklearn SimpleImputer mean / median / most_frequent)
-FITTED_UNARY = ("minmax", "zscore", "impute_mean", "impute_median", "impute_mode", "discretize", "mdlp", "winsor", "robust", "ranknorm", "qcut")
+FITTED_UNARY = ("minmax", "zscore", "impute_mean", "impute_median", "impute_mode", "discretize", "mdlp", "winsor", "robust", "ranknorm", "qcut", "boxcox")
 SCALER_OPS = ("minmax", "zscore", "robust", "ranknorm")  # no re-scaling of scaled data
 UNARY_OPS = STATELESS_UNARY + FITTED_UNARY
 IMPUTE_OPS = ("impute_mean", "impute_median", "impute_mode")
@@ -305,6 +305,19 @@ def winsorize(parent: Feature, q_lo: float = 0.05, q_hi: float = 0.95) -> Featur
     return f
 
 
+def box_cox(parent: Feature) -> Feature:
+    """Box-Cox power transform (Box & Cox 1964): y = (x^λ - 1)/λ
+    (ln x at λ = 0) with λ chosen on the train fold by maximizing the
+    profile log-likelihood -n/2·ln σ²(y_λ) + (λ-1)·Σ ln x over the
+    fixed grid λ ∈ {-2, -1.8, …, 2}. The fit is a mergeable streaming
+    aggregate (per-λ sum/sumsq partials + Σ ln x); ties break to the
+    smallest λ so the distributed and SQL fits agree exactly. Requires
+    strictly positive input, like log."""
+    f = Feature("boxcox", (parent,))
+    f.properties.update(derive_properties(f))
+    return f
+
+
 def identity(parents: tuple[Feature, ...]) -> Feature:
     # flatten nested identity sets ({A,{B,A}} == {A,B}; reference
     # IdentityTransformation.py:8-31)
@@ -344,6 +357,10 @@ def is_applicable(op: str, parents: tuple[Feature, ...], agg: str | None = None)
         if op == "reciprocal":
             return not p.properties.get("has_zero", True)
         if op == "log":
+            mn = p.properties.get("min")
+            return mn is not None and mn > 0
+        if op == "boxcox":
+            # like log: the power transform needs strictly positive input
             mn = p.properties.get("min")
             return mn is not None and mn > 0
         if op in SCALER_OPS:
@@ -431,7 +448,7 @@ def derive_properties(f: Feature) -> dict:
     elif f.op == "minmax":
         set_range(0.0, 1.0)
         out["distinct"] = ps[0].properties.get("distinct")
-    elif f.op in ("zscore", "robust"):
+    elif f.op in ("zscore", "robust", "boxcox"):
         set_range(None, None)
         out["distinct"] = ps[0].properties.get("distinct")
     elif f.op == "ranknorm":

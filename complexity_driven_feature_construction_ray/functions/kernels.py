@@ -158,6 +158,39 @@ def _winsor_bounds_exact(p: np.ndarray, q: tuple) -> tuple[float, float]:
     return _quantiles_disc(p, q)
 
 
+# Box-Cox lambda grid: (i - 10)/5 for i in 0..20 — the same arithmetic
+# as the SQL oracle's grid expression so the IEEE values are identical.
+BOXCOX_LAMBDAS = (np.arange(21, dtype=np.float64) - 10.0) / 5.0
+
+
+def _boxcox_partial(pv: np.ndarray) -> tuple:
+    """Mergeable Box-Cox fit partial over strictly-positive values:
+    (n, sum(ln x), per-lambda sum(y), per-lambda sum(y^2))."""
+    n = len(pv)
+    if n == 0:
+        z = np.zeros(len(BOXCOX_LAMBDAS))
+        return 0, 0.0, z, z.copy()
+    slog = float(np.log(pv).sum())
+    lams = BOXCOX_LAMBDAS
+    with np.errstate(all="ignore"):
+        Y = (np.power(pv[:, None], lams[None, :]) - 1.0) / lams[None, :]
+        Y[:, lams == 0.0] = np.log(pv)[:, None]
+    return n, slog, Y.sum(axis=0), (Y * Y).sum(axis=0)
+
+
+def _boxcox_best_lambda(n: int, slog: float, s_vec: np.ndarray, ss_vec: np.ndarray) -> float:
+    """Profile log-likelihood argmax over the grid; ascending grid +
+    first-max ties = smallest lambda, matching ORDER BY ll DESC, lam."""
+    if n == 0:
+        return 1.0  # identity-shaped default on empty fit input
+    mean = s_vec / n
+    var = ss_vec / n - mean * mean
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ll = -n / 2.0 * np.log(var) + (BOXCOX_LAMBDAS - 1.0) * slog
+    ll = np.where(np.isfinite(ll), ll, -np.inf)
+    return float(BOXCOX_LAMBDAS[int(np.argmax(ll))])
+
+
 # ---------------------------------------------------------------------------
 # fit / evaluate
 
@@ -199,6 +232,10 @@ def _eval_inner(f: Feature, cols: Cols, fitted: Fitted, cache: dict) -> np.ndarr
             return 1.0 / args[0]
         if op == "log":
             return np.log(args[0])
+        if op == "boxcox":
+            (lam,) = fitted[f.name]
+            x = args[0]
+            return np.log(x) if lam == 0.0 else (np.power(x, lam) - 1.0) / lam
         if op == "minmax":
             mn, mx = fitted[f.name]
             rng = mx - mn
@@ -286,7 +323,7 @@ def fit_on_arrays(
             if f.name in fitted:
                 continue
             op = f.op
-            if op in ("minmax", "zscore", "impute_mean", "impute_median", "impute_mode", "discretize", "mdlp", "winsor", "robust", "ranknorm", "qcut"):
+            if op in ("minmax", "zscore", "impute_mean", "impute_median", "impute_mode", "discretize", "mdlp", "winsor", "robust", "ranknorm", "qcut", "boxcox"):
                 p = _eval_node(f.parents[0], cols, fitted, cache)
                 with np.errstate(all="ignore"):
                     if op == "minmax":
@@ -310,6 +347,10 @@ def fit_on_arrays(
                     elif op == "robust":
                         med, q25, q75 = _quantiles_disc(p, (0.5, 0.25, 0.75))
                         fitted[f.name] = (med, q25, q75)
+                    elif op == "boxcox":
+                        pv = p[~np.isnan(p)]
+                        n, slog, s_vec, ss_vec = _boxcox_partial(pv)
+                        fitted[f.name] = (_boxcox_best_lambda(n, slog, s_vec, ss_vec),)
                     elif op == "ranknorm":
                         vals, counts = np.unique(p[~np.isnan(p)], return_counts=True)
                         fitted[f.name] = (vals, np.cumsum(counts).astype(np.float64))

@@ -3853,6 +3853,44 @@ def d_dsir(sf_dir: str):
     return dsir_weights(ds, target_col="lang", target_value="en").sort("doc_id")
 
 
+def fe_boxcox(sf_dir: str):
+    """Box-Cox power transform with the lambda grid fit as a mergeable
+    streaming aggregate (per-lambda sum/sumsq + sum-of-logs partials;
+    the SQL oracle replays the whole grid search with the identical
+    grid arithmetic and tie-break)."""
+    from ..functions.expr import box_cox
+
+    def build(f):
+        return [box_cox(f["l_quantity"])]
+
+    return _lineitem_features(
+        sf_dir,
+        {"stats": ["l_quantity"], "build": build},
+        keep=["l_orderkey", "l_linenumber"],
+        rename={"boxcox(l_quantity)": "boxcox_qty"},
+        rounding={"boxcox_qty": 6},
+    )
+
+
+FE_BOXCOX_SQL = """
+WITH g AS (SELECT (i - 10) / 5.0 AS lam FROM range(21) t(i)),
+x AS (SELECT l_quantity AS v FROM lineitem),
+st AS (
+  SELECT lam, count(*) AS n, sum(ln(v)) AS slog,
+         sum(CASE WHEN lam = 0 THEN ln(v) ELSE (pow(v, lam) - 1) / lam END) AS s,
+         sum(pow(CASE WHEN lam = 0 THEN ln(v) ELSE (pow(v, lam) - 1) / lam END, 2)) AS ss
+  FROM x CROSS JOIN g GROUP BY lam),
+ll AS (
+  SELECT lam, -n / 2.0 * ln(ss / n - (s / n) * (s / n)) + (lam - 1) * slog AS ll
+  FROM st),
+best AS (SELECT lam FROM ll ORDER BY ll DESC, lam LIMIT 1)
+SELECT l_orderkey, l_linenumber,
+       round(CASE WHEN best.lam = 0 THEN ln(l_quantity)
+                  ELSE (pow(l_quantity, best.lam) - 1) / best.lam END, 6) AS boxcox_qty
+FROM lineitem CROSS JOIN best
+"""
+
+
 def _set_op_sides(sf_dir: str):
     """Shared projections for the INTERSECT / EXCEPT queries: urgent
     order keys vs heavy-lineitem order keys, both renamed to `k`."""
@@ -4075,4 +4113,5 @@ QUERIES: dict[str, tuple] = {
     "tok_bigram_counts": (tok_bigram_counts, TOK_BIGRAM_SQL),
     "q_intersect": (q_intersect, Q_INTERSECT_SQL),
     "q_except": (q_except, Q_EXCEPT_SQL),
+    "fe_boxcox": (fe_boxcox, FE_BOXCOX_SQL),
 }

@@ -48,7 +48,7 @@ def _stateful_depth(f: Feature, cache: dict) -> int:
 
 _STATEFUL_UNARY = (
     "minmax", "zscore", "impute_mean", "impute_median", "impute_mode", "discretize", "mdlp",
-    "winsor", "robust", "ranknorm", "qcut",
+    "winsor", "robust", "ranknorm", "qcut", "boxcox",
 )
 
 
@@ -87,6 +87,10 @@ def _partial_for(f: Feature, cols: dict, fitted: Fitted, cache: dict):
     if op == "impute_mode":
         vals, counts = np.unique(pv, return_counts=True)
         return ("counts", vals, counts)
+    if op == "boxcox":
+        from ..functions.kernels import _boxcox_partial
+
+        return ("boxcox",) + _boxcox_partial(pv)
     if op in ("impute_median", "winsor", "robust", "ranknorm", "qcut"):
         # all fit through the mergeable weighted-value sketch. The
         # quantile-EDGE fits (winsor/robust/qcut/ranknorm) are compared
@@ -180,6 +184,14 @@ def _merge_gbt(parts):
     return keys, cnt, s, ss, mn, mx, prod
 
 
+def _merge_boxcox(parts):
+    n = sum(p[1] for p in parts)
+    slog = sum(p[2] for p in parts)
+    s_vec = np.sum([p[3] for p in parts], axis=0)
+    ss_vec = np.sum([p[4] for p in parts], axis=0)
+    return n, slog, s_vec, ss_vec
+
+
 def _merge_counts(parts):
     vals = np.unique(np.concatenate([p[1] for p in parts]))
     counts = np.zeros(len(vals))
@@ -195,6 +207,10 @@ def _finalize(f: Feature, merged) -> tuple:
     if op == "impute_mode":
         vals, counts = merged
         return (float(vals[np.argmax(counts)]) if len(vals) else 0.0,)
+    if op == "boxcox":
+        from ..functions.kernels import _boxcox_best_lambda
+
+        return (_boxcox_best_lambda(*merged),)
     if op == "target_encode":
         keys, cnt, s, ss, mn, mx, prod = merged
         (m,) = f.params or (20.0,)
@@ -380,6 +396,8 @@ def fit_distributed(
                     if kind == "counts"
                     else _merge_quant(parts)
                     if kind == "quant"
+                    else _merge_boxcox(parts)
+                    if kind == "boxcox"
                     else _merge_scalar(parts)
                 )
                 fitted[f.name] = _finalize(f, merged)

@@ -236,3 +236,47 @@ class TestDistinctSetOp:
         assert sorted(inter["k"].tolist()) == [2, 3]  # no dup rows despite dup inputs
         exc = distinct_set_op(l, r, on=["k"], op="except", num_buckets=4).to_pandas()
         assert sorted(exc["k"].tolist()) == [1, 5]
+
+
+class TestBoxCox:
+    def test_distributed_fit_matches_inmemory_and_lognormal_lambda(self, ray_session):
+        from complexity_driven_feature_construction_ray.functions.expr import box_cox, raw
+        from complexity_driven_feature_construction_ray.functions.kernels import (
+            evaluate,
+            fit_on_arrays,
+        )
+        from complexity_driven_feature_construction_ray.stages.fit import fit_distributed
+
+        rng = np.random.default_rng(5)
+        x = np.exp(rng.normal(0.0, 1.0, size=4000))  # lognormal -> lambda ~ 0
+        f = box_cox(raw("x", properties={"min": float(x.min()), "max": float(x.max())}))
+        mem = fit_on_arrays([f], {"x": x})
+        ds = ray.data.from_arrow(pa.table({"x": x})).repartition(6)
+        dist = fit_distributed([f], ds, input_cols=["x"])
+        assert mem[f.name] == dist[f.name]
+        lam = dist[f.name][0]
+        assert abs(lam) <= 0.2  # profile LL picks ~log for lognormal data
+        y = evaluate(f, {"x": x}, dist)
+        exp = np.log(x) if lam == 0 else (np.power(x, lam) - 1) / lam
+        assert np.allclose(y, exp)
+
+    def test_normal_positive_data_prefers_identityish_lambda(self, ray_session):
+        from complexity_driven_feature_construction_ray.functions.expr import box_cox, raw
+        from complexity_driven_feature_construction_ray.functions.kernels import fit_on_arrays
+
+        rng = np.random.default_rng(9)
+        x = rng.normal(100.0, 5.0, size=4000)  # already normal, far from 0
+        f = box_cox(raw("x", properties={"min": float(x.min()), "max": float(x.max())}))
+        lam = fit_on_arrays([f], {"x": x})[f.name][0]
+        assert 0.4 <= lam <= 2.0
+
+    def test_applicability_requires_positive(self):
+        from complexity_driven_feature_construction_ray.functions.expr import (
+            is_applicable,
+            raw,
+        )
+
+        pos = raw("a", properties={"min": 0.5, "missing_values": False})
+        nonpos = raw("b", properties={"min": -1.0, "missing_values": False})
+        assert is_applicable("boxcox", (pos,))
+        assert not is_applicable("boxcox", (nonpos,))
