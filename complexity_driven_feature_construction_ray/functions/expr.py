@@ -34,7 +34,7 @@ STATELESS_UNARY = ("minus", "reciprocal", "log")
 # fitted unary (state learned on the train fold); the three impute
 # strategies mirror reference ImputationTransformation.py:35-50
 # (sklearn SimpleImputer mean / median / most_frequent)
-FITTED_UNARY = ("minmax", "zscore", "impute_mean", "impute_median", "impute_mode", "discretize", "mdlp", "winsor", "robust", "ranknorm", "qcut", "boxcox")
+FITTED_UNARY = ("minmax", "zscore", "impute_mean", "impute_median", "impute_mode", "discretize", "mdlp", "winsor", "robust", "ranknorm", "qcut", "boxcox", "yeojohnson")
 SCALER_OPS = ("minmax", "zscore", "robust", "ranknorm")  # no re-scaling of scaled data
 UNARY_OPS = STATELESS_UNARY + FITTED_UNARY
 IMPUTE_OPS = ("impute_mean", "impute_median", "impute_mode")
@@ -318,6 +318,17 @@ def box_cox(parent: Feature) -> Feature:
     return f
 
 
+def yeo_johnson(parent: Feature) -> Feature:
+    """Yeo-Johnson power transform (Yeo & Johnson 2000): the Box-Cox
+    sibling defined on the whole real line, with lambda chosen on the
+    train fold by the same grid profile log-likelihood
+    -n/2·ln σ²(ψ_λ) + (λ-1)·Σ sign(x)·ln(|x|+1). Mergeable streaming
+    fit; applicable to any numeric input (no positivity needed)."""
+    f = Feature("yeojohnson", (parent,))
+    f.properties.update(derive_properties(f))
+    return f
+
+
 def identity(parents: tuple[Feature, ...]) -> Feature:
     # flatten nested identity sets ({A,{B,A}} == {A,B}; reference
     # IdentityTransformation.py:8-31)
@@ -448,7 +459,7 @@ def derive_properties(f: Feature) -> dict:
     elif f.op == "minmax":
         set_range(0.0, 1.0)
         out["distinct"] = ps[0].properties.get("distinct")
-    elif f.op in ("zscore", "robust", "boxcox"):
+    elif f.op in ("zscore", "robust", "boxcox", "yeojohnson"):
         set_range(None, None)
         out["distinct"] = ps[0].properties.get("distinct")
     elif f.op == "ranknorm":

@@ -178,6 +178,43 @@ def _boxcox_partial(pv: np.ndarray) -> tuple:
     return n, slog, Y.sum(axis=0), (Y * Y).sum(axis=0)
 
 
+def _yj_transform(x: np.ndarray, lam: float) -> np.ndarray:
+    """Yeo-Johnson transform at a fixed lambda (NaN propagates)."""
+    out = np.full_like(x, np.nan, dtype=np.float64)
+    pos = x >= 0  # False for NaN -> stays NaN
+    neg = x < 0
+    with np.errstate(all="ignore"):
+        if lam == 0.0:
+            out[pos] = np.log1p(x[pos])
+        else:
+            out[pos] = (np.power(x[pos] + 1.0, lam) - 1.0) / lam
+        l2 = 2.0 - lam
+        if l2 == 0.0:
+            out[neg] = -np.log1p(-x[neg])
+        else:
+            out[neg] = -(np.power(1.0 - x[neg], l2) - 1.0) / l2
+    return out
+
+
+def _yeojohnson_partial(pv: np.ndarray) -> tuple:
+    """Mergeable Yeo-Johnson fit partial: (n, sum(sign(x)·ln(|x|+1)),
+    per-lambda sum(y), per-lambda sum(y^2)). The LL profile has the
+    same -n/2·ln σ² + (λ-1)·C shape as Box-Cox, so the argmax reuses
+    _boxcox_best_lambda."""
+    n = len(pv)
+    if n == 0:
+        z = np.zeros(len(BOXCOX_LAMBDAS))
+        return 0, 0.0, z, z.copy()
+    slog = float(np.sum(np.sign(pv) * np.log1p(np.abs(pv))))
+    s_vec = np.empty(len(BOXCOX_LAMBDAS))
+    ss_vec = np.empty(len(BOXCOX_LAMBDAS))
+    for j, lam in enumerate(BOXCOX_LAMBDAS):
+        y = _yj_transform(pv, float(lam))
+        s_vec[j] = y.sum()
+        ss_vec[j] = (y * y).sum()
+    return n, slog, s_vec, ss_vec
+
+
 def _boxcox_best_lambda(n: int, slog: float, s_vec: np.ndarray, ss_vec: np.ndarray) -> float:
     """Profile log-likelihood argmax over the grid; ascending grid +
     first-max ties = smallest lambda, matching ORDER BY ll DESC, lam."""
@@ -236,6 +273,9 @@ def _eval_inner(f: Feature, cols: Cols, fitted: Fitted, cache: dict) -> np.ndarr
             (lam,) = fitted[f.name]
             x = args[0]
             return np.log(x) if lam == 0.0 else (np.power(x, lam) - 1.0) / lam
+        if op == "yeojohnson":
+            (lam,) = fitted[f.name]
+            return _yj_transform(args[0], lam)
         if op == "minmax":
             mn, mx = fitted[f.name]
             rng = mx - mn
@@ -323,7 +363,7 @@ def fit_on_arrays(
             if f.name in fitted:
                 continue
             op = f.op
-            if op in ("minmax", "zscore", "impute_mean", "impute_median", "impute_mode", "discretize", "mdlp", "winsor", "robust", "ranknorm", "qcut", "boxcox"):
+            if op in ("minmax", "zscore", "impute_mean", "impute_median", "impute_mode", "discretize", "mdlp", "winsor", "robust", "ranknorm", "qcut", "boxcox", "yeojohnson"):
                 p = _eval_node(f.parents[0], cols, fitted, cache)
                 with np.errstate(all="ignore"):
                     if op == "minmax":
@@ -350,6 +390,10 @@ def fit_on_arrays(
                     elif op == "boxcox":
                         pv = p[~np.isnan(p)]
                         n, slog, s_vec, ss_vec = _boxcox_partial(pv)
+                        fitted[f.name] = (_boxcox_best_lambda(n, slog, s_vec, ss_vec),)
+                    elif op == "yeojohnson":
+                        pv = p[~np.isnan(p)]
+                        n, slog, s_vec, ss_vec = _yeojohnson_partial(pv)
                         fitted[f.name] = (_boxcox_best_lambda(n, slog, s_vec, ss_vec),)
                     elif op == "ranknorm":
                         vals, counts = np.unique(p[~np.isnan(p)], return_counts=True)

@@ -3891,6 +3891,54 @@ FROM lineitem CROSS JOIN best
 """
 
 
+def fe_yeojohnson(sf_dir: str):
+    """Yeo-Johnson power transform composed over a z-scored (negative-
+    valued) input — both fits mergeable streaming aggregates; the SQL
+    oracle replays the zscore AND the full lambda grid search."""
+    from ..functions.expr import yeo_johnson, unary
+
+    def build(f):
+        return [yeo_johnson(unary("zscore", f["l_quantity"]))]
+
+    return _lineitem_features(
+        sf_dir,
+        {"stats": ["l_quantity"], "build": build},
+        keep=["l_orderkey", "l_linenumber"],
+        rename={"yeojohnson(zscore(l_quantity))": "yj_qty"},
+        rounding={"yj_qty": 6},
+    )
+
+
+FE_YEOJOHNSON_SQL = """
+WITH p AS (SELECT avg(l_quantity) AS m, stddev_pop(l_quantity) AS sd FROM lineitem),
+x AS (SELECT l_orderkey, l_linenumber, (l_quantity - m) / sd AS v
+      FROM lineitem CROSS JOIN p),
+g AS (SELECT (i - 10) / 5.0 AS lam FROM range(21) t(i)),
+yj AS (
+  SELECT lam,
+         CASE WHEN v >= 0 THEN
+                CASE WHEN lam = 0 THEN ln(v + 1) ELSE (pow(v + 1, lam) - 1) / lam END
+              ELSE
+                CASE WHEN lam = 2 THEN -ln(1 - v) ELSE -(pow(1 - v, 2 - lam) - 1) / (2 - lam) END
+         END AS y
+  FROM x CROSS JOIN g),
+st AS (SELECT lam, count(*) AS n, sum(y) AS s, sum(y * y) AS ss FROM yj GROUP BY lam),
+c AS (SELECT sum(CASE WHEN v >= 0 THEN ln(v + 1) ELSE -ln(1 - v) END) AS slog FROM x),
+ll AS (SELECT lam, -n / 2.0 * ln(ss / n - (s / n) * (s / n)) + (lam - 1) * slog AS ll
+       FROM st CROSS JOIN c),
+best AS (SELECT lam FROM ll ORDER BY ll DESC, lam LIMIT 1)
+SELECT l_orderkey, l_linenumber,
+       round(CASE WHEN v >= 0 THEN
+                    CASE WHEN best.lam = 0 THEN ln(v + 1)
+                         ELSE (pow(v + 1, best.lam) - 1) / best.lam END
+                  ELSE
+                    CASE WHEN best.lam = 2 THEN -ln(1 - v)
+                         ELSE -(pow(1 - v, 2 - best.lam) - 1) / (2 - best.lam) END
+             END, 6) AS yj_qty
+FROM x CROSS JOIN best
+"""
+
+
 def _set_op_sides(sf_dir: str):
     """Shared projections for the INTERSECT / EXCEPT queries: urgent
     order keys vs heavy-lineitem order keys, both renamed to `k`."""
@@ -4114,4 +4162,5 @@ QUERIES: dict[str, tuple] = {
     "q_intersect": (q_intersect, Q_INTERSECT_SQL),
     "q_except": (q_except, Q_EXCEPT_SQL),
     "fe_boxcox": (fe_boxcox, FE_BOXCOX_SQL),
+    "fe_yeojohnson": (fe_yeojohnson, FE_YEOJOHNSON_SQL),
 }

@@ -48,7 +48,7 @@ def _stateful_depth(f: Feature, cache: dict) -> int:
 
 _STATEFUL_UNARY = (
     "minmax", "zscore", "impute_mean", "impute_median", "impute_mode", "discretize", "mdlp",
-    "winsor", "robust", "ranknorm", "qcut", "boxcox",
+    "winsor", "robust", "ranknorm", "qcut", "boxcox", "yeojohnson",
 )
 
 
@@ -91,6 +91,10 @@ def _partial_for(f: Feature, cols: dict, fitted: Fitted, cache: dict):
         from ..functions.kernels import _boxcox_partial
 
         return ("boxcox",) + _boxcox_partial(pv)
+    if op == "yeojohnson":
+        from ..functions.kernels import _yeojohnson_partial
+
+        return ("boxcox",) + _yeojohnson_partial(pv)
     if op in ("impute_median", "winsor", "robust", "ranknorm", "qcut"):
         # all fit through the mergeable weighted-value sketch. The
         # quantile-EDGE fits (winsor/robust/qcut/ranknorm) are compared
@@ -207,7 +211,7 @@ def _finalize(f: Feature, merged) -> tuple:
     if op == "impute_mode":
         vals, counts = merged
         return (float(vals[np.argmax(counts)]) if len(vals) else 0.0,)
-    if op == "boxcox":
+    if op in ("boxcox", "yeojohnson"):
         from ..functions.kernels import _boxcox_best_lambda
 
         return (_boxcox_best_lambda(*merged),)

@@ -280,3 +280,39 @@ class TestBoxCox:
         nonpos = raw("b", properties={"min": -1.0, "missing_values": False})
         assert is_applicable("boxcox", (pos,))
         assert not is_applicable("boxcox", (nonpos,))
+
+
+class TestYeoJohnson:
+    def test_distributed_matches_inmemory_and_handles_negatives(self, ray_session):
+        from complexity_driven_feature_construction_ray.functions.expr import raw, yeo_johnson
+        from complexity_driven_feature_construction_ray.functions.kernels import (
+            _yj_transform,
+            evaluate,
+            fit_on_arrays,
+        )
+        from complexity_driven_feature_construction_ray.stages.fit import fit_distributed
+
+        rng = np.random.default_rng(13)
+        # right-skewed data crossing zero -> lambda < 1
+        x = rng.gamma(2.0, 2.0, size=4000) - 2.0
+        f = yeo_johnson(raw("x", properties={"min": float(x.min()), "max": float(x.max())}))
+        mem = fit_on_arrays([f], {"x": x})
+        ds = ray.data.from_arrow(pa.table({"x": x})).repartition(6)
+        dist = fit_distributed([f], ds, input_cols=["x"])
+        assert mem[f.name] == dist[f.name]
+        lam = dist[f.name][0]
+        assert lam < 1.0
+        y = evaluate(f, {"x": x}, dist)
+        assert np.allclose(y, _yj_transform(x, lam))
+        assert np.isfinite(y).all()
+
+    def test_yj_transform_piecewise_continuity_and_nan(self):
+        from complexity_driven_feature_construction_ray.functions.kernels import _yj_transform
+
+        x = np.array([-3.0, -1e-9, 0.0, 1e-9, 3.0, np.nan])
+        for lam in (-2.0, 0.0, 0.4, 2.0):
+            y = _yj_transform(x, lam)
+            assert abs(y[1] - y[3]) < 1e-8  # continuous through 0
+            assert abs(y[2]) < 1e-12
+            assert np.isnan(y[5])
+            assert np.all(np.diff(y[:5]) > 0)  # strictly increasing
