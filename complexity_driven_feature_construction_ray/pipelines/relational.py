@@ -1484,6 +1484,35 @@ def d_components(sf_dir: str):
     return out.to_pandas().sort_values("id").reset_index(drop=True)
 
 
+def d_pagerank(sf_dir: str):
+    """Distributed checkpointed PageRank (stages/graph.py:pagerank)
+    over the supplier→part purchase graph (a deterministic lineitem
+    subset; part ids offset so the bipartite sides don't collide).
+    Iterative fit -> rows-only check; pytest verifies exact agreement
+    with a dense numpy power iteration including dangling-mass
+    redistribution."""
+    from ..stages.graph import pagerank
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_partkey"],
+        where=pc.bit_wise_and(pc.field("l_orderkey"), 15) == 0,
+    )
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": batch["l_suppkey"].cast(pa.int64()),
+            "dst": pc.add(batch["l_partkey"].cast(pa.int64()), pa.scalar(10_000_000)),
+        })
+
+    edges = li.map_batches(to_edges, batch_format="pyarrow")
+    out = pagerank(edges, n_iter=8)
+    return (
+        _round_cols(out, {"rank": 9})
+        .sort(["rank", "id"], descending=[True, False])
+        .limit(25)
+    )
+
+
 def d_simhash_dedup(sf_dir: str):
     from ..stages.dedup import clusters_dataset, simhash_dedup
 
@@ -4163,4 +4192,5 @@ QUERIES: dict[str, tuple] = {
     "q_except": (q_except, Q_EXCEPT_SQL),
     "fe_boxcox": (fe_boxcox, FE_BOXCOX_SQL),
     "fe_yeojohnson": (fe_yeojohnson, FE_YEOJOHNSON_SQL),
+    "d_pagerank": (d_pagerank, None),
 }

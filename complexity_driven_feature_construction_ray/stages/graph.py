@@ -170,3 +170,166 @@ def connected_components(
             break
         prev_sum = cur_sum
     return labels
+
+
+def pagerank(
+    edges,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 20,
+    checkpoint_dir: str | None = None,
+):
+    """Distributed PageRank with dangling-node redistribution
+    (Brin & Page 1998; the power-iteration formulation):
+
+        r'(v) = (1-d)/N + d * (Σ_{u→v} r(u)/outdeg(u) + D/N),
+        D = Σ_{outdeg(u)=0} r(u)
+
+    Same Pregel-style execution as connected_components: every
+    superstep is two hash-bucket co-group passes (ranks joined to
+    edges by src -> contribution messages; messages combined by dst)
+    ending in a parquet checkpoint that severs executor lineage and
+    makes the iteration resumable. Edge weights 1/outdeg are
+    precomputed ONCE in a single bucket pass (all of a src's edges
+    co-locate, so the degree is bucket-local) and checkpointed; the
+    per-step driver traffic is two scalars (dangling mass, rank sum).
+
+    edges: Dataset[(src, dst)] int64 node ids, directed.
+    Returns Dataset[(id, rank)] backed by the final checkpoint.
+    """
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    from .temporal import grouped_map
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="pr_", dir="/tmp")
+    d = float(damping)
+
+    # --- one-time precompute: per-edge weight 1/outdeg(src) ----------------
+    def to_uv(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": batch[src_col].cast(pa.int64()),
+            "v": batch[dst_col].cast(pa.int64()),
+        })
+
+    uv = edges.map_batches(to_uv, batch_format="pyarrow")
+
+    def weigh(g: pd.DataFrame) -> pd.DataFrame:
+        deg = g.groupby("u")["v"].transform("size").to_numpy(np.float64)
+        return pd.DataFrame({
+            "u": g["u"].to_numpy(np.int64),
+            "v": g["v"].to_numpy(np.int64),
+            "w": 1.0 / deg,
+        })
+
+    grouped_map(uv, "u", weigh).write_parquet(f"{ckpt}/edges_w")
+    edges_w = ray.data.read_parquet(f"{ckpt}/edges_w")
+
+    # --- node set with dangling flag (no out-edges) ------------------------
+    def tag_ids(src_side: bool):
+        col = "u" if src_side else "v"
+
+        def _t(batch: pa.Table) -> pa.Table:
+            ids = np.unique(batch[col].to_numpy(zero_copy_only=False))
+            return pa.table({
+                "id": pa.array(ids),
+                "has_out": pa.array(np.full(len(ids), src_side)),
+            })
+
+        return _t
+
+    both_ids = uv.map_batches(tag_ids(True), batch_format="pyarrow").union(
+        uv.map_batches(tag_ids(False), batch_format="pyarrow")
+    )
+
+    def resolve_nodes(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("id")["has_out"].any()
+        return pd.DataFrame({
+            "id": agg.index.to_numpy(np.int64),
+            "dangling": ~agg.to_numpy(bool),
+        })
+
+    nodes = grouped_map(both_ids, "id", resolve_nodes)
+    n_nodes = nodes.count()
+
+    def init_rank(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "rank", pa.array(np.full(batch.num_rows, 1.0 / n_nodes))
+        )
+
+    nodes.map_batches(init_rank, batch_format="pyarrow").write_parquet(f"{ckpt}/step_0")
+    ranks = ray.data.read_parquet(f"{ckpt}/step_0")
+
+    # --- supersteps ---------------------------------------------------------
+    def tag_edge(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": batch["u"], "v": batch["v"], "w": batch["w"],
+            "rank": pa.nulls(len(batch), type=pa.float64()),
+            "dangling": pa.nulls(len(batch), type=pa.bool_()),
+        })
+
+    def tag_rank(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": batch["id"],
+            "v": pa.nulls(len(batch), type=pa.int64()),
+            "w": pa.nulls(len(batch), type=pa.float64()),
+            "rank": batch["rank"],
+            "dangling": batch["dangling"],
+        })
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        holders = g[g["v"].isna()]
+        edg = g[g["rank"].isna()]
+        m = edg[["k", "v", "w"]].merge(holders[["k", "rank"]], on="k", how="inner")
+        return pd.concat([
+            pd.DataFrame({
+                "id": m["v"].to_numpy(np.int64),
+                "contrib": (m["w"] * m["rank"]).to_numpy(np.float64),
+                "dangling": pd.array([pd.NA] * len(m), dtype="boolean"),
+            }),
+            # zero-contribution carrier rows keep every node (and its
+            # dangling flag) alive through the combine pass
+            pd.DataFrame({
+                "id": holders["k"].to_numpy(np.int64),
+                "contrib": np.zeros(len(holders)),
+                "dangling": pd.array(holders["dangling"].to_numpy(bool), dtype="boolean"),
+            }),
+        ])
+
+    for step in range(1, n_iter + 1):
+        # dangling mass: one scalar off the stream
+        def dm_partial(batch: pa.Table) -> pa.Table:
+            r = batch["rank"].to_numpy(zero_copy_only=False)
+            dg = batch["dangling"].to_numpy(zero_copy_only=False).astype(bool)
+            return pa.table({"dm": pa.array([float(r[dg].sum())])})
+
+        dangling_mass = ranks.map_batches(dm_partial, batch_format="pyarrow").sum("dm")
+        base = (1.0 - d) / n_nodes + d * dangling_mass / n_nodes
+
+        both = edges_w.map_batches(tag_edge, batch_format="pyarrow").union(
+            ranks.map_batches(tag_rank, batch_format="pyarrow")
+        )
+        msgs = grouped_map(both, "k", emit, batch_format="pandas")
+
+        def combine(g: pd.DataFrame, base=base) -> pd.DataFrame:
+            agg = g.groupby("id").agg(
+                contrib=("contrib", "sum"), dangling=("dangling", "max")
+            )
+            return pd.DataFrame({
+                "id": agg.index.to_numpy(np.int64),
+                "dangling": agg["dangling"].to_numpy(bool),
+                "rank": base + d * agg["contrib"].to_numpy(np.float64),
+            })
+
+        grouped_map(msgs, "id", combine).write_parquet(f"{ckpt}/step_{step}")
+        ranks = ray.data.read_parquet(f"{ckpt}/step_{step}")
+        shutil.rmtree(f"{ckpt}/step_{step - 1}", ignore_errors=True)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"id": batch["id"], "rank": batch["rank"]})
+
+    return ranks.map_batches(project, batch_format="pyarrow")

@@ -316,3 +316,52 @@ class TestYeoJohnson:
             assert abs(y[2]) < 1e-12
             assert np.isnan(y[5])
             assert np.all(np.diff(y[:5]) > 0)  # strictly increasing
+
+
+class TestPageRank:
+    def test_matches_dense_power_iteration(self, ray_session):
+        from complexity_driven_feature_construction_ray.stages.graph import pagerank
+
+        rng = np.random.default_rng(2)
+        n = 60
+        src = rng.integers(0, n, 300)
+        dst = rng.integers(0, n, 300)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        edges = ray.data.from_pandas(
+            pd.DataFrame({"src": src.astype(np.int64), "dst": dst.astype(np.int64)})
+        ).repartition(4)
+        out = pagerank(edges, n_iter=25).to_pandas().sort_values("id").reset_index(drop=True)
+
+        ids = np.unique(np.concatenate([src, dst]))
+        idx = {v: i for i, v in enumerate(ids)}
+        N, d = len(ids), 0.85
+        M = np.zeros((N, N))
+        deg = np.zeros(N)
+        for a in src:
+            deg[idx[a]] += 1
+        for a, b in zip(src, dst):
+            M[idx[b], idx[a]] += 1.0 / deg[idx[a]]
+        r = np.full(N, 1.0 / N)
+        for _ in range(25):
+            D = r[deg == 0].sum()
+            r = (1 - d) / N + d * (M @ r + D / N)
+        exp = pd.DataFrame({"id": ids, "rank": r}).sort_values("id").reset_index(drop=True)
+        assert len(out) == len(exp)
+        m = out.merge(exp, on="id", suffixes=("_got", "_exp"))
+        assert np.allclose(m["rank_got"], m["rank_exp"], atol=1e-12)
+        assert abs(out["rank"].sum() - 1.0) < 1e-9  # probability mass conserved
+
+    def test_dangling_star_graph(self, ray_session):
+        from complexity_driven_feature_construction_ray.stages.graph import pagerank
+
+        # hub 0 -> leaves 1..4, all leaves dangling
+        edges = ray.data.from_pandas(
+            pd.DataFrame({"src": np.zeros(4, np.int64), "dst": np.arange(1, 5, dtype=np.int64)})
+        )
+        out = pagerank(edges, n_iter=30).to_pandas().set_index("id")["rank"]
+        assert abs(out.sum() - 1.0) < 1e-9
+        # symmetry: the four leaves tie exactly; hub gets less than a leaf
+        leaves = out.loc[[1, 2, 3, 4]].to_numpy()
+        assert np.allclose(leaves, leaves[0])
+        assert out.loc[0] < leaves[0]
