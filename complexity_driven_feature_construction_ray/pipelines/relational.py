@@ -4043,6 +4043,56 @@ def tok_bigram_counts(sf_dir: str):
     return bigram_pair_counts(token_table_dataset(n), k=50)
 
 
+def tok_bpe_train(sf_dir: str):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016) —
+    the full merge LOOP, not just one pair count: 6 merges, each a
+    streaming pair-count pass + a vectorized corpus rewrite, lineage
+    bounded by periodic parquet checkpoints (stages/bpe.py). Returns
+    the learned merge table plus the corpus compression it achieves
+    (total tokens before/after applying all merges in ONE pass).
+    Deterministic; pytest verifies exact agreement with a pure-Python
+    greedy recount reference including self-pair overlap runs."""
+    from ..sources.token_table import token_table_dataset
+    from ..stages.bpe import apply_merges, bpe_train
+
+    n = {"sf0.001": 3000, "sf0.01": 30000, "sf0.1": 300000}.get(
+        sf_dir.rstrip("/").split("/")[-1], 3000
+    )
+
+    # byte-level view (token id mod 256): BPE over the raw ~50k-id
+    # table is degenerate (uniform ids -> max pair count 2); byte-level
+    # BPE's 256 base symbols is the standard GPT-2 starting alphabet
+    # and gives the merge loop real mass to find.
+    def byte_view(batch: pa.Table) -> pa.Table:
+        arr = batch["tokens"]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        flat = pc.bit_wise_and(arr.values.cast(pa.int64()), 255)
+        lst = pa.ListArray.from_arrays(arr.offsets, flat)
+        return batch.set_column(
+            batch.schema.get_field_index("tokens"), "tokens", lst
+        )
+
+    def corpus():
+        return token_table_dataset(n).map_batches(byte_view, batch_format="pyarrow")
+
+    merges = bpe_train(corpus(), n_merges=6)
+
+    def tok_count(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n": pa.array([int(pc.sum(pc.list_value_length(batch["tokens"])).as_py())])}
+        )
+
+    before = corpus().map_batches(tok_count, batch_format="pyarrow").sum("n")
+    after = (
+        apply_merges(corpus(), merges)
+        .map_batches(tok_count, batch_format="pyarrow")
+        .sum("n")
+    )
+    merges["tokens_before"] = np.int64(before)
+    merges["tokens_after"] = np.int64(after)
+    return merges
+
+
 # Oracle pinned at the driver gate size (sf0.01 -> 30,000 rows), same
 # convention as TOK_BACKFILL_SQL; reads the tokens-included twin.
 TOK_BIGRAM_SQL = f"""
@@ -4193,4 +4243,5 @@ QUERIES: dict[str, tuple] = {
     "fe_boxcox": (fe_boxcox, FE_BOXCOX_SQL),
     "fe_yeojohnson": (fe_yeojohnson, FE_YEOJOHNSON_SQL),
     "d_pagerank": (d_pagerank, None),
+    "tok_bpe_train": (tok_bpe_train, None),
 }

@@ -365,3 +365,57 @@ class TestPageRank:
         leaves = out.loc[[1, 2, 3, 4]].to_numpy()
         assert np.allclose(leaves, leaves[0])
         assert out.loc[0] < leaves[0]
+
+
+class TestBPE:
+    def test_merge_kernel_overlap_runs(self):
+        from complexity_driven_feature_construction_ray.stages.bpe import merge_pair_flat
+
+        # aaaa -> XX, aaa -> Xa, boundaries never crossed
+        flat = np.array([7, 7, 7, 7, 7, 7, 7, 1, 7, 7, 2], dtype=np.int64)
+        lengths = np.array([4, 3, 2, 2], dtype=np.int64)
+        f2, l2 = merge_pair_flat(flat, lengths, 7, 7, 99)
+        assert f2.tolist() == [99, 99, 99, 7, 1, 7, 7, 2]
+        assert l2.tolist() == [2, 2, 2, 2]
+        # empty-row edge: ends-1 == -1 must not unmask anything wrong
+        f3, l3 = merge_pair_flat(
+            np.array([3, 3], dtype=np.int64), np.array([0, 2], dtype=np.int64), 3, 3, 9
+        )
+        assert f3.tolist() == [9] and l3.tolist() == [0, 1]
+
+    def test_train_matches_pure_python_reference(self, ray_session):
+        from complexity_driven_feature_construction_ray.stages.bpe import (
+            apply_merges,
+            bpe_reference,
+            bpe_train,
+        )
+
+        rng = np.random.default_rng(7)
+        rows = [rng.integers(0, 6, rng.integers(2, 30)).tolist() for _ in range(120)]
+        ds = ray.data.from_arrow(
+            pa.table({"doc": np.arange(len(rows)), "tokens": rows})
+        ).repartition(5)
+        got = bpe_train(ds, 8, checkpoint_every=3)
+        exp = bpe_reference(rows, 8)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), exp.reset_index(drop=True)
+        )
+        # apply in one pass == iterated reference apply: compare total lengths
+        applied = apply_merges(ds, got).to_pandas()
+        seqs = [list(map(int, r)) for r in rows]
+        for _, m in exp.iterrows():
+            a, b, x = int(m["a"]), int(m["b"]), int(m["new_id"])
+            out = []
+            for r in seqs:
+                s, i = [], 0
+                while i < len(r):
+                    if i + 1 < len(r) and r[i] == a and r[i + 1] == b:
+                        s.append(x)
+                        i += 2
+                    else:
+                        s.append(r[i])
+                        i += 1
+                out.append(s)
+            seqs = out
+        got_sorted = applied.sort_values("doc")["tokens"].tolist()
+        assert [list(map(int, t)) for t in got_sorted] == seqs
