@@ -4093,6 +4093,49 @@ def tok_bpe_train(sf_dir: str):
     return merges
 
 
+def tok_pmi(sf_dir: str):
+    """Skip-gram co-occurrence + PMI over the byte-level token view
+    (window 2, forward contexts) — the word2vec/PPMI context-table
+    statistic. The pair table is alphabet-bounded (256² cells) so only
+    the distinct cells shuffle; the oracle rebuilds pairs, marginals
+    and ln-PMI in SQL over the tokens-included fixture."""
+    from ..sources.token_table import token_table_dataset
+    from ..stages.token_stats import skipgram_pmi
+
+    n = {"sf0.001": 3000, "sf0.01": 30000, "sf0.1": 300000}.get(
+        sf_dir.rstrip("/").split("/")[-1], 3000
+    )
+    if n <= 30000:
+        ensure_tok_oracle_fixtures(ns=(n,))
+    return skipgram_pmi(token_table_dataset(n), window=2, mod=256, k=25)
+
+
+TOK_PMI_SQL = f"""
+WITH t AS (
+  SELECT row_number() OVER () AS rid, tokens
+  FROM read_parquet('{TOK_ORACLE_DIR}/tokens_full_30000_seed42.parquet')
+),
+u AS (
+  SELECT rid, unnest(tokens) % 256 AS tok, generate_subscripts(tokens, 1) AS i FROM t
+),
+c AS (
+  SELECT x.tok AS a, y.tok AS b, count(*) AS n
+  FROM u x JOIN u y ON x.rid = y.rid AND y.i - x.i BETWEEN 1 AND 2
+  GROUP BY x.tok, y.tok
+),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS npairs FROM c),
+ml AS (SELECT a, CAST(sum(n) AS DOUBLE) AS ca FROM c GROUP BY a),
+mr AS (SELECT b, CAST(sum(n) AS DOUBLE) AS cb FROM c GROUP BY b)
+SELECT CAST(c.a AS BIGINT) AS a, CAST(c.b AS BIGINT) AS b, c.n AS n,
+       round(ln(CAST(c.n AS DOUBLE) * npairs / (ca * cb)), 6) AS pmi
+FROM c, tot
+JOIN ml ON ml.a = c.a
+JOIN mr ON mr.b = c.b
+ORDER BY n DESC, a, b
+LIMIT 25
+"""
+
+
 # Oracle pinned at the driver gate size (sf0.01 -> 30,000 rows), same
 # convention as TOK_BACKFILL_SQL; reads the tokens-included twin.
 TOK_BIGRAM_SQL = f"""
@@ -4244,4 +4287,5 @@ QUERIES: dict[str, tuple] = {
     "fe_yeojohnson": (fe_yeojohnson, FE_YEOJOHNSON_SQL),
     "d_pagerank": (d_pagerank, None),
     "tok_bpe_train": (tok_bpe_train, None),
+    "tok_pmi": (tok_pmi, TOK_PMI_SQL),
 }

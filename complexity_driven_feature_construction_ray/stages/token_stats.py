@@ -149,3 +149,73 @@ def bigram_pair_counts(ds, *, tokens_col: str = "tokens", k: int = 50):
         .limit(k)
         .map_batches(decode, batch_format="pyarrow")
     )
+
+
+def skipgram_pmi(ds, *, tokens_col: str = "tokens", window: int = 2, mod: int | None = 256, k: int = 25):
+    """Skip-gram co-occurrence counts + pointwise mutual information
+    (Church & Hanks 1990) over the token corpus — the statistic behind
+    word2vec-style context tables and PPMI embedding matrices.
+
+    Ordered (center, context) pairs at forward distances 1..window.
+    Per-batch segmented encode over the zero-copy list buffers (one
+    shifted-gather per distance, no row loop) -> np.unique partials ->
+    pair-hash bucket C-level sum. The full pair table is at most
+    vocab² cells (mod² when a byte view is requested) — bounded by the
+    ALPHABET, not the corpus — so marginals and PMI are computed on
+    that small table driver-side; the corpus itself never shuffles.
+
+    Returns pandas (a, b, n, pmi) top-k by (n desc, a, b), pmi =
+    ln(n·N / (ca·cb)) over pair-table marginals, rounded to 6."""
+    import pandas as pd
+
+    from .temporal import grouped_map
+
+    def partials(batch: pa.Table) -> pa.Table:
+        arr = batch[tokens_col]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        lengths = pc.list_value_length(arr).to_numpy().astype(np.int64)
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        if mod:
+            flat = flat % mod
+        n = len(flat)
+        if n == 0:
+            return pa.table(
+                {"pair": pa.array([], type=pa.int64()), "n": pa.array([], type=pa.int64())}
+            )
+        starts = np.zeros(len(lengths), dtype=np.int64)
+        np.cumsum(lengths[:-1], out=starts[1:])
+        row_of = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+        rem = lengths[row_of] - (np.arange(n, dtype=np.int64) - starts[row_of])
+        keys = [
+            (flat[sel] << 32) | flat[sel + d]
+            for d in range(1, window + 1)
+            for sel in (np.flatnonzero(rem > d),)
+        ]
+        uniq, cnt = np.unique(np.concatenate(keys), return_counts=True)
+        return pa.table({"pair": pa.array(uniq), "n": pa.array(cnt.astype(np.int64))})
+
+    def bucket_sum(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby("pair")["n"].sum().reset_index()
+        return pa.table(
+            {
+                "pair": pa.array(s["pair"].to_numpy(np.int64)),
+                "n": pa.array(s["n"].to_numpy(np.int64)),
+            }
+        )
+
+    cells = grouped_map(
+        ds.map_batches(partials, batch_format="pyarrow"), "pair", bucket_sum
+    ).to_pandas()
+    a = (cells["pair"].to_numpy(np.int64) >> 32).astype(np.int64)
+    b = (cells["pair"].to_numpy(np.int64) & 0xFFFFFFFF).astype(np.int64)
+    cnt = cells["n"].to_numpy(np.int64)
+    N = float(cnt.sum())
+    ca = pd.Series(cnt).groupby(a).transform("sum").to_numpy(np.float64)
+    cb = pd.Series(cnt).groupby(b).transform("sum").to_numpy(np.float64)
+    pmi = np.round(np.log(cnt.astype(np.float64) * N / (ca * cb)), 6)
+    out = pd.DataFrame({"a": a, "b": b, "n": cnt, "pmi": pmi})
+    return (
+        out.sort_values(["n", "a", "b"], ascending=[False, True, True], kind="stable")
+        .head(k)
+        .reset_index(drop=True)
+    )

@@ -419,3 +419,37 @@ class TestBPE:
             seqs = out
         got_sorted = applied.sort_values("doc")["tokens"].tolist()
         assert [list(map(int, t)) for t in got_sorted] == seqs
+
+
+class TestSkipgramPMI:
+    def test_matches_bruteforce(self, ray_session):
+        from complexity_driven_feature_construction_ray.stages.token_stats import skipgram_pmi
+
+        rng = np.random.default_rng(11)
+        rows = [rng.integers(0, 5, rng.integers(1, 12)).tolist() for _ in range(200)]
+        ds = ray.data.from_arrow(
+            pa.table({"tokens": rows})
+        ).repartition(4)
+        got = skipgram_pmi(ds, window=2, mod=None, k=100)
+
+        from collections import Counter
+        c = Counter()
+        for r in rows:
+            for i in range(len(r)):
+                for d in (1, 2):
+                    if i + d < len(r):
+                        c[(int(r[i]), int(r[i + d]))] += 1
+        N = sum(c.values())
+        ca = Counter(); cb = Counter()
+        for (a, b), n in c.items():
+            ca[a] += n; cb[b] += n
+        exp = pd.DataFrame(
+            [
+                {"a": a, "b": b, "n": n,
+                 "pmi": round(float(np.log(n * float(N) / (ca[a] * cb[b]))), 6)}
+                for (a, b), n in c.items()
+            ]
+        ).sort_values(["n", "a", "b"], ascending=[False, True, True]).head(100).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype({"n": np.int64}), exp.astype({"n": np.int64}), atol=2e-6, rtol=0
+        )
