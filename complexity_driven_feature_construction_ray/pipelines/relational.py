@@ -4110,6 +4110,77 @@ def tok_pmi(sf_dir: str):
     return skipgram_pmi(token_table_dataset(n), window=2, mod=256, k=25)
 
 
+def tok_entropy(sf_dir: str):
+    """Per-document unigram entropy (token-diversity quality signal)
+    — stateless vectorized map_batches, one output row per doc; the
+    oracle recomputes -Σ p·ln(p) per doc_id in SQL."""
+    from ..sources.token_table import token_table_dataset
+    from ..stages.token_stats import token_entropy_batch
+
+    n = {"sf0.001": 3000, "sf0.01": 30000, "sf0.1": 300000}.get(
+        sf_dir.rstrip("/").split("/")[-1], 3000
+    )
+    if n <= 30000:
+        ensure_tok_oracle_fixtures(ns=(n,))
+    return token_table_dataset(n).map_batches(
+        token_entropy_batch, batch_format="pyarrow"
+    ).sort("doc_id")
+
+
+TOK_ENTROPY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, tokens
+  FROM read_parquet('{TOK_ORACLE_DIR}/tokens_full_30000_seed42.parquet')
+),
+u AS (SELECT doc_id, unnest(tokens) AS tok FROM t),
+c AS (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY doc_id, tok),
+l AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS L FROM c GROUP BY doc_id)
+SELECT c.doc_id AS doc_id, CAST(l.L AS INT) AS n_tok,
+       round(-sum((c.c / l.L) * ln(c.c / l.L)), 6) AS entropy
+FROM c JOIN l USING (doc_id)
+GROUP BY c.doc_id, l.L
+ORDER BY doc_id
+"""
+
+
+def tok_zipf(sf_dir: str):
+    """Zipf-exponent fit over the corpus unigram distribution (top
+    1000 ranks): the vocabulary-design diagnostic for tokenizer
+    planning. Exchange is the vocab-bounded (token, count) table; the
+    oracle replays rank assignment and the ln-ln OLS with regr_*."""
+    from ..sources.token_table import token_table_dataset
+    from ..stages.token_stats import zipf_fit
+
+    n = {"sf0.001": 3000, "sf0.01": 30000, "sf0.1": 300000}.get(
+        sf_dir.rstrip("/").split("/")[-1], 3000
+    )
+    if n <= 30000:
+        ensure_tok_oracle_fixtures(ns=(n,))
+    return zipf_fit(token_table_dataset(n), top_ranks=1000)
+
+
+TOK_ZIPF_SQL = f"""
+WITH t AS (
+  SELECT tokens
+  FROM read_parquet('{TOK_ORACLE_DIR}/tokens_full_30000_seed42.parquet')
+),
+u AS (SELECT unnest(tokens) AS tok FROM t),
+c AS (SELECT tok, count(*) AS n FROM u GROUP BY tok),
+r AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, tok) AS DOUBLE)) AS lx,
+         ln(CAST(n AS DOUBLE)) AS ly
+  FROM c
+  ORDER BY n DESC, tok
+  LIMIT 1000
+)
+SELECT round(regr_slope(ly, lx), 6) AS slope,
+       round(regr_intercept(ly, lx), 6) AS intercept,
+       round(regr_r2(ly, lx), 6) AS r2,
+       count(*) AS n_ranks
+FROM r
+"""
+
+
 TOK_PMI_SQL = f"""
 WITH t AS (
   SELECT row_number() OVER () AS rid, tokens
@@ -4288,4 +4359,6 @@ QUERIES: dict[str, tuple] = {
     "d_pagerank": (d_pagerank, None),
     "tok_bpe_train": (tok_bpe_train, None),
     "tok_pmi": (tok_pmi, TOK_PMI_SQL),
+    "tok_entropy": (tok_entropy, TOK_ENTROPY_SQL),
+    "tok_zipf": (tok_zipf, TOK_ZIPF_SQL),
 }

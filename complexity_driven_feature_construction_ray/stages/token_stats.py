@@ -219,3 +219,90 @@ def skipgram_pmi(ds, *, tokens_col: str = "tokens", window: int = 2, mod: int | 
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def token_entropy_batch(batch: pa.Table, *, tokens_col: str = "tokens", id_col: str = "doc_id") -> pa.Table:
+    """Per-document unigram (Shannon) entropy in nats — the token-
+    diversity quality signal (low-entropy docs are boilerplate /
+    repetition; used alongside the Gopher repetition rules). Stateless
+    and row-local: sort-within-rows on the zero-copy flat buffer, run-
+    length counts per (row, value), one bincount per batch. No loop
+    over rows."""
+    arr = batch[tokens_col]
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    lengths = pc.list_value_length(arr).to_numpy().astype(np.int64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    n_rows = len(lengths)
+    row_of = np.repeat(np.arange(n_rows, dtype=np.int64), lengths)
+    if len(flat):
+        order = np.lexsort((flat, row_of))
+        sv, sr = flat[order], row_of[order]
+        new = np.ones(len(sv), dtype=bool)
+        new[1:] = (sr[1:] != sr[:-1]) | (sv[1:] != sv[:-1])
+        run_starts = np.flatnonzero(new)
+        run_len = np.diff(np.append(run_starts, len(sv))).astype(np.float64)
+        run_row = sr[run_starts]
+        p = run_len / lengths[run_row]
+        h = np.bincount(run_row, weights=-p * np.log(p), minlength=n_rows)
+    else:
+        h = np.zeros(n_rows)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_tok": pa.array(lengths),
+            "entropy": pa.array(np.round(h, 6)),
+        }
+    )
+
+
+def zipf_fit(ds, *, tokens_col: str = "tokens", top_ranks: int = 1000):
+    """Zipf-law fit over the corpus unigram distribution: OLS of
+    ln(count) on ln(rank) across the `top_ranks` most frequent tokens
+    (rank by count desc, token asc). The exchanged state is the
+    vocab-bounded distinct (token, count) table — per-batch bincount
+    partials, pair-hash bucket C-level sum — so the fit input is
+    O(vocab) regardless of corpus size. Returns a one-row DataFrame
+    (slope, intercept, r2, n_ranks); slope ≈ -1 is Zipf."""
+    import pandas as pd
+
+    from .temporal import grouped_map
+
+    def partials(batch: pa.Table) -> pa.Table:
+        arr = batch[tokens_col]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, cnt = np.unique(flat, return_counts=True)
+        return pa.table({"tok": pa.array(uniq), "n": pa.array(cnt.astype(np.int64))})
+
+    def bucket_sum(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby("tok")["n"].sum().reset_index()
+        return pa.table(
+            {
+                "tok": pa.array(s["tok"].to_numpy(np.int64)),
+                "n": pa.array(s["n"].to_numpy(np.int64)),
+            }
+        )
+
+    cells = grouped_map(
+        ds.map_batches(partials, batch_format="pyarrow"), "tok", bucket_sum
+    ).to_pandas()
+    cells = cells.sort_values(["n", "tok"], ascending=[False, True], kind="stable").head(
+        top_ranks
+    )
+    x = np.log(np.arange(1, len(cells) + 1, dtype=np.float64))
+    y = np.log(cells["n"].to_numpy(np.float64))
+    xm, ym = x.mean(), y.mean()
+    sxx = float(((x - xm) ** 2).sum())
+    sxy = float(((x - xm) * (y - ym)).sum())
+    slope = sxy / sxx
+    intercept = ym - slope * xm
+    syy = float(((y - ym) ** 2).sum())
+    r2 = (sxy * sxy) / (sxx * syy) if syy > 0 else 1.0
+    return pd.DataFrame(
+        {
+            "slope": [round(slope, 6)],
+            "intercept": [round(intercept, 6)],
+            "r2": [round(r2, 6)],
+            "n_ranks": [np.int64(len(cells))],
+        }
+    )

@@ -453,3 +453,39 @@ class TestSkipgramPMI:
         pd.testing.assert_frame_equal(
             got.astype({"n": np.int64}), exp.astype({"n": np.int64}), atol=2e-6, rtol=0
         )
+
+
+class TestTokenEntropyZipf:
+    def test_entropy_bruteforce(self, ray_session):
+        from complexity_driven_feature_construction_ray.stages.token_stats import (
+            token_entropy_batch,
+        )
+
+        rows = [[1, 1, 1, 1], [1, 2, 3, 4], [5], [2, 2, 3]]
+        batch = pa.table({"doc_id": ["a", "b", "c", "d"], "tokens": rows})
+        out = token_entropy_batch(batch).to_pandas()
+        exp = []
+        for r in rows:
+            _, c = np.unique(r, return_counts=True)
+            p = c / len(r)
+            exp.append(round(float(-(p * np.log(p)).sum()), 6))
+        assert out["entropy"].tolist() == exp
+        assert out["n_tok"].tolist() == [4, 4, 1, 3]
+
+    def test_zipf_recovers_exponent(self, ray_session):
+        from complexity_driven_feature_construction_ray.stages.token_stats import zipf_fit
+
+        # corpus with exact count(tok=r) = round(1000 / r): slope ~ -1
+        toks = np.concatenate(
+            [np.full(max(round(1000 / r), 1), r, dtype=np.int64) for r in range(1, 101)]
+        )
+        rng = np.random.default_rng(3)
+        rng.shuffle(toks)
+        rows = np.array_split(toks, 50)
+        ds = ray.data.from_arrow(
+            pa.table({"tokens": [r.tolist() for r in rows]})
+        ).repartition(4)
+        out = zipf_fit(ds, top_ranks=100)
+        assert abs(out["slope"].iloc[0] + 1.0) < 0.05
+        assert out["r2"].iloc[0] > 0.99
+        assert out["n_ranks"].iloc[0] == 100
