@@ -1351,6 +1351,42 @@ FROM tf JOIN df USING (w) CROSS JOIN n GROUP BY doc_id
 """
 
 
+def d_bm25(sf_dir: str):
+    """Okapi BM25 top-20 retrieval of the corpus against a 4-term
+    query. df is computed only for the query terms (one tiny partial
+    aggregate — no posting shuffle), idf scalars broadcast in the
+    scoring closure, per-block local top-k before the global sort."""
+    from ..stages.text import bm25_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_topk(ds, ["hash", "join", "scan", "merge"], k=20)
+
+
+D_BM25_SQL = """
+WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+avgd AS (SELECT count(*) * 1.0 / n.n AS avgdl FROM w, n GROUP BY n.n),
+q(w) AS (VALUES ('hash'), ('join'), ('scan'), ('merge')),
+df AS (SELECT q.w AS w, CAST(count(DISTINCT w0.doc_id) AS DOUBLE) AS df
+       FROM q LEFT JOIN w w0 ON w0.w = q.w GROUP BY q.w),
+idf AS (SELECT w, ln(1 + (n.n - df + 0.5) / (df + 0.5)) AS idf FROM df, n),
+len AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM w GROUP BY doc_id),
+tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf FROM w
+       WHERE w IN (SELECT w FROM q) GROUP BY doc_id, w)
+SELECT d.doc_id AS doc_id,
+       round(coalesce(sum(idf.idf * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * len.dl / avgd.avgdl))), 0), 6) AS bm25
+FROM documents d
+JOIN len ON len.doc_id = d.doc_id
+LEFT JOIN tf ON tf.doc_id = d.doc_id
+LEFT JOIN idf ON idf.w = tf.w
+CROSS JOIN avgd
+GROUP BY d.doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
 def d_pca(sf_dir: str):
     """Streaming-covariance PCA over the embedding column: per-batch
     (n, sum, X'X) partials -> driver eigh -> broadcast projection.
@@ -4361,4 +4397,5 @@ QUERIES: dict[str, tuple] = {
     "tok_pmi": (tok_pmi, TOK_PMI_SQL),
     "tok_entropy": (tok_entropy, TOK_ENTROPY_SQL),
     "tok_zipf": (tok_zipf, TOK_ZIPF_SQL),
+    "d_bm25": (d_bm25, D_BM25_SQL),
 }

@@ -668,3 +668,84 @@ def dsir_weights(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bm25_topk(
+    ds,
+    query_terms: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+):
+    """Okapi BM25 retrieval (Robertson & Walker 1994; the Lucene idf
+    variant ln(1 + (N - df + 0.5)/(df + 0.5))) of the corpus against a
+    small query — THE lexical ranking function retrieval-augmented
+    pipelines start from.
+
+    Scale shape: df is needed only for the |q| QUERY terms, so pass 1
+    is a per-batch vectorized count -> one tiny (|q|+2)-cell aggregate
+    (per-term df partials + doc/len totals) — no posting list ever
+    shuffles. Pass 2 broadcasts the |q| idf scalars inside the closure,
+    scores every doc streaming, and keeps a per-block local top-k
+    before the tiny global sort. Ties break (score desc, doc_id asc).
+    """
+    import pyarrow.compute as _pc
+
+    terms = list(query_terms)
+
+    def term_tf(batch: pa.Table):
+        """(n_rows x |q|) tf matrix + doc lengths, one explode per batch."""
+        s = pd.Series(batch[text_col].to_pandas()).fillna("")
+        ex = s.str.findall(r"\S+")
+        dl = ex.str.len().to_numpy(dtype=np.int64)
+        ex = ex.explode().dropna()
+        tf = np.zeros((len(s), len(terms)), dtype=np.int64)
+        if len(ex):
+            rows = ex.index.to_numpy(dtype=np.int64)
+            words = ex.to_numpy(dtype=object)
+            for j, t in enumerate(terms):
+                hit = words == t
+                if hit.any():
+                    np.add.at(tf[:, j], rows[hit], 1)
+        return tf, dl
+
+    def stat_partials(batch: pa.Table) -> pa.Table:
+        tf, dl = term_tf(batch)
+        out = {"n_docs": pa.array([len(dl)], type=pa.int64()),
+               "tot_len": pa.array([int(dl.sum())], type=pa.int64())}
+        for j in range(len(terms)):
+            out[f"df_{j}"] = pa.array([int((tf[:, j] > 0).sum())], type=pa.int64())
+        return pa.table(out)
+
+    stats = ds.map_batches(stat_partials, batch_format="pyarrow").sum(
+        ["n_docs", "tot_len"] + [f"df_{j}" for j in range(len(terms))]
+    )
+    n_docs = float(stats["sum(n_docs)"])
+    avgdl = stats["sum(tot_len)"] / n_docs
+    idf = np.array(
+        [
+            np.log(1.0 + (n_docs - stats[f"sum(df_{j})"] + 0.5) / (stats[f"sum(df_{j})"] + 0.5))
+            for j in range(len(terms))
+        ]
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf, dl = term_tf(batch)
+        tff = tf.astype(np.float64)
+        denom = tff + k1 * (1.0 - b + b * (dl[:, None] / avgdl))
+        s = (idf[None, :] * tff * (k1 + 1.0) / denom).sum(axis=1)
+        t = pa.table({id_col: batch[id_col], "bm25": pa.array(np.round(s, 6))})
+        # local top-k: only k rows per block reach the global sort
+        order = _pc.sort_indices(
+            t, sort_keys=[("bm25", "descending"), (id_col, "ascending")]
+        )
+        return t.take(order[: min(k, len(order))])
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["bm25", id_col], descending=[True, False])
+        .limit(k)
+    )

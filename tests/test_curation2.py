@@ -178,3 +178,37 @@ class TestQualityClassifier:
         w1 = train_quality_classifier(texts, labels, n_features=128)
         w2 = train_quality_classifier(texts, labels, n_features=128)
         np.testing.assert_array_equal(w1, w2)
+
+
+class TestBM25:
+    def test_matches_bruteforce(self, ray_session):
+        from complexity_driven_feature_construction_ray.stages.text import bm25_topk
+
+        rng = np.random.default_rng(5)
+        vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+        docs = [
+            " ".join(rng.choice(vocab, rng.integers(3, 40)).tolist()) for _ in range(150)
+        ]
+        ids = [f"d{i:03d}" for i in range(150)]
+        ds = ray.data.from_pandas(pd.DataFrame({"doc_id": ids, "text": docs})).repartition(4)
+        terms = ["alpha", "gamma"]
+        got = bm25_topk(ds, terms, k=10).to_pandas()
+
+        # brute force
+        k1, b = 1.2, 0.75
+        split = [d.split() for d in docs]
+        N = len(docs)
+        avgdl = sum(len(s) for s in split) / N
+        dfv = {t: sum(t in s for s in split) for t in terms}
+        rows = []
+        for i, s in enumerate(split):
+            sc = 0.0
+            for t in terms:
+                tf = s.count(t)
+                idf = np.log(1 + (N - dfv[t] + 0.5) / (dfv[t] + 0.5))
+                sc += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(s) / avgdl))
+            rows.append((ids[i], round(sc, 6)))
+        exp = pd.DataFrame(rows, columns=["doc_id", "bm25"]).sort_values(
+            ["bm25", "doc_id"], ascending=[False, True]
+        ).head(10).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
