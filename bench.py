@@ -88,6 +88,10 @@ HEADLINE = [
     "tok_bigram_counts",
     "q_intersect",
     "fe_boxcox",
+    "tok_pmi",
+    "tok_entropy",
+    "tok_zipf",
+    "d_bm25",
 ]
 
 

@@ -2439,10 +2439,11 @@ def d_dedup_apply(sf_dir: str):
 
 
 def d_decontaminate(sf_dir: str):
-    """Benchmark decontamination: drop documents sharing any 6-gram with
-    a deterministic "benchmark" slice (the first 20 docs); returns the
-    surviving ids + per-source counts of the flagged set. Rows-only —
-    n-gram set overlap is not reasonably SQL-expressible."""
+    """Benchmark decontamination: flag documents sharing any 6-gram
+    with a deterministic "benchmark" slice (the first 20 docs by id).
+    The engine probes broadcast shingle HASHES; the oracle compares the
+    raw 6-gram STRINGS in SQL — equal outcomes absent 64-bit hash
+    collisions, so the oracle also guards the hash path."""
     from ..stages.dedup import decontaminate
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
@@ -2459,6 +2460,26 @@ def d_decontaminate(sf_dir: str):
         return batch.select(["doc_id", "source", "contaminated"])
 
     return flagged.map_batches(summarize, batch_format="pyarrow")
+
+
+D_DECONTAMINATE_SQL = """
+WITH w AS (
+  SELECT doc_id, source, regexp_extract_all(text, '\\S+') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(ws) - 5, 0)),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                     ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5])) AS gram
+  FROM w
+),
+bench AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20),
+bg AS (SELECT DISTINCT gram FROM g JOIN bench USING (doc_id)),
+hit AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram))
+SELECT w.doc_id AS doc_id, w.source AS source,
+       (hit.doc_id IS NOT NULL) AS contaminated
+FROM w LEFT JOIN hit ON hit.doc_id = w.doc_id
+"""
 
 
 def tok_resumable(sf_dir: str):
@@ -4380,7 +4401,7 @@ QUERIES: dict[str, tuple] = {
     "f_nsga2": (f_nsga2, None),
     "f_select": (f_select, None),
     "d_dedup_apply": (d_dedup_apply, None),
-    "d_decontaminate": (d_decontaminate, None),
+    "d_decontaminate": (d_decontaminate, D_DECONTAMINATE_SQL),
     "tok_backfill": (tok_backfill, TOK_BACKFILL_SQL),
     "tok_resumable": (tok_resumable, TOK_RESUMABLE_SQL),
     "d_kl_mix": (d_kl_mix, D_KL_MIX_SQL),
