@@ -186,12 +186,25 @@ def skipgram_pmi(ds, *, tokens_col: str = "tokens", window: int = 2, mod: int | 
         np.cumsum(lengths[:-1], out=starts[1:])
         row_of = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
         rem = lengths[row_of] - (np.arange(n, dtype=np.int64) - starts[row_of])
-        keys = [
-            (flat[sel] << 32) | flat[sel + d]
-            for d in range(1, window + 1)
-            for sel in (np.flatnonzero(rem > d),)
-        ]
-        uniq, cnt = np.unique(np.concatenate(keys), return_counts=True)
+        if mod and mod * mod <= (1 << 24):
+            # alphabet-bounded dense count: O(n) bincount over the
+            # mod² key space beats the O(n log n) sort in np.unique
+            dense = np.zeros(mod * mod, dtype=np.int64)
+            for d in range(1, window + 1):
+                sel = np.flatnonzero(rem > d)
+                dense += np.bincount(
+                    flat[sel] * mod + flat[sel + d], minlength=mod * mod
+                )
+            nz = np.flatnonzero(dense)
+            uniq = ((nz // mod) << 32) | (nz % mod)
+            cnt = dense[nz]
+        else:
+            keys = [
+                (flat[sel] << 32) | flat[sel + d]
+                for d in range(1, window + 1)
+                for sel in (np.flatnonzero(rem > d),)
+            ]
+            uniq, cnt = np.unique(np.concatenate(keys), return_counts=True)
         return pa.table({"pair": pa.array(uniq), "n": pa.array(cnt.astype(np.int64))})
 
     def bucket_sum(g: pd.DataFrame) -> pa.Table:
