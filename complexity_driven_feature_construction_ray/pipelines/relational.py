@@ -1387,6 +1387,64 @@ LIMIT 20
 """
 
 
+def d_pii_scrub(sf_dir: str):
+    """PII detection + redaction summary per source (C4/RefinedWeb
+    scrub step). The synthetic corpus has no organic PII, so a
+    deterministic slice (doc_id ending in '7') gets a known PII
+    sentence appended BEFORE scrubbing — both engines inject the same
+    text, so the regex counting/redaction path is genuinely exercised
+    and SQL-verified (DuckDB regexp_* replays the same RE2 patterns)."""
+    from ..stages.text import pii_scrub_summary
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = pd.Series(batch["doc_id"].to_pandas()).astype(str)
+        txt = pd.Series(batch["text"].to_pandas()).fillna("")
+        hit = ids.str.endswith("7")
+        txt = txt.where(
+            ~hit,
+            txt + " contact user@mail.com or 555-0132 from host 10.0.0.7",
+        )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text": pa.array(txt), "source": batch["source"]}
+        )
+
+    return pii_scrub_summary(ds.map_batches(inject, batch_format="pyarrow"))
+
+
+D_PII_SCRUB_SQL = """
+WITH d AS (
+  SELECT source,
+         CASE WHEN CAST(doc_id AS VARCHAR) LIKE '%7'
+              THEN text || ' contact user@mail.com or 555-0132 from host 10.0.0.7'
+              ELSE text END AS text
+  FROM documents
+),
+m AS (
+  SELECT source,
+         len(regexp_extract_all(text, '[A-Za-z0-9.]+@[A-Za-z0-9]+\\.[A-Za-z]+')) AS e,
+         len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}')) AS p,
+         len(regexp_extract_all(text, '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+')) AS i,
+         length(text) - length(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9.]+@[A-Za-z0-9]+\\.[A-Za-z]+', '[EMAIL]', 'g'),
+               '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+', '[IP]', 'g'),
+             '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')
+         ) AS removed
+  FROM d
+)
+SELECT source,
+       CAST(sum(e) AS BIGINT) AS email_hits,
+       CAST(sum(p) AS BIGINT) AS phone_hits,
+       CAST(sum(i) AS BIGINT) AS ip_hits,
+       CAST(sum(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_flagged,
+       CAST(sum(removed) AS BIGINT) AS chars_removed
+FROM m GROUP BY source ORDER BY source
+"""
+
+
 def d_pca(sf_dir: str):
     """Streaming-covariance PCA over the embedding column: per-batch
     (n, sum, X'X) partials -> driver eigh -> broadcast projection.
@@ -4419,4 +4477,5 @@ QUERIES: dict[str, tuple] = {
     "tok_entropy": (tok_entropy, TOK_ENTROPY_SQL),
     "tok_zipf": (tok_zipf, TOK_ZIPF_SQL),
     "d_bm25": (d_bm25, D_BM25_SQL),
+    "d_pii_scrub": (d_pii_scrub, D_PII_SCRUB_SQL),
 }

@@ -749,3 +749,63 @@ def bm25_topk(
         .sort(["bm25", id_col], descending=[True, False])
         .limit(k)
     )
+
+
+PII_PATTERNS = {
+    # RE2-compatible (no lookaround) so a SQL engine can replay them
+    "email": r"[A-Za-z0-9.]+@[A-Za-z0-9]+\.[A-Za-z]+",
+    "phone": r"[0-9]{3}-[0-9]{4}",
+    "ip": r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+",
+}
+
+
+def pii_scrub_summary(ds, *, text_col: str = "text", source_col: str = "source"):
+    """PII detection + redaction summary (the C4/RefinedWeb scrub
+    step): count email/phone/IP matches per source, redact them to
+    [EMAIL]/[PHONE]/[IP], and report docs flagged + characters removed.
+    One vectorized pandas-str pass per pattern per batch (compiled-
+    regex cache inside `re`), per-batch partial sums -> one tiny
+    grouped aggregate; the corpus streams and nothing but the
+    per-source summary leaves the workers. IP is scrubbed before
+    phone so `10.0.0.7`'s tail can't double-count as a phone."""
+    from ray.data.aggregate import Sum
+
+    order = ("email", "ip", "phone")
+
+    def partials(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch[text_col].to_pandas()).fillna("")
+        src = pd.Series(batch[source_col].to_pandas()).fillna("")
+        hits = {k: s.str.count(PII_PATTERNS[k]) for k in order}
+        flagged = (sum(h for h in hits.values()) > 0).astype(np.int64)
+        scrubbed = s
+        for k in order:
+            scrubbed = scrubbed.str.replace(
+                PII_PATTERNS[k], f"[{k.upper()}]", regex=True
+            )
+        removed = (s.str.len() - scrubbed.str.len()).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "source": src,
+                "email_hits": hits["email"].astype(np.int64),
+                "phone_hits": hits["phone"].astype(np.int64),
+                "ip_hits": hits["ip"].astype(np.int64),
+                "docs_flagged": flagged,
+                "chars_removed": removed,
+            }
+        )
+        agg = df.groupby("source", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    out = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("email_hits", alias_name="email_hits"),
+            Sum("phone_hits", alias_name="phone_hits"),
+            Sum("ip_hits", alias_name="ip_hits"),
+            Sum("docs_flagged", alias_name="docs_flagged"),
+            Sum("chars_removed", alias_name="chars_removed"),
+        )
+        .sort("source")
+    )
+    return out

@@ -212,3 +212,38 @@ class TestBM25:
             ["bm25", "doc_id"], ascending=[False, True]
         ).head(10).reset_index(drop=True)
         pd.testing.assert_frame_equal(got.reset_index(drop=True), exp)
+
+
+class TestPIIScrub:
+    def test_counts_and_redaction(self, ray_session):
+        from complexity_driven_feature_construction_ray.stages.text import pii_scrub_summary
+
+        df = pd.DataFrame(
+            {
+                "text": [
+                    "mail me at a.b@host.com and bob@x.org now",
+                    "call 555-0123 or 555-9999 from 10.0.0.1",
+                    "clean document, nothing here",
+                    "",
+                ],
+                "source": ["s1", "s1", "s2", "s2"],
+            }
+        )
+        ds = ray.data.from_pandas(df).repartition(2)
+        out = pii_scrub_summary(ds).to_pandas().set_index("source")
+        assert out.loc["s1", "email_hits"] == 2
+        assert out.loc["s1", "phone_hits"] == 2
+        assert out.loc["s1", "ip_hits"] == 1
+        assert out.loc["s1", "docs_flagged"] == 2
+        assert out.loc["s2", "email_hits"] == 0
+        assert out.loc["s2", "docs_flagged"] == 0
+        assert out.loc["s2", "chars_removed"] == 0
+        # chars_removed: len(orig) - len(scrubbed) with [EMAIL]/[PHONE]/[IP]
+        import re
+        row0 = df["text"][0]
+        scr = re.sub(r"[A-Za-z0-9.]+@[A-Za-z0-9]+\.[A-Za-z]+", "[EMAIL]", row0)
+        row1 = df["text"][1]
+        scr1 = re.sub(r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+", "[IP]", row1)
+        scr1 = re.sub(r"[0-9]{3}-[0-9]{4}", "[PHONE]", scr1)
+        exp_removed = (len(row0) - len(scr)) + (len(row1) - len(scr1))
+        assert out.loc["s1", "chars_removed"] == exp_removed
