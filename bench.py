@@ -92,6 +92,8 @@ HEADLINE = [
     "tok_entropy",
     "tok_zipf",
     "d_bm25",
+    "d_pii_scrub",
+    "d_norm_dedup",
 ]
 
 

@@ -1445,6 +1445,82 @@ FROM m GROUP BY source ORDER BY source
 """
 
 
+def d_norm_dedup(sf_dir: str):
+    """CCNet-style normalization dedup: lowercase, strip punctuation,
+    collapse whitespace, then exact-dedup on the normalized form
+    (keep min doc_id per group, report group size). A deterministic
+    slice (doc_id % 50 == 1) is rewritten to case/punct variants of 3
+    templates so cross-doc normalized duplicates actually exist; the
+    oracle replays the injection and the normalization in SQL."""
+    from ..stages.bucketing import default_buckets
+    from ..stages.dedup import _HASH_KEY
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    B = default_buckets(ds)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        txt = pd.Series(batch["text"].to_pandas()).fillna("")
+        variant = pd.Series(
+            np.where(
+                (ids // 50) % 2 == 0,
+                "The QUICK, brown fox #" + pd.Series(ids % 3).astype(str),
+                "  the quick brown fox!! #" + pd.Series(ids % 3).astype(str) + " ",
+            )
+        )
+        txt = txt.where(pd.Series(ids % 50 != 1), variant)
+        norm = (
+            txt.str.lower()
+            .str.replace(r"[^a-z0-9\s]", "", regex=True)
+            .str.replace(r"\s+", " ", regex=True)
+            .str.strip()
+        )
+        h = pd.util.hash_array(norm.to_numpy(dtype=object), hash_key=_HASH_KEY)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "norm": pa.array(norm),
+                "__b": pa.array((h % B).astype(np.int64)),
+            }
+        )
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("norm", sort=False).agg(
+            doc_id=("doc_id", "min"), group_size=("doc_id", "size")
+        )
+        return agg.reset_index(drop=True)
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(resolve, batch_format="pandas")
+    )
+    return out.sort("doc_id")
+
+
+D_NORM_DEDUP_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 50 = 1 THEN
+           CASE WHEN (doc_id // 50) % 2 = 0
+                THEN 'The QUICK, brown fox #' || CAST(doc_id % 3 AS VARCHAR)
+                ELSE '  the quick brown fox!! #' || CAST(doc_id % 3 AS VARCHAR) || ' '
+           END
+         ELSE text END AS text
+  FROM documents
+),
+n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                             '\\s+', ' ', 'g')) AS norm
+  FROM d
+)
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS group_size
+FROM n GROUP BY norm ORDER BY doc_id
+"""
+
+
 def d_pca(sf_dir: str):
     """Streaming-covariance PCA over the embedding column: per-batch
     (n, sum, X'X) partials -> driver eigh -> broadcast projection.
@@ -4478,4 +4554,5 @@ QUERIES: dict[str, tuple] = {
     "tok_zipf": (tok_zipf, TOK_ZIPF_SQL),
     "d_bm25": (d_bm25, D_BM25_SQL),
     "d_pii_scrub": (d_pii_scrub, D_PII_SCRUB_SQL),
+    "d_norm_dedup": (d_norm_dedup, D_NORM_DEDUP_SQL),
 }

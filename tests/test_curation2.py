@@ -247,3 +247,38 @@ class TestPIIScrub:
         scr1 = re.sub(r"[0-9]{3}-[0-9]{4}", "[PHONE]", scr1)
         exp_removed = (len(row0) - len(scr)) + (len(row1) - len(scr1))
         assert out.loc["s1", "chars_removed"] == exp_removed
+
+
+class TestNormDedup:
+    def test_matches_bruteforce_on_sf0001(self, ray_session):
+        from complexity_driven_feature_construction_ray.pipelines.relational import d_norm_dedup
+
+        sf = "/root/testdata/sf0.001"
+        got = d_norm_dedup(sf).to_pandas().reset_index(drop=True)
+
+        raw = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        ids = raw["doc_id"].to_numpy()
+        txt = raw["text"].fillna("").copy()
+        variant = np.where(
+            (ids // 50) % 2 == 0,
+            "The QUICK, brown fox #" + pd.Series(ids % 3).astype(str),
+            "  the quick brown fox!! #" + pd.Series(ids % 3).astype(str) + " ",
+        )
+        txt = txt.where(pd.Series(ids % 50 != 1, index=txt.index), variant)
+        norm = (
+            txt.str.lower()
+            .str.replace(r"[^a-z0-9\s]", "", regex=True)
+            .str.replace(r"\s+", " ", regex=True)
+            .str.strip()
+        )
+        exp = (
+            pd.DataFrame({"doc_id": ids, "norm": norm})
+            .groupby("norm", sort=False)
+            .agg(doc_id=("doc_id", "min"), group_size=("doc_id", "size"))
+            .reset_index(drop=True)
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[["doc_id", "group_size"]], exp)
+        # the injected slice must actually produce cross-doc duplicate groups
+        assert (got["group_size"] > 1).any()
