@@ -94,6 +94,8 @@ HEADLINE = [
     "d_bm25",
     "d_pii_scrub",
     "d_norm_dedup",
+    "d_fuzzy_join",
+    "d_incremental_dedup",
 ]
 
 

@@ -1521,6 +1521,146 @@ FROM n GROUP BY norm ORDER BY doc_id
 """
 
 
+_FUZZY_CANON = [
+    "gradient descent converges slowly",
+    "attention is all you need",
+    "scaling laws for neural models",
+    "data quality beats quantity",
+    "the quick brown fox jumps",
+    "tokenization shapes model behavior",
+    "deduplication improves perplexity",
+    "curriculum ordering of corpora",
+]
+
+
+def d_fuzzy_join(sf_dir: str):
+    """Broadcast fuzzy lookup (spell-correction / entity-resolution
+    shape): a deterministic slice (doc_id % 40 == 3) is rewritten to a
+    single-edit typo of one of 8 canonical titles (delete / insert /
+    replace at a doc_id-derived position), then each row finds its
+    min-edit-distance canonical via the vectorized batched Levenshtein
+    DP (stages/text.py:fuzzy_match — candidates broadcast in the task
+    closure, no shuffle, no pair explosion). The oracle replays the
+    typo injection with substr arithmetic and DuckDB levenshtein()."""
+    from ..stages.text import fuzzy_match
+
+    # 120 possible variants, precomputed once: (base idx, edit mode,
+    # position) fully determine the string — rows just gather
+    variants = np.empty(8 * 3 * 5, dtype=object)
+    for bi, base in enumerate(_FUZZY_CANON):
+        for mode in range(3):
+            for p in range(1, 6):
+                if mode == 0:
+                    v = base[: p - 1] + base[p:]
+                elif mode == 1:
+                    v = base[:p] + "x" + base[p:]
+                else:
+                    v = base[: p - 1] + "z" + base[p:]
+                variants[bi * 15 + mode * 5 + (p - 1)] = v
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def make_queries(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        ids = ids[ids % 40 == 3]
+        k = ids // 40
+        idx = (k % 8) * 15 + (k % 3) * 5 + (k % 5)
+        return pa.table({"doc_id": pa.array(ids), "q": pa.array(variants[idx])})
+
+    qs = ds.map_batches(make_queries, batch_format="pyarrow")
+    return fuzzy_match(qs, _FUZZY_CANON, col="q", id_col="doc_id").sort("doc_id")
+
+
+_FUZZY_CANON_SQL = ", ".join(
+    f"({i}, '{t}')" for i, t in enumerate(_FUZZY_CANON)
+)
+
+D_FUZZY_JOIN_SQL = f"""
+WITH canon(idx, title) AS (VALUES {_FUZZY_CANON_SQL}),
+s AS (
+  SELECT doc_id, doc_id // 40 AS k FROM documents WHERE doc_id % 40 = 3
+),
+v AS (
+  SELECT s.doc_id,
+         CASE CAST(k % 3 AS INT)
+           WHEN 0 THEN substr(c.title, 1, CAST(k % 5 AS INT))
+                       || substr(c.title, CAST(k % 5 AS INT) + 2)
+           WHEN 1 THEN substr(c.title, 1, CAST(k % 5 AS INT) + 1) || 'x'
+                       || substr(c.title, CAST(k % 5 AS INT) + 2)
+           ELSE substr(c.title, 1, CAST(k % 5 AS INT)) || 'z'
+                       || substr(c.title, CAST(k % 5 AS INT) + 2)
+         END AS q
+  FROM s JOIN canon c ON c.idx = CAST(k % 8 AS INT)
+),
+d AS (
+  SELECT doc_id, title, levenshtein(q, title) AS dist,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY levenshtein(q, title), title
+         ) AS rn
+  FROM v CROSS JOIN canon
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, title AS best_match,
+       CAST(dist AS BIGINT) AS dist
+FROM d WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def d_incremental_dedup(sf_dir: str):
+    """Incremental exact dedup of a new shard against the historical
+    corpus (the daily-increment production shape): docs with
+    doc_id % 10 >= 8 are 'new', the rest 'historical'; a deterministic
+    slice (doc_id % 4 == 1) is rewritten to 7 shared boilerplate
+    templates so cross-shard exact duplicates exist. dedup_against
+    hash-partitions BOTH sides on the content hash into shared buckets
+    and drops new rows whose content appears historically — neither
+    side broadcasts or materializes (stages/dedup.py:dedup_against)."""
+    from ..stages.dedup import dedup_against
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        txt = pd.Series(batch["text"].to_pandas()).fillna("")
+        boiler = (
+            "shared boilerplate passage number "
+            + pd.Series(ids % 7).astype(str)
+            + " repeated across shards"
+        )
+        txt = txt.where(pd.Series(ids % 4 != 1), boiler)
+        return pa.table({"doc_id": batch["doc_id"], "text": pa.array(txt)})
+
+    docs = ds.map_batches(inject, batch_format="pyarrow")
+
+    def shard(is_new: bool):
+        def _f(batch: pa.Table) -> pa.Table:
+            m = batch["doc_id"].to_numpy() % 10 >= 8
+            return batch.filter(pa.array(m if is_new else ~m))
+
+        return _f
+
+    new = docs.map_batches(shard(True), batch_format="pyarrow")
+    old = docs.map_batches(shard(False), batch_format="pyarrow")
+    kept = dedup_against(new, old, content_col="text", id_col="doc_id")
+    return kept.select_columns(["doc_id"]).sort("doc_id")
+
+
+D_INCREMENTAL_DEDUP_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 1
+              THEN 'shared boilerplate passage number '
+                   || CAST(doc_id % 7 AS VARCHAR) || ' repeated across shards'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id
+FROM d
+WHERE doc_id % 10 >= 8
+  AND text NOT IN (SELECT text FROM d WHERE doc_id % 10 < 8)
+ORDER BY doc_id
+"""
+
+
 def d_pca(sf_dir: str):
     """Streaming-covariance PCA over the embedding column: per-batch
     (n, sum, X'X) partials -> driver eigh -> broadcast projection.
@@ -4555,4 +4695,6 @@ QUERIES: dict[str, tuple] = {
     "d_bm25": (d_bm25, D_BM25_SQL),
     "d_pii_scrub": (d_pii_scrub, D_PII_SCRUB_SQL),
     "d_norm_dedup": (d_norm_dedup, D_NORM_DEDUP_SQL),
+    "d_fuzzy_join": (d_fuzzy_join, D_FUZZY_JOIN_SQL),
+    "d_incremental_dedup": (d_incremental_dedup, D_INCREMENTAL_DEDUP_SQL),
 }

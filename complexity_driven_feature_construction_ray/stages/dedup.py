@@ -733,3 +733,49 @@ def phash_dedup(
     if return_pairs:
         return pairs
     return _clusters_from_pairs(pairs)
+
+
+def dedup_against(
+    ds_new,
+    ds_old,
+    *,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int | None = None,
+):
+    """Incremental exact dedup: drop rows of ds_new whose content
+    already appears in ds_old — the daily-shard-vs-historical-corpus
+    shape, where the historical side is far too large to broadcast.
+    Both sides hash-partition on the content hash into SHARED
+    data-sized buckets (one all-to-all of (id, content) rows, nothing
+    materializes on the driver); within a bucket the probe is an isin
+    on the actual content, so hash collisions cannot drop a live row.
+    Both inputs must carry (id_col, content_col)."""
+    if num_buckets is None:
+        num_buckets = max(default_buckets(ds_new), default_buckets(ds_old))
+
+    def tag(is_new: bool):
+        def _t(batch: pa.Table) -> pa.Table:
+            h = pd.util.hash_array(
+                np.asarray(batch[content_col].to_pandas(), dtype=object),
+                hash_key=_HASH_KEY,
+            )
+            t = batch.select([id_col, content_col]).append_column(
+                "__cbucket", pa.array((h % num_buckets).astype(np.int64))
+            )
+            return t.append_column(
+                "__new", pa.array(np.full(len(t), is_new, dtype=bool))
+            )
+
+        return _t
+
+    def probe(g: pd.DataFrame) -> pd.DataFrame:
+        new = g[g["__new"]]
+        old_content = g.loc[~g["__new"], content_col]
+        keep = new[~new[content_col].isin(old_content)]
+        return keep.drop(columns=["__cbucket", "__new"])
+
+    both = ds_new.map_batches(tag(True), batch_format="pyarrow").union(
+        ds_old.map_batches(tag(False), batch_format="pyarrow")
+    )
+    return both.groupby("__cbucket").map_groups(probe, batch_format="pandas")

@@ -809,3 +809,81 @@ def pii_scrub_summary(ds, *, text_col: str = "text", source_col: str = "source")
         .sort("source")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# fuzzy match (broadcast Levenshtein lookup)
+
+
+def _char_matrix(strings: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(n, Lmax) uint32 codepoint matrix + per-row lengths, built with
+    ONE encode pass and a scatter — no per-row Python loop."""
+    s = strings.fillna("").astype(str)
+    lens = s.str.len().to_numpy(dtype=np.int64)
+    n = len(s)
+    lmax = int(lens.max()) if n else 0
+    mat = np.zeros((n, max(lmax, 1)), dtype=np.uint32)
+    if lens.sum() > 0:
+        flat = np.frombuffer("".join(s.tolist()).encode("utf-32-le"), dtype=np.uint32)
+        starts = np.cumsum(lens) - lens
+        rows = np.repeat(np.arange(n), lens)
+        cols = np.arange(len(flat)) - np.repeat(starts, lens)
+        mat[rows, cols] = flat
+    return mat, lens
+
+
+def levenshtein_to_candidates(strings: pd.Series, candidates: list[str]) -> np.ndarray:
+    """Exact Levenshtein distance of each string to each candidate as an
+    (n, m) int64 matrix. The DP runs column-vectorized over ALL rows at
+    once (Wagner–Fischer with the row dimension batched): cost is
+    O(Lmax * sum(len(c))) numpy vector ops of width n, no Python work
+    per row. Right shape for a broadcast fuzzy lookup: candidates are a
+    tiny constant list, rows stream through map_batches."""
+    mat, lens = _char_matrix(strings)
+    n, lmax = mat.shape
+    out = np.empty((n, len(candidates)), dtype=np.int64)
+    for ci, cand in enumerate(candidates):
+        c = np.frombuffer(cand.encode("utf-32-le"), dtype=np.uint32)
+        m = len(c)
+        dist = np.tile(np.arange(m + 1, dtype=np.int64), (n, 1))
+        res = np.full(n, m, dtype=np.int64)  # rows of length 0
+        for i in range(1, int(lens.max() or 0) + 1):
+            prev = dist
+            dist = np.empty_like(prev)
+            dist[:, 0] = i
+            ch = mat[:, i - 1]
+            for j in range(1, m + 1):
+                cost = (ch != c[j - 1]).astype(np.int64)
+                dist[:, j] = np.minimum(
+                    np.minimum(prev[:, j] + 1, dist[:, j - 1] + 1),
+                    prev[:, j - 1] + cost,
+                )
+            done = lens == i
+            if done.any():
+                res[done] = dist[done, m]
+        out[:, ci] = res
+    return out
+
+
+def fuzzy_match(ds, candidates: list[str], *, col: str, id_col: str = "doc_id"):
+    """Broadcast fuzzy lookup (spell-correction / entity-resolution
+    shape): for every row, the candidate with the minimum edit distance
+    to row[col]. The candidate list is a small constant broadcast in the
+    task closure; each batch pays one vectorized DP — no shuffle, no
+    pair explosion. Ties break to the lexicographically smallest
+    candidate. Returns (id_col, best_match, dist)."""
+    cands = sorted(candidates)
+
+    def score(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch[col].to_pandas())
+        d = levenshtein_to_candidates(s, cands)
+        best = d.argmin(axis=1)  # first occurrence = lexicographic tie-break
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "best_match": pa.array([cands[b] for b in best]),
+                "dist": pa.array(d[np.arange(len(s)), best]),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

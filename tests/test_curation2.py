@@ -282,3 +282,64 @@ class TestNormDedup:
         pd.testing.assert_frame_equal(got[["doc_id", "group_size"]], exp)
         # the injected slice must actually produce cross-doc duplicate groups
         assert (got["group_size"] > 1).any()
+
+
+class TestFuzzyMatch:
+    def test_matches_bruteforce_dp_and_tiebreak(self, ray_session):
+        from complexity_driven_feature_construction_ray.stages.text import fuzzy_match
+
+        def ref(a, b):
+            la, lb = len(a), len(b)
+            D = [[0] * (lb + 1) for _ in range(la + 1)]
+            for i in range(la + 1):
+                D[i][0] = i
+            for j in range(lb + 1):
+                D[0][j] = j
+            for i in range(1, la + 1):
+                for j in range(1, lb + 1):
+                    D[i][j] = min(
+                        D[i - 1][j] + 1,
+                        D[i][j - 1] + 1,
+                        D[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+                    )
+            return D[la][lb]
+
+        rng = np.random.default_rng(11)
+        alpha = list("abx ")
+        strs = ["".join(rng.choice(alpha, size=rng.integers(0, 20))) for _ in range(60)]
+        strs += ["", "abba", "zzzz"]
+        cands = ["abba", "abab", "xx", "b"]
+        ds = _docs_ds({"doc_id": np.arange(len(strs), dtype=np.int64), "q": np.array(strs, dtype=object)})
+        got = fuzzy_match(ds, cands, col="q").to_pandas().sort_values("doc_id").reset_index(drop=True)
+        for i, s in enumerate(strs):
+            dists = {c: ref(s, c) for c in cands}
+            best = min(sorted(cands), key=lambda c: dists[c])
+            assert got.loc[i, "best_match"] == best, (s, dists, got.loc[i])
+            assert got.loc[i, "dist"] == dists[best]
+
+
+class TestDedupAgainst:
+    def test_drops_only_cross_shard_exact_matches(self, ray_session):
+        from complexity_driven_feature_construction_ray.stages.dedup import dedup_against
+
+        old = _docs_ds(
+            {
+                "doc_id": np.array([1, 2, 3], dtype=np.int64),
+                "text": np.array(["alpha", "beta", "gamma"], dtype=object),
+            }
+        )
+        new = _docs_ds(
+            {
+                "doc_id": np.array([10, 11, 12, 13], dtype=np.int64),
+                "text": np.array(["beta", "delta", "alpha", "Alpha"], dtype=object),
+            }
+        )
+        kept = (
+            dedup_against(new.repartition(3), old.repartition(2))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # beta/alpha dropped (exact matches); delta and case-different Alpha kept
+        assert kept["doc_id"].tolist() == [11, 13]
+        assert kept["text"].tolist() == ["delta", "Alpha"]
