@@ -96,6 +96,7 @@ HEADLINE = [
     "d_norm_dedup",
     "d_fuzzy_join",
     "d_incremental_dedup",
+    "d_weighted_sample",
 ]
 
 

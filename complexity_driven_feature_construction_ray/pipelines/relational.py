@@ -1605,6 +1605,45 @@ FROM d WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def d_weighted_sample(sf_dir: str):
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-Res), weight = document length: the data-mixing draw that keeps k
+    docs with probability proportional to size. Keys are row-local
+    (deterministic id hash), so the corpus pays one streaming pass with
+    a per-block top-k prefilter; the oracle replays u = (hash+0.5)/2^32
+    and the ln(u)/w ordering in SQL."""
+    from ..stages.sampling import weighted_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        w = pc.fill_null(pc.utf8_length(batch["text"]).cast(pa.int64()), 0)
+        return pa.table({"doc_id": batch["doc_id"], "w": w})
+
+    out = weighted_sample(
+        ds.map_batches(prep, batch_format="pyarrow"), 100, weight_col="w"
+    )
+    return out.select_columns(["doc_id", "w"]).sort("doc_id")
+
+
+# multiplier for det_hash_u32 seed=23, inlined: (2654435761 * 47) % 2^32
+_ARES_MULT = (2654435761 * (2 * 23 + 1)) % (1 << 32)
+
+D_WEIGHTED_SAMPLE_SQL = f"""
+WITH s AS (
+  SELECT doc_id, COALESCE(length(text), 0) AS w,
+         (((doc_id * {_ARES_MULT} + 23) % 4294967296) + 0.5) / 4294967296.0 AS u
+  FROM documents
+),
+k AS (
+  SELECT doc_id, w FROM s WHERE w > 0
+  ORDER BY ln(u) / w DESC LIMIT 100
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(w AS BIGINT) AS w
+FROM k ORDER BY doc_id
+"""
+
+
 def d_incremental_dedup(sf_dir: str):
     """Incremental exact dedup of a new shard against the historical
     corpus (the daily-increment production shape): docs with
@@ -4697,4 +4736,5 @@ QUERIES: dict[str, tuple] = {
     "d_norm_dedup": (d_norm_dedup, D_NORM_DEDUP_SQL),
     "d_fuzzy_join": (d_fuzzy_join, D_FUZZY_JOIN_SQL),
     "d_incremental_dedup": (d_incremental_dedup, D_INCREMENTAL_DEDUP_SQL),
+    "d_weighted_sample": (d_weighted_sample, D_WEIGHTED_SAMPLE_SQL),
 }

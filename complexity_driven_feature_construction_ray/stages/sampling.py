@@ -133,3 +133,37 @@ def grouped_topn(
         .groupby(key_col)
         .map_groups(finish, batch_format="pandas")
     )
+
+
+def weighted_sample(ds, k: int, *, weight_col: str, key_col: str = "doc_id", seed: int = 23):
+    """Efraimidis–Spirakis A-Res weighted sampling WITHOUT replacement:
+    each row gets key = ln(u)/w with u = (det_hash_u32(id)+0.5)/2^32,
+    and the sample is the global top-k by key (monotone in the paper's
+    u^(1/w); inclusion probability proportional to weight). Keys are
+    row-local and deterministic, so the heavy stream pays only a
+    per-block top-k prefilter — at most k rows per block reach the tiny
+    global sort — and the draw is reproducible across runs, cluster
+    sizes and resumes. Rows with non-positive weight are excluded."""
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = batch[key_col].to_numpy()
+        w = batch[weight_col].to_numpy().astype(np.float64)
+        u = (det_hash_u32(ids, seed).astype(np.float64) + 0.5) / float(1 << 32)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            key = np.log(u) / w
+        key = np.where(w > 0, key, -np.inf)
+        t = batch.append_column("__ares", pa.array(key))
+        finite = np.isfinite(key)
+        if not finite.all():
+            t = t.filter(pa.array(finite))
+            key = key[finite]
+        if len(t) > k:
+            idx = np.argpartition(key, -k)[-k:]
+            t = t.take(pa.array(np.sort(idx)))
+        return t
+
+    return (
+        ds.map_batches(add_key, batch_format="pyarrow")
+        .sort("__ares", descending=True)
+        .limit(k)
+    )

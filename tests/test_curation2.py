@@ -343,3 +343,39 @@ class TestDedupAgainst:
         # beta/alpha dropped (exact matches); delta and case-different Alpha kept
         assert kept["doc_id"].tolist() == [11, 13]
         assert kept["text"].tolist() == ["delta", "Alpha"]
+
+
+class TestWeightedSample:
+    def test_matches_bruteforce_ares(self, ray_session):
+        from complexity_driven_feature_construction_ray.stages.sampling import (
+            det_hash_u32,
+            weighted_sample,
+        )
+
+        n, k = 5000, 50
+        ids = np.arange(n, dtype=np.int64)
+        rng = np.random.default_rng(3)
+        w = rng.integers(1, 500, size=n).astype(np.int64)
+        w[::97] = 0  # non-positive weights must be excluded
+        ds = _docs_ds({"doc_id": ids, "w": w}).repartition(7)
+        got = (
+            weighted_sample(ds, k, weight_col="w")
+            .to_pandas()["doc_id"]
+            .sort_values()
+            .tolist()
+        )
+        u = (det_hash_u32(ids, 23).astype(np.float64) + 0.5) / float(1 << 32)
+        key = np.where(w > 0, np.log(u) / np.where(w > 0, w, 1), -np.inf)
+        exp = sorted(ids[np.argsort(key)[::-1][:k]].tolist())
+        assert got == exp
+        assert not any(w[d] == 0 for d in got)
+
+    def test_heavy_row_always_selected(self, ray_session):
+        from complexity_driven_feature_construction_ray.stages.sampling import weighted_sample
+
+        ids = np.arange(2000, dtype=np.int64)
+        w = np.ones(2000, dtype=np.int64)
+        w[1234] = 10_000_000  # ~always beats unit-weight rows for k=20
+        ds = _docs_ds({"doc_id": ids, "w": w})
+        got = set(weighted_sample(ds, 20, weight_col="w").to_pandas()["doc_id"])
+        assert 1234 in got
