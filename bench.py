@@ -97,6 +97,7 @@ HEADLINE = [
     "d_fuzzy_join",
     "d_incremental_dedup",
     "d_weighted_sample",
+    "d_contamination_matrix",
 ]
 
 

@@ -1605,6 +1605,49 @@ FROM d WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def d_contamination_matrix(sf_dir: str):
+    """Cross-source n-gram contamination matrix (word-5-gram): distinct
+    shared shingles + Jaccard per source pair — the 'are my sources
+    secretly the same crawl' mixing diagnostic. Only (shingle-hash,
+    source) distinct cells shuffle, bucket-co-located; the oracle
+    rebuilds distinct 5-gram sets per source and self-joins in SQL."""
+    from ..stages.dedup import source_contamination
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+    return source_contamination(ds, shingle_words=5)
+
+
+D_CONTAMINATION_MATRIX_SQL = """
+WITH w AS (
+  SELECT source, regexp_extract_all(text, '\\S+') AS ws FROM documents
+),
+g AS (
+  SELECT DISTINCT source, sh FROM (
+    SELECT source,
+           unnest(list_transform(
+             generate_series(1, greatest(len(ws) - 4, 0)),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                  || ws[i+3] || ' ' || ws[i+4]
+           )) AS sh
+    FROM w
+  )
+),
+counts AS (SELECT source, count(*) AS d FROM g GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*) AS shared
+  FROM g a JOIN g b ON a.sh = b.sh AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, CAST(shared AS BIGINT) AS shared_ngrams,
+       round(shared * 1.0 / (ca.d + cb.d - shared), 6) AS jaccard
+FROM pairs
+JOIN counts ca ON ca.source = source_a
+JOIN counts cb ON cb.source = source_b
+ORDER BY source_a, source_b
+"""
+
+
 def d_weighted_sample(sf_dir: str):
     """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
     A-Res), weight = document length: the data-mixing draw that keeps k
@@ -4737,4 +4780,5 @@ QUERIES: dict[str, tuple] = {
     "d_fuzzy_join": (d_fuzzy_join, D_FUZZY_JOIN_SQL),
     "d_incremental_dedup": (d_incremental_dedup, D_INCREMENTAL_DEDUP_SQL),
     "d_weighted_sample": (d_weighted_sample, D_WEIGHTED_SAMPLE_SQL),
+    "d_contamination_matrix": (d_contamination_matrix, D_CONTAMINATION_MATRIX_SQL),
 }

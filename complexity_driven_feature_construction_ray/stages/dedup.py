@@ -779,3 +779,96 @@ def dedup_against(
         ds_old.map_batches(tag(False), batch_format="pyarrow")
     )
     return both.groupby("__cbucket").map_groups(probe, batch_format="pandas")
+
+
+def source_contamination(
+    ds,
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+    shingle_words: int = 5,
+    num_buckets: int | None = None,
+):
+    """Cross-source n-gram contamination matrix: for every source pair,
+    the number of distinct word-n-grams they share and the Jaccard of
+    their distinct-shingle sets — the data-mixing diagnostic for "are
+    my sources secretly the same crawl". Scale shape: one streaming
+    shingle pass emits per-batch-distinct (shingle-hash, source) cells
+    co-located by a data-sized hash bucket; each bucket resolves its
+    pair counts and per-source distinct partials locally (a self-merge
+    over ≤ |sources| rows per shingle), and only O(sources²) partial
+    cells reach the final aggregate. Documents never shuffle."""
+    from ray.data.aggregate import Sum
+
+    if num_buckets is None:
+        num_buckets = default_buckets(ds)
+
+    def to_cells(batch: pa.Table) -> pa.Table:
+        sh, offsets = _shingle_hashes(batch[text_col].to_pylist(), shingle_words)
+        counts = np.diff(offsets)
+        src = np.repeat(
+            np.asarray(batch[group_col].to_pandas(), dtype=object), counts
+        )
+        df = pd.DataFrame({"sh": sh.view(np.int64), "src": src}).drop_duplicates()
+        b = (df["sh"].to_numpy().view(np.uint64) % _U64(num_buckets)).view(np.int64)
+        return pa.table(
+            {
+                "sh": pa.array(df["sh"].to_numpy()),
+                "src": pa.array(df["src"], pa.string()),
+                "__b": pa.array(b),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(["sh", "src"])
+        per = g.groupby("src", sort=False).size().reset_index(name="distinct_a")
+        per.columns = ["source_a", "distinct_a"]
+        per["source_b"] = ""
+        per["shared"] = 0
+        m = g.merge(g, on="sh")
+        m = m[m["src_x"] < m["src_y"]]
+        pair = m.groupby(["src_x", "src_y"], sort=False).size().reset_index(name="shared")
+        pair.columns = ["source_a", "source_b", "shared"]
+        pair["distinct_a"] = 0
+        out = pd.concat(
+            [pair, per[["source_a", "source_b", "shared", "distinct_a"]]],
+            ignore_index=True,
+        )
+        # emit typed Arrow so empty buckets don't break schema inference
+        return pa.table(
+            {
+                "source_a": pa.array(out["source_a"], pa.string()),
+                "source_b": pa.array(out["source_b"], pa.string()),
+                "shared": pa.array(out["shared"].to_numpy().astype(np.int64)),
+                "distinct_a": pa.array(out["distinct_a"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(to_cells, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(combine, batch_format="pandas")
+        .groupby(["source_a", "source_b"])
+        .aggregate(
+            Sum("shared", alias_name="shared_ngrams"),
+            Sum("distinct_a", alias_name="distinct_n"),
+        )
+    )
+    # O(sources^2) rows — driver-side jaccard assembly is a constant
+    pdf = agg.to_pandas()
+    d = pdf.loc[pdf["source_b"] == "", ["source_a", "distinct_n"]].set_index(
+        "source_a"
+    )["distinct_n"]
+    pairs = pdf[pdf["source_b"] != ""].copy()
+    union = (
+        pairs["source_a"].map(d).to_numpy()
+        + pairs["source_b"].map(d).to_numpy()
+        - pairs["shared_ngrams"].to_numpy()
+    )
+    pairs["jaccard"] = np.round(pairs["shared_ngrams"].to_numpy() / union, 6)
+    pairs["shared_ngrams"] = pairs["shared_ngrams"].astype(np.int64)
+    return (
+        pairs[["source_a", "source_b", "shared_ngrams", "jaccard"]]
+        .sort_values(["source_a", "source_b"])
+        .reset_index(drop=True)
+    )

@@ -379,3 +379,41 @@ class TestWeightedSample:
         ds = _docs_ds({"doc_id": ids, "w": w})
         got = set(weighted_sample(ds, 20, weight_col="w").to_pandas()["doc_id"])
         assert 1234 in got
+
+
+class TestSourceContamination:
+    def test_matches_bruteforce_jaccard(self, ray_session):
+        from complexity_driven_feature_construction_ray.stages.dedup import source_contamination
+
+        docs = {
+            "a": ["one two three four five six", "alpha beta gamma delta eps zeta"],
+            "b": ["one two three four five seven", "unrelated words here entirely now ok"],
+            "c": ["alpha beta gamma delta eps zeta"],
+        }
+        rows_src, rows_txt = [], []
+        for s, ts in docs.items():
+            for t in ts:
+                rows_src.append(s)
+                rows_txt.append(t)
+        ds = _docs_ds(
+            {"source": np.array(rows_src, dtype=object), "text": np.array(rows_txt, dtype=object)}
+        ).repartition(3)
+        got = source_contamination(ds, shingle_words=5)
+
+        def grams(t):
+            ws = t.split()
+            return {" ".join(ws[i : i + 5]) for i in range(len(ws) - 4)}
+
+        sets = {s: set().union(*(grams(t) for t in ts)) for s, ts in docs.items()}
+        exp = []
+        for a in sorted(sets):
+            for b in sorted(sets):
+                if a < b and sets[a] & sets[b]:
+                    sh = len(sets[a] & sets[b])
+                    exp.append(
+                        (a, b, sh, round(sh / len(sets[a] | sets[b]), 6))
+                    )
+        exp_df = pd.DataFrame(
+            exp, columns=["source_a", "source_b", "shared_ngrams", "jaccard"]
+        )
+        pd.testing.assert_frame_equal(got, exp_df)
