@@ -98,6 +98,7 @@ HEADLINE = [
     "d_incremental_dedup",
     "d_weighted_sample",
     "d_contamination_matrix",
+    "d_embed_centroid",
 ]
 
 

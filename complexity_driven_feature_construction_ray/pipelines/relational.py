@@ -1605,6 +1605,29 @@ FROM d WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def d_embed_centroid(sf_dir: str):
+    """Per-label embedding centroid (domain/class prototype vectors):
+    mergeable (label, sum, count) partials stream out of one pass, the
+    combine is group-count-sized (stages/embedding.py:grouped_centroid).
+    Long-format output; the oracle zips unnest(embedding) with its
+    1-based position and averages per (label, dim)."""
+    from ..stages.embedding import grouped_centroid
+
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+    return grouped_centroid(ds).sort(["label", "dim"])
+
+
+D_EMBED_CENTROID_SQL = """
+SELECT label, CAST(i AS BIGINT) AS dim, round(avg(v), 6) AS mean_v
+FROM (
+  SELECT label, unnest(embedding) AS v,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+)
+GROUP BY label, i ORDER BY label, dim
+"""
+
+
 def d_contamination_matrix(sf_dir: str):
     """Cross-source n-gram contamination matrix (word-5-gram): distinct
     shared shingles + Jaccard per source pair — the 'are my sources
@@ -4781,4 +4804,5 @@ QUERIES: dict[str, tuple] = {
     "d_incremental_dedup": (d_incremental_dedup, D_INCREMENTAL_DEDUP_SQL),
     "d_weighted_sample": (d_weighted_sample, D_WEIGHTED_SAMPLE_SQL),
     "d_contamination_matrix": (d_contamination_matrix, D_CONTAMINATION_MATRIX_SQL),
+    "d_embed_centroid": (d_embed_centroid, D_EMBED_CENTROID_SQL),
 }

@@ -299,3 +299,48 @@ def semdedup(
         .groupby("__g")
         .map_groups(dedup_cluster, batch_format="pyarrow")
     )
+
+
+def grouped_centroid(ds, *, label_col: str = "label", emb_col: str = "embedding", round_to: int = 6):
+    """Per-group embedding centroid (the domain/class prototype table):
+    one streaming pass where each batch emits a (label, sum-vector,
+    count) partial — np.add.at over the zero-copy batch matrix, so only
+    O(batches × groups × d) partial bytes leave the stream — followed
+    by a group-count-sized combine. Returns the long-format
+    (label, dim, mean_v) table, dim 1-based, mean rounded so the value
+    is summation-order-stable for comparison."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        X = list_column_matrix(batch[emb_col]).astype(np.float64)
+        labels = batch[label_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), X.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, X)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                label_col: pa.array(uniq),
+                "s": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sums.reshape(-1)), X.shape[1]
+                ),
+                "n": pa.array(n),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        S = np.stack([np.asarray(v, dtype=np.float64) for v in g["s"]])
+        mean = S.sum(axis=0) / g["n"].sum()
+        d = len(mean)
+        return pd.DataFrame(
+            {
+                label_col: np.repeat(g[label_col].iloc[0], d),
+                "dim": np.arange(1, d + 1, dtype=np.int64),
+                "mean_v": np.round(mean, round_to),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(label_col)
+        .map_groups(combine, batch_format="pandas")
+    )

@@ -196,3 +196,36 @@ class TestSemDeDup:
             .to_pandas().sort_values("vec_id").reset_index(drop=True)
         )
         assert a.equals(b)
+
+
+class TestGroupedCentroid:
+    def test_matches_numpy_group_means(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from complexity_driven_feature_construction_ray.stages.embedding import grouped_centroid
+
+        rng = np.random.default_rng(5)
+        n, d = 400, 8
+        X = rng.normal(size=(n, d)).astype(np.float32)
+        labels = rng.integers(0, 5, size=n).astype(np.int32)
+        tbl = pa.table(
+            {
+                "label": pa.array(labels),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(X.reshape(-1)), d
+                ),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(5)
+        got = (
+            grouped_centroid(ds)
+            .to_pandas()
+            .sort_values(["label", "dim"])
+            .reset_index(drop=True)
+        )
+        for lab in np.unique(labels):
+            exp = np.round(X[labels == lab].astype(np.float64).mean(axis=0), 6)
+            g = got[got["label"] == lab].sort_values("dim")["mean_v"].to_numpy()
+            np.testing.assert_allclose(g, exp, atol=1.5e-6)
+        assert got["dim"].min() == 1 and got["dim"].max() == d
