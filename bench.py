@@ -99,6 +99,7 @@ HEADLINE = [
     "d_weighted_sample",
     "d_contamination_matrix",
     "d_embed_centroid",
+    "d_psi",
 ]
 
 

@@ -1605,6 +1605,63 @@ FROM d WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def d_psi(sf_dir: str):
+    """Population Stability Index of the document-length distribution
+    between the historical shard (doc_id % 10 < 8) and the new shard —
+    the standard corpus-drift monitor. Reference min/max fixes the 10
+    equal-width bins; each side streams one mergeable histogram pass
+    (stages/stats.py:psi_drift). The oracle replays the binning and the
+    (q-p)·ln(q/p) sum with the same 1e-6 zero-bin floor."""
+    from ..stages.stats import psi_drift
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def shard(is_new: bool):
+        def _f(batch: pa.Table) -> pa.Table:
+            m = batch["doc_id"].to_numpy() % 10 >= 8
+            return batch.filter(pa.array(m if is_new else ~m))
+
+        return _f
+
+    ref = ds.map_batches(shard(False), batch_format="pyarrow")
+    cur = ds.map_batches(shard(True), batch_format="pyarrow")
+    return psi_drift(ref, cur, col="n_chars", bins=10)
+
+
+D_PSI_SQL = """
+WITH ref AS (SELECT n_chars FROM documents WHERE doc_id % 10 < 8),
+cur AS (SELECT n_chars FROM documents WHERE doc_id % 10 >= 8),
+b AS (
+  SELECT CAST(min(n_chars) AS DOUBLE) AS lo,
+         CASE WHEN max(n_chars) > min(n_chars)
+              THEN CAST(max(n_chars) - min(n_chars) AS DOUBLE)
+              ELSE 1.0 END AS span
+  FROM ref
+),
+rb AS (
+  SELECT least(greatest(CAST(floor((n_chars - lo) * 10.0 / span) AS INT), 0), 9) AS bin
+  FROM ref, b
+),
+cb AS (
+  SELECT least(greatest(CAST(floor((n_chars - lo) * 10.0 / span) AS INT), 0), 9) AS bin
+  FROM cur, b
+),
+rc AS (SELECT bin, count(*) AS c FROM rb GROUP BY bin),
+cc AS (SELECT bin, count(*) AS c FROM cb GROUP BY bin),
+g AS (SELECT unnest(range(0, 10)) AS bin),
+j AS (
+  SELECT g.bin,
+         greatest(COALESCE(rc.c, 0) * 1.0 / (SELECT count(*) FROM ref), 0.000001) AS p,
+         greatest(COALESCE(cc.c, 0) * 1.0 / (SELECT count(*) FROM cur), 0.000001) AS q
+  FROM g LEFT JOIN rc USING (bin) LEFT JOIN cc USING (bin)
+)
+SELECT round(sum((q - p) * ln(q / p)), 6) AS psi,
+       CAST((SELECT count(*) FROM ref) AS BIGINT) AS n_ref,
+       CAST((SELECT count(*) FROM cur) AS BIGINT) AS n_cur
+FROM j
+"""
+
+
 def d_embed_centroid(sf_dir: str):
     """Per-label embedding centroid (domain/class prototype vectors):
     mergeable (label, sum, count) partials stream out of one pass, the
@@ -4805,4 +4862,5 @@ QUERIES: dict[str, tuple] = {
     "d_weighted_sample": (d_weighted_sample, D_WEIGHTED_SAMPLE_SQL),
     "d_contamination_matrix": (d_contamination_matrix, D_CONTAMINATION_MATRIX_SQL),
     "d_embed_centroid": (d_embed_centroid, D_EMBED_CENTROID_SQL),
+    "d_psi": (d_psi, D_PSI_SQL),
 }

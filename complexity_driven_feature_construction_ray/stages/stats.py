@@ -175,3 +175,54 @@ def correlation_matrix(ds, columns: list[str]) -> "pd.DataFrame":
         for j in range(i + 1, k)
     ]
     return pd.DataFrame(rows, columns=["col_a", "col_b", "corr"])
+
+
+def psi_drift(ds_ref, ds_cur, *, col: str, bins: int = 10, floor: float = 1e-6):
+    """Population Stability Index between a reference snapshot and a
+    current shard of the same column — the standard drift monitor for
+    a feature/corpus statistic (PSI < 0.1 stable, > 0.25 shifted).
+    Three cheap passes, all mergeable: a global min/max aggregate on
+    the reference fixes the bin edges; each side then streams one
+    histogram pass whose per-batch partial is a `bins`-long bincount
+    (out-of-range current values clamp into the edge bins). Zero-count
+    bins are floored so the log ratio stays finite. Returns a pandas
+    DataFrame with one row: (psi, n_ref, n_cur)."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Min
+
+    mm = ds_ref.aggregate(Min(col), Max(col))
+    lo, hi = float(mm[f"min({col})"]), float(mm[f"max({col})"])
+    span = hi - lo if hi > lo else 1.0
+
+    def hist(ds):
+        def partial(batch: pa.Table) -> pa.Table:
+            x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            idx = np.clip(
+                np.floor((x - lo) * bins / span).astype(np.int64), 0, bins - 1
+            )
+            return pa.table(
+                {
+                    "bin": pa.array(np.arange(bins, dtype=np.int64)),
+                    "c": pa.array(np.bincount(idx, minlength=bins).astype(np.int64)),
+                }
+            )
+
+        from ray.data.aggregate import Sum
+
+        out = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bin")
+            .aggregate(Sum("c", alias_name="c"))
+            .to_pandas()
+        )
+        counts = np.zeros(bins, dtype=np.int64)
+        counts[out["bin"].to_numpy()] = out["c"].to_numpy()
+        return counts
+
+    rc, cc = hist(ds_ref), hist(ds_cur)
+    p = np.maximum(rc / rc.sum(), floor)
+    q = np.maximum(cc / cc.sum(), floor)
+    psi = float(np.sum((q - p) * np.log(q / p)))
+    return pd.DataFrame(
+        {"psi": [round(psi, 6)], "n_ref": [int(rc.sum())], "n_cur": [int(cc.sum())]}
+    )

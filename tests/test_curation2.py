@@ -417,3 +417,33 @@ class TestSourceContamination:
             exp, columns=["source_a", "source_b", "shared_ngrams", "jaccard"]
         )
         pd.testing.assert_frame_equal(got, exp_df)
+
+
+class TestPSIDrift:
+    def test_matches_bruteforce_and_detects_shift(self, ray_session):
+        from complexity_driven_feature_construction_ray.stages.stats import psi_drift
+
+        rng = np.random.default_rng(9)
+        ref_x = rng.integers(100, 1100, size=3000).astype(np.int64)
+        cur_same = rng.integers(100, 1100, size=1000).astype(np.int64)
+        cur_shift = rng.integers(900, 2500, size=1000).astype(np.int64)
+
+        def brute(ref, cur, bins=10, floor=1e-6):
+            lo, hi = float(ref.min()), float(ref.max())
+            span = hi - lo if hi > lo else 1.0
+            def h(x):
+                idx = np.clip(np.floor((x - lo) * bins / span).astype(int), 0, bins - 1)
+                return np.bincount(idx, minlength=bins)
+            p = np.maximum(h(ref) / len(ref), floor)
+            q = np.maximum(h(cur) / len(cur), floor)
+            return round(float(np.sum((q - p) * np.log(q / p))), 6)
+
+        for cur in (cur_same, cur_shift):
+            ref_ds = _docs_ds({"v": ref_x}).repartition(4)
+            cur_ds = _docs_ds({"v": cur}).repartition(3)
+            got = psi_drift(ref_ds, cur_ds, col="v")
+            assert got.loc[0, "psi"] == brute(ref_x, cur)
+            assert got.loc[0, "n_ref"] == 3000 and got.loc[0, "n_cur"] == 1000
+        same_psi = brute(ref_x, cur_same)
+        shift_psi = brute(ref_x, cur_shift)
+        assert same_psi < 0.1 < shift_psi  # stable vs shifted corpus
