@@ -100,6 +100,7 @@ HEADLINE = [
     "d_contamination_matrix",
     "d_embed_centroid",
     "d_psi",
+    "d_minhash_incremental",
 ]
 
 

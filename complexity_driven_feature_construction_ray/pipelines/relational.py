@@ -1605,6 +1605,29 @@ FROM d WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def d_minhash_incremental(sf_dir: str):
+    """Incremental MinHash near-dedup: flag new-shard docs
+    (doc_id % 10 >= 8) that are near-duplicates of the historical
+    corpus (stages/dedup.py:minhash_dedup_incremental — band buckets
+    co-locate both sides, only new×old pairs are scored, the
+    historical side never broadcasts). Rows-only check (LSH family);
+    pytest covers planted cross-shard near-dups."""
+    from ..stages.dedup import minhash_dedup_incremental
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def shard(is_new: bool):
+        def _f(batch: pa.Table) -> pa.Table:
+            m = batch["doc_id"].to_numpy() % 10 >= 8
+            return batch.filter(pa.array(m if is_new else ~m))
+
+        return _f
+
+    new = ds.map_batches(shard(True), batch_format="pyarrow")
+    old = ds.map_batches(shard(False), batch_format="pyarrow")
+    return minhash_dedup_incremental(new, old, threshold=0.5)
+
+
 def d_psi(sf_dir: str):
     """Population Stability Index of the document-length distribution
     between the historical shard (doc_id % 10 < 8) and the new shard —
@@ -4863,4 +4886,5 @@ QUERIES: dict[str, tuple] = {
     "d_contamination_matrix": (d_contamination_matrix, D_CONTAMINATION_MATRIX_SQL),
     "d_embed_centroid": (d_embed_centroid, D_EMBED_CENTROID_SQL),
     "d_psi": (d_psi, D_PSI_SQL),
+    "d_minhash_incremental": (d_minhash_incremental, None),
 }

@@ -872,3 +872,104 @@ def source_contamination(
         .sort_values(["source_a", "source_b"])
         .reset_index(drop=True)
     )
+
+
+def minhash_dedup_incremental(
+    ds_new,
+    ds_old,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Incremental MinHash+LSH near-dedup: flag docs of ds_new that are
+    near-duplicates of ds_old (the daily-shard-vs-historical-index
+    production shape; within-new duplicates are minhash_lsh_dedup's
+    job). BOTH corpora stream through the same signature/banding kernel
+    with a side tag; band buckets co-locate the two sides, the
+    hot-bucket prefilter skips singleton buckets, and only new×old
+    pairs are scored — the historical corpus never broadcasts and
+    never materializes. Returns one row per flagged new doc:
+    (doc_id, matched_id, est) with the best (highest-estimate,
+    then min-id) historical match. Ids must be globally unique
+    across the two inputs."""
+
+    def to_bands(is_new: bool):
+        def _t(batch: pa.Table) -> pa.Table:
+            texts = batch[text_col].to_pylist()
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            sigs = minhash_signatures(texts, num_perm, seed=seed)
+            keys = _band_keys(sigs, bands)
+            n = len(texts)
+            band_id = np.tile(np.arange(bands, dtype=np.uint64), n)
+            with np.errstate(over="ignore"):
+                bucket = (
+                    keys.reshape(-1).view(_U64) * _U64(bands * 2 + 1) + band_id
+                ).view(np.int64)
+            rep = np.repeat(sigs.astype(np.int64), bands, axis=0)
+            sig_arr = pa.FixedSizeListArray.from_arrays(
+                pa.array(rep.reshape(-1)), num_perm
+            )
+            return pa.table(
+                {
+                    "bucket": pa.array(bucket),
+                    id_col: pa.array(np.repeat(ids, bands)),
+                    "sig": sig_arr,
+                    "__new": pa.array(np.full(n * bands, is_new)),
+                }
+            )
+
+        return _t
+
+    imax = np.iinfo(np.int64).max
+
+    def bucket_hits(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": [], "b": [], "est": []})
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col, kind="stable")
+        new_mask = g["__new"].to_numpy()
+        if not new_mask.any() or new_mask.all():
+            return empty
+        ids = g[id_col].to_numpy()
+        sigs = np.stack(g["sig"].to_numpy())
+        # mega-bucket guard: collapse identical signatures first so the
+        # quadratic scan runs over unique signatures only (O(k + u^2))
+        uniq, inv = np.unique(sigs, axis=0, return_inverse=True)
+        u = len(uniq)
+        old_min = np.full(u, imax, dtype=np.int64)
+        old_rows = ~new_mask
+        np.minimum.at(old_min, inv[old_rows], ids[old_rows])
+        has_old = old_min < imax
+        if not has_old.any():
+            return empty
+        est = _sig_est_matrix(uniq)  # u x u, diagonal 1.0 (exact dups)
+        valid = (est >= threshold) & has_old[None, :]
+        est_v = np.where(valid, est, -1.0)
+        best = est_v.max(axis=1)
+        cand = np.where(valid & (est_v == best[:, None]), old_min[None, :], imax)
+        match = cand.min(axis=1)
+        rows = new_mask & (best[inv] >= threshold)
+        return pd.DataFrame(
+            {"a": ids[rows], "b": match[inv[rows]], "est": best[inv[rows]]}
+        )
+
+    both = ds_new.map_batches(to_bands(True), batch_format="pyarrow").union(
+        ds_old.map_batches(to_bands(False), batch_format="pyarrow")
+    )
+    hits = _pairs_from_hot_buckets(both, bucket_hits, id_col)
+    if not len(hits):
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype=np.int64),
+             "matched_id": pd.Series([], dtype=np.int64),
+             "est": pd.Series([], dtype=float)}
+        )
+    # the same (new, old) hit can surface from several bands: keep the
+    # best (highest est, then min matched id) per new doc
+    hits = hits.sort_values(["a", "est", "b"], ascending=[True, False, True])
+    out = hits.groupby("a", sort=True).head(1).reset_index(drop=True)
+    out.columns = ["doc_id", "matched_id", "est"]
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["matched_id"] = out["matched_id"].astype(np.int64)
+    return out

@@ -447,3 +447,42 @@ class TestPSIDrift:
         same_psi = brute(ref_x, cur_same)
         shift_psi = brute(ref_x, cur_shift)
         assert same_psi < 0.1 < shift_psi  # stable vs shifted corpus
+
+
+class TestMinhashIncremental:
+    def test_flags_planted_cross_shard_neardups_only(self, ray_session):
+        from complexity_driven_feature_construction_ray.stages.dedup import (
+            minhash_dedup_incremental,
+        )
+
+        base = (
+            "the quick brown fox jumps over the lazy dog while seventeen "
+            "green bottles hang on the wall and slowly fall down one by one "
+            "in the warm afternoon sun near the old stone bridge"
+        )
+        rng = np.random.default_rng(2)
+        def noise(i):
+            return " ".join(
+                f"w{rng.integers(0, 10_000)}" for _ in range(40)
+            ) + f" tail{i}"
+
+        old_txt = [base, noise(1), noise(2), base + " extra ending words"]
+        old_ids = [1, 2, 3, 4]
+        new_txt = [
+            base + " tiny change",          # near-dup of old 1
+            base,                            # exact dup of old 1
+            noise(10),                       # unrelated
+            new_only := base.replace("fox", "cat") + " distinct tail",  # near-dup too
+        ]
+        new_ids = [101, 102, 103, 104]
+        old = _docs_ds({"doc_id": np.array(old_ids, dtype=np.int64), "text": np.array(old_txt, dtype=object)}).repartition(2)
+        new = _docs_ds({"doc_id": np.array(new_ids, dtype=np.int64), "text": np.array(new_txt, dtype=object)}).repartition(2)
+        got = minhash_dedup_incremental(new, old, threshold=0.5)
+        flagged = dict(zip(got["doc_id"], got["matched_id"]))
+        assert 101 in flagged and 102 in flagged
+        assert flagged[102] == 1  # exact dup matches min-id historical doc
+        assert got.loc[got["doc_id"] == 102, "est"].iloc[0] == 1.0
+        assert 103 not in flagged  # unrelated new doc untouched
+        # within-new near-dups are NOT this operator's job: only
+        # new-vs-old hits appear, and every match id is historical
+        assert set(got["matched_id"]).issubset(set(old_ids))
