@@ -38,6 +38,44 @@ def _input_fingerprint(files: list[str]) -> str:
     return h.hexdigest()
 
 
+_OP_STATS_RE = None
+
+
+def stage_metrics(ds) -> dict:
+    """Structured per-operator metrics from Dataset.stats() for the
+    lineage record: (operator, tasks, blocks, seconds) per stage plus
+    end-to-end rows/s. Best-effort — the stats string is a Ray-internal
+    format, so parse failures degrade to an empty record rather than
+    failing the shard commit."""
+    import re
+
+    global _OP_STATS_RE
+    if _OP_STATS_RE is None:
+        _OP_STATS_RE = re.compile(
+            r"^Operator \d+ (.+?): (\d+) tasks executed, "
+            r"(\d+) blocks produced in ([0-9.]+)s",
+            re.M,
+        )
+    try:
+        s = ds.stats()
+        ops = [
+            {
+                "operator": m.group(1),
+                "tasks": int(m.group(2)),
+                "blocks": int(m.group(3)),
+                "seconds": float(m.group(4)),
+            }
+            for m in _OP_STATS_RE.finditer(s)
+        ]
+        thr = re.search(r"Ray Data throughput: ([0-9.eE+]+) rows/s", s)
+        return {
+            "operators": ops,
+            "rows_per_sec": round(float(thr.group(1)), 1) if thr else None,
+        }
+    except Exception:
+        return {"operators": [], "rows_per_sec": None}
+
+
 class LineageStore:
     def __init__(self, out_dir: str):
         self.out_dir = out_dir
@@ -155,6 +193,7 @@ def resumable_backfill(
                 "n_features": len(features),
                 "rows": n_rows,
                 "seconds": round(time.time() - t0, 3),
+                "stage_metrics": stage_metrics(out),
                 "completed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
             },
         )

@@ -95,3 +95,21 @@ def test_partitioned_parquet_sink(ray_session, tmp_path):
     assert 0 < n_web < 2000
     total = ray.data.read_parquet(out).count()
     assert total == 2000
+
+
+def test_lineage_records_stage_metrics(tmp_path, input_dir, ray_session):
+    import json
+
+    files = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+    n_tok = raw("n_tok", properties={"min": 1.0, "max": 512.0, "has_zero": False, "distinct": 512})
+    out = str(tmp_path / "metrics")
+    resumable_backfill(files, out, [unary("log", n_tok)], {}, num_shards=2)
+    with open(os.path.join(out, "shard=00000", "_lineage.json")) as fh:
+        rec = json.load(fh)
+    sm = rec["stage_metrics"]
+    # at least one executed operator with its task/block/wall-time
+    # accounting, plus the end-to-end throughput figure
+    assert sm["operators"], rec
+    op = sm["operators"][0]
+    assert op["tasks"] >= 1 and op["blocks"] >= 1 and op["seconds"] > 0
+    assert sm["rows_per_sec"] is None or sm["rows_per_sec"] > 0
