@@ -101,6 +101,8 @@ HEADLINE = [
     "d_embed_centroid",
     "d_psi",
     "d_minhash_incremental",
+    "d_latest_version",
+    "d_top_tokens_by_source",
 ]
 
 

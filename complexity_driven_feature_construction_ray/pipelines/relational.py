@@ -1605,6 +1605,62 @@ FROM d WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def d_top_tokens_by_source(sf_dir: str):
+    """Per-source top-3 most frequent tokens (grouped heavy hitters —
+    the per-domain boilerplate/vocabulary profile). The exchange is the
+    (source, token) distinct-cell table, never token occurrences
+    (stages/text.py:grouped_top_tokens)."""
+    from ..stages.text import grouped_top_tokens
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+    out = grouped_top_tokens(ds, k=3)
+    return out.sort(["source", "c", "token"], descending=[False, True, False])
+
+
+D_TOP_TOKENS_BY_SOURCE_SQL = """
+WITH t AS (
+  SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS token
+  FROM documents
+),
+c AS (SELECT source, token, count(*) AS c FROM t GROUP BY source, token),
+r AS (
+  SELECT source, token, c,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, token) AS rn
+  FROM c
+)
+SELECT source, token, CAST(c AS BIGINT) AS c
+FROM r WHERE rn <= 3 ORDER BY source, c DESC, token
+"""
+
+
+def d_latest_version(sf_dir: str):
+    """CDC / upsert compaction: collapse an append log to the LATEST
+    record per key (max ts, tie-broken on event_id) — the
+    Iceberg/Hudi-style snapshot materialization. Reuses the grouped
+    top-n machinery: per-batch local top-1 combiner bounds the exchange
+    at one row per (batch, key) before the key-hash shuffle."""
+    from ..stages.sampling import grouped_topn
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = grouped_topn(
+        ds, key_col="user_id", order_col="ts", n=1, descending=True,
+        tiebreak_col="event_id",
+    )
+    return out.select_columns(["user_id", "event_id", "value"]).sort("user_id")
+
+
+D_LATEST_VERSION_SQL = """
+WITH r AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id
+         ) AS rn
+  FROM events
+)
+SELECT user_id, event_id, value FROM r WHERE rn = 1 ORDER BY user_id
+"""
+
+
 def d_minhash_incremental(sf_dir: str):
     """Incremental MinHash near-dedup: flag new-shard docs
     (doc_id % 10 >= 8) that are near-duplicates of the historical
@@ -4887,4 +4943,6 @@ QUERIES: dict[str, tuple] = {
     "d_embed_centroid": (d_embed_centroid, D_EMBED_CENTROID_SQL),
     "d_psi": (d_psi, D_PSI_SQL),
     "d_minhash_incremental": (d_minhash_incremental, None),
+    "d_latest_version": (d_latest_version, D_LATEST_VERSION_SQL),
+    "d_top_tokens_by_source": (d_top_tokens_by_source, D_TOP_TOKENS_BY_SOURCE_SQL),
 }

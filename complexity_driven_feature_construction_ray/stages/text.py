@@ -887,3 +887,48 @@ def fuzzy_match(ds, candidates: list[str], *, col: str, id_col: str = "doc_id"):
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def grouped_top_tokens(ds, *, text_col: str = "text", group_col: str = "source", k: int = 5):
+    """Exact per-group top-k most frequent tokens (grouped heavy
+    hitters: the per-domain vocabulary/boilerplate profile). Per-batch
+    (group, token) count partials keep the exchange bounded by
+    groups × vocabulary, never corpus size; the per-group cut reuses
+    the grouped top-n combiner. Ties break on token text."""
+    from ray.data.aggregate import Sum
+
+    from .sampling import grouped_topn
+
+    def partials(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch[text_col].to_pylist()).fillna("")
+        src = np.asarray(batch[group_col].to_pandas(), dtype=object)
+        ex = s.str.findall(r"\S+").explode().dropna()
+        if not len(ex):
+            return pa.table(
+                {
+                    group_col: pa.array([], type=pa.string()),
+                    "token": pa.array([], type=pa.string()),
+                    "c": pa.array([], type=pa.int64()),
+                }
+            )
+        df = pd.DataFrame(
+            {group_col: src[ex.index.to_numpy(dtype=np.int64)], "token": ex.to_numpy(dtype=object)}
+        )
+        vc = df.groupby([group_col, "token"], sort=False).size().reset_index(name="c")
+        return pa.table(
+            {
+                group_col: pa.array(vc[group_col].to_numpy(dtype=object), type=pa.string()),
+                "token": pa.array(vc["token"].to_numpy(dtype=object), type=pa.string()),
+                "c": pa.array(vc["c"].to_numpy(np.int64)),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby([group_col, "token"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    return grouped_topn(
+        counts, key_col=group_col, order_col="c", n=k, descending=True,
+        tiebreak_col="token",
+    )

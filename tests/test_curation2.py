@@ -486,3 +486,34 @@ class TestMinhashIncremental:
         # within-new near-dups are NOT this operator's job: only
         # new-vs-old hits appear, and every match id is historical
         assert set(got["matched_id"]).issubset(set(old_ids))
+
+
+class TestGroupedTopTokens:
+    def test_matches_bruteforce_counts_and_ties(self, ray_session):
+        from complexity_driven_feature_construction_ray.stages.text import grouped_top_tokens
+
+        docs = {
+            "a": ["x x x y y z", "y z z"],
+            "b": ["q q r r", "r s"],
+        }
+        src, txt = [], []
+        for s, ts in docs.items():
+            for t in ts:
+                src.append(s)
+                txt.append(t)
+        ds = _docs_ds(
+            {"source": np.array(src, dtype=object), "text": np.array(txt, dtype=object)}
+        ).repartition(3)
+        got = (
+            grouped_top_tokens(ds, k=2)
+            .to_pandas()
+            .sort_values(["source", "c", "token"], ascending=[True, False, True])
+            .reset_index(drop=True)
+        )
+        # a: x=3, y=3 (tie -> token order), z=3... z also 3! counts: x3 y3 z3 -> top2 = x, y
+        # b: r=3, q=2
+        exp = pd.DataFrame(
+            {"source": ["a", "a", "b", "b"], "token": ["x", "y", "r", "q"],
+             "c": np.array([3, 3, 3, 2], dtype=np.int64)}
+        )
+        pd.testing.assert_frame_equal(got[["source", "token", "c"]], exp)
