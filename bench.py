@@ -103,6 +103,7 @@ HEADLINE = [
     "d_minhash_incremental",
     "d_latest_version",
     "d_top_tokens_by_source",
+    "d_knn_pq",
 ]
 
 

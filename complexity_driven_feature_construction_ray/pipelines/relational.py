@@ -2342,6 +2342,28 @@ def d_knn_ivf(sf_dir: str):
     return out[["query_id", "rank", "neighbor_id", "score"]]
 
 
+def d_knn_pq(sf_dir: str):
+    """Product-quantization + ADC approximate nearest neighbors: the
+    memory-bound scale path where each vector is scanned as m uint8
+    codes instead of 4·d float bytes (stages/similarity.py:knn_pq).
+    Recall < 1 by design — rows-only check; pytest asserts a planted
+    exact-duplicate vector is retrieved at rank 1."""
+    from ..stages.similarity import knn_pq
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .filter(expr="vec_id < 3")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    queries = np.stack(q["embedding"].to_numpy())
+    out = knn_pq(ds, queries, k=5, m=8, codes=16)
+    out = out.rename(columns={"id": "neighbor_id"})
+    out["score"] = out["score"].round(6)
+    return out[["query_id", "rank", "neighbor_id", "score"]]
+
+
 # ---------------------------------------------------------------------------
 # FairExp fairness measures (grouped aggregate -> driver combine)
 
@@ -4945,4 +4967,5 @@ QUERIES: dict[str, tuple] = {
     "d_minhash_incremental": (d_minhash_incremental, None),
     "d_latest_version": (d_latest_version, D_LATEST_VERSION_SQL),
     "d_top_tokens_by_source": (d_top_tokens_by_source, D_TOP_TOKENS_BY_SOURCE_SQL),
+    "d_knn_pq": (d_knn_pq, None),
 }

@@ -162,3 +162,135 @@ def knn_ivf(
         .to_pandas()
     )
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def pq_fit(
+    sample: np.ndarray, *, m: int = 8, codes: int = 16, iters: int = 12, seed: int = 7
+) -> np.ndarray:
+    """Product-quantization codebooks: per-subspace Lloyd k-means over a
+    (normalized) sample. Returns (m, codes, d/m). The fit is a
+    driver-side constant — the corpus never participates."""
+    X = np.asarray(sample, dtype=np.float64)
+    n, d = X.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, codes, sub), dtype=np.float64)
+    for s in range(m):
+        S = X[:, s * sub : (s + 1) * sub]
+        C = S[rng.choice(n, size=min(codes, n), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(len(C)):
+                msk = a == c
+                if msk.any():
+                    C[c] = S[msk].mean(axis=0)
+        books[s, : len(C)] = C
+        if len(C) < codes:
+            books[s, len(C) :] = C[-1]
+    return books
+
+
+def pq_assign(ds, codebooks: np.ndarray, *, emb_col: str = "embedding", id_col: str = "vec_id"):
+    """Streaming PQ encode: each vector becomes m uint8 codes (m bytes
+    instead of 4·d) — the memory-bound ANN path at corpus scale. The
+    codebooks broadcast once via ray.put; per batch the encode is one
+    matmul per subspace (the -2x·c + ||c||² expansion, no pairwise
+    temp)."""
+    import ray
+
+    b_ref = ray.put(codebooks)
+    m, _codes, sub = codebooks.shape
+
+    def enc(batch: pa.Table) -> pa.Table:
+        B = ray.get(b_ref)
+        X = _normalize(list_column_matrix(batch[emb_col]).astype(np.float64))
+        out = np.empty((len(X), m), dtype=np.uint8)
+        for s in range(m):
+            S = X[:, s * sub : (s + 1) * sub]
+            d2 = -2.0 * (S @ B[s].T) + (B[s] ** 2).sum(axis=1)[None, :]
+            out[:, s] = d2.argmin(axis=1).astype(np.uint8)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "codes": pa.FixedSizeListArray.from_arrays(
+                    pa.array(out.reshape(-1)), m
+                ),
+            }
+        )
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def knn_pq(
+    ds,
+    queries: np.ndarray,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    m: int = 8,
+    codes: int = 16,
+    sample_size: int = 2000,
+    seed: int = 7,
+) -> pd.DataFrame:
+    """PQ + asymmetric-distance (ADC) approximate top-k: vectors are
+    scanned as m-byte codes, each query carries an (m × codes) distance
+    lookup table, and per-batch scoring is m table-gathers + adds — no
+    float matrix ever re-enters memory. Vectors and queries are
+    L2-normalized so PQ's squared L2 is monotone in cosine; the score
+    column is the implied cosine (1 - d²/2), comparable to
+    knn_bruteforce's. Same output contract: (query_id, rank, id,
+    score); recall < 1 by design (quantization)."""
+    import ray
+
+    sample_rows = ds.random_sample(1.0, seed=seed).limit(sample_size).take_all()
+    sample = _normalize(np.stack([r[emb_col] for r in sample_rows]).astype(np.float64))
+    books = pq_fit(sample, m=m, codes=codes, seed=seed)
+    sub = books.shape[2]
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    lut = np.empty((len(qn), m, codes), dtype=np.float64)
+    for s in range(m):
+        Qs = qn[:, s * sub : (s + 1) * sub]
+        lut[:, s, :] = ((Qs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+
+    codes_ds = pq_assign(ds, books, emb_col=emb_col, id_col=id_col)
+    lut_ref = ray.put(lut)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        L = ray.get(lut_ref)
+        C = list_column_matrix(batch["codes"]).astype(np.int64)  # (n, m)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        acc = np.zeros((L.shape[0], n), dtype=np.float64)
+        for s in range(m):
+            acc += L[:, s, C[:, s]]
+        score = 1.0 - acc / 2.0  # implied cosine
+        kk = min(k, n)
+        top = np.argpartition(-score, kk - 1, axis=1)[:, :kk]  # (nq, kk)
+        nq = L.shape[0]
+        return pa.table(
+            {
+                "query_id": pa.array(np.repeat(np.arange(nq, dtype=np.int64), kk)),
+                "id": pa.array(ids[top.reshape(-1)]),
+                "score": pa.array(
+                    np.take_along_axis(score, top, axis=1).reshape(-1)
+                ),
+            }
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "id"], ascending=[False, True], kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    out = (
+        codes_ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)

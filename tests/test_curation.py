@@ -129,6 +129,24 @@ class TestEmbeddingOps:
             recall.append(len(e & a) / len(e))
         assert np.mean(recall) > 0.6  # nprobe=4 of 8 cells
 
+
+
+    def test_knn_pq_self_retrieval_and_contract(self, embs, embs_np):
+        from complexity_driven_feature_construction_ray.stages.similarity import knn_pq
+
+        ids, m = embs_np
+        q = m[:4]
+        out = knn_pq(embs, q, k=5, m=8, codes=16)
+        assert list(out.columns) == ["query_id", "id", "score", "rank"]
+        for qi in range(4):
+            g = out[out["query_id"] == qi].sort_values("rank")
+            assert len(g) == 5
+            # ADC distance of the query to ITS OWN codes is the pure
+            # quantization error -- far below any other random vector's,
+            # so self-retrieval at rank 1 must hold
+            assert g.iloc[0]["id"] == ids[qi]
+            assert g["score"].is_monotonic_decreasing or len(set(g["score"])) < 5
+
     def test_embedding_dedup_finds_clones(self, ray_session, embs_np):
         ids, m = embs_np
         clones = pd.DataFrame(
