@@ -104,6 +104,7 @@ HEADLINE = [
     "d_latest_version",
     "d_top_tokens_by_source",
     "d_knn_pq",
+    "tok_seq_dedup",
 ]
 
 

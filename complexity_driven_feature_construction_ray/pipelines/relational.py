@@ -4721,6 +4721,82 @@ def tok_entropy(sf_dir: str):
     ).sort("doc_id")
 
 
+def tok_seq_dedup(sf_dir: str):
+    """Exact token-SEQUENCE dedup over the token table — the north
+    rule's per-row token-array-equality invariant as an operator: one
+    row (min doc_id) per distinct token array plus the group size
+    (stages/dedup.py:sequence_dedup; rows encode to flat bytes, no
+    per-row Python). Random sequences never collide, so a deterministic
+    slice (numeric doc id % 20 == 3) is rewritten to the 4-token
+    template [k%5, 7, 11, 13] — 5 cross-doc duplicate groups both
+    engines replay."""
+    from ..sources.token_table import token_table_dataset
+    from ..stages.dedup import sequence_dedup
+
+    n = {"sf0.001": 3000, "sf0.01": 30000, "sf0.1": 300000}.get(
+        sf_dir.rstrip("/").split("/")[-1], 3000
+    )
+    if n <= 30000:
+        ensure_tok_oracle_fixtures(ns=(n,))
+
+    def inject(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        k = (
+            pd.Series(batch["doc_id"].to_pandas()).str.slice(4).astype(np.int64).to_numpy()
+        )
+        hit = k % 20 == 3
+        arr = batch["tokens"]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        lengths = _pc.list_value_length(arr).to_numpy().astype(np.int64)
+        values = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int32)
+        starts = np.zeros(len(lengths), dtype=np.int64)
+        np.cumsum(lengths[:-1], out=starts[1:])
+        new_len = np.where(hit, 4, lengths)
+        out_off = np.zeros(len(lengths) + 1, dtype=np.int64)
+        np.cumsum(new_len, out=out_off[1:])
+        out = np.empty(int(out_off[-1]), dtype=np.int32)
+        # non-hit rows copy through at their new offsets (one scatter)
+        row_of = np.repeat(np.arange(len(lengths)), lengths)
+        within = np.arange(len(values), dtype=np.int64) - np.repeat(starts, lengths)
+        keep = np.repeat(~hit, lengths)
+        out[(out_off[:-1][row_of] + within)[keep]] = values[keep]
+        # hit rows get the 4-token template
+        if hit.any():
+            kh = k[hit]
+            quad = np.stack(
+                [
+                    (kh % 5).astype(np.int32),
+                    np.full(len(kh), 7, np.int32),
+                    np.full(len(kh), 11, np.int32),
+                    np.full(len(kh), 13, np.int32),
+                ],
+                axis=1,
+            )
+            out[out_off[:-1][hit][:, None] + np.arange(4)] = quad
+        toks = pa.ListArray.from_arrays(
+            pa.array(out_off, type=pa.int64()).cast(pa.int32()), pa.array(out)
+        )
+        return pa.table({"doc_id": batch["doc_id"], "tokens": toks})
+
+    ds = token_table_dataset(n).map_batches(inject, batch_format="pyarrow")
+    return sequence_dedup(ds).sort("doc_id")
+
+
+TOK_SEQ_DEDUP_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN CAST(substr(doc_id, 5) AS BIGINT) % 20 = 3
+              THEN [CAST(CAST(substr(doc_id, 5) AS BIGINT) % 5 AS INTEGER),
+                    7, 11, 13]
+              ELSE tokens END AS seq
+  FROM read_parquet('{TOK_ORACLE_DIR}/tokens_full_30000_seed42.parquet')
+)
+SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS group_size
+FROM d GROUP BY seq ORDER BY doc_id
+"""
+
+
 TOK_ENTROPY_SQL = f"""
 WITH t AS (
   SELECT doc_id, tokens
@@ -4968,4 +5044,5 @@ QUERIES: dict[str, tuple] = {
     "d_latest_version": (d_latest_version, D_LATEST_VERSION_SQL),
     "d_top_tokens_by_source": (d_top_tokens_by_source, D_TOP_TOKENS_BY_SOURCE_SQL),
     "d_knn_pq": (d_knn_pq, None),
+    "tok_seq_dedup": (tok_seq_dedup, TOK_SEQ_DEDUP_SQL),
 }

@@ -52,3 +52,24 @@ def sorted_lookup(sorted_keys: np.ndarray, values: np.ndarray):
         return np.zeros(len(values), dtype=np.int64), np.zeros(len(values), dtype=bool)
     idx = np.clip(np.searchsorted(sorted_keys, values), 0, len(sorted_keys) - 1)
     return idx, sorted_keys[idx] == values
+
+
+def list_to_binary(col) -> pa.Array:
+    """Encode each row of a list<int32> column as its raw little-endian
+    bytes, producing a large_binary array built directly from the flat
+    values buffer (no per-row Python). Two equal token sequences encode
+    to equal bytes, so downstream exact-dedup / grouping on the column
+    is token-array equality."""
+    import pyarrow.compute as pc
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    lengths = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+    lengths = np.nan_to_num(lengths.astype(np.float64), nan=0.0).astype(np.int64)
+    values = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int32)
+    off = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=off[1:])
+    return pa.Array.from_buffers(
+        pa.large_binary(),
+        len(lengths),
+        [None, pa.py_buffer((off * 4).tobytes()), pa.py_buffer(values.tobytes())],
+    )

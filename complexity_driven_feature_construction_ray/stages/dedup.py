@@ -973,3 +973,42 @@ def minhash_dedup_incremental(
     out["doc_id"] = out["doc_id"].astype(np.int64)
     out["matched_id"] = out["matched_id"].astype(np.int64)
     return out
+
+
+def sequence_dedup(ds, *, tokens_col: str = "tokens", id_col: str = "doc_id", num_buckets: int | None = None):
+    """Exact token-SEQUENCE dedup: one row (min id) per distinct token
+    array, with the group size — the per-row token-array-equality
+    invariant turned into a dedup operator. Each batch encodes its list
+    column to flat bytes (arrowutil.list_to_binary, no per-row Python),
+    hash-buckets the bytes, and the per-bucket resolve groups on the
+    ACTUAL byte sequence, so hash collisions cannot merge two distinct
+    sequences."""
+    from .arrowutil import list_to_binary
+
+    if num_buckets is None:
+        num_buckets = default_buckets(ds)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        seq = list_to_binary(batch[tokens_col])
+        h = pd.util.hash_array(
+            np.asarray(seq.to_pandas(), dtype=object), hash_key=_HASH_KEY
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "seq": seq,
+                "__b": pa.array((h % num_buckets).astype(np.int64)),
+            }
+        )
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("seq", sort=False).agg(
+            **{id_col: (id_col, "min"), "group_size": (id_col, "size")}
+        )
+        return agg.reset_index(drop=True)
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(resolve, batch_format="pandas")
+    )

@@ -517,3 +517,38 @@ class TestGroupedTopTokens:
              "c": np.array([3, 3, 3, 2], dtype=np.int64)}
         )
         pd.testing.assert_frame_equal(got[["source", "token", "c"]], exp)
+
+
+class TestSequenceDedup:
+    def test_groups_by_exact_token_array(self, ray_session):
+        import pyarrow as pa
+
+        from complexity_driven_feature_construction_ray.stages.dedup import sequence_dedup
+
+        seqs = [
+            [1, 2, 3],
+            [1, 2, 3],          # dup of row 0
+            [1, 2],             # prefix is NOT a dup
+            [3, 2, 1],          # permutation is NOT a dup
+            [],
+            [],                 # empty sequences group together
+            [1, 2, 3],          # third member of group 0
+        ]
+        ids = [f"doc-{i:012d}" for i in range(len(seqs))]
+        tbl = pa.table(
+            {"doc_id": pa.array(ids), "tokens": pa.array(seqs, type=pa.list_(pa.int32()))}
+        )
+        ds = ray.data.from_arrow(tbl).repartition(3)
+        got = (
+            sequence_dedup(ds)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        exp = pd.DataFrame(
+            {
+                "doc_id": [ids[0], ids[2], ids[3], ids[4]],
+                "group_size": np.array([3, 1, 1, 2], dtype=np.int64),
+            }
+        )
+        pd.testing.assert_frame_equal(got, exp)
