@@ -1565,7 +1565,12 @@ def d_fuzzy_join(sf_dir: str):
         ids = ids[ids % 40 == 3]
         k = ids // 40
         idx = (k % 8) * 15 + (k % 3) * 5 + (k % 5)
-        return pa.table({"doc_id": pa.array(ids), "q": pa.array(variants[idx])})
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "q": pa.array(variants[idx], type=pa.string()),
+            }
+        )
 
     qs = ds.map_batches(make_queries, batch_format="pyarrow")
     return fuzzy_match(qs, _FUZZY_CANON, col="q", id_col="doc_id").sort("doc_id")
@@ -1661,6 +1666,25 @@ SELECT user_id, event_id, value FROM r WHERE rn = 1 ORDER BY user_id
 """
 
 
+def _split_shards(ds):
+    """(historical, new) split of a doc table on doc_id % 10 >= 8 — the
+    shared synthetic stand-in for yesterday's corpus vs today's shard,
+    used by the incremental/drift queries and replayed by their
+    oracles."""
+
+    def shard(is_new: bool):
+        def _f(batch: pa.Table) -> pa.Table:
+            m = batch["doc_id"].to_numpy() % 10 >= 8
+            return batch.filter(pa.array(m if is_new else ~m))
+
+        return _f
+
+    return (
+        ds.map_batches(shard(False), batch_format="pyarrow"),
+        ds.map_batches(shard(True), batch_format="pyarrow"),
+    )
+
+
 def d_minhash_incremental(sf_dir: str):
     """Incremental MinHash near-dedup: flag new-shard docs
     (doc_id % 10 >= 8) that are near-duplicates of the historical
@@ -1672,15 +1696,7 @@ def d_minhash_incremental(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def shard(is_new: bool):
-        def _f(batch: pa.Table) -> pa.Table:
-            m = batch["doc_id"].to_numpy() % 10 >= 8
-            return batch.filter(pa.array(m if is_new else ~m))
-
-        return _f
-
-    new = ds.map_batches(shard(True), batch_format="pyarrow")
-    old = ds.map_batches(shard(False), batch_format="pyarrow")
+    old, new = _split_shards(ds)
     return minhash_dedup_incremental(new, old, threshold=0.5)
 
 
@@ -1695,15 +1711,7 @@ def d_psi(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
 
-    def shard(is_new: bool):
-        def _f(batch: pa.Table) -> pa.Table:
-            m = batch["doc_id"].to_numpy() % 10 >= 8
-            return batch.filter(pa.array(m if is_new else ~m))
-
-        return _f
-
-    ref = ds.map_batches(shard(False), batch_format="pyarrow")
-    cur = ds.map_batches(shard(True), batch_format="pyarrow")
+    ref, cur = _split_shards(ds)
     return psi_drift(ref, cur, col="n_chars", bins=10)
 
 
@@ -1872,15 +1880,7 @@ def d_incremental_dedup(sf_dir: str):
 
     docs = ds.map_batches(inject, batch_format="pyarrow")
 
-    def shard(is_new: bool):
-        def _f(batch: pa.Table) -> pa.Table:
-            m = batch["doc_id"].to_numpy() % 10 >= 8
-            return batch.filter(pa.array(m if is_new else ~m))
-
-        return _f
-
-    new = docs.map_batches(shard(True), batch_format="pyarrow")
-    old = docs.map_batches(shard(False), batch_format="pyarrow")
+    old, new = _split_shards(docs)
     kept = dedup_against(new, old, content_col="text", id_col="doc_id")
     return kept.select_columns(["doc_id"]).sort("doc_id")
 
@@ -1891,7 +1891,7 @@ WITH d AS (
          CASE WHEN doc_id % 4 = 1
               THEN 'shared boilerplate passage number '
                    || CAST(doc_id % 7 AS VARCHAR) || ' repeated across shards'
-              ELSE text END AS text
+              ELSE COALESCE(text, '') END AS text
   FROM documents
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id

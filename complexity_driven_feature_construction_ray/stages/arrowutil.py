@@ -68,8 +68,13 @@ def list_to_binary(col) -> pa.Array:
     values = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int32)
     off = np.zeros(len(lengths) + 1, dtype=np.int64)
     np.cumsum(lengths, out=off[1:])
-    return pa.Array.from_buffers(
+    out = pa.Array.from_buffers(
         pa.large_binary(),
         len(lengths),
         [None, pa.py_buffer((off * 4).tobytes()), pa.py_buffer(values.tobytes())],
     )
+    if arr.null_count:
+        # keep null rows NULL (not b'') so a null list stays distinct
+        # from an empty list under downstream grouping — SQL semantics
+        out = pc.if_else(arr.is_null(), pa.scalar(None, pa.large_binary()), out)
+    return out

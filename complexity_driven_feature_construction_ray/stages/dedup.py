@@ -1002,7 +1002,9 @@ def sequence_dedup(ds, *, tokens_col: str = "tokens", id_col: str = "doc_id", nu
         )
 
     def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby("seq", sort=False).agg(
+        # dropna=False: a null token list is its own group (distinct
+        # from the empty list), matching SQL GROUP BY semantics
+        agg = g.groupby("seq", sort=False, dropna=False).agg(
             **{id_col: (id_col, "min"), "group_size": (id_col, "size")}
         )
         return agg.reset_index(drop=True)

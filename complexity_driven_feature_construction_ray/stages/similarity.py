@@ -82,6 +82,18 @@ def knn_bruteforce(
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _seeded_sample(ds, sample_size: int, emb_col: str, seed: int) -> np.ndarray:
+    """Normalized sample of ~sample_size embedding rows drawn uniformly
+    from the WHOLE dataset (random_sample(1.0) is a keep-all no-op, so
+    a bare limit() would take the corpus prefix — biased on any
+    source/time-ordered layout). One count pass sets the fraction; the
+    slight over/under-draw is trimmed to sample_size."""
+    n = ds.count()
+    frac = min(1.0, (2.0 * sample_size) / max(n, 1))
+    rows = ds.random_sample(frac, seed=seed).limit(sample_size).take_all()
+    return _normalize(np.stack([r[emb_col] for r in rows]).astype(np.float64))
+
+
 def _kmeans(sample: np.ndarray, n_clusters: int, iters: int = 10, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     centers = sample[rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)]
@@ -111,8 +123,7 @@ def knn_ivf(
     vectors assigned to each query's nprobe nearest cells are scored."""
     import ray
 
-    sample_rows = ds.random_sample(1.0, seed=seed).limit(sample_size).take_all()
-    sample = _normalize(np.stack([r[emb_col] for r in sample_rows]).astype(np.float64))
+    sample = _seeded_sample(ds, sample_size, emb_col, seed)
     centers = _kmeans(sample, n_clusters, seed=seed)
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(qn @ centers.T), axis=1)[:, :nprobe]  # (nq, nprobe)
@@ -206,6 +217,13 @@ def pq_assign(ds, codebooks: np.ndarray, *, emb_col: str = "embedding", id_col: 
 
     def enc(batch: pa.Table) -> pa.Table:
         B = ray.get(b_ref)
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "codes": pa.array([], type=pa.list_(pa.uint8(), m)),
+                }
+            )
         X = _normalize(list_column_matrix(batch[emb_col]).astype(np.float64))
         out = np.empty((len(X), m), dtype=np.uint8)
         for s in range(m):
@@ -246,8 +264,7 @@ def knn_pq(
     score); recall < 1 by design (quantization)."""
     import ray
 
-    sample_rows = ds.random_sample(1.0, seed=seed).limit(sample_size).take_all()
-    sample = _normalize(np.stack([r[emb_col] for r in sample_rows]).astype(np.float64))
+    sample = _seeded_sample(ds, sample_size, emb_col, seed)
     books = pq_fit(sample, m=m, codes=codes, seed=seed)
     sub = books.shape[2]
     qn = _normalize(np.asarray(queries, dtype=np.float64))
@@ -261,9 +278,17 @@ def knn_pq(
 
     def local_topk(batch: pa.Table) -> pa.Table:
         L = ray.get(lut_ref)
-        C = list_column_matrix(batch["codes"]).astype(np.int64)  # (n, m)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         n = len(ids)
+        if n == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "id": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
+        C = list_column_matrix(batch["codes"]).astype(np.int64)  # (n, m)
         acc = np.zeros((L.shape[0], n), dtype=np.float64)
         for s in range(m):
             acc += L[:, s, C[:, s]]

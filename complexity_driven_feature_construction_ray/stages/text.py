@@ -842,6 +842,8 @@ def levenshtein_to_candidates(strings: pd.Series, candidates: list[str]) -> np.n
     mat, lens = _char_matrix(strings)
     n, lmax = mat.shape
     out = np.empty((n, len(candidates)), dtype=np.int64)
+    if n == 0:
+        return out
     for ci, cand in enumerate(candidates):
         c = np.frombuffer(cand.encode("utf-32-le"), dtype=np.uint32)
         m = len(c)
@@ -877,12 +879,14 @@ def fuzzy_match(ds, candidates: list[str], *, col: str, id_col: str = "doc_id"):
     def score(batch: pa.Table) -> pa.Table:
         s = pd.Series(batch[col].to_pandas())
         d = levenshtein_to_candidates(s, cands)
-        best = d.argmin(axis=1)  # first occurrence = lexicographic tie-break
+        best = d.argmin(axis=1) if len(s) else np.array([], dtype=np.int64)
         return pa.table(
             {
                 id_col: batch[id_col],
-                "best_match": pa.array([cands[b] for b in best]),
-                "dist": pa.array(d[np.arange(len(s)), best]),
+                "best_match": pa.array([cands[b] for b in best], type=pa.string()),
+                "dist": pa.array(
+                    d[np.arange(len(s)), best] if len(s) else np.array([], np.int64)
+                ),
             }
         )
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 import shutil
 import time
 
@@ -38,7 +39,11 @@ def _input_fingerprint(files: list[str]) -> str:
     return h.hexdigest()
 
 
-_OP_STATS_RE = None
+_OP_STATS_RE = re.compile(
+    r"^Operator \d+ (.+?): (\d+) tasks executed, "
+    r"(\d+) blocks produced in ([0-9.]+)s",
+    re.M,
+)
 
 
 def stage_metrics(ds) -> dict:
@@ -47,15 +52,6 @@ def stage_metrics(ds) -> dict:
     end-to-end rows/s. Best-effort — the stats string is a Ray-internal
     format, so parse failures degrade to an empty record rather than
     failing the shard commit."""
-    import re
-
-    global _OP_STATS_RE
-    if _OP_STATS_RE is None:
-        _OP_STATS_RE = re.compile(
-            r"^Operator \d+ (.+?): (\d+) tasks executed, "
-            r"(\d+) blocks produced in ([0-9.]+)s",
-            re.M,
-        )
     try:
         s = ds.stats()
         ops = [
