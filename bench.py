@@ -105,6 +105,8 @@ HEADLINE = [
     "d_top_tokens_by_source",
     "d_knn_pq",
     "tok_seq_dedup",
+    "t_window_distinct",
+    "q_zorder",
 ]
 
 

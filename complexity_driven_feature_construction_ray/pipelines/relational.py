@@ -1638,6 +1638,111 @@ FROM r WHERE rn <= 3 ORDER BY source, c DESC, token
 """
 
 
+def q_zorder(sf_dir: str):
+    """Z-order (Morton) clustering key over (price, quantity) — the
+    OPTIMIZE ZORDER layout primitive: one global min/max pass fixes the
+    quantization, the interleave is row-local bit arithmetic
+    (stages/partition.py:zorder_key), and sorting by the key co-locates
+    rows for range scans on either column. Returns the 20 smallest keys
+    deterministically; the oracle replays quantization + interleave."""
+    from ..stages.partition import zorder_key
+
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"],
+    )
+    keyed = zorder_key(ds, ["l_extendedprice", "l_quantity"], bits=8)
+    return (
+        keyed.select_columns(["l_orderkey", "l_linenumber", "z"])
+        .sort(["z", "l_orderkey", "l_linenumber"])
+        .limit(20)
+    )
+
+
+def _zorder_sql() -> str:
+    qcols = []
+    for i, c in enumerate(("l_extendedprice", "l_quantity")):
+        qcols.append(
+            f"least(greatest(CAST(floor(({c} - lo{i}) * 256.0 / span{i}) AS BIGINT), 0), 255) AS q{i}"
+        )
+    inter = " + ".join(
+        f"((q{i} >> {j}) & 1) * {1 << (j * 2 + i)}"
+        for i in range(2)
+        for j in range(8)
+    )
+    return f"""
+WITH b AS (
+  SELECT min(l_extendedprice) AS lo0,
+         CASE WHEN max(l_extendedprice) > min(l_extendedprice)
+              THEN max(l_extendedprice) - min(l_extendedprice) ELSE 1 END AS span0,
+         min(l_quantity) AS lo1,
+         CASE WHEN max(l_quantity) > min(l_quantity)
+              THEN max(l_quantity) - min(l_quantity) ELSE 1 END AS span1
+  FROM lineitem
+),
+q AS (
+  SELECT l_orderkey, l_linenumber, {", ".join(qcols)}
+  FROM lineitem, b
+)
+SELECT l_orderkey, l_linenumber, CAST({inter} AS BIGINT) AS z
+FROM q ORDER BY z, l_orderkey, l_linenumber LIMIT 20
+"""
+
+
+Q_ZORDER_SQL = _zorder_sql()
+
+
+def t_window_distinct(sf_dir: str):
+    """Distinct active users per tumbling 1-hour window (the streaming
+    count-distinct: DAU/HAU shape). The window index is row-local; each
+    batch pre-dedups its (window, user) pairs, so the exchange is the
+    distinct-pair cell table, then a second window-keyed aggregate
+    counts rows per window — events never shuffle and nothing touches
+    the driver."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def add_win(batch: pa.Table) -> pa.Table:
+        epoch = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        df = pd.DataFrame(
+            {
+                "win": epoch // 3_600_000_000,
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "win": pa.array(df["win"].to_numpy(np.int64)),
+                "user_id": pa.array(df["user_id"].to_numpy()),
+            }
+        )
+
+    pairs = ds.map_batches(add_win, batch_format="pyarrow")
+    distinct_pairs = pairs.groupby(["win", "user_id"]).count()
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["win"])
+
+    out = (
+        distinct_pairs.map_batches(project, batch_format="pyarrow")
+        .groupby("win")
+        .count()
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["win", "n_users"])
+
+    return out.map_batches(rename, batch_format="pyarrow").sort("win")
+
+
+T_WINDOW_DISTINCT_SQL = """
+SELECT epoch_us(ts) // 3600000000 AS win,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY win ORDER BY win
+"""
+
+
 def d_latest_version(sf_dir: str):
     """CDC / upsert compaction: collapse an append log to the LATEST
     record per key (max ts, tie-broken on event_id) — the
@@ -5045,4 +5150,6 @@ QUERIES: dict[str, tuple] = {
     "d_top_tokens_by_source": (d_top_tokens_by_source, D_TOP_TOKENS_BY_SOURCE_SQL),
     "d_knn_pq": (d_knn_pq, None),
     "tok_seq_dedup": (tok_seq_dedup, TOK_SEQ_DEDUP_SQL),
+    "t_window_distinct": (t_window_distinct, T_WINDOW_DISTINCT_SQL),
+    "q_zorder": (q_zorder, Q_ZORDER_SQL),
 }

@@ -486,3 +486,37 @@ def distinct_set_op(left, right, *, on: list[str], op: str, num_buckets: int | N
     return both.groupby("__b").map_groups(
         lambda g: resolve(g.drop(columns=["__b"])), batch_format="pandas"
     )
+
+
+def zorder_key(ds, cols: list[str], *, bits: int = 8, out_col: str = "z"):
+    """Z-order (Morton) clustering key over numeric columns — the
+    locality-preserving layout key behind OPTIMIZE ZORDER-style data
+    clustering: sort/partition by it and range scans on ANY of the
+    participating columns touch few partitions. One global min/max
+    aggregate pass fixes each column's quantization range; the encode
+    itself is row-local vectorized bit interleaving (column i owns bit
+    positions i, i+n, i+2n, ...)."""
+    from ray.data.aggregate import Max, Min
+
+    aggs = []
+    for c in cols:
+        aggs += [Min(c), Max(c)]
+    mm = ds.aggregate(*aggs)
+    lo = np.array([float(mm[f"min({c})"]) for c in cols])
+    hi = np.array([float(mm[f"max({c})"]) for c in cols])
+    span = np.where(hi > lo, hi - lo, 1.0)
+    n = len(cols)
+    top = (1 << bits) - 1
+
+    def encode(batch: pa.Table) -> pa.Table:
+        z = np.zeros(batch.num_rows, dtype=np.int64)
+        for i, c in enumerate(cols):
+            x = batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            q = np.clip(
+                np.floor((x - lo[i]) * (1 << bits) / span[i]).astype(np.int64), 0, top
+            )
+            for j in range(bits):
+                z |= ((q >> j) & 1) << (j * n + i)
+        return batch.append_column(out_col, pa.array(z))
+
+    return ds.map_batches(encode, batch_format="pyarrow")
