@@ -107,6 +107,7 @@ HEADLINE = [
     "tok_seq_dedup",
     "t_window_distinct",
     "q_zorder",
+    "tok_grep",
 ]
 
 

@@ -4902,6 +4902,42 @@ FROM d GROUP BY seq ORDER BY doc_id
 """
 
 
+def tok_grep(sf_dir: str):
+    """Token-subsequence search (the memorization-probe primitive):
+    every (doc, position) where the byte-view token pair (7, 11) occurs
+    contiguously. One shifted vectorized compare per needle offset over
+    the zero-copy flat buffer — row-local, nothing shuffles
+    (stages/token_stats.py:token_grep); the oracle re-finds the
+    positions with a position self-join."""
+    from ..sources.token_table import token_table_dataset
+    from ..stages.token_stats import token_grep
+
+    n = {"sf0.001": 3000, "sf0.01": 30000, "sf0.1": 300000}.get(
+        sf_dir.rstrip("/").split("/")[-1], 3000
+    )
+    if n <= 30000:
+        ensure_tok_oracle_fixtures(ns=(n,))
+    out = token_grep(token_table_dataset(n), [7, 11], mod=256)
+    return out.sort(["doc_id", "pos"])
+
+
+TOK_GREP_SQL = f"""
+WITH t AS (
+  SELECT doc_id, tokens
+  FROM read_parquet('{TOK_ORACLE_DIR}/tokens_full_30000_seed42.parquet')
+),
+u AS (
+  SELECT doc_id, unnest(tokens) % 256 AS tok,
+         generate_subscripts(tokens, 1) AS i
+  FROM t
+)
+SELECT a.doc_id AS doc_id, CAST(a.i - 1 AS BIGINT) AS pos
+FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+WHERE a.tok = 7 AND b.tok = 11
+ORDER BY doc_id, pos
+"""
+
+
 TOK_ENTROPY_SQL = f"""
 WITH t AS (
   SELECT doc_id, tokens
@@ -5152,4 +5188,5 @@ QUERIES: dict[str, tuple] = {
     "tok_seq_dedup": (tok_seq_dedup, TOK_SEQ_DEDUP_SQL),
     "t_window_distinct": (t_window_distinct, T_WINDOW_DISTINCT_SQL),
     "q_zorder": (q_zorder, Q_ZORDER_SQL),
+    "tok_grep": (tok_grep, TOK_GREP_SQL),
 }

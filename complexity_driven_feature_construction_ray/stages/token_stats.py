@@ -319,3 +319,53 @@ def zipf_fit(ds, *, tokens_col: str = "tokens", top_ranks: int = 1000):
             "n_ranks": [np.int64(len(cells))],
         }
     )
+
+
+def token_grep(ds, needle, *, tokens_col: str = "tokens", id_col: str = "doc_id", mod: int | None = None):
+    """Token-subsequence search: every (doc, position) where the exact
+    contiguous token sequence `needle` occurs — the memorization-probe /
+    contamination-span primitive ("which documents contain this exact
+    token run, and where"). Row-local: each batch runs one shifted
+    vectorized compare per needle offset over the zero-copy flat values
+    buffer (no row loop, nothing shuffles); `mod` searches the reduced
+    token view (e.g. 256 for the byte view). Returns a Dataset of
+    (id, pos) with pos the 0-based match offset within the document."""
+    needle = np.asarray(needle, dtype=np.int64)
+    k = len(needle)
+    if k == 0:
+        raise ValueError("empty needle")
+
+    def scan(batch: pa.Table) -> pa.Table:
+        arr = batch[tokens_col]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        lengths = pc.list_value_length(arr).to_numpy().astype(np.int64)
+        values = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        if mod is not None:
+            values = values % mod
+        n_rows = len(lengths)
+        total = len(values)
+        empty = pa.table(
+            {
+                id_col: pa.array([], type=batch.schema.field(id_col).type),
+                "pos": pa.array([], type=pa.int64()),
+            }
+        )
+        if total < k:
+            return empty
+        row_of = np.repeat(np.arange(n_rows, dtype=np.int64), lengths)
+        starts = np.zeros(n_rows, dtype=np.int64)
+        np.cumsum(lengths[:-1], out=starts[1:])
+        # candidate start positions: all k tokens match AND the window
+        # stays inside one document (same row at start and end)
+        ok = values[: total - k + 1] == needle[0]
+        for j in range(1, k):
+            ok &= values[j : total - k + 1 + j] == needle[j]
+        ok &= row_of[: total - k + 1] == row_of[k - 1 :]
+        hits = np.flatnonzero(ok)
+        rows = row_of[hits]
+        ids = batch[id_col].take(pa.array(rows))
+        return pa.table(
+            {id_col: ids, "pos": pa.array(hits - starts[rows])}
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow")

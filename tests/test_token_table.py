@@ -137,3 +137,48 @@ def test_read_write_table_jsonl_roundtrip(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     assert again[["doc_id", "text", "n"]].to_dict("records") == rows
+
+
+class TestTokenGrep:
+    def test_finds_all_and_only_planted_occurrences(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from complexity_driven_feature_construction_ray.stages.token_stats import token_grep
+
+        seqs = [
+            [1, 2, 3, 1, 2],        # match at 0 and 3 for needle [1,2]
+            [2, 1, 2, 1],           # match at 1
+            [1],                    # too short
+            [],                     # empty
+            [5, 1, 2, 1, 2, 1, 2],  # overlapping matches at 1, 3, 5
+        ]
+        ids = list(range(len(seqs)))
+        tbl = pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()),
+             "tokens": pa.array(seqs, type=pa.list_(pa.int32()))}
+        )
+        ds = ray.data.from_arrow(tbl).repartition(3)
+        got = (
+            token_grep(ds, [1, 2])
+            .to_pandas()
+            .sort_values(["doc_id", "pos"])
+            .reset_index(drop=True)
+        )
+        exp = [(0, 0), (0, 3), (1, 1), (4, 1), (4, 3), (4, 5)]
+        assert list(map(tuple, got.to_numpy())) == exp
+
+    def test_no_cross_document_match(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from complexity_driven_feature_construction_ray.stages.token_stats import token_grep
+
+        # doc 0 ends with 9, doc 1 starts with 8: the pair (9, 8) spans
+        # the row boundary in the flat buffer and must NOT match
+        tbl = pa.table(
+            {"doc_id": pa.array([0, 1], type=pa.int64()),
+             "tokens": pa.array([[1, 9], [8, 2]], type=pa.list_(pa.int32()))}
+        )
+        ds = ray.data.from_arrow(tbl)
+        assert token_grep(ds, [9, 8]).count() == 0
