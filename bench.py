@@ -108,6 +108,7 @@ HEADLINE = [
     "t_window_distinct",
     "q_zorder",
     "tok_grep",
+    "d_remove_dup_spans",
 ]
 
 

@@ -1743,6 +1743,66 @@ FROM events GROUP BY win ORDER BY win
 """
 
 
+def d_remove_dup_spans(sf_dir: str):
+    """Duplicated-passage REMOVAL (Lee et al. substring dedup at
+    word-5-gram resolution): every occurrence of a corpus-duplicated
+    5-gram is cut except the global first; overlapping spans merge
+    (stages/dedup.py:remove_dup_spans — two data-sized exchanges,
+    occurrence rows then doc-co-located cut lists). The oracle replays
+    keeper election (row_number over (doc, pos)), interval expansion
+    and the whitespace-normalized rebuild in SQL."""
+    from ..stages.dedup import remove_dup_spans
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return remove_dup_spans(ds, shingle_words=5).sort("doc_id")
+
+
+D_REMOVE_DUP_SPANS_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '\\S+') AS ws
+  FROM documents
+),
+gi AS (
+  SELECT doc_id, ws,
+         unnest(range(1, greatest(len(ws) - 4, 0) + 1)) AS i
+  FROM w
+),
+g AS (
+  SELECT doc_id, i,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+               || ' ' || ws[i+4] AS sh
+  FROM gi
+),
+c AS (SELECT sh, count(*) AS n FROM g GROUP BY sh),
+k AS (
+  SELECT g.sh, g.doc_id, g.i,
+         row_number() OVER (PARTITION BY g.sh ORDER BY g.doc_id, g.i) AS rn
+  FROM g JOIN c USING (sh) WHERE c.n >= 2
+),
+cov AS (
+  SELECT DISTINCT doc_id, i + unnest(range(0, 5)) AS j
+  FROM k WHERE rn > 1
+),
+t AS (
+  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS i FROM w
+),
+kept AS (
+  SELECT t.doc_id, t.i, t.word
+  FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.i = cov.j
+  WHERE cov.j IS NULL
+),
+kc AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY i) AS text,
+         count(*) AS nk
+  FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id, COALESCE(kc.text, '') AS text,
+       CAST(len(w.ws) - COALESCE(kc.nk, 0) AS BIGINT) AS n_removed
+FROM w LEFT JOIN kc USING (doc_id)
+ORDER BY w.doc_id
+"""
+
+
 def d_latest_version(sf_dir: str):
     """CDC / upsert compaction: collapse an append log to the LATEST
     record per key (max ts, tie-broken on event_id) — the
@@ -5189,4 +5249,5 @@ QUERIES: dict[str, tuple] = {
     "t_window_distinct": (t_window_distinct, T_WINDOW_DISTINCT_SQL),
     "q_zorder": (q_zorder, Q_ZORDER_SQL),
     "tok_grep": (tok_grep, TOK_GREP_SQL),
+    "d_remove_dup_spans": (d_remove_dup_spans, D_REMOVE_DUP_SPANS_SQL),
 }

@@ -1014,3 +1014,126 @@ def sequence_dedup(ds, *, tokens_col: str = "tokens", id_col: str = "doc_id", nu
         .groupby("__b")
         .map_groups(resolve, batch_format="pandas")
     )
+
+
+def remove_dup_spans(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 5,
+    num_buckets: int | None = None,
+):
+    """Duplicated-passage REMOVAL (the substring-dedup of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", at
+    word-n-gram resolution): every occurrence of a word-n-gram that
+    appears >= 2 times anywhere in the corpus is cut EXCEPT the global
+    first (min (doc, position)); overlapping duplicated spans merge.
+    Returns (id, text, n_removed) with the surviving words rejoined by
+    single spaces (output text is whitespace-normalized).
+
+    Scale shape — two data-sized exchanges, documents never collect on
+    the driver: (1) (shingle-hash, doc, pos) occurrence rows co-locate
+    by shingle bucket; each group keeps its first occurrence and emits
+    the rest as 16-byte cut rows. (2) cut rows co-locate with their
+    documents by a doc-hash bucket; each group unions its cut intervals
+    into a word mask and rebuilds the text."""
+    if num_buckets is None:
+        num_buckets = default_buckets(ds)
+
+    def occurrences(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        sh, offsets = _shingle_hashes(texts, shingle_words)
+        counts = np.diff(offsets)
+        ids = np.repeat(batch[id_col].to_numpy(zero_copy_only=False), counts)
+        pos = np.arange(len(sh), dtype=np.int64) - np.repeat(offsets[:-1], counts)
+        return pa.table(
+            {
+                "sh": pa.array(sh.view(np.int64)),
+                id_col: pa.array(ids),
+                "pos": pa.array(pos),
+                "__b": pa.array((sh % _U64(num_buckets)).view(np.int64)),
+            }
+        )
+
+    def cuts_for_bucket(g: pd.DataFrame) -> pa.Table:
+        sh = g["sh"].to_numpy()
+        doc = g[id_col].to_numpy()
+        pos = g["pos"].to_numpy()
+        order = np.lexsort((pos, doc, sh))
+        sh_s, doc_s, pos_s = sh[order], doc[order], pos[order]
+        # every row that is NOT the first of its shingle group is a cut
+        first = np.ones(len(sh_s), dtype=bool)
+        first[1:] = sh_s[1:] != sh_s[:-1]
+        return pa.table(
+            {
+                id_col: pa.array(doc_s[~first]),
+                "pos": pa.array(pos_s[~first]),
+            }
+        )
+
+    cuts = (
+        ds.map_batches(occurrences, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(cuts_for_bucket, batch_format="pandas")
+    )
+
+    # co-locate documents with their cut lists by doc-hash bucket
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        b = (ids.astype(np.uint64) % _U64(num_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                text_col: pa.array(
+                    pd.Series(batch[text_col].to_pandas()).fillna(""), type=pa.string()
+                ),
+                "pos": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+                "__b": pa.array(b),
+            }
+        )
+
+    def tag_cut(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        b = (ids.astype(np.uint64) % _U64(num_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                text_col: pa.array([None] * len(ids), type=pa.string()),
+                "pos": batch["pos"],
+                "__b": pa.array(b),
+            }
+        )
+
+    def rebuild(g: pd.DataFrame) -> pa.Table:
+        docs = g[g["pos"] < 0]
+        cut = g[g["pos"] >= 0]
+        cut_by_doc = {k: v["pos"].to_numpy() for k, v in cut.groupby(id_col, sort=False)}
+        out_id, out_txt, out_n = [], [], []
+        k = shingle_words
+        for did, txt in zip(docs[id_col], docs[text_col]):
+            words = txt.split()
+            p = cut_by_doc.get(did)
+            if p is None or not len(words):
+                out_id.append(did)
+                out_txt.append(" ".join(words))
+                out_n.append(0)
+                continue
+            mask = np.zeros(len(words), dtype=bool)
+            idx = (p[:, None] + np.arange(k)).reshape(-1)
+            mask[np.clip(idx, 0, len(words) - 1)] = True
+            out_id.append(did)
+            out_txt.append(" ".join(w for w, m in zip(words, mask) if not m))
+            out_n.append(int(mask.sum()))
+        return pa.table(
+            {
+                id_col: pa.array(out_id, type=pa.int64()),
+                text_col: pa.array(out_txt, type=pa.string()),
+                "n_removed": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    both = ds.map_batches(tag_doc, batch_format="pyarrow").union(
+        cuts.map_batches(tag_cut, batch_format="pyarrow")
+    )
+    return both.groupby("__b").map_groups(rebuild, batch_format="pandas")

@@ -633,3 +633,44 @@ class TestWindowDistinct:
         )
         exp["n_users"] = exp["n_users"].astype(np.int64)
         pd.testing.assert_frame_equal(got, exp)
+
+
+class TestRemoveDupSpans:
+    def test_cuts_all_but_first_and_merges_overlaps(self, ray_session):
+        from complexity_driven_feature_construction_ray.stages.dedup import remove_dup_spans
+
+        dup = "a b c d e"                       # the duplicated 5-gram
+        docs = {
+            0: f"start {dup} end",               # first occurrence -> kept
+            1: f"x {dup} y",                     # later occurrence -> cut
+            2: f"{dup} f {dup}",                 # two occurrences, both later
+            3: "totally unique words here only today",
+            4: "short",
+        }
+        ds = _docs_ds(
+            {
+                "doc_id": np.array(sorted(docs), dtype=np.int64),
+                "text": np.array([docs[i] for i in sorted(docs)], dtype=object),
+            }
+        ).repartition(3)
+        got = (
+            remove_dup_spans(ds, shingle_words=5)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # doc 2 also contains "e f a" bridging 5-grams ("b c d e f",
+        # "c d e f a", ...) that are unique -> only the two exact dup
+        # spans are cut; overlap merging keeps 'f' (covered? positions
+        # 0-4 and 6-10 cut, position 5 = 'f' survives)
+        exp = {
+            0: (docs[0], 0),
+            1: ("x y", 5),
+            2: ("f", 10),
+            3: (docs[3], 0),
+            4: ("short", 0),
+        }
+        for i in sorted(docs):
+            row = got[got["doc_id"] == i].iloc[0]
+            assert row["text"] == exp[i][0], (i, row["text"])
+            assert row["n_removed"] == exp[i][1], (i, row["n_removed"])
