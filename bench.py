@@ -109,6 +109,7 @@ HEADLINE = [
     "q_zorder",
     "tok_grep",
     "d_remove_dup_spans",
+    "d_embed_outliers",
 ]
 
 

@@ -1937,6 +1937,36 @@ GROUP BY label, i ORDER BY label, dim
 """
 
 
+def d_embed_outliers(sf_dir: str):
+    """Per-class embedding outliers: the 20 vectors farthest from their
+    own label's centroid — the embedding-space mislabel/noise audit
+    (stages/embedding.py:centroid_outliers — mergeable centroid fit,
+    broadcast centroid matrix, per-block local top-k). The oracle
+    recomputes centroids and L2 distances with zipped unnest."""
+    from ..stages.embedding import centroid_outliers
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
+    return centroid_outliers(ds, k=20)
+
+
+D_EMBED_OUTLIERS_SQL = """
+WITH u AS (
+  SELECT vec_id, label, unnest(embedding) AS v,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+),
+m AS (SELECT label, i, avg(v) AS mu FROM u GROUP BY label, i),
+d AS (
+  SELECT u.vec_id, u.label,
+         sqrt(sum((u.v - m.mu) * (u.v - m.mu))) AS dist
+  FROM u JOIN m ON m.label = u.label AND m.i = u.i
+  GROUP BY u.vec_id, u.label
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, label, round(dist, 6) AS dist
+FROM d ORDER BY round(dist, 6) DESC, vec_id LIMIT 20
+"""
+
+
 def d_contamination_matrix(sf_dir: str):
     """Cross-source n-gram contamination matrix (word-5-gram): distinct
     shared shingles + Jaccard per source pair — the 'are my sources
@@ -5250,4 +5280,5 @@ QUERIES: dict[str, tuple] = {
     "q_zorder": (q_zorder, Q_ZORDER_SQL),
     "tok_grep": (tok_grep, TOK_GREP_SQL),
     "d_remove_dup_spans": (d_remove_dup_spans, D_REMOVE_DUP_SPANS_SQL),
+    "d_embed_outliers": (d_embed_outliers, D_EMBED_OUTLIERS_SQL),
 }

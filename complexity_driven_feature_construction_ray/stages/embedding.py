@@ -344,3 +344,63 @@ def grouped_centroid(ds, *, label_col: str = "label", emb_col: str = "embedding"
         .groupby(label_col)
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def centroid_outliers(
+    ds,
+    *,
+    label_col: str = "label",
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 20,
+):
+    """Per-class embedding outliers: the k vectors farthest (L2) from
+    their OWN label's centroid — the mislabeled/noise-sample flag in
+    embedding-space data audits. Pass 1 is the mergeable centroid fit
+    (grouped_centroid partials); pass 2 broadcasts the small centroid
+    matrix and scores each batch with one vectorized gather + norm,
+    keeping a local top-k per batch so only k rows per block reach the
+    global sort. Returns (id, label, dist) top-k by distance, ties on
+    id, dist rounded to 6."""
+    import ray
+
+    cent = grouped_centroid(ds, label_col=label_col, emb_col=emb_col, round_to=12)
+    cp = cent.to_pandas()  # groups × dim rows — a small model table
+    labels = np.sort(cp[label_col].unique())
+    d = int(cp["dim"].max())
+    C = np.zeros((len(labels), d), dtype=np.float64)
+    lab_pos = {lab: i for i, lab in enumerate(labels)}
+    for lab, g in cp.groupby(label_col):
+        C[lab_pos[lab]] = g.sort_values("dim")["mean_v"].to_numpy()
+    model = ray.put((labels, C))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        labs, cent_m = ray.get(model)
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    label_col: pa.array([], type=pa.int32()),
+                    "dist": pa.array([], type=pa.float64()),
+                }
+            )
+        X = list_column_matrix(batch[emb_col]).astype(np.float64)
+        y = batch[label_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(labs, y)
+        dist = np.linalg.norm(X - cent_m[pos], axis=1)
+        kk = min(k, n)
+        top = np.argpartition(-dist, kk - 1)[:kk]
+        return pa.table(
+            {
+                id_col: batch[id_col].take(pa.array(np.sort(top))),
+                label_col: batch[label_col].take(pa.array(np.sort(top))),
+                "dist": pa.array(np.round(dist[np.sort(top)], 6)),
+            }
+        )
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .sort(["dist", id_col], descending=[True, False])
+        .limit(k)
+    )

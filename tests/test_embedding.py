@@ -229,3 +229,36 @@ class TestGroupedCentroid:
             g = got[got["label"] == lab].sort_values("dim")["mean_v"].to_numpy()
             np.testing.assert_allclose(g, exp, atol=1.5e-6)
         assert got["dim"].min() == 1 and got["dim"].max() == d
+
+
+class TestCentroidOutliers:
+    def test_planted_outlier_ranks_first(self, ray_session):
+        import pyarrow as pa
+        import ray
+
+        from complexity_driven_feature_construction_ray.stages.embedding import (
+            centroid_outliers,
+        )
+
+        rng = np.random.default_rng(6)
+        n, d = 300, 8
+        X = rng.normal(size=(n, d)).astype(np.float32)
+        labels = (np.arange(n) % 3).astype(np.int32)
+        X[42] = 50.0  # far from label-0's centroid
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "label": pa.array(labels),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(X.reshape(-1)), d
+                ),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        got = centroid_outliers(ds, k=5).to_pandas()
+        assert got.iloc[0]["vec_id"] == 42
+        # exact distance vs numpy replication of the same definition
+        mu = np.round(X[labels == 0].astype(np.float64).mean(axis=0), 12)
+        exp = round(float(np.linalg.norm(X[42].astype(np.float64) - mu)), 6)
+        assert got.iloc[0]["dist"] == exp
+        assert (np.diff(got["dist"].to_numpy()) <= 0).all()
