@@ -110,6 +110,7 @@ HEADLINE = [
     "tok_grep",
     "d_remove_dup_spans",
     "d_embed_outliers",
+    "d_curation_pipeline",
 ]
 
 

@@ -1803,6 +1803,131 @@ ORDER BY w.doc_id
 """
 
 
+_CURATION_SEED = 31
+_CURATION_MULT = (2654435761 * (2 * _CURATION_SEED + 1)) % (1 << 32)
+_CURATION_INV = pow(_CURATION_MULT, -1, 1 << 32)
+
+
+def d_curation_pipeline(sf_dir: str):
+    """END-TO-END curation recipe in one call — the 'prepare a training
+    epoch' composition: C4 rule filter → exact dedup (min-id keeper) →
+    deterministic seeded shuffle → concat-and-chunk packed layout.
+    Every stage is the library one (streaming; the only exchanges are
+    the dedup bucket co-location and packed_layout's O(buckets) prefix
+    scan). A deterministic slice (doc_id % 4 == 1) is rewritten to 7
+    boilerplate templates long enough to SURVIVE the filter, so the
+    dedup step genuinely removes rows. Packing is keyed by the shuffle
+    key (a bijection of doc_id mod 2^32), inverted exactly afterwards;
+    the oracle replays all four stages ending in the same window scan."""
+    from ..stages.dedup import exact_dedup
+    from ..stages.packing import packed_layout
+    from ..stages.sampling import deterministic_shuffle_key
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pad = " ".join(["pad"] * 30)
+
+    def inject_filter(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        s = pd.Series(batch["text"].to_pandas()).fillna("")
+        boiler = (
+            "shared boilerplate passage number "
+            + pd.Series(ids % 7).astype(str)
+            + " "
+            + pad
+        )
+        s = s.where(pd.Series(ids % 4 != 1), boiler)
+        n_words = s.str.count(r"\S+").to_numpy(dtype=np.int64)
+        nonws = s.str.replace(r"\s+", "", regex=True).str.len().to_numpy(np.int64)
+        mean_wl = nonws / np.maximum(n_words, 1)
+        keep = (
+            (n_words >= 30)
+            & (n_words <= 10000)
+            & (mean_wl <= 4.6)
+            & ~s.str.contains("{", regex=False).to_numpy()
+            & ~s.str.lower().str.contains("lorem ipsum", regex=False).to_numpy()
+        )
+        out = pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": pa.array(s, type=pa.string()),
+                "n_chars2": pa.array(s.str.len().to_numpy(np.int64)),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    filtered = ds.map_batches(inject_filter, batch_format="pyarrow")
+    deduped = exact_dedup(filtered, content_col="text", id_col="doc_id")
+    keyed = deterministic_shuffle_key(
+        deduped, key_col="doc_id", seed=_CURATION_SEED, out_col="skey"
+    )
+    layout = packed_layout(keyed, id_col="skey", size_col="n_chars2", chunk=2048)
+
+    def unhash(batch: pa.Table) -> pa.Table:
+        sk = batch["skey"].to_numpy().astype(np.uint64)
+        did = ((sk - np.uint64(_CURATION_SEED)) * np.uint64(_CURATION_INV)) % np.uint64(
+            1 << 32
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(did.astype(np.int64)),
+                "tok_start": batch["tok_start"],
+                "seq_first": batch["seq_first"],
+                "seq_last": batch["seq_last"],
+                "n_seqs": batch["n_seqs"],
+            }
+        )
+
+    return layout.map_batches(unhash, batch_format="pyarrow").sort("doc_id")
+
+
+D_CURATION_PIPELINE_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 1
+              THEN 'shared boilerplate passage number '
+                   || CAST(doc_id % 7 AS VARCHAR) || ' ' || trim(repeat('pad ', 30))
+              ELSE COALESCE(text, '') END AS text
+  FROM documents
+),
+f AS (
+  SELECT doc_id, text, length(text) AS n_chars2,
+         len(regexp_extract_all(text, '\\S+')) AS n_words,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS nonws
+  FROM d
+),
+kept AS (
+  SELECT doc_id, text, n_chars2 FROM f
+  WHERE n_words >= 30 AND n_words <= 10000
+    AND nonws / greatest(n_words, 1) <= 4.6
+    AND text NOT LIKE '%{{%'
+    AND lower(text) NOT LIKE '%lorem ipsum%'
+),
+dd AS (
+  SELECT doc_id, n_chars2,
+         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM kept
+),
+s AS (
+  SELECT doc_id, n_chars2,
+         (doc_id * {_CURATION_MULT} + {_CURATION_SEED}) % 4294967296 AS skey
+  FROM dd WHERE rn = 1
+),
+p AS (
+  SELECT doc_id, n_chars2,
+         CAST(COALESCE(SUM(n_chars2) OVER (ORDER BY skey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_start
+  FROM s
+)
+SELECT doc_id, tok_start,
+       CAST(tok_start // 2048 AS BIGINT) AS seq_first,
+       CAST((tok_start + greatest(n_chars2 - 1, 0)) // 2048 AS BIGINT) AS seq_last,
+       CAST((tok_start + greatest(n_chars2 - 1, 0)) // 2048
+            - tok_start // 2048 + 1 AS BIGINT) AS n_seqs
+FROM p ORDER BY doc_id
+"""
+
+
 def d_latest_version(sf_dir: str):
     """CDC / upsert compaction: collapse an append log to the LATEST
     record per key (max ts, tie-broken on event_id) — the
@@ -5281,4 +5406,5 @@ QUERIES: dict[str, tuple] = {
     "tok_grep": (tok_grep, TOK_GREP_SQL),
     "d_remove_dup_spans": (d_remove_dup_spans, D_REMOVE_DUP_SPANS_SQL),
     "d_embed_outliers": (d_embed_outliers, D_EMBED_OUTLIERS_SQL),
+    "d_curation_pipeline": (d_curation_pipeline, D_CURATION_PIPELINE_SQL),
 }
