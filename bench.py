@@ -111,6 +111,7 @@ HEADLINE = [
     "d_remove_dup_spans",
     "d_embed_outliers",
     "d_curation_pipeline",
+    "d_lm3_score",
 ]
 
 

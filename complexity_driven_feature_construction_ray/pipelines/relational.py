@@ -1808,6 +1808,49 @@ _CURATION_MULT = (2654435761 * (2 * _CURATION_SEED + 1)) % (1 << 32)
 _CURATION_INV = pow(_CURATION_MULT, -1, 1 << 32)
 
 
+def d_lm3_score(sf_dir: str):
+    """Trigram LM quality scoring with stupid backoff (Brants et al.
+    2007; the CCNet-grade upgrade over the bigram scorer): fit one
+    streaming count pass, score in a second with the model broadcast
+    once (stages/lm.py:fit_trigram_lm/score_trigram_lm). Fit corpus ==
+    score corpus here, so every trigram hits its own count and the
+    oracle replays S = c123/c12 exactly; the backoff chain is
+    pytest-covered on held-out text."""
+    from ..stages.lm import fit_trigram_lm, score_trigram_lm
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    lm = fit_trigram_lm(ds)
+    return score_trigram_lm(ds, lm).sort("doc_id")
+
+
+D_LM3_SCORE_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS word,
+         generate_subscripts(regexp_extract_all(COALESCE(text, ''), '\\S+'), 1) AS i
+  FROM documents
+),
+t AS (
+  SELECT a.doc_id, a.word AS w1, b.word AS w2, c.word AS w3
+  FROM w a
+  JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN w c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+),
+tc AS (SELECT w1, w2, w3, count(*) AS c FROM t GROUP BY 1, 2, 3),
+bt AS (
+  SELECT a.word AS w1, b.word AS w2
+  FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+),
+bc AS (SELECT w1, w2, count(*) AS c FROM bt GROUP BY 1, 2)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       round(avg(-ln(tc.c * 1.0 / bc.c)), 6) AS avg_nll
+FROM t
+JOIN tc USING (w1, w2, w3)
+JOIN bc ON bc.w1 = t.w1 AND bc.w2 = t.w2
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
 def d_curation_pipeline(sf_dir: str):
     """END-TO-END curation recipe in one call — the 'prepare a training
     epoch' composition: C4 rule filter → exact dedup (min-id keeper) →
@@ -5407,4 +5450,5 @@ QUERIES: dict[str, tuple] = {
     "d_remove_dup_spans": (d_remove_dup_spans, D_REMOVE_DUP_SPANS_SQL),
     "d_embed_outliers": (d_embed_outliers, D_EMBED_OUTLIERS_SQL),
     "d_curation_pipeline": (d_curation_pipeline, D_CURATION_PIPELINE_SQL),
+    "d_lm3_score": (d_lm3_score, D_LM3_SCORE_SQL),
 }

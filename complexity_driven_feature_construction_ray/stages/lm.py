@@ -158,3 +158,142 @@ def score_bigram_lm(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+@dataclass
+class TrigramLM:
+    """Sorted-hash count tables for stupid-backoff scoring."""
+
+    tri_keys: np.ndarray
+    tri_counts: np.ndarray
+    bi_keys: np.ndarray
+    bi_counts: np.ndarray
+    uni_keys: np.ndarray
+    uni_counts: np.ndarray
+    total: int  # N = total token occurrences
+    backoff: float = 0.4
+
+
+def fit_trigram_lm(ds, *, text_col: str = "text", backoff: float = 0.4, min_count: int = 1) -> TrigramLM:
+    """One streaming pass (per-batch distinct (kind, hash) partials ->
+    Ray Sum aggregate) extending the bigram fit with the trigram table;
+    model stays O(distinct n-grams) — the bounded-vocab assumption of
+    the module docstring applies."""
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        parts = [_partial_counts(texts, k) for k in (1, 2, 3)]
+        kinds = np.concatenate(
+            [np.full(len(p[0]), i, dtype=np.int64) for i, p in enumerate(parts)]
+        )
+        return pa.table(
+            {
+                "kind": pa.array(kinds),
+                "k": pa.array(np.concatenate([p[0] for p in parts]).view(np.int64)),
+                "c": pa.array(np.concatenate([p[1] for p in parts])),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["kind", "k"])
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    kind = np.fromiter((r["kind"] for r in rows), dtype=np.int64, count=len(rows))
+    keys = np.fromiter((r["k"] for r in rows), dtype=np.int64, count=len(rows)).view(_U64)
+    counts = np.fromiter((r["c"] for r in rows), dtype=np.int64, count=len(rows))
+
+    def table(which: int):
+        m = (kind == which) & (counts >= min_count)
+        k, c = keys[m], counts[m]
+        o = np.argsort(k)
+        return k[o], c[o]
+
+    uni_k, uni_c = table(0)
+    bi_k, bi_c = table(1)
+    tri_k, tri_c = table(2)
+    total = int(counts[kind == 0].sum())
+    return TrigramLM(tri_k, tri_c, bi_k, bi_c, uni_k, uni_c, total, backoff)
+
+
+def score_trigram_lm(
+    ds,
+    lm: TrigramLM,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ndigits: int = 6,
+):
+    """Stupid-backoff scoring (Brants et al. 2007): per trigram
+    occurrence S = c123/c12, backing off to 0.4·c23/c2, then to
+    0.4²·c3/N. Streaming: model broadcast once, every probe a
+    searchsorted over the sorted hash tables, per-doc segment mean via
+    np.add.reduceat. Emits (id, n_trigrams, avg_nll) for docs with
+    >= 1 trigram."""
+    import ray
+
+    lm_ref = ray.put(lm)
+
+    def _segment_select(vals, seg_counts, want, lo):
+        """Elements of each row segment with within-index in
+        [lo, lo+want) — vectorized gather over the flat layout."""
+        starts = np.zeros(len(seg_counts), dtype=np.int64)
+        np.cumsum(seg_counts[:-1], out=starts[1:])
+        within = np.arange(len(vals), dtype=np.int64) - np.repeat(starts, seg_counts)
+        w = np.repeat(want, seg_counts)
+        keep = (within >= lo) & (within < lo + w)
+        return vals[keep]
+
+    def score(batch: pa.Table) -> pa.Table:
+        m: TrigramLM = ray.get(lm_ref)
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uni, uoff = _shingle_hashes(texts, 1)
+        bi, boff = _shingle_hashes(texts, 2)
+        tri, toff = _shingle_hashes(texts, 3)
+        nt = np.diff(toff)
+        empty = pa.table(
+            {
+                id_col: pa.array([], type=pa.int64()),
+                "n_trigrams": pa.array([], type=pa.int64()),
+                "avg_nll": pa.array([], type=pa.float64()),
+            }
+        )
+        if len(tri) == 0:
+            return empty
+        nb, nu = np.diff(boff), np.diff(uoff)
+        c123 = _probe(m.tri_keys, m.tri_counts, tri).astype(np.float64)
+        c12 = _probe(
+            m.bi_keys, m.bi_counts, _segment_select(bi, nb, nt, 0)
+        ).astype(np.float64)
+        c23 = _probe(
+            m.bi_keys, m.bi_counts, _segment_select(bi, nb, nt, 1)
+        ).astype(np.float64)
+        c2 = _probe(
+            m.uni_keys, m.uni_counts, _segment_select(uni, nu, nt, 1)
+        ).astype(np.float64)
+        c3 = _probe(
+            m.uni_keys, m.uni_counts, _segment_select(uni, nu, nt, 2)
+        ).astype(np.float64)
+        b = m.backoff
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s3 = np.where(c2 > 0, c23 / np.maximum(c2, 1), 0.0)
+            s = np.where(
+                (c123 > 0) & (c12 > 0),
+                c123 / np.maximum(c12, 1),
+                np.where(c23 > 0, b * s3, b * b * c3 / max(m.total, 1)),
+            )
+        nll = -np.log(np.maximum(s, 1e-300))
+        sums = np.add.reduceat(nll, toff[:-1][nt > 0])
+        rows = nt > 0
+        return pa.table(
+            {
+                id_col: pa.array(ids[rows]),
+                "n_trigrams": pa.array(nt[rows]),
+                "avg_nll": pa.array(np.round(sums / nt[rows], ndigits)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

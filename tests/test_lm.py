@@ -64,3 +64,56 @@ def test_fit_is_deterministic_across_runs():
     assert np.array_equal(lm1.bi_keys, lm2.bi_keys)
     assert np.array_equal(lm1.bi_counts, lm2.bi_counts)
     assert lm1.vocab == lm2.vocab
+
+
+class TestTrigramStupidBackoff:
+    def test_matches_pure_python_including_backoff_chain(self, ray_session):
+        from collections import Counter
+
+        from complexity_driven_feature_construction_ray.stages.lm import (
+            fit_trigram_lm,
+            score_trigram_lm,
+        )
+
+        train = [
+            "the cat sat on the mat",
+            "the cat sat on a hat",
+            "a dog sat on the mat",
+        ]
+        # held-out: hits trigram branch, bigram backoff, and unigram backoff
+        test = [
+            "the cat sat on the mat",     # all trigrams seen
+            "the cat ate on the mat",     # 'cat ate on' unseen -> backoff
+            "zebra quark sat dog hat a",  # mostly unseen -> deep backoff
+        ]
+        tr = _ds(train)
+        te = _ds(test)
+        lm = fit_trigram_lm(tr)
+        got = score_trigram_lm(te, lm).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+        def grams(ts, k):
+            c = Counter()
+            for t in ts:
+                ws = t.split()
+                for i in range(len(ws) - k + 1):
+                    c[tuple(ws[i : i + k])] += 1
+            return c
+        u, b2, t3 = grams(train, 1), grams(train, 2), grams(train, 3)
+        N = sum(u.values())
+
+        def s(w1, w2, w3):
+            if t3[(w1, w2, w3)] > 0 and b2[(w1, w2)] > 0:
+                return t3[(w1, w2, w3)] / b2[(w1, w2)]
+            if b2[(w2, w3)] > 0:
+                return 0.4 * b2[(w2, w3)] / u[(w2,)]
+            return 0.16 * u[(w3,)] / N
+
+        for di, txt in enumerate(test):
+            ws = txt.split()
+            nll = [
+                -np.log(max(s(ws[i], ws[i + 1], ws[i + 2]), 1e-300))
+                for i in range(len(ws) - 2)
+            ]
+            row = got[got["doc_id"] == di].iloc[0]
+            assert row["n_trigrams"] == len(nll)
+            assert row["avg_nll"] == round(float(np.mean(nll)), 6), (di, row["avg_nll"], np.mean(nll))
