@@ -141,6 +141,10 @@ def _init_ray(num_cpus: int) -> None:
             num_cpus=num_cpus,
             include_dashboard=False,
             ignore_reinit_error=True,
+            # keep worker stdout/stderr OUT of this process's stdout: the
+            # bench contract is ONE parseable JSON line, and a flushed
+            # worker print would otherwise interleave with it
+            log_to_driver=False,
             # keep the worker pool warm between dataset executions: the
             # default idle-worker reaping kills workers in the gaps
             # between passes, and the respawn fork+import storm shows up
