@@ -112,6 +112,8 @@ HEADLINE = [
     "d_embed_outliers",
     "d_curation_pipeline",
     "d_lm3_score",
+    "q_audit",
+    "d_length_buckets",
 ]
 
 

@@ -1851,6 +1851,147 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 """
 
 
+def q_audit(sf_dir: str):
+    """Data-quality audit report in one pass per table: referential
+    integrity (orders whose o_custkey has no customer — broadcast
+    anti-probe, small side ships once), key uniqueness (duplicate
+    p_partkey count via a partial-counts aggregate), and null/blank
+    rates on documents.text. One row per check: (check, n_bad, n_total)
+    — the pre-ingest validation gate a pipeline runs before training."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    checks = []
+
+    # 1. FK: orders.o_custkey -> customer.c_custkey (broadcast anti-probe)
+    cust = np.sort(
+        _read(sf_dir, "customer", columns=["c_custkey"]).to_pandas()["c_custkey"].to_numpy()
+    )
+    cust_ref = ray.put(cust)
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def orphan_partial(batch: pa.Table) -> pa.Table:
+        from ..stages.arrowutil import sorted_lookup
+
+        keys = batch["o_custkey"].to_numpy()
+        _, found = sorted_lookup(ray.get(cust_ref), keys)
+        return pa.table(
+            {"bad": pa.array([int((~found).sum())]), "tot": pa.array([len(keys)])}
+        )
+
+    r = (
+        orders.map_batches(orphan_partial, batch_format="pyarrow")
+        .aggregate(Sum("bad", alias_name="bad"), Sum("tot", alias_name="tot"))
+    )
+    checks.append(("fk_orders_customer", int(r["bad"]), int(r["tot"])))
+
+    # 2. duplicate primary keys in part (distinct-cell aggregate)
+    part = _read(sf_dir, "part", columns=["p_partkey"])
+
+    def key_counts(batch: pa.Table) -> pa.Table:
+        k, c = np.unique(batch["p_partkey"].to_numpy(), return_counts=True)
+        return pa.table({"k": pa.array(k), "c": pa.array(c.astype(np.int64))})
+
+    kc = (
+        part.map_batches(key_counts, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def dup_partial(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy()
+        return pa.table(
+            {
+                "bad": pa.array([int(c[c > 1].sum() - (c > 1).sum())]),
+                "tot": pa.array([int(c.sum())]),
+            }
+        )
+
+    r = kc.map_batches(dup_partial, batch_format="pyarrow").aggregate(
+        Sum("bad", alias_name="bad"), Sum("tot", alias_name="tot")
+    )
+    checks.append(("dup_part_keys", int(r["bad"]), int(r["tot"])))
+
+    # 3. null-or-blank text rate in documents
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def blank_partial(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch["text"].to_pandas())
+        bad = int((s.isna() | (s.fillna("").str.strip() == "")).sum())
+        return pa.table({"bad": pa.array([bad]), "tot": pa.array([len(s)])})
+
+    r = docs.map_batches(blank_partial, batch_format="pyarrow").aggregate(
+        Sum("bad", alias_name="bad"), Sum("tot", alias_name="tot")
+    )
+    checks.append(("blank_document_text", int(r["bad"]), int(r["tot"])))
+
+    return pd.DataFrame(checks, columns=["check", "n_bad", "n_total"]).sort_values(
+        "check"
+    ).reset_index(drop=True)
+
+
+Q_AUDIT_SQL = """
+SELECT * FROM (
+  SELECT 'fk_orders_customer' AS check,
+         CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+         CAST(count(*) AS BIGINT) AS n_total
+  FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+  UNION ALL
+  SELECT 'dup_part_keys',
+         CAST(COALESCE(sum(c - 1), 0) AS BIGINT),
+         CAST(sum(c) AS BIGINT)
+  FROM (SELECT p_partkey, count(*) AS c FROM part GROUP BY p_partkey)
+  UNION ALL
+  SELECT 'blank_document_text',
+         CAST(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(*) AS BIGINT)
+  FROM documents
+) ORDER BY "check"
+"""
+
+
+def d_length_buckets(sf_dir: str):
+    """Length-bucketed batching stats (the inference/serving padding
+    plan): docs bucket by the power-of-two ceiling of their length;
+    per bucket, the doc count and the padding waste a cap-sized batch
+    would pay (bucket_cap − length summed). Row-local bucket index, one
+    partially-combined hash aggregate — the mixing diagnostic before
+    length-grouped batching."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        n = np.maximum(batch["n_chars"].to_numpy(zero_copy_only=False), 1)
+        cap = np.int64(1) << np.ceil(np.log2(n)).astype(np.int64)
+        return pa.table(
+            {
+                "bucket_cap": pa.array(cap),
+                "pad": pa.array((cap - n).astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket_cap")
+        .aggregate(Count(alias_name="n_docs"), Sum("pad", alias_name="pad_waste"))
+        .sort("bucket_cap")
+    )
+
+
+D_LENGTH_BUCKETS_SQL = """
+WITH b AS (
+  SELECT CAST(power(2, ceil(log2(greatest(n_chars, 1)))) AS BIGINT) AS bucket_cap,
+         CAST(power(2, ceil(log2(greatest(n_chars, 1)))) AS BIGINT)
+           - greatest(n_chars, 1) AS pad
+  FROM documents
+)
+SELECT bucket_cap, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(pad) AS BIGINT) AS pad_waste
+FROM b GROUP BY bucket_cap ORDER BY bucket_cap
+"""
+
+
 def d_curation_pipeline(sf_dir: str):
     """END-TO-END curation recipe in one call — the 'prepare a training
     epoch' composition: C4 rule filter → exact dedup (min-id keeper) →
@@ -5451,4 +5592,6 @@ QUERIES: dict[str, tuple] = {
     "d_embed_outliers": (d_embed_outliers, D_EMBED_OUTLIERS_SQL),
     "d_curation_pipeline": (d_curation_pipeline, D_CURATION_PIPELINE_SQL),
     "d_lm3_score": (d_lm3_score, D_LM3_SCORE_SQL),
+    "q_audit": (q_audit, Q_AUDIT_SQL),
+    "d_length_buckets": (d_length_buckets, D_LENGTH_BUCKETS_SQL),
 }

@@ -697,3 +697,42 @@ class TestCurationPipeline:
         # every survivor passed the filter: no doc shorter than 30 words
         # exists in the output (spot via the injected rows' fixed size)
         assert got["doc_id"].is_unique
+
+
+class TestAuditAndLengthBuckets:
+    def test_audit_matches_bruteforce(self, ray_session):
+        from complexity_driven_feature_construction_ray.pipelines.relational import q_audit
+
+        sf = "/root/testdata/sf0.001"
+        got = q_audit(sf).set_index("check")
+        orders = pd.read_parquet(f"{sf}/orders.parquet", columns=["o_custkey"])
+        cust = set(pd.read_parquet(f"{sf}/customer.parquet", columns=["c_custkey"])["c_custkey"])
+        assert got.loc["fk_orders_customer", "n_bad"] == int(
+            (~orders["o_custkey"].isin(cust)).sum()
+        )
+        assert got.loc["fk_orders_customer", "n_total"] == len(orders)
+        part = pd.read_parquet(f"{sf}/part.parquet", columns=["p_partkey"])
+        vc = part["p_partkey"].value_counts()
+        assert got.loc["dup_part_keys", "n_bad"] == int((vc[vc > 1] - 1).sum())
+        docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+        blank = int((docs["text"].isna() | (docs["text"].fillna("").str.strip() == "")).sum())
+        assert got.loc["blank_document_text", "n_bad"] == blank
+
+    def test_length_buckets_match_bruteforce(self, ray_session):
+        from complexity_driven_feature_construction_ray.pipelines.relational import (
+            d_length_buckets,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = d_length_buckets(sf).to_pandas().set_index("bucket_cap")
+        n = np.maximum(
+            pd.read_parquet(f"{sf}/documents.parquet", columns=["n_chars"])["n_chars"].to_numpy(),
+            1,
+        )
+        cap = np.int64(1) << np.ceil(np.log2(n)).astype(np.int64)
+        exp = pd.DataFrame({"cap": cap, "pad": cap - n}).groupby("cap").agg(
+            n_docs=("pad", "size"), pad_waste=("pad", "sum")
+        )
+        for c, row in exp.iterrows():
+            assert got.loc[c, "n_docs"] == row["n_docs"]
+            assert got.loc[c, "pad_waste"] == row["pad_waste"]
