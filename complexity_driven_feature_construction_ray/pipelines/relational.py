@@ -1702,6 +1702,9 @@ def t_window_distinct(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
 
     def add_win(batch: pa.Table) -> pa.Table:
+        # NULL users don't count as a distinct user (SQL count(DISTINCT)
+        # semantics) and would also drift the column dtype to float
+        batch = batch.filter(pc.is_valid(batch["user_id"]))
         epoch = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()).to_numpy(
             zero_copy_only=False
         )
@@ -1917,7 +1920,10 @@ def q_audit(sf_dir: str):
 
     def blank_partial(batch: pa.Table) -> pa.Table:
         s = pd.Series(batch["text"].to_pandas())
-        bad = int((s.isna() | (s.fillna("").str.strip() == "")).sum())
+        # ASCII-whitespace blank (space/tab/newline/CR) — the oracle
+        # strips the same 4 characters; bare .strip() would also eat
+        # unicode whitespace DuckDB's trim does not
+        bad = int((s.isna() | (s.fillna("").str.strip(" \t\n\r") == "")).sum())
         return pa.table({"bad": pa.array([bad]), "tot": pa.array([len(s)])})
 
     r = docs.map_batches(blank_partial, batch_format="pyarrow").aggregate(
@@ -1943,7 +1949,9 @@ SELECT * FROM (
   FROM (SELECT p_partkey, count(*) AS c FROM part GROUP BY p_partkey)
   UNION ALL
   SELECT 'blank_document_text',
-         CAST(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CASE WHEN text IS NULL
+                       OR trim(text, ' ' || chr(9) || chr(10) || chr(13)) = ''
+                       THEN 1 ELSE 0 END) AS BIGINT),
          CAST(count(*) AS BIGINT)
   FROM documents
 ) ORDER BY "check"
@@ -2020,16 +2028,9 @@ def d_curation_pipeline(sf_dir: str):
             + pad
         )
         s = s.where(pd.Series(ids % 4 != 1), boiler)
-        n_words = s.str.count(r"\S+").to_numpy(dtype=np.int64)
-        nonws = s.str.replace(r"\s+", "", regex=True).str.len().to_numpy(np.int64)
-        mean_wl = nonws / np.maximum(n_words, 1)
-        keep = (
-            (n_words >= 30)
-            & (n_words <= 10000)
-            & (mean_wl <= 4.6)
-            & ~s.str.contains("{", regex=False).to_numpy()
-            & ~s.str.lower().str.contains("lorem ipsum", regex=False).to_numpy()
-        )
+        from ..stages.text import c4_keep_mask
+
+        keep = c4_keep_mask(s)
         out = pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -4332,16 +4333,10 @@ def d_c4_filter(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["text", "source"])
 
     def rules(batch: pa.Table) -> pa.Table:
+        from ..stages.text import c4_keep_mask
+
         s = pd.Series(batch["text"].to_pandas()).fillna("")
-        n_words = s.str.count(r"\S+").to_numpy(dtype=np.int64)
-        nonws = s.str.replace(r"\s+", "", regex=True).str.len().to_numpy(dtype=np.int64)
-        mean_wl = nonws / np.maximum(n_words, 1)
-        keep = (
-            (n_words >= 30) & (n_words <= 10000) & (mean_wl <= 4.6)
-            & ~s.str.contains("{", regex=False).to_numpy()
-            & ~s.str.lower().str.contains("lorem ipsum", regex=False).to_numpy()
-        )
-        return batch.filter(pa.array(keep))
+        return batch.filter(pa.array(c4_keep_mask(s)))
 
     return (
         ds.map_batches(rules, batch_format="pyarrow")

@@ -378,24 +378,30 @@ def centroid_outliers(
         labs, cent_m = ray.get(model)
         n = batch.num_rows
         if n == 0:
+            # keep the REAL column types so empty blocks unify with the rest
             return pa.table(
                 {
-                    id_col: pa.array([], type=pa.int64()),
-                    label_col: pa.array([], type=pa.int32()),
+                    id_col: batch[id_col],
+                    label_col: batch[label_col],
                     "dist": pa.array([], type=pa.float64()),
                 }
             )
         X = list_column_matrix(batch[emb_col]).astype(np.float64)
         y = batch[label_col].to_numpy(zero_copy_only=False)
         pos = np.searchsorted(labs, y)
-        dist = np.linalg.norm(X - cent_m[pos], axis=1)
+        dist = np.round(np.linalg.norm(X - cent_m[pos], axis=1), 6)
         kk = min(k, n)
-        top = np.argpartition(-dist, kk - 1)[:kk]
+        # select on the ROUNDED distance with id tie-break — the same
+        # deterministic order the global sort (and the SQL comparison)
+        # uses, so block layout can't change which rows survive
+        ids_np = batch[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids_np, -dist))[:kk]
+        sel = np.sort(order)
         return pa.table(
             {
-                id_col: batch[id_col].take(pa.array(np.sort(top))),
-                label_col: batch[label_col].take(pa.array(np.sort(top))),
-                "dist": pa.array(np.round(dist[np.sort(top)], 6)),
+                id_col: batch[id_col].take(pa.array(sel)),
+                label_col: batch[label_col].take(pa.array(sel)),
+                "dist": pa.array(dist[sel]),
             }
         )
 

@@ -236,15 +236,19 @@ def score_trigram_lm(
 
     lm_ref = ray.put(lm)
 
-    def _segment_select(vals, seg_counts, want, lo):
-        """Elements of each row segment with within-index in
-        [lo, lo+want) — vectorized gather over the flat layout."""
+    def _within_layout(n_vals, seg_counts, want):
+        """(within-segment index, per-element want) for one flat layout —
+        computed ONCE per (bigram, unigram) layout and reused for every
+        lo offset, instead of rebuilding the O(total-tokens) temporaries
+        per probe."""
         starts = np.zeros(len(seg_counts), dtype=np.int64)
         np.cumsum(seg_counts[:-1], out=starts[1:])
-        within = np.arange(len(vals), dtype=np.int64) - np.repeat(starts, seg_counts)
-        w = np.repeat(want, seg_counts)
-        keep = (within >= lo) & (within < lo + w)
-        return vals[keep]
+        within = np.arange(n_vals, dtype=np.int64) - np.repeat(starts, seg_counts)
+        return within, np.repeat(want, seg_counts)
+
+    def _segment_select(vals, within, w, lo):
+        """Elements of each row segment with within-index in [lo, lo+want)."""
+        return vals[(within >= lo) & (within < lo + w)]
 
     def score(batch: pa.Table) -> pa.Table:
         m: TrigramLM = ray.get(lm_ref)
@@ -264,18 +268,20 @@ def score_trigram_lm(
         if len(tri) == 0:
             return empty
         nb, nu = np.diff(boff), np.diff(uoff)
+        bw, bwant = _within_layout(len(bi), nb, nt)
+        uw, uwant = _within_layout(len(uni), nu, nt)
         c123 = _probe(m.tri_keys, m.tri_counts, tri).astype(np.float64)
         c12 = _probe(
-            m.bi_keys, m.bi_counts, _segment_select(bi, nb, nt, 0)
+            m.bi_keys, m.bi_counts, _segment_select(bi, bw, bwant, 0)
         ).astype(np.float64)
         c23 = _probe(
-            m.bi_keys, m.bi_counts, _segment_select(bi, nb, nt, 1)
+            m.bi_keys, m.bi_counts, _segment_select(bi, bw, bwant, 1)
         ).astype(np.float64)
         c2 = _probe(
-            m.uni_keys, m.uni_counts, _segment_select(uni, nu, nt, 1)
+            m.uni_keys, m.uni_counts, _segment_select(uni, uw, uwant, 1)
         ).astype(np.float64)
         c3 = _probe(
-            m.uni_keys, m.uni_counts, _segment_select(uni, nu, nt, 2)
+            m.uni_keys, m.uni_counts, _segment_select(uni, uw, uwant, 2)
         ).astype(np.float64)
         b = m.backoff
         with np.errstate(divide="ignore", invalid="ignore"):

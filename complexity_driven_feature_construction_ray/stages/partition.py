@@ -498,6 +498,11 @@ def zorder_key(ds, cols: list[str], *, bits: int = 8, out_col: str = "z"):
     positions i, i+n, i+2n, ...)."""
     from ray.data.aggregate import Max, Min
 
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"bits*cols = {bits * len(cols)} would overflow the int64 key "
+            "(sign bit at 63): reduce bits or the column count"
+        )
     aggs = []
     for c in cols:
         aggs += [Min(c), Max(c)]

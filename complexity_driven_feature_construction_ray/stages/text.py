@@ -936,3 +936,21 @@ def grouped_top_tokens(ds, *, text_col: str = "text", group_col: str = "source",
         counts, key_col=group_col, order_col="c", n=k, descending=True,
         tiebreak_col="token",
     )
+
+
+def c4_keep_mask(s: pd.Series) -> np.ndarray:
+    """The C4/RefinedWeb document rule mask, shared by the standalone
+    filter query and the end-to-end curation recipe (one definition so
+    a threshold tweak can't desynchronize them): word count in
+    [30, 10000], mean word length <= 4.6, no curly brace, no
+    'lorem ipsum'."""
+    n_words = s.str.count(r"\S+").to_numpy(dtype=np.int64)
+    nonws = s.str.replace(r"\s+", "", regex=True).str.len().to_numpy(np.int64)
+    mean_wl = nonws / np.maximum(n_words, 1)
+    return (
+        (n_words >= 30)
+        & (n_words <= 10000)
+        & (mean_wl <= 4.6)
+        & ~s.str.contains("{", regex=False).to_numpy()
+        & ~s.str.lower().str.contains("lorem ipsum", regex=False).to_numpy()
+    )
