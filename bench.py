@@ -114,6 +114,7 @@ HEADLINE = [
     "d_lm3_score",
     "q_audit",
     "d_length_buckets",
+    "d_embed_dispersion",
 ]
 
 

@@ -2277,6 +2277,81 @@ FROM d ORDER BY round(dist, 6) DESC, vec_id LIMIT 20
 """
 
 
+def d_embed_dispersion(sf_dir: str):
+    """Per-class embedding dispersion: mean squared L2 distance to the
+    own-label centroid (intra-class variance — the compactness half of
+    a cluster-quality audit, complementing d_embed_outliers). Same
+    broadcast-centroid scan, but the output is one mergeable (label,
+    sum, count) cell per batch — E[||x−μ||²] = E[||x||²] − ||μ||² is
+    NOT used so the oracle replay stays a literal distance average."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.arrowutil import list_column_matrix
+    from ..stages.embedding import grouped_centroid
+
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+    cp = grouped_centroid(ds, round_to=12).to_pandas()
+    labels = np.sort(cp["label"].unique())
+    d = int(cp["dim"].max())
+    C = np.zeros((len(labels), d), dtype=np.float64)
+    for lab, g in cp.groupby("label"):
+        C[np.searchsorted(labels, lab)] = g.sort_values("dim")["mean_v"].to_numpy()
+    model = ray.put((labels, C))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labs, cent = ray.get(model)
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "label": batch["label"],
+                    "s": pa.array([], type=pa.float64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        X = list_column_matrix(batch["embedding"]).astype(np.float64)
+        y = batch["label"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(labs, y)
+        d2 = ((X - cent[pos]) ** 2).sum(axis=1)
+        uniq, inv = np.unique(y, return_inverse=True)
+        s = np.zeros(len(uniq))
+        np.add.at(s, inv, d2)
+        return pa.table(
+            {
+                "label": pa.array(uniq),
+                "s": pa.array(s),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    agg["msd"] = np.round(agg["s"] / agg["n"], 6)
+    agg["n"] = agg["n"].astype(np.int64)
+    return agg[["label", "n", "msd"]].sort_values("label").reset_index(drop=True)
+
+
+D_EMBED_DISPERSION_SQL = """
+WITH u AS (
+  SELECT vec_id, label, unnest(embedding) AS v,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+),
+m AS (SELECT label, i, round(avg(v), 12) AS mu FROM u GROUP BY label, i),
+d AS (
+  SELECT u.vec_id, u.label, sum((u.v - m.mu) * (u.v - m.mu)) AS d2
+  FROM u JOIN m ON m.label = u.label AND m.i = u.i
+  GROUP BY u.vec_id, u.label
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n, round(avg(d2), 6) AS msd
+FROM d GROUP BY label ORDER BY label
+"""
+
+
 def d_contamination_matrix(sf_dir: str):
     """Cross-source n-gram contamination matrix (word-5-gram): distinct
     shared shingles + Jaccard per source pair — the 'are my sources
@@ -5589,4 +5664,5 @@ QUERIES: dict[str, tuple] = {
     "d_lm3_score": (d_lm3_score, D_LM3_SCORE_SQL),
     "q_audit": (q_audit, Q_AUDIT_SQL),
     "d_length_buckets": (d_length_buckets, D_LENGTH_BUCKETS_SQL),
+    "d_embed_dispersion": (d_embed_dispersion, D_EMBED_DISPERSION_SQL),
 }

@@ -262,3 +262,21 @@ class TestCentroidOutliers:
         exp = round(float(np.linalg.norm(X[42].astype(np.float64) - mu)), 6)
         assert got.iloc[0]["dist"] == exp
         assert (np.diff(got["dist"].to_numpy()) <= 0).all()
+
+
+class TestEmbedDispersion:
+    def test_matches_numpy_intra_class_msd(self, ray_session):
+        from complexity_driven_feature_construction_ray.pipelines.relational import (
+            d_embed_dispersion,
+        )
+
+        got = d_embed_dispersion("/root/testdata/sf0.001").set_index("label")
+        df = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+        X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        y = df["label"].to_numpy()
+        for lab in np.unique(y):
+            sub = X[y == lab]
+            mu = np.round(sub.mean(axis=0), 12)
+            msd = round(float(((sub - mu) ** 2).sum(axis=1).mean()), 6)
+            assert got.loc[lab, "n"] == len(sub)
+            assert abs(got.loc[lab, "msd"] - msd) < 2e-6
