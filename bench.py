@@ -115,6 +115,8 @@ HEADLINE = [
     "q_audit",
     "d_length_buckets",
     "d_embed_dispersion",
+    "d_group_split",
+    "q_histogram",
 ]
 
 

@@ -2395,6 +2395,116 @@ ORDER BY source_a, source_b
 """
 
 
+def q_histogram(sf_dir: str):
+    """Exact 10-bin equi-width histogram of lineitem prices — the
+    profiling primitive behind range-partition planning and skew
+    checks (stages/stats.py:histogram: one min/max aggregate, then one
+    streaming bincount pass; empty bins reported too). The oracle
+    replays the binning with the same floor arithmetic."""
+    from ..stages.stats import histogram
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    return histogram(ds, col="l_extendedprice", bins=10)
+
+
+Q_HISTOGRAM_SQL = """
+WITH b AS (
+  SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+         CASE WHEN max(l_extendedprice) > min(l_extendedprice)
+              THEN CAST(max(l_extendedprice) - min(l_extendedprice) AS DOUBLE)
+              ELSE 1.0 END AS span
+  FROM lineitem
+),
+x AS (
+  SELECT least(greatest(
+           CAST(floor((l_extendedprice - lo) * 10.0 / span) AS BIGINT), 0), 9) AS bin
+  FROM lineitem, b
+),
+c AS (SELECT bin, count(*) AS n FROM x GROUP BY bin),
+g AS (SELECT unnest(range(0, 10)) AS bin)
+SELECT g.bin,
+       round(lo + g.bin * span / 10.0, 6) AS bin_lo,
+       round(lo + (g.bin + 1) * span / 10.0, 6) AS bin_hi,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM g LEFT JOIN c USING (bin), b
+ORDER BY g.bin
+"""
+
+
+def d_group_split(sf_dir: str):
+    """Leakage-safe grouped train/valid split (GroupKFold shape): every
+    document of a SOURCE lands on the same side, decided by a
+    deterministic hash of the group key — near-duplicate docs within a
+    crawl can't straddle the split and leak. Row-local predicate, one
+    partially-combined aggregate for the per-split report (docs,
+    distinct sources, total chars). The oracle replays the hash on the
+    numeric source suffix."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.sampling import det_hash_u32
+
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        src = pd.Series(batch["source"].to_pandas())
+        gid = src.str.slice(3).astype(np.int64).to_numpy()
+        train = det_hash_u32(gid, 13) % np.uint64(10) < np.uint64(8)
+        split = np.where(train, "train", "valid")
+        return pa.table(
+            {
+                "split": pa.array(split, type=pa.string()),
+                "source": batch["source"],
+                "n_chars": batch["n_chars"],
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    # distinct sources per split is group-bounded: pre-dedup per batch
+    def src_cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "split": batch["split"].to_pandas(),
+                "source": batch["source"].to_pandas(),
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    per_split = tagged.groupby("split").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="n_chars")
+    )
+    srcs = (
+        tagged.map_batches(src_cells, batch_format="pyarrow")
+        .groupby(["split", "source"])
+        .count()
+        .groupby("split")
+        .count()
+    )
+    a = per_split.to_pandas().set_index("split")
+    b = srcs.to_pandas().set_index("split")["count()"]
+    a["n_sources"] = b
+    a = a.reset_index()[["split", "n_docs", "n_sources", "n_chars"]]
+    a["n_sources"] = a["n_sources"].astype(np.int64)
+    return a.sort_values("split").reset_index(drop=True)
+
+
+_GSPLIT_MULT = (2654435761 * (2 * 13 + 1)) % (1 << 32)
+
+D_GROUP_SPLIT_SQL = f"""
+WITH s AS (
+  SELECT source, n_chars,
+         CASE WHEN (CAST(substr(source, 4) AS BIGINT) * {_GSPLIT_MULT} + 13)
+                   % 4294967296 % 10 < 8
+              THEN 'train' ELSE 'valid' END AS split
+  FROM documents
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM s GROUP BY split ORDER BY split
+"""
+
+
 def d_weighted_sample(sf_dir: str):
     """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
     A-Res), weight = document length: the data-mixing draw that keeps k
@@ -5665,4 +5775,6 @@ QUERIES: dict[str, tuple] = {
     "q_audit": (q_audit, Q_AUDIT_SQL),
     "d_length_buckets": (d_length_buckets, D_LENGTH_BUCKETS_SQL),
     "d_embed_dispersion": (d_embed_dispersion, D_EMBED_DISPERSION_SQL),
+    "d_group_split": (d_group_split, D_GROUP_SPLIT_SQL),
+    "q_histogram": (q_histogram, Q_HISTOGRAM_SQL),
 }

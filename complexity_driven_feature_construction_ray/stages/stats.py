@@ -226,3 +226,46 @@ def psi_drift(ds_ref, ds_cur, *, col: str, bins: int = 10, floor: float = 1e-6):
     return pd.DataFrame(
         {"psi": [round(psi, 6)], "n_ref": [int(rc.sum())], "n_cur": [int(cc.sum())]}
     )
+
+
+def histogram(ds, *, col: str, bins: int = 10):
+    """Exact equi-width histogram of a numeric column: one global
+    min/max aggregate fixes the edges, then one streaming pass whose
+    per-batch partial is a `bins`-long bincount — the profiling
+    primitive behind range-partition planning and skew checks. Returns
+    a pandas frame (bin, bin_lo, bin_hi, n) covering every bin, empty
+    ones included; the max value lands in the last bin."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Min, Sum
+
+    mm = ds.aggregate(Min(col), Max(col))
+    lo, hi = float(mm[f"min({col})"]), float(mm[f"max({col})"])
+    span = hi - lo if hi > lo else 1.0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.clip(np.floor((x - lo) * bins / span).astype(np.int64), 0, bins - 1)
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(bins, dtype=np.int64)),
+                "c": pa.array(np.bincount(idx, minlength=bins).astype(np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("c", alias_name="n"))
+        .to_pandas()
+    )
+    counts = np.zeros(bins, dtype=np.int64)
+    counts[out["bin"].to_numpy()] = out["n"].to_numpy()
+    b = np.arange(bins, dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "bin": b,
+            "bin_lo": np.round(lo + b * span / bins, 6),
+            "bin_hi": np.round(lo + (b + 1) * span / bins, 6),
+            "n": counts,
+        }
+    )

@@ -736,3 +736,39 @@ class TestAuditAndLengthBuckets:
         for c, row in exp.iterrows():
             assert got.loc[c, "n_docs"] == row["n_docs"]
             assert got.loc[c, "pad_waste"] == row["pad_waste"]
+
+
+class TestGroupSplitAndHistogram:
+    def test_group_split_is_leakage_safe(self, ray_session):
+        from complexity_driven_feature_construction_ray.pipelines.relational import d_group_split
+        from complexity_driven_feature_construction_ray.stages.sampling import det_hash_u32
+
+        sf = "/root/testdata/sf0.001"
+        got = d_group_split(sf).set_index("split")
+        docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["source", "n_chars"])
+        gid = docs["source"].str.slice(3).astype(np.int64).to_numpy()
+        train = det_hash_u32(gid, 13) % np.uint64(10) < np.uint64(8)
+        # every source entirely on one side (the predicate depends only
+        # on the group), and the per-split report matches brute force
+        side = pd.DataFrame({"s": docs["source"], "t": train}).groupby("s")["t"].nunique()
+        assert (side == 1).all()
+        for split, mask in (("train", train), ("valid", ~train)):
+            if mask.sum() == 0:
+                assert split not in got.index
+                continue
+            assert got.loc[split, "n_docs"] == int(mask.sum())
+            assert got.loc[split, "n_sources"] == docs.loc[mask, "source"].nunique()
+            assert got.loc[split, "n_chars"] == int(docs.loc[mask, "n_chars"].sum())
+
+    def test_histogram_matches_numpy(self, ray_session):
+        from complexity_driven_feature_construction_ray.stages.stats import histogram
+
+        rng = np.random.default_rng(8)
+        x = np.concatenate([rng.uniform(0, 100, 3000), [0.0, 100.0]])
+        ds = _docs_ds({"v": x}).repartition(5)
+        got = histogram(ds, col="v", bins=10)
+        idx = np.clip(np.floor((x - 0.0) * 10 / 100.0).astype(int), 0, 9)
+        exp = np.bincount(idx, minlength=10)
+        assert (got["n"].to_numpy() == exp).all()
+        assert got["n"].sum() == len(x)  # max value lands in the last bin
+        assert got.loc[9, "bin_hi"] == 100.0
