@@ -5618,6 +5618,80 @@ LIMIT 50
 """
 
 
+def t_funnel(sf_dir: str):
+    """Ordered funnel conversion over the event stream (product-
+    analytics shape: view -> click -> purchase, each step strictly
+    after the previous one was first reached). The read pushes an
+    event-type filter into the scan so only funnel events enter the
+    entity shuffle; per-bucket chained groupby-mins, K count rows per
+    bucket to the final aggregate (stages/temporal.py:funnel)."""
+    from ..stages.temporal import funnel
+
+    steps = ["view", "click", "purchase"]
+    ds = _read(
+        sf_dir, "events", columns=["user_id", "ts", "event_type"],
+        where=pc.field("event_type").isin(steps),
+    )
+    return funnel(ds, steps)
+
+
+T_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+  GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, count(*) AS n_users FROM s1
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), 'click', count(*) FROM s2
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3
+)
+ORDER BY step
+"""
+
+
+def t_retention(sf_dir: str):
+    """Weekly cohort retention matrix: cohort = each user's first
+    active day, n_users = distinct users with any event in week
+    `offset` of their own clock. Per-batch distinct (user, day) cells
+    bound the exchange to active user-days; users never straddle
+    buckets so the per-bucket counts sum exactly
+    (stages/temporal.py:retention_cohorts)."""
+    from ..stages.temporal import retention_cohorts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return retention_cohorts(ds, period_days=7)
+
+
+T_RETENTION_SQL = """
+WITH cells AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events
+),
+firsts AS (SELECT user_id, min(d) AS c FROM cells GROUP BY user_id),
+wk AS (
+  SELECT DISTINCT cells.user_id, c AS cohort_day, (d - c) // 7 AS "offset"
+  FROM cells JOIN firsts ON cells.user_id = firsts.user_id
+)
+SELECT cohort_day, "offset", count(*) AS n_users
+FROM wk GROUP BY cohort_day, "offset"
+ORDER BY cohort_day, "offset"
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5766,6 +5840,8 @@ QUERIES: dict[str, tuple] = {
     "d_knn_pq": (d_knn_pq, None),
     "tok_seq_dedup": (tok_seq_dedup, TOK_SEQ_DEDUP_SQL),
     "t_window_distinct": (t_window_distinct, T_WINDOW_DISTINCT_SQL),
+    "t_funnel": (t_funnel, T_FUNNEL_SQL),
+    "t_retention": (t_retention, T_RETENTION_SQL),
     "q_zorder": (q_zorder, Q_ZORDER_SQL),
     "tok_grep": (tok_grep, TOK_GREP_SQL),
     "d_remove_dup_spans": (d_remove_dup_spans, D_REMOVE_DUP_SPANS_SQL),

@@ -1013,3 +1013,107 @@ def fill_forward(
         .groupby("__bucket")
         .map_groups(fill_bucket, batch_format="pyarrow")
     )
+
+
+def funnel(
+    ds,
+    steps: list[str],
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    num_buckets: int | None = None,
+):
+    """Ordered funnel conversion (view -> click -> purchase shape): a
+    user reaches step k+1 at the EARLIEST steps[k+1] event strictly
+    after the time they reached step k (unbounded lookforward). Returns
+    one row per step: (step 1-based, event_type, n_users).
+
+    One entity-hash shuffle co-locates each user's funnel events; the
+    per-bucket pass is K pandas groupby-mins chained through a map
+    (C-level, no per-user Python), and only K partial-count rows per
+    bucket reach the final aggregate. Callers should pre-filter the
+    stream to the funnel's event types at the read — other event types
+    never enter the exchange."""
+    from ray.data.aggregate import Sum
+
+    step_names = list(steps)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        counts = []
+        reached = None  # per-user Series: ts at which the previous step was reached
+        for i, st in enumerate(step_names):
+            sub = df[df[type_col] == st]
+            if i == 0:
+                cur = sub.groupby(key)[ts].min()
+            elif reached is None or not len(reached):
+                cur = reached if reached is not None else sub.groupby(key)[ts].min().iloc[:0]
+            else:
+                prev_ts = sub[key].map(reached)
+                # NaT (user never reached the previous step) compares False
+                ok = sub[ts].to_numpy() > prev_ts.to_numpy()
+                cur = sub[ok].groupby(key)[ts].min()
+            reached = cur
+            counts.append(len(cur))
+        return pd.DataFrame(
+            {
+                "step": np.arange(1, len(step_names) + 1, dtype=np.int64),
+                "event_type": step_names,
+                "n_users": np.asarray(counts, dtype=np.int64),
+            }
+        )
+
+    parts = grouped_map(ds, key, per_bucket, num_buckets=num_buckets)
+    out = parts.groupby(["step", "event_type"]).aggregate(Sum("n_users", alias_name="n_users"))
+    return out.sort("step")
+
+
+def retention_cohorts(
+    ds,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    period_days: int = 7,
+    num_buckets: int | None = None,
+):
+    """Cohort retention matrix: cohort = each user's FIRST active day
+    (days since epoch); a user counts toward (cohort_day, offset) for
+    every period (default week) in which they have any event. Returns
+    (cohort_day, offset, n_users).
+
+    Per-batch distinct (user, day) cells shrink the exchange to active
+    user-days before the single entity-hash shuffle; users never
+    straddle buckets, so per-bucket (cohort, offset) counts are exact
+    partials and the final aggregate is a plain sum."""
+    from ray.data.aggregate import Sum
+
+    def day_cells(batch: pa.Table) -> pa.Table:
+        days = (
+            batch[ts].to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]").astype(np.int64)
+        )
+        df = pd.DataFrame(
+            {key: batch[key].to_numpy(zero_copy_only=False), "__day": days}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates([key, "__day"])  # global dedup: user-complete bucket
+        cohort = df.groupby(key)["__day"].transform("min").to_numpy()
+        off = (df["__day"].to_numpy() - cohort) // period_days
+        cells = pd.DataFrame(
+            {key: df[key].to_numpy(), "cohort_day": cohort, "offset": off}
+        ).drop_duplicates()
+        part = (
+            cells.groupby(["cohort_day", "offset"], sort=False)
+            .size().reset_index(name="n_users")
+        )
+        part["n_users"] = part["n_users"].astype(np.int64)
+        return part
+
+    parts = grouped_map(
+        ds.map_batches(day_cells, batch_format="pyarrow"), key, per_bucket,
+        num_buckets=num_buckets,
+    )
+    out = parts.groupby(["cohort_day", "offset"]).aggregate(Sum("n_users", alias_name="n_users"))
+    return out.sort(["cohort_day", "offset"])
