@@ -5692,6 +5692,96 @@ ORDER BY cohort_day, "offset"
 """
 
 
+def d_inverted_index(sf_dir: str):
+    """Inverted-index build over the document corpus: token -> document
+    frequency + comma-joined doc_id posting list in ascending id order
+    (stages/text.py:inverted_index — per-batch distinct (token, doc)
+    cells, one token-hash shuffle, C-level per-bucket groupby-join)."""
+    from ..stages.text import inverted_index
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return inverted_index(ds)
+
+
+D_INVERTED_INDEX_SQL = """
+WITH cells AS (
+  SELECT DISTINCT unnest(regexp_extract_all(text, '\\S+')) AS token, doc_id
+  FROM documents
+)
+SELECT token, count(*) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM cells
+GROUP BY token
+ORDER BY token
+"""
+
+
+def d_blocked_fuzzy_join(sf_dir: str):
+    """Large x large fuzzy join with NO broadcast side (entity
+    resolution at corpus scale): a deterministically-dirtied name per
+    customer (the (c_custkey % n)-th part name, last char dropped on
+    every third key — the established injection pattern, replayed
+    identically by the oracle) is matched against the part-name table
+    through stages/text.py:blocked_fuzzy_join — exact length blocking,
+    right side replicated into the 2k+1 adjacent length blocks, one
+    hash shuffle, per-block vectorized Wagner-Fischer DP."""
+    from ..stages.text import blocked_fuzzy_join
+
+    names = np.sort(
+        _read(sf_dir, "part", columns=["p_name"]).to_pandas()["p_name"].unique()
+    ).astype(object)
+    n = len(names)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def dirty(batch: pa.Table) -> pa.Table:
+        ck = batch["c_custkey"].to_numpy()
+        s = pd.Series(names[ck % n], dtype=object)
+        typo = ck % 3 == 0
+        s[typo] = s[typo].str.slice(0, -1)
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "dirty": pa.array(s.to_numpy(dtype=object), type=pa.string()),
+            }
+        )
+
+    left = cust.map_batches(dirty, batch_format="pyarrow")
+    right = _read(sf_dir, "part", columns=["p_name"])
+    return blocked_fuzzy_join(
+        left, right, left_col="dirty", right_col="p_name",
+        left_id="c_custkey", max_dist=1,
+    )
+
+
+D_BLOCKED_FUZZY_JOIN_SQL = """
+WITH names AS (SELECT DISTINCT p_name FROM part),
+cnt AS (SELECT count(*) AS n FROM names),
+idx AS (SELECT p_name, row_number() OVER (ORDER BY p_name) - 1 AS i FROM names),
+dirty AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 3 = 0
+              THEN substr(idx.p_name, 1, CAST(length(idx.p_name) AS INT) - 1)
+              ELSE idx.p_name END AS dirty
+  FROM customer
+  JOIN cnt ON TRUE
+  JOIN idx ON idx.i = c_custkey % cnt.n
+),
+cand AS (
+  SELECT d.c_custkey, d.dirty, n2.p_name,
+         levenshtein(d.dirty, n2.p_name) AS dist
+  FROM dirty d
+  JOIN names n2 ON abs(length(d.dirty) - length(n2.p_name)) <= 1
+)
+SELECT c_custkey, dirty, best_match, dist FROM (
+  SELECT c_custkey, dirty, p_name AS best_match, CAST(dist AS BIGINT) AS dist,
+         row_number() OVER (PARTITION BY c_custkey ORDER BY dist, p_name) AS rn
+  FROM cand WHERE dist <= 1
+) WHERE rn = 1
+ORDER BY c_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5842,6 +5932,8 @@ QUERIES: dict[str, tuple] = {
     "t_window_distinct": (t_window_distinct, T_WINDOW_DISTINCT_SQL),
     "t_funnel": (t_funnel, T_FUNNEL_SQL),
     "t_retention": (t_retention, T_RETENTION_SQL),
+    "d_inverted_index": (d_inverted_index, D_INVERTED_INDEX_SQL),
+    "d_blocked_fuzzy_join": (d_blocked_fuzzy_join, D_BLOCKED_FUZZY_JOIN_SQL),
     "q_zorder": (q_zorder, Q_ZORDER_SQL),
     "tok_grep": (tok_grep, TOK_GREP_SQL),
     "d_remove_dup_spans": (d_remove_dup_spans, D_REMOVE_DUP_SPANS_SQL),

@@ -954,3 +954,159 @@ def c4_keep_mask(s: pd.Series) -> np.ndarray:
         & ~s.str.contains("{", regex=False).to_numpy()
         & ~s.str.lower().str.contains("lorem ipsum", regex=False).to_numpy()
     )
+
+
+def inverted_index(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                   num_buckets: int | None = None):
+    """Inverted-index construction (token -> document frequency +
+    ordered posting list) — the retrieval/IR layout primitive. Per-batch
+    distinct (token, doc) cells bound the exchange to unique postings
+    (a token repeated in a doc ships once); ONE token-hash shuffle
+    co-locates each term's postings; per bucket a C-level sort +
+    groupby-join emits every term of the bucket at once. Output shards
+    by term, so a 100-TB corpus's index streams out partitioned and a
+    hot term never leaves its bucket."""
+    from .temporal import grouped_map
+
+    def cells(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch[text_col].to_pylist()).fillna("")
+        ids = batch[id_col].to_numpy()
+        ex = s.str.findall(r"\S+").explode().dropna()
+        if not len(ex):
+            return pa.table(
+                {
+                    "token": pa.array([], type=pa.string()),
+                    id_col: pa.array([], type=pa.int64()),
+                }
+            )
+        df = pd.DataFrame(
+            {
+                "token": ex.to_numpy(dtype=object),
+                id_col: ids[ex.index.to_numpy(dtype=np.int64)],
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "token": pa.array(df["token"].to_numpy(dtype=object), type=pa.string()),
+                id_col: pa.array(df[id_col].to_numpy(np.int64)),
+            }
+        )
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["token", id_col]).sort_values(
+            ["token", id_col], kind="stable"
+        )
+        g["__s"] = g[id_col].astype(str)
+        gb = g.groupby("token", sort=False)
+        out = pd.DataFrame(
+            {
+                "df": gb.size().astype(np.int64),
+                "postings": gb["__s"].agg(",".join),
+            }
+        ).reset_index()
+        return out
+
+    return grouped_map(
+        ds.map_batches(cells, batch_format="pyarrow"), "token", build,
+        num_buckets=num_buckets,
+    )
+
+
+def blocked_fuzzy_join(
+    left_ds,
+    right_ds,
+    *,
+    left_col: str,
+    right_col: str,
+    left_id: str,
+    max_dist: int = 1,
+    num_buckets: int | None = None,
+):
+    """Large x large fuzzy (edit-distance) join where NEITHER side
+    broadcasts — the entity-resolution / spell-normalization shape at
+    corpus scale (complements fuzzy_match, whose candidate list must fit
+    a task closure). Blocking is EXACT by string length: two strings
+    within edit distance k differ in length by at most k, so the right
+    side replicates into the 2k+1 adjacent length blocks and every true
+    match co-locates in one hash bucket — no recall loss. Per bucket,
+    each length block pays one row-batched Wagner-Fischer DP against
+    its sorted candidate set. Returns matched left rows only:
+    (left_id, left_col, best_match, dist), ties to the
+    lexicographically smallest candidate."""
+    from .temporal import grouped_map
+
+    k = int(max_dist)
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch[left_col].to_pandas()).fillna("")
+        return pa.table(
+            {
+                "__blk": pa.array(s.str.len().to_numpy().astype(np.int64)),
+                "__side": pa.array(np.zeros(len(s), dtype=np.int8)),
+                "__val": pa.array(s.to_numpy(dtype=object), type=pa.string()),
+                left_id: batch[left_id],
+            }
+        )
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch[right_col].to_pandas()).fillna("")
+        lens = s.str.len().to_numpy().astype(np.int64)
+        vals = s.to_numpy(dtype=object)
+        blks, out_vals = [], []
+        for d in range(-k, k + 1):
+            b = lens + d
+            keep = b >= 0
+            blks.append(b[keep])
+            out_vals.append(vals[keep])
+        blk = np.concatenate(blks) if blks else np.array([], np.int64)
+        val = np.concatenate(out_vals) if out_vals else np.array([], object)
+        return pa.table(
+            {
+                "__blk": pa.array(blk),
+                "__side": pa.array(np.ones(len(blk), dtype=np.int8)),
+                "__val": pa.array(val, type=pa.string()),
+                left_id: pa.array(np.full(len(blk), -1, dtype=np.int64)),
+            }
+        )
+
+    both = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _blk, g in df.groupby("__blk", sort=False):
+            lefts = g[g["__side"] == 0]
+            cands = sorted(set(g.loc[g["__side"] == 1, "__val"]))
+            if not len(lefts) or not cands:
+                continue
+            dmat = levenshtein_to_candidates(
+                lefts["__val"].reset_index(drop=True), cands
+            )
+            best = dmat.argmin(axis=1)
+            dist = dmat[np.arange(len(lefts)), best]
+            ok = dist <= k
+            if not ok.any():
+                continue
+            outs.append(
+                pd.DataFrame(
+                    {
+                        left_id: lefts[left_id].to_numpy()[ok],
+                        left_col: lefts["__val"].to_numpy()[ok],
+                        "best_match": np.asarray(cands, dtype=object)[best[ok]],
+                        "dist": dist[ok].astype(np.int64),
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    left_id: pd.Series([], dtype=np.int64),
+                    left_col: pd.Series([], dtype=object),
+                    "best_match": pd.Series([], dtype=object),
+                    "dist": pd.Series([], dtype=np.int64),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return grouped_map(both, "__blk", per_bucket, num_buckets=num_buckets)
