@@ -5782,6 +5782,60 @@ ORDER BY c_custkey
 """
 
 
+def t_transitions(sf_dir: str):
+    """First-order Markov transition matrix of the event stream
+    (journey analysis / next-event model table): counts and
+    row-normalized probabilities of event_type -> next event_type per
+    user timeline (stages/temporal.py:transition_counts; ties on ts
+    break by event_id, exactly as the oracle's window ORDER BY)."""
+    from ..stages.temporal import transition_counts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type", "event_id"])
+    return transition_counts(ds, tiebreak="event_id")
+
+
+T_TRANSITIONS_SQL = """
+WITH nxt AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+c AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM nxt WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+FROM c ORDER BY from_type, to_type
+"""
+
+
+def t_gap_stats(sf_dir: str):
+    """Per-user inter-event arrival statistics (engagement cadence):
+    gap count, exact integer-microsecond min/max, 6dp mean
+    (stages/temporal.py:interarrival_stats — users co-locate, only the
+    per-user result rows leave the entity shuffle)."""
+    from ..stages.temporal import interarrival_stats
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    return interarrival_stats(ds, tiebreak="event_id")
+
+
+T_GAP_STATS_SQL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT user_id, count(gap) AS n_gaps,
+       CAST(min(gap) AS BIGINT) AS gap_min_us,
+       CAST(max(gap) AS BIGINT) AS gap_max_us,
+       round(avg(gap), 6) AS gap_mean_us
+FROM g WHERE gap IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5934,6 +5988,8 @@ QUERIES: dict[str, tuple] = {
     "t_retention": (t_retention, T_RETENTION_SQL),
     "d_inverted_index": (d_inverted_index, D_INVERTED_INDEX_SQL),
     "d_blocked_fuzzy_join": (d_blocked_fuzzy_join, D_BLOCKED_FUZZY_JOIN_SQL),
+    "t_transitions": (t_transitions, T_TRANSITIONS_SQL),
+    "t_gap_stats": (t_gap_stats, T_GAP_STATS_SQL),
     "q_zorder": (q_zorder, Q_ZORDER_SQL),
     "tok_grep": (tok_grep, TOK_GREP_SQL),
     "d_remove_dup_spans": (d_remove_dup_spans, D_REMOVE_DUP_SPANS_SQL),

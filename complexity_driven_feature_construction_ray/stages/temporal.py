@@ -1117,3 +1117,102 @@ def retention_cohorts(
     )
     out = parts.groupby(["cohort_day", "offset"]).aggregate(Sum("n_users", alias_name="n_users"))
     return out.sort(["cohort_day", "offset"])
+
+
+def transition_counts(
+    ds,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    tiebreak: str | None = None,
+    num_buckets: int | None = None,
+):
+    """First-order Markov transition table over per-entity event
+    sequences (next-event prediction / journey-analysis shape):
+    (from_type, to_type, n, p) where p is row-normalized per from_type.
+    One entity-hash shuffle; per bucket a C-level sort + shifted
+    same-entity compare extracts consecutive pairs, and only
+    (from, to) count cells — bounded by K^2 event types — reach the
+    final aggregate. `tiebreak` orders equal timestamps
+    deterministically."""
+    from ray.data.aggregate import Sum
+
+    order = [key, ts] + ([tiebreak] if tiebreak else [])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order, kind="stable")
+        u = df[key].to_numpy()
+        et = df[type_col].to_numpy(dtype=object)
+        if len(df) < 2:
+            return pd.DataFrame(
+                {"from_type": pd.Series([], dtype=object),
+                 "to_type": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype=np.int64)}
+            )
+        same = u[:-1] == u[1:]
+        part = (
+            pd.DataFrame({"from_type": et[:-1][same], "to_type": et[1:][same]})
+            .groupby(["from_type", "to_type"], sort=False)
+            .size().reset_index(name="n")
+        )
+        part["n"] = part["n"].astype(np.int64)
+        return part
+
+    counts = (
+        grouped_map(ds, key, per_bucket, num_buckets=num_buckets)
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    # K^2 cells: row-normalize per from_type in a tiny grouped map
+    def norm(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("to_type", kind="stable")
+        g["p"] = np.round(g["n"].to_numpy() / g["n"].sum(), 6)
+        return g
+
+    return counts.groupby("from_type").map_groups(norm, batch_format="pandas")
+
+
+def interarrival_stats(
+    ds,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str | None = None,
+    num_buckets: int | None = None,
+):
+    """Per-entity inter-event gap statistics (arrival-process /
+    engagement-cadence profile): n_gaps, min/max gap in exact integer
+    microseconds, float mean rounded to 6dp. Entities never straddle
+    buckets, so each bucket computes its users' stats completely —
+    nothing but the per-user result rows leave the shuffle."""
+
+    order = [key, ts] + ([tiebreak] if tiebreak else [])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order, kind="stable")
+        u = df[key].to_numpy()
+        t = df[ts].to_numpy().astype("datetime64[us]").view(np.int64)
+        if len(df) < 2:
+            return pd.DataFrame(
+                {key: pd.Series([], dtype=u.dtype),
+                 "n_gaps": pd.Series([], dtype=np.int64),
+                 "gap_min_us": pd.Series([], dtype=np.int64),
+                 "gap_max_us": pd.Series([], dtype=np.int64),
+                 "gap_mean_us": pd.Series([], dtype=np.float64)}
+            )
+        same = u[:-1] == u[1:]
+        gaps = pd.DataFrame({key: u[1:][same], "g": (t[1:] - t[:-1])[same]})
+        gb = gaps.groupby(key, sort=False)["g"]
+        out = pd.DataFrame(
+            {
+                "n_gaps": gb.size().astype(np.int64),
+                "gap_min_us": gb.min().astype(np.int64),
+                "gap_max_us": gb.max().astype(np.int64),
+                "gap_mean_us": np.round(gb.mean(), 6),
+            }
+        ).reset_index()
+        return out
+
+    return grouped_map(ds, key, per_bucket, num_buckets=num_buckets)
