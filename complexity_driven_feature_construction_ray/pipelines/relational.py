@@ -5836,6 +5836,101 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_snapshot_diff(sf_dir: str):
+    """Snapshot delta audit between two versions of the orders table
+    (CDC verification shape; versions derived deterministically from
+    the fixture and replayed by the oracle: v1 drops keys %89==0, v2
+    drops %97==0 and bumps o_totalprice on %13==0). Both versions
+    hash-partition into shared buckets — neither side broadcasts
+    (stages/partition.py:snapshot_diff)."""
+    from ..stages.partition import snapshot_diff
+
+    base = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def v1_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch["o_orderkey"].to_numpy() % 89 != 0))
+
+    def v2_mutate(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pa.array(batch["o_orderkey"].to_numpy() % 97 != 0))
+        k = batch["o_orderkey"].to_numpy()
+        v = batch["o_totalprice"].to_numpy().copy()
+        v[k % 13 == 0] += 1.0
+        return pa.table({"o_orderkey": batch["o_orderkey"], "o_totalprice": pa.array(v)})
+
+    v1 = base.map_batches(v1_filter, batch_format="pyarrow")
+    v2 = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]).map_batches(
+        v2_mutate, batch_format="pyarrow"
+    )
+    return snapshot_diff(v1, v2, key="o_orderkey", val="o_totalprice")
+
+
+Q_SNAPSHOT_DIFF_SQL = """
+WITH v1 AS (
+  SELECT o_orderkey AS k, o_totalprice AS v FROM orders WHERE o_orderkey % 89 <> 0
+),
+v2 AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS v
+  FROM orders WHERE o_orderkey % 97 <> 0
+),
+j AS (
+  SELECT v1.k AS k1, v2.k AS k2, v1.v AS a, v2.v AS b
+  FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+)
+SELECT CASE WHEN k2 IS NULL THEN 'removed'
+            WHEN k1 IS NULL THEN 'added'
+            WHEN a <> b THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       count(*) AS n
+FROM j GROUP BY status ORDER BY status
+"""
+
+
+def d_novelty(sf_dir: str):
+    """Per-document n-gram novelty vs a reference slice (source =
+    'src_0' documents): the fraction of each doc's distinct word-5-grams
+    absent from the reference — the redundancy/memorization score dual
+    to the decontamination flag. Engine probes broadcast shingle HASHES;
+    the oracle compares raw 5-gram STRINGS (equal outcomes absent 64-bit
+    collisions, so the oracle also guards the hash path)."""
+    from ..stages.dedup import ngram_novelty
+
+    ref = (
+        _read(sf_dir, "documents", columns=["source", "text"], split=False)
+        .to_pandas()
+    )
+    ref = ref[ref["source"] == "src_0"]["text"].tolist()
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_novelty(ds, ref, ngram_words=5)
+
+
+D_NOVELTY_SQL = """
+WITH w AS (
+  SELECT doc_id, source, regexp_extract_all(text, '\\S+') AS ws FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(ws) - 4, 0)),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                     ws[i+3] || ' ' || ws[i+4])) AS gram
+  FROM w
+),
+ref AS (SELECT DISTINCT gram FROM g JOIN w USING (doc_id) WHERE w.source = 'src_0'),
+per AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN ref.gram IS NULL THEN 1 ELSE 0 END) AS n_unseen
+  FROM g LEFT JOIN ref ON g.gram = ref.gram
+  GROUP BY g.doc_id
+)
+SELECT w.doc_id,
+       CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(per.n_unseen, 0) AS BIGINT) AS n_unseen,
+       round(CASE WHEN per.n_grams > 0 THEN per.n_unseen * 1.0 / per.n_grams ELSE 0.0 END, 6) AS novelty
+FROM w LEFT JOIN per ON w.doc_id = per.doc_id
+ORDER BY w.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -5990,6 +6085,8 @@ QUERIES: dict[str, tuple] = {
     "d_blocked_fuzzy_join": (d_blocked_fuzzy_join, D_BLOCKED_FUZZY_JOIN_SQL),
     "t_transitions": (t_transitions, T_TRANSITIONS_SQL),
     "t_gap_stats": (t_gap_stats, T_GAP_STATS_SQL),
+    "q_snapshot_diff": (q_snapshot_diff, Q_SNAPSHOT_DIFF_SQL),
+    "d_novelty": (d_novelty, D_NOVELTY_SQL),
     "q_zorder": (q_zorder, Q_ZORDER_SQL),
     "tok_grep": (tok_grep, TOK_GREP_SQL),
     "d_remove_dup_spans": (d_remove_dup_spans, D_REMOVE_DUP_SPANS_SQL),

@@ -1137,3 +1137,62 @@ def remove_dup_spans(
         cuts.map_batches(tag_cut, batch_format="pyarrow")
     )
     return both.groupby("__b").map_groups(rebuild, batch_format="pandas")
+
+
+def ngram_novelty(
+    ds,
+    reference_texts,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_words: int = 5,
+):
+    """Per-document n-gram novelty vs a reference corpus: the fraction
+    of the doc's DISTINCT word-n-grams absent from the reference — the
+    memorization / redundancy score dual to `decontaminate`'s boolean
+    flag (novelty 0 = fully contained in the reference, 1 = entirely
+    new text). Docs with fewer than n words score 0.0 with n_grams 0.
+
+    The reference's distinct shingle-hash set broadcasts once via
+    ray.put; each batch computes distinct per-doc shingles with one
+    lexsort + shifted compare (no per-row Python) and probes the sorted
+    reference array. The corpus streams; output is one row per doc."""
+    import ray
+
+    from .arrowutil import sorted_lookup
+
+    ref_sh, _ = _shingle_hashes(list(reference_texts), ngram_words)
+    ref_ref = ray.put(np.unique(ref_sh))
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        sh, offsets = _shingle_hashes(batch[text_col].to_pylist(), ngram_words)
+        counts = np.diff(offsets)
+        rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+        if len(sh):
+            order = np.lexsort((sh, rows))
+            r, h = rows[order], sh[order]
+            first = np.ones(len(r), dtype=bool)
+            first[1:] = (r[1:] != r[:-1]) | (h[1:] != h[:-1])
+            rd, hd = r[first], h[first]
+            _, seen = sorted_lookup(ray.get(ref_ref), hd)
+            n_distinct = np.bincount(rd, minlength=n).astype(np.int64)
+            n_unseen = np.bincount(
+                rd, weights=(~seen).astype(np.float64), minlength=n
+            ).astype(np.int64)
+        else:
+            n_distinct = np.zeros(n, dtype=np.int64)
+            n_unseen = np.zeros(n, dtype=np.int64)
+        novelty = np.zeros(n, dtype=np.float64)
+        nz = n_distinct > 0
+        novelty[nz] = np.round(n_unseen[nz] / n_distinct[nz], 6)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_grams": pa.array(n_distinct),
+                "n_unseen": pa.array(n_unseen),
+                "novelty": pa.array(novelty),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -525,3 +525,61 @@ def zorder_key(ds, cols: list[str], *, bits: int = 8, out_col: str = "z"):
         return batch.append_column(out_col, pa.array(z))
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def snapshot_diff(old_ds, new_ds, *, key: str, val: str, num_buckets: int | None = None):
+    """Snapshot delta audit (CDC verification / SCD planning shape):
+    classify every key across two versions of a keyed table as
+    added / removed / changed / unchanged and count each class. Both
+    snapshots hash-partition on the key into shared buckets (neither
+    side broadcasts — the 100-TB case is two full table versions); per
+    bucket one C-level outer merge classifies every key of the bucket,
+    and only the 4 partial count rows per bucket reach the final
+    aggregate. Keys are assumed unique within a snapshot (primary-key
+    table), matching the SQL FULL OUTER JOIN the oracle replays."""
+    from ray.data.aggregate import Sum
+
+    from .temporal import grouped_map
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    key: batch[key],
+                    val: batch[val],
+                    "__side": pa.array(np.full(len(batch), side, dtype=np.int8)),
+                }
+            )
+
+        return f
+
+    both = old_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        new_ds.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def per_bucket(df):
+        import pandas as pd
+
+        a = df[df["__side"] == 0][[key, val]]
+        b = df[df["__side"] == 1][[key, val]]
+        m = a.merge(b, on=key, how="outer", suffixes=("_a", "_b"), indicator=True)
+        status = np.where(
+            m["_merge"].to_numpy() == "left_only",
+            "removed",
+            np.where(
+                m["_merge"].to_numpy() == "right_only",
+                "added",
+                np.where(
+                    m[f"{val}_a"].to_numpy() != m[f"{val}_b"].to_numpy(),
+                    "changed",
+                    "unchanged",
+                ),
+            ),
+        )
+        part = pd.Series(status).value_counts()
+        return pd.DataFrame(
+            {"status": part.index.to_numpy(dtype=object), "n": part.to_numpy(np.int64)}
+        )
+
+    parts = grouped_map(both, key, per_bucket, num_buckets=num_buckets)
+    return parts.groupby("status").aggregate(Sum("n", alias_name="n"))
