@@ -5931,6 +5931,89 @@ ORDER BY w.doc_id
 """
 
 
+def d_vocab_encode(sf_dir: str):
+    """Frequency-ranked vocabulary build + token-id encode (the
+    tokenizer-apply step): ids assigned by (count desc, token) rank,
+    one vocab-sized count aggregate then one broadcast searchsorted
+    pass per batch (stages/text.py:build_vocab/vocab_encode). The query
+    returns the per-doc checksum columns; the list<int32> ids layout is
+    pytest-covered."""
+    from ..stages.text import build_vocab, vocab_encode
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    toks, ids = build_vocab(ds, text_col="text")
+    return vocab_encode(ds, toks, ids, with_ids=False)
+
+
+D_VOCAB_ENCODE_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents
+),
+counts AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+vocab AS (SELECT t, row_number() OVER (ORDER BY c DESC, t) - 1 AS id FROM counts),
+enc AS (SELECT tok.doc_id, vocab.id FROM tok JOIN vocab ON tok.t = vocab.t),
+per AS (
+  SELECT doc_id, count(*) AS n_tok, sum(id) AS ids_sum,
+         min(id) AS ids_min, max(id) AS ids_max
+  FROM enc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_tok, 0) AS BIGINT) AS n_tok,
+       CAST(COALESCE(per.ids_sum, 0) AS BIGINT) AS ids_sum,
+       CAST(COALESCE(per.ids_min, -1) AS BIGINT) AS ids_min,
+       CAST(COALESCE(per.ids_max, -1) AS BIGINT) AS ids_max
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def q_profile(sf_dir: str):
+    """Numeric column profiler over the event stream (n, n_null, min,
+    max, 6dp mean per column in ONE streaming pass —
+    stages/stats.py:profile_columns). NULLs are injected
+    deterministically (value -> NULL on event_id % 11 == 0) so the
+    null-handling path is exercised; the oracle replays the injection."""
+    from ..stages.stats import profile_columns
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy()
+        v = batch["value"].to_numpy().copy()
+        v[eid % 11 == 0] = np.nan
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "value": pa.array(pd.Series(v), from_pandas=True),
+            }
+        )
+
+    return profile_columns(
+        ds.map_batches(inject, batch_format="pyarrow"), ["user_id", "value"]
+    )
+
+
+Q_PROFILE_SQL = """
+WITH e AS (
+  SELECT user_id,
+         CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS value
+  FROM events
+)
+SELECT 'user_id' AS col, count(*) AS n,
+       count(*) - count(user_id) AS n_null,
+       CAST(min(user_id) AS DOUBLE) AS v_min,
+       CAST(max(user_id) AS DOUBLE) AS v_max,
+       round(avg(user_id), 6) AS v_mean
+FROM e
+UNION ALL
+SELECT 'value', count(*), count(*) - count(value),
+       min(value), max(value), round(avg(value), 6)
+FROM e
+ORDER BY col
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -6087,6 +6170,8 @@ QUERIES: dict[str, tuple] = {
     "t_gap_stats": (t_gap_stats, T_GAP_STATS_SQL),
     "q_snapshot_diff": (q_snapshot_diff, Q_SNAPSHOT_DIFF_SQL),
     "d_novelty": (d_novelty, D_NOVELTY_SQL),
+    "d_vocab_encode": (d_vocab_encode, D_VOCAB_ENCODE_SQL),
+    "q_profile": (q_profile, Q_PROFILE_SQL),
     "q_zorder": (q_zorder, Q_ZORDER_SQL),
     "tok_grep": (tok_grep, TOK_GREP_SQL),
     "d_remove_dup_spans": (d_remove_dup_spans, D_REMOVE_DUP_SPANS_SQL),

@@ -269,3 +269,73 @@ def histogram(ds, *, col: str, bins: int = 10):
             "n": counts,
         }
     )
+
+
+def profile_columns(ds, cols: list[str]):
+    """One-pass numeric column profiler (the pre-ingest data-quality /
+    range-planning primitive): per column n, n_null, min, max, mean
+    (6dp). A single streaming pass emits one partial row per
+    (batch, column) — n/null counts, +-inf-sentinel extremes and an
+    exact running sum — so the exchange is batches x columns rows and
+    the merge is one tiny hash aggregate; no column ever re-scans.
+    Timestamps and ints profile through float64 (exact below 2^53)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        names, ns, nulls, mns, mxs, sums = [], [], [], [], [], []
+        for c in cols:
+            arr = batch[c]
+            v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+            valid = ~np.isnan(v)
+            names.append(c)
+            ns.append(len(v))
+            nulls.append(int(len(v) - valid.sum()))
+            mns.append(v[valid].min() if valid.any() else np.inf)
+            mxs.append(v[valid].max() if valid.any() else -np.inf)
+            sums.append(float(v[valid].sum()))
+        return pa.table(
+            {
+                "col": pa.array(names, type=pa.string()),
+                "n": pa.array(np.asarray(ns, np.int64)),
+                "n_null": pa.array(np.asarray(nulls, np.int64)),
+                "mn": pa.array(np.asarray(mns, np.float64)),
+                "mx": pa.array(np.asarray(mxs, np.float64)),
+                "s": pa.array(np.asarray(sums, np.float64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("col")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_null", alias_name="n_null"),
+            Min("mn", alias_name="mn"),
+            Max("mx", alias_name="mx"),
+            Sum("s", alias_name="s"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy()
+        nn = batch["n_null"].to_numpy()
+        valid = (n - nn).astype(np.float64)
+        mn = batch["mn"].to_numpy().copy()
+        mx = batch["mx"].to_numpy().copy()
+        mean = np.full(len(n), np.nan)
+        ok = valid > 0
+        mean[ok] = np.round(batch["s"].to_numpy()[ok] / valid[ok], 6)
+        mn[~ok] = np.nan
+        mx[~ok] = np.nan
+        return pa.table(
+            {
+                "col": batch["col"],
+                "n": batch["n"],
+                "n_null": batch["n_null"],
+                "v_min": pa.array(mn),
+                "v_max": pa.array(mx),
+                "v_mean": pa.array(mean),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1110,3 +1110,96 @@ def blocked_fuzzy_join(
         return pd.concat(outs, ignore_index=True)
 
     return grouped_map(both, "__blk", per_bucket, num_buckets=num_buckets)
+
+
+def build_vocab(ds, *, text_col: str = "text"):
+    """Frequency-ranked vocabulary over the corpus: one vocabulary-sized
+    count aggregate (token rows never shuffle — per-batch count partials
+    do), then ids assigned by (count desc, token) rank on the driver.
+    Returns (tokens_sorted, ids_for_sorted) numpy arrays ready for a
+    vectorized searchsorted encode; the pair is vocab-sized and ships
+    to workers once via ray.put."""
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch[text_col].to_pylist()).fillna("")
+        ex = s.str.findall(r"\S+").explode().dropna()
+        if not len(ex):
+            return pa.table(
+                {"token": pa.array([], type=pa.string()),
+                 "c": pa.array([], type=pa.int64())}
+            )
+        vc = ex.value_counts()
+        return pa.table(
+            {"token": pa.array(vc.index.to_numpy(dtype=object), type=pa.string()),
+             "c": pa.array(vc.to_numpy(np.int64))}
+        )
+
+    counts = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("token").aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    counts = counts.sort_values(["c", "token"], ascending=[False, True], kind="stable")
+    counts["id"] = np.arange(len(counts), dtype=np.int32)
+    order = np.argsort(counts["token"].to_numpy())
+    tokens_sorted = counts["token"].to_numpy()[order]
+    ids_for_sorted = counts["id"].to_numpy()[order]
+    return tokens_sorted, ids_for_sorted
+
+
+def vocab_encode(ds, tokens_sorted, ids_for_sorted, *, text_col: str = "text",
+                 id_col: str = "doc_id", with_ids: bool = True):
+    """Token-id encoding (the tokenizer-APPLY step after vocabulary /
+    BPE training): each document's tokens map to int32 ids through one
+    searchsorted per batch against the broadcast sorted vocabulary;
+    out-of-vocabulary tokens encode as -1. Emits per-doc n_tok and id
+    checksums (sum/min/max over in-vocab ids) plus, when with_ids, the
+    list<int32> ids column — the training-ready layout."""
+    import ray
+
+    tok_ref = ray.put(np.asarray(tokens_sorted))
+    id_ref = ray.put(np.asarray(ids_for_sorted, dtype=np.int32))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        toks, ids = ray.get(tok_ref), ray.get(id_ref)
+        n = len(batch)
+        s = pd.Series(batch[text_col].to_pylist()).fillna("")
+        ex = s.str.findall(r"\S+").explode().dropna()
+        words = ex.to_numpy(dtype="U") if len(ex) else np.array([], dtype="U1")
+        rows = ex.index.to_numpy(dtype=np.int64) if len(ex) else np.array([], np.int64)
+        pos = np.searchsorted(toks, words)
+        pos_c = np.clip(pos, 0, max(len(toks) - 1, 0))
+        known = (len(toks) > 0) & (toks[pos_c] == words) if len(words) else np.array([], bool)
+        enc = np.where(known, ids[pos_c] if len(toks) else -1, -1).astype(np.int32)
+        n_tok = np.bincount(rows, minlength=n).astype(np.int64)
+        kn = enc != -1
+        sums = np.bincount(rows[kn], weights=enc[kn].astype(np.float64), minlength=n).astype(np.int64)
+        # per-row min/max over in-vocab ids via sorted-segment reduction
+        mins = np.full(n, -1, dtype=np.int64)
+        maxs = np.full(n, -1, dtype=np.int64)
+        if kn.any():
+            rk, ek = rows[kn], enc[kn].astype(np.int64)
+            order = np.lexsort((ek, rk))
+            rs, es = rk[order], ek[order]
+            first = np.ones(len(rs), dtype=bool)
+            first[1:] = rs[1:] != rs[:-1]
+            starts = np.flatnonzero(first)
+            ends = np.r_[starts[1:], len(rs)] - 1
+            mins[rs[starts]] = es[starts]
+            maxs[rs[ends]] = es[ends]
+        cols = {
+            id_col: batch[id_col],
+            "n_tok": pa.array(n_tok),
+            "ids_sum": pa.array(sums),
+            "ids_min": pa.array(mins),
+            "ids_max": pa.array(maxs),
+        }
+        if with_ids:
+            cols["ids"] = pa.array(
+                np.split(enc, np.cumsum(n_tok)[:-1]) if n else [],
+                type=pa.list_(pa.int32()),
+            )
+        return pa.table(cols)
+
+    return ds.map_batches(encode, batch_format="pyarrow")
