@@ -2725,13 +2725,60 @@ def d_components(sf_dir: str):
     return out.to_pandas().sort_values("id").reset_index(drop=True)
 
 
+def _pagerank_sql(n_iter: int = 8, d: float = 0.85) -> str:
+    """DuckDB oracle for d_pagerank: the power iteration UNROLLED as a
+    chain of plain GROUP-BY CTEs (aggregates inside a recursive term are
+    not portable SQL). Each step applies exactly stages/graph.py:pagerank's
+    update  r'(v) = (1-d)/N + d*D/N + d*Σ_{u→v} r(u)/outdeg(u)  with
+    parallel edges kept (outdeg counts edge ROWS, as weigh() does).
+    Both engines round to 9dp BEFORE the top-k sort so float last-bit
+    association differences cannot reorder the result."""
+    steps = []
+    for k in range(1, n_iter + 1):
+        p = f"r{k - 1}"
+        steps.append(f"""r{k} AS MATERIALIZED (
+  SELECT p.id, p.dangling,
+         (1 - {d}) / (SELECT n FROM params)
+         + {d} * (SELECT COALESCE(SUM(rank), 0) FROM {p} WHERE dangling)
+             / (SELECT n FROM params)
+         + {d} * COALESCE(c.contrib, 0) AS rank
+  FROM {p} p LEFT JOIN (
+    SELECT w.dst AS id, SUM(w.w * r.rank) AS contrib
+    FROM w JOIN {p} r ON w.src = r.id GROUP BY w.dst) c USING (id))""")
+    chain = ",\n".join(steps)
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT CAST(l_suppkey AS BIGINT) AS src,
+         CAST(l_partkey AS BIGINT) + 10000000 AS dst
+  FROM lineitem WHERE (l_orderkey & 15) = 0),
+w AS MATERIALIZED (
+  SELECT src, dst, 1.0 / COUNT(*) OVER (PARTITION BY src) AS w FROM e),
+nodes AS MATERIALIZED (
+  SELECT id, bool_or(has_out) AS has_out FROM (
+    SELECT src AS id, TRUE AS has_out FROM e
+    UNION ALL SELECT dst AS id, FALSE AS has_out FROM e) GROUP BY id),
+params AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+r0 AS MATERIALIZED (SELECT id, NOT has_out AS dangling,
+              1.0 / (SELECT n FROM params) AS rank FROM nodes),
+{chain}
+SELECT id, round(rank, 9) AS rank FROM r{n_iter}
+ORDER BY round(rank, 9) DESC, id
+LIMIT 25
+"""
+
+
+D_PAGERANK_SQL = _pagerank_sql(n_iter=8, d=0.85)
+
+
 def d_pagerank(sf_dir: str):
     """Distributed checkpointed PageRank (stages/graph.py:pagerank)
     over the supplier→part purchase graph (a deterministic lineitem
     subset; part ids offset so the bipartite sides don't collide).
-    Iterative fit -> rows-only check; pytest verifies exact agreement
-    with a dense numpy power iteration including dangling-mass
-    redistribution."""
+    SQL oracle unrolls the same 8 power-iteration steps as chained
+    GROUP-BY CTEs (D_PAGERANK_SQL); both engines round to 9dp before
+    the top-k sort, id tie-break. Pytest additionally verifies exact
+    agreement with a dense numpy power iteration including
+    dangling-mass redistribution."""
     from ..stages.graph import pagerank
 
     li = _read(
@@ -4124,13 +4171,46 @@ GROUP BY user_id, session_idx
 """
 
 
+T_EWMA_SQL = """
+-- EWMA (adjust=False recursion s_t = (1-a)s_{t-1} + a x_t) has the
+-- closed form s_t = (1-a)^t x_0 + a Σ_{i=1..t} (1-a)^{t-i} x_i, which a
+-- plain cumulative window sum expresses after factoring out (1-a)^t:
+--   s_t = (1-a)^t * cumsum_i( x_0 if i=0 else a * x_i / (1-a)^i ).
+-- (1/0.7)^rn stays finite to rn≈1988 and per-user event counts are
+-- ~100 at these scale factors; both engines round to 6dp.
+-- quantization: 2dp inputs × terminating-decimal weights mean true EWMA
+-- values land EXACTLY on .5e-6 boundaries, where the two engines'
+-- ~1e-12 float disagreement flips a plain round(x, 6); the biased
+-- half-up floor(x*1e6 + 0.5005)/1e6 absorbs that (bias 5e-4 scaled
+-- ≫ inter-engine error 1e-6 scaled, ≪ quantum 1) — the Ray side
+-- applies the identical formula.
+WITH ordered AS (
+  SELECT event_id, user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+  FROM events),
+weighted AS (
+  SELECT event_id, user_id, rn,
+         CASE WHEN rn = 0 THEN value
+              ELSE 0.3 * value * power(1.0 / 0.7, rn) END AS wv
+  FROM ordered)
+SELECT event_id,
+       floor((power(0.7, rn)
+              * SUM(wv) OVER (PARTITION BY user_id ORDER BY rn
+                              ROWS UNBOUNDED PRECEDING)) * 1000000 + 0.5005)
+       / 1000000 AS ewma_value
+FROM weighted
+ORDER BY event_id
+"""
+
+
 def t_ewma(sf_dir: str):
     """Per-user exponential moving average of event value (alpha 0.3,
     pandas ewm(adjust=False) recursion) — sequential per entity, so one
     entity-hash shuffle co-locates each user and the C-level ewm kernel
-    runs per segment. No SQL oracle (EWMA is a recursion DuckDB has no
-    aggregate for); pytest checks against an independent Python
-    recursion."""
+    runs per segment. SQL oracle uses the closed-form cumulative-window
+    rewrite (see T_EWMA_SQL); rounded to 6dp in both engines because the
+    recursion and the closed form differ in last-bit float association.
+    Pytest additionally checks against an independent Python recursion."""
     from ..stages.temporal import ewma
 
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"], split=True)
@@ -4139,7 +4219,9 @@ def t_ewma(sf_dir: str):
         out_col="ewma_value", tiebreak=["event_id"],
     )
     pdf = out.to_pandas()[["event_id", "ewma_value"]]
-    pdf["ewma_value"] = pdf["ewma_value"].round(9)
+    # biased half-up quantizer, identical formula in T_EWMA_SQL — see
+    # the oracle comment for why round(x, 6) is not boundary-safe here
+    pdf["ewma_value"] = np.floor(pdf["ewma_value"] * 1e6 + 0.5005) / 1e6
     return pdf.sort_values("event_id").reset_index(drop=True)
 
 
@@ -6072,7 +6154,7 @@ QUERIES: dict[str, tuple] = {
     "t_rolling_range": (t_rolling_range, T_ROLLING_RANGE_SQL),
     "t_cumsum": (t_cumsum, T_CUMSUM_SQL),
     "t_user_trend": (t_user_trend, T_USER_TREND_SQL),
-    "t_ewma": (t_ewma, None),
+    "t_ewma": (t_ewma, T_EWMA_SQL),
     "t_session_stats": (t_session_stats, T_SESSION_STATS_SQL),
     "t_ntile": (t_ntile, T_NTILE_SQL),
     "q_pivot": (q_pivot, Q_PIVOT_SQL),
@@ -6142,7 +6224,7 @@ QUERIES: dict[str, tuple] = {
     "q_except": (q_except, Q_EXCEPT_SQL),
     "fe_boxcox": (fe_boxcox, FE_BOXCOX_SQL),
     "fe_yeojohnson": (fe_yeojohnson, FE_YEOJOHNSON_SQL),
-    "d_pagerank": (d_pagerank, None),
+    "d_pagerank": (d_pagerank, D_PAGERANK_SQL),
     "tok_bpe_train": (tok_bpe_train, None),
     "tok_pmi": (tok_pmi, TOK_PMI_SQL),
     "tok_entropy": (tok_entropy, TOK_ENTROPY_SQL),

@@ -270,14 +270,14 @@ def multiple_cv_rescore(
         from ..functions.expr import CUSTOM_OPS
 
         blob_ref = ray.put(pickle.dumps(cols))
-        ops_snapshot = dict(CUSTOM_OPS) or None
+        ops_snapshot = dict(CUSTOM_OPS)
 
         @ray.remote(num_cpus=1)
         def score_one(feat_blob, fold, _blob=blob_ref, _ops=ops_snapshot):
-            if _ops:
-                from ..functions.expr import CUSTOM_OPS as _REG
-
-                _REG.update(_ops)
+            # snapshot is AUTHORITATIVE in the warm worker (see
+            # _install_ops): stale names from a previous run must not
+            # leak into this run's candidate scoring
+            _install_ops(_ops)
             c = pickle.loads(ray.get(_blob) if isinstance(_blob, ray.ObjectRef) else _blob)
             feat = pickle.loads(feat_blob)
             s, *_ = _eval_candidate(feat, c, y, fold, c_grid, max_iter)
