@@ -4097,6 +4097,49 @@ def t_user_trend(sf_dir: str):
     return _round_cols(out, {"slope": 9, "intercept": 4})
 
 
+def t_anomaly(sf_dir: str):
+    """Per-user z-score anomaly detection on event values: flag rows
+    more than 2.5 sample standard deviations from the user's own mean
+    (the monitoring/outlier-quarantine primitive). ONE entity-hash
+    shuffle co-locates each user; inside a bucket the mean/std are
+    C-level pandas groupby transforms across all of the bucket's users
+    at once. Users with fewer than two events (std undefined) and
+    zero-variance users emit nothing."""
+    from ..stages.temporal import grouped_map
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"], split=True)
+
+    def z(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("user_id")["value"]
+        mu = grp.transform("mean").to_numpy(np.float64)
+        sd = grp.transform("std").to_numpy(np.float64)  # ddof=1 = stddev_samp
+        val = g["value"].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            zs = (val - mu) / sd
+            hit = (sd > 0) & (np.abs(zs) > 2.5)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64)[hit],
+            "user_id": g["user_id"].to_numpy(np.int64)[hit],
+            "value": val[hit],
+            "z": np.round(zs[hit], 6),
+        })
+
+    out = grouped_map(ds, "user_id", z).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+T_ANOMALY_SQL = """
+WITH s AS (
+  SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd
+  FROM events GROUP BY user_id)
+SELECT e.event_id, e.user_id, e.value,
+       round((e.value - s.mu) / s.sd, 6) AS z
+FROM events e JOIN s USING (user_id)
+WHERE s.sd > 0 AND abs((e.value - s.mu) / s.sd) > 2.5
+ORDER BY e.event_id
+"""
+
+
 T_USER_TREND_SQL = """
 SELECT user_id, count(*) AS n,
        round(regr_slope(value, epoch(ts) - 1704067200), 9) AS slope,
@@ -4621,6 +4664,97 @@ WHERE length(regexp_extract_all(text, '\\S+')) BETWEEN 30 AND 10000
   AND position('{' IN text) = 0
   AND position('lorem ipsum' IN lower(text)) = 0
 GROUP BY source
+"""
+
+
+def d_gopher_filter(sf_dir: str):
+    """Gopher/MassiveText rule-based quality report per source: doc
+    counts, per-rule failure counts, and survivors (rules in
+    stages/text.py:gopher_rule_flags). The synthetic corpus violates
+    some rules uniformly (no '#', no 'of/and/that' stop words), so a
+    deterministic doc_id%13 slice is rewritten identically in both
+    engines: slice 3 becomes a degenerate numeric doc (fails word
+    count, word length, alpha, stop), slice 5 gets 200 '#' symbol
+    words appended (fails symbol ratio + alpha fraction), everything
+    else gets ' the of and' so the stop rule can pass. Per-batch
+    pandas-groupby partials make the exchange O(sources), not O(docs)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.text import gopher_rule_flags
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        txt = pd.Series(batch["text"].to_pandas()).fillna("")
+        m = ids % 13
+        txt = txt.where(m != 3, "9 9 9")
+        txt = txt.where(m != 5, txt + (" #" * 200))
+        txt = txt.where((m == 3) | (m == 5), txt + " the of and")
+        flags = gopher_rule_flags(txt)
+        flags["source"] = batch["source"].to_pandas().values
+        flags["n_docs"] = 1
+        agg = flags.groupby("source", as_index=False).sum()
+        agg["n_kept"] = agg.pop("keep")
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_kept", alias_name="n_kept"),
+            Sum("fail_wc", alias_name="fail_wc"),
+            Sum("fail_mwl", alias_name="fail_mwl"),
+            Sum("fail_sym", alias_name="fail_sym"),
+            Sum("fail_alpha", alias_name="fail_alpha"),
+            Sum("fail_stop", alias_name="fail_stop"),
+        )
+    )
+    return out.to_pandas().sort_values("source").reset_index(drop=True)
+
+
+D_GOPHER_FILTER_SQL = """
+WITH d AS (
+  SELECT source,
+         CASE WHEN doc_id % 13 = 3 THEN '9 9 9'
+              WHEN doc_id % 13 = 5 THEN text || repeat(' #', 200)
+              ELSE text || ' the of and' END AS text
+  FROM documents),
+m AS (
+  SELECT source,
+         len(regexp_extract_all(text, '\\S+')) AS wc,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS nonws,
+         length(text) - length(replace(text, '#', ''))
+           + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym,
+         len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*')) AS n_alpha,
+         (CASE WHEN position(' the '  IN ' ' || text || ' ') > 0 THEN 1 ELSE 0 END
+        + CASE WHEN position(' be '   IN ' ' || text || ' ') > 0 THEN 1 ELSE 0 END
+        + CASE WHEN position(' to '   IN ' ' || text || ' ') > 0 THEN 1 ELSE 0 END
+        + CASE WHEN position(' of '   IN ' ' || text || ' ') > 0 THEN 1 ELSE 0 END
+        + CASE WHEN position(' and '  IN ' ' || text || ' ') > 0 THEN 1 ELSE 0 END
+        + CASE WHEN position(' that ' IN ' ' || text || ' ') > 0 THEN 1 ELSE 0 END
+        + CASE WHEN position(' have ' IN ' ' || text || ' ') > 0 THEN 1 ELSE 0 END
+        + CASE WHEN position(' with ' IN ' ' || text || ' ') > 0 THEN 1 ELSE 0 END) AS n_stop
+  FROM d),
+f AS (
+  SELECT source,
+         (wc < 50 OR wc > 100000) AS fail_wc,
+         (nonws / greatest(wc, 1) < 3.0 OR nonws / greatest(wc, 1) > 10.0) AS fail_mwl,
+         (n_sym > 0.1 * wc) AS fail_sym,
+         (n_alpha < 0.8 * wc) AS fail_alpha,
+         (n_stop < 2) AS fail_stop
+  FROM m)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN NOT (fail_wc OR fail_mwl OR fail_sym OR fail_alpha
+                               OR fail_stop) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN fail_wc THEN 1 ELSE 0 END) AS BIGINT) AS fail_wc,
+       CAST(sum(CASE WHEN fail_mwl THEN 1 ELSE 0 END) AS BIGINT) AS fail_mwl,
+       CAST(sum(CASE WHEN fail_sym THEN 1 ELSE 0 END) AS BIGINT) AS fail_sym,
+       CAST(sum(CASE WHEN fail_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+       CAST(sum(CASE WHEN fail_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop
+FROM f GROUP BY source ORDER BY source
 """
 
 
@@ -6155,6 +6289,7 @@ QUERIES: dict[str, tuple] = {
     "t_cumsum": (t_cumsum, T_CUMSUM_SQL),
     "t_user_trend": (t_user_trend, T_USER_TREND_SQL),
     "t_ewma": (t_ewma, T_EWMA_SQL),
+    "t_anomaly": (t_anomaly, T_ANOMALY_SQL),
     "t_session_stats": (t_session_stats, T_SESSION_STATS_SQL),
     "t_ntile": (t_ntile, T_NTILE_SQL),
     "q_pivot": (q_pivot, Q_PIVOT_SQL),
@@ -6162,6 +6297,7 @@ QUERIES: dict[str, tuple] = {
     "q_bloom_semi_join": (q_bloom_semi_join, Q_BLOOM_SEMI_JOIN_SQL),
     "d_stratified_sample": (d_stratified_sample, D_STRATIFIED_SAMPLE_SQL),
     "d_c4_filter": (d_c4_filter, D_C4_FILTER_SQL),
+    "d_gopher_filter": (d_gopher_filter, D_GOPHER_FILTER_SQL),
     "q_grouped_median": (q_grouped_median, Q_GROUPED_MEDIAN_SQL),
     "q_grouped_p90": (q_grouped_p90, Q_GROUPED_P90_SQL),
     "d_exact_dedup": (d_exact_dedup, D_EXACT_DEDUP_SQL),

@@ -956,6 +956,41 @@ def c4_keep_mask(s: pd.Series) -> np.ndarray:
     )
 
 
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rule_flags(s: pd.Series) -> pd.DataFrame:
+    """Gopher/MassiveText doc-level quality rules (Rae et al. 2021,
+    appendix A1.1): word count in [50, 100000], mean word length in
+    [3, 10], symbol-to-word ratio ('#' or '...') <= 0.1, >= 80% of
+    words containing an alphabetic character, >= 2 distinct stop words
+    present. One bool column per rule FAILURE plus the keep
+    conjunction (a doc can fail several rules at once). All
+    pandas-str/numpy kernels; shared by the filter query so the SQL
+    oracle replays the identical arithmetic (int/int division and
+    0.1*wc / 0.8*wc products are the same IEEE ops in DuckDB)."""
+    n_words = s.str.count(r"\S+").to_numpy(np.int64)
+    nonws = s.str.replace(r"\s+", "", regex=True).str.len().to_numpy(np.int64)
+    mean_wl = nonws / np.maximum(n_words, 1)
+    n_sym = (s.str.count("#") + s.str.count(r"\.\.\.")).to_numpy(np.int64)
+    n_alpha = s.str.count(r"\S*[A-Za-z]\S*").to_numpy(np.int64)
+    padded = " " + s + " "
+    n_stop = sum(
+        padded.str.contains(f" {w} ", regex=False).to_numpy().astype(np.int64)
+        for w in GOPHER_STOP_WORDS
+    )
+    fail_wc = (n_words < 50) | (n_words > 100_000)
+    fail_mwl = (mean_wl < 3.0) | (mean_wl > 10.0)
+    fail_sym = n_sym > 0.1 * n_words
+    fail_alpha = n_alpha < 0.8 * n_words
+    fail_stop = n_stop < 2
+    keep = ~(fail_wc | fail_mwl | fail_sym | fail_alpha | fail_stop)
+    return pd.DataFrame({
+        "fail_wc": fail_wc, "fail_mwl": fail_mwl, "fail_sym": fail_sym,
+        "fail_alpha": fail_alpha, "fail_stop": fail_stop, "keep": keep,
+    })
+
+
 def inverted_index(ds, *, text_col: str = "text", id_col: str = "doc_id",
                    num_buckets: int | None = None):
     """Inverted-index construction (token -> document frequency +

@@ -1,0 +1,55 @@
+"""Gopher quality rules + per-user z-score anomaly vs brute-force oracles."""
+
+import numpy as np
+import pandas as pd
+
+
+def test_gopher_rule_flags_unit(ray_session):
+    from complexity_driven_feature_construction_ray.stages.text import gopher_rule_flags
+
+    ok = "the cat sat with all of " + " ".join(f"word{i}" for i in range(50))
+    docs = pd.Series([
+        ok,                                   # passes every rule
+        "the of " + "hi " * 48,               # wc=50 boundary ok, mwl=2.16 -> fail_mwl
+        "short the of doc",                   # wc < 50 -> fail_wc
+        ok + " #" * 30,                       # 30 '#' of ~86 words -> fail_sym + alpha ok?
+        ok.replace("the", "aaa").replace("of", "bbb"),  # no stop words -> fail_stop
+        "the of " + "123 " * 60,              # numeric words -> fail_alpha
+    ])
+    f = gopher_rule_flags(docs)
+    assert bool(f.loc[0, "keep"])
+    assert bool(f.loc[1, "fail_mwl"]) and not f.loc[1, "keep"]
+    assert bool(f.loc[2, "fail_wc"])
+    assert bool(f.loc[3, "fail_sym"])
+    assert bool(f.loc[4, "fail_stop"])
+    assert bool(f.loc[5, "fail_alpha"])
+    # rule independence: doc 2 fails wc but not the symbol rule
+    assert not f.loc[2, "fail_sym"]
+
+
+def test_gopher_filter_counts_consistent(ray_session):
+    from complexity_driven_feature_construction_ray.pipelines.relational import d_gopher_filter
+
+    out = d_gopher_filter("/root/testdata/sf0.001")
+    assert (out["n_docs"] >= out["n_kept"]).all()
+    # every injected slice exists at this sf, so every rule fires somewhere
+    for c in ["fail_wc", "fail_mwl", "fail_sym", "fail_alpha", "fail_stop"]:
+        assert out[c].sum() > 0, c
+    assert out["n_kept"].sum() > 0
+
+
+def test_t_anomaly_matches_bruteforce(ray_session):
+    from complexity_driven_feature_construction_ray.pipelines.relational import t_anomaly
+
+    out = t_anomaly("/root/testdata/sf0.001")
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["event_id", "user_id", "value"])
+    g = ev.groupby("user_id")["value"]
+    mu, sd = g.transform("mean"), g.transform("std")
+    z = (ev["value"] - mu) / sd
+    exp = ev[(sd > 0) & (z.abs() > 2.5)].copy()
+    exp["z"] = z[exp.index].round(6)
+    exp = exp.sort_values("event_id").reset_index(drop=True)
+    assert len(out) == len(exp) > 0
+    assert (out["event_id"].to_numpy() == exp["event_id"].to_numpy()).all()
+    np.testing.assert_allclose(out["z"].to_numpy(), exp["z"].to_numpy(), atol=1e-9)
