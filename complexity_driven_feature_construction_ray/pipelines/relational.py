@@ -4097,6 +4097,72 @@ def t_user_trend(sf_dir: str):
     return _round_cols(out, {"slope": 9, "intercept": 4})
 
 
+def q_scd2(sf_dir: str):
+    """Slowly-changing-dimension type 2 build from the event stream:
+    per user, consecutive duplicate event_types collapse and each
+    CHANGE opens a version with [valid_from, valid_to) microsecond
+    bounds (valid_to -1 = still current). ONE entity-hash shuffle;
+    inside a bucket everything is lexsort + shift across all the
+    bucket's users at once. The warehouse-dimension primitive for
+    replaying 'what was true at time T'."""
+    from ..stages.temporal import grouped_map
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"],
+               split=True)
+
+    def versions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        order = np.lexsort((g["event_id"].to_numpy(), ts, g["user_id"].to_numpy()))
+        u = g["user_id"].to_numpy(np.int64)[order]
+        t = ts[order]
+        et = g["event_type"].to_numpy(object)[order]
+        new_user = np.ones(len(u), dtype=bool)
+        new_user[1:] = u[1:] != u[:-1]
+        change = new_user.copy()
+        change[1:] |= et[1:] != et[:-1]
+        cu, ct, cet = u[change], t[change], et[change]
+        cnew = new_user[change]
+        # next change within the same user closes the interval
+        nxt = np.full(len(cu), -1, dtype=np.int64)
+        same = np.zeros(len(cu), dtype=bool)
+        if len(cu) > 1:
+            same[:-1] = cu[1:] == cu[:-1]
+            nxt[:-1][same[:-1]] = ct[1:][same[:-1]]
+        # version index = running count within user
+        grp_start = np.flatnonzero(cnew)
+        ver = np.arange(len(cu), dtype=np.int64)
+        ver -= np.repeat(grp_start, np.diff(np.r_[grp_start, len(cu)]))
+        return pd.DataFrame({
+            "user_id": cu, "version": ver + 1, "event_type": cet,
+            "valid_from_us": ct, "valid_to_us": nxt,
+            "is_current": nxt == -1,
+        })
+
+    out = grouped_map(ds, "user_id", versions).to_pandas()
+    return out.sort_values(["user_id", "version"]).reset_index(drop=True)
+
+
+Q_SCD2_SQL = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+chg AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM o WHERE prev IS NULL OR prev <> event_type)
+SELECT user_id,
+       row_number() OVER w AS version,
+       event_type,
+       epoch_us(ts) AS valid_from_us,
+       COALESCE(epoch_us(lead(ts) OVER w), -1) AS valid_to_us,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM chg
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, version
+"""
+
+
 def t_anomaly(sf_dir: str):
     """Per-user z-score anomaly detection on event values: flag rows
     more than 2.5 sample standard deviations from the user's own mean
@@ -6183,6 +6249,46 @@ ORDER BY d.doc_id
 """
 
 
+def d_detokenize(sf_dir: str):
+    """Tokenizer round-trip with a TOP-K vocabulary (K=400): encode to
+    list<int32> (rare tokens go OOV on purpose), then decode back
+    (stages/text.py:vocab_decode — broadcast id->token gather + Arrow
+    binary_join, no per-row Python) with '<unk>' standing in for OOV.
+    The oracle replays rank-then-substitute-then-string_agg in SQL, so
+    the whole encode->decode path is value-verified including the OOV
+    branch."""
+    from ..stages.text import build_vocab, vocab_decode, vocab_encode
+
+    K = 400
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    toks, ids = build_vocab(ds, text_col="text")
+    keep = np.asarray(ids) < K
+    toks, ids = np.asarray(toks)[keep], np.asarray(ids)[keep]
+    enc = vocab_encode(ds, toks, ids, with_ids=True).select_columns(["doc_id", "ids"])
+    out = vocab_decode(enc, toks, ids).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+D_DETOKENIZE_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t,
+         generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS i
+  FROM documents),
+counts AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+vocab AS (SELECT t, row_number() OVER (ORDER BY c DESC, t) - 1 AS id FROM counts),
+mapped AS (
+  SELECT tok.doc_id, tok.i,
+         CASE WHEN v.id < 400 THEN tok.t ELSE '<unk>' END AS t
+  FROM tok JOIN vocab v ON tok.t = v.t),
+agg AS (
+  SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS text
+  FROM mapped GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(agg.text, '') AS text
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def q_profile(sf_dir: str):
     """Numeric column profiler over the event stream (n, n_null, min,
     max, 6dp mean per column in ONE streaming pass —
@@ -6290,6 +6396,7 @@ QUERIES: dict[str, tuple] = {
     "t_user_trend": (t_user_trend, T_USER_TREND_SQL),
     "t_ewma": (t_ewma, T_EWMA_SQL),
     "t_anomaly": (t_anomaly, T_ANOMALY_SQL),
+    "q_scd2": (q_scd2, Q_SCD2_SQL),
     "t_session_stats": (t_session_stats, T_SESSION_STATS_SQL),
     "t_ntile": (t_ntile, T_NTILE_SQL),
     "q_pivot": (q_pivot, Q_PIVOT_SQL),
@@ -6389,6 +6496,7 @@ QUERIES: dict[str, tuple] = {
     "q_snapshot_diff": (q_snapshot_diff, Q_SNAPSHOT_DIFF_SQL),
     "d_novelty": (d_novelty, D_NOVELTY_SQL),
     "d_vocab_encode": (d_vocab_encode, D_VOCAB_ENCODE_SQL),
+    "d_detokenize": (d_detokenize, D_DETOKENIZE_SQL),
     "q_profile": (q_profile, Q_PROFILE_SQL),
     "q_zorder": (q_zorder, Q_ZORDER_SQL),
     "tok_grep": (tok_grep, TOK_GREP_SQL),

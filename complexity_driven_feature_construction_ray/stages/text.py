@@ -1238,3 +1238,36 @@ def vocab_encode(ds, tokens_sorted, ids_for_sorted, *, text_col: str = "text",
         return pa.table(cols)
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def vocab_decode(ds, tokens_sorted, ids_for_sorted, *, ids_col: str = "ids",
+                 id_col: str = "doc_id", unk: str = "<unk>"):
+    """Inverse of vocab_encode (the detokenize step): gather id ->
+    token through the broadcast vocabulary (ray.put once, read per
+    batch) and rebuild each row's text with Arrow's vectorized
+    binary_join over the flat values buffer — no per-row Python. OOV
+    ids (-1) decode to `unk`; an empty ids list decodes to ''."""
+    import pyarrow.compute as _pc
+    import ray
+
+    ids_arr = np.asarray(ids_for_sorted, dtype=np.int64)
+    inv = np.empty(ids_arr.max() + 2 if len(ids_arr) else 1, dtype=object)
+    inv[-1] = unk  # slot for id -1 (python negative indexing)
+    inv[ids_arr] = np.asarray(tokens_sorted, dtype=object)
+    vocab_ref = ray.put(inv)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        vocab = ray.get(vocab_ref)
+        la = batch[ids_col].combine_chunks()
+        flat = la.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        lengths = la.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        toks = pa.array(vocab[flat], type=pa.string())
+        lists = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), toks)
+        return pa.table({
+            id_col: batch[id_col],
+            "text": _pc.binary_join(lists, " "),
+        })
+
+    return ds.map_batches(decode, batch_format="pyarrow")
