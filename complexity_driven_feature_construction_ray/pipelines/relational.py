@@ -935,6 +935,140 @@ ASOF LEFT JOIN (
 """
 
 
+def t_asof_nearest(sf_dir: str):
+    """Nearest-event join (same probe/event construction as t_asof, but
+    |Δt|-minimizing instead of point-in-time): for every click, the
+    purchase value closest in time either direction, equidistant ties
+    resolving to the EARLIER purchase (see stages/temporal.py:asof_join
+    direction='nearest'). Same single entity-bucket exchange as the
+    backward join — the nearest pick is two sorted-merge cursors per
+    bucket, not a second shuffle."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"], split=True)
+    clicks = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], pa.scalar("click"))).select(
+            ["event_id", "ts", "user_id"]
+        ),
+        batch_format="pyarrow",
+    )
+    purchases = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], pa.scalar("purchase"))),
+        batch_format="pyarrow",
+    )
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id", kind="stable")
+        return g.groupby(["user_id", "ts"], sort=False).tail(1)[["user_id", "ts", "value"]]
+
+    from ..stages.bucketing import default_buckets
+    from ..stages.temporal import grouped_map
+
+    nb = default_buckets(ds)
+    purchases = grouped_map(purchases, "user_id", dedup, num_buckets=nb)
+    base = {n: t for n, t in zip(ds.schema().names, ds.schema().types)}
+    out = asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        probe_ts="ts",
+        event_ts="ts",
+        value_cols=["value"],
+        num_buckets=nb,
+        probe_schema=pa.schema([(c, base[c]) for c in ["event_id", "ts", "user_id"]]),
+        event_schema=pa.schema([(c, base[c]) for c in ["user_id", "ts", "value"]]),
+        direction="nearest",
+    )
+    return out.select_columns(["event_id", "asof_value"])
+
+
+T_ASOF_NEAREST_SQL = """
+WITH c AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, arg_max(value, event_id) AS value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+b AS (SELECT c.event_id, c.ts AS cts, p.ts AS bts, p.value AS bval
+      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts),
+f AS (SELECT c.event_id, p.ts AS fts, p.value AS fval
+      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts)
+SELECT b.event_id,
+       CASE WHEN fts IS NOT NULL AND (bts IS NULL OR (fts - cts) < (cts - bts))
+            THEN fval ELSE bval END AS asof_value
+FROM b JOIN f USING (event_id)
+"""
+
+
+def d_ccnet_buckets(sf_dir: str):
+    """CCNet-style head/middle/tail bucketing: per-language tercile
+    cutpoints of a doc score (mean word length here — the same
+    int/int division in both engines, so scores agree bit-for-bit),
+    cutpoints from ONE mergeable-sketch pass
+    (stages/sketch.py:grouped_quantiles, percentile_disc semantics so
+    every cutpoint IS a data value — no interpolation arithmetic to
+    disagree about), then a broadcast cutpoint map buckets the stream
+    and per-(lang, bucket) partials aggregate. The standard corpus
+    stratification before mixture sampling."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.sketch import grouped_quantiles
+
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch["text"].to_pandas()).fillna("")
+        n_words = s.str.count(r"\S+").to_numpy(np.int64)
+        sc = s.str.len().to_numpy(np.int64) / np.maximum(n_words, 1)
+        return pa.table({"lang": batch["lang"], "score": pa.array(sc)})
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    cuts = grouped_quantiles(
+        scored, key_cols=["lang"], value_col="score",
+        qs=[1.0 / 3.0, 2.0 / 3.0], out_cols=["c1", "c2"],
+    )
+    c1 = dict(zip(cuts["lang"], cuts["c1"]))
+    c2 = dict(zip(cuts["lang"], cuts["c2"]))
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        lang = pd.Series(batch["lang"].to_pandas())
+        sc = batch["score"].to_numpy()
+        lo = lang.map(c1).to_numpy(np.float64)
+        hi = lang.map(c2).to_numpy(np.float64)
+        b = np.where(sc <= lo, "head", np.where(sc <= hi, "middle", "tail"))
+        part = pd.DataFrame({"lang": lang, "bucket": b, "n_docs": 1, "score_sum": sc})
+        agg = part.groupby(["lang", "bucket"], as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    out = (
+        scored.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["lang", "bucket"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("score_sum", alias_name="score_sum"))
+        .to_pandas()
+    )
+    out["avg_score"] = (out.pop("score_sum") / out["n_docs"]).round(6)
+    return out.sort_values(["lang", "bucket"]).reset_index(drop=True)
+
+
+D_CCNET_BUCKETS_SQL = """
+WITH s AS (
+  SELECT lang,
+         length(text) * 1.0
+           / greatest(len(regexp_extract_all(text, '\\S+')), 1) AS score
+  FROM documents),
+c AS (
+  SELECT lang,
+         percentile_disc(0.3333333333333333) WITHIN GROUP (ORDER BY score) AS c1,
+         percentile_disc(0.6666666666666666) WITHIN GROUP (ORDER BY score) AS c2
+  FROM s GROUP BY lang),
+b AS (
+  SELECT s.lang,
+         CASE WHEN score <= c1 THEN 'head'
+              WHEN score <= c2 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         score
+  FROM s JOIN c USING (lang))
+SELECT lang, bucket, count(*) AS n_docs, round(avg(score), 6) AS avg_score
+FROM b GROUP BY lang, bucket ORDER BY lang, bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # curation queries over documents / embeddings
 
@@ -6389,6 +6523,7 @@ QUERIES: dict[str, tuple] = {
     "t_lag_lead": (t_lag_lead, T_LAG_LEAD_SQL),
     "t_sessionize": (t_sessionize, T_SESSIONIZE_SQL),
     "t_asof": (t_asof, T_ASOF_SQL),
+    "t_asof_nearest": (t_asof_nearest, T_ASOF_NEAREST_SQL),
     "t_rolling": (t_rolling, T_ROLLING_SQL),
     "t_row_number": (t_row_number, T_ROW_NUMBER_SQL),
     "t_rolling_range": (t_rolling_range, T_ROLLING_RANGE_SQL),
@@ -6404,6 +6539,7 @@ QUERIES: dict[str, tuple] = {
     "q_bloom_semi_join": (q_bloom_semi_join, Q_BLOOM_SEMI_JOIN_SQL),
     "d_stratified_sample": (d_stratified_sample, D_STRATIFIED_SAMPLE_SQL),
     "d_c4_filter": (d_c4_filter, D_C4_FILTER_SQL),
+    "d_ccnet_buckets": (d_ccnet_buckets, D_CCNET_BUCKETS_SQL),
     "d_gopher_filter": (d_gopher_filter, D_GOPHER_FILTER_SQL),
     "q_grouped_median": (q_grouped_median, Q_GROUPED_MEDIAN_SQL),
     "q_grouped_p90": (q_grouped_p90, Q_GROUPED_P90_SQL),

@@ -195,6 +195,35 @@ def grouped_quantile(
     return _keyed_frame(rows, key_cols, [out_col])
 
 
+def grouped_quantiles(
+    ds,
+    *,
+    key_cols: list[str],
+    value_col: str,
+    qs: list[float],
+    out_cols: list[str],
+    sketch_k: int | None = None,
+) -> pd.DataFrame:
+    """Several percentile_disc quantiles per group from ONE sketch pass
+    (grouped_quantile above reruns the upstream pipeline per q — fine
+    for a single quantile, wasteful for cutpoint ladders like CCNet's
+    head/middle/tail terciles)."""
+    from .fit import _merge_quant
+
+    def disc(vals: np.ndarray, w: np.ndarray, q: float) -> float:
+        if len(vals) == 0:
+            return float("nan")
+        cw = np.cumsum(w)
+        return float(vals[np.searchsorted(cw, q * cw[-1], side="left")])
+
+    merged = _grouped_quant_parts(ds, key_cols, value_col, sketch_k)
+    rows = []
+    for k, parts in merged.items():
+        vals, w = _merge_quant(parts)
+        rows.append((k, *[disc(vals, w, q) for q in qs]))
+    return _keyed_frame(rows, key_cols, out_cols)
+
+
 def cms_token_counts(
     ds,
     *,

@@ -329,10 +329,17 @@ def asof_join(
     tolerance=None,
     probe_schema: pa.Schema | None = None,
     event_schema: pa.Schema | None = None,
+    direction: str = "backward",
 ):
     """For each probe row, attach the latest event values with
     event_ts <= probe_ts (strictly < when allow_exact=False) for the
     same entity; NULL when no prior event exists — never a later value.
+    direction="nearest" instead attaches the event minimizing
+    |event_ts - probe_ts| with a DETERMINISTIC tie rule: equidistant
+    before/after resolves to the EARLIER event (backward wins), so the
+    result is engine-replayable — pandas' own merge_asof(nearest) tie
+    behavior is unspecified, so nearest is built from one backward and
+    one forward pass with an explicit per-row distance compare.
     `tolerance` (seconds or pd.Timedelta) bounds staleness: events older
     than probe_ts - tolerance attach as NULL (the feature-store max-age
     rule).
@@ -424,15 +431,40 @@ def asof_join(
                 else tolerance
             )
         )
-        merged = pd.merge_asof(
-            probe_small,
-            right,
-            on="__ts",
-            by=key,
-            direction="backward",
-            allow_exact_matches=allow_exact,
-            tolerance=tol,
-        )
+        if direction == "nearest":
+            right = right.assign(__evts=right["__ts"].to_numpy())
+            back = pd.merge_asof(
+                probe_small, right, on="__ts", by=key,
+                direction="backward", allow_exact_matches=allow_exact,
+                tolerance=tol,
+            )
+            fwd = pd.merge_asof(
+                probe_small, right, on="__ts", by=key,
+                direction="forward", allow_exact_matches=allow_exact,
+                tolerance=tol,
+            )
+            p_ts = probe_small["__ts"].to_numpy()
+            d_back = (p_ts - back["__evts"].to_numpy()).astype("timedelta64[us]") \
+                if np.issubdtype(p_ts.dtype, np.datetime64) else p_ts - back["__evts"].to_numpy()
+            d_fwd = (fwd["__evts"].to_numpy() - p_ts).astype("timedelta64[us]") \
+                if np.issubdtype(p_ts.dtype, np.datetime64) else fwd["__evts"].to_numpy() - p_ts
+            has_b = back["__evts"].notna().to_numpy()
+            has_f = fwd["__evts"].notna().to_numpy()
+            # forward wins only when strictly closer; ties go backward
+            use_f = has_f & (~has_b | (d_fwd < d_back))
+            merged = back
+            for c in ev_cols:
+                merged[c] = back[c].where(~use_f, fwd[c])
+        else:
+            merged = pd.merge_asof(
+                probe_small,
+                right,
+                on="__ts",
+                by=key,
+                direction="backward",
+                allow_exact_matches=allow_exact,
+                tolerance=tol,
+            )
         for c, name in zip(value_cols, out_event_cols):
             out = out.append_column(
                 name, pa.array(merged[f"__ev_{c}"], type=event_types[c], from_pandas=True)
