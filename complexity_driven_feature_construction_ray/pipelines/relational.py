@@ -1334,6 +1334,38 @@ FROM events GROUP BY user_id, epoch_us(ts) // 3600000000
 """
 
 
+def t_ohlc(sf_dir: str):
+    """Per-user hourly OHLC downsample of event values (open/high/low/
+    close + count; ties broken by event_id so first/last are total).
+    Mergeable-cell combiner: the exchange carries one cell per
+    (user, hour), never raw events — see stages/temporal.py:ohlc_agg.
+    open/close/high/low are exact data values, so no float rounding is
+    needed for the oracle."""
+    from ..stages.temporal import ohlc_agg
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"], split=True)
+    out = ohlc_agg(ds, key="user_id", ts="ts", value="value",
+                   width_s=3600, order_col="event_id")
+    return out.to_pandas().sort_values(["user_id", "win"]).reset_index(drop=True)
+
+
+T_OHLC_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS win, ts, event_id, value
+  FROM events)
+SELECT DISTINCT user_id, win,
+       first_value(value) OVER w AS open,
+       max(value) OVER (PARTITION BY user_id, win) AS high,
+       min(value) OVER (PARTITION BY user_id, win) AS low,
+       last_value(value) OVER (PARTITION BY user_id, win ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close,
+       count(*) OVER (PARTITION BY user_id, win) AS n_events
+FROM e
+WINDOW w AS (PARTITION BY user_id, win ORDER BY ts, event_id)
+ORDER BY user_id, win
+"""
+
+
 def t_hopping(sf_dir: str):
     """Hopping 1-hour window advancing every 20 minutes per user (the
     sliding-window member of the windowed-aggregate family): row-local
@@ -6358,7 +6390,9 @@ def d_vocab_encode(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     toks, ids = build_vocab(ds, text_col="text")
-    return vocab_encode(ds, toks, ids, with_ids=False)
+    return vocab_encode(ds, toks, ids, with_ids=False).select_columns(
+        ["doc_id", "n_tok", "ids_sum", "ids_min", "ids_max"]
+    )
 
 
 D_VOCAB_ENCODE_SQL = """
@@ -6419,6 +6453,44 @@ agg AS (
   FROM mapped GROUP BY doc_id)
 SELECT d.doc_id, COALESCE(agg.text, '') AS text
 FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def d_oov_rate(sf_dir: str):
+    """Vocabulary-coverage signal: encode against a TOP-K (K=300)
+    vocabulary and report each doc's out-of-vocabulary token count and
+    rate — the standard check that a trained tokenizer still covers a
+    new corpus shard. Same broadcast searchsorted encode as
+    d_vocab_encode; the rate is n_oov / n_tok, identical int/int
+    division in both engines."""
+    from ..stages.text import build_vocab, vocab_encode
+
+    K = 300
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    toks, ids = build_vocab(ds, text_col="text")
+    keep = np.asarray(ids) < K
+    out = vocab_encode(ds, np.asarray(toks)[keep], np.asarray(ids)[keep],
+                       with_ids=False).select_columns(["doc_id", "n_tok", "n_oov"])
+    pdf = out.to_pandas()
+    pdf["oov_rate"] = (pdf["n_oov"] / np.maximum(pdf["n_tok"], 1)).round(6)
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+D_OOV_RATE_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents),
+counts AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+vocab AS (SELECT t, row_number() OVER (ORDER BY c DESC, t) - 1 AS id FROM counts),
+per AS (
+  SELECT tok.doc_id, count(*) AS n_tok,
+         sum(CASE WHEN v.id >= 300 THEN 1 ELSE 0 END) AS n_oov
+  FROM tok JOIN vocab v ON tok.t = v.t GROUP BY tok.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_tok, 0) AS BIGINT) AS n_tok,
+       CAST(COALESCE(per.n_oov, 0) AS BIGINT) AS n_oov,
+       round(COALESCE(per.n_oov, 0) / greatest(COALESCE(per.n_tok, 0), 1), 6) AS oov_rate
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 ORDER BY d.doc_id
 """
 
@@ -6555,6 +6627,7 @@ QUERIES: dict[str, tuple] = {
     "d_grouped_topn": (d_grouped_topn, D_GROUPED_TOPN_SQL),
     "d_quantile_filter": (d_quantile_filter, D_QUANTILE_FILTER_SQL),
     "t_tumbling": (t_tumbling, T_TUMBLING_SQL),
+    "t_ohlc": (t_ohlc, T_OHLC_SQL),
     "t_hopping": (t_hopping, T_HOPPING_SQL),
     "d_top_tokens": (d_top_tokens, D_TOP_TOKENS_SQL),
     "d_lm_score": (d_lm_score, D_LM_SCORE_SQL),
@@ -6633,6 +6706,7 @@ QUERIES: dict[str, tuple] = {
     "d_novelty": (d_novelty, D_NOVELTY_SQL),
     "d_vocab_encode": (d_vocab_encode, D_VOCAB_ENCODE_SQL),
     "d_detokenize": (d_detokenize, D_DETOKENIZE_SQL),
+    "d_oov_rate": (d_oov_rate, D_OOV_RATE_SQL),
     "q_profile": (q_profile, Q_PROFILE_SQL),
     "q_zorder": (q_zorder, Q_ZORDER_SQL),
     "tok_grep": (tok_grep, TOK_GREP_SQL),

@@ -797,6 +797,69 @@ def sessionize(
     )
 
 
+def ohlc_agg(
+    ds,
+    *,
+    key: str,
+    ts: str,
+    value: str,
+    width_s: int,
+    order_col: str,
+):
+    """OHLC resample: per (key, tumbling window) the first/last/max/min
+    of ``value``, ordered by (ts, order_col) so ties are total. The
+    time-series downsampling primitive (candlesticks, telemetry
+    rollups).
+
+    first/last are not algebraic for Ray's hash aggregate, so this
+    ships mergeable CELLS instead: each batch pre-reduces to one row
+    per (key, window) carrying its own open/close plus their ordering
+    keys; the single exchange then moves O(keys x windows) cells, not
+    events, and a per-key-hash bucket pass re-reduces cells with the
+    same lexicographic first/last rule."""
+    import pyarrow.compute as _pc
+
+    width_us = int(width_s) * 1_000_000
+
+    def cells(batch: pa.Table) -> pa.Table:
+        epoch_us = _pc.cast(
+            _pc.cast(batch[ts], pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            key: batch[key].to_numpy(zero_copy_only=False),
+            "win": epoch_us // width_us,
+            "__ts": epoch_us,
+            "__ord": batch[order_col].to_numpy(zero_copy_only=False),
+            "__v": batch[value].to_numpy(zero_copy_only=False),
+        }).sort_values(["__ts", "__ord"], kind="stable")
+        g = df.groupby([key, "win"], sort=False)
+        out = g.agg(
+            open_ts=("__ts", "first"), open_ord=("__ord", "first"),
+            open=("__v", "first"),
+            close_ts=("__ts", "last"), close_ord=("__ord", "last"),
+            close=("__v", "last"),
+            high=("__v", "max"), low=("__v", "min"),
+            n_events=("__v", "size"),
+        ).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.sort_values(["open_ts", "open_ord"], kind="stable") \
+                 .groupby([key, "win"], sort=False).first()
+        last = g.sort_values(["close_ts", "close_ord"], kind="stable") \
+                .groupby([key, "win"], sort=False).last()
+        agg = g.groupby([key, "win"], sort=False).agg(
+            high=("high", "max"), low=("low", "min"), n_events=("n_events", "sum")
+        )
+        out = pd.DataFrame({
+            "open": first["open"], "high": agg["high"], "low": agg["low"],
+            "close": last["close"], "n_events": agg["n_events"],
+        }).reset_index()
+        return out
+
+    return grouped_map(ds.map_batches(cells, batch_format="pyarrow"), key, merge)
+
+
 def tumbling_agg(
     ds,
     *,

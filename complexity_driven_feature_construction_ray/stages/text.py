@@ -1223,9 +1223,11 @@ def vocab_encode(ds, tokens_sorted, ids_for_sorted, *, text_col: str = "text",
             ends = np.r_[starts[1:], len(rs)] - 1
             mins[rs[starts]] = es[starts]
             maxs[rs[ends]] = es[ends]
+        n_known = np.bincount(rows[kn], minlength=n).astype(np.int64)
         cols = {
             id_col: batch[id_col],
             "n_tok": pa.array(n_tok),
+            "n_oov": pa.array(n_tok - n_known),
             "ids_sum": pa.array(sums),
             "ids_min": pa.array(mins),
             "ids_max": pa.array(maxs),
