@@ -1042,7 +1042,11 @@ def d_ccnet_buckets(sf_dir: str):
                    Sum("score_sum", alias_name="score_sum"))
         .to_pandas()
     )
-    out["avg_score"] = (out.pop("score_sum") / out["n_docs"]).round(6)
+    # scores are dyadic quotients (len/wc), so their mean can land
+    # exactly on a .5e-6 boundary where numpy and DuckDB round apart —
+    # biased half-up quantizer in both engines (see T_EWMA_SQL)
+    avg = out.pop("score_sum") / out["n_docs"]
+    out["avg_score"] = np.floor(avg * 1e6 + 0.5005) / 1e6
     return out.sort_values(["lang", "bucket"]).reset_index(drop=True)
 
 
@@ -1064,7 +1068,8 @@ b AS (
               ELSE 'tail' END AS bucket,
          score
   FROM s JOIN c USING (lang))
-SELECT lang, bucket, count(*) AS n_docs, round(avg(score), 6) AS avg_score
+SELECT lang, bucket, count(*) AS n_docs,
+       floor(avg(score) * 1000000 + 0.5005) / 1000000 AS avg_score
 FROM b GROUP BY lang, bucket ORDER BY lang, bucket
 """
 
@@ -6432,7 +6437,8 @@ def d_detokenize(sf_dir: str):
     toks, ids = build_vocab(ds, text_col="text")
     keep = np.asarray(ids) < K
     toks, ids = np.asarray(toks)[keep], np.asarray(ids)[keep]
-    enc = vocab_encode(ds, toks, ids, with_ids=True).select_columns(["doc_id", "ids"])
+    enc = vocab_encode(ds, toks, ids, with_ids=True,
+                       with_checksums=False).select_columns(["doc_id", "ids"])
     out = vocab_decode(enc, toks, ids).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -6471,9 +6477,14 @@ def d_oov_rate(sf_dir: str):
     toks, ids = build_vocab(ds, text_col="text")
     keep = np.asarray(ids) < K
     out = vocab_encode(ds, np.asarray(toks)[keep], np.asarray(ids)[keep],
-                       with_ids=False).select_columns(["doc_id", "n_tok", "n_oov"])
+                       with_ids=False, with_checksums=False)
     pdf = out.to_pandas()
-    pdf["oov_rate"] = (pdf["n_oov"] / np.maximum(pdf["n_tok"], 1)).round(6)
+    # n_oov/n_tok is a dyadic-capable quotient (e.g. 45/128 = exactly
+    # 0.3515625): numpy's half-even round and DuckDB's half-away round
+    # DISAGREE at such .5e-6 boundaries, so both engines use the biased
+    # half-up quantizer (same rationale as T_EWMA_SQL)
+    rate = pdf["n_oov"] / np.maximum(pdf["n_tok"], 1)
+    pdf["oov_rate"] = np.floor(rate * 1e6 + 0.5005) / 1e6
     return pdf.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -6489,7 +6500,8 @@ per AS (
 SELECT d.doc_id,
        CAST(COALESCE(per.n_tok, 0) AS BIGINT) AS n_tok,
        CAST(COALESCE(per.n_oov, 0) AS BIGINT) AS n_oov,
-       round(COALESCE(per.n_oov, 0) / greatest(COALESCE(per.n_tok, 0), 1), 6) AS oov_rate
+       floor((COALESCE(per.n_oov, 0) / greatest(COALESCE(per.n_tok, 0), 1))
+             * 1000000 + 0.5005) / 1000000 AS oov_rate
 FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 ORDER BY d.doc_id
 """

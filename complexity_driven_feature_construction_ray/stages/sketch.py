@@ -174,11 +174,7 @@ def grouped_quantile(
     from .fit import _merge_quant
 
     def disc(vals: np.ndarray, w: np.ndarray) -> float:
-        if len(vals) == 0:
-            return float("nan")
-        cw = np.cumsum(w)
-        target = q * cw[-1]
-        return float(vals[np.searchsorted(cw, target, side="left")])
+        return _disc_pick(vals, w, q)
 
     def cont(vals: np.ndarray, w: np.ndarray) -> float:
         if len(vals) == 0:
@@ -210,18 +206,23 @@ def grouped_quantiles(
     head/middle/tail terciles)."""
     from .fit import _merge_quant
 
-    def disc(vals: np.ndarray, w: np.ndarray, q: float) -> float:
-        if len(vals) == 0:
-            return float("nan")
-        cw = np.cumsum(w)
-        return float(vals[np.searchsorted(cw, q * cw[-1], side="left")])
-
     merged = _grouped_quant_parts(ds, key_cols, value_col, sketch_k)
     rows = []
     for k, parts in merged.items():
         vals, w = _merge_quant(parts)
-        rows.append((k, *[disc(vals, w, q) for q in qs]))
+        rows.append((k, *[_disc_pick(vals, w, q) for q in qs]))
     return _keyed_frame(rows, key_cols, out_cols)
+
+
+def _disc_pick(vals: np.ndarray, w: np.ndarray, q: float) -> float:
+    """percentile_disc over merged (value, weight) order statistics:
+    the smallest value whose cumulative weight reaches q of the total.
+    The ONE definition shared by grouped_quantile and grouped_quantiles
+    so a boundary tweak can never desynchronize them."""
+    if len(vals) == 0:
+        return float("nan")
+    cw = np.cumsum(w)
+    return float(vals[np.searchsorted(cw, q * cw[-1], side="left")])
 
 
 def cms_token_counts(

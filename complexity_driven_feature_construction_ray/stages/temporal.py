@@ -832,22 +832,30 @@ def ohlc_agg(
             "__ord": batch[order_col].to_numpy(zero_copy_only=False),
             "__v": batch[value].to_numpy(zero_copy_only=False),
         }).sort_values(["__ts", "__ord"], kind="stable")
-        g = df.groupby([key, "win"], sort=False)
-        out = g.agg(
-            open_ts=("__ts", "first"), open_ord=("__ord", "first"),
-            open=("__v", "first"),
-            close_ts=("__ts", "last"), close_ord=("__ord", "last"),
-            close=("__v", "last"),
-            high=("__v", "max"), low=("__v", "min"),
-            n_events=("__v", "size"),
-        ).reset_index()
+        gb = df.groupby([key, "win"], sort=False)
+        # POSITIONAL first/last rows (head/tail) — groupby first()/last()
+        # aggregations skip NaN, which would return the first NON-NULL
+        # value instead of the value AT the minimal (ts, order) row and
+        # diverge from SQL first_value()/last_value()
+        firsts = gb.head(1).set_index([key, "win"])
+        lasts = gb.tail(1).set_index([key, "win"])
+        agg = gb.agg(high=("__v", "max"), low=("__v", "min"),
+                     n_events=("__v", "size"))
+        out = pd.DataFrame({
+            "open_ts": firsts["__ts"], "open_ord": firsts["__ord"],
+            "open": firsts["__v"],
+            "close_ts": lasts["__ts"], "close_ord": lasts["__ord"],
+            "close": lasts["__v"],
+            "high": agg["high"], "low": agg["low"],
+            "n_events": agg["n_events"],
+        }).reset_index()
         return pa.Table.from_pandas(out, preserve_index=False)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         first = g.sort_values(["open_ts", "open_ord"], kind="stable") \
-                 .groupby([key, "win"], sort=False).first()
+                 .groupby([key, "win"], sort=False).head(1).set_index([key, "win"])
         last = g.sort_values(["close_ts", "close_ord"], kind="stable") \
-                .groupby([key, "win"], sort=False).last()
+                .groupby([key, "win"], sort=False).tail(1).set_index([key, "win"])
         agg = g.groupby([key, "win"], sort=False).agg(
             high=("high", "max"), low=("low", "min"), n_events=("n_events", "sum")
         )

@@ -1184,13 +1184,16 @@ def build_vocab(ds, *, text_col: str = "text"):
 
 
 def vocab_encode(ds, tokens_sorted, ids_for_sorted, *, text_col: str = "text",
-                 id_col: str = "doc_id", with_ids: bool = True):
+                 id_col: str = "doc_id", with_ids: bool = True,
+                 with_checksums: bool = True):
     """Token-id encoding (the tokenizer-APPLY step after vocabulary /
     BPE training): each document's tokens map to int32 ids through one
     searchsorted per batch against the broadcast sorted vocabulary;
-    out-of-vocabulary tokens encode as -1. Emits per-doc n_tok and id
-    checksums (sum/min/max over in-vocab ids) plus, when with_ids, the
-    list<int32> ids column — the training-ready layout."""
+    out-of-vocabulary tokens encode as -1. Emits per-doc n_tok/n_oov
+    and, when with_checksums, id checksums (sum/min/max over in-vocab
+    ids — an O(T log T) lexsort per batch, so callers that only need
+    the ids lists or OOV counts should turn it off) plus, when
+    with_ids, the list<int32> ids column — the training-ready layout."""
     import ray
 
     tok_ref = ray.put(np.asarray(tokens_sorted))
@@ -1209,29 +1212,30 @@ def vocab_encode(ds, tokens_sorted, ids_for_sorted, *, text_col: str = "text",
         enc = np.where(known, ids[pos_c] if len(toks) else -1, -1).astype(np.int32)
         n_tok = np.bincount(rows, minlength=n).astype(np.int64)
         kn = enc != -1
-        sums = np.bincount(rows[kn], weights=enc[kn].astype(np.float64), minlength=n).astype(np.int64)
-        # per-row min/max over in-vocab ids via sorted-segment reduction
-        mins = np.full(n, -1, dtype=np.int64)
-        maxs = np.full(n, -1, dtype=np.int64)
-        if kn.any():
-            rk, ek = rows[kn], enc[kn].astype(np.int64)
-            order = np.lexsort((ek, rk))
-            rs, es = rk[order], ek[order]
-            first = np.ones(len(rs), dtype=bool)
-            first[1:] = rs[1:] != rs[:-1]
-            starts = np.flatnonzero(first)
-            ends = np.r_[starts[1:], len(rs)] - 1
-            mins[rs[starts]] = es[starts]
-            maxs[rs[ends]] = es[ends]
         n_known = np.bincount(rows[kn], minlength=n).astype(np.int64)
         cols = {
             id_col: batch[id_col],
             "n_tok": pa.array(n_tok),
             "n_oov": pa.array(n_tok - n_known),
-            "ids_sum": pa.array(sums),
-            "ids_min": pa.array(mins),
-            "ids_max": pa.array(maxs),
         }
+        if with_checksums:
+            sums = np.bincount(rows[kn], weights=enc[kn].astype(np.float64), minlength=n).astype(np.int64)
+            # per-row min/max over in-vocab ids via sorted-segment reduction
+            mins = np.full(n, -1, dtype=np.int64)
+            maxs = np.full(n, -1, dtype=np.int64)
+            if kn.any():
+                rk, ek = rows[kn], enc[kn].astype(np.int64)
+                order = np.lexsort((ek, rk))
+                rs, es = rk[order], ek[order]
+                first = np.ones(len(rs), dtype=bool)
+                first[1:] = rs[1:] != rs[:-1]
+                starts = np.flatnonzero(first)
+                ends = np.r_[starts[1:], len(rs)] - 1
+                mins[rs[starts]] = es[starts]
+                maxs[rs[ends]] = es[ends]
+            cols["ids_sum"] = pa.array(sums)
+            cols["ids_min"] = pa.array(mins)
+            cols["ids_max"] = pa.array(maxs)
         if with_ids:
             cols["ids"] = pa.array(
                 np.split(enc, np.cumsum(n_tok)[:-1]) if n else [],

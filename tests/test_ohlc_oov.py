@@ -37,6 +37,28 @@ def test_ohlc_matches_bruteforce(ray_session):
         out[exp.columns.tolist()], exp, check_dtype=False)
 
 
+def test_ohlc_null_open_preserved(ray_session):
+    """A NULL value at the minimal (ts, order) row must surface as a
+    NULL open (SQL first_value semantics), not be skipped for the
+    first non-null value."""
+    from complexity_driven_feature_construction_ray.stages.temporal import ohlc_agg
+
+    base = pd.Timestamp("2025-03-01")
+    pdf = pd.DataFrame({
+        "event_id": [1, 2, 3],
+        "ts": [base, base + pd.Timedelta(minutes=1), base + pd.Timedelta(minutes=2)],
+        "user_id": [7, 7, 7],
+        "value": [np.nan, 50.0, 20.0],
+    })
+    out = ohlc_agg(ray.data.from_pandas(pdf), key="user_id", ts="ts",
+                   value="value", width_s=3600, order_col="event_id").to_pandas()
+    assert len(out) == 1
+    assert pd.isna(out.loc[0, "open"])
+    assert out.loc[0, "close"] == 20.0
+    assert out.loc[0, "high"] == 50.0 and out.loc[0, "low"] == 20.0
+    assert out.loc[0, "n_events"] == 3
+
+
 def test_oov_rate_sanity(ray_session):
     from complexity_driven_feature_construction_ray.pipelines.relational import d_oov_rate
 
