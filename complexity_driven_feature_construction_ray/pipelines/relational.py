@@ -1558,6 +1558,99 @@ LIMIT 20
 """
 
 
+def d_ngram_repetition(sf_dir: str):
+    """Gopher's word-3-gram repetition quality signals per doc
+    (stages/text.py:ngram_repetition_stats): top-n-gram character
+    fraction and duplicated-n-gram character coverage. Row-local — the
+    whole operator is one streaming map, zero exchange; the small-vocab
+    synthetic corpus produces organic duplicate trigrams so the dup
+    branch is exercised without injection."""
+    from ..stages.text import ngram_repetition_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(ngram_repetition_stats, batch_format="pyarrow")
+    return out.select_columns(
+        ["doc_id", "top_ngram_char_frac", "dup_ngram_char_frac"]
+    )
+
+
+D_NGRAM_REPETITION_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w,
+         generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS i
+  FROM documents),
+tot AS (SELECT doc_id, sum(length(w)) AS total FROM w GROUP BY doc_id),
+t AS (
+  SELECT a.doc_id, a.i AS s, a.w || ' ' || b.w || ' ' || c.w AS tg
+  FROM w a
+  JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+dup AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s, count(*) OVER (PARTITION BY doc_id, tg) AS c FROM t) x
+  WHERE c >= 2),
+cov AS (SELECT DISTINCT doc_id, unnest([s, s + 1, s + 2]) AS i FROM dup),
+dupc AS (
+  SELECT w.doc_id, sum(length(w.w)) AS dchars
+  FROM w JOIN cov ON w.doc_id = cov.doc_id AND w.i = cov.i
+  GROUP BY w.doc_id),
+cnt AS (SELECT doc_id, tg, count(*) AS c FROM t GROUP BY doc_id, tg),
+top AS (
+  SELECT doc_id, (length(tg) - 2) * c AS tchars
+  FROM (SELECT doc_id, tg, c,
+               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, tg) AS rn
+        FROM cnt) r WHERE rn = 1)
+SELECT d.doc_id,
+       floor(COALESCE(top.tchars, 0) * 1.0 / greatest(COALESCE(tot.total, 0), 1)
+             * 1000000 + 0.5005) / 1000000 AS top_ngram_char_frac,
+       floor(COALESCE(dupc.dchars, 0) * 1.0 / greatest(COALESCE(tot.total, 0), 1)
+             * 1000000 + 0.5005) / 1000000 AS dup_ngram_char_frac
+FROM documents d
+LEFT JOIN tot USING (doc_id)
+LEFT JOIN dupc USING (doc_id)
+LEFT JOIN top USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def t_percent_rank(sf_dir: str):
+    """Per-user rank transforms of event value: SQL percent_rank
+    ((min-rank - 1)/(n - 1)) and cume_dist (max-rank / n). One entity
+    shuffle; C-level pandas rank kernels across all of a bucket's
+    users at once. Both outputs are dyadic quotients -> biased
+    half-up quantizer in both engines."""
+    from ..stages.temporal import grouped_map
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"], split=True)
+
+    def ranks(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("user_id")["value"]
+        rmin = grp.rank(method="min").to_numpy(np.float64)
+        rmax = grp.rank(method="max").to_numpy(np.float64)
+        n = grp.transform("size").to_numpy(np.float64)
+        pr = (rmin - 1) / np.maximum(n - 1, 1)
+        cd = rmax / n
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "percent_rank": np.floor(pr * 1e6 + 0.5005) / 1e6,
+            "cume_dist": np.floor(cd * 1e6 + 0.5005) / 1e6,
+        })
+
+    out = grouped_map(ds, "user_id", ranks).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+T_PERCENT_RANK_SQL = """
+SELECT event_id,
+       floor(percent_rank() OVER (PARTITION BY user_id ORDER BY value)
+             * 1000000 + 0.5005) / 1000000 AS percent_rank,
+       floor(cume_dist() OVER (PARTITION BY user_id ORDER BY value)
+             * 1000000 + 0.5005) / 1000000 AS cume_dist
+FROM events
+ORDER BY event_id
+"""
+
+
 def d_pii_scrub(sf_dir: str):
     """PII detection + redaction summary per source (C4/RefinedWeb
     scrub step). The synthetic corpus has no organic PII, so a
@@ -6618,6 +6711,7 @@ QUERIES: dict[str, tuple] = {
     "q_scd2": (q_scd2, Q_SCD2_SQL),
     "t_session_stats": (t_session_stats, T_SESSION_STATS_SQL),
     "t_ntile": (t_ntile, T_NTILE_SQL),
+    "t_percent_rank": (t_percent_rank, T_PERCENT_RANK_SQL),
     "q_pivot": (q_pivot, Q_PIVOT_SQL),
     "q_unpivot": (q_unpivot, Q_UNPIVOT_SQL),
     "q_bloom_semi_join": (q_bloom_semi_join, Q_BLOOM_SEMI_JOIN_SQL),
@@ -6631,6 +6725,7 @@ QUERIES: dict[str, tuple] = {
     "d_token_counts": (d_token_counts, D_TOKEN_COUNTS_SQL),
     "d_quality": (d_quality, D_QUALITY_SQL),
     "d_repetition": (d_repetition, D_REPETITION_SQL),
+    "d_ngram_repetition": (d_ngram_repetition, D_NGRAM_REPETITION_SQL),
     "d_pii": (d_pii, D_PII_SQL),
     "d_mixture_sample": (d_mixture_sample, D_MIXTURE_SAMPLE_SQL),
     "d_det_shuffle": (d_det_shuffle, D_DET_SHUFFLE_SQL),

@@ -108,6 +108,65 @@ def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("top_word_frac", pa.array(top))
 
 
+def ngram_repetition_stats(batch: pa.Table, text_col: str = "text",
+                           n: int = 3) -> pa.Table:
+    """Gopher's n-gram repetition signals (word n-grams, n=3 default):
+
+    - top_ngram_char_frac: occurrences of the MOST FREQUENT n-gram
+      times its word-character length, over total word characters
+      (ties on count break to the lexicographically smallest n-gram,
+      so both engines pick the same one);
+    - dup_ngram_char_frac: characters of words covered by ANY n-gram
+      occurring >= 2 times in the doc (union of covered positions —
+      overlapping duplicated n-grams don't double-count).
+
+    Entirely row-local (each doc independent, zero shuffle). Flat
+    vectorized build: n-grams come from shifted views of the exploded
+    word array; coverage is three shifted boolean scatters; per-row
+    reductions are bincounts. Both outputs are dyadic int/int
+    quotients, so they ship through the biased half-up quantizer
+    (see pipelines/relational.py:T_EWMA_SQL for the rationale)."""
+    s = pd.Series(batch[text_col].to_pandas()).fillna("")
+    ex = s.str.findall(r"\S+").explode().dropna()
+    nrows = len(s)
+    topf = np.zeros(nrows, dtype=np.float64)
+    dupf = np.zeros(nrows, dtype=np.float64)
+    if len(ex):
+        rows = ex.index.to_numpy(dtype=np.int64)
+        words = ex.to_numpy(dtype=object)
+        wlen = np.fromiter((len(w) for w in words), np.int64, len(words))
+        total = np.bincount(rows, weights=wlen, minlength=nrows)
+        k = n - 1
+        if len(words) > k:
+            valid = rows[:-k] == rows[k:]
+            tg = words[:-k].astype("U")
+            for j in range(1, n):
+                tg = np.char.add(np.char.add(tg, " "), words[j:len(words) - k + j].astype("U"))
+            starts = np.flatnonzero(valid)
+            df = pd.DataFrame({"r": rows[starts], "tg": tg[valid], "s": starts})
+            # duplicated n-grams -> union of covered flat positions
+            dup_starts = df.loc[df.duplicated(["r", "tg"], keep=False), "s"].to_numpy()
+            cov = np.zeros(len(words), dtype=bool)
+            for j in range(n):
+                cov[dup_starts + j] = True
+            dupc = np.bincount(rows[cov], weights=wlen[cov], minlength=nrows)
+            # most frequent n-gram per row, count-desc then tg-asc tie
+            c = df.groupby(["r", "tg"], sort=False).size().reset_index(name="c")
+            c = c.sort_values(["r", "c", "tg"], ascending=[True, False, True],
+                              kind="stable")
+            best = c.groupby("r", sort=False).head(1)
+            br = best["r"].to_numpy(np.int64)
+            bchars = (best["tg"].str.len().to_numpy(np.int64) - (n - 1)) \
+                * best["c"].to_numpy(np.int64)
+            tot_safe = np.maximum(total, 1)
+            dupf = np.floor(dupc / tot_safe * 1e6 + 0.5005) / 1e6
+            tf = np.zeros(nrows, dtype=np.float64)
+            tf[br] = bchars / tot_safe[br]
+            topf = np.floor(tf * 1e6 + 0.5005) / 1e6
+    batch = batch.append_column("top_ngram_char_frac", pa.array(topf))
+    return batch.append_column("dup_ngram_char_frac", pa.array(dupf))
+
+
 def tfidf_sum(ds, *, text_col: str = "text", id_col: str = "doc_id", num_buckets: int | None = None):
     """Per-document sum of TF·IDF over its distinct words, with
     corpus-exact document frequencies — the two-pass weighting behind
