@@ -3324,6 +3324,43 @@ def d_fingerprint(sf_dir: str):
     return out.select_columns(["doc_id", "fingerprint"])
 
 
+def d_char_fingerprint(sf_dir: str):
+    """Char-level Horner fingerprints (stages/text.py:char_fingerprint)
+    — the SQL-verifiable fingerprint variant: the oracle replays the
+    identical mod-2^61-1 arithmetic with a recursive HUGEINT power
+    table and one grouped ordered sum, so the 122-bit limb reduction in
+    the Ray kernel is value-checked bit-for-bit. (Assumes no newline
+    codepoints, true of this corpus — SQL '.' skips them.)"""
+    from ..stages.text import char_fingerprint
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(char_fingerprint, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "char_fp"])
+
+
+D_CHAR_FINGERPRINT_SQL = """
+WITH RECURSIVE pw(k, v) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT k + 1, (v * 1000003) % 2305843009213693951 FROM pw
+  WHERE k < (SELECT COALESCE(max(length(text)), 0) FROM documents)),
+ch AS (
+  SELECT doc_id, length(text) AS L,
+         unnest(regexp_extract_all(text, '.')) AS c,
+         generate_subscripts(regexp_extract_all(text, '.'), 1) AS i
+  FROM documents),
+fp AS (
+  SELECT ch.doc_id,
+         CAST(SUM(CAST(ord(ch.c) AS HUGEINT) * pw.v)
+              % 2305843009213693951 AS BIGINT) AS char_fp
+  FROM ch JOIN pw ON pw.k = ch.L - ch.i
+  GROUP BY ch.doc_id)
+SELECT d.doc_id, COALESCE(fp.char_fp, 0) AS char_fp
+FROM documents d LEFT JOIN fp USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def d_knn_ivf(sf_dir: str):
     """IVF-bucketed approximate nearest neighbors (recall < 1 by design
     vs the exact d_knn; rows-only check)."""
@@ -6759,6 +6796,7 @@ QUERIES: dict[str, tuple] = {
     "d_lang_id": (d_lang_id, D_LANG_ID_SQL),
     "d_jaccard": (d_jaccard, D_JACCARD_SQL),
     "d_fingerprint": (d_fingerprint, None),
+    "d_char_fingerprint": (d_char_fingerprint, D_CHAR_FINGERPRINT_SQL),
     "d_knn_ivf": (d_knn_ivf, None),
     "m_decode": (m_decode, None),
     "m_decode_ppm": (m_decode_ppm, None),

@@ -389,6 +389,42 @@ def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("fingerprint", pa.array(fps.astype(np.int64)))
 
 
+def char_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Character-level Horner fingerprint mod 2^61-1 with base _POLY:
+    fp(row) = Σ_j code(c_j) · POLY^(L-1-j)  (mod p) over the raw text
+    codepoints. Unlike `fingerprint` above (whose per-word hash is
+    pandas' private hash_array), every operation here is plain modular
+    arithmetic, so an external engine can replay it bit-for-bit
+    (DuckDB: recursive HUGEINT powers + one grouped sum) — the
+    ORACLE-ABLE member of the fingerprint family. Codepoints decode in
+    one C pass via UTF-32 (no per-char Python); the segment power-sum
+    reuses the same 32-bit-limb reduction as `fingerprint`."""
+    s = pd.Series(batch[text_col].to_pandas()).fillna("")
+    n = len(s)
+    lens = s.str.len().to_numpy(np.int64)
+    fps = np.zeros(n, dtype=np.uint64)
+    total_chars = int(lens.sum())
+    if total_chars:
+        codes = np.frombuffer(
+            "".join(s.tolist()).encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.uint64)
+        ends = np.cumsum(lens)
+        rows = np.repeat(np.arange(n), lens)
+        exp = ends[rows] - 1 - np.arange(total_chars)
+        powers = _poly_powers(int(lens.max()))
+        terms = _mulmod61(codes, powers[exp])
+        starts = ends - lens
+        nonempty = lens > 0
+        hi = np.add.reduceat(terms >> np.uint64(32), starts[nonempty])
+        lo = np.add.reduceat(terms & np.uint64(0xFFFFFFFF), starts[nonempty])
+        hi, lo = hi % _M61, lo % _M61
+        two32 = np.full(len(hi), 1 << 32, dtype=np.uint64)
+        total = _mulmod61(hi, two32) + lo  # < 2^62
+        total = (total & _M61) + (total >> np.uint64(61))
+        fps[nonempty] = np.where(total >= _M61, total - _M61, total)
+    return batch.append_column("char_fp", pa.array(fps.astype(np.int64)))
+
+
 _LANG_SINGLETON: list = []  # per-worker-process LanguageId cache
 
 

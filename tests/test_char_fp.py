@@ -1,0 +1,27 @@
+"""char_fingerprint vs an independent big-int Horner reference."""
+
+import pyarrow as pa
+
+P = (1 << 61) - 1
+B = 1_000_003
+
+
+def _ref(text: str) -> int:
+    acc = 0
+    for ch in text:
+        acc = (acc * B + ord(ch)) % P
+    return acc
+
+
+def test_char_fingerprint_matches_bigint_reference(ray_session):
+    from complexity_driven_feature_construction_ray.stages.text import char_fingerprint
+
+    texts = ["hello world", "world hello", "", "a", "x" * 900,
+             "the quick brown fox " * 40]
+    batch = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = char_fingerprint(batch).to_pandas()
+    for i, t in enumerate(texts):
+        assert int(out.loc[i, "char_fp"]) == _ref(t), repr(t[:30])
+    # order sensitivity
+    assert out.loc[0, "char_fp"] != out.loc[1, "char_fp"]
+    assert out.loc[2, "char_fp"] == 0
