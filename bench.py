@@ -117,6 +117,18 @@ HEADLINE = [
     "d_embed_dispersion",
     "d_group_split",
     "q_histogram",
+    "d_gopher_filter",
+    "t_anomaly",
+    "q_scd2",
+    "d_detokenize",
+    "t_asof_nearest",
+    "d_ccnet_buckets",
+    "t_ohlc",
+    "d_oov_rate",
+    "d_ngram_repetition",
+    "t_percent_rank",
+    "d_char_fingerprint",
+    "t_ewma",
 ]
 
 

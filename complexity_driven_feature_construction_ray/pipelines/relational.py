@@ -1104,6 +1104,57 @@ SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens_ws FROM documen
 """
 
 
+def d_fertility(sf_dir: str):
+    """Tokenizer fertility per (source, lang): BPE-ish subword tokens
+    per whitespace word, as the ratio of per-group SUMS (robust to
+    zero-word docs). Per-batch (group, Σbpe, Σws) partials bound the
+    exchange to O(groups); the quotient of int sums is dyadic-capable,
+    so both engines use the biased half-up quantizer."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.text import token_counts
+
+    ds = _read(sf_dir, "documents", columns=["text", "source", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = token_counts(batch)
+        df = pd.DataFrame({
+            "source": t["source"].to_pandas(),
+            "lang": t["lang"].to_pandas(),
+            "ws": t["n_tokens_ws"].to_numpy(),
+            "bpe": t["n_tokens_bpe"].to_numpy(),
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["source", "lang"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("ws", alias_name="ws"), Sum("bpe", alias_name="bpe"))
+        .to_pandas()
+    )
+    fert = out["bpe"] / np.maximum(out["ws"], 1)
+    out["fertility"] = np.floor(fert * 1e6 + 0.5005) / 1e6
+    return out.sort_values(["source", "lang"]).reset_index(drop=True)
+
+
+D_FERTILITY_SQL = """
+SELECT source, lang,
+       CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS ws,
+       CAST(sum(len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpe,
+       floor(sum(len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) * 1.0
+            / greatest(sum(len(regexp_extract_all(text, '\\S+'))), 1)
+            * 1000000 + 0.5005) / 1000000 AS fertility
+FROM documents
+GROUP BY source, lang
+ORDER BY source, lang
+"""
+
+
 def d_quality(sf_dir: str):
     from ..stages.text import quality_scores
 
@@ -3085,6 +3136,76 @@ def d_embedding_dedup(sf_dir: str):
     both = ray.data.from_pandas(pd.concat([pdf, clones], ignore_index=True))
     out = embedding_dedup(both, threshold=0.999, dim=dim)
     return clusters_dataset(out.sort_values("id").reset_index(drop=True))
+
+
+def q_skyline(sf_dir: str):
+    """2-D skyline / Pareto-optimal set over parts: maximize retail
+    price while minimizing size. The local frontier is a COMBINER
+    (skyline of a union = skyline of unioned local skylines), so each
+    block ships only its own frontier rows and the global merge sees a
+    tiny union — the same shape FairExp's Pareto selection uses
+    internally, exposed as a relational operator. Duplicate (price,
+    size) pairs all survive (neither strictly dominates)."""
+    from ..stages.partition import skyline_2d
+
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_retailprice", "p_size"])
+    out = skyline_2d(ds, x_col="p_retailprice", y_col="p_size")
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+Q_SKYLINE_SQL = """
+SELECT p_partkey, p_retailprice, p_size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice >= a.p_retailprice AND b.p_size <= a.p_size
+    AND (b.p_retailprice > a.p_retailprice OR b.p_size < a.p_size))
+ORDER BY p_partkey
+"""
+
+
+def q_grouped_mode(sf_dir: str):
+    """Per-group mode with a deterministic tie rule (highest count,
+    then smallest value): per-batch (key, value) count partials ship
+    instead of rows — the exchange is bounded by distinct cells — and
+    the winner pick is a lexsort over the tiny cell table."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_returnflag": batch["l_returnflag"].to_pandas(),
+            "l_quantity": batch["l_quantity"].to_numpy(zero_copy_only=False),
+        })
+        c = df.groupby(["l_returnflag", "l_quantity"], as_index=False).size()
+        return pa.Table.from_pandas(c.rename(columns={"size": "c"}),
+                                    preserve_index=False)
+
+    counts = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_quantity"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    counts = counts.sort_values(
+        ["l_returnflag", "c", "l_quantity"], ascending=[True, False, True],
+        kind="stable",
+    )
+    out = counts.groupby("l_returnflag", as_index=False).head(1)
+    out = out.rename(columns={"l_quantity": "mode_qty", "c": "n"})
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+Q_GROUPED_MODE_SQL = """
+SELECT l_returnflag, mode_qty, n FROM (
+  SELECT l_returnflag, l_quantity AS mode_qty, count(*) AS n,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY count(*) DESC, l_quantity) AS rn
+  FROM lineitem GROUP BY l_returnflag, l_quantity) x
+WHERE rn = 1
+ORDER BY l_returnflag
+"""
 
 
 def q_salted_agg(sf_dir: str):
@@ -6734,6 +6855,8 @@ QUERIES: dict[str, tuple] = {
     "q_three_way_join": (q_three_way_join, Q_THREE_WAY_JOIN_SQL),
     "d_cms_counts": (d_cms_counts, None),
     "q_salted_agg": (q_salted_agg, Q_SALTED_AGG_SQL),
+    "q_skyline": (q_skyline, Q_SKYLINE_SQL),
+    "q_grouped_mode": (q_grouped_mode, Q_GROUPED_MODE_SQL),
     "t_lag_lead": (t_lag_lead, T_LAG_LEAD_SQL),
     "t_sessionize": (t_sessionize, T_SESSIONIZE_SQL),
     "t_asof": (t_asof, T_ASOF_SQL),
@@ -6760,6 +6883,7 @@ QUERIES: dict[str, tuple] = {
     "q_grouped_p90": (q_grouped_p90, Q_GROUPED_P90_SQL),
     "d_exact_dedup": (d_exact_dedup, D_EXACT_DEDUP_SQL),
     "d_token_counts": (d_token_counts, D_TOKEN_COUNTS_SQL),
+    "d_fertility": (d_fertility, D_FERTILITY_SQL),
     "d_quality": (d_quality, D_QUALITY_SQL),
     "d_repetition": (d_repetition, D_REPETITION_SQL),
     "d_ngram_repetition": (d_ngram_repetition, D_NGRAM_REPETITION_SQL),

@@ -583,3 +583,37 @@ def snapshot_diff(old_ds, new_ds, *, key: str, val: str, num_buckets: int | None
 
     parts = grouped_map(both, key, per_bucket, num_buckets=num_buckets)
     return parts.groupby("status").aggregate(Sum("n", alias_name="n"))
+
+
+def _skyline2d_local(df, x: str, y: str):
+    """Exact 2-D skyline of one frame: rows maximizing `x` while
+    minimizing `y` (dominated = some row has x >= AND y <= with one
+    strict). Vectorized: per-x-group y-min candidates, then a strict
+    running min over x-descending groups; duplicate (x, y) pairs all
+    survive (neither dominates the other)."""
+    import pandas as pd  # noqa: F401  (module defers pandas imports)
+
+    if not len(df):
+        return df
+    gmin = df.groupby(x)[y].min()
+    gmin = gmin.sort_index(ascending=False)  # x desc
+    # strict dominator: min y among STRICTLY larger x
+    m_strict = gmin.cummin().shift(1)
+    alive_x = gmin.index[gmin < m_strict.fillna(np.inf)]
+    keep_min = df[y].to_numpy() == df[x].map(gmin).to_numpy()
+    return df[keep_min & df[x].isin(alive_x).to_numpy()]
+
+
+def skyline_2d(ds, *, x_col: str, y_col: str):
+    """Distributed 2-D skyline (Pareto-optimal set: maximize x_col,
+    minimize y_col). The local skyline is a COMBINER — the skyline of
+    a union equals the skyline of the unioned local skylines — so each
+    block contributes only its own frontier (typically O(log n) rows)
+    and the final merge runs on that tiny union driver-side. Returns a
+    pandas frame sorted for determinism."""
+    def local(batch: pa.Table) -> pa.Table:
+        out = _skyline2d_local(batch.to_pandas(), x_col, y_col)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    return _skyline2d_local(parts, x_col, y_col)
