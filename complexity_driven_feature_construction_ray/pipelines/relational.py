@@ -4585,6 +4585,52 @@ ORDER BY user_id, version
 """
 
 
+def t_json_extract(sf_dir: str):
+    """Semi-structured extraction from the event payload column: pull
+    the integer field k out of the JSON props string with one
+    vectorized regex per batch (no JSON-library dependency — the same
+    RE2-compatible pattern runs in the oracle), then aggregate per
+    event_type. Rows with a missing/malformed field count as NULL.
+    The log-processing primitive: schema-on-read over a string column."""
+    from ray.data.aggregate import Count, Max, Mean, Min
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch["props"].to_pandas())
+        k = s.str.extract(r'"k": (\d+)', expand=False).astype("Int64")
+        return pa.table({
+            "event_type": batch["event_type"],
+            "k": pa.array(k, from_pandas=True),
+        })
+
+    out = (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("k", alias_name="k_min"),
+            Max("k", alias_name="k_max"),
+            Mean("k", alias_name="k_mean"),
+        )
+        .to_pandas()
+    )
+    out["k_mean"] = np.floor(out["k_mean"] * 1e6 + 0.5005) / 1e6
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+T_JSON_EXTRACT_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '') AS BIGINT) AS k
+  FROM events)
+SELECT event_type, count(*) AS n,
+       min(k) AS k_min, max(k) AS k_max,
+       floor(avg(k) * 1000000 + 0.5005) / 1000000 AS k_mean
+FROM e GROUP BY event_type ORDER BY event_type
+"""
+
+
 def t_anomaly(sf_dir: str):
     """Per-user z-score anomaly detection on event values: flag rows
     more than 2.5 sample standard deviations from the user's own mean
@@ -6868,6 +6914,7 @@ QUERIES: dict[str, tuple] = {
     "t_user_trend": (t_user_trend, T_USER_TREND_SQL),
     "t_ewma": (t_ewma, T_EWMA_SQL),
     "t_anomaly": (t_anomaly, T_ANOMALY_SQL),
+    "t_json_extract": (t_json_extract, T_JSON_EXTRACT_SQL),
     "q_scd2": (q_scd2, Q_SCD2_SQL),
     "t_session_stats": (t_session_stats, T_SESSION_STATS_SQL),
     "t_ntile": (t_ntile, T_NTILE_SQL),
