@@ -3138,6 +3138,82 @@ def d_embedding_dedup(sf_dir: str):
     return clusters_dataset(out.sort_values("id").reset_index(drop=True))
 
 
+def d_dup_cluster_sizes(sf_dir: str):
+    """Duplicate-cluster SIZE HISTOGRAM (the dedup health report: how
+    many clusters of each multiplicity exist). Deterministic injection
+    makes real clusters (doc_id%7 texts duplicated, %21 triplicated —
+    replayed as UNION ALL slices in the oracle). Content-hash cells
+    ship instead of texts; two cell-sized aggregates (hash -> size,
+    size -> n_clusters) and the exchange never carries a document
+    body. Only sizes surface, so the engine-private pandas hash is
+    fine here (unlike fingerprints, which must be replayable)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        txt = pd.Series(batch["text"].to_pandas()).fillna("")
+        rep = np.where(ids % 21 == 0, 3, np.where(ids % 7 == 0, 2, 1))
+        all_txt = txt.to_numpy(dtype=object).repeat(rep)
+        h = pd.util.hash_array(all_txt)
+        c = pd.DataFrame({"h": h}).groupby("h", as_index=False).size()
+        return pa.Table.from_pandas(c.rename(columns={"size": "c"}),
+                                    preserve_index=False)
+
+    sizes = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("h").aggregate(Sum("c", alias_name="size"))
+    )
+    hist = (
+        sizes.map_batches(
+            lambda t: pa.table({"size": t["size"]}), batch_format="pyarrow"
+        )
+        .groupby("size").aggregate(Count(alias_name="n_clusters"))
+        .to_pandas()
+    )
+    return hist.sort_values("size").reset_index(drop=True)
+
+
+D_DUP_CLUSTER_SIZES_SQL = """
+WITH d AS (
+  SELECT text FROM documents
+  UNION ALL SELECT text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL SELECT text FROM documents WHERE doc_id % 21 = 0),
+c AS (SELECT text, count(*) AS size FROM d GROUP BY text)
+SELECT size, count(*) AS n_clusters FROM c GROUP BY size ORDER BY size
+"""
+
+
+def q_grouped_iqr(sf_dir: str):
+    """Per-group p25/p75/IQR in ONE sketch pass (the multi-quantile
+    ladder from stages/sketch.py:grouped_quantiles — grouped_quantile
+    would re-execute the read per quantile). percentile_disc semantics,
+    so the cutpoints are data values and the IQR subtraction is exact
+    in both engines."""
+    from ..stages.sketch import grouped_quantiles
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    out = grouped_quantiles(
+        ds, key_cols=["l_returnflag"], value_col="l_extendedprice",
+        qs=[0.25, 0.75], out_cols=["p25", "p75"],
+    )
+    out["iqr"] = out["p75"] - out["p25"]
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+Q_GROUPED_IQR_SQL = """
+SELECT l_returnflag,
+       percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25,
+       percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75,
+       percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)
+         - percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS iqr
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def q_skyline(sf_dir: str):
     """2-D skyline / Pareto-optimal set over parts: maximize retail
     price while minimizing size. The local frontier is a COMBINER
@@ -6902,6 +6978,8 @@ QUERIES: dict[str, tuple] = {
     "d_cms_counts": (d_cms_counts, None),
     "q_salted_agg": (q_salted_agg, Q_SALTED_AGG_SQL),
     "q_skyline": (q_skyline, Q_SKYLINE_SQL),
+    "d_dup_cluster_sizes": (d_dup_cluster_sizes, D_DUP_CLUSTER_SIZES_SQL),
+    "q_grouped_iqr": (q_grouped_iqr, Q_GROUPED_IQR_SQL),
     "q_grouped_mode": (q_grouped_mode, Q_GROUPED_MODE_SQL),
     "t_lag_lead": (t_lag_lead, T_LAG_LEAD_SQL),
     "t_sessionize": (t_sessionize, T_SESSIONIZE_SQL),
