@@ -4661,6 +4661,109 @@ ORDER BY user_id, version
 """
 
 
+def t_running_total(sf_dir: str):
+    """GLOBAL running total of event value over (ts, event_id) — no
+    partition key, so this is the two-pass prefix-offset layout
+    (stages/partition.py:ordered_cumsum): per-hour partial-sum cells to
+    the driver, exclusive prefix, one bucket exchange with an in-bucket
+    C-level cumsum. Integer cents avoid float-order drift entirely —
+    the running sum is exact in both engines."""
+    from ..stages.partition import ordered_cumsum
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "value"], split=True)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        cents = np.rint(batch["value"].to_numpy() * 100).astype(np.int64)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "hour": pc.divide(us, pa.scalar(3_600_000_000)),
+            "ts_us": us,
+            "cents": pa.array(cents),
+        })
+
+    out = ordered_cumsum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        range_col="hour", order_cols=["ts_us", "event_id"],
+        value_col="cents", out_col="running_cents",
+    ).to_pandas()[["event_id", "running_cents"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+T_RUNNING_TOTAL_SQL = """
+SELECT event_id,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT))
+            OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS running_cents
+FROM events
+ORDER BY event_id
+"""
+
+
+def d_shard_plan(sf_dir: str):
+    """Token-balanced output-shard planner: global running token count
+    over doc_id order (same two-pass ordered_cumsum), then
+    shard = (cum - 1) // target so every shard holds ~target tokens
+    regardless of document size skew — the layout step before writing
+    training shards. Returns the per-shard manifest (docs, tokens,
+    doc_id range)."""
+    from ..stages.partition import ordered_cumsum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch["text"].to_pandas()).fillna("")
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "blk": pc.divide(batch["doc_id"], pa.scalar(64, type=pa.int64())),
+            "n_tok": pa.array(s.str.count(r"\S+").to_numpy(np.int64)),
+        })
+
+    cum = ordered_cumsum(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        range_col="blk", order_cols=["doc_id"], value_col="n_tok",
+        out_col="cum_tok",
+    )
+    target = 2000
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = batch["cum_tok"].to_numpy()
+        return pa.table({
+            "doc_id": batch["doc_id"], "n_tok": batch["n_tok"],
+            "shard": pa.array(np.maximum(c - 1, 0) // target),
+        })
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    out = (
+        cum.map_batches(assign, batch_format="pyarrow")
+        .groupby("shard")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_tok", alias_name="tokens"),
+            Min("doc_id", alias_name="first_doc"),
+            Max("doc_id", alias_name="last_doc"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("shard").reset_index(drop=True)
+
+
+D_SHARD_PLAN_SQL = """
+WITH n AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tok FROM documents),
+c AS (
+  SELECT doc_id, n_tok,
+         SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM n)
+SELECT CAST(greatest(cum - 1, 0) // 2000 AS BIGINT) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c GROUP BY 1 ORDER BY shard
+"""
+
+
 def t_json_extract(sf_dir: str):
     """Semi-structured extraction from the event payload column: pull
     the integer field k out of the JSON props string with one
@@ -6993,6 +7096,8 @@ QUERIES: dict[str, tuple] = {
     "t_ewma": (t_ewma, T_EWMA_SQL),
     "t_anomaly": (t_anomaly, T_ANOMALY_SQL),
     "t_json_extract": (t_json_extract, T_JSON_EXTRACT_SQL),
+    "t_running_total": (t_running_total, T_RUNNING_TOTAL_SQL),
+    "d_shard_plan": (d_shard_plan, D_SHARD_PLAN_SQL),
     "q_scd2": (q_scd2, Q_SCD2_SQL),
     "t_session_stats": (t_session_stats, T_SESSION_STATS_SQL),
     "t_ntile": (t_ntile, T_NTILE_SQL),

@@ -617,3 +617,47 @@ def skyline_2d(ds, *, x_col: str, y_col: str):
 
     parts = ds.map_batches(local, batch_format="pyarrow").to_pandas()
     return _skyline2d_local(parts, x_col, y_col)
+
+
+def ordered_cumsum(ds, *, range_col: str, order_cols: list[str], value_col: str,
+                   out_col: str = "cumsum", num_buckets: int | None = None):
+    """GLOBAL running sum over a total order — the primitive behind
+    running totals and token-balanced shard planning. A global cumsum
+    can't be one shuffle (every row depends on every earlier row), so
+    it is the classic two-pass prefix layout:
+
+      1. per range-bucket partial sums (a cell per bucket — O(buckets)
+         rows to the driver, never data),
+      2. exclusive prefix offsets over the sorted cells driver-side,
+      3. one bucket-hash exchange; inside each bucket an order_cols
+         sort + C-level cumsum + its bucket's offset.
+
+    `range_col` must be a coarse integer prefix of the total order
+    (hour index, id block): all rows of bucket k order before all rows
+    of bucket k+1, with `order_cols` breaking ties inside the bucket.
+    """
+    import pandas as pd
+
+    from .temporal import grouped_map
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": batch[range_col].to_numpy(zero_copy_only=False),
+            "v": batch[value_col].to_numpy(zero_copy_only=False),
+        })
+        agg = df.groupby("k", as_index=False)["v"].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    totals = (
+        ds.map_batches(cells, batch_format="pyarrow").to_pandas()
+        .groupby("k")["v"].sum().sort_index()
+    )
+    offsets = totals.cumsum().shift(1, fill_value=0).to_dict()
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([range_col, *order_cols], kind="stable")
+        within = g.groupby(range_col, sort=False)[value_col].cumsum()
+        g[out_col] = within.to_numpy() + g[range_col].map(offsets).to_numpy()
+        return g
+
+    return grouped_map(ds, range_col, run, num_buckets=num_buckets)

@@ -1,0 +1,41 @@
+"""Global ordered cumsum + shard planner vs brute force."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+
+def test_ordered_cumsum_bruteforce(ray_session):
+    from complexity_driven_feature_construction_ray.stages.partition import ordered_cumsum
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    pdf = pd.DataFrame({
+        "id": rng.permutation(n).astype(np.int64),
+        "v": rng.integers(-5, 50, n).astype(np.int64),
+    })
+    pdf["blk"] = pdf["id"] // 97
+    out = (
+        ordered_cumsum(ray.data.from_pandas(pdf).repartition(9),
+                       range_col="blk", order_cols=["id"], value_col="v",
+                       out_col="cs")
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    exp = pdf.sort_values("id").reset_index(drop=True)
+    exp["cs"] = exp["v"].cumsum()
+    assert (out["cs"].to_numpy() == exp["cs"].to_numpy()).all()
+
+
+def test_shard_plan_balanced(ray_session):
+    from complexity_driven_feature_construction_ray.pipelines.relational import d_shard_plan
+
+    out = d_shard_plan("/root/testdata/sf0.001")
+    # shards are contiguous doc_id ranges in order
+    assert (out["shard"].to_numpy() == np.arange(len(out))).all()
+    assert (out["first_doc"].to_numpy()[1:] > out["last_doc"].to_numpy()[:-1]).all()
+    # shard k's last doc has cumulative tokens in (k*target, (k+1)*target]
+    # — shards fill to the boundary without splitting a document
+    cum = out["tokens"].to_numpy().cumsum()
+    k = np.arange(len(out))
+    assert (cum > 2000 * k).all()
+    assert (cum[:-1] <= 2000 * (k[:-1] + 1)).all()
