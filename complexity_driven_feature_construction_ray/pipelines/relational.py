@@ -3138,6 +3138,95 @@ def d_embedding_dedup(sf_dir: str):
     return clusters_dataset(out.sort_values("id").reset_index(drop=True))
 
 
+def d_prefix_dedup(sf_dir: str):
+    """Prefix-redundancy detection (truncated-crawl artifacts: a doc
+    whose token sequence is a STRICT word-prefix of another doc is
+    redundant). A prefix and its extension share their first word, so
+    ONE first-word-hash exchange co-locates every candidate pair; per
+    bucket a lexicographic sort makes each prefix ADJACENT to its
+    extensions, so detection is a vectorized startswith over the
+    running-maximum neighbor — O(n log n) per bucket, never O(n²).
+    Injection: doc_id%11==4 docs get a half-length truncated clone
+    (replayed with list slicing in the oracle). Returns flagged clone
+    ids + the doc they extend into."""
+    from ..stages.temporal import grouped_map
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        txt = pd.Series(batch["text"].to_pandas()).fillna("")
+        hit = np.flatnonzero((ids % 11 == 4))
+        ex = txt.iloc[hit].str.findall(r"\S+")
+        halves = ex.map(lambda ws: " ".join(ws[: len(ws) // 2]))
+        keep = halves.str.len() > 0
+        out = pd.DataFrame({
+            "doc_id": np.concatenate([ids, ids[hit][keep] + 10_000_000]),
+            "text": np.concatenate([txt.to_numpy(object), halves[keep].to_numpy(object)]),
+        })
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def first_word(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch["text"].to_pandas()).fillna("")
+        fw = s.str.extract(r"^(\S+)", expand=False).fillna("")
+        return batch.append_column("fw", pa.array(fw.to_numpy(object), type=pa.string()))
+
+    def detect(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                              "extends_into": pd.Series([], dtype=np.int64)})
+        if len(g) < 2:
+            return empty
+        t = g.sort_values(["text", "doc_id"], kind="stable")
+        txt = t["text"].to_numpy(dtype="U")
+        ids = t["doc_id"].to_numpy(np.int64)
+        # lexicographic sort puts a strict prefix immediately before its
+        # minimal extension (no corpus word contains a sub-space char),
+        # so one shifted vectorized startswith finds every prefix; runs
+        # of EQUAL texts inherit the run-final row's verdict (an exact
+        # dup of a prefix is itself a prefix)
+        raw = np.zeros(len(t), dtype=bool)
+        raw[:-1] = np.char.startswith(txt[1:], np.char.add(txt[:-1], " "))
+        into = np.full(len(t), -1, dtype=np.int64)
+        into[:-1][raw[:-1]] = ids[1:][raw[:-1]]
+        eq = np.zeros(len(t), dtype=bool)
+        eq[1:] = txt[1:] == txt[:-1]
+        run = np.cumsum(~eq) - 1
+        df = pd.DataFrame({"run": run, "raw": raw, "into": into})
+        by = df.groupby("run", sort=False)
+        flags = by["raw"].transform("last").to_numpy(bool)
+        into = by["into"].transform("last").to_numpy(np.int64)
+        if not flags.any():
+            return empty
+        return pd.DataFrame({"doc_id": ids[flags], "extends_into": into[flags]})
+
+    flagged = grouped_map(
+        ds.map_batches(inject, batch_format="pyarrow")
+          .map_batches(first_word, batch_format="pyarrow"),
+        "fw", detect, batch_format="pandas",
+    ).to_pandas()
+    return flagged.sort_values("doc_id").reset_index(drop=True)
+
+
+D_PREFIX_DEDUP_SQL = """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id,
+         array_to_string(ws[1 : len(ws) // 2], ' ') AS text
+  FROM (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents)
+  WHERE doc_id % 11 = 4 AND len(ws) // 2 >= 1),
+pairs AS (
+  SELECT a.doc_id, b.doc_id AS ext, b.text AS btext
+  FROM d a JOIN d b ON starts_with(b.text, a.text || ' ')),
+pick AS (
+  SELECT doc_id, ext AS extends_into,
+         row_number() OVER (PARTITION BY doc_id ORDER BY btext, ext) AS rn
+  FROM pairs)
+SELECT doc_id, extends_into FROM pick WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
 def d_dup_cluster_sizes(sf_dir: str):
     """Duplicate-cluster SIZE HISTOGRAM (the dedup health report: how
     many clusters of each multiplicity exist). Deterministic injection
@@ -3555,6 +3644,45 @@ fp AS (
 SELECT d.doc_id, COALESCE(fp.char_fp, 0) AS char_fp
 FROM documents d LEFT JOIN fp USING (doc_id)
 ORDER BY d.doc_id
+"""
+
+
+def d_hash_features(sf_dir: str):
+    """Hashing-trick bag-of-words (stages/text.py:hash_features):
+    word -> horner_mod61(word) % 64 -> sparse per-doc (bucket, count)
+    rows, no vocabulary pass. Row-local, zero exchange. The oracle
+    re-derives every bucket with the same HUGEINT Horner arithmetic."""
+    from ..stages.text import hash_features
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(hash_features, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "bucket"]).reset_index(drop=True)
+
+
+D_HASH_FEATURES_SQL = """
+WITH RECURSIVE w AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w,
+         generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS i
+  FROM documents),
+pw(k, v) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT k + 1, (v * 1000003) % 2305843009213693951 FROM pw
+  WHERE k < (SELECT COALESCE(max(length(w)), 0) FROM w)),
+ch AS (
+  SELECT doc_id, i, length(w) AS L,
+         unnest(regexp_extract_all(w, '.')) AS c,
+         generate_subscripts(regexp_extract_all(w, '.'), 1) AS j
+  FROM w),
+h AS (
+  SELECT doc_id, i,
+         CAST(SUM(CAST(ord(c) AS HUGEINT) * pw.v)
+              % 2305843009213693951 AS BIGINT) AS hw
+  FROM ch JOIN pw ON pw.k = L - j
+  GROUP BY doc_id, i)
+SELECT doc_id, hw % 64 AS bucket, count(*) AS n
+FROM h GROUP BY doc_id, hw % 64
+ORDER BY doc_id, bucket
 """
 
 
@@ -7082,6 +7210,7 @@ QUERIES: dict[str, tuple] = {
     "q_salted_agg": (q_salted_agg, Q_SALTED_AGG_SQL),
     "q_skyline": (q_skyline, Q_SKYLINE_SQL),
     "d_dup_cluster_sizes": (d_dup_cluster_sizes, D_DUP_CLUSTER_SIZES_SQL),
+    "d_prefix_dedup": (d_prefix_dedup, D_PREFIX_DEDUP_SQL),
     "q_grouped_iqr": (q_grouped_iqr, Q_GROUPED_IQR_SQL),
     "q_grouped_mode": (q_grouped_mode, Q_GROUPED_MODE_SQL),
     "t_lag_lead": (t_lag_lead, T_LAG_LEAD_SQL),
@@ -7151,6 +7280,7 @@ QUERIES: dict[str, tuple] = {
     "d_jaccard": (d_jaccard, D_JACCARD_SQL),
     "d_fingerprint": (d_fingerprint, None),
     "d_char_fingerprint": (d_char_fingerprint, D_CHAR_FINGERPRINT_SQL),
+    "d_hash_features": (d_hash_features, D_HASH_FEATURES_SQL),
     "d_knn_ivf": (d_knn_ivf, None),
     "m_decode": (m_decode, None),
     "m_decode_ppm": (m_decode_ppm, None),

@@ -400,13 +400,22 @@ def char_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     one C pass via UTF-32 (no per-char Python); the segment power-sum
     reuses the same 32-bit-limb reduction as `fingerprint`."""
     s = pd.Series(batch[text_col].to_pandas()).fillna("")
-    n = len(s)
-    lens = s.str.len().to_numpy(np.int64)
+    fps = horner_mod61(s.tolist())
+    return batch.append_column("char_fp", pa.array(fps.astype(np.int64)))
+
+
+def horner_mod61(strings: list) -> np.ndarray:
+    """Vectorized per-string Horner hash mod 2^61-1 with base _POLY —
+    the replayable hash shared by char_fingerprint (whole texts) and
+    hash_features (individual words). One UTF-32 decode over the
+    concatenation, one segment power-sum with 32-bit-limb reduction."""
+    n = len(strings)
+    lens = np.fromiter((len(x) for x in strings), np.int64, n)
     fps = np.zeros(n, dtype=np.uint64)
     total_chars = int(lens.sum())
     if total_chars:
         codes = np.frombuffer(
-            "".join(s.tolist()).encode("utf-32-le"), dtype=np.uint32
+            "".join(strings).encode("utf-32-le"), dtype=np.uint32
         ).astype(np.uint64)
         ends = np.cumsum(lens)
         rows = np.repeat(np.arange(n), lens)
@@ -422,7 +431,35 @@ def char_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
         total = _mulmod61(hi, two32) + lo  # < 2^62
         total = (total & _M61) + (total >> np.uint64(61))
         fps[nonempty] = np.where(total >= _M61, total - _M61, total)
-    return batch.append_column("char_fp", pa.array(fps.astype(np.int64)))
+    return fps
+
+
+def hash_features(batch: pa.Table, *, text_col: str = "text",
+                  id_col: str = "doc_id", dim: int = 64) -> pa.Table:
+    """Hashing-trick featurization (Weinberger et al. 2009): every word
+    maps to bucket horner_mod61(word) % dim and the doc becomes sparse
+    (bucket, count) rows — the fixed-width bag-of-words layout that
+    needs no vocabulary pass at all. Row-local, zero exchange; counts
+    come from one bincount over doc*dim+bucket. The replayable hash
+    means the SQL oracle re-derives identical buckets."""
+    s = pd.Series(batch[text_col].to_pandas()).fillna("")
+    ex = s.str.findall(r"\S+").explode().dropna()
+    if not len(ex):
+        return pa.table({
+            id_col: pa.array([], type=batch[id_col].type),
+            "bucket": pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64()),
+        })
+    rows = ex.index.to_numpy(dtype=np.int64)
+    buckets = (horner_mod61(ex.tolist()) % np.uint64(dim)).astype(np.int64)
+    flat = rows * dim + buckets
+    counts = np.bincount(flat, minlength=len(s) * dim)
+    nz = np.flatnonzero(counts)
+    return pa.table({
+        id_col: batch[id_col].take(pa.array(nz // dim)),
+        "bucket": pa.array(nz % dim),
+        "n": pa.array(counts[nz]),
+    })
 
 
 _LANG_SINGLETON: list = []  # per-worker-process LanguageId cache
