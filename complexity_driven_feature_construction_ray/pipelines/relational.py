@@ -5179,9 +5179,13 @@ def d_cms_counts(sf_dir: str):
     sketch whose depth x width partials merge by addition — the
     100TB path where the exact vocabulary aggregate stops fitting).
     Point-queries the corpus's exact top-10 tokens; estimates only
-    overcount, by <= e/width of total token mass. No SQL oracle
-    (biased estimator); pytest asserts the over-count envelope
-    against exact counts."""
+    overcount, by <= e/width of total token mass. The sketch's hash
+    family is the REPLAYABLE affine-over-Horner pair family
+    (stages/sketch.py:CMS_A/CMS_B), so the SQL oracle rebuilds the
+    identical depth x width table and reproduces every estimate
+    exactly — an approximate estimator CAN be value-verified when its
+    randomness is deterministic and public. Pytest keeps the
+    over-count-envelope check against exact counts."""
     from ..stages.sketch import cms_token_counts
     from ..stages.text import top_tokens
 
@@ -5192,6 +5196,45 @@ def d_cms_counts(sf_dir: str):
         query_tokens=top["token"].tolist(),
     )
     return out.sort_values("token").reset_index(drop=True)
+
+
+D_CMS_COUNTS_SQL = """
+WITH RECURSIVE tok AS (
+  SELECT unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents),
+counts AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+pw(k, v) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT k + 1, (v * 1000003) % 2305843009213693951 FROM pw
+  WHERE k < (SELECT COALESCE(max(length(t)), 0) FROM counts)),
+ch AS (
+  SELECT t, length(t) AS L,
+         unnest(regexp_extract_all(t, '.')) AS cc,
+         generate_subscripts(regexp_extract_all(t, '.'), 1) AS j
+  FROM counts),
+h AS (
+  SELECT t, CAST(SUM(CAST(ord(cc) AS HUGEINT) * pw.v)
+                 % 2305843009213693951 AS BIGINT) AS hw
+  FROM ch JOIN pw ON pw.k = L - j GROUP BY t),
+depths(d, a, b) AS (
+  VALUES (0, 1000003, 0), (1, 998244353, 1000000007),
+         (2, 754974721, 2000000014), (3, 167772161, 3000000021)),
+pos AS (
+  SELECT h.t, depths.d,
+         CAST(((CAST(h.hw AS HUGEINT) * depths.a) % 2305843009213693951
+               + depths.b) % 2305843009213693951 % 16384 AS BIGINT) AS pos
+  FROM h CROSS JOIN depths),
+cells AS (
+  SELECT pos.d, pos.pos, SUM(counts.c) AS cell
+  FROM pos JOIN counts USING (t) GROUP BY pos.d, pos.pos),
+top10 AS (SELECT t, c FROM counts ORDER BY c DESC, t LIMIT 10)
+SELECT top10.t AS token, CAST(MIN(cells.cell) AS BIGINT) AS approx_n
+FROM top10
+JOIN pos ON pos.t = top10.t
+JOIN cells ON cells.d = pos.d AND cells.pos = pos.pos
+GROUP BY top10.t
+ORDER BY token
+"""
 
 
 def fe_robust(sf_dir: str):
@@ -7206,7 +7249,7 @@ QUERIES: dict[str, tuple] = {
     "m_audio_spectral": (m_audio_spectral, None),
     "m_phash_dedup": (m_phash_dedup, None),
     "q_three_way_join": (q_three_way_join, Q_THREE_WAY_JOIN_SQL),
-    "d_cms_counts": (d_cms_counts, None),
+    "d_cms_counts": (d_cms_counts, D_CMS_COUNTS_SQL),
     "q_salted_agg": (q_salted_agg, Q_SALTED_AGG_SQL),
     "q_skyline": (q_skyline, Q_SKYLINE_SQL),
     "d_dup_cluster_sizes": (d_dup_cluster_sizes, D_DUP_CLUSTER_SIZES_SQL),

@@ -225,6 +225,12 @@ def _disc_pick(vals: np.ndarray, w: np.ndarray, q: float) -> float:
     return float(vals[np.searchsorted(cw, q * cw[-1], side="left")])
 
 
+# the CMS pairwise hash family (a_d·H + b_d) mod 2^61-1 mod width:
+# fixed public constants so a SQL oracle can replay the whole sketch
+CMS_A = (1_000_003, 998_244_353, 754_974_721, 167_772_161)
+CMS_B = (0, 1_000_000_007, 2_000_000_014, 3_000_000_021)
+
+
 def cms_token_counts(
     ds,
     *,
@@ -245,12 +251,20 @@ def cms_token_counts(
     answers point queries, it does not enumerate)."""
     if not query_tokens:
         raise ValueError("cms_token_counts needs query_tokens")
+    if depth > len(CMS_A):
+        raise ValueError(f"depth <= {len(CMS_A)} (fixed hash family)")
 
     def _positions(tokens: np.ndarray) -> np.ndarray:
-        # depth hash rows via salted pandas hash; (d, n) positions
+        # depth REPLAYABLE hash rows: affine (a_d·H + b_d) mod p over the
+        # shared Horner word hash, then mod width — a pairwise family an
+        # external engine can re-derive exactly (the old salted pandas
+        # hash was engine-private, which forced a rows-only check)
+        from .text import _M61, _mulmod61, horner_mod61
+
+        h = horner_mod61(list(tokens))
         return np.stack([
             (
-                pd.util.hash_array(tokens.astype(object), hash_key=f"{d:016d}")
+                ((_mulmod61(h, np.uint64(CMS_A[d])) + np.uint64(CMS_B[d])) % _M61)
                 % np.uint64(width)
             ).astype(np.int64)
             for d in range(depth)
