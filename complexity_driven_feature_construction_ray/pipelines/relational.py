@@ -3138,6 +3138,67 @@ def d_embedding_dedup(sf_dir: str):
     return clusters_dataset(out.sort_values("id").reset_index(drop=True))
 
 
+def d_interleave(sf_dir: str):
+    """Deterministic source-interleave manifest (the dataloader layout
+    step: round-robin across sources so a training stream never sees a
+    long single-source run). Each doc's within-source ordinal comes
+    from ONE entity shuffle (rank by doc_id inside the source's hash
+    bucket); the interleaved position is then pure row-local arithmetic
+    — ordered by (ordinal, source, doc_id) — and the first 200 rows of
+    the manifest surface via the local-top-k combiner, so nothing
+    corpus-sized sorts globally."""
+    from ..stages.sampling import grouped_topn
+    from ..stages.temporal import grouped_map
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="stable")
+        g["rn"] = g.groupby("source", sort=False).cumcount()
+        return g
+
+    ranked = grouped_map(ds, "source", rank)
+
+    # global first-200 of the (rn, source, doc_id) order. The local
+    # top-k prefilter ranks by rn ALONE with n = 200 + a full rn level
+    # of slack: an rn level holds at most one row per source, so every
+    # row of every level the true top-200 touches survives the cut no
+    # matter how the prefilter breaks ties; the exact (rn, source,
+    # doc_id) sort then runs on that tiny superset.
+    # slack must cover one full rn level = #distinct sources (20 in the
+    # fixture; derived, not assumed, so the superset bound always holds)
+    n_sources = int(
+        ds.map_batches(
+            lambda t: pa.table({"source": pc.unique(t["source"])}),
+            batch_format="pyarrow",
+        ).groupby("source").count().count()
+    )
+    top = grouped_topn(
+        ranked.map_batches(
+            lambda t: t.append_column("__g", pa.array(np.zeros(len(t), np.int64))),
+            batch_format="pyarrow",
+        ),
+        key_col="__g", order_col="rn", n=200 + n_sources, descending=False,
+    ).to_pandas()
+    top = top.sort_values(["rn", "source", "doc_id"], kind="stable").head(200)
+    top["seq"] = np.arange(len(top), dtype=np.int64)
+    return top[["seq", "doc_id", "source", "rn"]].reset_index(drop=True)
+
+
+D_INTERLEAVE_SQL = """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS rn
+  FROM documents),
+o AS (
+  SELECT doc_id, source, rn,
+         row_number() OVER (ORDER BY rn, source, doc_id) - 1 AS seq
+  FROM r)
+SELECT seq, doc_id, source, rn FROM o WHERE seq < 200
+ORDER BY seq
+"""
+
+
 def d_prefix_dedup(sf_dir: str):
     """Prefix-redundancy detection (truncated-crawl artifacts: a doc
     whose token sequence is a STRICT word-prefix of another doc is
@@ -7254,6 +7315,7 @@ QUERIES: dict[str, tuple] = {
     "q_skyline": (q_skyline, Q_SKYLINE_SQL),
     "d_dup_cluster_sizes": (d_dup_cluster_sizes, D_DUP_CLUSTER_SIZES_SQL),
     "d_prefix_dedup": (d_prefix_dedup, D_PREFIX_DEDUP_SQL),
+    "d_interleave": (d_interleave, D_INTERLEAVE_SQL),
     "q_grouped_iqr": (q_grouped_iqr, Q_GROUPED_IQR_SQL),
     "q_grouped_mode": (q_grouped_mode, Q_GROUPED_MODE_SQL),
     "t_lag_lead": (t_lag_lead, T_LAG_LEAD_SQL),

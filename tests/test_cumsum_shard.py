@@ -39,3 +39,18 @@ def test_shard_plan_balanced(ray_session):
     k = np.arange(len(out))
     assert (cum > 2000 * k).all()
     assert (cum[:-1] <= 2000 * (k[:-1] + 1)).all()
+
+
+def test_interleave_round_robin_property(ray_session):
+    from complexity_driven_feature_construction_ray.pipelines.relational import d_interleave
+
+    out = d_interleave("/root/testdata/sf0.001")
+    assert len(out) == 200
+    # rn is non-decreasing along the manifest and each (rn, source)
+    # appears at most once — a true round-robin
+    assert (np.diff(out["rn"].to_numpy()) >= 0).all()
+    assert not out.duplicated(["rn", "source"]).any()
+    # the first full round touches every source once
+    n_src = out["source"].nunique()
+    first_round = out.head(n_src)
+    assert first_round["source"].nunique() == n_src
