@@ -4863,7 +4863,11 @@ def t_running_total(sf_dir: str):
 
     def prep(batch: pa.Table) -> pa.Table:
         us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
-        cents = np.rint(batch["value"].to_numpy() * 100).astype(np.int64)
+        # floor(x+0.5), NOT np.rint: rint is half-to-even while SQL
+        # round() is half-away — they disagree on exact half-cent
+        # products; floor+0.5 (values are non-negative) matches the
+        # oracle's identical formula by construction
+        cents = np.floor(batch["value"].to_numpy() * 100 + 0.5).astype(np.int64)
         return pa.table({
             "event_id": batch["event_id"],
             "hour": pc.divide(us, pa.scalar(3_600_000_000)),
@@ -4881,7 +4885,7 @@ def t_running_total(sf_dir: str):
 
 T_RUNNING_TOTAL_SQL = """
 SELECT event_id,
-       CAST(SUM(CAST(round(value * 100) AS BIGINT))
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
             OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
             AS BIGINT) AS running_cents
 FROM events

@@ -371,22 +371,37 @@ def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
         wh = (wh & _M61) + (wh >> np.uint64(61))  # reduce 64-bit hash below p
         wh = np.where(wh >= _M61, wh - _M61, wh)
         lens = np.bincount(rows, minlength=n)
-        ends = np.cumsum(lens)  # flat-index end (exclusive) per row
-        # position from the end of the row: exponent of POLY for each word
-        exp = ends[rows] - 1 - np.arange(len(rows))
-        powers = _poly_powers(int(lens.max()))
-        terms = _mulmod61(wh, powers[exp])
-        # segment sums can exceed 64 bits: sum 32-bit halves separately
-        starts = ends - lens
-        nonempty = lens > 0
-        hi = np.add.reduceat(terms >> np.uint64(32), starts[nonempty])
-        lo = np.add.reduceat(terms & np.uint64(0xFFFFFFFF), starts[nonempty])
-        hi, lo = hi % _M61, lo % _M61
-        two32 = np.full(len(hi), 1 << 32, dtype=np.uint64)
-        total = _mulmod61(hi, two32) + lo  # < 2^62
-        total = (total & _M61) + (total >> np.uint64(61))
-        fps[nonempty] = np.where(total >= _M61, total - _M61, total)
+        fps = _segment_polysum(wh, lens)
     return batch.append_column("fingerprint", pa.array(fps.astype(np.int64)))
+
+
+def _segment_polysum(vals: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Per-segment Σ_j vals_j · POLY^(L-1-j) mod 2^61-1 over a flat
+    value array partitioned by `lens` — the ONE definition of the
+    poly-weighted segment fold shared by fingerprint (word hashes) and
+    horner_mod61 (codepoints), so a reduction tweak can never
+    desynchronize the two hash families. Segment sums can exceed 64
+    bits, so the 32-bit halves accumulate separately before the final
+    mod-recombine. Empty segments yield 0."""
+    n = len(lens)
+    out = np.zeros(n, dtype=np.uint64)
+    if not len(vals):
+        return out
+    ends = np.cumsum(lens)
+    rows = np.repeat(np.arange(n), lens)
+    exp = ends[rows] - 1 - np.arange(len(vals))
+    powers = _poly_powers(int(lens.max()))
+    terms = _mulmod61(vals, powers[exp])
+    starts = ends - lens
+    nonempty = lens > 0
+    hi = np.add.reduceat(terms >> np.uint64(32), starts[nonempty])
+    lo = np.add.reduceat(terms & np.uint64(0xFFFFFFFF), starts[nonempty])
+    hi, lo = hi % _M61, lo % _M61
+    two32 = np.full(len(hi), 1 << 32, dtype=np.uint64)
+    total = _mulmod61(hi, two32) + lo  # < 2^62
+    total = (total & _M61) + (total >> np.uint64(61))
+    out[nonempty] = np.where(total >= _M61, total - _M61, total)
+    return out
 
 
 def char_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -411,27 +426,12 @@ def horner_mod61(strings: list) -> np.ndarray:
     concatenation, one segment power-sum with 32-bit-limb reduction."""
     n = len(strings)
     lens = np.fromiter((len(x) for x in strings), np.int64, n)
-    fps = np.zeros(n, dtype=np.uint64)
-    total_chars = int(lens.sum())
-    if total_chars:
-        codes = np.frombuffer(
-            "".join(strings).encode("utf-32-le"), dtype=np.uint32
-        ).astype(np.uint64)
-        ends = np.cumsum(lens)
-        rows = np.repeat(np.arange(n), lens)
-        exp = ends[rows] - 1 - np.arange(total_chars)
-        powers = _poly_powers(int(lens.max()))
-        terms = _mulmod61(codes, powers[exp])
-        starts = ends - lens
-        nonempty = lens > 0
-        hi = np.add.reduceat(terms >> np.uint64(32), starts[nonempty])
-        lo = np.add.reduceat(terms & np.uint64(0xFFFFFFFF), starts[nonempty])
-        hi, lo = hi % _M61, lo % _M61
-        two32 = np.full(len(hi), 1 << 32, dtype=np.uint64)
-        total = _mulmod61(hi, two32) + lo  # < 2^62
-        total = (total & _M61) + (total >> np.uint64(61))
-        fps[nonempty] = np.where(total >= _M61, total - _M61, total)
-    return fps
+    if not lens.sum():
+        return np.zeros(n, dtype=np.uint64)
+    codes = np.frombuffer(
+        "".join(strings).encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.uint64)
+    return _segment_polysum(codes, lens)
 
 
 def hash_features(batch: pa.Table, *, text_col: str = "text",
