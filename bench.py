@@ -129,6 +129,18 @@ HEADLINE = [
     "t_percent_rank",
     "d_char_fingerprint",
     "t_ewma",
+    "q_skyline",
+    "q_grouped_mode",
+    "d_fertility",
+    "t_json_extract",
+    "t_running_total",
+    "d_shard_plan",
+    "d_dup_cluster_sizes",
+    "q_grouped_iqr",
+    "d_prefix_dedup",
+    "d_hash_features",
+    "d_interleave",
+    "d_cms_counts",
 ]
 
 
