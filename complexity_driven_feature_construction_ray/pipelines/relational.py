@@ -799,16 +799,64 @@ def q_approx_distinct(sf_dir: str):
     """Per-flag APPROXIMATE distinct part count via HyperLogLog register
     partials (stages/sketch.py:distinct_hll — O(groups x 2^p) bytes move,
     zero row shuffle; the 100TB path where the exact set-union combiner's
-    driver memory would blow up). ~1.6% expected error at p=12 -> no
-    value-hash oracle; pytest asserts the estimate lands within 5% of
-    exact on this same shape."""
+    driver memory would blow up). The value hash is the replayable
+    degree-2 polynomial family (_hash61), so the SQL oracle rebuilds
+    every register and reproduces the ~1.6%-error ESTIMATE exactly —
+    deterministic public randomness makes an approximate sketch
+    value-verifiable. Pytest keeps the within-5%-of-exact envelope."""
     from ..stages.sketch import distinct_hll
 
     ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_partkey"])
     out = distinct_hll(
         ds, key_cols=["l_returnflag"], value_col="l_partkey", p=12, out_col="n_approx"
     )
+    out["n_approx"] = np.floor(out["n_approx"] * 1e6 + 0.5005) / 1e6
     return out
+
+
+Q_APPROX_DISTINCT_SQL = """
+WITH v AS (
+  SELECT DISTINCT l_returnflag AS flag,
+         CAST(l_partkey AS HUGEINT) % 2305843009213693951 AS x
+  FROM lineitem),
+x1 AS (
+  SELECT flag,
+         (x + 167772161) % 2305843009213693951
+           * 1152921504606846883 % 2305843009213693951 AS x1
+  FROM v),
+h AS (
+  SELECT flag,
+         CAST(((x1 * x1 % 2305843009213693951) * 998244353 % 2305843009213693951
+               + x1 * 754974721 % 2305843009213693951
+               + 167772161) % 2305843009213693951 AS BIGINT) AS h
+  FROM x1),
+b AS (SELECT flag, h // 562949953421312 AS reg, h % 562949953421312 AS rest FROM h),
+rk AS (
+  SELECT flag, reg,
+         max(CASE WHEN rest = 0 THEN 50 ELSE 49 - length(bin(rest)) + 1 END) AS rnk
+  FROM b GROUP BY flag, reg),
+grid AS (
+  SELECT f.flag, g.reg
+  FROM (SELECT DISTINCT l_returnflag AS flag FROM lineitem) f
+  CROSS JOIN (SELECT unnest(generate_series(0, 4095)) AS reg) g),
+regs AS (
+  SELECT grid.flag, COALESCE(rk.rnk, 0) AS rnk
+  FROM grid LEFT JOIN rk ON grid.flag = rk.flag AND grid.reg = rk.reg),
+s AS (
+  SELECT flag, SUM(pow(2.0, -rnk)) AS ssum,
+         SUM(CASE WHEN rnk = 0 THEN 1 ELSE 0 END) AS zeros
+  FROM regs GROUP BY flag),
+est AS (
+  SELECT flag,
+         CASE WHEN (0.7213 / (1 + 1.079 / 4096)) * 4096 * 4096 / ssum <= 2.5 * 4096
+                   AND zeros > 0
+              THEN 4096 * ln(4096 / zeros)
+              ELSE (0.7213 / (1 + 1.079 / 4096)) * 4096 * 4096 / ssum END AS e
+  FROM s)
+SELECT flag AS l_returnflag,
+       floor(e * 1000000 + 0.5005) / 1000000 AS n_approx
+FROM est ORDER BY l_returnflag
+"""
 
 
 def q_filter_sort_topk(sf_dir: str):
@@ -7296,7 +7344,7 @@ QUERIES: dict[str, tuple] = {
     "q_union_distinct": (q_union_distinct, Q_UNION_DISTINCT_SQL),
     "q_shuffle_join": (q_shuffle_join, Q_SHUFFLE_JOIN_SQL),
     "q_skew_join": (q_skew_join, Q_SKEW_JOIN_SQL),
-    "q_approx_distinct": (q_approx_distinct, None),
+    "q_approx_distinct": (q_approx_distinct, Q_APPROX_DISTINCT_SQL),
     "q_corr": (q_corr, Q_CORR_SQL),
     "q_rollup": (q_rollup, Q_ROLLUP_SQL),
     "q_cube": (q_cube, Q_CUBE_SQL),

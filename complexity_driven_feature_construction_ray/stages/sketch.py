@@ -29,9 +29,38 @@ import pyarrow as pa
 
 _HASH_KEY = "0123456789123456"
 
+# HLL value-hash: wrapping pre-mix then a degree-2 polynomial, all mod
+# 2^61-1, with PUBLIC constants so a SQL oracle can re-derive every
+# register (same rationale as CMS_A/CMS_B below). The pre-mix
+# multiplier sits near 2^60 so even tiny sequential ints wrap the
+# modulus — a bare polynomial with small coefficients is MONOTONE on
+# small x (no wrap), which concentrated every register index.
+HLL_PREMIX = 1_152_921_504_606_846_883  # prime near 2^60
+HLL_C2, HLL_C1, HLL_C0 = 998_244_353, 754_974_721, 167_772_161
 
-def _hash_u64(values: np.ndarray) -> np.ndarray:
-    return pd.util.hash_array(values.astype(object), hash_key=_HASH_KEY).astype(np.uint64)
+
+def _hash61(values: np.ndarray) -> np.ndarray:
+    """Replayable 61-bit hash: x1 = (x + C0)·PREMIX mod p, then
+    h = (C2·x1² + C1·x1 + C0) mod p (p = 2^61-1). Integer inputs
+    reduce mod p directly; anything else folds through the replayable
+    Horner string hash first. Exact integer arithmetic end to end —
+    an external engine reproduces it bit-for-bit."""
+    from .text import _M61, _mulmod61, horner_mod61
+
+    v = np.asarray(values)
+    if v.dtype.kind in "iu":
+        x = v.astype(np.uint64) % _M61
+    else:
+        x = horner_mod61([str(s) for s in v])
+    ones = np.ones(len(x), np.uint64)
+    x1 = _mulmod61((x + np.uint64(HLL_C0)) % _M61, ones * np.uint64(HLL_PREMIX))
+    x2 = _mulmod61(x1, x1)
+    h = (
+        _mulmod61(x2, ones * np.uint64(HLL_C2))
+        + _mulmod61(x1, ones * np.uint64(HLL_C1))
+        + np.uint64(HLL_C0)
+    )  # < 2^63, exact
+    return h % _M61
 
 
 def _group_indices(batch: pa.Table, key_cols: list[str]):
@@ -63,15 +92,20 @@ def distinct_exact(ds, *, key_cols: list[str], value_col: str, out_col: str = "n
 def distinct_hll(
     ds, *, key_cols: list[str], value_col: str, p: int = 12, out_col: str = "n_distinct"
 ) -> pd.DataFrame:
-    """Approximate per-group distinct count (HyperLogLog, 2^p registers)."""
+    """Approximate per-group distinct count (HyperLogLog, 2^p registers)
+    over the replayable 61-bit polynomial hash (_hash61): register index
+    = top p bits, rank = leading zeros of the low (61-p) bits + 1. Every
+    register (and therefore the estimate itself) is reproducible by an
+    external engine, so the estimator is value-verifiable."""
     m = 1 << p
+    rest_bits = 61 - p
 
     def part(batch: pa.Table) -> pa.Table:
         codes, uniques = _group_indices(batch, key_cols)
-        h = _hash_u64(batch[value_col].to_numpy(zero_copy_only=False))
-        reg_idx = (h >> np.uint64(64 - p)).astype(np.int64)
-        rest = h << np.uint64(p)
-        # rank = leading zeros of the remaining bits + 1 (capped when 0)
+        h = _hash61(batch[value_col].to_numpy(zero_copy_only=False))
+        reg_idx = (h >> np.uint64(rest_bits)).astype(np.int64)
+        rest = h & np.uint64((1 << rest_bits) - 1)
+        # rank = rest_bits - bit_length(rest) + 1 (capped when rest == 0)
         bl = np.zeros(len(h), dtype=np.int64)  # exact vectorized bit_length
         v = rest.copy()
         for s in (32, 16, 8, 4, 2, 1):
@@ -80,7 +114,7 @@ def distinct_hll(
             bl[has] += s
             v = np.where(has, y, v)
         bl += (v != 0).astype(np.int64)
-        nz = np.where(rest != 0, 64 - bl + 1, 64 - p + 1).astype(np.int64)
+        nz = np.where(rest != 0, rest_bits - bl + 1, rest_bits + 1).astype(np.int64)
         out = {}
         for g in range(len(uniques)):
             sel = codes == g
