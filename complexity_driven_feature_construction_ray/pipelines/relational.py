@@ -3795,6 +3795,60 @@ ORDER BY doc_id, bucket
 """
 
 
+def d_minhash_sig(sf_dir: str):
+    """MinHash signature table with fully REPLAYABLE randomness
+    (stages/sketch.py:minhash_signatures_replayable): word-3-shingles
+    hash through the Horner string hash, 16 affine permutations with
+    public constants, long (doc_id, perm, sig) layout. The SQL oracle
+    re-derives every signature slot, value-verifying the minhash core
+    the LSH dedup family rests on (the dedup path keeps its tuned
+    private hash — bucketing isn't SQL-expressible anyway)."""
+    from ..stages.sketch import minhash_signatures_replayable
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = minhash_signatures_replayable(ds).to_pandas()
+    return out.sort_values(["doc_id", "perm"]).reset_index(drop=True)
+
+
+D_MINHASH_SIG_SQL = """
+WITH RECURSIVE w AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w,
+         generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS i
+  FROM documents),
+t AS (
+  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS tg
+  FROM w a
+  JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+sh AS (SELECT DISTINCT tg FROM t),
+pw(k, v) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT k + 1, (v * 1000003) % 2305843009213693951 FROM pw
+  WHERE k < (SELECT COALESCE(max(length(tg)), 0) FROM sh)),
+ch AS (
+  SELECT tg, length(tg) AS L,
+         unnest(regexp_extract_all(tg, '.')) AS cc,
+         generate_subscripts(regexp_extract_all(tg, '.'), 1) AS j
+  FROM sh),
+h AS (
+  SELECT tg, CAST(SUM(CAST(ord(cc) AS HUGEINT) * pw.v)
+                  % 2305843009213693951 AS BIGINT) AS hw
+  FROM ch JOIN pw ON pw.k = L - j GROUP BY tg),
+perms AS (
+  SELECT d,
+         (998244353 * (d + 1)) % 2305843009213693951 AS a,
+         (167772161 * d) % 2305843009213693951 AS b
+  FROM (SELECT unnest(generate_series(0, 15)) AS d))
+SELECT t.doc_id, perms.d AS perm,
+       CAST(min((CAST(h.hw AS HUGEINT) * perms.a % 2305843009213693951
+                 + perms.b) % 2305843009213693951) AS BIGINT) AS sig
+FROM t JOIN h USING (tg) CROSS JOIN perms
+GROUP BY t.doc_id, perms.d
+ORDER BY t.doc_id, perm
+"""
+
+
 def d_knn_ivf(sf_dir: str):
     """IVF-bucketed approximate nearest neighbors (recall < 1 by design
     vs the exact d_knn; rows-only check)."""
@@ -7438,6 +7492,7 @@ QUERIES: dict[str, tuple] = {
     "d_fingerprint": (d_fingerprint, None),
     "d_char_fingerprint": (d_char_fingerprint, D_CHAR_FINGERPRINT_SQL),
     "d_hash_features": (d_hash_features, D_HASH_FEATURES_SQL),
+    "d_minhash_sig": (d_minhash_sig, D_MINHASH_SIG_SQL),
     "d_knn_ivf": (d_knn_ivf, None),
     "m_decode": (m_decode, None),
     "m_decode_ppm": (m_decode_ppm, None),

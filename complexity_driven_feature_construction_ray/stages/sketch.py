@@ -328,3 +328,71 @@ def cms_token_counts(
         np.stack([cms[d][pos[d]] for d in range(depth)]), axis=0
     )
     return pd.DataFrame({"token": query_tokens, "approx_n": est.astype(np.int64)})
+
+
+# replayable MinHash permutation family: perm_d(s) = (A_d·s + B_d) mod p
+# over the Horner shingle hash, A_d/B_d derived from public constants
+MINHASH_A_BASE, MINHASH_B_BASE = 998_244_353, 167_772_161
+
+
+def minhash_signatures_replayable(
+    ds, *, text_col: str = "text", id_col: str = "doc_id",
+    num_perm: int = 16, shingle_words: int = 3,
+):
+    """MinHash signatures whose every bit an external engine can
+    re-derive: word shingles hash through the replayable Horner string
+    hash, permutations are the affine family (A_d·s + B_d) mod 2^61-1
+    with A_d = A·(d+1) mod p, B_d = B·d mod p. Output is LONG layout
+    (id, perm, sig) — one row per signature slot. This value-verifies
+    the minhash CORE that the LSH dedup family builds on (the dedup
+    path itself keeps its tuned private hash; bucketing isn't
+    SQL-expressible anyway). Row-local, zero exchange; per-perm mins
+    are one minimum.reduceat over the shingle segments."""
+    from .text import _M61, _mulmod61, horner_mod61
+
+    p = int(_M61)
+    A = np.array([(MINHASH_A_BASE * (d + 1)) % p for d in range(num_perm)], np.uint64)
+    B = np.array([(MINHASH_B_BASE * d) % p for d in range(num_perm)], np.uint64)
+    k = shingle_words - 1
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch[text_col].to_pandas()).fillna("")
+        ex = s.str.findall(r"\S+").explode().dropna()
+        empty = pa.table({
+            id_col: pa.array([], type=batch[id_col].type),
+            "perm": pa.array([], type=pa.int64()),
+            "sig": pa.array([], type=pa.int64()),
+        })
+        if len(ex) <= k:
+            return empty
+        rows = ex.index.to_numpy(dtype=np.int64)
+        words = ex.to_numpy(dtype="U")
+        valid = rows[:-k] == rows[k:]
+        if not valid.any():
+            return empty
+        tg = words[:-k]
+        for j in range(1, shingle_words):
+            tg = np.char.add(np.char.add(tg, " "), words[j:len(words) - k + j])
+        srow = rows[:-k][valid]
+        sh = horner_mod61(list(tg[valid]))
+        # contiguous segments per source row (explode preserves order)
+        first = np.ones(len(srow), dtype=bool)
+        first[1:] = srow[1:] != srow[:-1]
+        starts = np.flatnonzero(first)
+        urow = srow[starts]
+        out_id, out_perm, out_sig = [], [], []
+        ids_col = batch[id_col].take(pa.array(urow))
+        for d in range(num_perm):
+            hp = (_mulmod61(sh, np.full(len(sh), A[d], np.uint64))
+                  + B[d]) % _M61
+            mins = np.minimum.reduceat(hp, starts)
+            out_id.append(ids_col)
+            out_perm.append(pa.array(np.full(len(urow), d, np.int64)))
+            out_sig.append(pa.array(mins.astype(np.int64)))
+        return pa.table({
+            id_col: pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_id]),
+            "perm": pa.concat_arrays(out_perm),
+            "sig": pa.concat_arrays(out_sig),
+        })
+
+    return ds.map_batches(sigs, batch_format="pyarrow")

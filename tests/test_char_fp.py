@@ -45,3 +45,32 @@ def test_hash_features_counts(ray_session):
     else:
         assert got == {cat_b: 2, dog_b: 1}
     assert (out["doc_id"] == 1).all()  # empty doc emits nothing
+
+
+def test_minhash_sig_replayable_properties(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from complexity_driven_feature_construction_ray.stages.sketch import (
+        minhash_signatures_replayable,
+    )
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "a b c d e",
+            "a b c d e",         # identical -> identical signature
+            "a b c d e f g h",   # superset of doc 1's shingles
+            "x y",               # < 3 words -> no signature rows
+        ],
+    })
+    out = (minhash_signatures_replayable(ray.data.from_pandas(pdf))
+           .to_pandas().sort_values(["doc_id", "perm"]))
+    s1 = out[out.doc_id == 1]["sig"].to_numpy()
+    s2 = out[out.doc_id == 2]["sig"].to_numpy()
+    s3 = out[out.doc_id == 3]["sig"].to_numpy()
+    assert len(s1) == 16
+    assert (s1 == s2).all()
+    # doc 3's shingle set contains doc 1's: per-perm min can only drop
+    assert (s3 <= s1).all()
+    assert not (out.doc_id == 4).any()
