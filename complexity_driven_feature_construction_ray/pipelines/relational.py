@@ -3133,6 +3133,50 @@ LIMIT 25
 D_PAGERANK_SQL = _pagerank_sql(n_iter=8, d=0.85)
 
 
+def q_components(sf_dir: str):
+    """Distributed connected components over a SQL-EXPRESSIBLE edge set
+    (the sparse supplier→part purchase graph; same Pregel-style
+    min-label + pointer-jumping engine as d_components, whose LSH edge
+    set can't be replayed in SQL). The oracle computes the exact
+    fixpoint via a recursive transitive-closure CTE + min aggregate —
+    so the iterative engine's convergence, not just one step, is
+    value-verified."""
+    import ray.data as _rd  # noqa: F401
+
+    from ..stages.graph import connected_components
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_partkey"],
+        where=pc.bit_wise_and(pc.field("l_orderkey"), 63) == 0,
+    )
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": batch["l_suppkey"].cast(pa.int64()),
+            "dst": pc.add(batch["l_partkey"].cast(pa.int64()), pa.scalar(10_000_000)),
+        })
+
+    out = connected_components(
+        li.map_batches(to_edges, batch_format="pyarrow"), max_iter=30
+    )
+    return out.to_pandas().sort_values("id").reset_index(drop=True)
+
+
+Q_COMPONENTS_SQL = """
+WITH RECURSIVE e AS (
+  SELECT CAST(l_suppkey AS BIGINT) AS u,
+         CAST(l_partkey AS BIGINT) + 10000000 AS v
+  FROM lineitem WHERE (l_orderkey & 63) = 0),
+ud AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+reach(a, b) AS (
+  SELECT u AS a, u AS b FROM ud
+  UNION
+  SELECT r.a, ud.v AS b FROM reach r JOIN ud ON ud.u = r.b)
+SELECT a AS id, min(b) AS component
+FROM reach GROUP BY a ORDER BY id
+"""
+
+
 def d_pagerank(sf_dir: str):
     """Distributed checkpointed PageRank (stages/graph.py:pagerank)
     over the supplier→part purchase graph (a deterministic lineitem
@@ -7478,6 +7522,7 @@ QUERIES: dict[str, tuple] = {
     "d_knn": (d_knn, D_KNN_SQL),
     "d_minhash_dedup": (d_minhash_dedup, None),
     "d_components": (d_components, None),
+    "q_components": (q_components, Q_COMPONENTS_SQL),
     "d_simhash_dedup": (d_simhash_dedup, None),
     "d_embedding_dedup": (d_embedding_dedup, None),
     "f_rod": (f_rod, F_ROD_SQL),

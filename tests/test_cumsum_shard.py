@@ -54,3 +54,28 @@ def test_interleave_round_robin_property(ray_session):
     n_src = out["source"].nunique()
     first_round = out.head(n_src)
     assert first_round["source"].nunique() == n_src
+
+
+def test_q_components_matches_union_find(ray_session):
+    from complexity_driven_feature_construction_ray.pipelines.relational import q_components
+
+    out = q_components("/root/testdata/sf0.001")
+    li = pd.read_parquet("/root/testdata/sf0.001/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey", "l_partkey"])
+    li = li[li.l_orderkey & 63 == 0]
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for _, r in li.iterrows():
+        a, b = find(int(r.l_suppkey)), find(int(r.l_partkey) + 10_000_000)
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    # normalize to min-id representative
+    exp = {n: find(n) for n in list(parent)}
+    got = dict(zip(out["id"], out["component"]))
+    assert got == exp
