@@ -3893,6 +3893,53 @@ ORDER BY t.doc_id, perm
 """
 
 
+def d_simhash_sig(sf_dir: str):
+    """Replayable SimHash signature table (32-bit, packed int64):
+    stages/sketch.py:simhash_replayable — sibling of d_minhash_sig; the
+    oracle re-derives every signature bit, value-verifying the simhash
+    core under the Hamming-band dedup (d_simhash_dedup keeps its tuned
+    private hash; banding isn't SQL-expressible)."""
+    from ..stages.sketch import simhash_replayable
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = simhash_replayable(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+D_SIMHASH_SIG_SQL = """
+WITH RECURSIVE w AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents),
+dt AS (SELECT DISTINCT t FROM w),
+pw(k, v) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT k + 1, (v * 1000003) % 2305843009213693951 FROM pw
+  WHERE k < (SELECT COALESCE(max(length(t)), 0) FROM dt)),
+ch AS (
+  SELECT t, length(t) AS L,
+         unnest(regexp_extract_all(t, '.')) AS cc,
+         generate_subscripts(regexp_extract_all(t, '.'), 1) AS j
+  FROM dt),
+h AS (
+  SELECT t, CAST(SUM(CAST(ord(cc) AS HUGEINT) * pw.v)
+                 % 2305843009213693951 AS BIGINT) AS hw
+  FROM ch JOIN pw ON pw.k = L - j GROUP BY t),
+bits AS (SELECT unnest(generate_series(0, 31)) AS j),
+v AS (
+  SELECT w.doc_id, bits.j,
+         SUM(CASE WHEN (h.hw >> bits.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM w JOIN h USING (t) CROSS JOIN bits
+  GROUP BY w.doc_id, bits.j),
+sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+  FROM v GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(sig.simhash, 0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sig USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def d_knn_ivf(sf_dir: str):
     """IVF-bucketed approximate nearest neighbors (recall < 1 by design
     vs the exact d_knn; rows-only check)."""
@@ -4543,6 +4590,63 @@ def d_dedup_apply(sf_dir: str):
     ds = _perturbed_docs(sf_dir)
     clusters = minhash_lsh_dedup(ds, threshold=0.5)
     return apply_dedup(ds, clusters).select_columns(["doc_id"])
+
+
+def d_dedup_apply_exact(sf_dir: str):
+    """The SAME streaming anti-join apply path as d_dedup_apply, fed an
+    EXACT-dup cluster map instead of the LSH one — which makes the
+    whole consume path SQL-verifiable (d_dedup_apply stays rows-only
+    because LSH bucketing isn't SQL-expressible). Injection: doc_id%9==2
+    docs get a verbatim clone at doc_id+10M; survivors are the min
+    doc_id of each text group."""
+    from ..stages.dedup import apply_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        txt = batch["text"].to_pandas().to_numpy(object)
+        hit = np.flatnonzero(ids % 9 == 2)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([ids, ids[hit] + 10_000_000])),
+            "text": pa.array(np.concatenate([txt, txt[hit]]), type=pa.string()),
+        })
+
+    both = ds.map_batches(inject, batch_format="pyarrow")
+
+    # exact cluster map: content-hash cells co-locate by hash; each
+    # bucket emits ONLY its non-min ids, so what reaches the driver is
+    # the dup-id set apply_dedup broadcasts anyway — never the corpus
+    def cells(batch: pa.Table) -> pa.Table:
+        txt = pd.Series(batch["text"].to_pandas()).fillna("")
+        return pa.table({
+            "h": pa.array(pd.util.hash_array(txt.to_numpy(object)).astype(np.int64)),
+            "id": batch["doc_id"],
+        })
+
+    from ..stages.temporal import grouped_map
+
+    def dups(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("h")["id"].transform("min")
+        return g.loc[g["id"] != m, ["id"]]
+
+    dup_ids = grouped_map(
+        both.map_batches(cells, batch_format="pyarrow"), "h", dups
+    ).to_pandas()["id"]
+    clusters = pd.DataFrame({"id": dup_ids, "is_dup": True})
+    out = apply_dedup(both, clusters).select_columns(["doc_id"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+D_DEDUP_APPLY_EXACT_SQL = """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 9 = 2)
+SELECT doc_id FROM d
+QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+ORDER BY doc_id
+"""
 
 
 def d_decontaminate(sf_dir: str):
@@ -7538,6 +7642,7 @@ QUERIES: dict[str, tuple] = {
     "d_char_fingerprint": (d_char_fingerprint, D_CHAR_FINGERPRINT_SQL),
     "d_hash_features": (d_hash_features, D_HASH_FEATURES_SQL),
     "d_minhash_sig": (d_minhash_sig, D_MINHASH_SIG_SQL),
+    "d_simhash_sig": (d_simhash_sig, D_SIMHASH_SIG_SQL),
     "d_knn_ivf": (d_knn_ivf, None),
     "m_decode": (m_decode, None),
     "m_decode_ppm": (m_decode_ppm, None),
@@ -7550,6 +7655,7 @@ QUERIES: dict[str, tuple] = {
     "f_nsga2": (f_nsga2, None),
     "f_select": (f_select, None),
     "d_dedup_apply": (d_dedup_apply, None),
+    "d_dedup_apply_exact": (d_dedup_apply_exact, D_DEDUP_APPLY_EXACT_SQL),
     "d_decontaminate": (d_decontaminate, D_DECONTAMINATE_SQL),
     "tok_backfill": (tok_backfill, TOK_BACKFILL_SQL),
     "tok_resumable": (tok_resumable, TOK_RESUMABLE_SQL),

@@ -396,3 +396,35 @@ def minhash_signatures_replayable(
         })
 
     return ds.map_batches(sigs, batch_format="pyarrow")
+
+
+def simhash_replayable(
+    ds, *, text_col: str = "text", id_col: str = "doc_id", bits: int = 32,
+):
+    """SimHash signatures (Charikar 2002) whose every bit an external
+    engine can re-derive: token hash = replayable Horner, bit j of the
+    signature = sign of Σ_tokens (2·bit_j(h) − 1) with token
+    multiplicity as the weight and ties (sum 0) resolving to 1.
+    Returns (id, simhash) with the `bits` low bits packed into int64.
+    Row-local, zero exchange; per-bit sums are `bits` bincounts over
+    the flat token array."""
+    from .text import horner_mod61
+
+    def sig(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch[text_col].to_pandas()).fillna("")
+        ex = s.str.findall(r"\S+").explode().dropna()
+        n = len(s)
+        packed = np.zeros(n, dtype=np.int64)
+        if len(ex):
+            rows = ex.index.to_numpy(dtype=np.int64)
+            h = horner_mod61(ex.tolist())
+            counts = np.bincount(rows, minlength=n).astype(np.int64)
+            for j in range(bits):
+                bj = ((h >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+                ones = np.bincount(rows, weights=bj, minlength=n).astype(np.int64)
+                v = 2 * ones - counts  # Σ (2b-1)
+                packed |= (v >= 0).astype(np.int64) << j
+            packed[counts == 0] = 0
+        return pa.table({id_col: batch[id_col], "simhash": pa.array(packed)})
+
+    return ds.map_batches(sig, batch_format="pyarrow")

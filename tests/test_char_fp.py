@@ -74,3 +74,26 @@ def test_minhash_sig_replayable_properties(ray_session):
     # doc 3's shingle set contains doc 1's: per-perm min can only drop
     assert (s3 <= s1).all()
     assert not (out.doc_id == 4).any()
+
+
+def test_simhash_replayable_properties(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from complexity_driven_feature_construction_ray.stages.sketch import simhash_replayable
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "alpha beta gamma delta epsilon zeta",
+            "alpha beta gamma delta epsilon zeta",  # identical -> equal sig
+            "alpha beta gamma delta epsilon eta",   # one word differs -> small Hamming
+            "",                                      # empty -> 0
+        ],
+    })
+    out = (simhash_replayable(ray.data.from_pandas(pdf))
+           .to_pandas().set_index("doc_id")["simhash"])
+    assert out[1] == out[2]
+    ham = bin(int(out[1]) ^ int(out[3])).count("1")
+    assert 0 < ham <= 16  # near-dup stays close in Hamming space
+    assert out[4] == 0
