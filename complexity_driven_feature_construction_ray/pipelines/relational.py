@@ -3893,6 +3893,91 @@ ORDER BY t.doc_id, perm
 """
 
 
+def d_embed_quantize(sf_dir: str):
+    """int8 embedding-quantization audit: per-dim [min,max] cells →
+    row-local quantize/dequantize → per-vector reconstruction MSE
+    (stages/embedding.py:quantize_error). Every arithmetic step is the
+    same IEEE double op in both engines; only the per-vector sum is
+    order-sensitive, so the MSE ships through the biased quantizer."""
+    from ..stages.embedding import quantize_error
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = quantize_error(ds).to_pandas()
+    out["mse"] = np.floor(out["mse"] * 1e9 + 0.5005) / 1e9
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+D_EMBED_QUANTIZE_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings),
+mm AS (SELECT d, min(x) AS lo, max(x) AS hi FROM e GROUP BY d),
+q AS (
+  SELECT vec_id, x, lo, hi,
+         CASE WHEN hi = lo THEN 0
+              ELSE least(greatest(floor((x - lo) / (hi - lo) * 255 + 0.5), 0), 255)
+         END AS qv
+  FROM e JOIN mm USING (d)),
+r AS (
+  SELECT vec_id, x,
+         CASE WHEN hi = lo THEN lo ELSE lo + qv / 255.0 * (hi - lo) END AS deq
+  FROM q)
+SELECT vec_id,
+       floor(SUM((x - deq) * (x - deq)) / count(*) * 1000000000 + 0.5005)
+         / 1000000000 AS mse
+FROM r GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+def fe_woe(sf_dir: str):
+    """Weight-of-evidence categorical encoding (credit-scoring
+    classic): per order-priority, ln of the smoothed odds ratio of
+    status='F'. One O(categories) cell exchange; the ln runs on
+    identical smoothed ratios in both engines (1-ulp libm differences
+    absorbed by the biased quantizer)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_orderpriority": batch["o_orderpriority"].to_pandas(),
+            "pos": (batch["o_orderstatus"].to_pandas() == "F").astype(np.int64),
+        })
+        df["neg"] = 1 - df["pos"]
+        return pa.Table.from_pandas(
+            df.groupby("o_orderpriority", as_index=False)[["pos", "neg"]].sum(),
+            preserve_index=False,
+        )
+
+    out = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("pos", alias_name="pos"), Sum("neg", alias_name="neg"))
+        .to_pandas()
+    )
+    pt, nt = out["pos"].sum(), out["neg"].sum()
+    woe = np.log(((out["pos"] + 0.5) / pt) / ((out["neg"] + 0.5) / nt))
+    out["woe"] = np.floor(woe * 1e6 + 0.5005) / 1e6
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+FE_WOE_SQL = """
+WITH c AS (
+  SELECT o_orderpriority,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+  FROM orders GROUP BY o_orderpriority),
+t AS (SELECT sum(pos) AS pt, sum(neg) AS nt FROM c)
+SELECT o_orderpriority, pos, neg,
+       floor(ln(((pos + 0.5) / (SELECT pt FROM t))
+                / ((neg + 0.5) / (SELECT nt FROM t))) * 1000000 + 0.5005)
+         / 1000000 AS woe
+FROM c ORDER BY o_orderpriority
+"""
+
+
 def d_simhash_sig(sf_dir: str):
     """Replayable SimHash signature table (32-bit, packed int64):
     stages/sketch.py:simhash_replayable — sibling of d_minhash_sig; the
@@ -7643,6 +7728,8 @@ QUERIES: dict[str, tuple] = {
     "d_hash_features": (d_hash_features, D_HASH_FEATURES_SQL),
     "d_minhash_sig": (d_minhash_sig, D_MINHASH_SIG_SQL),
     "d_simhash_sig": (d_simhash_sig, D_SIMHASH_SIG_SQL),
+    "d_embed_quantize": (d_embed_quantize, D_EMBED_QUANTIZE_SQL),
+    "fe_woe": (fe_woe, FE_WOE_SQL),
     "d_knn_ivf": (d_knn_ivf, None),
     "m_decode": (m_decode, None),
     "m_decode_ppm": (m_decode_ppm, None),

@@ -410,3 +410,58 @@ def centroid_outliers(
         .sort(["dist", id_col], descending=[True, False])
         .limit(k)
     )
+
+
+def quantize_error(ds, *, emb_col: str = "embedding", id_col: str = "vec_id"):
+    """Scalar int8-style quantization audit: per-dimension [min, max]
+    from ONE mergeable cell pass, then a row-local quantize→dequantize
+    and the per-vector reconstruction MSE — the standard check before
+    shipping quantized embedding shards. All arithmetic is plain
+    double-precision with floor(x+0.5) rounding, so an external engine
+    replays the exact error values (the per-vector SUM is the only
+    order-sensitive step; callers quantize the MSE before hashing).
+    Constant dimensions (max == min) quantize to code 0 and dequantize
+    to the constant — zero error."""
+    from ray.data.aggregate import Max, Min
+
+    from .arrowutil import list_column_matrix
+
+    def cells(batch: pa.Table) -> pa.Table:
+        m = list_column_matrix(batch[emb_col], dtype=np.float64)
+        if not m.size:
+            return pa.table({"d": pa.array([], type=pa.int64()),
+                             "lo": pa.array([], type=pa.float64()),
+                             "hi": pa.array([], type=pa.float64())})
+        return pa.table({
+            "d": pa.array(np.arange(m.shape[1], dtype=np.int64)),
+            "lo": pa.array(m.min(axis=0)),
+            "hi": pa.array(m.max(axis=0)),
+        })
+
+    mm = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("d")
+        .aggregate(Min("lo", alias_name="lo"), Max("hi", alias_name="hi"))
+        .to_pandas().sort_values("d")
+    )
+    lo = mm["lo"].to_numpy(np.float64)
+    hi = mm["hi"].to_numpy(np.float64)
+    import ray
+    lo_ref, hi_ref = ray.put(lo), ray.put(hi)
+
+    def err(batch: pa.Table) -> pa.Table:
+        l, h = ray.get(lo_ref), ray.get(hi_ref)
+        m = list_column_matrix(batch[emb_col], dtype=np.float64)
+        span = h - l
+        const = span == 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            q = np.floor((m - l) / span * 255 + 0.5)
+        q = np.clip(np.where(const, 0.0, q), 0, 255)
+        deq = np.where(const, l, l + q / 255.0 * span)
+        e = m - deq
+        return pa.table({
+            id_col: batch[id_col],
+            "mse": pa.array((e * e).sum(axis=1) / m.shape[1]),
+        })
+
+    return ds.map_batches(err, batch_format="pyarrow")

@@ -36,3 +36,35 @@ def test_grouped_iqr_matches_numpy_disc(ray_session):
         assert out.loc[flag, "p25"] == p25
         assert out.loc[flag, "p75"] == p75
         assert out.loc[flag, "iqr"] == p75 - p25
+
+
+def test_embed_quantize_error_bounds(ray_session):
+    from complexity_driven_feature_construction_ray.pipelines.relational import d_embed_quantize
+
+    out = d_embed_quantize("/root/testdata/sf0.001")
+    emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                          columns=["embedding"])
+    M = np.stack(emb["embedding"].to_numpy())
+    span = M.max(axis=0) - M.min(axis=0)
+    # max per-element error is span/510 (half a quantization step)
+    bound = float(np.mean((span / 510.0) ** 2))
+    assert (out["mse"] >= 0).all()
+    assert (out["mse"] <= bound + 1e-12).all()
+    assert out["mse"].max() > 0
+
+
+def test_woe_sign_and_reference(ray_session):
+    from complexity_driven_feature_construction_ray.pipelines.relational import fe_woe
+
+    out = fe_woe("/root/testdata/sf0.001")
+    orders = pd.read_parquet("/root/testdata/sf0.001/orders.parquet",
+                             columns=["o_orderpriority", "o_orderstatus"])
+    for _, r in out.iterrows():
+        g = orders[orders.o_orderpriority == r.o_orderpriority]
+        pos = int((g.o_orderstatus == "F").sum())
+        neg = len(g) - pos
+        assert r.pos == pos and r.neg == neg
+        pt = int((orders.o_orderstatus == "F").sum())
+        nt = len(orders) - pt
+        exp = np.log(((pos + 0.5) / pt) / ((neg + 0.5) / nt))
+        assert abs(r.woe - exp) < 2e-6
