@@ -5292,6 +5292,118 @@ FROM c GROUP BY 1 ORDER BY shard
 """
 
 
+def t_seasonality(sf_dir: str):
+    """Hour-of-day × event-type seasonality profile (the calendar
+    EXTRACT family): row-local hour index, one O(types×24) cell
+    exchange, per-cell count + quantized mean value."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()).to_numpy()
+        hour = (us // 3_600_000_000) % 24
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pandas(),
+            "hour": hour.astype(np.int64),
+            "n": 1,
+            "vsum": batch["value"].to_numpy(zero_copy_only=False),
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["event_type", "hour"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    out = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("n", alias_name="n"), Sum("vsum", alias_name="vsum"))
+        .to_pandas()
+    )
+    out["avg_value"] = np.floor(out.pop("vsum") / out["n"] * 1e6 + 0.5005) / 1e6
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+T_SEASONALITY_SQL = """
+SELECT event_type,
+       (epoch_us(ts) // 3600000000) % 24 AS hour,
+       count(*) AS n,
+       floor(avg(value) * 1000000 + 0.5005) / 1000000 AS avg_value
+FROM events
+GROUP BY event_type, hour
+ORDER BY event_type, hour
+"""
+
+
+def t_late_events(sf_dir: str):
+    """Out-of-order arrival detection (the streaming watermark
+    question): an event is LATE if its timestamp precedes the running
+    maximum over earlier event_ids of the same user. One entity
+    shuffle; the running max is a C-level grouped cummax. Returns the
+    per-user late count and first late event id (only users with
+    late events). The fixture's timestamps are perfectly ordered, so a
+    deterministic slice (event_id % 37 == 5) is shifted 45 minutes into
+    the past in BOTH engines — the detection path runs on real
+    out-of-order data."""
+    from ..stages.temporal import grouped_map
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"], split=True)
+
+    def inject(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()).to_numpy()
+        eid = batch["event_id"].to_numpy()
+        shifted = np.where(eid % 37 == 5, us - 45 * 60 * 1_000_000, us)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "ts": pa.array(shifted.astype("datetime64[us]")),
+            "user_id": batch["user_id"],
+        })
+
+    ds = ds.map_batches(inject, batch_format="pyarrow")
+
+    def late(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_id"], kind="stable")
+        run = g.groupby("user_id", sort=False)["ts"].cummax()
+        is_late = g["ts"].to_numpy() < run.to_numpy()
+        lg = g.loc[is_late]
+        if not len(lg):
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=np.int64),
+                "n_late": pd.Series([], dtype=np.int64),
+                "first_late": pd.Series([], dtype=np.int64),
+            })
+        agg = lg.groupby("user_id")["event_id"].agg(["size", "min"]).reset_index()
+        return pd.DataFrame({
+            "user_id": agg["user_id"].to_numpy(np.int64),
+            "n_late": agg["size"].to_numpy(np.int64),
+            "first_late": agg["min"].to_numpy(np.int64),
+        })
+
+    out = grouped_map(ds, "user_id", late).to_pandas()
+    if "user_id" not in out.columns:  # all buckets empty -> schemaless
+        out = pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                            "n_late": pd.Series([], dtype=np.int64),
+                            "first_late": pd.Series([], dtype=np.int64)})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+T_LATE_EVENTS_SQL = """
+WITH e AS (
+  SELECT user_id, event_id,
+         CASE WHEN event_id % 37 = 5 THEN ts - INTERVAL 45 MINUTE
+              ELSE ts END AS ts
+  FROM events),
+r AS (
+  SELECT user_id, event_id, ts,
+         max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+  FROM e)
+SELECT user_id, count(*) AS n_late, min(event_id) AS first_late
+FROM r WHERE ts < runmax
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 def t_json_extract(sf_dir: str):
     """Semi-structured extraction from the event payload column: pull
     the integer field k out of the JSON props string with one
@@ -7669,6 +7781,8 @@ QUERIES: dict[str, tuple] = {
     "t_ewma": (t_ewma, T_EWMA_SQL),
     "t_anomaly": (t_anomaly, T_ANOMALY_SQL),
     "t_json_extract": (t_json_extract, T_JSON_EXTRACT_SQL),
+    "t_seasonality": (t_seasonality, T_SEASONALITY_SQL),
+    "t_late_events": (t_late_events, T_LATE_EVENTS_SQL),
     "t_running_total": (t_running_total, T_RUNNING_TOTAL_SQL),
     "d_shard_plan": (d_shard_plan, D_SHARD_PLAN_SQL),
     "q_scd2": (q_scd2, Q_SCD2_SQL),

@@ -53,3 +53,29 @@ def test_t_anomaly_matches_bruteforce(ray_session):
     assert len(out) == len(exp) > 0
     assert (out["event_id"].to_numpy() == exp["event_id"].to_numpy()).all()
     np.testing.assert_allclose(out["z"].to_numpy(), exp["z"].to_numpy(), atol=1e-9)
+
+
+def test_late_events_bruteforce(ray_session):
+    from complexity_driven_feature_construction_ray.pipelines.relational import t_late_events
+
+    out = t_late_events("/root/testdata/sf0.001")
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+    ev.loc[ev.event_id % 37 == 5, "ts"] -= pd.Timedelta(minutes=45)
+    exp = {}
+    for uid, g in ev.sort_values("event_id").groupby("user_id"):
+        run = g["ts"].cummax().shift(1)
+        late = g[g["ts"] < run]
+        if len(late):
+            exp[uid] = (len(late), int(late["event_id"].min()))
+    got = {int(r.user_id): (int(r.n_late), int(r.first_late))
+           for _, r in out.iterrows()}
+    assert got == exp and len(exp) > 0
+
+
+def test_seasonality_counts(ray_session):
+    from complexity_driven_feature_construction_ray.pipelines.relational import t_seasonality
+
+    out = t_seasonality("/root/testdata/sf0.001")
+    assert out["n"].sum() == 1000
+    assert set(out["hour"]) <= set(range(24))
