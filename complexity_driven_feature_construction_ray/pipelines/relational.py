@@ -6763,13 +6763,60 @@ ORDER BY source, topic
 def d_dsir(sf_dir: str):
     """DSIR importance weights (Xie et al. 2023): hashed-unigram
     log-ratio of the English-language target domain vs the raw corpus,
-    scored per document in one vectorized pass. The hash bucketing is
-    not SQL-expressible -> rows-only check; pytest plants vocabulary-
-    disjoint domains and asserts target-like docs outrank the rest."""
+    scored per document in one vectorized pass. Runs with the
+    REPLAYABLE Horner bucketing, so the SQL oracle re-derives the
+    smoothed log-ratio table and every document weight; pytest
+    additionally plants vocabulary-disjoint domains and asserts
+    target-like docs outrank the rest."""
     from ..stages.text import dsir_weights
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    return dsir_weights(ds, target_col="lang", target_value="en").sort("doc_id")
+    return dsir_weights(
+        ds, target_col="lang", target_value="en", replayable=True
+    ).sort("doc_id")
+
+
+D_DSIR_SQL = """
+WITH RECURSIVE w AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents),
+dt AS (SELECT DISTINCT t FROM w),
+pw(k, v) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT k + 1, (v * 1000003) % 2305843009213693951 FROM pw
+  WHERE k < (SELECT COALESCE(max(length(t)), 0) FROM dt)),
+ch AS (
+  SELECT t, length(t) AS L,
+         unnest(regexp_extract_all(t, '.')) AS cc,
+         generate_subscripts(regexp_extract_all(t, '.'), 1) AS j
+  FROM dt),
+h AS (
+  SELECT t, CAST(SUM(CAST(ord(cc) AS HUGEINT) * pw.v)
+                 % 2305843009213693951 AS BIGINT) % 4096 AS bucket
+  FROM ch JOIN pw ON pw.k = L - j GROUP BY t),
+tok AS (
+  SELECT w.doc_id, h.bucket, (d.lang = 'en') AS is_tgt
+  FROM w JOIN h USING (t) JOIN documents d USING (doc_id)),
+c AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS DOUBLE) AS tgt,
+         CAST(count(*) AS DOUBLE) AS raw
+  FROM tok GROUP BY bucket),
+tot AS (SELECT sum(tgt) AS T, sum(raw) AS R FROM c),
+lr AS (
+  SELECT bucket,
+         ln(((tgt + 0.5) / ((SELECT T FROM tot) + 0.5 * 4096))
+            / ((raw + 0.5) / ((SELECT R FROM tot) + 0.5 * 4096))) AS logratio
+  FROM c),
+per AS (
+  SELECT tok.doc_id, count(*) AS n_tok, sum(lr.logratio) AS logw
+  FROM tok JOIN lr USING (bucket) GROUP BY tok.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_tok, 0) AS BIGINT) AS n_tok,
+       floor(COALESCE(per.logw, 0) * 1000000 + 0.5005) / 1000000 AS logw
+FROM documents d LEFT JOIN per USING (doc_id)
+ORDER BY d.doc_id
+"""
 
 
 def fe_boxcox(sf_dir: str):
@@ -7863,7 +7910,7 @@ QUERIES: dict[str, tuple] = {
     "d_kl_mix": (d_kl_mix, D_KL_MIX_SQL),
     "d_temperature_mix": (d_temperature_mix, D_TEMPERATURE_MIX_SQL),
     "d_keyword_tag": (d_keyword_tag, D_KEYWORD_TAG_SQL),
-    "d_dsir": (d_dsir, None),
+    "d_dsir": (d_dsir, D_DSIR_SQL),
     "tok_bigram_counts": (tok_bigram_counts, TOK_BIGRAM_SQL),
     "q_intersect": (q_intersect, Q_INTERSECT_SQL),
     "q_except": (q_except, Q_EXCEPT_SQL),

@@ -721,6 +721,7 @@ def dsir_weights(
     id_col: str = "doc_id",
     dim: int = 4096,
     smoothing: float = 0.5,
+    replayable: bool = False,
 ):
     """DSIR-style importance weights (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): hashed-unigram
@@ -732,16 +733,29 @@ def dsir_weights(
     rows max per batch) through one dim-sized hash aggregate; the
     smoothed log-ratio vector (dim floats) broadcasts back by closure.
     Pass 2 scores each document with one explode + bincount — no
-    per-row Python. Returns (id, n_tok, logw) per document."""
+    per-row Python. Returns (id, n_tok, logw) per document.
+
+    replayable=True buckets words through the public Horner hash and
+    quantizes logw with the biased half-up rule, so a SQL engine can
+    re-derive every weight (the default keeps the tuned private hash)."""
     from ray.data.aggregate import Sum
 
     from .dedup import _flat_words
 
     udim = np.uint64(dim)
 
+    def flat_words(texts):
+        if not replayable:
+            return _flat_words(texts)
+        s = pd.Series(texts).fillna("")
+        ex = s.str.findall(r"\S+").explode().dropna()
+        counts = np.bincount(ex.index.to_numpy(dtype=np.int64), minlength=len(texts))
+        wh = horner_mod61(ex.tolist()) if len(ex) else np.empty(0, np.uint64)
+        return wh, counts
+
     def count_partials(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
-        wh, counts = _flat_words(texts)
+        wh, counts = flat_words(texts)
         if not len(wh):
             return pa.table(
                 {
@@ -783,7 +797,7 @@ def dsir_weights(
 
     def score(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
-        wh, counts = _flat_words(texts)
+        wh, counts = flat_words(texts)
         n = len(texts)
         if len(wh):
             cols = (wh % udim).astype(np.int64)
@@ -795,7 +809,10 @@ def dsir_weights(
             {
                 id_col: batch[id_col],
                 "n_tok": pa.array(counts.astype(np.int64)),
-                "logw": pa.array(np.round(logw, 9)),
+                "logw": pa.array(
+                    np.floor(logw * 1e6 + 0.5005) / 1e6 if replayable
+                    else np.round(logw, 9)
+                ),
             }
         )
 
