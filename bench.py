@@ -141,6 +141,16 @@ HEADLINE = [
     "d_hash_features",
     "d_interleave",
     "d_cms_counts",
+    "q_approx_distinct",
+    "d_minhash_sig",
+    "d_simhash_sig",
+    "d_embed_quantize",
+    "fe_woe",
+    "t_seasonality",
+    "t_late_events",
+    "d_dedup_apply_exact",
+    "d_dsir",
+    "d_lang_confusion",
 ]
 
 

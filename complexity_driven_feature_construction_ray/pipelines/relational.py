@@ -3695,6 +3695,65 @@ FROM c
 """
 
 
+def d_lang_confusion(sf_dir: str):
+    """Language-ID confusion matrix: detected language (same stopword
+    classifier as d_lang_id) × labeled lang column, one O(langs²) cell
+    exchange — the metadata-vs-content mismatch audit that catches
+    mislabeled shards before they poison a per-language mixture."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.text import language_id
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        scored = language_id(batch)
+        df = pd.DataFrame({
+            "lang": scored["lang"].to_pandas(),
+            "lang_pred": scored["lang_pred"].to_pandas(),
+            "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["lang", "lang_pred"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    out = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    return out.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
+
+
+D_LANG_CONFUSION_SQL = f"""
+WITH w AS (
+  SELECT doc_id, lang,
+         regexp_matches(coalesce(text, ''), '[一-鿿]') AS cjk,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-zà-ÿ]+') AS words
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, cjk,
+         len(list_filter(words, x -> list_contains([{_LANG_SQL_SETS['en']}], x))) AS n_en,
+         len(list_filter(words, x -> list_contains([{_LANG_SQL_SETS['de']}], x))) AS n_de,
+         len(list_filter(words, x -> list_contains([{_LANG_SQL_SETS['fr']}], x))) AS n_fr,
+         len(list_filter(words, x -> list_contains([{_LANG_SQL_SETS['es']}], x))) AS n_es
+  FROM w
+), p AS (
+  SELECT lang,
+         CASE WHEN cjk THEN 'zh'
+              WHEN n_en >= greatest(n_en, n_de, n_fr, n_es) THEN 'en'
+              WHEN n_de >= greatest(n_de, n_fr, n_es) THEN 'de'
+              WHEN n_fr >= greatest(n_fr, n_es) THEN 'fr'
+              ELSE 'es' END AS lang_pred
+  FROM c)
+SELECT lang, lang_pred, count(*) AS n
+FROM p GROUP BY lang, lang_pred
+ORDER BY lang, lang_pred
+"""
+
+
 def d_jaccard(sf_dir: str):
     """Exact word-3-gram Jaccard for adjacent doc pairs (doc_id % 50 == 0
     paired with doc_id + 1): pair members co-located by a grouped_map
@@ -7883,6 +7942,7 @@ QUERIES: dict[str, tuple] = {
     "f_lifecycle": (f_lifecycle, None),
     "f_lifecycle_causal": (f_lifecycle_causal, None),
     "d_lang_id": (d_lang_id, D_LANG_ID_SQL),
+    "d_lang_confusion": (d_lang_confusion, D_LANG_CONFUSION_SQL),
     "d_jaccard": (d_jaccard, D_JACCARD_SQL),
     "d_fingerprint": (d_fingerprint, None),
     "d_char_fingerprint": (d_char_fingerprint, D_CHAR_FINGERPRINT_SQL),
