@@ -4788,7 +4788,9 @@ WITH d AS (
   UNION ALL
   SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 9 = 2)
 SELECT doc_id FROM d
-QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+-- COALESCE matches the engine's fillna('') — a NULL text clusters with
+-- the empty string, not in its own NULL partition
+QUALIFY row_number() OVER (PARTITION BY COALESCE(text, '') ORDER BY doc_id) = 1
 ORDER BY doc_id
 """
 
@@ -5362,11 +5364,15 @@ def t_seasonality(sf_dir: str):
     def cells(batch: pa.Table) -> pa.Table:
         us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()).to_numpy()
         hour = (us // 3_600_000_000) % 24
+        v = batch["value"].to_numpy(zero_copy_only=False)
         df = pd.DataFrame({
             "event_type": batch["event_type"].to_pandas(),
             "hour": hour.astype(np.int64),
             "n": 1,
-            "vsum": batch["value"].to_numpy(zero_copy_only=False),
+            # SQL-avg parity: count(*) counts every row, avg() divides
+            # by the NON-NULL count — track both
+            "vn": (~pd.isna(v)).astype(np.int64),
+            "vsum": np.nan_to_num(v, nan=0.0),
         })
         return pa.Table.from_pandas(
             df.groupby(["event_type", "hour"], as_index=False).sum(),
@@ -5376,10 +5382,14 @@ def t_seasonality(sf_dir: str):
     out = (
         ds.map_batches(cells, batch_format="pyarrow")
         .groupby(["event_type", "hour"])
-        .aggregate(Sum("n", alias_name="n"), Sum("vsum", alias_name="vsum"))
+        .aggregate(Sum("n", alias_name="n"), Sum("vn", alias_name="vn"),
+                   Sum("vsum", alias_name="vsum"))
         .to_pandas()
     )
-    out["avg_value"] = np.floor(out.pop("vsum") / out["n"] * 1e6 + 0.5005) / 1e6
+    vn = out.pop("vn").to_numpy(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        avg = out.pop("vsum") / vn  # all-NULL cell -> NaN, like SQL avg()
+    out["avg_value"] = np.floor(avg * 1e6 + 0.5005) / 1e6
     return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
 
 

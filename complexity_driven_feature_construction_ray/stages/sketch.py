@@ -27,8 +27,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-_HASH_KEY = "0123456789123456"
-
 # HLL value-hash: wrapping pre-mix then a degree-2 polynomial, all mod
 # 2^61-1, with PUBLIC constants so a SQL oracle can re-derive every
 # register (same rationale as CMS_A/CMS_B below). The pre-mix
@@ -367,13 +365,17 @@ def minhash_signatures_replayable(
             return empty
         rows = ex.index.to_numpy(dtype=np.int64)
         words = ex.to_numpy(dtype="U")
-        valid = rows[:-k] == rows[k:]
+        if k == 0:  # unigram shingles: every token is a shingle
+            valid = np.ones(len(rows), dtype=bool)
+            tg = words
+        else:
+            valid = rows[:-k] == rows[k:]
+            tg = words[:-k]
+            for j in range(1, shingle_words):
+                tg = np.char.add(np.char.add(tg, " "), words[j:len(words) - k + j])
         if not valid.any():
             return empty
-        tg = words[:-k]
-        for j in range(1, shingle_words):
-            tg = np.char.add(np.char.add(tg, " "), words[j:len(words) - k + j])
-        srow = rows[:-k][valid]
+        srow = rows[: len(valid)][valid]
         sh = horner_mod61(list(tg[valid]))
         # contiguous segments per source row (explode preserves order)
         first = np.ones(len(srow), dtype=bool)
@@ -408,17 +410,13 @@ def simhash_replayable(
     Returns (id, simhash) with the `bits` low bits packed into int64.
     Row-local, zero exchange; per-bit sums are `bits` bincounts over
     the flat token array."""
-    from .text import horner_mod61
+    from .text import flat_tokens_horner
 
     def sig(batch: pa.Table) -> pa.Table:
-        s = pd.Series(batch[text_col].to_pandas()).fillna("")
-        ex = s.str.findall(r"\S+").explode().dropna()
-        n = len(s)
+        n = len(batch)
+        rows, h, counts = flat_tokens_horner(batch[text_col].to_pylist())
         packed = np.zeros(n, dtype=np.int64)
-        if len(ex):
-            rows = ex.index.to_numpy(dtype=np.int64)
-            h = horner_mod61(ex.tolist())
-            counts = np.bincount(rows, minlength=n).astype(np.int64)
+        if len(h):
             for j in range(bits):
                 bj = ((h >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
                 ones = np.bincount(rows, weights=bj, minlength=n).astype(np.int64)

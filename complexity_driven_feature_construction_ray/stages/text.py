@@ -434,6 +434,24 @@ def horner_mod61(strings: list) -> np.ndarray:
     return _segment_polysum(codes, lens)
 
 
+def flat_tokens_horner(texts: list) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """THE replayable tokenize step shared by every SQL-oracled hashed
+    operator (DSIR, hash features, simhash/minhash signatures): fillna
+    -> \\S+ findall -> explode, tokens hashed with horner_mod61.
+    Returns (row_ids, token_hashes, per_row_counts). One definition so
+    a regex or NULL-handling tweak can never desynchronize one
+    operator's oracle replay from the others'."""
+    s = pd.Series(texts).fillna("")
+    ex = s.str.findall(r"\S+").explode().dropna()
+    counts = np.bincount(
+        ex.index.to_numpy(dtype=np.int64), minlength=len(s)
+    ).astype(np.int64)
+    if not len(ex):
+        return np.empty(0, np.int64), np.empty(0, np.uint64), counts
+    rows = ex.index.to_numpy(dtype=np.int64)
+    return rows, horner_mod61(ex.tolist()), counts
+
+
 def hash_features(batch: pa.Table, *, text_col: str = "text",
                   id_col: str = "doc_id", dim: int = 64) -> pa.Table:
     """Hashing-trick featurization (Weinberger et al. 2009): every word
@@ -442,18 +460,16 @@ def hash_features(batch: pa.Table, *, text_col: str = "text",
     needs no vocabulary pass at all. Row-local, zero exchange; counts
     come from one bincount over doc*dim+bucket. The replayable hash
     means the SQL oracle re-derives identical buckets."""
-    s = pd.Series(batch[text_col].to_pandas()).fillna("")
-    ex = s.str.findall(r"\S+").explode().dropna()
-    if not len(ex):
+    rows, wh, _counts = flat_tokens_horner(batch[text_col].to_pylist())
+    if not len(wh):
         return pa.table({
             id_col: pa.array([], type=batch[id_col].type),
             "bucket": pa.array([], type=pa.int64()),
             "n": pa.array([], type=pa.int64()),
         })
-    rows = ex.index.to_numpy(dtype=np.int64)
-    buckets = (horner_mod61(ex.tolist()) % np.uint64(dim)).astype(np.int64)
+    buckets = (wh % np.uint64(dim)).astype(np.int64)
     flat = rows * dim + buckets
-    counts = np.bincount(flat, minlength=len(s) * dim)
+    counts = np.bincount(flat, minlength=len(batch) * dim)
     nz = np.flatnonzero(counts)
     return pa.table({
         id_col: batch[id_col].take(pa.array(nz // dim)),
@@ -747,10 +763,7 @@ def dsir_weights(
     def flat_words(texts):
         if not replayable:
             return _flat_words(texts)
-        s = pd.Series(texts).fillna("")
-        ex = s.str.findall(r"\S+").explode().dropna()
-        counts = np.bincount(ex.index.to_numpy(dtype=np.int64), minlength=len(texts))
-        wh = horner_mod61(ex.tolist()) if len(ex) else np.empty(0, np.uint64)
+        _, wh, counts = flat_tokens_horner(texts)
         return wh, counts
 
     def count_partials(batch: pa.Table) -> pa.Table:
