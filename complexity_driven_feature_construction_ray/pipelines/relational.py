@@ -4037,6 +4037,87 @@ FROM c ORDER BY o_orderpriority
 """
 
 
+def d_minhash_jaccard_est(sf_dir: str):
+    """MinHash-ESTIMATED Jaccard for the same adjacent pairs d_jaccard
+    measures exactly: est = fraction of agreeing signature slots over
+    the 16 replayable permutations. Because the signatures themselves
+    are replayable, even the ESTIMATE is value-verified — and reading
+    it next to d_jaccard's exact value exhibits the estimator's error
+    empirically. Signature build is row-local; the pair compare is a
+    self-merge of the tiny signature table."""
+    from ..stages.sketch import minhash_signatures_replayable
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    sig = minhash_signatures_replayable(ds).to_pandas()
+    a = sig[sig.doc_id % 50 == 0].rename(columns={"doc_id": "a", "sig": "sig_a"})
+    b = sig.assign(a=sig.doc_id - 1).rename(columns={"sig": "sig_b"})
+    m = a.merge(b[["a", "perm", "sig_b"]], on=["a", "perm"])
+    est = (
+        m.assign(eq=(m.sig_a == m.sig_b).astype(np.int64))
+        .groupby("a", as_index=False)
+        .agg(n_perm=("eq", "size"), est_jaccard=("eq", "mean"))
+    )
+    est["b"] = est["a"] + 1
+    est["est_jaccard"] = np.floor(est["est_jaccard"] * 1e6 + 0.5005) / 1e6
+    return est[["a", "b", "n_perm", "est_jaccard"]].sort_values("a").reset_index(drop=True)
+
+
+D_MINHASH_JACCARD_EST_SQL = f"""
+WITH sig AS ({D_MINHASH_SIG_SQL.replace("ORDER BY t.doc_id, perm", "")})
+SELECT a.doc_id AS a, a.doc_id + 1 AS b,
+       count(*) AS n_perm,
+       floor(avg(CASE WHEN a.sig = b.sig THEN 1.0 ELSE 0.0 END)
+             * 1000000 + 0.5005) / 1000000 AS est_jaccard
+FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1 AND b.perm = a.perm
+WHERE a.doc_id % 50 = 0
+GROUP BY a.doc_id
+ORDER BY a
+"""
+
+
+def d_doc_entropy(sf_dir: str):
+    """Per-document unigram Shannon entropy (bits) — the
+    repetitiveness/diversity quality feature: H = -Σ p log2 p over the
+    doc's word distribution. Row-local (one explode + one (row, word)
+    groupby per batch); empty docs score 0."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ent(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch["text"].to_pandas()).fillna("")
+        ex = s.str.findall(r"\S+").explode().dropna()
+        n = len(s)
+        h = np.zeros(n, dtype=np.float64)
+        if len(ex):
+            df = pd.DataFrame({"r": ex.index.to_numpy(np.int64), "w": ex.to_numpy()})
+            c = df.groupby(["r", "w"], sort=False).size().reset_index(name="c")
+            tot = c.groupby("r", sort=False)["c"].transform("sum").to_numpy(np.float64)
+            p = c["c"].to_numpy(np.float64) / tot
+            term = -p * np.log2(p)
+            h_idx = np.bincount(c["r"].to_numpy(np.int64), weights=term, minlength=n)
+            h = h_idx
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "entropy": pa.array(np.floor(h * 1e6 + 0.5005) / 1e6),
+        })
+
+    out = ds.map_batches(ent, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+D_DOC_ENTROPY_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents),
+c AS (SELECT doc_id, t, count(*) AS c FROM w GROUP BY doc_id, t),
+p AS (
+  SELECT doc_id, c * 1.0 / sum(c) OVER (PARTITION BY doc_id) AS p FROM c),
+e AS (SELECT doc_id, sum(-p * log2(p)) AS h FROM p GROUP BY doc_id)
+SELECT d.doc_id,
+       floor(COALESCE(e.h, 0) * 1000000 + 0.5005) / 1000000 AS entropy
+FROM documents d LEFT JOIN e USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def d_simhash_sig(sf_dir: str):
     """Replayable SimHash signature table (32-bit, packed int64):
     stages/sketch.py:simhash_replayable — sibling of d_minhash_sig; the
@@ -7958,6 +8039,8 @@ QUERIES: dict[str, tuple] = {
     "d_char_fingerprint": (d_char_fingerprint, D_CHAR_FINGERPRINT_SQL),
     "d_hash_features": (d_hash_features, D_HASH_FEATURES_SQL),
     "d_minhash_sig": (d_minhash_sig, D_MINHASH_SIG_SQL),
+    "d_minhash_jaccard_est": (d_minhash_jaccard_est, D_MINHASH_JACCARD_EST_SQL),
+    "d_doc_entropy": (d_doc_entropy, D_DOC_ENTROPY_SQL),
     "d_simhash_sig": (d_simhash_sig, D_SIMHASH_SIG_SQL),
     "d_embed_quantize": (d_embed_quantize, D_EMBED_QUANTIZE_SQL),
     "fe_woe": (fe_woe, FE_WOE_SQL),

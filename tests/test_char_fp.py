@@ -1,5 +1,7 @@
 """char_fingerprint vs an independent big-int Horner reference."""
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 P = (1 << 61) - 1
@@ -97,3 +99,35 @@ def test_simhash_replayable_properties(ray_session):
     ham = bin(int(out[1]) ^ int(out[3])).count("1")
     assert 0 < ham <= 16  # near-dup stays close in Hamming space
     assert out[4] == 0
+
+
+def test_minhash_estimate_tracks_exact_jaccard(ray_session):
+    from complexity_driven_feature_construction_ray.pipelines.relational import (
+        d_jaccard, d_minhash_jaccard_est,
+    )
+
+    est = d_minhash_jaccard_est("/root/testdata/sf0.001")
+    exact = d_jaccard("/root/testdata/sf0.001")
+    if hasattr(exact, "to_pandas"):
+        exact = exact.to_pandas()
+    m = est.merge(exact, left_on=["a", "b"], right_on=["a_id", "b_id"])
+    assert len(m) > 0
+    # 16 permutations: estimate within a generous binomial envelope
+    assert (np.abs(m["est_jaccard"] - m["jaccard"]) <= 0.5).all()
+
+
+def test_doc_entropy_reference_values(ray_session):
+    from complexity_driven_feature_construction_ray.pipelines.relational import d_doc_entropy
+
+    out = d_doc_entropy("/root/testdata/sf0.001")
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    r = docs.iloc[7]
+    from collections import Counter
+    c = Counter(r["text"].split())
+    tot = sum(c.values())
+    exp = -sum(v / tot * np.log2(v / tot) for v in c.values())
+    got = float(out.set_index("doc_id").loc[r["doc_id"], "entropy"])
+    assert abs(got - exp) < 2e-6
+    # uniform upper bound: H <= log2(n_words)
+    assert got <= np.log2(tot) + 1e-9
