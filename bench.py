@@ -151,6 +151,9 @@ HEADLINE = [
     "d_dedup_apply_exact",
     "d_dsir",
     "d_lang_confusion",
+    "d_minhash_jaccard_est",
+    "d_doc_entropy",
+    "d_cond_entropy",
 ]
 
 

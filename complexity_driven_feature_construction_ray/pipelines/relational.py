@@ -4075,6 +4075,73 @@ ORDER BY a
 """
 
 
+def d_cond_entropy(sf_dir: str):
+    """Per-source conditional word entropy H(w₂|w₁) in bits — the
+    sequence-predictability signal behind perplexity-style corpus
+    audits: -Σ p(w₁,w₂) log₂ p(w₂|w₁) over word bigrams. Per-batch
+    (source, w₁, w₂) count cells bound the exchange to distinct
+    bigrams; the entropy reduction is a tiny driver-side groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["text", "source"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch["text"].to_pandas()).fillna("")
+        ex = s.str.findall(r"\S+").explode().dropna()
+        if not len(ex):
+            return pa.table({"source": pa.array([], type=pa.string()),
+                             "w1": pa.array([], type=pa.string()),
+                             "w2": pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.int64())})
+        rows = ex.index.to_numpy(np.int64)
+        words = ex.to_numpy(object)
+        same = rows[:-1] == rows[1:]
+        src = pd.Series(batch["source"].to_pandas()).to_numpy(object)
+        df = pd.DataFrame({
+            "source": src[rows[:-1][same]],
+            "w1": words[:-1][same],
+            "w2": words[1:][same],
+        })
+        c = df.groupby(["source", "w1", "w2"], as_index=False).size()
+        return pa.Table.from_pandas(c.rename(columns={"size": "c"}),
+                                    preserve_index=False)
+
+    agg = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["source", "w1", "w2"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    tot = agg.groupby("source")["c"].transform("sum").to_numpy(np.float64)
+    ctx = agg.groupby(["source", "w1"])["c"].transform("sum").to_numpy(np.float64)
+    cvals = agg["c"].to_numpy(np.float64)
+    term = -(cvals / tot) * np.log2(cvals / ctx)
+    out = agg.assign(term=term).groupby("source", as_index=False)["term"].sum()
+    out = out.rename(columns={"term": "cond_entropy"})
+    out["cond_entropy"] = np.floor(out["cond_entropy"] * 1e6 + 0.5005) / 1e6
+    return out.sort_values("source").reset_index(drop=True)
+
+
+D_COND_ENTROPY_SQL = """
+WITH w AS (
+  SELECT doc_id, source, unnest(regexp_extract_all(text, '\\S+')) AS t,
+         generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS i
+  FROM documents),
+bg AS (
+  SELECT a.source, a.t AS w1, b.t AS w2, count(*) AS c
+  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  GROUP BY a.source, a.t, b.t),
+tot AS (SELECT source, sum(c) AS n FROM bg GROUP BY source),
+ctx AS (SELECT source, w1, sum(c) AS nc FROM bg GROUP BY source, w1)
+SELECT bg.source,
+       floor(sum(-(bg.c * 1.0 / tot.n) * log2(bg.c * 1.0 / ctx.nc))
+             * 1000000 + 0.5005) / 1000000 AS cond_entropy
+FROM bg JOIN tot USING (source) JOIN ctx ON ctx.source = bg.source AND ctx.w1 = bg.w1
+GROUP BY bg.source
+ORDER BY bg.source
+"""
+
+
 def d_doc_entropy(sf_dir: str):
     """Per-document unigram Shannon entropy (bits) — the
     repetitiveness/diversity quality feature: H = -Σ p log2 p over the
@@ -8041,6 +8108,7 @@ QUERIES: dict[str, tuple] = {
     "d_minhash_sig": (d_minhash_sig, D_MINHASH_SIG_SQL),
     "d_minhash_jaccard_est": (d_minhash_jaccard_est, D_MINHASH_JACCARD_EST_SQL),
     "d_doc_entropy": (d_doc_entropy, D_DOC_ENTROPY_SQL),
+    "d_cond_entropy": (d_cond_entropy, D_COND_ENTROPY_SQL),
     "d_simhash_sig": (d_simhash_sig, D_SIMHASH_SIG_SQL),
     "d_embed_quantize": (d_embed_quantize, D_EMBED_QUANTIZE_SQL),
     "fe_woe": (fe_woe, FE_WOE_SQL),

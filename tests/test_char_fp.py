@@ -131,3 +131,26 @@ def test_doc_entropy_reference_values(ray_session):
     assert abs(got - exp) < 2e-6
     # uniform upper bound: H <= log2(n_words)
     assert got <= np.log2(tot) + 1e-9
+
+
+def test_cond_entropy_reference(ray_session):
+    import ray.data
+    from complexity_driven_feature_construction_ray.pipelines.relational import d_cond_entropy
+
+    out = d_cond_entropy("/root/testdata/sf0.001")
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["text", "source"])
+    src = out.iloc[0]["source"]
+    from collections import Counter
+    bg, ctx = Counter(), Counter()
+    for t in docs[docs.source == src]["text"]:
+        ws = t.split()
+        for a, b in zip(ws, ws[1:]):
+            bg[(a, b)] += 1
+            ctx[a] += 1
+    n = sum(bg.values())
+    exp = -sum(c / n * np.log2(c / ctx[a]) for (a, _b), c in bg.items())
+    got = float(out.set_index("source").loc[src, "cond_entropy"])
+    assert abs(got - exp) < 1e-5
+    # conditioning can only reduce entropy vs the unigram bound
+    assert got >= 0
