@@ -5667,6 +5667,115 @@ FROM e GROUP BY event_type ORDER BY event_type
 """
 
 
+def t_rolling_centered(sf_dir: str):
+    """CENTERED rolling mean (ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+    per user — the smoothing/denoising window shape, vs the trailing
+    frames of t_rolling. One entity shuffle; pandas rolling(center=True,
+    min_periods=1) matches the SQL frame's edge clamping exactly."""
+    from ..stages.temporal import grouped_map
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"], split=True)
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        m = (g.groupby("user_id", sort=False)["value"]
+              .rolling(window=5, center=True, min_periods=1).mean()
+              .reset_index(drop=True))
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "centered_mean": np.floor(m.to_numpy(np.float64) * 1e6 + 0.5005) / 1e6,
+        })
+
+    out = grouped_map(ds, "user_id", roll).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+T_ROLLING_CENTERED_SQL = """
+SELECT event_id,
+       floor(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+             * 1000000 + 0.5005) / 1000000 AS centered_mean
+FROM events
+ORDER BY event_id
+"""
+
+
+def d_split_leakage(sf_dir: str):
+    """Train/test leakage audit: with a NAIVE row-level split (doc_id
+    hash — the mistake d_group_split exists to prevent), count texts
+    that appear on BOTH sides. Injection: doc_id%9==2 clones at
+    +10,000,001 ids (the ODD offset flips the split digit, so clones
+    really do cross sides), planting real leaks. Per-batch
+    (text-hash, seen_train, seen_valid) cells; the exchange carries
+    distinct-text cells, never bodies."""
+    from ray.data.aggregate import Max, Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        txt = batch["text"].to_pandas().to_numpy(object)
+        hit = np.flatnonzero(ids % 9 == 2)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([ids, ids[hit] + 10_000_001])),
+            "text": pa.array(np.concatenate([txt, txt[hit]]), type=pa.string()),
+        })
+
+    both = ds.map_batches(inject, batch_format="pyarrow")
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        txt = pd.Series(batch["text"].to_pandas()).fillna("")
+        train = ids % 10 < 8
+        df = pd.DataFrame({
+            "h": pd.util.hash_array(txt.to_numpy(object)).astype(np.int64),
+            "tr": train.astype(np.int64),
+            "va": (~train).astype(np.int64),
+        })
+        agg = df.groupby("h", as_index=False).max()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    sides = (
+        both.map_batches(cells, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Max("tr", alias_name="tr"), Max("va", alias_name="va"))
+    )
+    leaked = sides.map_batches(
+        lambda t: pa.table({"leak": pc.and_(pc.equal(t["tr"], 1), pc.equal(t["va"], 1))}),
+        batch_format="pyarrow",
+    ).sum("leak")
+    counts = both.map_batches(
+        lambda t: pa.table({
+            "n_train": pa.array([(t["doc_id"].to_numpy() % 10 < 8).sum()]),
+            "n_valid": pa.array([(t["doc_id"].to_numpy() % 10 >= 8).sum()]),
+        }),
+        batch_format="pyarrow",
+    )
+    from ray.data.aggregate import Sum as _Sum  # noqa: F401
+    ctab = counts.to_pandas().sum()
+    return pd.DataFrame({
+        "n_leaked_texts": [int(leaked)],
+        "n_train": [int(ctab["n_train"])],
+        "n_valid": [int(ctab["n_valid"])],
+    })
+
+
+D_SPLIT_LEAKAGE_SQL = """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000001 AS doc_id, text FROM documents WHERE doc_id % 9 = 2),
+s AS (
+  SELECT doc_id, COALESCE(text, '') AS text,
+         CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'valid' END AS split
+  FROM d),
+l AS (SELECT text FROM s GROUP BY text HAVING count(DISTINCT split) = 2)
+SELECT (SELECT count(*) FROM l) AS n_leaked_texts,
+       (SELECT count(*) FROM s WHERE split = 'train') AS n_train,
+       (SELECT count(*) FROM s WHERE split = 'valid') AS n_valid
+"""
+
+
 def t_anomaly(sf_dir: str):
     """Per-user z-score anomaly detection on event values: flag rows
     more than 2.5 sample standard deviations from the user's own mean
@@ -8044,6 +8153,8 @@ QUERIES: dict[str, tuple] = {
     "t_user_trend": (t_user_trend, T_USER_TREND_SQL),
     "t_ewma": (t_ewma, T_EWMA_SQL),
     "t_anomaly": (t_anomaly, T_ANOMALY_SQL),
+    "t_rolling_centered": (t_rolling_centered, T_ROLLING_CENTERED_SQL),
+    "d_split_leakage": (d_split_leakage, D_SPLIT_LEAKAGE_SQL),
     "t_json_extract": (t_json_extract, T_JSON_EXTRACT_SQL),
     "t_seasonality": (t_seasonality, T_SEASONALITY_SQL),
     "t_late_events": (t_late_events, T_LATE_EVENTS_SQL),

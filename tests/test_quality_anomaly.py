@@ -79,3 +79,37 @@ def test_seasonality_counts(ray_session):
     out = t_seasonality("/root/testdata/sf0.001")
     assert out["n"].sum() == 1000
     assert set(out["hour"]) <= set(range(24))
+
+
+def test_rolling_centered_bruteforce(ray_session):
+    from complexity_driven_feature_construction_ray.pipelines.relational import (
+        t_rolling_centered,
+    )
+
+    out = t_rolling_centered("/root/testdata/sf0.001")
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    exp = (ev.groupby("user_id")["value"]
+             .rolling(window=5, center=True, min_periods=1).mean()
+             .reset_index(drop=True))
+    got = out.set_index("event_id").loc[ev["event_id"], "centered_mean"].to_numpy()
+    np.testing.assert_allclose(got, exp.to_numpy(), atol=2e-6)
+
+
+def test_split_leakage_counts(ray_session):
+    from complexity_driven_feature_construction_ray.pipelines.relational import (
+        d_split_leakage,
+    )
+
+    out = d_split_leakage("/root/testdata/sf0.001")
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    clones = docs[docs.doc_id % 9 == 2].copy()
+    clones["doc_id"] += 10_000_001
+    both = pd.concat([docs, clones])
+    both["split"] = np.where(both.doc_id % 10 < 8, "train", "valid")
+    leaked = both.groupby("text")["split"].nunique()
+    assert out.loc[0, "n_leaked_texts"] == int((leaked == 2).sum())
+    assert out.loc[0, "n_train"] == int((both.split == "train").sum())
+    assert out.loc[0, "n_leaked_texts"] > 0
