@@ -154,6 +154,8 @@ HEADLINE = [
     "d_minhash_jaccard_est",
     "d_doc_entropy",
     "d_cond_entropy",
+    "t_rolling_centered",
+    "d_split_leakage",
 ]
 
 
