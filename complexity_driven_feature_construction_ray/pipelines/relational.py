@@ -3709,7 +3709,10 @@ def d_lang_confusion(sf_dir: str):
     def cells(batch: pa.Table) -> pa.Table:
         scored = language_id(batch)
         df = pd.DataFrame({
-            "lang": scored["lang"].to_pandas(),
+            # fillna('') <-> SQL COALESCE: pandas groupby DROPS NULL keys,
+            # which would silently lose exactly the mislabeled rows this
+            # audit exists to count
+            "lang": scored["lang"].to_pandas().fillna(""),
             "lang_pred": scored["lang_pred"].to_pandas(),
             "n": 1,
         })
@@ -3748,8 +3751,8 @@ WITH w AS (
               WHEN n_fr >= greatest(n_fr, n_es) THEN 'fr'
               ELSE 'es' END AS lang_pred
   FROM c)
-SELECT lang, lang_pred, count(*) AS n
-FROM p GROUP BY lang, lang_pred
+SELECT COALESCE(lang, '') AS lang, lang_pred, count(*) AS n
+FROM p GROUP BY COALESCE(lang, ''), lang_pred
 ORDER BY lang, lang_pred
 """
 
@@ -4043,23 +4046,46 @@ def d_minhash_jaccard_est(sf_dir: str):
     the 16 replayable permutations. Because the signatures themselves
     are replayable, even the ESTIMATE is value-verified — and reading
     it next to d_jaccard's exact value exhibits the estimator's error
-    empirically. Signature build is row-local; the pair compare is a
-    self-merge of the tiny signature table."""
+    empirically. Signature build is row-local; both members of a pair
+    CO-LOCATE by pair id (d_jaccard's own layout), so the compare is
+    bucket-local — nothing corpus-scale visits the driver."""
     from ..stages.sketch import minhash_signatures_replayable
+    from ..stages.temporal import grouped_map
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    sig = minhash_signatures_replayable(ds).to_pandas()
-    a = sig[sig.doc_id % 50 == 0].rename(columns={"doc_id": "a", "sig": "sig_a"})
-    b = sig.assign(a=sig.doc_id - 1).rename(columns={"sig": "sig_b"})
-    m = a.merge(b[["a", "perm", "sig_b"]], on=["a", "perm"])
-    est = (
-        m.assign(eq=(m.sig_a == m.sig_b).astype(np.int64))
-        .groupby("a", as_index=False)
-        .agg(n_perm=("eq", "size"), est_jaccard=("eq", "mean"))
-    )
-    est["b"] = est["a"] + 1
-    est["est_jaccard"] = np.floor(est["est_jaccard"] * 1e6 + 0.5005) / 1e6
-    return est[["a", "b", "n_perm", "est_jaccard"]].sort_values("a").reset_index(drop=True)
+    sig = minhash_signatures_replayable(ds)
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        keep = (ids % 50 == 0) | (ids % 50 == 1)
+        t = batch.filter(pa.array(keep))
+        return t.append_column("pair", pa.array(t["doc_id"].to_numpy() // 50))
+
+    def compare(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["doc_id"] % 50 == 0][["pair", "perm", "sig"]]
+        b = g[g["doc_id"] % 50 == 1][["pair", "perm", "sig"]]
+        m = a.merge(b, on=["pair", "perm"], suffixes=("_a", "_b"))
+        if not len(m):
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "n_perm": pd.Series([], dtype=np.int64),
+                                 "est_jaccard": pd.Series([], dtype=np.float64)})
+        m = m.assign(eq=(m["sig_a"] == m["sig_b"]).astype(np.int64))
+        agg = m.groupby("pair", as_index=False)["eq"].agg(["size", "sum"])
+        return pd.DataFrame({
+            "a": agg["pair"].to_numpy(np.int64) * 50,
+            "b": agg["pair"].to_numpy(np.int64) * 50 + 1,
+            "n_perm": agg["size"].to_numpy(np.int64),
+            "est_jaccard": np.floor(
+                agg["sum"].to_numpy(np.float64)
+                / agg["size"].to_numpy(np.float64) * 1e6 + 0.5005) / 1e6,
+        })
+
+    out = grouped_map(
+        sig.map_batches(pair_rows, batch_format="pyarrow"), "pair", compare
+    ).to_pandas()
+    # pairs whose b-side doc doesn't exist drop, as in the SQL inner join
+    return out.sort_values("a").reset_index(drop=True)
 
 
 D_MINHASH_JACCARD_EST_SQL = f"""
@@ -4096,7 +4122,8 @@ def d_cond_entropy(sf_dir: str):
         rows = ex.index.to_numpy(np.int64)
         words = ex.to_numpy(object)
         same = rows[:-1] == rows[1:]
-        src = pd.Series(batch["source"].to_pandas()).to_numpy(object)
+        # fillna('') <-> SQL COALESCE: NULL sources must keep their group
+        src = pd.Series(batch["source"].to_pandas()).fillna("").to_numpy(object)
         df = pd.DataFrame({
             "source": src[rows[:-1][same]],
             "w1": words[:-1][same],
@@ -4106,25 +4133,55 @@ def d_cond_entropy(sf_dir: str):
         return pa.Table.from_pandas(c.rename(columns={"size": "c"}),
                                     preserve_index=False)
 
-    agg = (
+    from ..stages.temporal import grouped_map
+
+    bigrams = (
         ds.map_batches(cells, batch_format="pyarrow")
         .groupby(["source", "w1", "w2"])
         .aggregate(Sum("c", alias_name="c"))
+    )
+    # per-source bigram totals are O(sources) — broadcastable
+    tot = (
+        bigrams.map_batches(
+            lambda t: pa.table({"source": t["source"], "c": t["c"]}),
+            batch_format="pyarrow",
+        ).groupby("source").aggregate(Sum("c", alias_name="n")).to_pandas()
+    )
+    tot_map = dict(zip(tot["source"], tot["n"].astype(np.float64)))
+
+    def term_partial(g: pd.DataFrame) -> pd.DataFrame:
+        # all w2 of a (source, w1) context co-locate in one bucket, so
+        # ctx sums are bucket-local; only per-source partial term sums
+        # leave — the driver never sees the corpus-scale bigram table
+        key = g["source"].astype(str) + "\x1f" + g["w1"].astype(str)
+        ctx = g.groupby(key, sort=False)["c"].transform("sum").to_numpy(np.float64)
+        c = g["c"].to_numpy(np.float64)
+        n = g["source"].map(tot_map).to_numpy(np.float64)
+        term = -(c / n) * np.log2(c / ctx)
+        out = pd.DataFrame({"source": g["source"], "term": term})
+        return out.groupby("source", as_index=False)["term"].sum()
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        k = pd.Series(batch["source"].to_pandas()).astype(str) + "\x1f" + \
+            pd.Series(batch["w1"].to_pandas()).astype(str)
+        return batch.append_column("ctxkey", pa.array(k.to_numpy(object), type=pa.string()))
+
+    parts = grouped_map(
+        bigrams.map_batches(add_key, batch_format="pyarrow"), "ctxkey",
+        lambda g: term_partial(g.drop(columns=["ctxkey"])),
+    )
+    out = (
+        parts.groupby("source").aggregate(Sum("term", alias_name="cond_entropy"))
         .to_pandas()
     )
-    tot = agg.groupby("source")["c"].transform("sum").to_numpy(np.float64)
-    ctx = agg.groupby(["source", "w1"])["c"].transform("sum").to_numpy(np.float64)
-    cvals = agg["c"].to_numpy(np.float64)
-    term = -(cvals / tot) * np.log2(cvals / ctx)
-    out = agg.assign(term=term).groupby("source", as_index=False)["term"].sum()
-    out = out.rename(columns={"term": "cond_entropy"})
     out["cond_entropy"] = np.floor(out["cond_entropy"] * 1e6 + 0.5005) / 1e6
     return out.sort_values("source").reset_index(drop=True)
 
 
 D_COND_ENTROPY_SQL = """
 WITH w AS (
-  SELECT doc_id, source, unnest(regexp_extract_all(text, '\\S+')) AS t,
+  SELECT doc_id, COALESCE(source, '') AS source,
+         unnest(regexp_extract_all(text, '\\S+')) AS t,
          generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS i
   FROM documents),
 bg AS (
@@ -5705,9 +5762,11 @@ def d_split_leakage(sf_dir: str):
     hash — the mistake d_group_split exists to prevent), count texts
     that appear on BOTH sides. Injection: doc_id%9==2 clones at
     +10,000,001 ids (the ODD offset flips the split digit, so clones
-    really do cross sides), planting real leaks. Per-batch
-    (text-hash, seen_train, seen_valid) cells; the exchange carries
-    distinct-text cells, never bodies."""
+    really do cross sides), planting real leaks. ONE scan: per-batch
+    (text-hash, seen_train, seen_valid, per-side row counts) cells —
+    the exchange carries distinct-text cells, never bodies (the hash
+    is 64-bit; as with d_decontaminate, the exact-text SQL oracle also
+    guards the hash path against collisions)."""
     from ray.data.aggregate import Max, Sum
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -5732,31 +5791,34 @@ def d_split_leakage(sf_dir: str):
             "tr": train.astype(np.int64),
             "va": (~train).astype(np.int64),
         })
-        agg = df.groupby("h", as_index=False).max()
+        # Max-merged side flags AND Sum-merged row counts from the same
+        # pass — the pipeline scans the documents table exactly once
+        agg = df.groupby("h", as_index=False).agg(
+            tr=("tr", "max"), va=("va", "max"),
+            n_tr=("tr", "sum"), n_va=("va", "sum"),
+        )
         return pa.Table.from_pandas(agg, preserve_index=False)
 
     sides = (
         both.map_batches(cells, batch_format="pyarrow")
         .groupby("h")
-        .aggregate(Max("tr", alias_name="tr"), Max("va", alias_name="va"))
+        .aggregate(Max("tr", alias_name="tr"), Max("va", alias_name="va"),
+                   Sum("n_tr", alias_name="n_tr"), Sum("n_va", alias_name="n_va"))
     )
-    leaked = sides.map_batches(
-        lambda t: pa.table({"leak": pc.and_(pc.equal(t["tr"], 1), pc.equal(t["va"], 1))}),
-        batch_format="pyarrow",
-    ).sum("leak")
-    counts = both.map_batches(
-        lambda t: pa.table({
-            "n_train": pa.array([(t["doc_id"].to_numpy() % 10 < 8).sum()]),
-            "n_valid": pa.array([(t["doc_id"].to_numpy() % 10 >= 8).sum()]),
-        }),
-        batch_format="pyarrow",
-    )
-    from ray.data.aggregate import Sum as _Sum  # noqa: F401
-    ctab = counts.to_pandas().sum()
+    def final_partial(t: pa.Table) -> pa.Table:
+        tr = t["tr"].to_numpy()
+        va = t["va"].to_numpy()
+        return pa.table({
+            "leak": pa.array([int(((tr == 1) & (va == 1)).sum())]),
+            "n_tr": pa.array([int(t["n_tr"].to_numpy().sum())]),
+            "n_va": pa.array([int(t["n_va"].to_numpy().sum())]),
+        })
+
+    tab = sides.map_batches(final_partial, batch_format="pyarrow").to_pandas().sum()
     return pd.DataFrame({
-        "n_leaked_texts": [int(leaked)],
-        "n_train": [int(ctab["n_train"])],
-        "n_valid": [int(ctab["n_valid"])],
+        "n_leaked_texts": [int(tab["leak"])],
+        "n_train": [int(tab["n_tr"])],
+        "n_valid": [int(tab["n_va"])],
     })
 
 

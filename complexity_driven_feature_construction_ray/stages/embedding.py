@@ -452,6 +452,9 @@ def quantize_error(ds, *, emb_col: str = "embedding", id_col: str = "vec_id"):
     def err(batch: pa.Table) -> pa.Table:
         l, h = ray.get(lo_ref), ray.get(hi_ref)
         m = list_column_matrix(batch[emb_col], dtype=np.float64)
+        if not m.size:  # empty block: (0,0) would not broadcast vs (D,)
+            return pa.table({id_col: batch[id_col],
+                             "mse": pa.array([], type=pa.float64())})
         span = h - l
         const = span == 0
         with np.errstate(invalid="ignore", divide="ignore"):
