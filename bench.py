@@ -156,6 +156,7 @@ HEADLINE = [
     "d_cond_entropy",
     "t_rolling_centered",
     "d_split_leakage",
+    "d_winnow",
 ]
 
 

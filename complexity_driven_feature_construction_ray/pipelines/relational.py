@@ -4242,6 +4242,59 @@ ORDER BY d.doc_id
 """
 
 
+def d_winnow(sf_dir: str):
+    """Winnowing fingerprints (Schleimer et al. 2003 — the MOSS
+    plagiarism-detection selection rule): min shingle hash per sliding
+    window of 4 shingles, deduplicated per doc; any ≥6-word match
+    between docs is guaranteed to share a print. Replayable hashes, so
+    the oracle re-derives every selected print; per-doc summary uses
+    xor (order-insensitive, overflow-free) alongside count/min/max."""
+    from ..stages.sketch import winnow_fingerprints
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = winnow_fingerprints(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+D_WINNOW_SQL = """
+WITH RECURSIVE w AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t,
+         generate_subscripts(regexp_extract_all(text, '\\S+'), 1) AS i
+  FROM documents),
+t AS (
+  SELECT a.doc_id, a.i AS s, a.t || ' ' || b.t || ' ' || c.t AS tg
+  FROM w a
+  JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+sh AS (SELECT DISTINCT tg FROM t),
+pw(k, v) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT k + 1, (v * 1000003) % 2305843009213693951 FROM pw
+  WHERE k < (SELECT COALESCE(max(length(tg)), 0) FROM sh)),
+ch AS (
+  SELECT tg, length(tg) AS L,
+         unnest(regexp_extract_all(tg, '.')) AS cc,
+         generate_subscripts(regexp_extract_all(tg, '.'), 1) AS j
+  FROM sh),
+h AS (
+  SELECT tg, CAST(SUM(CAST(ord(cc) AS HUGEINT) * pw.v)
+                  % 2305843009213693951 AS BIGINT) AS hw
+  FROM ch JOIN pw ON pw.k = L - j GROUP BY tg),
+seq AS (SELECT t.doc_id, t.s, h.hw FROM t JOIN h USING (tg)),
+win AS (
+  SELECT doc_id,
+         min(hw) OVER (PARTITION BY doc_id ORDER BY s
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s) AS rn
+  FROM seq),
+sel AS (SELECT DISTINCT doc_id, m FROM win WHERE rn >= 4)
+SELECT doc_id, count(*) AS n_prints, min(m) AS min_fp, max(m) AS max_fp,
+       bit_xor(m) AS xor_fp
+FROM sel GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def d_simhash_sig(sf_dir: str):
     """Replayable SimHash signature table (32-bit, packed int64):
     stages/sketch.py:simhash_replayable — sibling of d_minhash_sig; the
@@ -8283,6 +8336,7 @@ QUERIES: dict[str, tuple] = {
     "d_doc_entropy": (d_doc_entropy, D_DOC_ENTROPY_SQL),
     "d_cond_entropy": (d_cond_entropy, D_COND_ENTROPY_SQL),
     "d_simhash_sig": (d_simhash_sig, D_SIMHASH_SIG_SQL),
+    "d_winnow": (d_winnow, D_WINNOW_SQL),
     "d_embed_quantize": (d_embed_quantize, D_EMBED_QUANTIZE_SQL),
     "fe_woe": (fe_woe, FE_WOE_SQL),
     "d_knn_ivf": (d_knn_ivf, None),

@@ -426,3 +426,72 @@ def simhash_replayable(
         return pa.table({id_col: batch[id_col], "simhash": pa.array(packed)})
 
     return ds.map_batches(sig, batch_format="pyarrow")
+
+
+def winnow_fingerprints(
+    ds, *, text_col: str = "text", id_col: str = "doc_id",
+    shingle_words: int = 3, window: int = 4,
+):
+    """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm): the MINIMUM shingle hash of every sliding window of
+    `window` consecutive shingles, deduplicated per document — the
+    guarantee is that any match of at least window+shingle-1 words
+    shares a fingerprint. Hashes are the replayable Horner family, so
+    every selected print is SQL-re-derivable. Returns the per-doc print
+    summary (count / min / max / xor — xor is order-insensitive and
+    cannot overflow, unlike a sum of 61-bit values). Row-local, zero
+    exchange; the sliding min is a numpy minimum over `window` shifted
+    views. Docs with fewer than window+shingle-1 words emit nothing."""
+    from .text import horner_mod61
+
+    k = shingle_words - 1
+
+    def prints(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch[text_col].to_pandas()).fillna("")
+        ex = s.str.findall(r"\S+").explode().dropna()
+        empty = pa.table({
+            id_col: pa.array([], type=batch[id_col].type),
+            "n_prints": pa.array([], type=pa.int64()),
+            "min_fp": pa.array([], type=pa.int64()),
+            "max_fp": pa.array([], type=pa.int64()),
+            "xor_fp": pa.array([], type=pa.int64()),
+        })
+        if len(ex) <= k:
+            return empty
+        rows = ex.index.to_numpy(dtype=np.int64)
+        words = ex.to_numpy(dtype="U")
+        valid = rows[:-k] == rows[k:] if k else np.ones(len(rows), bool)
+        if not valid.any():
+            return empty
+        tg = words[:-k] if k else words
+        for j in range(1, shingle_words):
+            tg = np.char.add(np.char.add(tg, " "), words[j:len(words) - k + j])
+        srow = rows[: len(valid)][valid]
+        sh = horner_mod61(list(tg[valid]))
+        w = window
+        if len(sh) < w:
+            return empty
+        # sliding min over `w` shifted views; a window is in-doc iff its
+        # first and last shingles share the row
+        m = sh[w - 1:].copy()
+        for j in range(1, w):
+            np.minimum(m, sh[w - 1 - j: len(sh) - j], out=m)
+        wrow = srow[w - 1:]
+        in_doc = srow[: len(sh) - w + 1] == wrow
+        if not in_doc.any():
+            return empty
+        df = pd.DataFrame({"r": wrow[in_doc], "m": m[in_doc].astype(np.int64)})
+        sel = df.drop_duplicates()
+        agg = sel.groupby("r").agg(
+            n_prints=("m", "size"), min_fp=("m", "min"), max_fp=("m", "max"),
+            xor_fp=("m", lambda v: np.bitwise_xor.reduce(v.to_numpy(np.int64))),
+        ).reset_index()
+        return pa.table({
+            id_col: batch[id_col].take(pa.array(agg["r"].to_numpy())),
+            "n_prints": pa.array(agg["n_prints"].to_numpy(np.int64)),
+            "min_fp": pa.array(agg["min_fp"].to_numpy(np.int64)),
+            "max_fp": pa.array(agg["max_fp"].to_numpy(np.int64)),
+            "xor_fp": pa.array(agg["xor_fp"].to_numpy(np.int64)),
+        })
+
+    return ds.map_batches(prints, batch_format="pyarrow")

@@ -154,3 +154,34 @@ def test_cond_entropy_reference(ray_session):
     assert abs(got - exp) < 1e-5
     # conditioning can only reduce entropy vs the unigram bound
     assert got >= 0
+
+
+def test_winnow_shared_print_guarantee(ray_session):
+    import ray.data
+    from complexity_driven_feature_construction_ray.stages.sketch import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 words > w+k-1
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "xx yy " + shared + " zz",
+            "pp qq rr " + shared,
+            "tiny doc",  # < 6 words -> no prints
+        ],
+    })
+    out = winnow_fingerprints(ray.data.from_pandas(pdf)).to_pandas()
+    assert not (out.doc_id == 3).any()
+    # the winnowing guarantee: a >= window+shingle-1 word match shares
+    # at least one selected print — verify via per-doc print SETS
+    def prints(text):
+        from complexity_driven_feature_construction_ray.stages.text import horner_mod61
+        ws = text.split()
+        tg = [" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)]
+        h = horner_mod61(tg)
+        return {int(min(h[i - 3:i + 1])) for i in range(3, len(h))}
+    p1, p2 = prints(pdf.text[0]), prints(pdf.text[1])
+    assert p1 & p2
+    # engine agrees with the reference set summary
+    row = out.set_index("doc_id").loc[1]
+    assert row["n_prints"] == len(p1)
+    assert row["min_fp"] == min(p1) and row["max_fp"] == max(p1)
