@@ -8201,6 +8201,345 @@ ORDER BY col
 """
 
 
+def d_covariance(sf_dir: str):
+    """Exact population covariance matrix of the 64-dim embedding table
+    in ONE streaming pass (per batch: (n, Σx, XᵀX) = O(d²) floats leave
+    the stream; no shuffle — stages/stats.py:covariance_matrix_list).
+    This is the mergeable pass under d_pca / whitening, here
+    value-verified cell-by-cell against SQL covar_pop over the unnested
+    dims."""
+    from ..stages.stats import covariance_matrix_list
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    return covariance_matrix_list(ds, "embedding")
+
+
+D_COVARIANCE_SQL = """
+WITH u AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(embedding))) AS dim,
+         unnest(embedding) AS v
+  FROM embeddings
+)
+SELECT a.dim AS dim_a, b.dim AS dim_b,
+       floor(covar_pop(a.v, b.v) * 1000000 + 0.5005) / 1000000 AS cov
+FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+GROUP BY 1, 2
+"""
+
+
+def q_spearman(sf_dir: str):
+    """Spearman rank correlation (average ranks for ties) between
+    l_quantity and l_discount WITHOUT ranking any row: both columns are
+    low-cardinality, so per-batch joint value counts (≤ 50×11 cells)
+    pre-aggregate inside map_batches, a tiny cell exchange sums them,
+    and the driver derives exact tie-averaged ranks from the marginals —
+    rank(v) = #smaller + (count(v)+1)/2 — and Pearson over the weighted
+    rank pairs. Ranks are centered before the moment sums so nothing
+    exceeds float64's exact-integer range at any n."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_discount"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "q": batch["l_quantity"].to_numpy(),
+                "d": batch["l_discount"].to_numpy(),
+                "n": 1,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby(["q", "d"], as_index=False).sum(), preserve_index=False
+        )
+
+    jc = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["q", "d"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    n = int(jc["n"].sum())
+
+    def avg_ranks(vals: np.ndarray, cnts: np.ndarray) -> dict:
+        order = np.argsort(vals)
+        v, c = vals[order], cnts[order].astype(np.float64)
+        before = np.concatenate(([0.0], np.cumsum(c)[:-1]))
+        return dict(zip(v, before + (c + 1.0) / 2.0))
+
+    mq = jc.groupby("q", as_index=False)["n"].sum()
+    md = jc.groupby("d", as_index=False)["n"].sum()
+    r1_map = avg_ranks(mq["q"].to_numpy(), mq["n"].to_numpy())
+    r2_map = avg_ranks(md["d"].to_numpy(), md["n"].to_numpy())
+    w = jc["n"].to_numpy(np.float64)
+    r1 = jc["q"].map(r1_map).to_numpy(np.float64)
+    r2 = jc["d"].map(r2_map).to_numpy(np.float64)
+    mean = (n + 1) / 2.0  # both rank means, exactly
+    r1c, r2c = r1 - mean, r2 - mean
+    num = float((w * r1c * r2c).sum())
+    den = float(np.sqrt((w * r1c * r1c).sum() * (w * r2c * r2c).sum()))
+    rho = num / den if den > 0 else np.nan
+    return pd.DataFrame(
+        {"spearman": [np.floor(rho * 1e6 + 0.5005) / 1e6], "n": [n]}
+    )
+
+
+Q_SPEARMAN_SQL = """
+WITH r AS (
+  SELECT RANK() OVER (ORDER BY l_quantity)
+           + (COUNT(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS r1,
+         RANK() OVER (ORDER BY l_discount)
+           + (COUNT(*) OVER (PARTITION BY l_discount) - 1) / 2.0 AS r2
+  FROM lineitem
+)
+SELECT floor(corr(r1, r2) * 1000000 + 0.5005) / 1000000 AS spearman,
+       count(*) AS n
+FROM r
+"""
+
+
+def fe_chi2(sf_dir: str):
+    """Chi-square filter score (sklearn SelectKBest-chi2 / FCBF family,
+    reference feature_selection wrappers): contingency of the 10-bin
+    equal-width discretized l_extendedprice (same bin rule as
+    fe_discretize) × the binary return flag, with per-cell expected
+    counts and chi² contributions. Pass 1 is a streaming min/max; pass
+    2 pre-aggregates the ≤ 20 cells inside map_batches — only cells
+    shuffle. Expected counts are integer-ratio quotients → biased
+    half-up 6dp quantizer in BOTH engines, and contributions are
+    computed FROM the quantized expected so every float op matches."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice", "l_returnflag"])
+    mm = ds.aggregate(Min("l_extendedprice"), Max("l_extendedprice"))
+    lo, hi = float(mm["min(l_extendedprice)"]), float(mm["max(l_extendedprice)"])
+    width = (hi - lo) / 10.0
+
+    def cells(batch: pa.Table) -> pa.Table:
+        x = batch["l_extendedprice"].to_numpy()
+        b = np.minimum(np.maximum(np.ceil((x - lo) / width) - 1, 0), 9)
+        y = (batch["l_returnflag"].to_numpy(zero_copy_only=False) == "R").astype(
+            np.int32
+        )
+        df = pd.DataFrame({"bin": b.astype(np.int32), "y": y, "observed": 1})
+        return pa.Table.from_pandas(
+            df.groupby(["bin", "y"], as_index=False).sum(), preserve_index=False
+        )
+
+    o = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["bin", "y"])
+        .aggregate(Sum("observed", alias_name="observed"))
+        .to_pandas()
+    )
+    n = float(o["observed"].sum())
+    rt = o.groupby("bin")["observed"].transform("sum").to_numpy(np.float64)
+    ct = o.groupby("y")["observed"].transform("sum").to_numpy(np.float64)
+    obs = o["observed"].to_numpy(np.float64)
+    expected = np.floor(rt * ct / n * 1e6 + 0.5005) / 1e6
+    contrib = np.floor((obs - expected) * (obs - expected) / expected * 1e6 + 0.5005) / 1e6
+    return pd.DataFrame(
+        {
+            "bin": o["bin"].to_numpy(np.int32),
+            "y": o["y"].to_numpy(np.int32),
+            "observed": o["observed"].to_numpy(np.int64),
+            "expected": expected,
+            "contrib": contrib,
+        }
+    )
+
+
+FE_CHI2_SQL = """
+WITH mm AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem),
+b AS (
+  SELECT CAST(LEAST(GREATEST(CEIL((l_extendedprice - lo) / ((hi - lo) / 10.0)) - 1,
+              0), 9) AS INT) AS bin,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+  FROM lineitem, mm
+),
+o AS (SELECT bin, y, count(*) AS observed FROM b GROUP BY 1, 2),
+t AS (SELECT CAST(sum(observed) AS DOUBLE) AS n FROM o),
+rt AS (SELECT bin, CAST(sum(observed) AS DOUBLE) AS rt FROM o GROUP BY 1),
+ct AS (SELECT y, CAST(sum(observed) AS DOUBLE) AS ct FROM o GROUP BY 1),
+e AS (
+  SELECT o.bin, o.y, o.observed,
+         floor(rt.rt * ct.ct / t.n * 1000000 + 0.5005) / 1000000 AS expected
+  FROM o
+  CROSS JOIN t
+  JOIN rt ON o.bin = rt.bin
+  JOIN ct ON o.y = ct.y
+)
+SELECT bin, y, observed, expected,
+       floor((observed - expected) * (observed - expected) / expected
+             * 1000000 + 0.5005) / 1000000 AS contrib
+FROM e
+"""
+
+
+def d_quantile_norm(sf_dir: str):
+    """Quantile normalization of document length across sources (the
+    batch-effect/source-balance alignment step): each doc's n_chars is
+    replaced by the mean n_chars at its within-source rank. Two bucket
+    exchanges, both data-sized: one entity shuffle by source assigns
+    within-source row_number (ties broken by doc_id), then a
+    co-location by rank attaches the cross-source rank mean — the
+    rank-mean table never collects on the driver (it is rows/sources
+    long: data-sized at scale)."""
+    from ..stages.bucketing import default_buckets
+    from ..stages.temporal import grouped_map
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"], split=True)
+    B = default_buckets(ds)
+
+    def rank_in_source(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"])
+        rk = g.groupby("source").cumcount().to_numpy(np.int64) + 1
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "source": g["source"].to_numpy(),
+                "n_chars": g["n_chars"].to_numpy(np.int64),
+                "rk": rk,
+            }
+        )
+
+    ranked = grouped_map(ds, "source", rank_in_source, num_buckets=B)
+
+    def attach_rank_mean(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("rk")["n_chars"].transform("mean").to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "source": g["source"].to_numpy(),
+                "n_chars": g["n_chars"].to_numpy(np.int64),
+                "qnorm": np.floor(m * 1e6 + 0.5005) / 1e6,
+            }
+        )
+
+    out = grouped_map(ranked, "rk", attach_rank_mean, num_buckets=B).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+D_QUANTILE_NORM_SQL = """
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rk
+  FROM documents
+),
+m AS (SELECT rk, avg(n_chars) AS qval FROM r GROUP BY rk)
+SELECT r.doc_id, r.source, r.n_chars,
+       floor(m.qval * 1000000 + 0.5005) / 1000000 AS qnorm
+FROM r JOIN m USING (rk)
+ORDER BY r.doc_id
+"""
+
+
+def d_lexical_diversity(sf_dir: str):
+    """Per-source lexical-diversity profile: type-token ratio, hapax
+    ratio, and Simpson repetition index Σc(c−1)/(N(N−1)) over the
+    corpus word distribution. Per-batch (source, word) partial counts
+    co-locate by word hash (every partial for a word lands in one
+    bucket), each bucket folds its final counts into four scalars per
+    source, and an O(sources) cell exchange finishes — the word table
+    itself never reaches the driver."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.bucketing import default_buckets
+    from ..stages.temporal import grouped_map
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"], split=True)
+    B = default_buckets(ds)
+
+    def cells(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch["text"].to_pandas()).fillna("")
+        src = batch["source"].to_pandas()
+        ex = s.str.findall(r"\S+").explode().dropna()
+        if not len(ex):
+            return pa.table(
+                {
+                    "source": pa.array([], type=pa.string()),
+                    "w": pa.array([], type=pa.string()),
+                    "c": pa.array([], type=pa.int64()),
+                }
+            )
+        df = pd.DataFrame(
+            {"source": src.iloc[ex.index].to_numpy(), "w": ex.to_numpy()}
+        )
+        out = df.groupby(["source", "w"], sort=False).size().reset_index(name="c")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):  # empty bucket: keep the schema (names + dtypes)
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "types": pd.Series([], dtype=np.int64),
+                    "hapax": pd.Series([], dtype=np.int64),
+                    "tokens": pd.Series([], dtype=np.int64),
+                    "s2": pd.Series([], dtype=np.int64),
+                }
+            )
+        c = g.groupby(["source", "w"], sort=False)["c"].sum().reset_index()
+        cc = c["c"].to_numpy(np.int64)
+        agg = pd.DataFrame(
+            {
+                "source": c["source"],
+                "types": 1,
+                "hapax": (cc == 1).astype(np.int64),
+                "tokens": cc,
+                "s2": cc * (cc - 1),
+            }
+        )
+        return agg.groupby("source", as_index=False).sum()
+
+    parts = grouped_map(
+        ds.map_batches(cells, batch_format="pyarrow"), "w", fold_bucket, num_buckets=B
+    )
+    out = (
+        parts.groupby("source")
+        .aggregate(
+            Sum("types", alias_name="types"),
+            Sum("hapax", alias_name="hapax"),
+            Sum("tokens", alias_name="tokens"),
+            Sum("s2", alias_name="s2"),
+        )
+        .to_pandas()
+    )
+    ty = out["types"].to_numpy(np.float64)
+    hp = out["hapax"].to_numpy(np.float64)
+    tk = out["tokens"].to_numpy(np.float64)
+    s2 = out["s2"].to_numpy(np.float64)
+    out["ttr"] = np.floor(ty / tk * 1e6 + 0.5005) / 1e6
+    out["hapax_ratio"] = np.floor(hp / ty * 1e6 + 0.5005) / 1e6
+    out["simpson"] = np.floor(s2 / (tk * (tk - 1.0)) * 1e6 + 0.5005) / 1e6
+    return out.sort_values("source").reset_index(drop=True)
+
+
+D_LEXICAL_DIVERSITY_SQL = """
+WITH ex AS (
+  SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS w FROM documents
+),
+c AS (SELECT source, w, count(*) AS c FROM ex GROUP BY 1, 2),
+s AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS types,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         CAST(sum(c) AS BIGINT) AS tokens,
+         CAST(sum(c * (c - 1)) AS BIGINT) AS s2
+  FROM c GROUP BY 1
+)
+SELECT source, types, hapax, tokens, s2,
+       floor(CAST(types AS DOUBLE) / CAST(tokens AS DOUBLE) * 1000000 + 0.5005)
+         / 1000000 AS ttr,
+       floor(CAST(hapax AS DOUBLE) / CAST(types AS DOUBLE) * 1000000 + 0.5005)
+         / 1000000 AS hapax_ratio,
+       floor(CAST(s2 AS DOUBLE) / (CAST(tokens AS DOUBLE) * (CAST(tokens AS DOUBLE) - 1.0))
+             * 1000000 + 0.5005) / 1000000 AS simpson
+FROM s
+ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -8407,4 +8746,9 @@ QUERIES: dict[str, tuple] = {
     "d_embed_dispersion": (d_embed_dispersion, D_EMBED_DISPERSION_SQL),
     "d_group_split": (d_group_split, D_GROUP_SPLIT_SQL),
     "q_histogram": (q_histogram, Q_HISTOGRAM_SQL),
+    "d_covariance": (d_covariance, D_COVARIANCE_SQL),
+    "q_spearman": (q_spearman, Q_SPEARMAN_SQL),
+    "fe_chi2": (fe_chi2, FE_CHI2_SQL),
+    "d_quantile_norm": (d_quantile_norm, D_QUANTILE_NORM_SQL),
+    "d_lexical_diversity": (d_lexical_diversity, D_LEXICAL_DIVERSITY_SQL),
 }

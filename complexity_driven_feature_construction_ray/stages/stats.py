@@ -339,3 +339,48 @@ def profile_columns(ds, cols: list[str]):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def covariance_matrix_list(ds, col: str) -> "pd.DataFrame":
+    """Exact population covariance matrix of a fixed-width embedding
+    list column in ONE streaming pass: each batch contributes
+    (n, Σx, XᵀX) — O(d²) floats regardless of rows, merged by addition
+    driver-side; no shuffle and the embedding matrix never leaves the
+    stream. This is the mergeable pass under PCA/whitening
+    (stages/similarity.py), exposed so the covariance cells themselves
+    are value-verifiable against SQL covar_pop. Returns long format
+    (dim_a, dim_b, cov) for dim_a ≤ dim_b, 1-based to match SQL list
+    indexing, biased-half-up quantized at 6dp."""
+    import pandas as pd
+
+    from .arrowutil import list_column_matrix
+
+    def part(batch: pa.Table) -> pa.Table:
+        x = list_column_matrix(batch[col], dtype=np.float64)
+        blob = pickle.dumps((len(x), x.sum(axis=0), x.T @ x))
+        return pa.table({"blob": pa.array([blob], type=pa.binary())})
+
+    n = 0
+    s = None
+    c = None
+    for row in ds.map_batches(part, batch_format="pyarrow", batch_size=None).take_all():
+        pn, ps, pc = pickle.loads(row["blob"])
+        if pn == 0:
+            continue
+        n += pn
+        s = ps if s is None else s + ps
+        c = pc if c is None else c + pc
+    if n == 0:
+        return pd.DataFrame(columns=["dim_a", "dim_b", "cov"])
+    mean = s / n
+    cov = c / n - np.outer(mean, mean)
+    d = cov.shape[0]
+    iu = np.triu_indices(d)
+    out = pd.DataFrame(
+        {
+            "dim_a": (iu[0] + 1).astype(np.int64),
+            "dim_b": (iu[1] + 1).astype(np.int64),
+            "cov": np.floor(cov[iu] * 1e6 + 0.5005) / 1e6,
+        }
+    )
+    return out
