@@ -8540,6 +8540,280 @@ ORDER BY source
 """
 
 
+def t_resample(sf_dir: str):
+    """Per-user resample of the event stream onto a regular 6-hour grid
+    with LINEAR interpolation between the bracketing events (the
+    time-series regularization step upstream of any fixed-step window
+    model; t_fill_forward is the step-function sibling). One entity
+    shuffle; per user-segment the grid is a C-level arange and the
+    brackets are two searchsorted calls (the same per-key-segment
+    cursor as stages/temporal.py:rolling_agg). Duplicate (user, ts)
+    rows are value-averaged first so both engines interpolate the same
+    series; grid points on an event reproduce it exactly."""
+    from ..stages.temporal import grouped_map
+
+    STEP = 21_600_000_000  # 6 h in µs
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"], split=True)
+
+    def interp(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["user_id", "ts"], as_index=False)["value"].mean()
+        g = g.sort_values(["user_id", "ts"])
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        v = g["value"].to_numpy(np.float64)
+        if not len(uid):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "ts": pd.Series([], dtype="datetime64[us]"),
+                    "value": pd.Series([], dtype=np.float64),
+                }
+            )
+        seg = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        seg = np.r_[seg, len(uid)]
+        out_u, out_t, out_v = [], [], []
+        for a, b in zip(seg[:-1], seg[1:]):
+            t_, v_ = ts[a:b], v[a:b]
+            start = -(-t_[0] // STEP) * STEP  # smallest grid point ≥ first event
+            if start > t_[-1]:
+                continue
+            grid = np.arange(start, t_[-1] + 1, STEP)
+            ip = np.searchsorted(t_, grid, side="right") - 1
+            jn = np.searchsorted(t_, grid, side="left")
+            tp, vp = t_[ip], v_[ip]
+            tn, vn = t_[jn], v_[jn]
+            same = tn == tp
+            f = (grid - tp).astype(np.float64) / np.where(
+                same, 1.0, (tn - tp).astype(np.float64)
+            )
+            val = np.where(same, vp, vp + (vn - vp) * f)
+            out_u.append(np.full(len(grid), uid[a], dtype=np.int64))
+            out_t.append(grid)
+            out_v.append(val)
+        if not out_u:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "ts": pd.Series([], dtype="datetime64[us]"),
+                    "value": pd.Series([], dtype=np.float64),
+                }
+            )
+        val = np.concatenate(out_v)
+        return pd.DataFrame(
+            {
+                "user_id": np.concatenate(out_u),
+                "ts": np.concatenate(out_t).astype("datetime64[us]"),
+                "value": np.floor(val * 1e6 + 0.5005) / 1e6,
+            }
+        )
+
+    out = grouped_map(ds, "user_id", interp).to_pandas()
+    return out.sort_values(["user_id", "ts"]).reset_index(drop=True)
+
+
+T_RESAMPLE_SQL = """
+WITH e AS (SELECT user_id, ts, avg(value) AS v FROM events GROUP BY 1, 2),
+u AS (SELECT user_id, epoch_us(min(ts)) AS mn, epoch_us(max(ts)) AS mx FROM e GROUP BY 1),
+g AS (
+  SELECT user_id,
+         make_timestamp(unnest(generate_series(
+           ((mn + 21599999999) // 21600000000) * 21600000000, mx, 21600000000))) AS ts
+  FROM u
+),
+a AS (
+  SELECT user_id, ts, v, 0 AS is_grid FROM e
+  UNION ALL SELECT user_id, ts, NULL, 1 FROM g
+),
+w AS (
+  SELECT user_id, ts, is_grid,
+    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, is_grid
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vp,
+    last_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, is_grid
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, is_grid
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+    first_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, is_grid
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tn
+  FROM a
+)
+SELECT user_id, ts,
+  floor((CASE WHEN tn IS NULL OR tn = tp THEN vp
+         ELSE vp + (vn - vp) * (CAST(epoch_us(ts) - epoch_us(tp) AS DOUBLE)
+                                / CAST(epoch_us(tn) - epoch_us(tp) AS DOUBLE)) END)
+        * 1000000 + 0.5005) / 1000000 AS value
+FROM w WHERE is_grid = 1
+ORDER BY user_id, ts
+"""
+
+
+def d_ks_test(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov statistic between the n_chars
+    distributions of English vs non-English documents — the
+    distribution-drift audit that catches 'this shard's length profile
+    is from a different crawl' (d_psi is its binned sibling; KS is
+    binless). Per-batch distinct-value cells pre-aggregate, one
+    value-histogram-sized exchange, and the driver folds exact integer
+    cumulative counts — both engines divide the SAME exact integers,
+    so the sup-difference matches bit-for-bit."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        en = (batch["lang"].to_pandas().fillna("") == "en").to_numpy(np.int64)
+        df = pd.DataFrame(
+            {"v": batch["n_chars"].to_numpy(), "en": en, "other": 1 - en}
+        )
+        return pa.Table.from_pandas(
+            df.groupby("v", as_index=False).sum(), preserve_index=False
+        )
+
+    c = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("en", alias_name="en"), Sum("other", alias_name="other"))
+        .to_pandas()
+        .sort_values("v")
+    )
+    en = c["en"].to_numpy(np.int64)
+    ot = c["other"].to_numpy(np.int64)
+    n1, n0 = float(en.sum()), float(ot.sum())
+    d = np.cumsum(en).astype(np.float64) / n1 - np.cumsum(ot).astype(np.float64) / n0
+    ks = float(np.max(np.abs(d)))
+    return pd.DataFrame(
+        {
+            "ks": [np.floor(ks * 1e6 + 0.5005) / 1e6],
+            "n_en": [int(n1)],
+            "n_other": [int(n0)],
+        }
+    )
+
+
+D_KS_TEST_SQL = """
+WITH c AS (
+  SELECT n_chars AS v,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS en,
+         sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS other
+  FROM documents GROUP BY 1
+),
+n AS (SELECT CAST(sum(en) AS DOUBLE) AS n1, CAST(sum(other) AS DOUBLE) AS n0 FROM c),
+f AS (
+  SELECT CAST(sum(en) OVER (ORDER BY v) AS DOUBLE) / n1
+           - CAST(sum(other) OVER (ORDER BY v) AS DOUBLE) / n0 AS d
+  FROM c, n
+)
+SELECT floor(max(abs(d)) * 1000000 + 0.5005) / 1000000 AS ks,
+       (SELECT CAST(n1 AS BIGINT) FROM n) AS n_en,
+       (SELECT CAST(n0 AS BIGINT) FROM n) AS n_other
+FROM f
+"""
+
+
+def d_gini(sf_dir: str):
+    """Per-source Gini coefficient of document length — the
+    inequality/imbalance audit of a mixture (a source where a few huge
+    docs carry most characters trains differently from a uniform one).
+    One entity shuffle; within each source the ranked-sum identity
+    G = 2·Σi·x(i)/(n·Σx) − (n+1)/n needs only three EXACT integer sums
+    per source (deterministic (n_chars, doc_id) rank), so both engines
+    evaluate the identical float expression."""
+    from ..stages.temporal import grouped_map
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"], split=True)
+
+    def gini(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"])
+        i = g.groupby("source").cumcount().to_numpy(np.int64) + 1
+        x = g["n_chars"].to_numpy(np.int64)
+        df = pd.DataFrame(
+            {"source": g["source"].to_numpy(), "ix": i * x, "x": x, "n": 1}
+        )
+        agg = df.groupby("source", as_index=False).sum()
+        n = agg["n"].to_numpy(np.float64)
+        six = agg["ix"].to_numpy(np.float64)
+        sx = agg["x"].to_numpy(np.float64)
+        val = 2.0 * six / (n * sx) - (n + 1.0) / n
+        return pd.DataFrame(
+            {
+                "source": agg["source"],
+                "n": agg["n"].to_numpy(np.int64),
+                "gini": np.floor(val * 1e6 + 0.5005) / 1e6,
+            }
+        )
+
+    out = grouped_map(ds, "source", gini).to_pandas()
+    return out.sort_values("source").reset_index(drop=True)
+
+
+D_GINI_SQL = """
+WITH r AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS i
+  FROM documents
+),
+s AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(i * n_chars) AS DOUBLE) AS six,
+         CAST(sum(n_chars) AS DOUBLE) AS sx
+  FROM r GROUP BY 1
+)
+SELECT source, CAST(n AS BIGINT) AS n,
+       floor((2.0 * six / (n * sx) - (n + 1.0) / n) * 1000000 + 0.5005)
+         / 1000000 AS gini
+FROM s ORDER BY source
+"""
+
+
+def d_sentence_stats(sf_dir: str):
+    """Per-document sentence segmentation stats (sentence count on
+    [.!?]+ boundaries + mean words per sentence) — the doc-structure
+    features used by readability / quality filters that operate below
+    the whole-doc level. Fully row-local (one vectorized split +
+    explode per batch, zero exchange); docs with no sentence boundary
+    and no text yield 0 sentences and a NULL mean."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch["text"].to_pandas()).fillna("")
+        ex = s.str.split(r"[.!?]+", regex=True).explode()
+        nonblank = ex.str.contains(r"\S", regex=True, na=False)
+        n_sent = nonblank.groupby(level=0).sum().reindex(s.index, fill_value=0)
+        n_sent = n_sent.to_numpy(np.int64)
+        words = s.str.count(r"\S+").to_numpy(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            msw = words.astype(np.float64) / n_sent.astype(np.float64)
+        msw = np.floor(msw * 1e6 + 0.5005) / 1e6
+        msw = np.where(n_sent == 0, np.nan, msw)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_sent": pa.array(n_sent),
+                "n_words": pa.array(words),
+                "mean_sent_words": pa.array(pd.Series(msw), from_pandas=True),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+D_SENTENCE_STATS_SQL = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(COALESCE(text, ''), '[.!?]+'),
+                            x -> regexp_matches(x, '\\S'))) AS BIGINT) AS n_sent,
+       CAST(len(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS BIGINT) AS n_words,
+       CASE WHEN len(list_filter(string_split_regex(COALESCE(text, ''), '[.!?]+'),
+                                 x -> regexp_matches(x, '\\S'))) = 0 THEN NULL
+            ELSE floor(CAST(len(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS DOUBLE)
+                       / CAST(len(list_filter(string_split_regex(COALESCE(text, ''), '[.!?]+'),
+                                              x -> regexp_matches(x, '\\S'))) AS DOUBLE)
+                       * 1000000 + 0.5005) / 1000000 END AS mean_sent_words
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -8751,4 +9025,8 @@ QUERIES: dict[str, tuple] = {
     "fe_chi2": (fe_chi2, FE_CHI2_SQL),
     "d_quantile_norm": (d_quantile_norm, D_QUANTILE_NORM_SQL),
     "d_lexical_diversity": (d_lexical_diversity, D_LEXICAL_DIVERSITY_SQL),
+    "t_resample": (t_resample, T_RESAMPLE_SQL),
+    "d_ks_test": (d_ks_test, D_KS_TEST_SQL),
+    "d_gini": (d_gini, D_GINI_SQL),
+    "d_sentence_stats": (d_sentence_stats, D_SENTENCE_STATS_SQL),
 }
