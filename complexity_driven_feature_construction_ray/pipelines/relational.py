@@ -8814,6 +8814,179 @@ FROM documents
 """
 
 
+def t_forward_window(sf_dir: str):
+    """Forward-looking label construction with an EMBARGO gap: for each
+    event, the sum/count of the same user's values in (t+1h, t+7d] —
+    the 'what happens next week, excluding anything close enough to
+    leak' target used to train forecasting models (the mirror image of
+    the trailing windows; the embargo hour is the leakage guard). One
+    entity shuffle; per user-segment two searchsorted bounds against
+    the sorted timestamps and a prefix-sum difference — no per-row
+    scan."""
+    from ..stages.temporal import grouped_map
+
+    HOUR = 3_600_000_000
+    DAY = 24 * HOUR
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"], split=True)
+
+    def fwd(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        v = g["value"].to_numpy(np.float64)
+        eid = g["event_id"].to_numpy(np.int64)
+        fs = np.zeros(len(g))
+        fn = np.zeros(len(g), dtype=np.int64)
+        if len(g):
+            seg = np.r_[np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]]), len(uid)]
+            for a, b in zip(seg[:-1], seg[1:]):
+                t_ = ts[a:b]
+                cv = np.concatenate(([0.0], np.cumsum(v[a:b])))
+                # frame is [t+1h, t+7d] inclusive both ends (SQL RANGE
+                # FOLLOWING bounds are inclusive)
+                lo = np.searchsorted(t_, t_ + HOUR, side="left")
+                hi = np.searchsorted(t_, t_ + 7 * DAY, side="right")
+                fs[a:b] = cv[hi] - cv[lo]
+                fn[a:b] = hi - lo
+        return pd.DataFrame(
+            {"event_id": eid, "fwd_sum": np.round(fs, 6), "fwd_n": fn}
+        )
+
+    out = grouped_map(ds, "user_id", fwd).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+T_FORWARD_WINDOW_SQL = """
+SELECT event_id,
+       round(COALESCE(sum(value) OVER w, 0), 6) AS fwd_sum,
+       count(value) OVER w AS fwd_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR FOLLOWING
+                       AND INTERVAL 7 DAY FOLLOWING)
+ORDER BY event_id
+"""
+
+
+def q_percentile_exact(sf_dir: str):
+    """EXACT grouped percentiles (p50/p90 of l_extendedprice per
+    returnflag × linestatus) by global rank selection — the
+    sketch-free sibling of q_grouped_median/q_grouped_p90: per-batch
+    (group, value) count cells pre-aggregate, each group's value
+    histogram co-locates in one bucket, and the selected element is
+    the smallest value whose cumulative count reaches ⌈q·n⌉. The
+    result is an ELEMENT of the input, so both engines agree
+    bit-for-bit with no quantizer. Partitioning assumption: one
+    group's distinct-value histogram fits a worker (same contract as
+    any map_groups)."""
+    from ..stages.temporal import grouped_map
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
+    )
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "grp": np.char.add(
+                    np.char.add(
+                        batch["l_returnflag"].to_numpy(zero_copy_only=False).astype(str),
+                        "|",
+                    ),
+                    batch["l_linestatus"].to_numpy(zero_copy_only=False).astype(str),
+                ),
+                "v": batch["l_extendedprice"].to_numpy(),
+                "c": 1,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby(["grp", "v"], as_index=False).sum(), preserve_index=False
+        )
+
+    def select(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "grp": pd.Series([], dtype=object),
+                    "p50": pd.Series([], dtype=np.float64),
+                    "p90": pd.Series([], dtype=np.float64),
+                }
+            )
+        c = g.groupby(["grp", "v"], as_index=False)["c"].sum().sort_values(["grp", "v"])
+        rows = []
+        for grp, gg in c.groupby("grp", sort=False):
+            cum = gg["c"].to_numpy(np.int64).cumsum()
+            n = cum[-1]
+            vals = gg["v"].to_numpy(np.float64)
+            p50 = vals[np.searchsorted(cum, -(-n // 2))]  # ceil(0.5 n)
+            p90 = vals[np.searchsorted(cum, -(-(9 * n) // 10))]  # ceil(0.9 n)
+            rows.append((grp, p50, p90))
+        return pd.DataFrame(rows, columns=["grp", "p50", "p90"])
+
+    out = grouped_map(
+        ds.map_batches(cells, batch_format="pyarrow"), "grp", select
+    ).to_pandas()
+    return out.sort_values("grp").reset_index(drop=True)
+
+
+Q_PERCENTILE_EXACT_SQL = """
+WITH c AS (
+  SELECT l_returnflag || '|' || l_linestatus AS grp, l_extendedprice AS v,
+         count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+k AS (
+  SELECT grp, v,
+         sum(c) OVER (PARTITION BY grp ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY grp) AS n
+  FROM c
+)
+SELECT grp,
+       min(CASE WHEN cum >= CAST(ceil(n / 2.0) AS BIGINT) THEN v END) AS p50,
+       min(CASE WHEN cum >= CAST(ceil(n * 9 / 10.0) AS BIGINT) THEN v END) AS p90
+FROM k GROUP BY grp ORDER BY grp
+"""
+
+
+def d_compress_ratio(sf_dir: str):
+    """Per-document zlib compression ratio — the classic cheap
+    repetitiveness/quality proxy (boilerplate and template spam
+    compress far below natural text; Dolma/RefinedWeb-style pipelines
+    threshold on it). Row-local actor-free map_batches; the
+    compression itself is C-level per doc. No SQL oracle (zlib is not
+    expressible) — deterministic, pytest-verified against the zlib
+    module directly."""
+    import zlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        raw = np.empty(len(texts), dtype=np.int64)
+        comp = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            b = (t or "").encode("utf-8")
+            raw[i] = len(b)
+            comp[i] = len(zlib.compress(b, 6))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = comp.astype(np.float64) / raw.astype(np.float64)
+        r = np.floor(r * 1e6 + 0.5005) / 1e6
+        r = np.where(raw == 0, np.nan, r)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "raw_bytes": pa.array(raw),
+                "comp_bytes": pa.array(comp),
+                "ratio": pa.array(pd.Series(r), from_pandas=True),
+            }
+        )
+
+    return ds.map_batches(ratio, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -9029,4 +9202,7 @@ QUERIES: dict[str, tuple] = {
     "d_ks_test": (d_ks_test, D_KS_TEST_SQL),
     "d_gini": (d_gini, D_GINI_SQL),
     "d_sentence_stats": (d_sentence_stats, D_SENTENCE_STATS_SQL),
+    "t_forward_window": (t_forward_window, T_FORWARD_WINDOW_SQL),
+    "q_percentile_exact": (q_percentile_exact, Q_PERCENTILE_EXACT_SQL),
+    "d_compress_ratio": (d_compress_ratio, None),
 }
