@@ -157,6 +157,18 @@ HEADLINE = [
     "t_rolling_centered",
     "d_split_leakage",
     "d_winnow",
+    "d_covariance",
+    "q_spearman",
+    "fe_chi2",
+    "d_quantile_norm",
+    "d_lexical_diversity",
+    "t_resample",
+    "d_ks_test",
+    "d_gini",
+    "d_sentence_stats",
+    "t_forward_window",
+    "q_percentile_exact",
+    "d_compress_ratio",
 ]
 
 
