@@ -8724,25 +8724,42 @@ def d_gini(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"], split=True)
 
+    def _exact_sum(a: np.ndarray, chunk: int = 1 << 20) -> int:
+        # Σ of int64 terms as an arbitrary-precision Python int: each
+        # ≤2^20-term chunk sums safely inside int64 (terms ≤ ~2^42 at
+        # any plausible rank×length), chunks combine as Python ints —
+        # matching SQL's HUGEINT sum exactly where a flat int64 sum
+        # would silently wrap near 9.2e18 (≈4e7 docs × 1e4 chars).
+        return sum(int(a[o : o + chunk].sum()) for o in range(0, len(a), chunk))
+
     def gini(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype=np.int64),
+                    "gini": pd.Series([], dtype=np.float64),
+                }
+            )
         g = g.sort_values(["n_chars", "doc_id"])
         i = g.groupby("source").cumcount().to_numpy(np.int64) + 1
         x = g["n_chars"].to_numpy(np.int64)
-        df = pd.DataFrame(
-            {"source": g["source"].to_numpy(), "ix": i * x, "x": x, "n": 1}
-        )
-        agg = df.groupby("source", as_index=False).sum()
-        n = agg["n"].to_numpy(np.float64)
-        six = agg["ix"].to_numpy(np.float64)
-        sx = agg["x"].to_numpy(np.float64)
-        val = 2.0 * six / (n * sx) - (n + 1.0) / n
-        return pd.DataFrame(
-            {
-                "source": agg["source"],
-                "n": agg["n"].to_numpy(np.int64),
-                "gini": np.floor(val * 1e6 + 0.5005) / 1e6,
-            }
-        )
+        src = g["source"].to_numpy()
+        order = np.argsort(src, kind="stable")
+        src_s, i_s, x_s = src[order], i[order], x[order]
+        seg = np.r_[np.flatnonzero(np.r_[True, src_s[1:] != src_s[:-1]]), len(src_s)]
+        rows = []
+        for a, b in zip(seg[:-1], seg[1:]):
+            n = b - a
+            # chunk sized so chunk × max-term stays inside int64
+            tmax = max(int(n) * int(x_s[a:b].max()), 1)
+            six = _exact_sum(i_s[a:b] * x_s[a:b], chunk=max(1, (1 << 62) // tmax))
+            sx = _exact_sum(x_s[a:b])
+            # float() here rounds the exact int to nearest — the same
+            # conversion DuckDB applies casting its HUGEINT sum to DOUBLE
+            val = 2.0 * float(six) / (float(n) * float(sx)) - (n + 1.0) / n
+            rows.append((src_s[a], int(n), np.floor(val * 1e6 + 0.5005) / 1e6))
+        return pd.DataFrame(rows, columns=["source", "n", "gini"])
 
     out = grouped_map(ds, "source", gini).to_pandas()
     return out.sort_values("source").reset_index(drop=True)
@@ -8816,13 +8833,14 @@ FROM documents
 
 def t_forward_window(sf_dir: str):
     """Forward-looking label construction with an EMBARGO gap: for each
-    event, the sum/count of the same user's values in (t+1h, t+7d] —
-    the 'what happens next week, excluding anything close enough to
-    leak' target used to train forecasting models (the mirror image of
-    the trailing windows; the embargo hour is the leakage guard). One
-    entity shuffle; per user-segment two searchsorted bounds against
-    the sorted timestamps and a prefix-sum difference — no per-row
-    scan."""
+    event, the sum/count of the same user's values in [t+1h, t+7d]
+    (both bounds INCLUSIVE — SQL RANGE FOLLOWING frames are closed; the
+    embargo gap is the open interval (t, t+1h)) — the 'what happens
+    next week, excluding anything close enough to leak' target used to
+    train forecasting models (the mirror image of the trailing
+    windows). One entity shuffle; per user-segment two searchsorted
+    bounds against the sorted timestamps and a prefix-sum difference —
+    no per-row scan."""
     from ..stages.temporal import grouped_map
 
     HOUR = 3_600_000_000
@@ -8849,8 +8867,15 @@ def t_forward_window(sf_dir: str):
                 hi = np.searchsorted(t_, t_ + 7 * DAY, side="right")
                 fs[a:b] = cv[hi] - cv[lo]
                 fn[a:b] = hi - lo
+        # biased half-up quantizer (NOT np.round: half-to-even vs SQL
+        # round's half-away splits on exact 6dp halves, and the
+        # prefix-diff vs window-sum float paths need the 0.5005 slack)
         return pd.DataFrame(
-            {"event_id": eid, "fwd_sum": np.round(fs, 6), "fwd_n": fn}
+            {
+                "event_id": eid,
+                "fwd_sum": np.floor(fs * 1e6 + 0.5005) / 1e6,
+                "fwd_n": fn,
+            }
         )
 
     out = grouped_map(ds, "user_id", fwd).to_pandas()
@@ -8859,7 +8884,7 @@ def t_forward_window(sf_dir: str):
 
 T_FORWARD_WINDOW_SQL = """
 SELECT event_id,
-       round(COALESCE(sum(value) OVER w, 0), 6) AS fwd_sum,
+       floor(COALESCE(sum(value) OVER w, 0) * 1000000 + 0.5005) / 1000000 AS fwd_sum,
        count(value) OVER w AS fwd_n
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
