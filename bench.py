@@ -169,6 +169,10 @@ HEADLINE = [
     "t_forward_window",
     "q_percentile_exact",
     "d_compress_ratio",
+    "d_span_corruption",
+    "d_readability",
+    "q_upsert",
+    "d_ann_recall",
 ]
 
 

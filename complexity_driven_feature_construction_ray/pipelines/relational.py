@@ -9012,6 +9012,268 @@ def d_compress_ratio(sf_dir: str):
     return ds.map_batches(ratio, batch_format="pyarrow")
 
 
+def d_span_corruption(sf_dir: str):
+    """T5/BERT-style span-corruption masking LAYOUT over the token
+    table: a position starts a mask span iff a public replayable hash
+    of (doc ordinal, position) falls under 5%, spans run 3 tokens and
+    merge when they overlap — per doc the masked-token count, merged
+    span count, and mask fraction. Fully row-local (the flat Arrow
+    token buffer gives per-doc position indices; the 3-token dilation
+    is two guarded shifts); the SQL oracle replays the hash in HUGEINT
+    and re-derives the dilation with a ROWS 2 PRECEDING window max.
+    Hash bound: doc ordinal < 2.3e12 keeps the affine input inside
+    mod-2^61-1 single-word range (same contract as the other
+    replayable-hash ops)."""
+    from ..sources.token_table import token_table_dataset
+    from ..stages.text import _mulmod61
+
+    n = {"sf0.001": 3000, "sf0.01": 30000, "sf0.1": 300000}.get(
+        sf_dir.rstrip("/").split("/")[-1], 3000
+    )
+    if n <= 30000:
+        ensure_tok_oracle_fixtures(ns=(n,))
+    M = np.uint64((1 << 61) - 1)
+    A = np.uint64(1752450205419405103)  # 6364136223846793005 mod 2^61-1
+    B = np.uint64(1152921504607846959)  # 2^60 + 999983 (wrapping premix)
+
+    def spans(batch: pa.Table) -> pa.Table:
+        col = batch["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = col.offsets.to_numpy().astype(np.int64)
+        lens = np.diff(offs)
+        nrows = len(lens)
+        did = (
+            pd.Series(batch["doc_id"].to_pandas())
+            .str.slice(4)
+            .astype(np.int64)
+            .to_numpy()
+        )
+        # flat per-position arrays: doc index + 1-based position
+        docidx = np.repeat(np.arange(nrows, dtype=np.int64), lens)
+        pos = np.arange(offs[-1] - offs[0], dtype=np.int64) - np.repeat(
+            offs[:-1] - offs[0], lens
+        ) + 1
+        key = (did[docidx] * 1000003 + pos).astype(np.uint64)
+        h = _mulmod61(key, np.broadcast_to(A, key.shape)) + B
+        h = np.where(h >= M, h - M, h)
+        st = ((h % np.uint64(100)) < np.uint64(5)).astype(np.int8)
+        mask = st.copy()
+        for k in (1, 2):
+            sh = np.concatenate([np.zeros(k, dtype=np.int8), st[:-k]]) if len(st) > k else np.zeros_like(st)
+            mask |= np.where(pos > k, sh, 0).astype(np.int8)
+        prev = np.concatenate([np.zeros(1, dtype=np.int8), mask[:-1]]) if len(mask) else mask
+        runstart = (mask == 1) & ((pos == 1) | (prev == 0))
+        n_masked = np.bincount(docidx, weights=mask, minlength=nrows).astype(np.int64)
+        n_spans = np.bincount(docidx, weights=runstart, minlength=nrows).astype(np.int64)
+        frac = n_masked.astype(np.float64) / np.maximum(lens, 1).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tok": pa.array(lens),
+                "n_masked": pa.array(n_masked),
+                "n_spans": pa.array(n_spans),
+                "mask_frac": pa.array(np.floor(frac * 1e6 + 0.5005) / 1e6),
+            }
+        )
+
+    return token_table_dataset(n).map_batches(spans, batch_format="pyarrow")
+
+
+D_SPAN_CORRUPTION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, tokens
+  FROM read_parquet('{TOK_ORACLE_DIR}/tokens_full_30000_seed42.parquet')
+),
+u AS (
+  SELECT doc_id, unnest(tokens) AS _tok,
+         generate_subscripts(tokens, 1) AS i
+  FROM t
+),
+s AS (
+  SELECT doc_id, i,
+         CASE WHEN ((CAST(substr(doc_id, 5) AS HUGEINT) * 1000003 + i)
+                    * 1752450205419405103 + 1152921504607846959)
+                   % 2305843009213693951 % 100 < 5 THEN 1 ELSE 0 END AS st
+  FROM u
+),
+m AS (
+  SELECT doc_id, i, st,
+         max(st) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mask
+  FROM s
+),
+m2 AS (
+  SELECT doc_id, mask,
+         CASE WHEN mask = 1 AND COALESCE(lag(mask) OVER (PARTITION BY doc_id ORDER BY i), 0) = 0
+              THEN 1 ELSE 0 END AS runstart
+  FROM m
+)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_tok,
+       CAST(sum(mask) AS BIGINT) AS n_masked,
+       CAST(sum(runstart) AS BIGINT) AS n_spans,
+       floor(CAST(sum(mask) AS DOUBLE) / count(*) * 1000000 + 0.5005) / 1000000 AS mask_frac
+FROM m2 GROUP BY doc_id
+"""
+
+
+def d_readability(sf_dir: str):
+    """Flesch reading-ease per document (206.835 − 1.015·W/S −
+    84.6·Y/W with vowel-group syllable estimates — the standard cheap
+    readability quality signal). Row-local: three vectorized regex
+    counts per batch, zero exchange; NULL where the doc has no words
+    or no sentence boundary. Both engines evaluate the identical
+    left-associated float expression over exact integer counts, then
+    the shared 6dp quantizer."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def flesch(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch["text"].to_pandas()).fillna("")
+        w = s.str.count(r"\S+").to_numpy(np.int64)
+        seg = s.str.split(r"[.!?]+", regex=True).explode()
+        nonblank = seg.str.contains(r"\S", regex=True, na=False)
+        sent = (
+            nonblank.groupby(level=0).sum().reindex(s.index, fill_value=0)
+        ).to_numpy(np.int64)
+        y = s.str.count(r"[aeiouyAEIOUY]+").to_numpy(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            val = (
+                206.835
+                - 1.015 * (w.astype(np.float64) / sent.astype(np.float64))
+                - 84.6 * (y.astype(np.float64) / w.astype(np.float64))
+            )
+        val = np.floor(val * 1e6 + 0.5005) / 1e6
+        val = np.where((sent == 0) | (w == 0), np.nan, val)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(w),
+                "n_sentences": pa.array(sent),
+                "n_syllables": pa.array(y),
+                "flesch": pa.array(pd.Series(val), from_pandas=True),
+            }
+        )
+
+    return ds.map_batches(flesch, batch_format="pyarrow")
+
+
+D_READABILITY_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS BIGINT) AS w,
+         CAST(len(list_filter(string_split_regex(COALESCE(text, ''), '[.!?]+'),
+                              x -> regexp_matches(x, '\\S'))) AS BIGINT) AS s,
+         CAST(len(regexp_extract_all(COALESCE(text, ''), '[aeiouyAEIOUY]+')) AS BIGINT) AS y
+  FROM documents
+)
+SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
+       CASE WHEN s = 0 OR w = 0 THEN NULL
+            ELSE floor((206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                        - 84.6 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)))
+                       * 1000000 + 0.5005) / 1000000 END AS flesch
+FROM c
+"""
+
+
+def q_upsert(sf_dir: str):
+    """MERGE/upsert semantics (the lakehouse CDC-apply step): a derived
+    change set (updates for o_orderkey % 7 = 0 at +10.0; inserts at
+    key+100000000 for o_orderkey % 9731 = 0) applied onto the base
+    orders table — matched rows take the new price, unmatched changes
+    insert, everything else passes through. One bucketed full-outer
+    exchange via the shared shuffle_hash_join; COALESCE resolves the
+    surviving side."""
+    from ..stages.partition import shuffle_hash_join
+
+    base = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def changes(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy()
+        p = batch["o_totalprice"].to_numpy()
+        upd = k % 7 == 0
+        ins = k % 9731 == 0
+        return pa.table(
+            {
+                "u_orderkey": pa.array(
+                    np.concatenate([k[upd], k[ins] + 100000000])
+                ),
+                "u_price": pa.array(
+                    np.concatenate([p[upd] + 10.0, np.full(ins.sum(), 1.0)])
+                ),
+            }
+        )
+
+    upd_ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]).map_batches(
+        changes, batch_format="pyarrow"
+    )
+    joined = shuffle_hash_join(
+        base, upd_ds, left_on="o_orderkey", right_on="u_orderkey",
+        join_type="full outer",
+    )
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        # the bucketed full-outer join already COALESCEd the key, so
+        # unmatched inserts carry their own key; price resolution is
+        # pure Arrow coalesce (values pass through bit-identically —
+        # no rounding needed on either side)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "price": pc.coalesce(batch["u_price"], batch["o_totalprice"]),
+                "is_new": pc.is_null(batch["o_totalprice"]),
+            }
+        )
+
+    return joined.map_batches(resolve, batch_format="pyarrow")
+
+
+Q_UPSERT_SQL = """
+WITH chg AS (
+  SELECT o_orderkey AS u_orderkey, o_totalprice + 10.0 AS u_price
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, 1.0 FROM orders WHERE o_orderkey % 9731 = 0
+)
+SELECT COALESCE(o.o_orderkey, c.u_orderkey) AS o_orderkey,
+       COALESCE(c.u_price, o.o_totalprice) AS price,
+       o.o_orderkey IS NULL AS is_new
+FROM orders o FULL OUTER JOIN chg c ON o.o_orderkey = c.u_orderkey
+"""
+
+
+def d_ann_recall(sf_dir: str):
+    """ANN quality harness: recall@5 of the IVF index against the
+    exact brute-force neighbors for the same queries — the eval loop
+    that tunes (n_clusters, nprobe) before trusting the approximate
+    path at scale. Rows-only (both sides are the engine's own ANN
+    pipelines); pytest pins the deterministic values."""
+    from ..stages.similarity import knn_bruteforce, knn_ivf
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .filter(expr="vec_id < 8")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    queries = np.stack(q["embedding"].to_numpy())
+    qids = q["vec_id"].to_numpy()
+    exact = knn_bruteforce(ds, queries, k=5, query_ids=qids)
+    approx = knn_ivf(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        queries, k=5, n_clusters=8, nprobe=3,
+    )
+    rows = []
+    for qid in qids:
+        e = set(exact.loc[exact["query_id"] == qid, "id"])
+        a = set(approx.loc[approx["query_id"] == qid, "id"])
+        rows.append((int(qid), len(e & a) / max(len(e), 1)))
+    out = pd.DataFrame(rows, columns=["query_id", "recall_at_5"])
+    out["recall_at_5"] = np.floor(out["recall_at_5"] * 1e6 + 0.5005) / 1e6
+    return out
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -9230,4 +9492,8 @@ QUERIES: dict[str, tuple] = {
     "t_forward_window": (t_forward_window, T_FORWARD_WINDOW_SQL),
     "q_percentile_exact": (q_percentile_exact, Q_PERCENTILE_EXACT_SQL),
     "d_compress_ratio": (d_compress_ratio, None),
+    "d_span_corruption": (d_span_corruption, D_SPAN_CORRUPTION_SQL),
+    "d_readability": (d_readability, D_READABILITY_SQL),
+    "q_upsert": (q_upsert, Q_UPSERT_SQL),
+    "d_ann_recall": (d_ann_recall, None),
 }
