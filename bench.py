@@ -173,6 +173,9 @@ HEADLINE = [
     "d_readability",
     "q_upsert",
     "d_ann_recall",
+    "d_triangle_count",
+    "d_conversation",
+    "q_table_checksum",
 ]
 
 

@@ -9274,6 +9274,277 @@ def d_ann_recall(sf_dir: str):
     return out
 
 
+def d_triangle_count(sf_dir: str):
+    """Per-node triangle counts over the co-supplier graph (suppliers
+    connected iff they share ≥2 distinct parts in the l_orderkey%16
+    slice) — the classic graph-locality signal (clustering/community
+    strength) built the distributed way: (1) part-co-located pair
+    emission with in-bucket distinct, (2) pair-co-located shared-part
+    counting → edge set, (3) wedge generation at each edge's LOWER
+    endpoint, (4) one bucketed hash join of wedges against edges on the
+    closing pair, (5) an O(nodes) count exchange. At skewed scale the
+    wedge phase must orient edges by (degree, id) instead of raw id so
+    hubs don't fan out O(d²) — noted here, id-orientation is correct
+    and sufficient for the evaluated graphs. Key packing bound:
+    supplier ids < 2^31."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.partition import shuffle_hash_join
+    from ..stages.temporal import grouped_map
+
+    K = np.int64(1) << 31
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_partkey", "l_suppkey"],
+        where=pc.bit_wise_and(pc.field("l_orderkey"), 15) == 0,
+    )
+
+    def ps_cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "p": batch["l_partkey"].to_numpy(),
+                "s": batch["l_suppkey"].to_numpy(),
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["p", "s"]).sort_values(["p", "s"])
+        outs = []
+        for _, gg in g.groupby("p", sort=False):
+            s = gg["s"].to_numpy(np.int64)
+            if len(s) < 2:
+                continue
+            iu = np.triu_indices(len(s), k=1)
+            outs.append(np.stack([s[iu[0]], s[iu[1]]], axis=1))
+        if not outs:
+            return pd.DataFrame({"pk": pd.Series([], dtype=np.int64)})
+        ab = np.concatenate(outs)
+        return pd.DataFrame({"pk": ab[:, 0] * K + ab[:, 1]})
+
+    pairs = grouped_map(
+        li.map_batches(ps_cells, batch_format="pyarrow"), "p", part_pairs
+    )
+
+    def shared_filter(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("pk").size()
+        keep = c[c >= 2].index.to_numpy(np.int64)
+        return pd.DataFrame({"a": keep // K, "b": keep % K})
+
+    # the edge set feeds TWO consumers (wedge generation + the closing-
+    # edge probe); materialize once so the part/pair exchanges don't
+    # re-execute per consumer. Edges are the sparse graph itself —
+    # exactly what an iterative graph engine holds resident.
+    edges = grouped_map(pairs, "pk", shared_filter).materialize()
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["a", "b"])
+        outs = []
+        for _, gg in g.groupby("a", sort=False):
+            nb = gg["b"].to_numpy(np.int64)
+            if len(nb) < 2:
+                continue
+            iu = np.triu_indices(len(nb), k=1)
+            apex = np.full(len(iu[0]), gg["a"].iloc[0], dtype=np.int64)
+            outs.append(
+                pd.DataFrame({"wk": nb[iu[0]] * K + nb[iu[1]], "apex": apex})
+            )
+        if not outs:
+            return pd.DataFrame(
+                {"wk": pd.Series([], dtype=np.int64), "apex": pd.Series([], dtype=np.int64)}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    w = grouped_map(edges, "a", wedges)
+
+    def edge_keys(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        return pa.table({"ek": pa.array(a * K + b)})
+
+    tri = shuffle_hash_join(
+        w, edges.map_batches(edge_keys, batch_format="pyarrow"),
+        left_on="wk", right_on="ek", join_type="inner",
+    )
+
+    def node_cells(batch: pa.Table) -> pa.Table:
+        wk = batch["wk"].to_numpy()
+        apex = batch["apex"].to_numpy()
+        s = np.concatenate([apex, wk // K, wk % K])
+        df = pd.DataFrame({"suppkey": s, "n_triangles": 1})
+        return pa.Table.from_pandas(
+            df.groupby("suppkey", as_index=False).sum(), preserve_index=False
+        )
+
+    out = (
+        tri.map_batches(node_cells, batch_format="pyarrow")
+        .groupby("suppkey")
+        .aggregate(Sum("n_triangles", alias_name="n_triangles"))
+        .to_pandas()
+    )
+    out["n_triangles"] = out["n_triangles"].astype(np.int64)
+    return out.sort_values("suppkey").reset_index(drop=True)
+
+
+D_TRIANGLE_COUNT_SQL = """
+WITH sp AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+  WHERE l_orderkey % 16 = 0
+),
+e AS (
+  SELECT a.s AS a, b.s AS b
+  FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+tri AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM e e1 JOIN e e2 ON e2.a = e1.b
+       JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT s AS suppkey, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT a AS s FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+GROUP BY s ORDER BY s
+"""
+
+
+def d_conversation(sf_dir: str):
+    """Conversation assembly (chat-log → training-doc): each user's
+    events sessionize on a 30-minute gap (same rule as t_sessionize)
+    and each session's event_type sequence concatenates in (ts,
+    event_id) order into one pipe-joined string with its event count —
+    the multi-turn document-construction step of a dialogue corpus.
+    One entity shuffle; session assignment and ordering are C-level,
+    the string join is the unavoidable per-session concat."""
+    from ..stages.temporal import grouped_map
+
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"],
+        split=True,
+    )
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "session_idx": pd.Series([], dtype=np.int64),
+                    "n_events": pd.Series([], dtype=np.int64),
+                    "convo": pd.Series([], dtype=object),
+                }
+            )
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        gap = np.r_[0, ts[1:] - ts[:-1]] > 1_800_000_000
+        new_sess = new_user | gap
+        # per-user 0-based session index: cumulative new-session count
+        # minus its value at the user's first row
+        cs = np.cumsum(new_sess)
+        first = np.repeat(cs[new_user], np.diff(np.r_[np.flatnonzero(new_user), len(uid)]))
+        g = g.assign(session_idx=(cs - first).astype(np.int64))
+        agg = g.groupby(["user_id", "session_idx"], sort=False).agg(
+            n_events=("event_type", "size"), convo=("event_type", "|".join)
+        )
+        return agg.reset_index()
+
+    out = grouped_map(ds, "user_id", assemble).to_pandas()
+    return out.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+
+
+D_CONVERSATION_SQL = """
+WITH s AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+  FROM (
+    SELECT event_id, user_id, ts, event_type,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+  )
+)
+SELECT user_id, session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       string_agg(event_type, '|' ORDER BY ts, event_id) AS convo
+FROM s GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+
+def q_table_checksum(sf_dir: str):
+    """Order-insensitive table fingerprint (the replication/integrity
+    audit: re-run after a copy or a backfill and compare one row): a
+    replayable per-row hash of (o_orderkey, o_custkey, exact cents of
+    o_totalprice) mod 2^61−1, aggregated as BOTH a modular sum and a
+    bitwise XOR plus the row count. Per-batch partials only — an
+    O(batches) fold, no shuffle at all. The 32-bit split keeps the
+    modular sum exact in int64 at any batch size; key bound:
+    o_orderkey < 2.3e12 (same single-word contract as the other
+    replayable hashes)."""
+    from ..stages.text import _mulmod61
+
+    M = (1 << 61) - 1
+    A = np.uint64(1752450205419405103)
+    B = np.uint64(1152921504607846959)
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy().astype(np.uint64)
+        c = batch["o_custkey"].to_numpy().astype(np.uint64)
+        cents = np.floor(batch["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.uint64)
+        t1 = k * np.uint64(1000003) + c
+        h1 = _mulmod61(t1, np.broadcast_to(A, t1.shape)) + B
+        h1 = np.where(h1 >= np.uint64(M), h1 - np.uint64(M), h1)
+        h = _mulmod61(h1, np.broadcast_to(A, h1.shape)) + cents
+        h = np.where(h >= np.uint64(M), h - np.uint64(M), h)
+        # exact modular sum via 32-bit split (Σ of 2^61-sized terms
+        # overflows uint64 after 8 rows; the split sums stay exact)
+        lo = int((h & np.uint64(0xFFFFFFFF)).sum())
+        hi = int((h >> np.uint64(32)).sum())
+        s = (hi * (1 << 32) + lo) % M
+        x = int(np.bitwise_xor.reduce(h)) if len(h) else 0
+        return pa.table(
+            {
+                "s": pa.array([s], type=pa.int64()),
+                "x": pa.array([x], type=pa.int64()),
+                "n": pa.array([len(h)], type=pa.int64()),
+            }
+        )
+
+    tot_s, tot_x, tot_n = 0, 0, 0
+    for row in ds.map_batches(part, batch_format="pyarrow", batch_size=None).take_all():
+        tot_s = (tot_s + row["s"]) % M
+        tot_x ^= row["x"]
+        tot_n += row["n"]
+    return pd.DataFrame(
+        {"n": [tot_n], "checksum_sum": [tot_s], "checksum_xor": [tot_x]}
+    )
+
+
+Q_TABLE_CHECKSUM_SQL = """
+WITH h AS (
+  SELECT CAST(
+           (((CAST(o_orderkey AS HUGEINT) * 1000003 + o_custkey)
+             * 1752450205419405103 + 1152921504607846959) % 2305843009213693951
+            * 1752450205419405103
+            + CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT))
+           % 2305843009213693951 AS BIGINT) AS h
+  FROM orders
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(h AS HUGEINT)) % 2305843009213693951 AS BIGINT) AS checksum_sum,
+       CAST(bit_xor(h) AS BIGINT) AS checksum_xor
+FROM h
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -9496,4 +9767,7 @@ QUERIES: dict[str, tuple] = {
     "d_readability": (d_readability, D_READABILITY_SQL),
     "q_upsert": (q_upsert, Q_UPSERT_SQL),
     "d_ann_recall": (d_ann_recall, None),
+    "d_triangle_count": (d_triangle_count, D_TRIANGLE_COUNT_SQL),
+    "d_conversation": (d_conversation, D_CONVERSATION_SQL),
+    "q_table_checksum": (q_table_checksum, Q_TABLE_CHECKSUM_SQL),
 }
