@@ -176,6 +176,10 @@ HEADLINE = [
     "d_triangle_count",
     "d_conversation",
     "q_table_checksum",
+    "tok_crop",
+    "d_html_strip",
+    "d_wilson_ci",
+    "q_moments",
 ]
 
 

@@ -9545,6 +9545,310 @@ FROM h
 """
 
 
+def tok_crop(sf_dir: str):
+    """Deterministic context-window cropping (the dataloader random-crop
+    made replayable): every doc longer than 64 tokens takes a 64-token
+    window whose start is a public affine hash of the doc ordinal mod
+    the valid-start span; short docs pass whole. Emits the crop bounds
+    AND the first cropped token (a token-level probe so the oracle
+    verifies actual list indexing, not just arithmetic). Row-local over
+    the flat Arrow token buffer — zero exchange."""
+    from ..sources.token_table import token_table_dataset
+    from ..stages.text import _mulmod61
+
+    n = {"sf0.001": 3000, "sf0.01": 30000, "sf0.1": 300000}.get(
+        sf_dir.rstrip("/").split("/")[-1], 3000
+    )
+    if n <= 30000:
+        ensure_tok_oracle_fixtures(ns=(n,))
+    W = 64
+    M = np.uint64((1 << 61) - 1)
+    A = np.uint64(1752450205419405103)
+    B = np.uint64(1152921504607846959)
+
+    def crop(batch: pa.Table) -> pa.Table:
+        col = batch["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = col.offsets.to_numpy().astype(np.int64)
+        vals = col.values.to_numpy(zero_copy_only=False)
+        lens = np.diff(offs)
+        did = (
+            pd.Series(batch["doc_id"].to_pandas()).str.slice(4).astype(np.int64)
+        ).to_numpy().astype(np.uint64)
+        h = _mulmod61(did, np.broadcast_to(A, did.shape)) + B
+        h = np.where(h >= M, h - M, h)
+        span = np.maximum(lens - (W - 1), 1).astype(np.uint64)
+        start = np.where(lens > W, (h % span).astype(np.int64), 0)
+        crop_len = np.minimum(lens, W)
+        # offsets are ABSOLUTE into the child values buffer (a sliced
+        # ListArray keeps full child + shifted offsets) — no offs[0]
+        # normalization here, unlike the per-position arange above
+        first = vals[offs[:-1] + start]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tok": pa.array(lens),
+                "crop_start": pa.array(start),
+                "crop_len": pa.array(crop_len),
+                "crop_first_tok": pa.array(first.astype(np.int32)),
+            }
+        )
+
+    return token_table_dataset(n).map_batches(crop, batch_format="pyarrow")
+
+
+TOK_CROP_SQL = f"""
+WITH t AS (
+  SELECT doc_id, tokens, len(tokens) AS n_tok
+  FROM read_parquet('{TOK_ORACLE_DIR}/tokens_full_30000_seed42.parquet')
+),
+h AS (
+  SELECT doc_id, tokens, n_tok,
+         (CAST(substr(doc_id, 5) AS HUGEINT) * 1752450205419405103
+          + 1152921504607846959) % 2305843009213693951 AS hv
+  FROM t
+),
+c AS (
+  SELECT doc_id, tokens, n_tok,
+         CASE WHEN n_tok > 64 THEN CAST(hv % (n_tok - 63) AS BIGINT) ELSE 0 END AS crop_start
+  FROM h
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, crop_start,
+       CAST(least(n_tok, 64) AS BIGINT) AS crop_len,
+       tokens[crop_start + 1] AS crop_first_tok
+FROM c
+"""
+
+
+def d_html_strip(sf_dir: str):
+    """Markup/boilerplate stripping (the HTML-extraction step of a web
+    corpus): a deterministic tag wrap + trailing script block is
+    injected on doc_id % 5 = 0 (the fixture corpus is plain text), then
+    the strip removes script blocks and every remaining tag — per doc
+    the removed-tag count, cleaned length, and whether the doc
+    changed. Vectorized regex per batch, zero exchange; the oracle
+    replays injection and strip with the same RE2-compatible
+    patterns."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def strip(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch["text"].to_pandas()).fillna("")
+        did = batch["doc_id"].to_numpy()
+        wrapped = pd.Series(
+            np.where(
+                did % 5 == 0,
+                '<div class="t"><p>' + s + "</p></div><script>junk()</script>",
+                s,
+            )
+        )
+        noscript = wrapped.str.replace(
+            r"<script>[^<]*</script>", "", regex=True
+        )
+        n_tags = noscript.str.count(r"<[^>]*>").to_numpy(np.int64) + (
+            (did % 5 == 0).astype(np.int64)  # the script block itself
+        )
+        clean = noscript.str.replace(r"<[^>]*>", "", regex=True)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tags": pa.array(n_tags),
+                "clean_len": pa.array(clean.str.len().to_numpy(np.int64)),
+                "changed": pa.array((did % 5 == 0)),
+            }
+        )
+
+    return ds.map_batches(strip, batch_format="pyarrow")
+
+
+D_HTML_STRIP_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN '<div class="t"><p>' || COALESCE(text, '')
+                   || '</p></div><script>junk()</script>'
+              ELSE COALESCE(text, '') END AS t,
+         doc_id % 5 = 0 AS injected
+  FROM documents
+),
+ns AS (
+  SELECT doc_id, injected,
+         regexp_replace(t, '<script>[^<]*</script>', '', 'g') AS t
+  FROM w
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '<[^>]*>'))
+            + CASE WHEN injected THEN 1 ELSE 0 END AS BIGINT) AS n_tags,
+       CAST(length(regexp_replace(t, '<[^>]*>', '', 'g')) AS BIGINT) AS clean_len,
+       injected AS changed
+FROM ns
+"""
+
+
+def d_wilson_ci(sf_dir: str):
+    """Per-source C4 keep-rate with a Wilson 95% confidence interval —
+    'is this source's quality SIGNIFICANTLY worse, or is it just
+    small?' (the audit that stops over-reacting to a 12-doc shard).
+    O(sources) cell exchange of exact (kept, n) integers; both engines
+    then evaluate the token-identical Wilson expression."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.text import c4_keep_mask
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch["text"].to_pandas()).fillna("")
+        keep = c4_keep_mask(s).astype(np.int64)
+        df = pd.DataFrame(
+            {"source": batch["source"].to_pandas().fillna(""), "kept": keep, "n": 1}
+        )
+        return pa.Table.from_pandas(
+            df.groupby("source", as_index=False).sum(), preserve_index=False
+        )
+
+    out = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("kept", alias_name="kept"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    k = out["kept"].to_numpy(np.float64)
+    n = out["n"].to_numpy(np.float64)
+    p = k / n
+    half = 1.96 * np.sqrt((p * (1 - p) + 1.96 * 1.96 / (4 * n)) / n)
+    center = p + 1.96 * 1.96 / (2 * n)
+    denom = 1 + 1.96 * 1.96 / n
+    q6 = lambda x: np.floor(x * 1e6 + 0.5005) / 1e6  # noqa: E731
+    out["p_keep"] = q6(p)
+    out["wilson_lo"] = q6((center - half) / denom)
+    out["wilson_hi"] = q6((center + half) / denom)
+    out["kept"] = out["kept"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+D_WILSON_CI_SQL = """
+WITH c AS (
+  SELECT COALESCE(source, '') AS source,
+         CAST(sum(CASE WHEN
+                length(regexp_extract_all(text, '\\S+')) BETWEEN 30 AND 10000
+            AND length(regexp_replace(text, '\\s+', '', 'g'))
+                / greatest(length(regexp_extract_all(text, '\\S+')), 1) <= 4.6
+            AND position('{' IN text) = 0
+            AND position('lorem ipsum' IN lower(text)) = 0
+          THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+         CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1
+),
+f AS (
+  SELECT source, kept, n,
+         CAST(kept AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+         CAST(n AS DOUBLE) AS nd
+  FROM c
+)
+SELECT source, kept, n,
+  floor(p * 1000000 + 0.5005) / 1000000 AS p_keep,
+  floor(((p + 1.96 * 1.96 / (2 * nd)
+          - 1.96 * sqrt((p * (1 - p) + 1.96 * 1.96 / (4 * nd)) / nd))
+         / (1 + 1.96 * 1.96 / nd)) * 1000000 + 0.5005) / 1000000 AS wilson_lo,
+  floor(((p + 1.96 * 1.96 / (2 * nd)
+          + 1.96 * sqrt((p * (1 - p) + 1.96 * 1.96 / (4 * nd)) / nd))
+         / (1 + 1.96 * 1.96 / nd)) * 1000000 + 0.5005) / 1000000 AS wilson_hi
+FROM f ORDER BY source
+"""
+
+
+def q_moments(sf_dir: str):
+    """Grouped skewness / excess kurtosis (population definitions) of
+    l_discount per returnflag from ONE pass of per-batch power-sum
+    partials (n, Σx, Σx², Σx³, Σx⁴ per group — O(groups) floats per
+    batch, tiny cell exchange). The small-magnitude column keeps the
+    raw-moment expansion well-conditioned; both engines expand the
+    central moments with the token-identical expression."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_discount"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": batch["l_returnflag"].to_numpy(zero_copy_only=False),
+                "x": batch["l_discount"].to_numpy(),
+            }
+        )
+        gg = df.groupby("g")["x"]
+        out = pd.DataFrame(
+            {
+                "n": gg.size(),
+                "s1": gg.sum(),
+                "s2": gg.apply(lambda v: float((v**2).sum())),
+                "s3": gg.apply(lambda v: float((v**3).sum())),
+                "s4": gg.apply(lambda v: float((v**4).sum())),
+            }
+        ).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s1", alias_name="s1"),
+            Sum("s2", alias_name="s2"),
+            Sum("s3", alias_name="s3"),
+            Sum("s4", alias_name="s4"),
+        )
+        .to_pandas()
+    )
+    n = agg["n"].to_numpy(np.float64)
+    s1, s2 = agg["s1"].to_numpy(np.float64), agg["s2"].to_numpy(np.float64)
+    s3, s4 = agg["s3"].to_numpy(np.float64), agg["s4"].to_numpy(np.float64)
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu
+    m4 = s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n) - 3 * mu * mu * mu * mu
+    skew = m3 / m2**1.5
+    kurt = m4 / (m2 * m2) - 3
+    q6 = lambda x: np.floor(x * 1e6 + 0.5005) / 1e6  # noqa: E731
+    return pd.DataFrame(
+        {
+            "l_returnflag": agg["g"],
+            "n": agg["n"].astype(np.int64),
+            "skewness": q6(skew),
+            "excess_kurtosis": q6(kurt),
+        }
+    ).sort_values("l_returnflag").reset_index(drop=True)
+
+
+Q_MOMENTS_SQL = """
+WITH s AS (
+  SELECT l_returnflag AS g, CAST(count(*) AS DOUBLE) AS n,
+         sum(l_discount) AS s1,
+         sum(l_discount * l_discount) AS s2,
+         sum(l_discount * l_discount * l_discount) AS s3,
+         sum(l_discount * l_discount * l_discount * l_discount) AS s4
+  FROM lineitem GROUP BY 1
+),
+m AS (
+  SELECT g, n, s1 / n AS mu, s2, s3, s4,
+         s2 / n - (s1 / n) * (s1 / n) AS m2
+  FROM s
+),
+f AS (
+  SELECT g, n, m2,
+         s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu AS m3,
+         s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n)
+           - 3 * mu * mu * mu * mu AS m4
+  FROM m
+)
+SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+       floor((m3 / pow(m2, 1.5)) * 1000000 + 0.5005) / 1000000 AS skewness,
+       floor((m4 / (m2 * m2) - 3) * 1000000 + 0.5005) / 1000000 AS excess_kurtosis
+FROM f ORDER BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -9770,4 +10074,8 @@ QUERIES: dict[str, tuple] = {
     "d_triangle_count": (d_triangle_count, D_TRIANGLE_COUNT_SQL),
     "d_conversation": (d_conversation, D_CONVERSATION_SQL),
     "q_table_checksum": (q_table_checksum, Q_TABLE_CHECKSUM_SQL),
+    "tok_crop": (tok_crop, TOK_CROP_SQL),
+    "d_html_strip": (d_html_strip, D_HTML_STRIP_SQL),
+    "d_wilson_ci": (d_wilson_ci, D_WILSON_CI_SQL),
+    "q_moments": (q_moments, Q_MOMENTS_SQL),
 }
