@@ -180,6 +180,9 @@ HEADLINE = [
     "d_html_strip",
     "d_wilson_ci",
     "q_moments",
+    "fe_polynomial",
+    "fe_cyclic",
+    "fe_crosshash",
 ]
 
 

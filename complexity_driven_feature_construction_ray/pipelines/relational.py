@@ -9849,6 +9849,131 @@ FROM f ORDER BY l_returnflag
 """
 
 
+def fe_polynomial(sf_dir: str):
+    """Degree-2 polynomial feature expansion (sklearn PolynomialFeatures
+    analog over the candidate algebra: squares via the ufunc producer,
+    cross terms via the commutative product) — backfilled through the
+    same expression-DAG machinery as every other fe_* pipeline and
+    hash-checked against SQL arithmetic."""
+    from ..functions.expr import binary, npfunc
+
+    def build(f):
+        return [
+            npfunc("square", f["l_quantity"]),
+            npfunc("square", f["l_discount"]),
+            binary("mul", f["l_quantity"], f["l_discount"]),
+            binary("mul", f["l_quantity"], f["l_tax"]),
+        ]
+
+    return _lineitem_features(
+        sf_dir,
+        {"stats": ["l_quantity", "l_discount", "l_tax"], "build": build},
+        keep=["l_orderkey", "l_linenumber"],
+        rename={
+            "np.square(l_quantity)": "qty_sq",
+            "np.square(l_discount)": "disc_sq",
+            "(l_discount*l_quantity)": "qty_disc",
+            "(l_quantity*l_tax)": "qty_tax",
+        },
+        rounding={"qty_sq": 6, "disc_sq": 6, "qty_disc": 6, "qty_tax": 6},
+    )
+
+
+FE_POLYNOMIAL_SQL = """
+SELECT l_orderkey, l_linenumber,
+       round(l_quantity * l_quantity, 6) AS qty_sq,
+       round(l_discount * l_discount, 6) AS disc_sq,
+       round(l_discount * l_quantity, 6) AS qty_disc,
+       round(l_quantity * l_tax, 6) AS qty_tax
+FROM lineitem
+"""
+
+
+def fe_cyclic(sf_dir: str):
+    """Cyclic (sin/cos) encoding of event hour-of-day — the standard
+    periodic-feature transform that keeps 23:00 adjacent to 00:00 where
+    a raw hour integer breaks the circle. Row-local; both engines
+    evaluate sin/cos on the identical 2π·h/24 doubles (explicit π
+    literal) and quantize at 6dp, absorbing sub-ulp libm differences."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+
+    def enc(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy().astype("datetime64[us]")
+        h = (ts.view(np.int64) // 3_600_000_000) % 24
+        ang = 2.0 * 3.141592653589793 * (h.astype(np.float64) / 24.0)
+        q6 = lambda x: np.floor(x * 1e6 + 0.5005) / 1e6  # noqa: E731
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "hour": pa.array(h.astype(np.int64)),
+                "hour_sin": pa.array(q6(np.sin(ang))),
+                "hour_cos": pa.array(q6(np.cos(ang))),
+            }
+        )
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+FE_CYCLIC_SQL = """
+SELECT event_id,
+       CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+       floor(sin(2.0 * 3.141592653589793 * (extract(hour FROM ts) / 24.0))
+             * 1000000 + 0.5005) / 1000000 AS hour_sin,
+       floor(cos(2.0 * 3.141592653589793 * (extract(hour FROM ts) / 24.0))
+             * 1000000 + 0.5005) / 1000000 AS hour_cos
+FROM events
+"""
+
+
+def fe_crosshash(sf_dir: str):
+    """Hashed cross features (the hashing-trick over a CATEGORICAL
+    CROSS, user_id × event_type → 128 buckets): the pair funnels
+    through the shared replayable affine hash mod 2^61−1 so the oracle
+    re-derives every bucket id; the classic wide-and-deep cross-column
+    encode at vocabulary-free memory cost. Row-local, zero exchange.
+    Uses the event_type ordinal via a fixed public code list (the
+    fixture's closed type set) — an open vocabulary would route through
+    horner_mod61 like d_hash_features."""
+    from ..stages.text import _mulmod61
+
+    M = np.uint64((1 << 61) - 1)
+    A = np.uint64(1752450205419405103)
+    B = np.uint64(1152921504607846959)
+    TYPES = ("click", "view", "purchase", "signup", "error")
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+
+    def cross(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy().astype(np.uint64)
+        et = batch["event_type"].to_pandas().fillna("")
+        code = et.map({t: i + 1 for i, t in enumerate(TYPES)}).fillna(0).to_numpy(
+            np.uint64
+        )
+        t1 = u * np.uint64(1009) + code
+        h = _mulmod61(t1, np.broadcast_to(A, t1.shape)) + B
+        h = np.where(h >= M, h - M, h)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "cross_bucket": pa.array((h % np.uint64(128)).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(cross, batch_format="pyarrow")
+
+
+FE_CROSSHASH_SQL = """
+SELECT event_id,
+       CAST(((CAST(user_id AS HUGEINT) * 1009
+              + CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                                WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4
+                                WHEN 'error' THEN 5 ELSE 0 END)
+             * 1752450205419405103 + 1152921504607846959)
+            % 2305843009213693951 % 128 AS BIGINT) AS cross_bucket
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -10078,4 +10203,7 @@ QUERIES: dict[str, tuple] = {
     "d_html_strip": (d_html_strip, D_HTML_STRIP_SQL),
     "d_wilson_ci": (d_wilson_ci, D_WILSON_CI_SQL),
     "q_moments": (q_moments, Q_MOMENTS_SQL),
+    "fe_polynomial": (fe_polynomial, FE_POLYNOMIAL_SQL),
+    "fe_cyclic": (fe_cyclic, FE_CYCLIC_SQL),
+    "fe_crosshash": (fe_crosshash, FE_CROSSHASH_SQL),
 }
