@@ -183,6 +183,11 @@ HEADLINE = [
     "fe_polynomial",
     "fe_cyclic",
     "fe_crosshash",
+    "d_auc",
+    "t_autocorr",
+    "fe_count_encode",
+    "fe_loo_encode",
+    "t_cusum",
 ]
 
 

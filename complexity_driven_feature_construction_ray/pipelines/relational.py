@@ -9974,6 +9974,356 @@ FROM events
 """
 
 
+def d_auc(sf_dir: str):
+    """Per-source exact ROC AUC (tie-corrected Mann-Whitney) of document
+    length predicting lang='en' — the eval primitive behind quality-
+    classifier audits. Like q_spearman, NO row is ever ranked: per-batch
+    (source, n_chars) cells with positive counts pre-aggregate inside
+    map_batches, one cell-cardinality exchange sums them, and the driver
+    derives AUC per source from prefix sums of negatives in value order.
+    2×rank-sum arithmetic stays in exact int64 until the single final
+    division (6dp-quantized on both sides); a NULL lang counts as
+    negative in both engines (n − n_pos)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars", "lang"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": batch["source"].to_pandas(),
+            "v": batch["n_chars"].to_numpy(),
+            "pos": (batch["lang"].to_pandas() == "en").astype(np.int64),
+            "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["source", "v"], as_index=False).sum(), preserve_index=False
+        )
+
+    jc = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["source", "v"])
+        .aggregate(Sum("pos", alias_name="pos"), Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["source", "v"])
+    )
+    pos = jc["pos"].to_numpy(np.int64)
+    neg = jc["n"].to_numpy(np.int64) - pos
+    # exclusive per-source prefix sum of negatives in value order
+    grp = jc["source"].to_numpy(object)
+    new = np.ones(len(jc), dtype=bool)
+    new[1:] = grp[1:] != grp[:-1]
+    cneg = np.cumsum(neg) - neg
+    starts = np.flatnonzero(new)
+    base = np.repeat(cneg[starts], np.diff(np.r_[starts, len(jc)]))
+    neg_before = cneg - base
+    num2 = pos * (2 * neg_before + neg)  # 2 × (concordant + ties/2)
+    agg = pd.DataFrame({"source": grp, "num2": num2, "np": pos, "nn": neg}) \
+        .groupby("source", as_index=False).sum()
+    agg = agg[(agg["np"] > 0) & (agg["nn"] > 0)]
+    q6 = lambda x: np.floor(x * 1e6 + 0.5005) / 1e6  # noqa: E731
+    return pd.DataFrame({
+        "source": agg["source"].to_numpy(object),
+        "n_pos": agg["np"].to_numpy(np.int64),
+        "n_neg": agg["nn"].to_numpy(np.int64),
+        "auc": q6(agg["num2"].to_numpy(np.float64)
+                  / (2.0 * agg["np"].to_numpy(np.float64)
+                     * agg["nn"].to_numpy(np.float64))),
+    })
+
+
+D_AUC_SQL = """
+WITH c AS (
+  SELECT source, n_chars AS v,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, n_chars),
+r AS (
+  SELECT source, pos, n - pos AS neg,
+         CAST(COALESCE(SUM(n - pos) OVER (PARTITION BY source ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS neg_before
+  FROM c),
+g AS (
+  SELECT source,
+         CAST(SUM(pos * (2 * neg_before + neg)) AS BIGINT) AS num2,
+         CAST(SUM(pos) AS BIGINT) AS np, CAST(SUM(neg) AS BIGINT) AS nn
+  FROM r GROUP BY source)
+SELECT source, np AS n_pos, nn AS n_neg,
+       floor(num2 / (2.0 * np * nn) * 1000000 + 0.5005) / 1000000 AS auc
+FROM g WHERE np > 0 AND nn > 0
+"""
+
+
+def t_autocorr(sf_dir: str):
+    """Per-user lag-1 autocorrelation of event value in ts order — the
+    time-series memory diagnostic (is tomorrow like today?). ONE entity
+    shuffle (grouped_map); inside a bucket consecutive-pair extraction
+    is a vectorized shift across all the bucket's users at once. Values
+    become exact integer cents so the five sufficient statistics
+    (Σx Σy Σxy Σxx Σyy) are order-free integers; the Pearson formula
+    runs on them in float64 with one 6dp-quantized result. int64 bounds:
+    n·Σxx ≤ n²·max_cents² ≈ 2.4e15 per user at 1k events — past that,
+    fold per-user in the chunked arbitrary-precision pattern of d_gini.
+    Users with <2 pairs or a constant side are dropped on both sides."""
+    from ..stages.temporal import grouped_map
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"],
+               split=True)
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        order = np.lexsort((g["event_id"].to_numpy(), ts, g["user_id"].to_numpy()))
+        u = g["user_id"].to_numpy(np.int64)[order]
+        c = np.floor(g["value"].to_numpy(np.float64)[order] * 100 + 0.5).astype(np.int64)
+        same = u[1:] == u[:-1]
+        x, y, uid = c[:-1][same], c[1:][same], u[1:][same]
+        df = pd.DataFrame({
+            "user_id": uid, "n": 1, "sx": x, "sy": y,
+            "sxy": x * y, "sxx": x * x, "syy": y * y,
+        }).groupby("user_id", as_index=False).sum()
+        n = df["n"].to_numpy(np.int64)
+        sx, sy = df["sx"].to_numpy(np.int64), df["sy"].to_numpy(np.int64)
+        num = n * df["sxy"].to_numpy(np.int64) - sx * sy
+        dx = n * df["sxx"].to_numpy(np.int64) - sx * sx
+        dy = n * df["syy"].to_numpy(np.int64) - sy * sy
+        keep = (n >= 2) & (dx > 0) & (dy > 0)
+        q6 = lambda v: np.floor(v * 1e6 + 0.5005) / 1e6  # noqa: E731
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64)[keep],
+            "n_pairs": n[keep],
+            "autocorr": q6(num[keep].astype(np.float64)
+                           / np.sqrt(dx[keep].astype(np.float64)
+                                     * dy[keep].astype(np.float64))),
+        })
+
+    return grouped_map(ds, "user_id", stats)
+
+
+T_AUTOCORR_SQL = """
+WITH v AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events),
+p AS (
+  SELECT user_id,
+         lag(c) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x,
+         c AS y
+  FROM v),
+s AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM p WHERE x IS NOT NULL GROUP BY user_id)
+SELECT user_id, n AS n_pairs,
+       floor((n * sxy - sx * sy)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE))
+             * 1000000 + 0.5005) / 1000000 AS autocorr
+FROM s
+WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+"""
+
+
+def fe_count_encode(sf_dir: str):
+    """Frequency (count) encoding of order priority — the leakage-free
+    categorical encode for high-cardinality features: each row carries
+    its category's global count and relative frequency. Per-batch count
+    cells -> one O(categories) exchange -> the tiny map broadcasts back
+    through a closure (5 categories; a large vocabulary would ship via
+    ray.put like q_broadcast_join). Zero row shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["o_orderpriority"]).aggregate([([], "count_all")])
+        return pa.table({"p": g["o_orderpriority"], "n": g["count_all"]})
+
+    cnt = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("p").aggregate(Sum("n", alias_name="n")).to_pandas()
+    )
+    total = int(cnt["n"].sum())
+    n_map = dict(zip(cnt["p"], cnt["n"].astype(np.int64)))
+    q6 = lambda x: np.floor(x * 1e6 + 0.5005) / 1e6  # noqa: E731
+
+    def attach(batch: pa.Table) -> pa.Table:
+        n = batch["o_orderpriority"].to_pandas().map(n_map).to_numpy(np.int64)
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "cat_n": pa.array(n),
+            "cat_freq": pa.array(q6(n.astype(np.float64) / total)),
+        })
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
+FE_COUNT_ENCODE_SQL = """
+WITH c AS (SELECT o_orderpriority AS p, CAST(COUNT(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM orders)
+SELECT o_orderkey, c.n AS cat_n,
+       floor(c.n / CAST(t.total AS DOUBLE) * 1000000 + 0.5005) / 1000000
+         AS cat_freq
+FROM orders JOIN c ON o_orderpriority = c.p CROSS JOIN t
+"""
+
+
+def fe_loo_encode(sf_dir: str):
+    """Leave-one-out target encoding of order priority against total
+    price — the target-encode variant that excludes the row's own label
+    ((Σ_group − own)/(n−1)), killing the single-row leakage of plain
+    mean encoding. Targets become exact integer cents so the per-group
+    sums are order-free; one O(categories) cell exchange, then the tiny
+    (sum, n) map applies per batch. Both engines evaluate the identical
+    ((s−c)/100)/(n−1) float expression, 6dp-quantized."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority",
+                                          "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        c = np.floor(v.astype(np.float64) * 100 + 0.5)
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "p": batch["o_orderpriority"],
+            "c": pa.array(c.astype(np.int64)),
+        })
+
+    cds = ds.map_batches(cents, batch_format="pyarrow")
+    g = (
+        cds.groupby("p")
+        .aggregate(Sum("c", alias_name="s"), Count(alias_name="n"))
+        .to_pandas()
+    )
+    s_map = dict(zip(g["p"], g["s"].astype(np.int64)))
+    n_map = dict(zip(g["p"], g["n"].astype(np.int64)))
+    q6 = lambda x: np.floor(x * 1e6 + 0.5005) / 1e6  # noqa: E731
+
+    def attach(batch: pa.Table) -> pa.Table:
+        p = batch["p"].to_pandas()
+        s = p.map(s_map).to_numpy(np.int64)
+        n = p.map(n_map).to_numpy(np.int64)
+        c = batch["c"].to_numpy()
+        keep = n > 1
+        loo = ((s[keep] - c[keep]).astype(np.float64) / 100.0) / (n[keep] - 1)
+        return pa.table({
+            "o_orderkey": pa.array(batch["o_orderkey"].to_numpy()[keep]),
+            "loo_mean": pa.array(q6(loo)),
+        })
+
+    return cds.map_batches(attach, batch_format="pyarrow")
+
+
+FE_LOO_ENCODE_SQL = """
+WITH v AS (
+  SELECT o_orderkey, o_orderpriority AS p,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+  FROM orders),
+g AS (SELECT p, CAST(SUM(c) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      FROM v GROUP BY p)
+SELECT o_orderkey,
+       floor((CAST(g.s - v.c AS DOUBLE) / 100.0) / (g.n - 1)
+             * 1000000 + 0.5005) / 1000000 AS loo_mean
+FROM v JOIN g USING (p) WHERE g.n > 1
+"""
+
+
+def t_cusum(sf_dir: str):
+    """Per-user one-sided CUSUM drift detector over event value — the
+    sequential change-point statistic (Page 1954). The recursive
+    S_i = max(0, S_{i−1} + x_i − μ) is NOT prefix-expressible, but the
+    closed form S_i = P_i − min(0, min_{j≤i} P_j) over the deviation
+    prefix sum P is — one entity shuffle, then cumsum + running-min per
+    user segment. Everything runs in SCALED integers (dev_i = n·cents_i
+    − Σcents, exact in both engines, no float μ), divided back and
+    6dp-quantized only in the final per-user statistic. Alarm threshold
+    50.0 value-units compares in scaled-int space (> 5000·n), so alarm
+    counts are exact. int64 bound: |prefix| ≤ user_events·n·max_cents
+    ≈ 5e12 at sf0.1 — beyond ~1e18, per-user rebase (subtract the
+    segment's first prefix) or the d_gini chunked fold applies."""
+    from ray.data.aggregate import Count, Sum
+    from ..stages.temporal import grouped_map
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"],
+               split=True)
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        c = np.floor(v.astype(np.float64) * 100 + 0.5)
+        return pa.table({
+            "user_id": batch["user_id"], "ts": batch["ts"],
+            "event_id": batch["event_id"], "c": pa.array(c.astype(np.int64)),
+        })
+
+    cds = ds.map_batches(cents, batch_format="pyarrow")
+    tot = cds.aggregate(Sum("c", alias_name="s"), Count(alias_name="n"))
+    n_total, s_total = int(tot["n"]), int(tot["s"])
+    thr = 5000 * n_total  # 50.0 value-units × 100 cents × n scaling
+
+    def cusum(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        order = np.lexsort((g["event_id"].to_numpy(), ts, g["user_id"].to_numpy()))
+        u = g["user_id"].to_numpy(np.int64)[order]
+        dev = n_total * g["c"].to_numpy(np.int64)[order] - s_total
+        # per-user prefix sums: global cumsum minus the segment offset
+        new = np.ones(len(u), dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        cs = np.cumsum(dev)
+        starts = np.flatnonzero(new)
+        seg_len = np.diff(np.r_[starts, len(u)])
+        excl = np.r_[0, cs[:-1]]  # exclusive prefix
+        pre = cs - np.repeat(excl[starts], seg_len)
+        # per-segment running min (C-level grouped cummin), clipped at 0
+        # because P_0 = 0 anchors every user's CUSUM
+        run_min = np.minimum(
+            pd.Series(pre).groupby(u).cummin().to_numpy(np.int64), 0
+        )
+        s = pre - run_min
+        df = pd.DataFrame({"user_id": u, "s": s, "alarm": (s > thr).astype(np.int64)})
+        out = df.groupby("user_id", as_index=False).agg(
+            max_s=("s", "max"), n_alarms=("alarm", "sum"))
+        q6 = lambda x: np.floor(x * 1e6 + 0.5005) / 1e6  # noqa: E731
+        return pd.DataFrame({
+            "user_id": out["user_id"].to_numpy(np.int64),
+            "max_cusum": q6(out["max_s"].to_numpy(np.float64) / (100.0 * n_total)),
+            "n_alarms": out["n_alarms"].to_numpy(np.int64),
+        })
+
+    return grouped_map(cds, "user_id", cusum)
+
+
+T_CUSUM_SQL = """
+WITH t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s
+  FROM events),
+d AS (
+  SELECT user_id, ts, event_id,
+         t.n * CAST(floor(value * 100 + 0.5) AS BIGINT) - t.s AS dev
+  FROM events CROSS JOIN t),
+p AS (
+  SELECT user_id, ts, event_id,
+         CAST(SUM(dev) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS pre
+  FROM d),
+c AS (
+  SELECT user_id,
+         pre - LEAST(CAST(MIN(pre) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS BIGINT), 0) AS cus
+  FROM p)
+SELECT user_id,
+       floor(MAX(cus) / (100.0 * (SELECT n FROM t)) * 1000000 + 0.5005)
+         / 1000000 AS max_cusum,
+       CAST(SUM(CASE WHEN cus > 5000 * (SELECT n FROM t) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_alarms
+FROM c GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -10206,4 +10556,9 @@ QUERIES: dict[str, tuple] = {
     "fe_polynomial": (fe_polynomial, FE_POLYNOMIAL_SQL),
     "fe_cyclic": (fe_cyclic, FE_CYCLIC_SQL),
     "fe_crosshash": (fe_crosshash, FE_CROSSHASH_SQL),
+    "d_auc": (d_auc, D_AUC_SQL),
+    "t_autocorr": (t_autocorr, T_AUTOCORR_SQL),
+    "fe_count_encode": (fe_count_encode, FE_COUNT_ENCODE_SQL),
+    "fe_loo_encode": (fe_loo_encode, FE_LOO_ENCODE_SQL),
+    "t_cusum": (t_cusum, T_CUSUM_SQL),
 }
