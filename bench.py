@@ -188,6 +188,11 @@ HEADLINE = [
     "fe_count_encode",
     "fe_loo_encode",
     "t_cusum",
+    "q_grouping_sets",
+    "t_pct_change",
+    "d_degree_stats",
+    "d_calibration",
+    "fe_hinge",
 ]
 
 

@@ -10324,6 +10324,252 @@ FROM c GROUP BY user_id
 """
 
 
+def q_grouping_sets(sf_dir: str):
+    """GROUPING SETS ((priority), (status), (order year)) — three
+    independent one-dimensional summaries in ONE streaming pass: the
+    finest (priority × status × year) cell table leaves the stream
+    once, and every requested set re-aggregates that cell table (like
+    q_rollup/q_cube, never a second pass over rows). Revenue sums stay
+    exact integer cents until the final /100.0 — one identical IEEE
+    division per cell in both engines, no quantizer."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_orderstatus", "o_orderdate",
+                        "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        yr = ts.astype("datetime64[Y]").astype(np.int64) + 1970
+        c = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        return pa.table({
+            "o_orderpriority": batch["o_orderpriority"],
+            "o_orderstatus": batch["o_orderstatus"],
+            "o_year": pa.array(yr), "c": pa.array(c),
+        })
+
+    fine = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "o_orderstatus", "o_year"])
+        .aggregate(Count(alias_name="n"), Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    sets = []
+    for dim in ["o_orderpriority", "o_orderstatus", "o_year"]:
+        g = fine.groupby(dim, as_index=False)[["n", "c"]].sum()
+        for other in ["o_orderpriority", "o_orderstatus", "o_year"]:
+            if other != dim:
+                g[other] = None
+        sets.append(g)
+    out = pd.concat(sets, ignore_index=True)
+    out["sum_total"] = out["c"].to_numpy(np.int64).astype(np.float64) / 100.0
+    out["o_year"] = out["o_year"].astype("float64")  # NULL-able dim
+    return out[["o_orderpriority", "o_orderstatus", "o_year", "n", "sum_total"]]
+
+
+Q_GROUPING_SETS_SQL = """
+WITH o AS (
+  SELECT o_orderpriority, o_orderstatus,
+         CAST(EXTRACT(year FROM o_orderdate) AS DOUBLE) AS o_year,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+  FROM orders)
+SELECT o_orderpriority, o_orderstatus, o_year,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(c) AS DOUBLE) / 100.0 AS sum_total
+FROM o
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), (o_year))
+"""
+
+
+def t_pct_change(sf_dir: str):
+    """Per-user percent change of event value vs the previous event —
+    the returns transform (pandas pct_change) behind momentum/volatility
+    features. One entity shuffle; consecutive-pair extraction is the
+    same vectorized shift as t_autocorr. Values become exact integer
+    cents so both engines evaluate the single (c−prev)/prev division on
+    identical operands, 6dp-quantized. The first event per user (no
+    predecessor) is dropped on both sides; cents ≥ 1 so the denominator
+    never vanishes, but the guard keeps NULL-div parity anyway."""
+    from ..stages.temporal import grouped_map
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"],
+               split=True)
+
+    def pct(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        order = np.lexsort((g["event_id"].to_numpy(), ts, g["user_id"].to_numpy()))
+        u = g["user_id"].to_numpy(np.int64)[order]
+        c = np.floor(g["value"].to_numpy(np.float64)[order] * 100 + 0.5)
+        eid = g["event_id"].to_numpy(np.int64)[order]
+        same = (u[1:] == u[:-1]) & (c[:-1] != 0)
+        prev, cur = c[:-1][same], c[1:][same]
+        q6 = lambda x: np.floor(x * 1e6 + 0.5005) / 1e6  # noqa: E731
+        return pd.DataFrame({
+            "event_id": eid[1:][same],
+            "pct_change": q6((cur - prev) / prev),
+        })
+
+    return grouped_map(ds, "user_id", pct)
+
+
+T_PCT_CHANGE_SQL = """
+WITH v AS (
+  SELECT user_id, ts, event_id, floor(value * 100 + 0.5) AS c
+  FROM events),
+p AS (
+  SELECT event_id, c,
+         lag(c) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM v)
+SELECT event_id,
+       floor((c - prev) / prev * 1000000 + 0.5005) / 1000000 AS pct_change
+FROM p WHERE prev IS NOT NULL AND prev <> 0
+"""
+
+
+def d_degree_stats(sf_dir: str):
+    """Degree distribution of the supplier–part bipartite graph — the
+    first diagnostic before any graph algorithm (hub detection for skew
+    planning, cf. the degree-orientation guard in d_triangle_count).
+    Three shrinking exchanges: per-batch edge dedup partials -> global
+    distinct edge set -> per-supplier degree -> O(distinct degrees)
+    histogram. Rows never carry payload columns."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+
+    def dedup_part(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["l_suppkey", "l_partkey"]).aggregate([])
+
+    edges = (
+        ds.map_batches(dedup_part, batch_format="pyarrow")
+        .groupby(["l_suppkey", "l_partkey"])
+        .aggregate(Count(alias_name="_dup"))
+        .drop_columns(["_dup"])
+    )
+    deg = edges.groupby("l_suppkey").aggregate(Count(alias_name="degree"))
+    hist = (
+        deg.groupby("degree").aggregate(Count(alias_name="n_suppliers"))
+        .to_pandas()
+        .sort_values("degree")
+        .reset_index(drop=True)
+    )
+    return hist
+
+
+D_DEGREE_STATS_SQL = """
+WITH e AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+d AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS degree FROM e GROUP BY 1)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+FROM d GROUP BY degree ORDER BY degree
+"""
+
+
+def d_calibration(sf_dir: str):
+    """Reliability-diagram bins for a length-based relevance score —
+    the calibration audit behind every quality classifier: 10 equal-
+    width bins over min-max-normalized n_chars, per-bin count, mean
+    label (lang='en') and mean normalized score. Pass 1 is a streaming
+    global min/max; pass 2 pre-aggregates O(10) bin cells per batch.
+    Bin ids and cell sums are pure integer arithmetic ((v−lo)·10 //
+    span, clipped to 9), so both engines quantize only the two final
+    per-bin divisions."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "documents", columns=["n_chars", "lang"])
+    mm = ds.aggregate(Min("n_chars", alias_name="lo"), Max("n_chars", alias_name="hi"))
+    lo, hi = int(mm["lo"]), int(mm["hi"])
+    span = max(hi - lo, 1)
+
+    def cells(batch: pa.Table) -> pa.Table:
+        v = batch["n_chars"].to_numpy()
+        b = np.minimum((v - lo) * 10 // span, 9)
+        df = pd.DataFrame({
+            "bin": b.astype(np.int64),
+            "n": 1,
+            "pos": (batch["lang"].to_pandas() == "en").astype(np.int64),
+            "sv": v.astype(np.int64),
+        })
+        return pa.Table.from_pandas(
+            df.groupby("bin", as_index=False).sum(), preserve_index=False
+        )
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"), Sum("pos", alias_name="pos"),
+                   Sum("sv", alias_name="sv"))
+        .to_pandas()
+        .sort_values("bin")
+    )
+    n = g["n"].to_numpy(np.int64)
+    q6 = lambda x: np.floor(x * 1e6 + 0.5005) / 1e6  # noqa: E731
+    return pd.DataFrame({
+        "bin": g["bin"].to_numpy(np.int64),
+        "n": n,
+        "mean_label": q6(g["pos"].to_numpy(np.float64) / n),
+        "mean_score": q6((g["sv"].to_numpy(np.int64) - n * lo).astype(np.float64)
+                         / (n * span).astype(np.float64)),
+    })
+
+
+D_CALIBRATION_SQL = """
+WITH mm AS (SELECT MIN(n_chars) AS lo,
+                   GREATEST(MAX(n_chars) - MIN(n_chars), 1) AS span
+            FROM documents),
+b AS (
+  SELECT LEAST(CAST(((n_chars - mm.lo) * 10) // mm.span AS BIGINT), 9) AS bin,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         CAST(n_chars AS BIGINT) AS v
+  FROM documents CROSS JOIN mm)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       floor(CAST(SUM(pos) AS DOUBLE) / COUNT(*) * 1000000 + 0.5005)
+         / 1000000 AS mean_label,
+       floor(CAST(SUM(v) - COUNT(*) * (SELECT lo FROM mm) AS DOUBLE)
+             / CAST(COUNT(*) * (SELECT span FROM mm) AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS mean_score
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+def fe_hinge(sf_dir: str):
+    """MARS-style hinge basis expansion of l_quantity at fixed public
+    knots (10, 25, 40): max(0, x−c) and max(0, c−x) per knot — the
+    piecewise-linear features that let a linear model bend. Row-local,
+    zero exchange; subtract+max on the same doubles is bit-exact across
+    engines, so nothing is quantized (same float policy as fe_unary)."""
+    knots = (10.0, 25.0, 40.0)
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def hinge(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        cols = {
+            "l_orderkey": batch["l_orderkey"],
+            "l_linenumber": batch["l_linenumber"],
+        }
+        for k in knots:
+            ik = int(k)
+            cols[f"h_pos_{ik}"] = pa.array(np.maximum(q - k, 0.0))
+            cols[f"h_neg_{ik}"] = pa.array(np.maximum(k - q, 0.0))
+        return pa.table(cols)
+
+    return ds.map_batches(hinge, batch_format="pyarrow")
+
+
+FE_HINGE_SQL = """
+SELECT l_orderkey, l_linenumber,
+       GREATEST(l_quantity - 10.0, 0.0) AS h_pos_10,
+       GREATEST(10.0 - l_quantity, 0.0) AS h_neg_10,
+       GREATEST(l_quantity - 25.0, 0.0) AS h_pos_25,
+       GREATEST(25.0 - l_quantity, 0.0) AS h_neg_25,
+       GREATEST(l_quantity - 40.0, 0.0) AS h_pos_40,
+       GREATEST(40.0 - l_quantity, 0.0) AS h_neg_40
+FROM lineitem
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -10561,4 +10807,9 @@ QUERIES: dict[str, tuple] = {
     "fe_count_encode": (fe_count_encode, FE_COUNT_ENCODE_SQL),
     "fe_loo_encode": (fe_loo_encode, FE_LOO_ENCODE_SQL),
     "t_cusum": (t_cusum, T_CUSUM_SQL),
+    "q_grouping_sets": (q_grouping_sets, Q_GROUPING_SETS_SQL),
+    "t_pct_change": (t_pct_change, T_PCT_CHANGE_SQL),
+    "d_degree_stats": (d_degree_stats, D_DEGREE_STATS_SQL),
+    "d_calibration": (d_calibration, D_CALIBRATION_SQL),
+    "fe_hinge": (fe_hinge, FE_HINGE_SQL),
 }
