@@ -193,6 +193,10 @@ HEADLINE = [
     "d_degree_stats",
     "d_calibration",
     "fe_hinge",
+    "d_url_extract",
+    "d_bloom_fpr",
+    "t_mann_kendall",
+    "t_attribution",
 ]
 
 

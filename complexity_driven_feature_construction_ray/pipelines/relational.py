@@ -10570,6 +10570,296 @@ FROM lineitem
 """
 
 
+def d_url_extract(sf_dir: str):
+    """URL/domain extraction over web text (the RefinedWeb-style
+    domain-frequency audit that feeds blocklist filtering): deterministic
+    URL injection (the fixture corpus has none) on doc_id % 3/6/9 —
+    including a same-doc duplicate so n_urls > n_docs is exercised —
+    then a vectorized regex findall, explode, and per-(domain, doc)
+    cell dedup before the tiny per-domain exchange."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch["text"].to_pandas()).fillna("")
+        did = batch["doc_id"].to_numpy()
+        k = pd.Series((did % 7).astype(str), index=s.index)
+        s = s + pd.Series(
+            np.where(did % 3 == 0, " http://dom" + k + ".example.com/a", ""),
+            index=s.index)
+        s = s + np.where(did % 6 == 0, " https://mirror.example.org/p?q=1", "")
+        s = s + pd.Series(
+            np.where(did % 9 == 0, " http://dom" + k + ".example.com/a", ""),
+            index=s.index)
+        found = s.str.findall(r"https?://([a-z0-9.-]+)")
+        n = found.str.len().to_numpy(np.int64)
+        dom = np.concatenate([np.asarray(f, dtype=object) for f in found]) \
+            if n.sum() else np.array([], dtype=object)
+        df = pd.DataFrame({
+            "domain": dom, "doc_id": np.repeat(did, n), "n": 1,
+        }).groupby(["domain", "doc_id"], as_index=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["domain", "doc_id"])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby("domain")
+        .aggregate(Count(alias_name="n_docs"), Sum("n", alias_name="n_urls"))
+    )
+
+
+D_URL_EXTRACT_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         COALESCE(text, '')
+         || CASE WHEN doc_id % 3 = 0 THEN ' http://dom'
+                 || CAST(doc_id % 7 AS VARCHAR) || '.example.com/a'
+                 ELSE '' END
+         || CASE WHEN doc_id % 6 = 0
+                 THEN ' https://mirror.example.org/p?q=1' ELSE '' END
+         || CASE WHEN doc_id % 9 = 0 THEN ' http://dom'
+                 || CAST(doc_id % 7 AS VARCHAR) || '.example.com/a'
+                 ELSE '' END AS t
+  FROM documents),
+u AS (
+  SELECT doc_id, unnest(regexp_extract_all(t, 'https?://([a-z0-9.-]+)', 1))
+           AS domain
+  FROM w),
+c AS (SELECT domain, doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM u GROUP BY domain, doc_id)
+SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS n_urls
+FROM c GROUP BY domain
+"""
+
+
+def d_bloom_fpr(sf_dir: str):
+    """Replayable Bloom filter build + probe with exact false-positive
+    accounting: customer keys populate a 4096-bit filter through k=3
+    public affine hashes mod 2^61−1 (the oracle re-derives every bit),
+    then a guaranteed-disjoint probe set (p_partkey + 10,000,019, above
+    the fixture id range) measures the realized FPR, and a member
+    self-probe asserts the zero-false-negative invariant. The bit set
+    is O(m) and broadcasts in a closure; both streams only ship partial
+    counters. The primitive under q_bloom_semi_join, here value-audited
+    bit by bit."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.text import _mulmod61
+
+    M = np.uint64((1 << 61) - 1)
+    MBITS = 4096
+    HASHES = (
+        (np.uint64(1000000007), np.uint64(12345679)),
+        (np.uint64(1152921504606846883), np.uint64(987654321987654321)),
+        (np.uint64(2305843009213693907), np.uint64(55555555555)),
+    )
+    OFFSET = 10_000_019
+
+    def positions(ids: np.ndarray) -> list[np.ndarray]:
+        out = []
+        for a, b in HASHES:
+            h = _mulmod61(ids, np.broadcast_to(a, ids.shape)) + b
+            h = np.where(h >= M, h - M, h)
+            out.append((h % np.uint64(MBITS)).astype(np.int64))
+        return out
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def member_bits(batch: pa.Table) -> pa.Table:
+        ids = batch["c_custkey"].to_numpy().astype(np.uint64)
+        pos = np.unique(np.concatenate(positions(ids)))
+        return pa.table({"pos": pa.array(pos)})
+
+    posdf = (
+        cust.map_batches(member_bits, batch_format="pyarrow")
+        .groupby("pos").aggregate(Sum("pos", alias_name="_dup")).to_pandas()
+    )
+    bits = np.zeros(MBITS, dtype=bool)
+    bits[posdf["pos"].to_numpy(np.int64)] = True
+    n_set = int(bits.sum())
+    n_members = _table_nrows(sf_dir, "customer")
+
+    def probe_counts(col: str, offset: int):
+        def probe(batch: pa.Table) -> pa.Table:
+            ids = (batch[col].to_numpy() + offset).astype(np.uint64)
+            p1, p2, p3 = positions(ids)
+            hit = bits[p1] & bits[p2] & bits[p3]
+            return pa.table({
+                "n": pa.array([len(ids)], type=pa.int64()),
+                "hits": pa.array([int(hit.sum())], type=pa.int64()),
+            })
+        return probe
+
+    part = _read(sf_dir, "part", columns=["p_partkey"])
+    np_agg = part.map_batches(probe_counts("p_partkey", OFFSET),
+                              batch_format="pyarrow") \
+        .aggregate(Sum("n", alias_name="n"), Sum("hits", alias_name="hits"))
+    nm_agg = cust.map_batches(probe_counts("c_custkey", 0),
+                              batch_format="pyarrow") \
+        .aggregate(Sum("n", alias_name="n"), Sum("hits", alias_name="hits"))
+    q6 = lambda x: np.floor(x * 1e6 + 0.5005) / 1e6  # noqa: E731
+    return pd.DataFrame({
+        "m_bits": [MBITS], "k": [3], "n_members": [n_members],
+        "n_set_bits": [n_set],
+        "n_nonmember_probes": [int(np_agg["n"])],
+        "n_fp": [int(np_agg["hits"])],
+        "fp_rate": [float(q6(np_agg["hits"] / np_agg["n"]))],
+        "n_member_hits": [int(nm_agg["hits"])],
+    })
+
+
+D_BLOOM_FPR_SQL = """
+WITH h(a, b) AS (VALUES
+  (CAST(1000000007 AS HUGEINT), CAST(12345679 AS HUGEINT)),
+  (CAST(1152921504606846883 AS HUGEINT), CAST(987654321987654321 AS HUGEINT)),
+  (CAST(2305843009213693907 AS HUGEINT), CAST(55555555555 AS HUGEINT))),
+bits AS (
+  SELECT DISTINCT CAST(((CAST(c_custkey AS HUGEINT) * h.a + h.b)
+           % 2305843009213693951) % 4096 AS BIGINT) AS pos
+  FROM customer CROSS JOIN h),
+fp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS hits FROM (
+    SELECT p_partkey FROM part CROSS JOIN h
+    WHERE CAST(((CAST(p_partkey + 10000019 AS HUGEINT) * h.a + h.b)
+            % 2305843009213693951) % 4096 AS BIGINT)
+          IN (SELECT pos FROM bits)
+    GROUP BY p_partkey HAVING COUNT(*) = 3)),
+mh AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS hits FROM (
+    SELECT c_custkey FROM customer CROSS JOIN h
+    WHERE CAST(((CAST(c_custkey AS HUGEINT) * h.a + h.b)
+            % 2305843009213693951) % 4096 AS BIGINT)
+          IN (SELECT pos FROM bits)
+    GROUP BY c_custkey HAVING COUNT(*) = 3))
+SELECT 4096 AS m_bits, 3 AS k,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_members,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_set_bits,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM part) AS n_nonmember_probes,
+       fp.hits AS n_fp,
+       floor(fp.hits / (SELECT CAST(COUNT(*) AS DOUBLE) FROM part)
+             * 1000000 + 0.5005) / 1000000 AS fp_rate,
+       mh.hits AS n_member_hits
+FROM fp CROSS JOIN mh
+"""
+
+
+def t_mann_kendall(sf_dir: str):
+    """Per-user Mann-Kendall trend statistic S = Σ_{i<j} sign(x_j − x_i)
+    in ts order, with Kendall tau-a = S / C(n,2) — the nonparametric
+    monotone-trend test (is this user's value drifting?). One entity
+    shuffle; values become exact integer cents so every pair sign and
+    the pair counts are exact integers, with one quantized division.
+    Pairwise work is O(n_u²) per user on the bounded per-entity event
+    count (67–700 at fixture scales) — the same per-entity-quadratic
+    envelope as the reference's pairwise candidate scoring; a streaming
+    Fenwick rank count replaces the outer product if n_u grows
+    unbounded."""
+    from ..stages.temporal import grouped_map
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"],
+               split=True)
+
+    def mk(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        order = np.lexsort((g["event_id"].to_numpy(), ts, g["user_id"].to_numpy()))
+        u = g["user_id"].to_numpy(np.int64)[order]
+        c = np.floor(g["value"].to_numpy(np.float64)[order] * 100 + 0.5).astype(
+            np.int64)
+        rows = []
+        q6 = lambda x: np.floor(x * 1e6 + 0.5005) / 1e6  # noqa: E731
+        starts = np.r_[np.flatnonzero(np.r_[True, u[1:] != u[:-1]]), len(u)]
+        for a, b in zip(starts[:-1], starts[1:]):
+            n = b - a
+            if n < 2:
+                continue
+            seg = c[a:b]
+            diff = np.sign(seg[None, :] - seg[:, None])
+            s = int(np.triu(diff, 1).sum())
+            pairs = n * (n - 1) // 2
+            rows.append((int(u[a]), s, pairs, float(q6(s / pairs))))
+        return pd.DataFrame(rows, columns=["user_id", "mk_s", "n_pairs", "mk_tau"])
+
+    return grouped_map(ds, "user_id", mk)
+
+
+T_MANN_KENDALL_SQL = """
+WITH v AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events),
+p AS (
+  SELECT a.user_id, CAST(SIGN(b.c - a.c) AS BIGINT) AS s
+  FROM v a JOIN v b
+    ON a.user_id = b.user_id
+   AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id)))
+SELECT user_id, CAST(SUM(s) AS BIGINT) AS mk_s,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       floor(CAST(SUM(s) AS DOUBLE) / COUNT(*) * 1000000 + 0.5005)
+         / 1000000 AS mk_tau
+FROM p GROUP BY user_id
+"""
+
+
+def t_attribution(sf_dir: str):
+    """Last-touch attribution: each purchase event claims the user's
+    most recent click strictly before it and within a 7-day lookback —
+    the marketing-funnel primitive (same-stream as-of, vs t_asof's
+    cross-table form). One entity shuffle; inside a bucket the carried
+    last-click is a grouped cummax of click positions shifted by one
+    row, so the whole bucket resolves without a per-entity loop.
+    Unattributed purchases keep a NULL click id on both sides."""
+    from ..stages.temporal import grouped_map
+
+    LOOKBACK_US = 7 * 86_400_000_000
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"], split=True)
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        order = np.lexsort((g["event_id"].to_numpy(), ts, g["user_id"].to_numpy()))
+        u = g["user_id"].to_numpy(np.int64)[order]
+        t = ts[order]
+        eid = g["event_id"].to_numpy(np.int64)[order]
+        et = g["event_type"].to_numpy(object)[order]
+        clickpos = np.where(et == "click", np.arange(len(u)), -1)
+        carried = pd.Series(clickpos).groupby(u).cummax()
+        prev = carried.groupby(u).shift(1).to_numpy()  # strictly-before row
+        is_p = et == "purchase"
+        j = prev[is_p]
+        ok = ~np.isnan(j)
+        jj = np.where(ok, j, 0).astype(np.int64)
+        ok &= (jj >= 0) & (t[jj] >= t[is_p] - LOOKBACK_US)
+        click_id = np.where(ok, eid[jj].astype(np.float64), np.nan)
+        return pd.DataFrame({
+            "purchase_id": eid[is_p], "click_id": click_id,
+        })
+
+    return grouped_map(ds, "user_id", attach)
+
+
+T_ATTRIBUTION_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END
+                    IGNORE NULLS) OVER w AS last_click_id,
+         last_value(CASE WHEN event_type = 'click' THEN ts END
+                    IGNORE NULLS) OVER w AS last_click_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT event_id AS purchase_id,
+       CAST(CASE WHEN last_click_ts IS NOT NULL
+                  AND epoch_us(ts) - epoch_us(last_click_ts)
+                      <= 7 * 86400000000
+                 THEN last_click_id END AS DOUBLE) AS click_id
+FROM o WHERE event_type = 'purchase'
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -10812,4 +11102,8 @@ QUERIES: dict[str, tuple] = {
     "d_degree_stats": (d_degree_stats, D_DEGREE_STATS_SQL),
     "d_calibration": (d_calibration, D_CALIBRATION_SQL),
     "fe_hinge": (fe_hinge, FE_HINGE_SQL),
+    "d_url_extract": (d_url_extract, D_URL_EXTRACT_SQL),
+    "d_bloom_fpr": (d_bloom_fpr, D_BLOOM_FPR_SQL),
+    "t_mann_kendall": (t_mann_kendall, T_MANN_KENDALL_SQL),
+    "t_attribution": (t_attribution, T_ATTRIBUTION_SQL),
 }
