@@ -197,6 +197,9 @@ HEADLINE = [
     "d_bloom_fpr",
     "t_mann_kendall",
     "t_attribution",
+    "d_kmv_distinct",
+    "d_ab_ztest",
+    "d_gains",
 ]
 
 

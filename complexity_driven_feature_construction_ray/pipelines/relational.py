@@ -10860,6 +10860,221 @@ FROM o WHERE event_type = 'purchase'
 """
 
 
+def d_kmv_distinct(sf_dir: str):
+    """KMV (bottom-k) distinct-count sketch over part keys — the
+    order-statistics sibling of the HLL in q_approx_distinct, with
+    PUBLIC replayable randomness: the k=256 smallest distinct values of
+    the affine hash mod 2^61−1 travel as tiny per-batch partials, and
+    D ≈ (k−1)·M/h_(k). The oracle re-derives the exact same bottom-k
+    set, so the ESTIMATE itself is value-verified, not envelope-checked.
+    When the stream holds fewer than k distinct hashes the sketch IS
+    the exact set (both engines switch to the exact count)."""
+    from ..stages.text import _mulmod61
+
+    M = np.uint64((1 << 61) - 1)
+    A = np.uint64(1442695040888963407)
+    B = np.uint64(6364136223846793005 % ((1 << 61) - 1))
+    K = 256
+
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey"])
+
+    def bottomk(batch: pa.Table) -> pa.Table:
+        ids = np.unique(batch["l_partkey"].to_numpy()).astype(np.uint64)
+        h = _mulmod61(ids, np.broadcast_to(A, ids.shape)) + B
+        h = np.where(h >= M, h - M, h)
+        h = np.unique(h)[:K]
+        return pa.table({"hv": pa.array(h.astype(np.int64))})
+
+    parts = ds.map_batches(bottomk, batch_format="pyarrow").to_pandas()
+    hv = np.unique(parts["hv"].to_numpy(np.int64))[:K]
+    kk = len(hv)
+    hk = int(hv[-1])
+    q6 = lambda x: np.floor(x * 1e6 + 0.5005) / 1e6  # noqa: E731
+    if kk < K:
+        est = float(kk)
+    else:
+        est = (K - 1.0) * (np.float64(int(M)) / np.float64(hk))
+    return pd.DataFrame({
+        "k": [K], "n_sketch": [kk], "kth_hash": [hk],
+        "est_distinct": [float(q6(est))],
+    })
+
+
+D_KMV_DISTINCT_SQL = """
+WITH h AS (
+  SELECT DISTINCT CAST((CAST(l_partkey AS HUGEINT) * 1442695040888963407
+           + 1752450205419405103) % 2305843009213693951 AS BIGINT) AS hv
+  FROM lineitem),
+k AS (SELECT hv FROM h ORDER BY hv LIMIT 256),
+s AS (SELECT CAST(MAX(hv) AS BIGINT) AS hk, CAST(COUNT(*) AS BIGINT) AS kk
+      FROM k)
+SELECT 256 AS k, kk AS n_sketch, hk AS kth_hash,
+       floor(CASE WHEN kk < 256 THEN CAST(kk AS DOUBLE)
+                  ELSE 255.0 * (CAST(2305843009213693951 AS DOUBLE)
+                                / CAST(hk AS DOUBLE)) END
+             * 1000000 + 0.5005) / 1000000 AS est_distinct
+FROM s
+"""
+
+
+def d_ab_ztest(sf_dir: str):
+    """Per-source two-proportion z-test of English rate vs the REST of
+    the corpus — the A/B-inference primitive behind 'is this shard's
+    mix actually different, or noise?' (complements d_wilson_ci's
+    single-shard bounds). O(sources) cell exchange of exact (pos, n)
+    integers; both engines then evaluate the token-identical pooled-
+    variance z expression, 6dp-quantized."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": batch["source"].to_pandas(),
+            "pos": (batch["lang"].to_pandas() == "en").astype(np.int64),
+            "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby("source", as_index=False).sum(), preserve_index=False
+        )
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("pos", alias_name="pos"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    n = g["n"].to_numpy(np.int64)
+    pos = g["pos"].to_numpy(np.int64)
+    N, P = int(n.sum()), int(pos.sum())
+    p1 = pos.astype(np.float64) / n
+    p2 = (P - pos).astype(np.float64) / (N - n)
+    pp = np.float64(P) / np.float64(N)
+    z = (p1 - p2) / np.sqrt(pp * (1.0 - pp) * (1.0 / n + 1.0 / (N - n)))
+    q6 = lambda x: np.floor(x * 1e6 + 0.5005) / 1e6  # noqa: E731
+    return pd.DataFrame({
+        "source": g["source"].to_numpy(object),
+        "n": n, "pos": pos, "z": q6(z),
+    })
+
+
+D_AB_ZTEST_SQL = """
+WITH c AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY source),
+t AS (SELECT CAST(SUM(pos) AS BIGINT) AS p, CAST(SUM(n) AS BIGINT) AS nn
+      FROM c)
+SELECT source, n, pos,
+       floor((CAST(pos AS DOUBLE) / n
+              - CAST(t.p - pos AS DOUBLE) / (t.nn - n))
+             / sqrt((CAST(t.p AS DOUBLE) / CAST(t.nn AS DOUBLE))
+                    * (1.0 - CAST(t.p AS DOUBLE) / CAST(t.nn AS DOUBLE))
+                    * (1.0 / n + 1.0 / (t.nn - n)))
+             * 1000000 + 0.5005) / 1000000 AS z
+FROM c CROSS JOIN t
+"""
+
+
+def d_gains(sf_dir: str):
+    """Cumulative gains / lift table by score decile (price predicting
+    returns) — the ranking-eval companion to d_auc that answers 'how
+    much of the target does the top 10/20/...% capture?'. Decile edges
+    are discrete percentiles selected from one value-count cell
+    exchange (elements of the input, so edge assignment is bit-exact);
+    per-decile (n, pos) cells then cumulate from the top decile down.
+    All counts exact integers; capture and lift are the only quantized
+    divisions, token-identical in both engines."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice", "l_returnflag"])
+
+    def vcells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "v": batch["l_extendedprice"].to_numpy(),
+            "pos": pc.equal(batch["l_returnflag"], "R").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby("v", as_index=False).sum(), preserve_index=False
+        )
+
+    jc = (
+        ds.map_batches(vcells, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("pos", alias_name="pos"), Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("v")
+    )
+    vals = jc["v"].to_numpy(np.float64)
+    cnt = jc["n"].to_numpy(np.int64)
+    pos = jc["pos"].to_numpy(np.int64)
+    cum = np.cumsum(cnt)
+    N, P = int(cum[-1]), int(pos.sum())
+    # discrete decile edges: smallest value whose cum count ≥ ceil(q·n)
+    edges = vals[np.searchsorted(cum, [-(-(k * N) // 10) for k in range(1, 10)])]
+    decile = (vals[:, None] > edges[None, :]).sum(axis=1).astype(np.int64)
+    g = pd.DataFrame({"decile": decile, "n": cnt, "pos": pos}) \
+        .groupby("decile", as_index=False).sum().sort_values("decile",
+                                                             ascending=False)
+    cum_n = np.cumsum(g["n"].to_numpy(np.int64))
+    cum_pos = np.cumsum(g["pos"].to_numpy(np.int64))
+    q6 = lambda x: np.floor(x * 1e6 + 0.5005) / 1e6  # noqa: E731
+    base = np.float64(P) / np.float64(N)
+    return pd.DataFrame({
+        "decile": g["decile"].to_numpy(np.int64),
+        "n": g["n"].to_numpy(np.int64),
+        "pos": g["pos"].to_numpy(np.int64),
+        "cum_n": cum_n, "cum_pos": cum_pos,
+        "capture": q6(cum_pos.astype(np.float64) / np.float64(P)),
+        "lift": q6((cum_pos.astype(np.float64) / cum_n) / base),
+    }).sort_values("decile").reset_index(drop=True)
+
+
+D_GAINS_SQL = """
+WITH e AS (
+  SELECT percentile_disc(0.1) WITHIN GROUP (ORDER BY l_extendedprice) AS e1,
+         percentile_disc(0.2) WITHIN GROUP (ORDER BY l_extendedprice) AS e2,
+         percentile_disc(0.3) WITHIN GROUP (ORDER BY l_extendedprice) AS e3,
+         percentile_disc(0.4) WITHIN GROUP (ORDER BY l_extendedprice) AS e4,
+         percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS e5,
+         percentile_disc(0.6) WITHIN GROUP (ORDER BY l_extendedprice) AS e6,
+         percentile_disc(0.7) WITHIN GROUP (ORDER BY l_extendedprice) AS e7,
+         percentile_disc(0.8) WITHIN GROUP (ORDER BY l_extendedprice) AS e8,
+         percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS e9,
+         CAST(COUNT(*) AS BIGINT) AS nn,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS p
+  FROM lineitem),
+d AS (
+  SELECT (l_extendedprice > e.e1)::INT + (l_extendedprice > e.e2)::INT
+       + (l_extendedprice > e.e3)::INT + (l_extendedprice > e.e4)::INT
+       + (l_extendedprice > e.e5)::INT + (l_extendedprice > e.e6)::INT
+       + (l_extendedprice > e.e7)::INT + (l_extendedprice > e.e8)::INT
+       + (l_extendedprice > e.e9)::INT AS decile,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+  FROM lineitem CROSS JOIN e),
+g AS (SELECT CAST(decile AS BIGINT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS pos
+      FROM d GROUP BY decile),
+c AS (
+  SELECT decile, n, pos,
+         CAST(SUM(n) OVER (ORDER BY decile DESC) AS BIGINT) AS cum_n,
+         CAST(SUM(pos) OVER (ORDER BY decile DESC) AS BIGINT) AS cum_pos
+  FROM g)
+SELECT decile, n, pos, cum_n, cum_pos,
+       floor(CAST(cum_pos AS DOUBLE) / (SELECT CAST(p AS DOUBLE) FROM e)
+             * 1000000 + 0.5005) / 1000000 AS capture,
+       floor((CAST(cum_pos AS DOUBLE) / cum_n)
+             / ((SELECT CAST(p AS DOUBLE) FROM e)
+                / (SELECT CAST(nn AS DOUBLE) FROM e))
+             * 1000000 + 0.5005) / 1000000 AS lift
+FROM c ORDER BY decile
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -11106,4 +11321,7 @@ QUERIES: dict[str, tuple] = {
     "d_bloom_fpr": (d_bloom_fpr, D_BLOOM_FPR_SQL),
     "t_mann_kendall": (t_mann_kendall, T_MANN_KENDALL_SQL),
     "t_attribution": (t_attribution, T_ATTRIBUTION_SQL),
+    "d_kmv_distinct": (d_kmv_distinct, D_KMV_DISTINCT_SQL),
+    "d_ab_ztest": (d_ab_ztest, D_AB_ZTEST_SQL),
+    "d_gains": (d_gains, D_GAINS_SQL),
 }
