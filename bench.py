@@ -200,6 +200,10 @@ HEADLINE = [
     "d_kmv_distinct",
     "d_ab_ztest",
     "d_gains",
+    "q_null_safe_join",
+    "fe_rbf",
+    "d_lang_f1",
+    "t_dwell_time",
 ]
 
 

@@ -11075,6 +11075,247 @@ FROM c ORDER BY decile
 """
 
 
+def q_null_safe_join(sf_dir: str):
+    """NULL-safe equality join (IS NOT DISTINCT FROM): deterministic
+    NULL injection on both sides (custkey % 500 = 0 — the NULL groups
+    stay broadcast-sized by construction), then a broadcast join where
+    NULL matches NULL (the Kimball 'unknown member' rollup) — the
+    semantics a plain equi-join silently drops. Small side ships as a
+    (key → count) map via closure; output is the two-row match summary
+    (null-group vs keyed matches) with exact integer cents."""
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"]).to_pandas()
+    ck = cust["c_custkey"].to_numpy(np.int64)
+    null_mask = ck % 500 == 0
+    n_null_cust = int(null_mask.sum())
+    keyed_counts = pd.Series(ck[~null_mask]).value_counts()
+    cnt_map = dict(zip(keyed_counts.index.astype(np.int64),
+                       keyed_counts.to_numpy(np.int64)))
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        ok = batch["o_custkey"].to_numpy()
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        o_null = ok % 500 == 0
+        m = pd.Series(ok[~o_null]).map(cnt_map).fillna(0).to_numpy(np.int64)
+        return pa.table({
+            "null_group": pa.array([True, False]),
+            "n_pairs": pa.array([int(o_null.sum()) * n_null_cust, int(m.sum())],
+                                type=pa.int64()),
+            "cents": pa.array(
+                [int(cents[o_null].sum()) * n_null_cust,
+                 int((cents[~o_null] * m).sum())], type=pa.int64()),
+        })
+
+    g = (
+        ds.map_batches(probe, batch_format="pyarrow")
+        .groupby("null_group")
+        .aggregate(Sum("n_pairs", alias_name="n_pairs"),
+                   Sum("cents", alias_name="cents"))
+        .to_pandas()
+        .sort_values("null_group")
+    )
+    out = pd.DataFrame({
+        "null_group": g["null_group"].to_numpy(bool),
+        "n_pairs": g["n_pairs"].to_numpy(np.int64),
+        "sum_total": g["cents"].to_numpy(np.int64).astype(np.float64) / 100.0,
+    })
+    # an empty match group produces NO row in SQL (inner join): mirror
+    return out[out["n_pairs"] > 0].reset_index(drop=True)
+
+
+Q_NULL_SAFE_JOIN_SQL = """
+WITH o AS (
+  SELECT CASE WHEN o_custkey % 500 = 0 THEN NULL ELSE o_custkey END AS k,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+c AS (
+  SELECT CASE WHEN c_custkey % 500 = 0 THEN NULL ELSE c_custkey END AS k
+  FROM customer)
+SELECT o.k IS NULL AS null_group,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(o.cents) AS DOUBLE) / 100.0 AS sum_total
+FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.k
+GROUP BY o.k IS NULL ORDER BY null_group
+"""
+
+
+def fe_rbf(sf_dir: str):
+    """Gaussian RBF basis features of l_quantity at fixed public
+    centers (10, 25, 40), γ = 0.005 — the smooth sibling of fe_hinge
+    that gives a linear model local bumps. Row-local, zero exchange;
+    exp() is the only transcendental, so both engines quantize the
+    identical exp(−γ·(x−c)²) doubles at 6dp (same libm-drift policy as
+    fe_cyclic)."""
+    centers = (10.0, 25.0, 40.0)
+    gamma = 0.005
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def rbf(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        q6 = lambda x: np.floor(x * 1e6 + 0.5005) / 1e6  # noqa: E731
+        cols = {
+            "l_orderkey": batch["l_orderkey"],
+            "l_linenumber": batch["l_linenumber"],
+        }
+        for c in centers:
+            cols[f"rbf_{int(c)}"] = pa.array(
+                q6(np.exp(-gamma * (q - c) * (q - c))))
+        return pa.table(cols)
+
+    return ds.map_batches(rbf, batch_format="pyarrow")
+
+
+FE_RBF_SQL = """
+SELECT l_orderkey, l_linenumber,
+       floor(exp(-0.005 * (l_quantity - 10.0) * (l_quantity - 10.0))
+             * 1000000 + 0.5005) / 1000000 AS rbf_10,
+       floor(exp(-0.005 * (l_quantity - 25.0) * (l_quantity - 25.0))
+             * 1000000 + 0.5005) / 1000000 AS rbf_25,
+       floor(exp(-0.005 * (l_quantity - 40.0) * (l_quantity - 40.0))
+             * 1000000 + 0.5005) / 1000000 AS rbf_40
+FROM lineitem
+"""
+
+
+def d_lang_f1(sf_dir: str):
+    """Per-language precision/recall/F1 of the stopword language-ID
+    classifier against the labeled lang column — the metric layer over
+    d_lang_confusion's cells (one O(langs²) exchange, then closed form
+    on the tiny table). Precision is NULL for a never-predicted
+    language on both sides; F1 is computed FROM the 6dp-quantized
+    precision/recall so the engines stay token-identical."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.text import language_id
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        scored = language_id(batch)
+        df = pd.DataFrame({
+            "lang": scored["lang"].to_pandas().fillna(""),
+            "lang_pred": scored["lang_pred"].to_pandas(),
+            "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["lang", "lang_pred"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    conf = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    true_n = conf.groupby("lang")["n"].sum()
+    pred_n = conf.groupby("lang_pred")["n"].sum()
+    tp = conf[conf["lang"] == conf["lang_pred"]].set_index("lang")["n"]
+    q6 = lambda x: np.floor(x * 1e6 + 0.5005) / 1e6  # noqa: E731
+    rows = []
+    for lang in sorted(true_n.index):
+        t = int(true_n[lang])
+        p = int(pred_n.get(lang, 0))
+        h = int(tp.get(lang, 0))
+        prec = q6(h / p) if p > 0 else np.nan
+        rec = q6(h / t)
+        f1 = q6(2.0 * prec * rec / (prec + rec)) \
+            if p > 0 and prec + rec > 0 else np.nan
+        rows.append((lang, t, p, h, prec, rec, f1))
+    return pd.DataFrame(
+        rows, columns=["lang", "true_n", "pred_n", "tp", "prec", "rec", "f1"])
+
+
+D_LANG_F1_SQL = f"""
+WITH conf AS ({D_LANG_CONFUSION_SQL}),
+t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS true_n,
+             CAST(SUM(CASE WHEN lang_pred = lang THEN n ELSE 0 END)
+                  AS BIGINT) AS tp
+      FROM conf GROUP BY lang),
+pr AS (SELECT lang_pred, CAST(SUM(n) AS BIGINT) AS pred_n
+       FROM conf GROUP BY lang_pred),
+m AS (
+  SELECT t.lang, t.true_n, COALESCE(pr.pred_n, 0) AS pred_n, t.tp,
+         CASE WHEN COALESCE(pr.pred_n, 0) > 0
+              THEN floor(CAST(t.tp AS DOUBLE) / pr.pred_n
+                         * 1000000 + 0.5005) / 1000000 END AS prec,
+         floor(CAST(t.tp AS DOUBLE) / t.true_n
+               * 1000000 + 0.5005) / 1000000 AS rec
+  FROM t LEFT JOIN pr ON pr.lang_pred = t.lang)
+SELECT lang, true_n, pred_n, tp, prec, rec,
+       CASE WHEN prec IS NOT NULL AND prec + rec > 0
+            THEN floor(2.0 * prec * rec / (prec + rec)
+                       * 1000000 + 0.5005) / 1000000 END AS f1
+FROM m ORDER BY lang
+"""
+
+
+def t_dwell_time(sf_dir: str):
+    """Per-event-type dwell time: how long users SIT in each state
+    (interval from an event to the user's next event, attributed to the
+    earlier event's type) — the session-quality aggregate behind
+    engagement mixes. One entity shuffle; interval extraction is the
+    usual vectorized shift, then exact integer-microsecond sums fold
+    through an O(types) cell exchange with one quantized mean."""
+    from ray.data.aggregate import Sum
+    from ..stages.temporal import grouped_map
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"], split=True)
+
+    def intervals(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        order = np.lexsort((g["event_id"].to_numpy(), ts, g["user_id"].to_numpy()))
+        u = g["user_id"].to_numpy(np.int64)[order]
+        t = ts[order]
+        et = g["event_type"].to_numpy(object)[order]
+        same = u[1:] == u[:-1]
+        return pd.DataFrame({
+            "event_type": et[:-1][same],
+            "total_us": t[1:][same] - t[:-1][same],
+            "n": 1,
+        }).groupby("event_type", as_index=False).sum()
+
+    g = (
+        grouped_map(ds, "user_id", intervals)
+        .groupby("event_type")
+        .aggregate(Sum("total_us", alias_name="total_us"),
+                   Sum("n", alias_name="n_intervals"))
+        .to_pandas()
+        .sort_values("event_type")
+    )
+    q6 = lambda x: np.floor(x * 1e6 + 0.5005) / 1e6  # noqa: E731
+    return pd.DataFrame({
+        "event_type": g["event_type"].to_numpy(object),
+        "total_us": g["total_us"].to_numpy(np.int64),
+        "n_intervals": g["n_intervals"].to_numpy(np.int64),
+        "mean_us": q6(g["total_us"].to_numpy(np.float64)
+                      / g["n_intervals"].to_numpy(np.float64)),
+    })
+
+
+T_DWELL_TIME_SQL = """
+WITH p AS (
+  SELECT event_type,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS dt
+  FROM events)
+SELECT event_type,
+       CAST(SUM(dt) AS BIGINT) AS total_us,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       floor(CAST(SUM(dt) AS DOUBLE) / COUNT(*) * 1000000 + 0.5005)
+         / 1000000 AS mean_us
+FROM p WHERE dt IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -11324,4 +11565,8 @@ QUERIES: dict[str, tuple] = {
     "d_kmv_distinct": (d_kmv_distinct, D_KMV_DISTINCT_SQL),
     "d_ab_ztest": (d_ab_ztest, D_AB_ZTEST_SQL),
     "d_gains": (d_gains, D_GAINS_SQL),
+    "q_null_safe_join": (q_null_safe_join, Q_NULL_SAFE_JOIN_SQL),
+    "fe_rbf": (fe_rbf, FE_RBF_SQL),
+    "d_lang_f1": (d_lang_f1, D_LANG_F1_SQL),
+    "t_dwell_time": (t_dwell_time, T_DWELL_TIME_SQL),
 }
