@@ -53,6 +53,14 @@ def _table_nrows(sf_dir: str, table: str) -> int:
     return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
 
 
+def _q6(x):
+    """Biased half-up 6dp quantizer shared by every operator: MUST stay
+    token-identical to the SQL side's floor(x*1000000 + 0.5005)/1000000
+    (round(x, 6) splits on numpy half-even vs DuckDB half-away at exact
+    .5e-6 boundaries; the 0.0005 bias absorbs sub-ulp libm drift)."""
+    return np.floor(x * 1e6 + 0.5005) / 1e6
+
+
 def _read(sf_dir: str, table: str, columns=None, split: bool | None = None, where=None):
     """Column-pruned parquet read. The test tables are single-row-group
     files, so Ray reads each as ONE block and every downstream map stage
@@ -9719,10 +9727,9 @@ def d_wilson_ci(sf_dir: str):
     half = 1.96 * np.sqrt((p * (1 - p) + 1.96 * 1.96 / (4 * n)) / n)
     center = p + 1.96 * 1.96 / (2 * n)
     denom = 1 + 1.96 * 1.96 / n
-    q6 = lambda x: np.floor(x * 1e6 + 0.5005) / 1e6  # noqa: E731
-    out["p_keep"] = q6(p)
-    out["wilson_lo"] = q6((center - half) / denom)
-    out["wilson_hi"] = q6((center + half) / denom)
+    out["p_keep"] = _q6(p)
+    out["wilson_lo"] = _q6((center - half) / denom)
+    out["wilson_hi"] = _q6((center + half) / denom)
     out["kept"] = out["kept"].astype(np.int64)
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values("source").reset_index(drop=True)
@@ -9810,13 +9817,12 @@ def q_moments(sf_dir: str):
     m4 = s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n) - 3 * mu * mu * mu * mu
     skew = m3 / m2**1.5
     kurt = m4 / (m2 * m2) - 3
-    q6 = lambda x: np.floor(x * 1e6 + 0.5005) / 1e6  # noqa: E731
     return pd.DataFrame(
         {
             "l_returnflag": agg["g"],
             "n": agg["n"].astype(np.int64),
-            "skewness": q6(skew),
-            "excess_kurtosis": q6(kurt),
+            "skewness": _q6(skew),
+            "excess_kurtosis": _q6(kurt),
         }
     ).sort_values("l_returnflag").reset_index(drop=True)
 
@@ -9901,13 +9907,12 @@ def fe_cyclic(sf_dir: str):
         ts = batch["ts"].to_numpy().astype("datetime64[us]")
         h = (ts.view(np.int64) // 3_600_000_000) % 24
         ang = 2.0 * 3.141592653589793 * (h.astype(np.float64) / 24.0)
-        q6 = lambda x: np.floor(x * 1e6 + 0.5005) / 1e6  # noqa: E731
         return pa.table(
             {
                 "event_id": batch["event_id"],
                 "hour": pa.array(h.astype(np.int64)),
-                "hour_sin": pa.array(q6(np.sin(ang))),
-                "hour_cos": pa.array(q6(np.cos(ang))),
+                "hour_sin": pa.array(_q6(np.sin(ang))),
+                "hour_cos": pa.array(_q6(np.cos(ang))),
             }
         )
 
@@ -10020,12 +10025,11 @@ def d_auc(sf_dir: str):
     agg = pd.DataFrame({"source": grp, "num2": num2, "np": pos, "nn": neg}) \
         .groupby("source", as_index=False).sum()
     agg = agg[(agg["np"] > 0) & (agg["nn"] > 0)]
-    q6 = lambda x: np.floor(x * 1e6 + 0.5005) / 1e6  # noqa: E731
     return pd.DataFrame({
         "source": agg["source"].to_numpy(object),
         "n_pos": agg["np"].to_numpy(np.int64),
         "n_neg": agg["nn"].to_numpy(np.int64),
-        "auc": q6(agg["num2"].to_numpy(np.float64)
+        "auc": _q6(agg["num2"].to_numpy(np.float64)
                   / (2.0 * agg["np"].to_numpy(np.float64)
                      * agg["nn"].to_numpy(np.float64))),
     })
@@ -10087,11 +10091,10 @@ def t_autocorr(sf_dir: str):
         dx = n * df["sxx"].to_numpy(np.int64) - sx * sx
         dy = n * df["syy"].to_numpy(np.int64) - sy * sy
         keep = (n >= 2) & (dx > 0) & (dy > 0)
-        q6 = lambda v: np.floor(v * 1e6 + 0.5005) / 1e6  # noqa: E731
         return pd.DataFrame({
             "user_id": df["user_id"].to_numpy(np.int64)[keep],
             "n_pairs": n[keep],
-            "autocorr": q6(num[keep].astype(np.float64)
+            "autocorr": _q6(num[keep].astype(np.float64)
                            / np.sqrt(dx[keep].astype(np.float64)
                                      * dy[keep].astype(np.float64))),
         })
@@ -10147,14 +10150,13 @@ def fe_count_encode(sf_dir: str):
     )
     total = int(cnt["n"].sum())
     n_map = dict(zip(cnt["p"], cnt["n"].astype(np.int64)))
-    q6 = lambda x: np.floor(x * 1e6 + 0.5005) / 1e6  # noqa: E731
 
     def attach(batch: pa.Table) -> pa.Table:
         n = batch["o_orderpriority"].to_pandas().map(n_map).to_numpy(np.int64)
         return pa.table({
             "o_orderkey": batch["o_orderkey"],
             "cat_n": pa.array(n),
-            "cat_freq": pa.array(q6(n.astype(np.float64) / total)),
+            "cat_freq": pa.array(_q6(n.astype(np.float64) / total)),
         })
 
     return ds.map_batches(attach, batch_format="pyarrow")
@@ -10201,7 +10203,6 @@ def fe_loo_encode(sf_dir: str):
     )
     s_map = dict(zip(g["p"], g["s"].astype(np.int64)))
     n_map = dict(zip(g["p"], g["n"].astype(np.int64)))
-    q6 = lambda x: np.floor(x * 1e6 + 0.5005) / 1e6  # noqa: E731
 
     def attach(batch: pa.Table) -> pa.Table:
         p = batch["p"].to_pandas()
@@ -10212,7 +10213,7 @@ def fe_loo_encode(sf_dir: str):
         loo = ((s[keep] - c[keep]).astype(np.float64) / 100.0) / (n[keep] - 1)
         return pa.table({
             "o_orderkey": pa.array(batch["o_orderkey"].to_numpy()[keep]),
-            "loo_mean": pa.array(q6(loo)),
+            "loo_mean": pa.array(_q6(loo)),
         })
 
     return cds.map_batches(attach, batch_format="pyarrow")
@@ -10286,10 +10287,9 @@ def t_cusum(sf_dir: str):
         df = pd.DataFrame({"user_id": u, "s": s, "alarm": (s > thr).astype(np.int64)})
         out = df.groupby("user_id", as_index=False).agg(
             max_s=("s", "max"), n_alarms=("alarm", "sum"))
-        q6 = lambda x: np.floor(x * 1e6 + 0.5005) / 1e6  # noqa: E731
         return pd.DataFrame({
             "user_id": out["user_id"].to_numpy(np.int64),
-            "max_cusum": q6(out["max_s"].to_numpy(np.float64) / (100.0 * n_total)),
+            "max_cusum": _q6(out["max_s"].to_numpy(np.float64) / (100.0 * n_total)),
             "n_alarms": out["n_alarms"].to_numpy(np.int64),
         })
 
@@ -10405,10 +10405,9 @@ def t_pct_change(sf_dir: str):
         eid = g["event_id"].to_numpy(np.int64)[order]
         same = (u[1:] == u[:-1]) & (c[:-1] != 0)
         prev, cur = c[:-1][same], c[1:][same]
-        q6 = lambda x: np.floor(x * 1e6 + 0.5005) / 1e6  # noqa: E731
         return pd.DataFrame({
             "event_id": eid[1:][same],
-            "pct_change": q6((cur - prev) / prev),
+            "pct_change": _q6((cur - prev) / prev),
         })
 
     return grouped_map(ds, "user_id", pct)
@@ -10504,12 +10503,11 @@ def d_calibration(sf_dir: str):
         .sort_values("bin")
     )
     n = g["n"].to_numpy(np.int64)
-    q6 = lambda x: np.floor(x * 1e6 + 0.5005) / 1e6  # noqa: E731
     return pd.DataFrame({
         "bin": g["bin"].to_numpy(np.int64),
         "n": n,
-        "mean_label": q6(g["pos"].to_numpy(np.float64) / n),
-        "mean_score": q6((g["sv"].to_numpy(np.int64) - n * lo).astype(np.float64)
+        "mean_label": _q6(g["pos"].to_numpy(np.float64) / n),
+        "mean_score": _q6((g["sv"].to_numpy(np.int64) - n * lo).astype(np.float64)
                          / (n * span).astype(np.float64)),
     })
 
@@ -10645,7 +10643,7 @@ def d_bloom_fpr(sf_dir: str):
     is O(m) and broadcasts in a closure; both streams only ship partial
     counters. The primitive under q_bloom_semi_join, here value-audited
     bit by bit."""
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Count, Sum
 
     from ..stages.text import _mulmod61
 
@@ -10675,7 +10673,7 @@ def d_bloom_fpr(sf_dir: str):
 
     posdf = (
         cust.map_batches(member_bits, batch_format="pyarrow")
-        .groupby("pos").aggregate(Sum("pos", alias_name="_dup")).to_pandas()
+        .groupby("pos").aggregate(Count(alias_name="_dup")).to_pandas()
     )
     bits = np.zeros(MBITS, dtype=bool)
     bits[posdf["pos"].to_numpy(np.int64)] = True
@@ -10700,13 +10698,12 @@ def d_bloom_fpr(sf_dir: str):
     nm_agg = cust.map_batches(probe_counts("c_custkey", 0),
                               batch_format="pyarrow") \
         .aggregate(Sum("n", alias_name="n"), Sum("hits", alias_name="hits"))
-    q6 = lambda x: np.floor(x * 1e6 + 0.5005) / 1e6  # noqa: E731
     return pd.DataFrame({
         "m_bits": [MBITS], "k": [3], "n_members": [n_members],
         "n_set_bits": [n_set],
         "n_nonmember_probes": [int(np_agg["n"])],
         "n_fp": [int(np_agg["hits"])],
-        "fp_rate": [float(q6(np_agg["hits"] / np_agg["n"]))],
+        "fp_rate": [float(_q6(np_agg["hits"] / np_agg["n"]))],
         "n_member_hits": [int(nm_agg["hits"])],
     })
 
@@ -10769,7 +10766,6 @@ def t_mann_kendall(sf_dir: str):
         c = np.floor(g["value"].to_numpy(np.float64)[order] * 100 + 0.5).astype(
             np.int64)
         rows = []
-        q6 = lambda x: np.floor(x * 1e6 + 0.5005) / 1e6  # noqa: E731
         starts = np.r_[np.flatnonzero(np.r_[True, u[1:] != u[:-1]]), len(u)]
         for a, b in zip(starts[:-1], starts[1:]):
             n = b - a
@@ -10779,7 +10775,7 @@ def t_mann_kendall(sf_dir: str):
             diff = np.sign(seg[None, :] - seg[:, None])
             s = int(np.triu(diff, 1).sum())
             pairs = n * (n - 1) // 2
-            rows.append((int(u[a]), s, pairs, float(q6(s / pairs))))
+            rows.append((int(u[a]), s, pairs, float(_q6(s / pairs))))
         return pd.DataFrame(rows, columns=["user_id", "mk_s", "n_pairs", "mk_tau"])
 
     return grouped_map(ds, "user_id", mk)
@@ -10889,14 +10885,13 @@ def d_kmv_distinct(sf_dir: str):
     hv = np.unique(parts["hv"].to_numpy(np.int64))[:K]
     kk = len(hv)
     hk = int(hv[-1])
-    q6 = lambda x: np.floor(x * 1e6 + 0.5005) / 1e6  # noqa: E731
     if kk < K:
         est = float(kk)
     else:
         est = (K - 1.0) * (np.float64(int(M)) / np.float64(hk))
     return pd.DataFrame({
         "k": [K], "n_sketch": [kk], "kth_hash": [hk],
-        "est_distinct": [float(q6(est))],
+        "est_distinct": [float(_q6(est))],
     })
 
 
@@ -10951,10 +10946,9 @@ def d_ab_ztest(sf_dir: str):
     p2 = (P - pos).astype(np.float64) / (N - n)
     pp = np.float64(P) / np.float64(N)
     z = (p1 - p2) / np.sqrt(pp * (1.0 - pp) * (1.0 / n + 1.0 / (N - n)))
-    q6 = lambda x: np.floor(x * 1e6 + 0.5005) / 1e6  # noqa: E731
     return pd.DataFrame({
         "source": g["source"].to_numpy(object),
-        "n": n, "pos": pos, "z": q6(z),
+        "n": n, "pos": pos, "z": _q6(z),
     })
 
 
@@ -11021,15 +11015,14 @@ def d_gains(sf_dir: str):
                                                              ascending=False)
     cum_n = np.cumsum(g["n"].to_numpy(np.int64))
     cum_pos = np.cumsum(g["pos"].to_numpy(np.int64))
-    q6 = lambda x: np.floor(x * 1e6 + 0.5005) / 1e6  # noqa: E731
     base = np.float64(P) / np.float64(N)
     return pd.DataFrame({
         "decile": g["decile"].to_numpy(np.int64),
         "n": g["n"].to_numpy(np.int64),
         "pos": g["pos"].to_numpy(np.int64),
         "cum_n": cum_n, "cum_pos": cum_pos,
-        "capture": q6(cum_pos.astype(np.float64) / np.float64(P)),
-        "lift": q6((cum_pos.astype(np.float64) / cum_n) / base),
+        "capture": _q6(cum_pos.astype(np.float64) / np.float64(P)),
+        "lift": _q6((cum_pos.astype(np.float64) / cum_n) / base),
     }).sort_values("decile").reset_index(drop=True)
 
 
@@ -11158,14 +11151,13 @@ def fe_rbf(sf_dir: str):
 
     def rbf(batch: pa.Table) -> pa.Table:
         q = batch["l_quantity"].to_numpy(zero_copy_only=False)
-        q6 = lambda x: np.floor(x * 1e6 + 0.5005) / 1e6  # noqa: E731
         cols = {
             "l_orderkey": batch["l_orderkey"],
             "l_linenumber": batch["l_linenumber"],
         }
         for c in centers:
             cols[f"rbf_{int(c)}"] = pa.array(
-                q6(np.exp(-gamma * (q - c) * (q - c))))
+                _q6(np.exp(-gamma * (q - c) * (q - c))))
         return pa.table(cols)
 
     return ds.map_batches(rbf, batch_format="pyarrow")
@@ -11217,15 +11209,14 @@ def d_lang_f1(sf_dir: str):
     true_n = conf.groupby("lang")["n"].sum()
     pred_n = conf.groupby("lang_pred")["n"].sum()
     tp = conf[conf["lang"] == conf["lang_pred"]].set_index("lang")["n"]
-    q6 = lambda x: np.floor(x * 1e6 + 0.5005) / 1e6  # noqa: E731
     rows = []
     for lang in sorted(true_n.index):
         t = int(true_n[lang])
         p = int(pred_n.get(lang, 0))
         h = int(tp.get(lang, 0))
-        prec = q6(h / p) if p > 0 else np.nan
-        rec = q6(h / t)
-        f1 = q6(2.0 * prec * rec / (prec + rec)) \
+        prec = _q6(h / p) if p > 0 else np.nan
+        rec = _q6(h / t)
+        f1 = _q6(2.0 * prec * rec / (prec + rec)) \
             if p > 0 and prec + rec > 0 else np.nan
         rows.append((lang, t, p, h, prec, rec, f1))
     return pd.DataFrame(
@@ -11290,12 +11281,11 @@ def t_dwell_time(sf_dir: str):
         .to_pandas()
         .sort_values("event_type")
     )
-    q6 = lambda x: np.floor(x * 1e6 + 0.5005) / 1e6  # noqa: E731
     return pd.DataFrame({
         "event_type": g["event_type"].to_numpy(object),
         "total_us": g["total_us"].to_numpy(np.int64),
         "n_intervals": g["n_intervals"].to_numpy(np.int64),
-        "mean_us": q6(g["total_us"].to_numpy(np.float64)
+        "mean_us": _q6(g["total_us"].to_numpy(np.float64)
                       / g["n_intervals"].to_numpy(np.float64)),
     })
 
@@ -11313,6 +11303,162 @@ SELECT event_type,
          / 1000000 AS mean_us
 FROM p WHERE dt IS NOT NULL
 GROUP BY event_type ORDER BY event_type
+"""
+
+
+def t_rolling_median(sf_dir: str):
+    """Per-user centered rolling MEDIAN (2-preceding/2-following, edges
+    clamp like t_rolling_centered) — the holistic windowed aggregate a
+    sum/mean rolling can't express, and the robust smoother for spiky
+    event values. One entity shuffle, then pandas' C-level grouped
+    rolling median per bucket. Values are exact integer cents, and an
+    even-count edge window's average-of-middle-two is a dyadic half —
+    bit-exact in both engines, no quantizer."""
+    from ..stages.temporal import grouped_map
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"],
+               split=True)
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        order = np.lexsort((g["event_id"].to_numpy(), ts, g["user_id"].to_numpy()))
+        u = g["user_id"].to_numpy(np.int64)[order]
+        c = np.floor(g["value"].to_numpy(np.float64)[order] * 100 + 0.5)
+        eid = g["event_id"].to_numpy(np.int64)[order]
+        m = (
+            pd.Series(c).groupby(u)
+            .rolling(5, center=True, min_periods=1).median()
+            .to_numpy()
+        )
+        return pd.DataFrame({
+            "event_id": eid, "roll_median": m / 100.0,
+        })
+
+    return grouped_map(ds, "user_id", med)
+
+
+T_ROLLING_MEDIAN_SQL = """
+SELECT event_id,
+       median(floor(value * 100 + 0.5))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) / 100.0
+         AS roll_median
+FROM events
+"""
+
+
+def d_jackknife(sf_dir: str):
+    """Leave-one-source-out (block jackknife) means of document length —
+    the eval-suite primitive behind 'which shard moves the corpus
+    average, and what are the error bars?': per-source LOO mean plus the
+    jackknife pseudo-value g·µ − (g−1)·µ₍ᵢ₎ whose variance downstream
+    gives the SE. O(sources) cell exchange of exact integers; the LOO
+    and overall means are single quantized divisions and the
+    pseudo-value is computed FROM the quantized means, keeping both
+    engines token-identical (an unquantized float SE would inherit
+    sum-order drift)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": batch["source"].to_pandas(),
+            "s": batch["n_chars"].to_numpy(), "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby("source", as_index=False).sum(), preserve_index=False
+        )
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    n = g["n"].to_numpy(np.int64)
+    s = g["s"].to_numpy(np.int64)
+    N, S, G = int(n.sum()), int(s.sum()), len(g)
+    mu6 = _q6(np.float64(S) / np.float64(N))
+    loo6 = _q6((S - s).astype(np.float64) / (N - n))
+    return pd.DataFrame({
+        "source": g["source"].to_numpy(object),
+        "n": n,
+        "loo_mean": loo6,
+        "pseudovalue": _q6(G * mu6 - (G - 1) * loo6),
+    })
+
+
+D_JACKKNIFE_SQL = """
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(n_chars) AS BIGINT) AS s
+  FROM documents GROUP BY source),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(s) AS BIGINT) AS ss,
+             CAST(COUNT(*) AS BIGINT) AS g
+      FROM c)
+SELECT source, n,
+       floor(CAST(t.ss - c.s AS DOUBLE) / (t.nn - c.n)
+             * 1000000 + 0.5005) / 1000000 AS loo_mean,
+       floor((t.g * (floor(CAST(t.ss AS DOUBLE) / t.nn
+                           * 1000000 + 0.5005) / 1000000)
+              - (t.g - 1) * (floor(CAST(t.ss - c.s AS DOUBLE) / (t.nn - c.n)
+                                   * 1000000 + 0.5005) / 1000000))
+             * 1000000 + 0.5005) / 1000000 AS pseudovalue
+FROM c CROSS JOIN t
+"""
+
+
+def d_preference_pairs(sf_dir: str):
+    """Preference-pair mining (the DPO/RLHF data-construction step):
+    per source, pair the highest- against the lowest-scoring document
+    (score = n_chars, tie-broken by doc_id) as (chosen, rejected) with
+    the score margin. Lexicographic (score, id) extremes travel as ONE
+    encoded int64 (score·2³² + id) through ordinary Min/Max partials —
+    integer-exact in both engines, no quantizer, O(sources) exchange.
+    Encoding bound: score < 2³¹ and id < 2³²."""
+    from ray.data.aggregate import Max, Min
+
+    ENC = np.int64(1 << 32)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def enc(batch: pa.Table) -> pa.Table:
+        key = (batch["n_chars"].to_numpy() * ENC
+               + batch["doc_id"].to_numpy()).astype(np.int64)
+        return pa.table({"source": batch["source"], "key": pa.array(key)})
+
+    g = (
+        ds.map_batches(enc, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Max("key", alias_name="mx"), Min("key", alias_name="mn"))
+        .to_pandas()
+    )
+    mx = g["mx"].to_numpy(np.int64)
+    mn = g["mn"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "source": g["source"].to_numpy(object),
+        "chosen_doc": mx % (1 << 32),
+        "rejected_doc": mn % (1 << 32),
+        "chosen_chars": mx // (1 << 32),
+        "rejected_chars": mn // (1 << 32),
+        "margin": mx // (1 << 32) - mn // (1 << 32),
+    })
+
+
+D_PREFERENCE_PAIRS_SQL = """
+WITH e AS (
+  SELECT source, n_chars * 4294967296 + doc_id AS key
+  FROM documents),
+g AS (SELECT source, CAST(MAX(key) AS BIGINT) AS mx,
+             CAST(MIN(key) AS BIGINT) AS mn
+      FROM e GROUP BY source)
+SELECT source,
+       mx % 4294967296 AS chosen_doc,
+       mn % 4294967296 AS rejected_doc,
+       mx // 4294967296 AS chosen_chars,
+       mn // 4294967296 AS rejected_chars,
+       mx // 4294967296 - mn // 4294967296 AS margin
+FROM g
 """
 
 
@@ -11569,4 +11715,7 @@ QUERIES: dict[str, tuple] = {
     "fe_rbf": (fe_rbf, FE_RBF_SQL),
     "d_lang_f1": (d_lang_f1, D_LANG_F1_SQL),
     "t_dwell_time": (t_dwell_time, T_DWELL_TIME_SQL),
+    "t_rolling_median": (t_rolling_median, T_ROLLING_MEDIAN_SQL),
+    "d_jackknife": (d_jackknife, D_JACKKNIFE_SQL),
+    "d_preference_pairs": (d_preference_pairs, D_PREFERENCE_PAIRS_SQL),
 }

@@ -84,17 +84,21 @@ def test_cusum_matches_recursive_definition(ray_session):
     ev = pd.read_parquet(f"{SF}/events.parquet",
                          columns=["user_id", "ts", "event_id", "value"])
     ev = ev.sort_values(["user_id", "ts", "event_id"])
-    mu = ev["value"].mean()
+    cents = np.floor(ev["value"].to_numpy(np.float64) * 100 + 0.5).astype(int)
+    n_total, s_total = len(cents), int(cents.sum())
+    ev = ev.assign(c=cents)
     checked = 0
     for uid, g in ev.groupby("user_id"):
-        s, mx, alarms = 0.0, 0.0, 0
-        for x in g["value"].to_numpy(np.float64):
-            s = max(0.0, s + (x - mu))  # Page's recursive CUSUM
+        # Page's recursive CUSUM in the engine's exact scaled-integer
+        # space (dev = n·c − Σc), so alarm counts compare EXACTLY even
+        # when a user lands on the 50.0 threshold boundary
+        s, mx, alarms = 0, 0, 0
+        for c in g["c"]:
+            s = max(0, s + (n_total * int(c) - s_total))
             mx = max(mx, s)
-            alarms += s > 50.0
+            alarms += s > 5000 * n_total
         row = out.loc[uid]
-        # scaled-integer engine vs float recursion: loose float tolerance
-        assert abs(row["max_cusum"] - mx) < 1e-4
+        assert abs(row["max_cusum"] - mx / (100.0 * n_total)) < 2e-6
         assert int(row["n_alarms"]) == alarms
         checked += 1
     assert checked >= 5
