@@ -204,6 +204,9 @@ HEADLINE = [
     "fe_rbf",
     "d_lang_f1",
     "t_dwell_time",
+    "t_rolling_median",
+    "d_jackknife",
+    "d_preference_pairs",
 ]
 
 
