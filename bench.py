@@ -207,6 +207,9 @@ HEADLINE = [
     "t_rolling_median",
     "d_jackknife",
     "d_preference_pairs",
+    "d_budget_alloc",
+    "q_fk_audit",
+    "d_ece",
 ]
 
 

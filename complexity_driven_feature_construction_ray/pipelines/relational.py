@@ -11462,6 +11462,264 @@ FROM g
 """
 
 
+def d_budget_alloc(sf_dir: str):
+    """Capped waterfilling token-budget allocation across sources — the
+    mixture-planning step behind 'hit B tokens total, proportional to
+    weight w_i, but no source can give more than it has': alloc_i =
+    min(cap_i, w_i·λ) with Σalloc = B. Caps are the distributed char
+    sums; weights are the source's alphabetical ordinal (a deterministic
+    skew so the pivot is actually exercised — 12 of 20 fixture sources
+    saturate). The pivot is found WITHOUT float comparisons: saturation
+    tests cross-multiply exact integers (cap_j·W_rest ≤ w_j·B_rest), so
+    both engines pick the identical pivot; λ is then ONE division from
+    exact integers and only the unsaturated allocs are quantized.
+    Integer bound: cap·Σw < 2⁶³ (HUGEINT/int128 fold past that)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": batch["source"].to_pandas(),
+            "cap": batch["n_chars"].to_numpy(),
+        })
+        return pa.Table.from_pandas(
+            df.groupby("source", as_index=False).sum(), preserve_index=False
+        )
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("source").aggregate(Sum("cap", alias_name="cap"))
+        .to_pandas().sort_values("source").reset_index(drop=True)
+    )
+    cap = g["cap"].to_numpy(np.int64)
+    w = np.arange(1, len(g) + 1, dtype=np.int64)  # alphabetical ordinal
+    B = int(cap.sum()) * 8 // 10
+    tot_w = int(w.sum())
+    # sort by demand ratio r = cap/w (same single division both engines,
+    # source name tie-break)
+    r = cap.astype(np.float64) / w
+    order = np.lexsort((g["source"].to_numpy(object), r))
+    cap_s, w_s = cap[order], w[order]
+    cs_cap = np.cumsum(cap_s) - cap_s  # exclusive
+    cs_w = np.cumsum(w_s) - w_s
+    # row j saturates iff cap_j·(W − cs_w_{j-1}) ≤ w_j·(B − cs_cap_{j-1});
+    # first failure ends the saturated prefix (exact integer test)
+    flag = cap_s * (tot_w - cs_w) > w_s * (B - cs_cap)
+    k = int(np.argmax(flag)) if flag.any() else len(cap)
+    w_rest = tot_w - (int(cs_w[k]) if k < len(cap) else tot_w)
+    b_rest = B - (int(cs_cap[k]) if k < len(cap) else B)
+    lam = np.float64(b_rest) / np.float64(w_rest) if w_rest > 0 else np.float64(0)
+    sat = np.zeros(len(cap), dtype=bool)
+    sat[order[:k]] = True
+    alloc = np.where(sat, cap.astype(np.float64), _q6(w * lam))
+    return pd.DataFrame({
+        "source": g["source"].to_numpy(object),
+        "cap": cap, "w": w, "saturated": sat, "alloc": alloc,
+    })
+
+
+D_BUDGET_ALLOC_SQL = """
+WITH c AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS cap
+           FROM documents GROUP BY source),
+o AS (SELECT source, cap,
+             CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS w
+      FROM c),
+t AS (SELECT CAST(SUM(cap) * 8 // 10 AS BIGINT) AS b,
+             CAST(SUM(w) AS BIGINT) AS tw
+      FROM o),
+s AS (SELECT source, cap, w,
+             CAST(COALESCE(SUM(cap) OVER win, 0) AS BIGINT) AS cs_cap,
+             CAST(COALESCE(SUM(w) OVER win, 0) AS BIGINT) AS cs_w
+      FROM o
+      WINDOW win AS (ORDER BY CAST(cap AS DOUBLE) / w, source
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+f AS (SELECT s.*, cap * (t.tw - cs_w) > w * (t.b - cs_cap) AS stop
+      FROM s CROSS JOIN t),
+-- the first stop row in ratio order (cs_cap is strictly increasing, so
+-- MIN identifies it); its exclusive prefix sums ARE the saturated set's
+-- totals. No stop row at all => every source saturates.
+k AS (SELECT COUNT(*) > 0 AS has_stop,
+             COALESCE(MIN(cs_w), (SELECT tw FROM t)) AS kw,
+             COALESCE(MIN(cs_cap), (SELECT b FROM t)) AS kc
+      FROM f WHERE stop),
+lam AS (SELECT CASE WHEN t.tw - k.kw > 0
+                    THEN CAST(t.b - k.kc AS DOUBLE) / (t.tw - k.kw)
+                    ELSE 0.0 END AS l
+        FROM k CROSS JOIN t)
+SELECT f.source, f.cap, f.w,
+       (NOT k.has_stop) OR f.cs_cap < k.kc AS saturated,
+       CASE WHEN (NOT k.has_stop) OR f.cs_cap < k.kc
+            THEN CAST(f.cap AS DOUBLE)
+            ELSE floor(f.w * lam.l * 1000000 + 0.5005) / 1000000 END AS alloc
+FROM f CROSS JOIN k CROSS JOIN lam
+"""
+
+
+def q_fk_audit(sf_dir: str):
+    """Referential-integrity and coverage audit in one pass family:
+    orphan lineitems (no parent order), orphan orders (no customer),
+    childless orders (no lineitems) and inactive customers (no orders)
+    — the warehouse health check run before trusting any join. Parent
+    key sets broadcast as sorted arrays with searchsorted probes (at
+    scale the Bloom-semi-join path, q_bloom_semi_join, replaces the
+    exact set); child presence uses the same machinery reversed."""
+    from ray.data.aggregate import Sum
+
+    li_ok = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    ord_keys = _read(sf_dir, "orders", columns=["o_orderkey"]).to_pandas()
+    ord_cust = _read(sf_dir, "orders", columns=["o_custkey"]).to_pandas()
+    cust_keys = _read(sf_dir, "customer", columns=["c_custkey"]).to_pandas()
+
+    o_sorted = np.sort(ord_keys["o_orderkey"].to_numpy(np.int64))
+    c_sorted = np.sort(cust_keys["c_custkey"].to_numpy(np.int64))
+
+    def count_missing(col: str, sorted_keys: np.ndarray):
+        def probe(batch: pa.Table) -> pa.Table:
+            v = batch[col].to_numpy()
+            idx = np.searchsorted(sorted_keys, v)
+            idx_c = np.clip(idx, 0, len(sorted_keys) - 1)
+            miss = (idx >= len(sorted_keys)) | (sorted_keys[idx_c] != v)
+            return pa.table({"n": pa.array([int(miss.sum())], type=pa.int64())})
+        return probe
+
+    li_orphans = int(li_ok.map_batches(count_missing("l_orderkey", o_sorted),
+                                       batch_format="pyarrow")
+                     .aggregate(Sum("n", alias_name="n"))["n"])
+    # distinct child keys via an in-batch dedup partial + key-count-sized
+    # exchange (never the raw child column on the driver)
+    from ray.data.aggregate import Count
+
+    li_parents = np.sort(
+        li_ok.map_batches(
+            lambda b: b.group_by(["l_orderkey"]).aggregate([]),
+            batch_format="pyarrow")
+        .groupby("l_orderkey").aggregate(Count(alias_name="_dup"))
+        .to_pandas()["l_orderkey"].to_numpy(np.int64))
+
+    def n_not_in(values: np.ndarray, sorted_keys: np.ndarray) -> int:
+        if len(sorted_keys) == 0:
+            return len(values)
+        idx = np.clip(np.searchsorted(sorted_keys, values),
+                      0, len(sorted_keys) - 1)
+        return int((sorted_keys[idx] != values).sum())
+
+    childless = n_not_in(ord_keys["o_orderkey"].to_numpy(np.int64), li_parents)
+    ck = ord_cust["o_custkey"].to_numpy(np.int64)
+    ord_orphans = n_not_in(ck, c_sorted)
+    inactive = n_not_in(cust_keys["c_custkey"].to_numpy(np.int64),
+                        np.unique(ck))
+    return pd.DataFrame({
+        "check_name": ["customers_inactive", "lineitem_orphans",
+                  "orders_childless", "orders_orphans"],
+        "n": np.array([inactive, li_orphans, childless, ord_orphans],
+                      dtype=np.int64),
+    })
+
+
+Q_FK_AUDIT_SQL = """
+SELECT 'customers_inactive' AS check_name,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM customer WHERE NOT EXISTS
+  (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT 'lineitem_orphans',
+       CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE NOT EXISTS
+  (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+UNION ALL
+SELECT 'orders_childless',
+       CAST(COUNT(*) AS BIGINT)
+FROM orders WHERE NOT EXISTS
+  (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+UNION ALL
+SELECT 'orders_orphans',
+       CAST(COUNT(*) AS BIGINT)
+FROM orders WHERE NOT EXISTS
+  (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+ORDER BY check_name
+"""
+
+
+def d_ece(sf_dir: str):
+    """Expected calibration error over d_calibration's 10 reliability
+    bins — the single-number audit of the length-based relevance score:
+    ECE = Σ_b (n_b/N)·|mean_label_b − mean_score_b|. Per-bin means are
+    floored into integer MICRO-units before the gap, so Σ n_b·|Δμ| is an
+    exact integer fold and ECE is ONE quantized division — no float
+    sum-order drift even across engines."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "documents", columns=["n_chars", "lang"])
+    mm = ds.aggregate(Min("n_chars", alias_name="lo"),
+                      Max("n_chars", alias_name="hi"))
+    lo, hi = int(mm["lo"]), int(mm["hi"])
+    span = max(hi - lo, 1)
+
+    def cells(batch: pa.Table) -> pa.Table:
+        v = batch["n_chars"].to_numpy()
+        b = np.minimum((v - lo) * 10 // span, 9)
+        df = pd.DataFrame({
+            "bin": b.astype(np.int64), "n": 1,
+            "pos": (batch["lang"].to_pandas() == "en").astype(np.int64),
+            "sv": v.astype(np.int64),
+        })
+        return pa.Table.from_pandas(
+            df.groupby("bin", as_index=False).sum(), preserve_index=False
+        )
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"), Sum("pos", alias_name="pos"),
+                   Sum("sv", alias_name="sv"))
+        .to_pandas()
+    )
+    n = g["n"].to_numpy(np.int64)
+    label_micro = np.floor(g["pos"].to_numpy(np.float64) / n * 1e6
+                           + 0.5005).astype(np.int64)
+    score_micro = np.floor((g["sv"].to_numpy(np.int64) - n * lo)
+                           .astype(np.float64)
+                           / (n * span).astype(np.float64) * 1e6
+                           + 0.5005).astype(np.int64)
+    total = int(n.sum())
+    fold = int((n * np.abs(label_micro - score_micro)).sum())
+    return pd.DataFrame({
+        "n": [total], "n_bins": [len(g)],
+        "ece": [float(_q6(np.float64(fold) / (np.float64(total) * 1e6)))],
+    })
+
+
+D_ECE_SQL = """
+WITH mm AS (SELECT MIN(n_chars) AS lo,
+                   GREATEST(MAX(n_chars) - MIN(n_chars), 1) AS span
+            FROM documents),
+b AS (
+  SELECT LEAST(CAST(((n_chars - mm.lo) * 10) // mm.span AS BIGINT), 9) AS bin,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+         CAST(n_chars AS BIGINT) AS v
+  FROM documents CROSS JOIN mm),
+g AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS pos,
+         CAST(SUM(v) AS BIGINT) AS sv
+  FROM b GROUP BY bin),
+m AS (
+  SELECT n,
+         CAST(floor(CAST(pos AS DOUBLE) / n * 1000000 + 0.5005) AS BIGINT)
+           AS lm,
+         CAST(floor(CAST(sv - n * (SELECT lo FROM mm) AS DOUBLE)
+                    / CAST(n * (SELECT span FROM mm) AS DOUBLE)
+                    * 1000000 + 0.5005) AS BIGINT) AS sm
+  FROM g)
+SELECT CAST(SUM(n) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       floor(CAST(SUM(n * ABS(lm - sm)) AS DOUBLE)
+             / (CAST(SUM(n) AS DOUBLE) * 1000000)
+             * 1000000 + 0.5005) / 1000000 AS ece
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -11718,4 +11976,7 @@ QUERIES: dict[str, tuple] = {
     "t_rolling_median": (t_rolling_median, T_ROLLING_MEDIAN_SQL),
     "d_jackknife": (d_jackknife, D_JACKKNIFE_SQL),
     "d_preference_pairs": (d_preference_pairs, D_PREFERENCE_PAIRS_SQL),
+    "d_budget_alloc": (d_budget_alloc, D_BUDGET_ALLOC_SQL),
+    "q_fk_audit": (q_fk_audit, Q_FK_AUDIT_SQL),
+    "d_ece": (d_ece, D_ECE_SQL),
 }
