@@ -210,6 +210,8 @@ HEADLINE = [
     "d_budget_alloc",
     "q_fk_audit",
     "d_ece",
+    "d_label_noise",
+    "d_hard_negative",
 ]
 
 

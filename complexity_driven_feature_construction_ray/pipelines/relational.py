@@ -11720,6 +11720,156 @@ FROM m
 """
 
 
+def d_label_noise(sf_dir: str):
+    """kNN-majority label-error detection (the confident-learning-style
+    mislabel audit over the embedding table): every vector's 5 nearest
+    neighbors (cosine) vote; a ≥4/5 disagreeing majority flags the row
+    as suspect. The corpus matrix broadcasts ONCE via ray.put (f64-
+    normalized, ~1 MB at fixture scale — the IVF-bucketed path replaces
+    the broadcast when the table outgrows a worker); each batch then
+    does one matmul. Rank order uses 6dp floor-quantized scores with a
+    vec_id tie-break, so BLAS-vs-sequential dot drift (sub-ulp, absorbed
+    by the _q6 bias) cannot flip a neighbor across engines; the majority
+    tie-breaks to the smallest label on both sides."""
+    import ray
+
+    from ..stages.arrowutil import list_column_matrix
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
+    pdf = ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    labels = pdf["label"].to_numpy(np.int64)
+    ref = ray.put((Xn, ids, labels))
+
+    def score(batch: pa.Table) -> pa.Table:
+        Xn_all, ids_all, lab_all = ray.get(ref)
+        q = list_column_matrix(batch["embedding"]).astype(np.float64)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        qid = batch["vec_id"].to_numpy()
+        own = batch["label"].to_numpy().astype(np.int64)
+        sim = qn @ Xn_all.T
+        micro = np.floor(sim * 1e6 + 0.5005).astype(np.int64)
+        # composite sort key: quantized score DESC, then vec_id ASC
+        key = micro * np.int64(1 << 33) - ids_all[None, :]
+        key[np.equal(qid[:, None], ids_all[None, :])] = np.iinfo(np.int64).min
+        # keys are unique (id embedded), so an unstable reversed argsort
+        # is safe — and negating the int64.min self-sentinel would wrap
+        top5 = np.argsort(key, axis=1)[:, -5:][:, ::-1]
+        nl = lab_all[top5]  # (n, 5) neighbor labels
+        k = int(lab_all.max()) + 1
+        counts = np.zeros((len(qid), k), dtype=np.int64)
+        for j in range(5):
+            np.add.at(counts, (np.arange(len(qid)), nl[:, j]), 1)
+        majority = counts.argmax(axis=1)  # ties -> smallest label
+        n_agree = counts[np.arange(len(qid)), majority]
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "own_label": pa.array(own),
+            "majority_label": pa.array(majority.astype(np.int64)),
+            "n_agree": pa.array(n_agree),
+            "suspect": pa.array((majority != own) & (n_agree >= 4)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+D_LABEL_NOISE_SQL = """
+WITH s AS (
+  SELECT a.vec_id AS qid, a.label AS own, b.vec_id AS nid, b.label AS nl,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY CAST(floor(list_cosine_similarity(
+                      a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                      * 1000000 + 0.5005) AS BIGINT) DESC,
+                    b.vec_id) AS rnk
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+t AS (SELECT qid, own, nl, CAST(COUNT(*) AS BIGINT) AS c
+      FROM s WHERE rnk <= 5 GROUP BY qid, own, nl),
+m AS (SELECT qid, own, nl, c,
+             row_number() OVER (PARTITION BY qid ORDER BY c DESC, nl) AS r
+      FROM t)
+SELECT qid AS vec_id, CAST(own AS BIGINT) AS own_label,
+       CAST(nl AS BIGINT) AS majority_label, c AS n_agree,
+       nl <> own AND c >= 4 AS suspect
+FROM m WHERE r = 1
+"""
+
+
+def d_hard_negative(sf_dir: str):
+    """Contrastive hard-example mining for the first 10 query vectors:
+    the most-similar vector with a DIFFERENT label (hard negative — the
+    pair a contrastive loss learns most from) and with the SAME label
+    (hard positive), by quantized cosine with vec_id tie-break. Same
+    broadcast-matrix + per-batch matmul shape as d_label_noise, filtered
+    to 10 probe rows; scores ship as the exact micro-integers both
+    engines derived."""
+    import ray
+
+    from ..stages.arrowutil import list_column_matrix
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
+    pdf = ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    labels = pdf["label"].to_numpy(np.int64)
+    ref = ray.put((Xn, ids, labels))
+
+    probes = ds.filter(expr="vec_id < 10")
+
+    def mine(batch: pa.Table) -> pa.Table:
+        Xn_all, ids_all, lab_all = ray.get(ref)
+        q = list_column_matrix(batch["embedding"]).astype(np.float64)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        qid = batch["vec_id"].to_numpy()
+        own = batch["label"].to_numpy().astype(np.int64)
+        micro = np.floor((qn @ Xn_all.T) * 1e6 + 0.5005).astype(np.int64)
+        key = micro * np.int64(1 << 33) - ids_all[None, :]
+        self_mask = np.equal(qid[:, None], ids_all[None, :])
+        same = np.equal(own[:, None], lab_all[None, :]) & ~self_mask
+        diff = ~np.equal(own[:, None], lab_all[None, :])
+        kneg = np.where(diff, key, np.iinfo(np.int64).min)
+        kpos = np.where(same, key, np.iinfo(np.int64).min)
+        jn, jp = kneg.argmax(axis=1), kpos.argmax(axis=1)
+        return pa.table({
+            "query_id": batch["vec_id"],
+            "own_label": pa.array(own),
+            "hard_neg_id": pa.array(ids_all[jn]),
+            "hard_neg_micro": pa.array(micro[np.arange(len(qid)), jn]),
+            "hard_pos_id": pa.array(ids_all[jp]),
+            "hard_pos_micro": pa.array(micro[np.arange(len(qid)), jp]),
+        })
+
+    return probes.map_batches(mine, batch_format="pyarrow")
+
+
+D_HARD_NEGATIVE_SQL = """
+WITH p AS (
+  SELECT a.vec_id AS qid, a.label AS own, b.vec_id AS nid, b.label AS nl,
+         CAST(floor(list_cosine_similarity(
+                a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                * 1000000 + 0.5005) AS BIGINT) AS micro
+  FROM (SELECT * FROM embeddings WHERE vec_id < 10) a
+  JOIN embeddings b ON a.vec_id <> b.vec_id),
+neg AS (SELECT qid, nid, micro,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY micro DESC, nid) AS r
+        FROM p WHERE nl <> own),
+pos AS (SELECT qid, nid, micro,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY micro DESC, nid) AS r
+        FROM p WHERE nl = own),
+o AS (SELECT DISTINCT qid, own FROM p)
+SELECT o.qid AS query_id, CAST(o.own AS BIGINT) AS own_label,
+       neg.nid AS hard_neg_id, neg.micro AS hard_neg_micro,
+       pos.nid AS hard_pos_id, pos.micro AS hard_pos_micro
+FROM o JOIN neg ON neg.qid = o.qid AND neg.r = 1
+       JOIN pos ON pos.qid = o.qid AND pos.r = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -11979,4 +12129,6 @@ QUERIES: dict[str, tuple] = {
     "d_budget_alloc": (d_budget_alloc, D_BUDGET_ALLOC_SQL),
     "q_fk_audit": (q_fk_audit, Q_FK_AUDIT_SQL),
     "d_ece": (d_ece, D_ECE_SQL),
+    "d_label_noise": (d_label_noise, D_LABEL_NOISE_SQL),
+    "d_hard_negative": (d_hard_negative, D_HARD_NEGATIVE_SQL),
 }
