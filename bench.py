@@ -212,6 +212,10 @@ HEADLINE = [
     "d_ece",
     "d_label_noise",
     "d_hard_negative",
+    "q_join_size_est",
+    "t_peak_detect",
+    "t_streak",
+    "q_except_all",
 ]
 
 

@@ -11870,6 +11870,198 @@ FROM o JOIN neg ON neg.qid = o.qid AND neg.r = 1
 """
 
 
+def q_join_size_est(sf_dir: str):
+    """Exact join-cardinality computation WITHOUT running the join — the
+    optimizer primitive |A⋈B| = Σ_k cntA(k)·cntB(k): per-batch key-count
+    partials on both inputs, two key-cardinality exchanges, one tiny
+    merge. Also reports both distinct-key counts and the max per-key
+    product (the skew planner's worst bucket). Everything is exact
+    integers; no quantizer."""
+    from ray.data.aggregate import Sum
+
+    def key_counts(table: str, col: str):
+        ds = _read(sf_dir, table, columns=[col])
+
+        def cells(batch: pa.Table) -> pa.Table:
+            g = batch.group_by([col]).aggregate([([], "count_all")])
+            return pa.table({"k": g[col], "n": g["count_all"]})
+
+        return (
+            ds.map_batches(cells, batch_format="pyarrow")
+            .groupby("k").aggregate(Sum("n", alias_name="n")).to_pandas()
+        )
+
+    a = key_counts("orders", "o_custkey")
+    b = key_counts("customer", "c_custkey")
+    m = a.merge(b, on="k", suffixes=("_a", "_b"))
+    prod = m["n_a"].to_numpy(np.int64) * m["n_b"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "join_rows": [int(prod.sum())],
+        "distinct_a": [len(a)], "distinct_b": [len(b)],
+        "matched_keys": [len(m)],
+        "max_key_product": [int(prod.max()) if len(m) else 0],
+    })
+
+
+Q_JOIN_SIZE_EST_SQL = """
+WITH a AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1),
+b AS (SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1)
+SELECT CAST(SUM(a.n * b.n) AS BIGINT) AS join_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS distinct_a,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS distinct_b,
+       CAST(COUNT(*) AS BIGINT) AS matched_keys,
+       CAST(MAX(a.n * b.n) AS BIGINT) AS max_key_product
+FROM a JOIN b USING (k)
+"""
+
+
+def t_peak_detect(sf_dir: str):
+    """Per-user local-maximum count (strict peaks: higher than both
+    neighbors in ts order) plus the global peak value — the spike
+    census before alert tuning. One entity shuffle; peak tests compare
+    exact integer cents via vectorized shifts, so counts are exact and
+    only nothing is quantized (max is an element)."""
+    from ..stages.temporal import grouped_map
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"],
+               split=True)
+
+    def peaks(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        order = np.lexsort((g["event_id"].to_numpy(), ts, g["user_id"].to_numpy()))
+        u = g["user_id"].to_numpy(np.int64)[order]
+        c = np.floor(g["value"].to_numpy(np.float64)[order] * 100 + 0.5).astype(
+            np.int64)
+        same_prev = np.r_[False, u[1:] == u[:-1]]
+        same_next = np.r_[u[1:] == u[:-1], False]
+        higher_prev = np.r_[False, c[1:] > c[:-1]]
+        higher_next = np.r_[c[:-1] > c[1:], False]
+        is_peak = same_prev & same_next & higher_prev & higher_next
+        df = pd.DataFrame({"user_id": u, "p": is_peak.astype(np.int64),
+                           "pc": np.where(is_peak, c, np.int64(-1))})
+        out = df.groupby("user_id", as_index=False).agg(
+            n_peaks=("p", "sum"), mx=("pc", "max"))
+        out["max_peak"] = np.where(out["n_peaks"] > 0,
+                                   out["mx"] / 100.0, np.nan)
+        return out[["user_id", "n_peaks", "max_peak"]]
+
+    return grouped_map(ds, "user_id", peaks)
+
+
+T_PEAK_DETECT_SQL = """
+WITH v AS (
+  SELECT user_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+         lag(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS pc,
+         lead(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS nc
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id,
+       CAST(COUNT(*) FILTER (WHERE pc IS NOT NULL AND nc IS NOT NULL
+                               AND c > pc AND c > nc) AS BIGINT) AS n_peaks,
+       MAX(CASE WHEN pc IS NOT NULL AND nc IS NOT NULL
+                 AND c > pc AND c > nc THEN c END) / 100.0 AS max_peak
+FROM v GROUP BY user_id
+"""
+
+
+def t_streak(sf_dir: str):
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands query (day − dense_rank is constant within an
+    island). One entity shuffle; per bucket the distinct (user, day)
+    grid sorts once and island lengths fall out of run-length encoding
+    over exact integer day ordinals."""
+    from ..stages.temporal import grouped_map
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"], split=True)
+
+    def streaks(g: pd.DataFrame) -> pd.DataFrame:
+        days = (g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+                // 86_400_000_000)
+        df = pd.DataFrame({"u": g["user_id"].to_numpy(np.int64), "d": days}) \
+            .drop_duplicates().sort_values(["u", "d"])
+        u = df["u"].to_numpy(np.int64)
+        d = df["d"].to_numpy(np.int64)
+        # island starts: new user OR a gap > 1 day
+        new = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)]
+        island = np.cumsum(new) - 1
+        lengths = np.bincount(island)
+        iu = u[np.r_[np.flatnonzero(new)]]
+        return pd.DataFrame({"u": iu, "len": lengths}) \
+            .groupby("u", as_index=False) \
+            .agg(longest_streak=("len", "max"), n_streaks=("len", "size")) \
+            .rename(columns={"u": "user_id"})
+
+    return grouped_map(ds, "user_id", streaks)
+
+
+T_STREAK_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events),
+i AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS BIGINT) AS island
+  FROM d),
+s AS (SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len
+      FROM i GROUP BY user_id, island)
+SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM s GROUP BY user_id
+"""
+
+
+def q_except_all(sf_dir: str):
+    """EXCEPT ALL (bag difference, multiplicity-aware): urgent-priority
+    order keys minus shipped lineitem order keys WITH multiplicity —
+    the multiset semantics q_except's DISTINCT variant can't express
+    (a key appearing 3−1 times keeps 2 copies). Per-side key-count
+    cells, one merged exchange, surviving multiplicity = max(nA−nB, 0);
+    output stays cell-sized (key, n_copies). Exact integers."""
+    from ray.data.aggregate import Sum
+
+    def counts(table: str, col: str, columns=None, where=None):
+        ds = _read(sf_dir, table, columns=columns or [col], where=where)
+
+        def cells(batch: pa.Table) -> pa.Table:
+            g = batch.group_by([col]).aggregate([([], "count_all")])
+            return pa.table({"k": g[col], "n": g["count_all"]})
+
+        return (
+            ds.map_batches(cells, batch_format="pyarrow")
+            .groupby("k").aggregate(Sum("n", alias_name="n")).to_pandas()
+        )
+
+    a = counts("orders", "o_orderkey",
+               columns=["o_orderkey", "o_orderpriority"],
+               where=pc.field("o_orderpriority") == "1-URGENT")
+    b = counts("lineitem", "l_orderkey")
+    m = a.merge(b, on="k", how="left", suffixes=("_a", "_b")).fillna({"n_b": 0})
+    keep = (m["n_a"].to_numpy(np.int64)
+            - m["n_b"].to_numpy(np.int64))
+    mask = keep > 0
+    return pd.DataFrame({
+        "o_orderkey": m["k"].to_numpy(np.int64)[mask],
+        "n_copies": keep[mask],
+    }).sort_values("o_orderkey").reset_index(drop=True)
+
+
+Q_EXCEPT_ALL_SQL = """
+WITH a AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+           FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+b AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1)
+SELECT a.k AS o_orderkey, a.n - COALESCE(b.n, 0) AS n_copies
+FROM a LEFT JOIN b USING (k)
+WHERE a.n - COALESCE(b.n, 0) > 0
+ORDER BY o_orderkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -12131,4 +12323,8 @@ QUERIES: dict[str, tuple] = {
     "d_ece": (d_ece, D_ECE_SQL),
     "d_label_noise": (d_label_noise, D_LABEL_NOISE_SQL),
     "d_hard_negative": (d_hard_negative, D_HARD_NEGATIVE_SQL),
+    "q_join_size_est": (q_join_size_est, Q_JOIN_SIZE_EST_SQL),
+    "t_peak_detect": (t_peak_detect, T_PEAK_DETECT_SQL),
+    "t_streak": (t_streak, T_STREAK_SQL),
+    "q_except_all": (q_except_all, Q_EXCEPT_ALL_SQL),
 }
