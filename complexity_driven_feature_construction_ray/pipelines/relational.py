@@ -12062,6 +12062,170 @@ ORDER BY o_orderkey
 """
 
 
+def d_theil(sf_dir: str):
+    """Per-source Theil-T inequality index of document length —
+    the decomposable entropy-based companion to d_gini (Theil splits
+    into within/between-source terms; Gini doesn't). One (source,
+    n_chars) value-cell exchange; each distinct value's (v/µ)·ln(v/µ)
+    term is floored into integer MICRO-units from the identical float
+    expression, so the weighted fold Σ n_v·term is an exact integer and
+    the index is ONE quantized division — no float sum-order drift over
+    the value cells."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": batch["source"].to_pandas(),
+            "v": batch["n_chars"].to_numpy(), "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["source", "v"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    jc = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["source", "v"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    g = jc.groupby("source")
+    sums = g.apply(lambda d: pd.Series({
+        "N": int(d["n"].sum()),
+        "S": int((d["n"] * d["v"]).sum()),
+    }), include_groups=False)
+    rows = []
+    for src, d in g:
+        N, S = int(sums.loc[src, "N"]), int(sums.loc[src, "S"])
+        mu = np.float64(S) / np.float64(N)  # one division, identical
+        r = d["v"].to_numpy(np.float64) / mu
+        term_micro = np.floor(r * np.log(r) * 1e6 + 0.5005).astype(np.int64)
+        fold = int((d["n"].to_numpy(np.int64) * term_micro).sum())
+        rows.append((src, N,
+                     float(_q6(np.float64(fold) / (np.float64(N) * 1e6)))))
+    return pd.DataFrame(rows, columns=["source", "n", "theil_t"]) \
+        .sort_values("source").reset_index(drop=True)
+
+
+D_THEIL_SQL = """
+WITH c AS (SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY source, n_chars),
+t AS (SELECT source, CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(n * v) AS BIGINT) AS ss
+      FROM c GROUP BY source),
+m AS (
+  SELECT c.source, c.n,
+         CAST(floor((c.v / (CAST(t.ss AS DOUBLE) / t.nn))
+                    * ln(c.v / (CAST(t.ss AS DOUBLE) / t.nn))
+                    * 1000000 + 0.5005) AS BIGINT) AS term
+  FROM c JOIN t USING (source))
+SELECT m.source, t.nn AS n,
+       floor(CAST(SUM(m.n * m.term) AS DOUBLE)
+             / (CAST(t.nn AS DOUBLE) * 1000000)
+             * 1000000 + 0.5005) / 1000000 AS theil_t
+FROM m JOIN t USING (source)
+GROUP BY m.source, t.nn ORDER BY m.source
+"""
+
+
+def d_mix_entropy(sf_dir: str):
+    """Shannon entropy (nats) of the corpus's source mixture plus its
+    normalized evenness H/ln(G) — the one-number diversity audit of a
+    data recipe. O(sources) exact count cells; each −p·ln(p) term
+    floors into integer micro-units from the identical float expression
+    (same exact-fold pattern as d_theil), one quantized division."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["source"]).aggregate([([], "count_all")])
+        return pa.table({"source": g["source"], "n": g["count_all"]})
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("source").aggregate(Sum("n", alias_name="n")).to_pandas()
+    )
+    n = g["n"].to_numpy(np.int64)
+    N, G = int(n.sum()), len(g)
+    p = n.astype(np.float64) / np.float64(N)
+    term_micro = np.floor(-p * np.log(p) * 1e6 + 0.5005).astype(np.int64)
+    fold = int(term_micro.sum())
+    h = _q6(np.float64(fold) / 1e6)
+    return pd.DataFrame({
+        "n_sources": [G], "n_docs": [N], "entropy": [float(h)],
+        "evenness": [float(_q6(h / np.log(np.float64(G))))],
+    })
+
+
+D_MIX_ENTROPY_SQL = """
+WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY source),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(COUNT(*) AS BIGINT) AS g
+      FROM c),
+m AS (
+  SELECT CAST(floor(-(c.n / CAST(t.nn AS DOUBLE))
+                    * ln(c.n / CAST(t.nn AS DOUBLE))
+                    * 1000000 + 0.5005) AS BIGINT) AS term
+  FROM c CROSS JOIN t),
+h AS (SELECT floor(CAST(SUM(term) AS DOUBLE) / 1000000
+                   * 1000000 + 0.5005) / 1000000 AS entropy
+      FROM m)
+SELECT t.g AS n_sources, t.nn AS n_docs, h.entropy,
+       floor(h.entropy / ln(CAST(t.g AS DOUBLE)) * 1000000 + 0.5005)
+         / 1000000 AS evenness
+FROM h CROSS JOIN t
+"""
+
+
+def t_time_to_event(sf_dir: str):
+    """Per-user time-to-conversion: microseconds from the user's FIRST
+    signup to their FIRST purchase at-or-after it, with a censored flag
+    when no purchase follows — the survival-analysis label builder. One
+    entity shuffle; first-occurrence extraction is a grouped min over
+    exact integer timestamps, the censor is a NULL duration on both
+    sides. Users who never sign up are absent from both engines."""
+    from ..stages.temporal import grouped_map
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"],
+               split=True)
+
+    def tte(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        u = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy(object)
+        df = pd.DataFrame({"u": u, "t": us, "et": et})
+        signup = df[df["et"] == "signup"].groupby("u")["t"].min()
+        pur = df[df["et"] == "purchase"]
+        out = signup.rename("t0").reset_index()
+        m = pur.merge(out, on="u")
+        first_after = m[m["t"] >= m["t0"]].groupby("u")["t"].min()
+        dur = (first_after - signup).reindex(signup.index)
+        return pd.DataFrame({
+            "user_id": signup.index.to_numpy(np.int64),
+            "duration_us": dur.to_numpy(np.float64),
+            "censored": dur.isna().to_numpy(),
+        })
+
+    return grouped_map(ds, "user_id", tte)
+
+
+T_TIME_TO_EVENT_SQL = """
+WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS t0
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT s.user_id, MIN(epoch_us(e.ts)) AS t1
+      FROM s JOIN events e ON e.user_id = s.user_id
+       AND e.event_type = 'purchase' AND epoch_us(e.ts) >= s.t0
+      GROUP BY s.user_id)
+SELECT s.user_id,
+       CAST(p.t1 - s.t0 AS DOUBLE) AS duration_us,
+       p.t1 IS NULL AS censored
+FROM s LEFT JOIN p USING (user_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -12327,4 +12491,7 @@ QUERIES: dict[str, tuple] = {
     "t_peak_detect": (t_peak_detect, T_PEAK_DETECT_SQL),
     "t_streak": (t_streak, T_STREAK_SQL),
     "q_except_all": (q_except_all, Q_EXCEPT_ALL_SQL),
+    "d_theil": (d_theil, D_THEIL_SQL),
+    "d_mix_entropy": (d_mix_entropy, D_MIX_ENTROPY_SQL),
+    "t_time_to_event": (t_time_to_event, T_TIME_TO_EVENT_SQL),
 }
