@@ -12226,6 +12226,323 @@ FROM s LEFT JOIN p USING (user_id)
 """
 
 
+def t_km(sf_dir: str):
+    """Kaplan-Meier survival curve over signup→purchase conversion:
+    per-user (duration, event) labels reduce through ONE entity shuffle
+    (censored users get observation-end minus signup, so every subject
+    carries an exact integer duration); the curve itself is
+    O(distinct event times). Each step's ln((n−d)/n) factor floors into
+    integer micro-units from the identical float expression, the
+    cumulative hazard is an exact integer sum, and survival is one
+    quantized exp — the d_theil exact-fold pattern in ln-space. A step
+    where the whole risk set converts (d == n) zeroes the curve from
+    that time on (ln(0) never evaluates on either engine). At 100 TB
+    the driver sees O(users) 17-byte labels; bucket durations first if
+    even that is too wide."""
+    from ray.data.aggregate import Max
+
+    from ..stages.temporal import grouped_map
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"],
+               split=True)
+    # observation end = max event ts over the WHOLE table (tiny Ray
+    # aggregate)
+    mx = _read(sf_dir, "events", columns=["ts"]).aggregate(Max("ts"))["max(ts)"]
+    t_end = int(np.datetime64(mx, "us").astype(np.int64))
+
+    def labels(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({
+            "u": g["user_id"].to_numpy(np.int64), "t": us,
+            "et": g["event_type"].to_numpy(object),
+        })
+        signup = df[df["et"] == "signup"].groupby("u")["t"].min()
+        m = df[df["et"] == "purchase"].merge(
+            signup.rename("t0").reset_index(), on="u")
+        t1 = m[m["t"] >= m["t0"]].groupby("u")["t"].min()
+        t1 = t1.reindex(signup.index)
+        dur = np.where(t1.notna(), t1.to_numpy(np.float64) - signup.to_numpy(),
+                       np.float64(t_end) - signup.to_numpy())
+        return pd.DataFrame({
+            "dur": dur.astype(np.int64),
+            "ev": t1.notna().to_numpy(),
+        })
+
+    u = grouped_map(ds, "user_id", labels).to_pandas()
+    durs = np.sort(u["dur"].to_numpy(np.int64))
+    N = len(durs)
+    ev_durs = u.loc[u["ev"], "dur"].to_numpy(np.int64)
+    tt, d = np.unique(ev_durs, return_counts=True)
+    n = N - np.searchsorted(durs, tt, side="left")
+    alive = d < n
+    term = np.zeros(len(tt), np.int64)
+    term[alive] = np.floor(
+        np.log((n[alive] - d[alive]) / n[alive].astype(np.float64)) * 1e6
+        + 0.5005
+    ).astype(np.int64)
+    cum = np.cumsum(term)
+    dead = np.cumsum(~alive) > 0  # any d==n step at or before this one
+    surv = np.where(dead, 0.0, _q6(np.exp(cum / 1e6)))
+    return pd.DataFrame({
+        "duration_us": tt, "n_risk": n, "d_events": d, "survival": surv,
+    })
+
+
+T_KM_SQL = """
+WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS t0
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT s.user_id, MIN(epoch_us(e.ts)) AS t1
+      FROM s JOIN events e ON e.user_id = s.user_id
+       AND e.event_type = 'purchase' AND epoch_us(e.ts) >= s.t0
+      GROUP BY s.user_id),
+u AS (SELECT s.user_id,
+             COALESCE(p.t1, (SELECT MAX(epoch_us(ts)) FROM events)) - s.t0
+               AS dur,
+             p.t1 IS NOT NULL AS ev
+      FROM s LEFT JOIN p USING (user_id)),
+t AS (SELECT dur AS tt, CAST(COUNT(*) AS BIGINT) AS d
+      FROM u WHERE ev GROUP BY dur),
+r AS (SELECT t.tt, t.d,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM u WHERE u.dur >= t.tt)
+               AS n
+      FROM t),
+k AS (SELECT tt, d, n,
+        SUM(CASE WHEN d < n THEN
+              CAST(floor(ln((n - d) / CAST(n AS DOUBLE)) * 1000000
+                         + 0.5005) AS BIGINT)
+            ELSE 0 END) OVER (ORDER BY tt) AS cum,
+        MAX(CASE WHEN d >= n THEN 1 ELSE 0 END) OVER (ORDER BY tt) AS dead
+      FROM r)
+SELECT tt AS duration_us, n AS n_risk, d AS d_events,
+       CASE WHEN dead = 1 THEN 0.0
+            ELSE floor(exp(CAST(cum AS DOUBLE) / 1000000) * 1000000
+                       + 0.5005) / 1000000 END AS survival
+FROM k ORDER BY tt
+"""
+
+
+def q_weighted_median(sf_dir: str):
+    """Grouped WEIGHTED median: per (returnflag, linestatus), the
+    smallest price (exact integer cents) whose cumulative quantity
+    weight reaches half the group's total — the robust center a plain
+    median misses when row weights differ. One (group, value)
+    weight-cell exchange; the pick is pure integer comparisons
+    (2·cumw ≥ W), no quantizer anywhere."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_extendedprice",
+                        "l_quantity"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        v = np.floor(batch["l_extendedprice"].to_numpy() * 100 + 0.5) \
+            .astype(np.int64)
+        w = batch["l_quantity"].to_numpy().astype(np.int64)
+        df = pd.DataFrame({
+            "f": batch["l_returnflag"].to_pandas(),
+            "s": batch["l_linestatus"].to_pandas(), "v": v, "w": w,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["f", "s", "v"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    jc = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["f", "s", "v"])
+        .aggregate(Sum("w", alias_name="w"))
+        .to_pandas()
+        .sort_values(["f", "s", "v"])
+    )
+    rows = []
+    for (f, s), g in jc.groupby(["f", "s"]):
+        w = g["w"].to_numpy(np.int64)
+        W = int(w.sum())
+        cw = np.cumsum(w)
+        pick = int(g["v"].to_numpy(np.int64)[np.argmax(2 * cw >= W)])
+        rows.append((f, s, W, pick))
+    return pd.DataFrame(
+        rows,
+        columns=["l_returnflag", "l_linestatus", "total_qty",
+                 "wmedian_cents"],
+    ).sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+Q_WEIGHTED_MEDIAN_SQL = """
+WITH c AS (
+  SELECT l_returnflag AS f, l_linestatus AS s,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2, 3),
+t AS (SELECT f, s, CAST(SUM(w) AS BIGINT) AS total FROM c GROUP BY f, s),
+r AS (SELECT c.f, c.s, c.v, t.total,
+             CAST(SUM(c.w) OVER (PARTITION BY c.f, c.s ORDER BY c.v)
+                  AS BIGINT) AS cw
+      FROM c JOIN t USING (f, s))
+SELECT f AS l_returnflag, s AS l_linestatus, total AS total_qty,
+       MIN(CASE WHEN 2 * cw >= total THEN v END) AS wmedian_cents
+FROM r GROUP BY f, s, total ORDER BY 1, 2
+"""
+
+
+def d_containment(sf_dir: str):
+    """Exact word-3-gram CONTAINMENT for the adjacent-pair convention
+    (doc_id % 50 == 0 paired with +1): |A∩B|/|A| and |A∩B|/|B| — the
+    asymmetric signal that catches a document swallowed whole by a
+    longer one, where Jaccard is diluted by the size gap (the reason
+    suffix-array dedup pipelines report containment, not Jaccard).
+    Same grouped_map co-location as d_jaccard; a <3-word side is
+    vacuously contained (1.0)."""
+    from ..stages.temporal import grouped_map
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        mask = (ids % 50 == 0) | (ids % 50 == 1)
+        t = batch.filter(pa.array(mask))
+        return t.append_column("pair_id",
+                               pa.array(t["doc_id"].to_numpy() // 50))
+
+    def grams(t: str):
+        ws = (t or "").split()
+        return {tuple(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    def pair_contain(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in g.groupby("pair_id", sort=False):
+            if len(grp) != 2:
+                continue
+            grp = grp.sort_values("doc_id")
+            a, b = grp.iloc[0], grp.iloc[1]
+            if b["doc_id"] != a["doc_id"] + 1:
+                continue
+            ga, gb = grams(a["text"]), grams(b["text"])
+            inter = len(ga & gb)
+            a_in_b = 1.0 if not ga else float(_q6(inter / len(ga)))
+            b_in_a = 1.0 if not gb else float(_q6(inter / len(gb)))
+            out.append((a["doc_id"], b["doc_id"], a_in_b, b_in_a))
+        return pd.DataFrame(out, columns=["a_id", "b_id", "a_in_b", "b_in_a"])
+
+    picked = ds.map_batches(pick, batch_format="pyarrow")
+    return grouped_map(picked, "pair_id", pair_contain)
+
+
+D_CONTAINMENT_SQL = """
+WITH docs AS (
+  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\\S+') AS w
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.w AS wa, b.w AS wb
+  FROM docs a JOIN docs b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 50 = 0
+), g AS (
+  SELECT a_id, b_id,
+    list_distinct(list_transform(generate_series(1, greatest(len(wa) - 2, 0)),
+        i -> wa[i] || ' ' || wa[i+1] || ' ' || wa[i+2])) AS ga,
+    list_distinct(list_transform(generate_series(1, greatest(len(wb) - 2, 0)),
+        i -> wb[i] || ' ' || wb[i+1] || ' ' || wb[i+2])) AS gb
+  FROM pairs
+)
+SELECT a_id, b_id,
+  CASE WHEN len(ga) = 0 THEN 1.0
+       ELSE floor(len(list_intersect(ga, gb))
+                  / CAST(len(ga) AS DOUBLE) * 1000000 + 0.5005) / 1000000
+  END AS a_in_b,
+  CASE WHEN len(gb) = 0 THEN 1.0
+       ELSE floor(len(list_intersect(ga, gb))
+                  / CAST(len(gb) AS DOUBLE) * 1000000 + 0.5005) / 1000000
+  END AS b_in_a
+FROM g ORDER BY a_id
+"""
+
+
+def q_interval_join(sf_dir: str):
+    """Interval-OVERLAP self-join: each order becomes the interval
+    [orderdate, last shipdate] (end from a per-order Max cell exchange
+    joined back via the fact-x-fact shuffle_hash_join), then pairs of
+    the SAME customer whose intervals overlap are emitted with the
+    exact overlap in microseconds. Pair enumeration is per-customer
+    inside grouped_map (k≤ a few dozen orders → k² tiny per entity);
+    the all-to-all moves only (cust, okey, 2 ints). The overlap
+    predicate is the symmetric a.start≤b.end ∧ b.start≤a.end — a
+    range-band join neither equi- nor as-of joins express."""
+    from ray.data.aggregate import Max
+
+    from ..stages.partition import shuffle_hash_join
+    from ..stages.temporal import grouped_map
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def endcells(batch: pa.Table) -> pa.Table:
+        e = batch["l_shipdate"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        df = pd.DataFrame({"l_orderkey": batch["l_orderkey"].to_numpy(),
+                           "e_us": e})
+        return pa.Table.from_pandas(
+            df.groupby("l_orderkey", as_index=False).max(),
+            preserve_index=False,
+        )
+
+    ends = (
+        li.map_batches(endcells, batch_format="pyarrow")
+        .groupby("l_orderkey").aggregate(Max("e_us", alias_name="e_us"))
+    )
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def startcols(batch: pa.Table) -> pa.Table:
+        s = batch["o_orderdate"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "o_custkey": batch["o_custkey"],
+            "s_us": pa.array(s),
+        })
+
+    iv = shuffle_hash_join(
+        orders.map_batches(startcols, batch_format="pyarrow"), ends,
+        left_on="o_orderkey", right_on="l_orderkey",
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for cust, grp in g.groupby("o_custkey", sort=False):
+            k = grp.sort_values("o_orderkey")
+            ok = k["o_orderkey"].to_numpy(np.int64)
+            s = k["s_us"].to_numpy(np.int64)
+            e = k["e_us"].to_numpy(np.int64)
+            n = len(ok)
+            ai, bi = np.triu_indices(n, k=1)
+            hit = (s[ai] <= e[bi]) & (s[bi] <= e[ai])
+            ov = np.minimum(e[ai], e[bi]) - np.maximum(s[ai], s[bi])
+            out.append(pd.DataFrame({
+                "o_custkey": cust, "a_key": ok[ai[hit]],
+                "b_key": ok[bi[hit]], "overlap_us": ov[hit],
+            }))
+        if not out:
+            return pd.DataFrame(columns=["o_custkey", "a_key", "b_key",
+                                         "overlap_us"]).astype(np.int64)
+        return pd.concat(out, ignore_index=True)
+
+    return grouped_map(iv, "o_custkey", pairs)
+
+
+Q_INTERVAL_JOIN_SQL = """
+WITH e AS (SELECT l_orderkey AS okey, MAX(epoch_us(l_shipdate)) AS e_us
+           FROM lineitem GROUP BY 1),
+i AS (SELECT o.o_orderkey AS okey, o.o_custkey AS cust,
+             epoch_us(o.o_orderdate) AS s_us, e.e_us
+      FROM orders o JOIN e ON e.okey = o.o_orderkey)
+SELECT a.cust AS o_custkey, a.okey AS a_key, b.okey AS b_key,
+       least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us) AS overlap_us
+FROM i a JOIN i b
+  ON a.cust = b.cust AND a.okey < b.okey
+ AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+ORDER BY 1, 2, 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -12494,4 +12811,8 @@ QUERIES: dict[str, tuple] = {
     "d_theil": (d_theil, D_THEIL_SQL),
     "d_mix_entropy": (d_mix_entropy, D_MIX_ENTROPY_SQL),
     "t_time_to_event": (t_time_to_event, T_TIME_TO_EVENT_SQL),
+    "t_km": (t_km, T_KM_SQL),
+    "q_weighted_median": (q_weighted_median, Q_WEIGHTED_MEDIAN_SQL),
+    "d_containment": (d_containment, D_CONTAINMENT_SQL),
+    "q_interval_join": (q_interval_join, Q_INTERVAL_JOIN_SQL),
 }
