@@ -12543,6 +12543,342 @@ ORDER BY 1, 2, 3
 """
 
 
+def d_kmv_setops(sf_dir: str):
+    """KMV set-operation estimates across two streams: distinct part
+    keys among high-quantity (≥25) vs low-quantity lineitems, with
+    |A|, |B|, |A∪B| and |A∩B| all estimated from bottom-256 sketches
+    under the SAME public affine hash mod 2^61−1 as d_kmv_distinct —
+    so the union sketch is the bottom-k of the merged k-sets (a value
+    in the union's bottom-k is necessarily in its side's bottom-k) and
+    the intersection uses the Beyer et al. ratio ρ = |union-k ∩ A-k ∩
+    B-k| / k_u. Replayable randomness makes every register AND every
+    estimate value-verified by the oracle, not envelope-checked. Only
+    K-sized partials leave each batch."""
+    from ..stages.text import _mulmod61
+
+    M = np.uint64((1 << 61) - 1)
+    A = np.uint64(1442695040888963407)
+    B = np.uint64(6364136223846793005 % ((1 << 61) - 1))
+    K = 256
+
+    def bottomk(batch: pa.Table) -> pa.Table:
+        ids = np.unique(batch["l_partkey"].to_numpy()).astype(np.uint64)
+        h = _mulmod61(ids, np.broadcast_to(A, ids.shape)) + B
+        h = np.where(h >= M, h - M, h)
+        return pa.table({"hv": pa.array(np.unique(h)[:K].astype(np.int64))})
+
+    def sketch(where):
+        ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"],
+                   where=where).select_columns(["l_partkey"])
+        parts = ds.map_batches(bottomk, batch_format="pyarrow").to_pandas()
+        return np.unique(parts["hv"].to_numpy(np.int64))[:K]
+
+    ha = sketch(pc.field("l_quantity") >= 25.0)
+    hb = sketch(pc.field("l_quantity") < 25.0)
+    un = np.unique(np.concatenate([ha, hb]))[:K]
+    kk_a, kk_b, kk_u = len(ha), len(hb), len(un)
+    inter = int((np.isin(un, ha) & np.isin(un, hb)).sum())
+    Md = np.float64(int(M))
+
+    def est(hv):
+        kk = len(hv)
+        if kk < K:
+            return np.float64(kk)
+        return (K - 1.0) * (Md / np.float64(int(hv[-1])))
+
+    eu = est(un)
+    ei = (np.float64(inter) / np.float64(kk_u)) * eu
+    return pd.DataFrame({
+        "kk_a": [kk_a], "kk_b": [kk_b], "kk_union": [kk_u],
+        "inter_in_k": [inter],
+        "est_a": [float(_q6(est(ha)))], "est_b": [float(_q6(est(hb)))],
+        "est_union": [float(_q6(eu))], "est_inter": [float(_q6(ei))],
+    })
+
+
+D_KMV_SETOPS_SQL = """
+WITH ha AS MATERIALIZED (
+  SELECT DISTINCT CAST((CAST(l_partkey AS HUGEINT) * 1442695040888963407
+           + 1752450205419405103) % 2305843009213693951 AS BIGINT) AS hv
+  FROM lineitem WHERE l_quantity >= 25 ORDER BY hv LIMIT 256),
+hb AS MATERIALIZED (
+  SELECT DISTINCT CAST((CAST(l_partkey AS HUGEINT) * 1442695040888963407
+           + 1752450205419405103) % 2305843009213693951 AS BIGINT) AS hv
+  FROM lineitem WHERE l_quantity < 25 ORDER BY hv LIMIT 256),
+un AS MATERIALIZED (
+  SELECT hv FROM (SELECT hv FROM ha UNION SELECT hv FROM hb)
+  ORDER BY hv LIMIT 256),
+sa AS (SELECT CAST(COUNT(*) AS BIGINT) AS kk, CAST(MAX(hv) AS BIGINT) AS hk
+       FROM ha),
+sb AS (SELECT CAST(COUNT(*) AS BIGINT) AS kk, CAST(MAX(hv) AS BIGINT) AS hk
+       FROM hb),
+su AS (SELECT CAST(COUNT(*) AS BIGINT) AS kk, CAST(MAX(hv) AS BIGINT) AS hk
+       FROM un),
+ix AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM un
+       WHERE hv IN (SELECT hv FROM ha) AND hv IN (SELECT hv FROM hb)),
+e AS (SELECT
+  CASE WHEN sa.kk < 256 THEN CAST(sa.kk AS DOUBLE)
+       ELSE 255.0 * (CAST(2305843009213693951 AS DOUBLE)
+                     / CAST(sa.hk AS DOUBLE)) END AS ea,
+  CASE WHEN sb.kk < 256 THEN CAST(sb.kk AS DOUBLE)
+       ELSE 255.0 * (CAST(2305843009213693951 AS DOUBLE)
+                     / CAST(sb.hk AS DOUBLE)) END AS eb,
+  CASE WHEN su.kk < 256 THEN CAST(su.kk AS DOUBLE)
+       ELSE 255.0 * (CAST(2305843009213693951 AS DOUBLE)
+                     / CAST(su.hk AS DOUBLE)) END AS eu,
+  sa.kk AS kk_a, sb.kk AS kk_b, su.kk AS kk_u, ix.c AS c
+  FROM sa, sb, su, ix)
+SELECT kk_a, kk_b, kk_u AS kk_union, c AS inter_in_k,
+       floor(ea * 1000000 + 0.5005) / 1000000 AS est_a,
+       floor(eb * 1000000 + 0.5005) / 1000000 AS est_b,
+       floor(eu * 1000000 + 0.5005) / 1000000 AS est_union,
+       floor((CAST(c AS DOUBLE) / CAST(kk_u AS DOUBLE)) * eu
+             * 1000000 + 0.5005) / 1000000 AS est_inter
+FROM e
+"""
+
+
+def q_grouped_ols(sf_dir: str):
+    """Per-event-type ordinary least squares TREND of value over time:
+    y = value cents, x = hour offset from the global minimum hour.
+    Six integer moment partials (n, Σx, Σy, Σxx, Σxy, Σyy) stream out
+    of every batch — the textbook mergeable regression — and the
+    driver solves slope/intercept/R² from EXACT Python-int cross
+    products (n·Σxy − ΣxΣy can overflow int64 at 100 TB; the partials
+    themselves stay int64-safe because x≤hours and y≤cents are small),
+    quantizing only the three final divisions. SQL mirrors with
+    HUGEINT arithmetic."""
+    from ray.data.aggregate import Min, Sum
+
+    ts = _read(sf_dir, "events", columns=["ts"])
+    mn = ts.aggregate(Min("ts"))["min(ts)"]
+    h0 = int(np.datetime64(mn, "us").astype(np.int64)) // 3_600_000_000
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        x = (us // 3_600_000_000 - h0).astype(np.int64)
+        y = np.floor(batch["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pandas(),
+            "n": 1, "sx": x, "sy": y, "sxx": x * x, "sxy": x * y,
+            "syy": y * y,
+        })
+        return pa.Table.from_pandas(
+            df.groupby("event_type", as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    g = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(*[Sum(c, alias_name=c)
+                     for c in ("n", "sx", "sy", "sxx", "sxy", "syy")])
+        .to_pandas()
+        .sort_values("event_type")
+    )
+    rows = []
+    for _, r in g.iterrows():
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxx, sxy, syy = int(r["sxx"]), int(r["sxy"]), int(r["syy"])
+        dx = n * sxx - sx * sx          # exact Python ints
+        dy = n * syy - sy * sy
+        num = n * sxy - sx * sy
+        slope = 0.0 if dx == 0 else float(
+            _q6(np.float64(num) / np.float64(dx)))
+        intercept = 0.0 if n == 0 else float(
+            _q6((np.float64(sy) - (np.float64(num) / np.float64(dx))
+                 * np.float64(sx)) / np.float64(n)))
+        r2 = 0.0 if dx == 0 or dy == 0 else float(
+            _q6(np.float64(num * num) / (np.float64(dx) * np.float64(dy))))
+        rows.append((r["event_type"], n, slope, intercept, r2))
+    return pd.DataFrame(
+        rows, columns=["event_type", "n", "slope", "intercept", "r2"]
+    ).reset_index(drop=True)
+
+
+Q_GROUPED_OLS_SQL = """
+WITH h0 AS (SELECT MIN(epoch_us(ts)) // 3600000000 AS h FROM events),
+m AS (
+  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(epoch_us(ts) // 3600000000 - h0.h) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS HUGEINT)
+           AS sy,
+         CAST(SUM((epoch_us(ts) // 3600000000 - h0.h)
+                  * (epoch_us(ts) // 3600000000 - h0.h)) AS HUGEINT) AS sxx,
+         CAST(SUM((epoch_us(ts) // 3600000000 - h0.h)
+                  * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS HUGEINT)
+           AS sxy,
+         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                  * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS HUGEINT)
+           AS syy
+  FROM events CROSS JOIN h0 GROUP BY event_type),
+d AS (SELECT event_type, n, sx, sy, sxx, sxy, syy,
+             n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy,
+             n * sxy - sx * sy AS num
+      FROM m)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+  CASE WHEN dx = 0 THEN 0.0
+       ELSE floor(CAST(num AS DOUBLE) / CAST(dx AS DOUBLE)
+                  * 1000000 + 0.5005) / 1000000 END AS slope,
+  CASE WHEN n = 0 THEN 0.0
+       ELSE floor((CAST(sy AS DOUBLE)
+                   - (CAST(num AS DOUBLE) / CAST(dx AS DOUBLE))
+                     * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+                  * 1000000 + 0.5005) / 1000000 END AS intercept,
+  CASE WHEN dx = 0 OR dy = 0 THEN 0.0
+       ELSE floor(CAST(num * num AS DOUBLE)
+                  / (CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE))
+                  * 1000000 + 0.5005) / 1000000 END AS r2
+FROM d ORDER BY event_type
+"""
+
+
+def t_forecast_error(sf_dir: str):
+    """Seasonal-naive forecast skill per event type: the hourly count
+    series (DENSE over the global [min,max] hour range — silent hours
+    are zeros, which a groupby alone would drop) is forecast by its
+    own value 24h earlier; MASE = seasonal MAE over lag-1-naive MAE.
+    Both absolute-error sums fold as exact integers from one
+    O(types×hours) cell exchange; MASE is one quantized division. The
+    densification is driver-side over the cell table (tiny), never
+    over events."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ts = _read(sf_dir, "events", columns=["ts"])
+    mn = ts.aggregate(Min("ts"), Max("ts"))
+    h_lo = int(np.datetime64(mn["min(ts)"], "us").astype(np.int64)) \
+        // 3_600_000_000
+    h_hi = int(np.datetime64(mn["max(ts)"], "us").astype(np.int64)) \
+        // 3_600_000_000
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pandas(),
+            "h": (us // 3_600_000_000).astype(np.int64), "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["event_type", "h"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["event_type", "h"]).aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    H = h_hi - h_lo + 1
+    rows = []
+    for et, grp in g.groupby("event_type"):
+        y = np.zeros(H, np.int64)
+        y[grp["h"].to_numpy(np.int64) - h_lo] = grp["n"].to_numpy(np.int64)
+        sae24 = int(np.abs(y[24:] - y[:-24]).sum())
+        sae1 = int(np.abs(y[1:] - y[:-1]).sum())
+        mase = 0.0 if sae1 == 0 else float(_q6(
+            (np.float64(sae24) / np.float64(H - 24))
+            / (np.float64(sae1) / np.float64(H - 1))))
+        rows.append((et, H, sae24, sae1, mase))
+    return pd.DataFrame(
+        rows,
+        columns=["event_type", "n_hours", "sae_seasonal", "sae_naive",
+                 "mase"],
+    ).sort_values("event_type").reset_index(drop=True)
+
+
+T_FORECAST_ERROR_SQL = """
+WITH b AS (SELECT MIN(epoch_us(ts)) // 3600000000 AS lo,
+                  MAX(epoch_us(ts)) // 3600000000 AS hi
+           FROM events),
+grid AS (SELECT t.event_type, g.h
+         FROM (SELECT DISTINCT event_type FROM events) t
+         CROSS JOIN (SELECT unnest(generate_series(b.lo, b.hi)) AS h
+                     FROM b) g),
+c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+y AS (SELECT grid.event_type, grid.h, COALESCE(c.n, 0) AS n
+      FROM grid LEFT JOIN c USING (event_type, h)),
+l AS (SELECT event_type, n,
+             LAG(n, 24) OVER (PARTITION BY event_type ORDER BY h) AS n24,
+             LAG(n, 1) OVER (PARTITION BY event_type ORDER BY h) AS n1
+      FROM y),
+s AS (SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(abs(n - n24)) FILTER (n24 IS NOT NULL) AS BIGINT)
+               AS sae_seasonal,
+             CAST(SUM(abs(n - n1)) FILTER (n1 IS NOT NULL) AS BIGINT)
+               AS sae_naive
+      FROM l GROUP BY event_type)
+SELECT event_type, n_hours, sae_seasonal, sae_naive,
+  CASE WHEN sae_naive = 0 THEN 0.0
+       ELSE floor((CAST(sae_seasonal AS DOUBLE)
+                   / CAST(n_hours - 24 AS DOUBLE))
+                  / (CAST(sae_naive AS DOUBLE)
+                     / CAST(n_hours - 1 AS DOUBLE))
+                  * 1000000 + 0.5005) / 1000000 END AS mase
+FROM s ORDER BY event_type
+"""
+
+
+def d_class_balance(sf_dir: str):
+    """Deterministic class-balanced downsample: every language keeps
+    exactly n_min = min class count documents, chosen by the bijective
+    Fibonacci-hash order ((doc_id·2654435761) mod 2³² — unique keys,
+    so the pick is total-order deterministic across runs and cluster
+    sizes, same convention as d_stratified_sample). Class counts come
+    from one O(classes) cell exchange; the pick reuses the
+    grouped_topn local combiner, so each batch contributes ≤ n_min
+    rows per class to the exchange."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.sampling import det_hash_u32, grouped_topn
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang"]).aggregate([([], "count_all")])
+        return pa.table({"lang": g["lang"], "n": g["count_all"]})
+
+    cls = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby("lang").aggregate(Sum("n", alias_name="n")).to_pandas()
+    )
+    n_min = int(cls["n"].min())
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        k = det_hash_u32(batch["doc_id"].to_numpy(), seed=0).astype(np.int64)
+        return batch.append_column("__key", pa.array(k))
+
+    out = grouped_topn(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        key_col="lang", order_col="__key", n=n_min, descending=False,
+    )
+    return (
+        out.to_pandas()[["doc_id", "lang"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+D_CLASS_BALANCE_SQL = """
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT MIN(n) AS nm FROM c),
+k AS (SELECT doc_id, lang,
+             CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+                  AS BIGINT) AS key
+      FROM documents)
+SELECT doc_id, lang FROM k CROSS JOIN m
+QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY key) <= m.nm
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -12815,4 +13151,8 @@ QUERIES: dict[str, tuple] = {
     "q_weighted_median": (q_weighted_median, Q_WEIGHTED_MEDIAN_SQL),
     "d_containment": (d_containment, D_CONTAINMENT_SQL),
     "q_interval_join": (q_interval_join, Q_INTERVAL_JOIN_SQL),
+    "d_kmv_setops": (d_kmv_setops, D_KMV_SETOPS_SQL),
+    "q_grouped_ols": (q_grouped_ols, Q_GROUPED_OLS_SQL),
+    "t_forecast_error": (t_forecast_error, T_FORECAST_ERROR_SQL),
+    "d_class_balance": (d_class_balance, D_CLASS_BALANCE_SQL),
 }
