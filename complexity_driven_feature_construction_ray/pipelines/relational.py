@@ -12239,36 +12239,7 @@ def t_km(sf_dir: str):
     that time on (ln(0) never evaluates on either engine). At 100 TB
     the driver sees O(users) 17-byte labels; bucket durations first if
     even that is too wide."""
-    from ray.data.aggregate import Max
-
-    from ..stages.temporal import grouped_map
-
-    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"],
-               split=True)
-    # observation end = max event ts over the WHOLE table (tiny Ray
-    # aggregate)
-    mx = _read(sf_dir, "events", columns=["ts"]).aggregate(Max("ts"))["max(ts)"]
-    t_end = int(np.datetime64(mx, "us").astype(np.int64))
-
-    def labels(g: pd.DataFrame) -> pd.DataFrame:
-        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
-        df = pd.DataFrame({
-            "u": g["user_id"].to_numpy(np.int64), "t": us,
-            "et": g["event_type"].to_numpy(object),
-        })
-        signup = df[df["et"] == "signup"].groupby("u")["t"].min()
-        m = df[df["et"] == "purchase"].merge(
-            signup.rename("t0").reset_index(), on="u")
-        t1 = m[m["t"] >= m["t0"]].groupby("u")["t"].min()
-        t1 = t1.reindex(signup.index)
-        dur = np.where(t1.notna(), t1.to_numpy(np.float64) - signup.to_numpy(),
-                       np.float64(t_end) - signup.to_numpy())
-        return pd.DataFrame({
-            "dur": dur.astype(np.int64),
-            "ev": t1.notna().to_numpy(),
-        })
-
-    u = grouped_map(ds, "user_id", labels).to_pandas()
+    u = _surv_labels(sf_dir)
     durs = np.sort(u["dur"].to_numpy(np.int64))
     N = len(durs)
     ev_durs = u.loc[u["ev"], "dur"].to_numpy(np.int64)
@@ -12879,6 +12850,279 @@ ORDER BY doc_id
 """
 
 
+def _surv_labels(sf_dir: str):
+    """Per-user (duration_us, event) survival labels shared by t_km and
+    t_nelson_aalen: first signup → first purchase at-or-after, censored
+    at the global observation end. One entity shuffle; returns a small
+    driver-side frame of O(users) labels."""
+    from ray.data.aggregate import Max
+
+    from ..stages.temporal import grouped_map
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"],
+               split=True)
+    mx = _read(sf_dir, "events", columns=["ts"]).aggregate(Max("ts"))["max(ts)"]
+    t_end = int(np.datetime64(mx, "us").astype(np.int64))
+
+    def labels(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({
+            "u": g["user_id"].to_numpy(np.int64), "t": us,
+            "et": g["event_type"].to_numpy(object),
+        })
+        signup = df[df["et"] == "signup"].groupby("u")["t"].min()
+        m = df[df["et"] == "purchase"].merge(
+            signup.rename("t0").reset_index(), on="u")
+        t1 = m[m["t"] >= m["t0"]].groupby("u")["t"].min()
+        t1 = t1.reindex(signup.index)
+        dur = np.where(t1.notna(), t1.to_numpy(np.float64) - signup.to_numpy(),
+                       np.float64(t_end) - signup.to_numpy())
+        return pd.DataFrame({
+            "dur": dur.astype(np.int64),
+            "ev": t1.notna().to_numpy(),
+        })
+
+    return grouped_map(ds, "user_id", labels).to_pandas()
+
+
+def t_nelson_aalen(sf_dir: str):
+    """Nelson-Aalen cumulative hazard over the same signup→purchase
+    labels as t_km: H(t) = Σ_{t_i ≤ t} d_i/n_i. Each step's hazard
+    increment floors into integer micro-units, the cumulative sum is an
+    exact integer, and the output is one exact division by 1e6 — so
+    unlike the product-limit curve there is no transcendental anywhere
+    and both engines agree bit-for-bit."""
+    u = _surv_labels(sf_dir)
+    durs = np.sort(u["dur"].to_numpy(np.int64))
+    N = len(durs)
+    tt, d = np.unique(u.loc[u["ev"], "dur"].to_numpy(np.int64),
+                      return_counts=True)
+    n = N - np.searchsorted(durs, tt, side="left")
+    term = np.floor(d / n.astype(np.float64) * 1e6 + 0.5005).astype(np.int64)
+    cum = np.cumsum(term)
+    return pd.DataFrame({
+        "duration_us": tt, "n_risk": n, "d_events": d,
+        "cum_hazard": cum / 1e6,
+    })
+
+
+T_NELSON_AALEN_SQL = """
+WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS t0
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT s.user_id, MIN(epoch_us(e.ts)) AS t1
+      FROM s JOIN events e ON e.user_id = s.user_id
+       AND e.event_type = 'purchase' AND epoch_us(e.ts) >= s.t0
+      GROUP BY s.user_id),
+u AS (SELECT s.user_id,
+             COALESCE(p.t1, (SELECT MAX(epoch_us(ts)) FROM events)) - s.t0
+               AS dur,
+             p.t1 IS NOT NULL AS ev
+      FROM s LEFT JOIN p USING (user_id)),
+t AS (SELECT dur AS tt, CAST(COUNT(*) AS BIGINT) AS d
+      FROM u WHERE ev GROUP BY dur),
+r AS (SELECT t.tt, t.d,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM u WHERE u.dur >= t.tt)
+               AS n
+      FROM t)
+SELECT tt AS duration_us, n AS n_risk, d AS d_events,
+       SUM(CAST(floor(d / CAST(n AS DOUBLE) * 1000000 + 0.5005) AS BIGINT))
+         OVER (ORDER BY tt) / 1000000.0 AS cum_hazard
+FROM r ORDER BY tt
+"""
+
+
+def t_did(sf_dir: str):
+    """Difference-in-differences over a deterministic natural
+    experiment: treatment = odd user_id, post = event at-or-after the
+    exact integer midpoint of the observation span. Four (treat, post)
+    cells of exact cent sums leave the stream; the four means quantize
+    once and the DiD estimate is pure subtraction of those quantized
+    doubles (identical in both engines — same quantized-means-first
+    discipline as the jackknife)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ts = _read(sf_dir, "events", columns=["ts"])
+    mm = ts.aggregate(Min("ts"), Max("ts"))
+    lo = int(np.datetime64(mm["min(ts)"], "us").astype(np.int64))
+    hi = int(np.datetime64(mm["max(ts)"], "us").astype(np.int64))
+    mid = (lo + hi) // 2
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "treat": (batch["user_id"].to_numpy() % 2 == 1),
+            "post": us >= mid,
+            "n": 1,
+            "s": np.floor(batch["value"].to_numpy() * 100 + 0.5)
+                .astype(np.int64),
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["treat", "post"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["treat", "post"])
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+        .to_pandas()
+        .set_index(["treat", "post"])
+    )
+
+    def mean(tr, po):
+        n, s = int(g.loc[(tr, po), "n"]), int(g.loc[(tr, po), "s"])
+        return float(_q6(np.float64(s) / np.float64(n) / 100.0)), n
+
+    m_c0, n_c0 = mean(False, False)
+    m_c1, n_c1 = mean(False, True)
+    m_t0, n_t0 = mean(True, False)
+    m_t1, n_t1 = mean(True, True)
+    return pd.DataFrame({
+        "n_c0": [n_c0], "n_c1": [n_c1], "n_t0": [n_t0], "n_t1": [n_t1],
+        "m_c0": [m_c0], "m_c1": [m_c1], "m_t0": [m_t0], "m_t1": [m_t1],
+        "did": [(m_t1 - m_t0) - (m_c1 - m_c0)],
+    })
+
+
+T_DID_SQL = """
+WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid
+           FROM events),
+c AS (SELECT user_id % 2 = 1 AS treat, epoch_us(ts) >= b.mid AS post,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS s
+      FROM events CROSS JOIN b GROUP BY 1, 2),
+m AS (SELECT treat, post, n,
+             floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+                   * 1000000 + 0.5005) / 1000000 AS mu
+      FROM c),
+p AS (SELECT
+  MAX(CASE WHEN NOT treat AND NOT post THEN n END) AS n_c0,
+  MAX(CASE WHEN NOT treat AND post THEN n END) AS n_c1,
+  MAX(CASE WHEN treat AND NOT post THEN n END) AS n_t0,
+  MAX(CASE WHEN treat AND post THEN n END) AS n_t1,
+  MAX(CASE WHEN NOT treat AND NOT post THEN mu END) AS m_c0,
+  MAX(CASE WHEN NOT treat AND post THEN mu END) AS m_c1,
+  MAX(CASE WHEN treat AND NOT post THEN mu END) AS m_t0,
+  MAX(CASE WHEN treat AND post THEN mu END) AS m_t1
+  FROM m)
+SELECT n_c0, n_c1, n_t0, n_t1, m_c0, m_c1, m_t0, m_t1,
+       (m_t1 - m_t0) - (m_c1 - m_c0) AS did
+FROM p
+"""
+
+
+def fe_spline(sf_dir: str):
+    """Cubic truncated-power spline basis of l_quantity at fixed public
+    knots (15, 30, 45): x, x², x³ and (x−k)₊³ per knot — the regression
+    basis that lets a linear model bend. Row-local, zero exchange, and
+    because quantity is an integral double ≤ 50 every product is an
+    EXACT IEEE double in both engines — no quantizer anywhere."""
+    knots = (15.0, 30.0, 45.0)
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def spline(batch: pa.Table) -> pa.Table:
+        x = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        cols = {
+            "l_orderkey": batch["l_orderkey"],
+            "l_linenumber": batch["l_linenumber"],
+            "x": pa.array(x),
+            "x2": pa.array(x * x),
+            "x3": pa.array(x * x * x),
+        }
+        for k in knots:
+            d = np.maximum(x - k, 0.0)
+            cols[f"spl_{int(k)}"] = pa.array(d * d * d)
+        return pa.table(cols)
+
+    return ds.map_batches(spline, batch_format="pyarrow")
+
+
+FE_SPLINE_SQL = """
+SELECT l_orderkey, l_linenumber,
+       l_quantity AS x,
+       l_quantity * l_quantity AS x2,
+       l_quantity * l_quantity * l_quantity AS x3,
+       greatest(l_quantity - 15.0, 0.0) * greatest(l_quantity - 15.0, 0.0)
+         * greatest(l_quantity - 15.0, 0.0) AS spl_15,
+       greatest(l_quantity - 30.0, 0.0) * greatest(l_quantity - 30.0, 0.0)
+         * greatest(l_quantity - 30.0, 0.0) AS spl_30,
+       greatest(l_quantity - 45.0, 0.0) * greatest(l_quantity - 45.0, 0.0)
+         * greatest(l_quantity - 45.0, 0.0) AS spl_45
+FROM lineitem
+"""
+
+
+def q_trimmed_mean(sf_dir: str):
+    """Per-source 5%-trimmed mean of document length: the robust
+    location estimate that survives both tails. One (source, value)
+    count-cell exchange; the trim keeps EXACT ranks [k, n−k) (k =
+    ⌊n·5/100⌋), a cell straddling a cut contributes only its kept
+    multiplicity — pure integer interval arithmetic over cumulative
+    counts, then one quantized division. No sort of the data itself,
+    only of the tiny distinct-value table."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": batch["source"].to_pandas(),
+            "v": batch["n_chars"].to_numpy(), "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["source", "v"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    jc = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["source", "v"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["source", "v"])
+    )
+    rows = []
+    for src, g in jc.groupby("source"):
+        cnt = g["n"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        n = int(cnt.sum())
+        k = n * 5 // 100
+        c_end = np.cumsum(cnt)
+        c_start = c_end - cnt
+        kept = np.maximum(
+            0, np.minimum(c_end, n - k) - np.maximum(c_start, k))
+        tsum = int((v * kept).sum())
+        rows.append((src, n, k,
+                     float(_q6(np.float64(tsum) / np.float64(n - 2 * k)))))
+    return pd.DataFrame(
+        rows, columns=["source", "n", "k_trim", "trimmed_mean"]
+    ).sort_values("source").reset_index(drop=True)
+
+
+Q_TRIMMED_MEAN_SQL = """
+WITH c AS (SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY source, n_chars),
+t AS (SELECT source, CAST(SUM(n) AS BIGINT) AS nn FROM c GROUP BY source),
+r AS (SELECT c.source, c.v, c.n, t.nn, t.nn * 5 // 100 AS k,
+             CAST(SUM(c.n) OVER (PARTITION BY c.source ORDER BY c.v)
+                  AS BIGINT) AS c_end
+      FROM c JOIN t USING (source)),
+kept AS (SELECT source, nn, k,
+                greatest(0, least(c_end, nn - k)
+                            - greatest(c_end - n, k)) * v AS contrib
+         FROM r)
+SELECT source, nn AS n, k AS k_trim,
+       floor(CAST(SUM(contrib) AS DOUBLE) / CAST(nn - 2 * k AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS trimmed_mean
+FROM kept GROUP BY source, nn, k ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -13155,4 +13399,8 @@ QUERIES: dict[str, tuple] = {
     "q_grouped_ols": (q_grouped_ols, Q_GROUPED_OLS_SQL),
     "t_forecast_error": (t_forecast_error, T_FORECAST_ERROR_SQL),
     "d_class_balance": (d_class_balance, D_CLASS_BALANCE_SQL),
+    "t_nelson_aalen": (t_nelson_aalen, T_NELSON_AALEN_SQL),
+    "t_did": (t_did, T_DID_SQL),
+    "fe_spline": (fe_spline, FE_SPLINE_SQL),
+    "q_trimmed_mean": (q_trimmed_mean, Q_TRIMMED_MEAN_SQL),
 }
