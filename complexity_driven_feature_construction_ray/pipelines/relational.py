@@ -13123,6 +13123,298 @@ FROM kept GROUP BY source, nn, k ORDER BY source
 """
 
 
+def t_rfm(sf_dir: str):
+    """RFM (recency / frequency / monetary) customer segmentation:
+    per-user purchase aggregates stream out as mergeable partials
+    (count, exact cent sum, max ts), recency measures from the global
+    observation end, and each dimension maps to a 1–5 score via the
+    EXACT NTILE rank formula (first n mod 5 buckets take ⌈n/5⌉) over
+    the deterministic (value, user_id) total order — so the engine's
+    integer arithmetic reproduces SQL's NTILE bit-for-bit, ties
+    included. Driver sees O(users) rows."""
+    from ray.data.aggregate import Max, Sum
+
+    mx = _read(sf_dir, "events", columns=["ts"]).aggregate(Max("ts"))["max(ts)"]
+    t_end = int(np.datetime64(mx, "us").astype(np.int64))
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type",
+                                          "value"],
+               where=pc.field("event_type") == "purchase")
+
+    def cells(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(),
+            "f": 1,
+            "m": np.floor(batch["value"].to_numpy() * 100 + 0.5)
+                .astype(np.int64),
+            "last": us,
+        })
+        g = df.groupby("user_id", as_index=False).agg(
+            f=("f", "sum"), m=("m", "sum"), last=("last", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("f", alias_name="f"), Sum("m", alias_name="m"),
+                   Max("last", alias_name="last"))
+        .to_pandas()
+    )
+    uid = g["user_id"].to_numpy(np.int64)
+    r = t_end - g["last"].to_numpy(np.int64)
+    f = g["f"].to_numpy(np.int64)
+    m = g["m"].to_numpy(np.int64)
+
+    def ntile5(vals):
+        n = len(vals)
+        idx = np.lexsort((uid, vals))
+        pos = np.empty(n, np.int64)
+        pos[idx] = np.arange(n)
+        q, rem = divmod(n, 5)
+        cut = rem * (q + 1)
+        return np.where(pos < cut, pos // (q + 1),
+                        rem + (pos - cut) // q) + 1
+
+    rs, fs, ms = ntile5(r), ntile5(f), ntile5(m)
+    return pd.DataFrame({
+        "user_id": uid, "r_us": r, "f": f, "m_cents": m,
+        "r_score": rs, "f_score": fs, "m_score": ms,
+        "rfm": rs * 100 + fs * 10 + ms,
+    }).sort_values("user_id").reset_index(drop=True)
+
+
+T_RFM_SQL = """
+WITH te AS (SELECT MAX(epoch_us(ts)) AS t_end FROM events),
+u AS (SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS f,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS m_cents,
+             te.t_end - MAX(epoch_us(ts)) AS r_us
+      FROM events CROSS JOIN te
+      WHERE event_type = 'purchase' GROUP BY user_id, te.t_end),
+s AS (SELECT user_id, r_us, f, m_cents,
+             NTILE(5) OVER (ORDER BY r_us, user_id) AS r_score,
+             NTILE(5) OVER (ORDER BY f, user_id) AS f_score,
+             NTILE(5) OVER (ORDER BY m_cents, user_id) AS m_score
+      FROM u)
+SELECT user_id, r_us, f, m_cents,
+       CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+FROM s ORDER BY user_id
+"""
+
+
+def _event_at_rank(sf_dir: str, hour_cum: pd.DataFrame, k: int):
+    """(ts_us, event_id) of the k-th event (1-based) in (ts, event_id)
+    order, via the classic two-pass distributed order statistic: the
+    hour histogram locates the bucket, then ONE pushed-down filtered
+    read of that hour (a sliver of the table) sorts locally. hour_cum
+    has columns h (sorted) and cum."""
+    row = hour_cum[hour_cum["cum"] >= k].iloc[0]
+    h, before = int(row["h"]), int(row["cum"] - row["n"])
+    lo = np.datetime64(h * 3_600_000_000, "us")
+    hi = np.datetime64((h + 1) * 3_600_000_000, "us")
+    part = _read(
+        sf_dir, "events", columns=["ts", "event_id"],
+        where=(pc.field("ts") >= pa.scalar(lo)) & (pc.field("ts") < pa.scalar(hi)),
+    ).to_pandas()
+    us = part["ts"].to_numpy("datetime64[us]").astype(np.int64)
+    order = np.lexsort((part["event_id"].to_numpy(np.int64), us))
+    j = order[k - before - 1]
+    return int(us[j]), int(part["event_id"].iloc[j])
+
+
+def t_time_split(sf_dir: str):
+    """Out-of-time 70/15/15 split manifest over the total (ts,
+    event_id) order — the temporal train/val/test discipline that
+    hash splits (d_group_split) cannot give, with EXACT row counts
+    (⌊n·70/100⌋ / ⌊n·85/100⌋ boundaries). Nothing global sorts: an
+    O(hours) count-cell exchange locates each boundary's hour, and one
+    filtered hour-read per needed order statistic resolves the exact
+    boundary event. Output is each split's row count and actual
+    [min,max] event-time span."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        df = pd.DataFrame({"h": (us // 3_600_000_000).astype(np.int64),
+                           "n": 1})
+        return pa.Table.from_pandas(
+            df.groupby("h", as_index=False).sum(), preserve_index=False)
+
+    hc = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("h").aggregate(Sum("n", alias_name="n"))
+        .to_pandas().sort_values("h").reset_index(drop=True)
+    )
+    hc["cum"] = hc["n"].cumsum()
+    n = int(hc["n"].sum())
+    k_train = n * 70 // 100
+    k_val = n * 85 // 100
+    ranks = {k: _event_at_rank(sf_dir, hc, k)
+             for k in (1, k_train, k_train + 1, k_val, k_val + 1, n)}
+    return pd.DataFrame({
+        "split": ["test", "train", "val"],
+        "n_rows": [n - k_val, k_train, k_val - k_train],
+        "min_us": [ranks[k_val + 1][0], ranks[1][0], ranks[k_train + 1][0]],
+        "max_us": [ranks[n][0], ranks[k_train][0], ranks[k_val][0]],
+    })
+
+
+T_TIME_SPLIT_SQL = """
+WITH o AS (SELECT epoch_us(ts) AS t,
+                  ROW_NUMBER() OVER (ORDER BY epoch_us(ts), event_id) AS rk,
+                  COUNT(*) OVER () AS n
+           FROM events),
+s AS (SELECT CASE WHEN rk <= n * 70 // 100 THEN 'train'
+                  WHEN rk <= n * 85 // 100 THEN 'val'
+                  ELSE 'test' END AS split, t
+      FROM o)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(t) AS min_us, MAX(t) AS max_us
+FROM s GROUP BY split ORDER BY split
+"""
+
+
+def q_pythagorean_means(sf_dir: str):
+    """All three Pythagorean means of document length per source from
+    ONE (source, value) count-cell exchange: arithmetic (exact integer
+    sum, one quantized division), geometric (per-distinct-value ln
+    terms floored to integer micro-units, exact weighted fold, one
+    quantized exp — the d_theil pattern), harmonic (1/v terms floored
+    at 1e-12 resolution, exact fold, one quantized division). Verifies
+    AM ≥ GM ≥ HM as a free invariant."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": batch["source"].to_pandas(),
+            "v": batch["n_chars"].to_numpy(), "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["source", "v"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    jc = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["source", "v"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for src, g in jc.groupby("source"):
+        v = g["v"].to_numpy(np.float64)
+        cnt = g["n"].to_numpy(np.int64)
+        N = int(cnt.sum())
+        S = int((g["v"].to_numpy(np.int64) * cnt).sum())
+        am = _q6(np.float64(S) / np.float64(N))
+        ln_fold = int((cnt * np.floor(np.log(v) * 1e6 + 0.5005)
+                       .astype(np.int64)).sum())
+        gm = _q6(np.exp(np.float64(ln_fold) / (np.float64(N) * 1e6)))
+        inv_fold = int((cnt * np.floor(1.0 / v * 1e12 + 0.5005)
+                        .astype(np.int64)).sum())
+        hm = _q6(np.float64(N) / (np.float64(inv_fold) / 1e12))
+        rows.append((src, N, float(am), float(gm), float(hm)))
+    return pd.DataFrame(
+        rows, columns=["source", "n", "am", "gm", "hm"]
+    ).sort_values("source").reset_index(drop=True)
+
+
+Q_PYTHAGOREAN_MEANS_SQL = """
+WITH c AS (SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY source, n_chars),
+t AS (SELECT source,
+             CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(n * v) AS BIGINT) AS ss,
+             CAST(SUM(n * CAST(floor(ln(CAST(v AS DOUBLE)) * 1000000
+                                     + 0.5005) AS BIGINT)) AS BIGINT)
+               AS lf,
+             CAST(SUM(n * CAST(floor(1.0 / CAST(v AS DOUBLE)
+                                     * 1000000000000 + 0.5005) AS BIGINT))
+                  AS BIGINT) AS hf
+      FROM c GROUP BY source)
+SELECT source, nn AS n,
+       floor(CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS am,
+       floor(exp(CAST(lf AS DOUBLE) / (CAST(nn AS DOUBLE) * 1000000))
+             * 1000000 + 0.5005) / 1000000 AS gm,
+       floor(CAST(nn AS DOUBLE) / (CAST(hf AS DOUBLE) / 1000000000000)
+             * 1000000 + 0.5005) / 1000000 AS hm
+FROM t ORDER BY source
+"""
+
+
+def d_vocab_overlap(sf_dir: str):
+    """Pairwise source VOCABULARY overlap matrix: per-source distinct
+    token sets reduce through in-batch dedup partials and one
+    (source, token) exchange, then every source pair with a non-empty
+    intersection reports |A∩B| and Jaccard — the data-recipe audit
+    that says which corpora are lexically redundant before you pay to
+    mix them. O(sources²) output; the exchange is vocabulary-sized,
+    never corpus-sized."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        out_s, out_t = [], []
+        seen = set()
+        for s, t in zip(src, batch["text"].to_numpy(zero_copy_only=False)):
+            for tok in (t or "").split():
+                if (s, tok) not in seen:
+                    seen.add((s, tok))
+                    out_s.append(s)
+                    out_t.append(tok)
+        return pa.table({"source": pa.array(out_s), "tok": pa.array(out_t)})
+
+    v = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["source", "tok"]).count()
+        .to_pandas()
+    )
+    sets = {s: set(g["tok"]) for s, g in v.groupby("source")}
+    rows = []
+    for sa in sorted(sets):
+        for sb in sorted(sets):
+            if sa >= sb:
+                continue
+            inter = len(sets[sa] & sets[sb])
+            if inter == 0:
+                continue
+            va, vb = len(sets[sa]), len(sets[sb])
+            rows.append((sa, sb, va, vb, inter,
+                         float(_q6(inter / (va + vb - inter)))))
+    return pd.DataFrame(
+        rows, columns=["src_a", "src_b", "va", "vb", "inter", "jaccard"])
+
+
+D_VOCAB_OVERLAP_SQL = """
+WITH v AS (SELECT DISTINCT source, tok FROM (
+             SELECT source,
+                    unnest(regexp_extract_all(coalesce(text, ''), '\\S+'))
+                      AS tok
+             FROM documents)),
+s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY source),
+i AS (SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS c
+      FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2)
+SELECT i.sa AS src_a, i.sb AS src_b, x.n AS va, y.n AS vb, i.c AS inter,
+       floor(i.c / CAST(x.n + y.n - i.c AS DOUBLE) * 1000000 + 0.5005)
+         / 1000000 AS jaccard
+FROM i JOIN s x ON x.source = i.sa JOIN s y ON y.source = i.sb
+ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -13403,4 +13695,8 @@ QUERIES: dict[str, tuple] = {
     "t_did": (t_did, T_DID_SQL),
     "fe_spline": (fe_spline, FE_SPLINE_SQL),
     "q_trimmed_mean": (q_trimmed_mean, Q_TRIMMED_MEAN_SQL),
+    "t_rfm": (t_rfm, T_RFM_SQL),
+    "t_time_split": (t_time_split, T_TIME_SPLIT_SQL),
+    "q_pythagorean_means": (q_pythagorean_means, Q_PYTHAGOREAN_MEANS_SQL),
+    "d_vocab_overlap": (d_vocab_overlap, D_VOCAB_OVERLAP_SQL),
 }
