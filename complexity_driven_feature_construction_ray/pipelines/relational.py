@@ -12659,7 +12659,7 @@ def q_grouped_ols(sf_dir: str):
         num = n * sxy - sx * sy
         slope = 0.0 if dx == 0 else float(
             _q6(np.float64(num) / np.float64(dx)))
-        intercept = 0.0 if n == 0 else float(
+        intercept = 0.0 if n == 0 or dx == 0 else float(
             _q6((np.float64(sy) - (np.float64(num) / np.float64(dx))
                  * np.float64(sx)) / np.float64(n)))
         r2 = 0.0 if dx == 0 or dy == 0 else float(
@@ -12694,7 +12694,7 @@ SELECT event_type, CAST(n AS BIGINT) AS n,
   CASE WHEN dx = 0 THEN 0.0
        ELSE floor(CAST(num AS DOUBLE) / CAST(dx AS DOUBLE)
                   * 1000000 + 0.5005) / 1000000 END AS slope,
-  CASE WHEN n = 0 THEN 0.0
+  CASE WHEN n = 0 OR dx = 0 THEN 0.0
        ELSE floor((CAST(sy AS DOUBLE)
                    - (CAST(num AS DOUBLE) / CAST(dx AS DOUBLE))
                      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
@@ -13173,6 +13173,8 @@ def t_rfm(sf_dir: str):
         pos = np.empty(n, np.int64)
         pos[idx] = np.arange(n)
         q, rem = divmod(n, 5)
+        if q == 0:  # fewer rows than tiles: one row per leading tile
+            return pos + 1
         cut = rem * (q + 1)
         return np.where(pos < cut, pos // (q + 1),
                         rem + (pos - cut) // q) + 1
@@ -13365,16 +13367,14 @@ def d_vocab_overlap(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["source", "text"])
 
     def cells(batch: pa.Table) -> pa.Table:
-        src = batch["source"].to_numpy(zero_copy_only=False)
-        out_s, out_t = [], []
-        seen = set()
-        for s, t in zip(src, batch["text"].to_numpy(zero_copy_only=False)):
-            for tok in (t or "").split():
-                if (s, tok) not in seen:
-                    seen.add((s, tok))
-                    out_s.append(s)
-                    out_t.append(tok)
-        return pa.table({"source": pa.array(out_s), "tok": pa.array(out_t)})
+        src = pd.Series(batch["source"].to_numpy(zero_copy_only=False))
+        ex = (pd.Series(batch["text"].to_numpy(zero_copy_only=False))
+              .fillna("").str.findall(r"\S+").explode().dropna())
+        df = pd.DataFrame({
+            "source": src.iloc[ex.index.to_numpy(np.int64)].to_numpy(),
+            "tok": ex.to_numpy(),
+        }).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
 
     v = (
         ds.map_batches(cells, batch_format="pyarrow")
