@@ -12878,6 +12878,7 @@ def _surv_labels(sf_dir: str):
         dur = np.where(t1.notna(), t1.to_numpy(np.float64) - signup.to_numpy(),
                        np.float64(t_end) - signup.to_numpy())
         return pd.DataFrame({
+            "u": signup.index.to_numpy(np.int64),
             "dur": dur.astype(np.int64),
             "ev": t1.notna().to_numpy(),
         })
@@ -13415,6 +13416,262 @@ ORDER BY 1, 2
 """
 
 
+def t_logrank(sf_dir: str):
+    """Two-sample log-rank test between odd- and even-user survival
+    (same signup→purchase labels as t_km): at every distinct event
+    time the hypergeometric expectation d·n₁/n and variance
+    d·(n₁/n)(1−n₁/n)(n−d)/(n−1) floor into integer micro-units from
+    token-identical float expressions, the O−E and V folds are exact
+    integer sums, and z = (O−E)/√V is one division of a shared sqrt —
+    the survival-curve significance test next to the curve estimators.
+    Risk-set counts come from two sorted searches over O(users)
+    labels."""
+    u = _surv_labels(sf_dir)
+    grp = (u["u"].to_numpy(np.int64) % 2 == 1)
+    dur = u["dur"].to_numpy(np.int64)
+    ev = u["ev"].to_numpy(bool)
+
+    tt = np.unique(dur[ev])
+    d1 = np.zeros(len(tt), np.int64)
+    d0 = np.zeros(len(tt), np.int64)
+    t1v, c1 = np.unique(dur[ev & grp], return_counts=True)
+    t0v, c0 = np.unique(dur[ev & ~grp], return_counts=True)
+    d1[np.searchsorted(tt, t1v)] = c1
+    d0[np.searchsorted(tt, t0v)] = c0
+    s1 = np.sort(dur[grp])
+    s0 = np.sort(dur[~grp])
+    n1 = len(s1) - np.searchsorted(s1, tt, side="left")
+    n0 = len(s0) - np.searchsorted(s0, tt, side="left")
+    n = n1 + n0
+    d = d1 + d0
+    nf, n1f, df = n.astype(np.float64), n1.astype(np.float64), \
+        d.astype(np.float64)
+    e1 = df * (n1f / nf)
+    oe_micro = np.floor((d1.astype(np.float64) - e1) * 1e6 + 0.5005) \
+        .astype(np.int64)
+    v = np.where(
+        n > 1,
+        df * (n1f / nf) * (1.0 - n1f / nf)
+        * ((nf - df) / np.maximum(nf - 1.0, 1.0)),
+        0.0,
+    )
+    v_micro = np.floor(v * 1e6 + 0.5005).astype(np.int64)
+    oe = int(oe_micro.sum()) / 1e6
+    vv = int(v_micro.sum()) / 1e6
+    z = 0.0 if vv <= 0 else float(_q6(oe / np.sqrt(vv)))
+    return pd.DataFrame({
+        "n1": [int(grp.sum())], "n0": [int((~grp).sum())],
+        "events1": [int(d1.sum())], "events0": [int(d0.sum())],
+        "o_minus_e": [oe], "var": [vv], "z": [z],
+        "chi2": [float(_q6(z * z))],
+    })
+
+
+T_LOGRANK_SQL = """
+WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS t0
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT s.user_id, MIN(epoch_us(e.ts)) AS t1
+      FROM s JOIN events e ON e.user_id = s.user_id
+       AND e.event_type = 'purchase' AND epoch_us(e.ts) >= s.t0
+      GROUP BY s.user_id),
+u AS (SELECT s.user_id, s.user_id % 2 = 1 AS g,
+             COALESCE(p.t1, (SELECT MAX(epoch_us(ts)) FROM events)) - s.t0
+               AS dur,
+             p.t1 IS NOT NULL AS ev
+      FROM s LEFT JOIN p USING (user_id)),
+t AS (SELECT dur AS tt,
+             CAST(COUNT(*) FILTER (g) AS BIGINT) AS d1,
+             CAST(COUNT(*) FILTER (NOT g) AS BIGINT) AS d0
+      FROM u WHERE ev GROUP BY dur),
+r AS (SELECT t.tt, t.d1, t.d0,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM u
+              WHERE u.dur >= t.tt AND u.g) AS n1,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM u
+              WHERE u.dur >= t.tt AND NOT u.g) AS n0
+      FROM t),
+k AS (SELECT
+        CAST(floor((CAST(d1 AS DOUBLE)
+                    - CAST(d1 + d0 AS DOUBLE)
+                      * (CAST(n1 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE)))
+                   * 1000000 + 0.5005) AS BIGINT) AS oe_micro,
+        CASE WHEN n1 + n0 > 1 THEN
+          CAST(floor(CAST(d1 + d0 AS DOUBLE)
+                     * (CAST(n1 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+                     * (1.0 - CAST(n1 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+                     * ((CAST(n1 + n0 AS DOUBLE) - CAST(d1 + d0 AS DOUBLE))
+                        / greatest(CAST(n1 + n0 AS DOUBLE) - 1.0, 1.0))
+                     * 1000000 + 0.5005) AS BIGINT)
+        ELSE 0 END AS v_micro,
+        d1, d0
+      FROM r),
+f AS (SELECT CAST(SUM(oe_micro) AS BIGINT) / 1000000.0 AS oe,
+             CAST(SUM(v_micro) AS BIGINT) / 1000000.0 AS vv,
+             CAST(SUM(d1) AS BIGINT) AS events1,
+             CAST(SUM(d0) AS BIGINT) AS events0
+      FROM k),
+c AS (SELECT CAST(COUNT(*) FILTER (g) AS BIGINT) AS n1,
+             CAST(COUNT(*) FILTER (NOT g) AS BIGINT) AS n0
+      FROM u)
+SELECT c.n1, c.n0, f.events1, f.events0,
+       f.oe AS o_minus_e, f.vv AS var,
+       CASE WHEN f.vv <= 0 THEN 0.0
+            ELSE floor(f.oe / sqrt(f.vv) * 1000000 + 0.5005) / 1000000
+       END AS z,
+       CASE WHEN f.vv <= 0 THEN 0.0
+            ELSE floor(pow(floor(f.oe / sqrt(f.vv) * 1000000 + 0.5005)
+                           / 1000000, 2) * 1000000 + 0.5005) / 1000000
+       END AS chi2
+FROM f CROSS JOIN c
+"""
+
+
+def q_assoc_rules(sf_dir: str):
+    """Market-basket association rules over parts co-purchased in an
+    order: ONE grouped_map pass per order emits three cell kinds into
+    a single exchange — an order marker, each distinct part once, and
+    every within-order pair (k≤lines → k² tiny) — and each bucket
+    pre-aggregates its OWN pair counts, so the exchange carries at
+    most one row per (bucket, pair) and the final combine is a tiny
+    driver-side fold (a generic two-key Ray groupby over the raw pair
+    stream measured 60s where this takes ~2). Pairs with support
+    count ≥3 report support, both confidences and lift, each one
+    quantized division of exact integers."""
+    from ..stages.temporal import grouped_map
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def cells(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in g.groupby("l_orderkey", sort=False):
+            parts = np.unique(grp["l_partkey"].to_numpy(np.int64))
+            k = len(parts)
+            ai, bi = np.triu_indices(k, k=1)
+            out_a.append(np.concatenate(
+                [np.array([-1], np.int64), parts, parts[ai]]))
+            out_b.append(np.concatenate(
+                [np.array([-1], np.int64), np.full(k, -1, np.int64),
+                 parts[bi]]))
+        df = pd.DataFrame({
+            "a": np.concatenate(out_a), "b": np.concatenate(out_b), "n": 1,
+        })
+        return df.groupby(["a", "b"], as_index=False).sum()
+
+    counts = (
+        grouped_map(ds, "l_orderkey", cells).to_pandas()
+        .groupby(["a", "b"], as_index=False).sum()
+    )
+    N = int(counts.loc[(counts["a"] == -1) & (counts["b"] == -1), "n"]
+            .iloc[0])
+    singles = counts[(counts["a"] >= 0) & (counts["b"] == -1)] \
+        .set_index("a")["n"]
+    pairs = counts[(counts["b"] >= 0) & (counts["n"] >= 3)]
+    rows = []
+    for _, r in pairs.iterrows():
+        a, b, cab = int(r["a"]), int(r["b"]), int(r["n"])
+        ca, cb = int(singles.loc[a]), int(singles.loc[b])
+        rows.append((
+            a, b, cab, ca, cb,
+            float(_q6(np.float64(cab) / np.float64(N))),
+            float(_q6(np.float64(cab) / np.float64(ca))),
+            float(_q6(np.float64(cab) / np.float64(cb))),
+            float(_q6(np.float64(cab * N) / np.float64(ca * cb))),
+        ))
+    return pd.DataFrame(
+        rows,
+        columns=["a", "b", "c_ab", "c_a", "c_b", "support", "conf_ab",
+                 "conf_ba", "lift"],
+    ).sort_values(["a", "b"]).reset_index(drop=True)
+
+
+Q_ASSOC_RULES_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM d),
+c AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY p),
+pr AS (SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS cab
+       FROM d a JOIN d b ON a.o = b.o AND a.p < b.p
+       GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+SELECT pr.pa AS a, pr.pb AS b, pr.cab AS c_ab, ca.c AS c_a, cb.c AS c_b,
+       floor(CAST(pr.cab AS DOUBLE) / CAST(n.n AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS support,
+       floor(CAST(pr.cab AS DOUBLE) / CAST(ca.c AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS conf_ab,
+       floor(CAST(pr.cab AS DOUBLE) / CAST(cb.c AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS conf_ba,
+       floor(CAST(pr.cab * n.n AS DOUBLE)
+             / CAST(ca.c * cb.c AS DOUBLE) * 1000000 + 0.5005) / 1000000
+         AS lift
+FROM pr CROSS JOIN n
+JOIN c ca ON ca.p = pr.pa JOIN c cb ON cb.p = pr.pb
+ORDER BY 1, 2
+"""
+
+
+def q_benford(sf_dir: str):
+    """Benford first-digit audit of prices (exact integer cents): the
+    nine digit counts fold exactly; each expected count N·log10(1+1/d)
+    quantizes once, the χ² terms (o−e)²/e compute from those shared
+    quantized doubles and floor to integer micro-units, and the final
+    χ² is an exact integer sum — so the one number an auditor reads is
+    bit-identical across engines (a raw 9-double SUM would be at the
+    mercy of summation order). First digits come from the decimal
+    string, not log10, so 999999→9 and 1000000→1 can never straddle a
+    float boundary."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["l_extendedprice"].to_numpy() * 100 + 0.5) \
+            .astype(np.int64)
+        first = pd.Series(c).astype(str).str[0].astype(np.int64)
+        df = pd.DataFrame({"digit": first, "n": 1})
+        return pa.Table.from_pandas(
+            df.groupby("digit", as_index=False).sum(), preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("digit").aggregate(Sum("n", alias_name="n"))
+        .to_pandas().sort_values("digit").reset_index(drop=True)
+    )
+    N = int(g["n"].sum())
+    d = g["digit"].to_numpy(np.float64)
+    obs = g["n"].to_numpy(np.int64)
+    exp = np.floor(np.float64(N) * np.log10(1.0 + 1.0 / d) * 1e6 + 0.5005) \
+        / 1e6
+    term = (obs.astype(np.float64) - exp) * (obs.astype(np.float64) - exp) \
+        / exp
+    term_micro = np.floor(term * 1e6 + 0.5005).astype(np.int64)
+    chi2 = int(term_micro.sum()) / 1e6
+    return pd.DataFrame({
+        "digit": g["digit"].to_numpy(np.int64), "observed": obs,
+        "expected": exp, "term": term_micro / 1e6, "chi2": chi2,
+    })
+
+
+Q_BENFORD_SQL = """
+WITH v AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+           FROM lineitem),
+f AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM v),
+o AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed
+      FROM f GROUP BY digit),
+t AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM o),
+e AS (SELECT o.digit, o.observed,
+             floor(CAST(t.n AS DOUBLE)
+                   * log10(1.0 + 1.0 / CAST(o.digit AS DOUBLE))
+                   * 1000000 + 0.5005) / 1000000 AS expected
+      FROM o CROSS JOIN t),
+k AS (SELECT digit, observed, expected,
+             CAST(floor((CAST(observed AS DOUBLE) - expected)
+                        * (CAST(observed AS DOUBLE) - expected) / expected
+                        * 1000000 + 0.5005) AS BIGINT) AS term_micro
+      FROM e)
+SELECT digit, observed, expected, term_micro / 1000000.0 AS term,
+       CAST(SUM(term_micro) OVER () AS BIGINT) / 1000000.0 AS chi2
+FROM k ORDER BY digit
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -13699,4 +13956,7 @@ QUERIES: dict[str, tuple] = {
     "t_time_split": (t_time_split, T_TIME_SPLIT_SQL),
     "q_pythagorean_means": (q_pythagorean_means, Q_PYTHAGOREAN_MEANS_SQL),
     "d_vocab_overlap": (d_vocab_overlap, D_VOCAB_OVERLAP_SQL),
+    "t_logrank": (t_logrank, T_LOGRANK_SQL),
+    "q_assoc_rules": (q_assoc_rules, Q_ASSOC_RULES_SQL),
+    "q_benford": (q_benford, Q_BENFORD_SQL),
 }
