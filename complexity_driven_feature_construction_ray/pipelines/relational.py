@@ -13672,6 +13672,227 @@ FROM k ORDER BY digit
 """
 
 
+def d_hill_tail(sf_dir: str):
+    """Hill tail-index estimator of the document-length distribution
+    per source (k=10): α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the top k+1
+    order statistics — the heavy-tail audit that says whether a
+    source's length distribution even HAS a finite mean worth
+    packing around. Only the top-11 values per source leave the
+    stream (grouped_topn local combiner); ties are harmless because
+    the rank-r VALUE is deterministic regardless of which tied row
+    wins. ln ratios floor to integer micro-units, the fold is exact,
+    α is one quantized division."""
+    from ..stages.sampling import grouped_topn
+
+    K = 10
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    top = grouped_topn(
+        ds, key_col="source", order_col="n_chars", n=K + 1, descending=True,
+    ).to_pandas()
+    rows = []
+    for src, g in top.groupby("source"):
+        v = np.sort(g["n_chars"].to_numpy(np.float64))[::-1]
+        xk1 = v[K]
+        terms = np.floor(np.log(v[:K] / xk1) * 1e6 + 0.5005) \
+            .astype(np.int64)
+        fold = int(terms.sum())
+        hill_inv = _q6(np.float64(fold) / (np.float64(K) * 1e6))
+        alpha = 0.0 if fold == 0 else float(
+            _q6(np.float64(K) / (np.float64(fold) / 1e6)))
+        rows.append((src, K, int(xk1), float(hill_inv), alpha))
+    return pd.DataFrame(
+        rows, columns=["source", "k", "x_k1", "hill_inv", "alpha"]
+    ).sort_values("source").reset_index(drop=True)
+
+
+D_HILL_TAIL_SQL = """
+WITH r AS (SELECT source, n_chars,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY n_chars DESC) AS rk
+           FROM documents),
+k1 AS (SELECT source, n_chars AS xk1 FROM r WHERE rk = 11),
+t AS (SELECT r.source,
+             CAST(SUM(CAST(floor(ln(CAST(r.n_chars AS DOUBLE)
+                                    / CAST(k1.xk1 AS DOUBLE))
+                                 * 1000000 + 0.5005) AS BIGINT))
+                  AS BIGINT) AS fold,
+             MAX(k1.xk1) AS xk1
+      FROM r JOIN k1 USING (source) WHERE r.rk <= 10
+      GROUP BY r.source)
+SELECT source, 10 AS k, CAST(xk1 AS BIGINT) AS x_k1,
+       floor(CAST(fold AS DOUBLE) / (10.0 * 1000000)
+             * 1000000 + 0.5005) / 1000000 AS hill_inv,
+       CASE WHEN fold = 0 THEN 0.0
+            ELSE floor(10.0 / (CAST(fold AS DOUBLE) / 1000000)
+                       * 1000000 + 0.5005) / 1000000 END AS alpha
+FROM t ORDER BY source
+"""
+
+
+def _dense_hourly_counts(sf_dir: str):
+    """Dense global hourly event-count series: O(hours) count-cell
+    exchange, zeros filled driver-side over the [min,max] hour range
+    (the same densification t_forecast_error uses)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        df = pd.DataFrame({"h": (us // 3_600_000_000).astype(np.int64),
+                           "n": 1})
+        return pa.Table.from_pandas(
+            df.groupby("h", as_index=False).sum(), preserve_index=False)
+
+    hc = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("h").aggregate(Sum("n", alias_name="n"))
+        .to_pandas().sort_values("h")
+    )
+    lo, hi = int(hc["h"].min()), int(hc["h"].max())
+    y = np.zeros(hi - lo + 1, np.int64)
+    y[hc["h"].to_numpy(np.int64) - lo] = hc["n"].to_numpy(np.int64)
+    return y
+
+
+def t_ljung_box(sf_dir: str):
+    """Ljung-Box portmanteau test on the global hourly event-count
+    series (lags 1–6): every autocorrelation is an EXACT integer
+    ratio — n²·C_k = n²·Σyₜyₜ₊ₖ − n·S·(S_head+S_tail) + (n−k)·S²
+    clears the mean without ever forming it — so r_k quantizes once
+    per lag and the running Q statistic folds from micro-floored
+    r²/(n−k) terms (a raw float Q would inherit SUM-order drift).
+    The series itself is the O(hours) dense grid, zeros included."""
+    y = _dense_hourly_counts(sf_dir)
+    n = len(y)
+    S = int(y.sum())
+    P0 = int((y.astype(object) * y.astype(object)).sum())
+    c0 = n * n * P0 - n * S * S
+    rows = []
+    cum = 0
+    for k in range(1, 7):
+        a, b = y[:-k], y[k:]
+        Pk = int((a.astype(object) * b.astype(object)).sum())
+        sh, st = int(a.sum()), int(b.sum())
+        ck = n * n * Pk - n * S * (sh + st) + (n - k) * S * S
+        r = float(_q6(np.float64(ck) / np.float64(c0)))
+        # r²/(n−k) is ~1e-6-scale: fold at 1e-12 resolution (micro
+        # units would round each term to ~2 counts and visibly bias Q)
+        term = int(np.floor(r * r / np.float64(n - k) * 1e12 + 0.5005))
+        cum += term
+        q = float(_q6(np.float64(n * (n + 2)) * (np.float64(cum) / 1e12)))
+        rows.append((k, r, q))
+    return pd.DataFrame(rows, columns=["lag", "r", "q_stat"])
+
+
+T_LJUNG_BOX_SQL = """
+WITH b AS (SELECT MIN(epoch_us(ts)) // 3600000000 AS lo,
+                  MAX(epoch_us(ts)) // 3600000000 AS hi
+           FROM events),
+grid AS (SELECT unnest(generate_series(b.lo, b.hi)) AS h FROM b),
+c AS (SELECT epoch_us(ts) // 3600000000 AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+y AS (SELECT grid.h, COALESCE(c.n, 0) AS n FROM grid LEFT JOIN c USING (h)),
+tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nn,
+               CAST(SUM(n) AS HUGEINT) AS s,
+               CAST(SUM(CAST(n AS HUGEINT) * n) AS HUGEINT) AS p0
+        FROM y),
+lags AS (SELECT unnest(generate_series(1, 6)) AS k),
+pk AS (SELECT lags.k,
+              CAST(SUM(CAST(a.n AS HUGEINT) * bb.n) AS HUGEINT) AS p,
+              CAST(SUM(a.n) AS HUGEINT) AS sh,
+              CAST(SUM(bb.n) AS HUGEINT) AS st
+       FROM lags JOIN y a ON TRUE JOIN y bb ON bb.h = a.h + lags.k
+       GROUP BY lags.k),
+r AS (SELECT pk.k,
+             floor(CAST(tot.nn * tot.nn * pk.p
+                        - tot.nn * tot.s * (pk.sh + pk.st)
+                        + (tot.nn - pk.k) * tot.s * tot.s AS DOUBLE)
+                   / CAST(tot.nn * tot.nn * tot.p0
+                          - tot.nn * tot.s * tot.s AS DOUBLE)
+                   * 1000000 + 0.5005) / 1000000 AS rk,
+             CAST(tot.nn AS BIGINT) AS n
+      FROM pk CROSS JOIN tot),
+t AS (SELECT k, rk, n,
+             CAST(floor(rk * rk / CAST(n - k AS DOUBLE)
+                        * 1000000000000 + 0.5005) AS BIGINT) AS term
+      FROM r)
+SELECT k AS lag, rk AS r,
+       floor(CAST(n * (n + 2) AS DOUBLE)
+             * (CAST(SUM(term) OVER (ORDER BY k) AS DOUBLE)
+                / 1000000000000)
+             * 1000000 + 0.5005) / 1000000 AS q_stat
+FROM t ORDER BY k
+"""
+
+
+def q_runs_test(sf_dir: str):
+    """Wald–Wolfowitz runs test for randomness of the hourly
+    event-count series around its exact lower median: run count,
+    above/below tallies and the median itself are pure integers; the
+    normal-approximation z computes once from those integers with a
+    shared token order and quantizes once. The audit that catches a
+    'random' split that actually alternates — or streaks."""
+    y = _dense_hourly_counts(sf_dir)
+    n = len(y)
+    med = int(np.sort(y)[(n + 1) // 2 - 1])
+    above = y > med
+    runs = 1 + int((above[1:] != above[:-1]).sum())
+    n1 = int(above.sum())
+    n0 = n - n1
+    if n1 == 0 or n0 == 0:
+        z = 0.0
+    else:
+        nf, n1f, n0f = np.float64(n), np.float64(n1), np.float64(n0)
+        mu = 1.0 + 2.0 * n1f * n0f / nf
+        s2 = (2.0 * n1f * n0f * (2.0 * n1f * n0f - nf)
+              / (nf * nf * (nf - 1.0)))
+        z = 0.0 if s2 <= 0 else float(_q6((np.float64(runs) - mu)
+                                          / np.sqrt(s2)))
+    return pd.DataFrame({
+        "n": [n], "median": [med], "n_above": [n1], "n_below": [n0],
+        "runs": [runs], "z": [z],
+    })
+
+
+Q_RUNS_TEST_SQL = """
+WITH b AS (SELECT MIN(epoch_us(ts)) // 3600000000 AS lo,
+                  MAX(epoch_us(ts)) // 3600000000 AS hi
+           FROM events),
+grid AS (SELECT unnest(generate_series(b.lo, b.hi)) AS h FROM b),
+c AS (SELECT epoch_us(ts) // 3600000000 AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+y AS (SELECT grid.h, COALESCE(c.n, 0) AS n FROM grid LEFT JOIN c USING (h)),
+m AS (SELECT n AS med FROM y ORDER BY n
+      LIMIT 1 OFFSET (SELECT (COUNT(*) + 1) // 2 - 1 FROM y)),
+s AS (SELECT h, n > m.med AS above,
+             LAG(n > m.med) OVER (ORDER BY h) AS prev
+      FROM y CROSS JOIN m),
+k AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) FILTER (above) AS BIGINT) AS n1,
+             CAST(COUNT(*) FILTER (NOT above) AS BIGINT) AS n0,
+             1 + CAST(COUNT(*) FILTER (prev IS NOT NULL
+                                       AND above != prev) AS BIGINT)
+               AS runs
+      FROM s)
+SELECT k.n, m.med AS median, k.n1 AS n_above, k.n0 AS n_below, k.runs,
+  CASE WHEN k.n1 = 0 OR k.n0 = 0 THEN 0.0
+       ELSE floor((CAST(k.runs AS DOUBLE)
+                   - (1.0 + 2.0 * CAST(k.n1 AS DOUBLE)
+                            * CAST(k.n0 AS DOUBLE) / CAST(k.n AS DOUBLE)))
+                  / sqrt(2.0 * CAST(k.n1 AS DOUBLE) * CAST(k.n0 AS DOUBLE)
+                         * (2.0 * CAST(k.n1 AS DOUBLE)
+                            * CAST(k.n0 AS DOUBLE) - CAST(k.n AS DOUBLE))
+                         / (CAST(k.n AS DOUBLE) * CAST(k.n AS DOUBLE)
+                            * (CAST(k.n AS DOUBLE) - 1.0)))
+                  * 1000000 + 0.5005) / 1000000 END AS z
+FROM k CROSS JOIN m
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -13959,4 +14180,7 @@ QUERIES: dict[str, tuple] = {
     "t_logrank": (t_logrank, T_LOGRANK_SQL),
     "q_assoc_rules": (q_assoc_rules, Q_ASSOC_RULES_SQL),
     "q_benford": (q_benford, Q_BENFORD_SQL),
+    "d_hill_tail": (d_hill_tail, D_HILL_TAIL_SQL),
+    "t_ljung_box": (t_ljung_box, T_LJUNG_BOX_SQL),
+    "q_runs_test": (q_runs_test, Q_RUNS_TEST_SQL),
 }
