@@ -13893,6 +13893,203 @@ FROM k CROSS JOIN m
 """
 
 
+def q_theil_sen(sf_dir: str):
+    """Theil–Sen robust trend of the global hourly event-count series:
+    the median of all pairwise slopes (and the median residual
+    intercept) — the estimator a single corrupted hour cannot move,
+    unlike OLS. Every slope is the same double in both engines (int
+    difference ratios), and the estimate is an ELEMENT selection from
+    that identical multiset (lower median), so no quantizer is needed
+    on the slope itself. O(hours²) pairs materialize only driver-side
+    over the dense O(hours) cell series."""
+    y = _dense_hourly_counts(sf_dir)
+    n = len(y)
+    i, j = np.triu_indices(n, k=1)
+    slopes = (y[j] - y[i]).astype(np.float64) / (j - i).astype(np.float64)
+    m = len(slopes)
+    slope = float(np.sort(slopes)[(m + 1) // 2 - 1])
+    resid = np.sort(y.astype(np.float64)
+                    - slope * np.arange(n, dtype=np.float64))
+    intercept = float(resid[(n + 1) // 2 - 1])
+    return pd.DataFrame({
+        "n_hours": [n], "n_pairs": [m],
+        "slope": [slope], "intercept": [intercept],
+    })
+
+
+Q_THEIL_SEN_SQL = """
+WITH b AS (SELECT MIN(epoch_us(ts)) // 3600000000 AS lo,
+                  MAX(epoch_us(ts)) // 3600000000 AS hi
+           FROM events),
+grid AS (SELECT unnest(generate_series(b.lo, b.hi)) AS h FROM b),
+c AS (SELECT epoch_us(ts) // 3600000000 AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+y AS (SELECT grid.h - b.lo AS x, COALESCE(c.n, 0) AS n
+      FROM grid CROSS JOIN b LEFT JOIN c USING (h)),
+s AS (SELECT CAST(bb.n - a.n AS DOUBLE) / CAST(bb.x - a.x AS DOUBLE)
+               AS slope
+      FROM y a JOIN y bb ON bb.x > a.x),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM s),
+sl AS (SELECT slope FROM s ORDER BY slope
+       LIMIT 1 OFFSET (SELECT (m + 1) // 2 - 1 FROM m)),
+r AS (SELECT CAST(y.n AS DOUBLE) - sl.slope * CAST(y.x AS DOUBLE) AS b
+      FROM y CROSS JOIN sl),
+ic AS (SELECT b FROM r ORDER BY b
+       LIMIT 1 OFFSET (SELECT (COUNT(*) + 1) // 2 - 1 FROM y))
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM y) AS n_hours,
+       m.m AS n_pairs, sl.slope, ic.b AS intercept
+FROM m CROSS JOIN sl CROSS JOIN ic
+"""
+
+
+def q_mann_whitney(sf_dir: str):
+    """Mann–Whitney U between odd- and even-user event values: tied
+    ranks, the U statistic and the tie-corrected variance all derive
+    from EXACT integers over one (value, group) cell exchange —
+    doubled rank sums keep the ½-average-ranks integral, Σ(t³−t)
+    folds exactly — and z is one quantized division of identically
+    ordered doubles. The nonparametric sibling of d_ab_ztest for
+    distributions a mean can't summarize."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        v = np.floor(batch["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        odd = (batch["user_id"].to_numpy() % 2 == 1).astype(np.int64)
+        df = pd.DataFrame({"v": v, "t1": odd, "t": 1})
+        return pa.Table.from_pandas(
+            df.groupby("v", as_index=False).sum(), preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("t1", alias_name="t1"), Sum("t", alias_name="t"))
+        .to_pandas().sort_values("v")
+    )
+    t = g["t"].to_numpy(np.int64)
+    t1 = g["t1"].to_numpy(np.int64)
+    c_start = np.cumsum(t) - t
+    n = int(t.sum())
+    n1 = int(t1.sum())
+    n0 = n - n1
+    r1x2 = int((t1 * (2 * c_start + t + 1)).sum())          # 2·R1, exact
+    u1x2 = 2 * n1 * n0 + n1 * (n1 + 1) - r1x2               # 2·U1, exact
+    ties = int(((t.astype(object) ** 3) - t.astype(object)).sum())
+    u1 = u1x2 / 2.0
+    mu = np.float64(n1) * np.float64(n0) / 2.0
+    sig2 = (np.float64(n1) * np.float64(n0) / 12.0
+            * ((np.float64(n) + 1.0)
+               - np.float64(ties)
+               / (np.float64(n) * (np.float64(n) - 1.0))))
+    z = 0.0 if sig2 <= 0 else float(_q6((u1 - mu) / np.sqrt(sig2)))
+    return pd.DataFrame({
+        "n1": [n1], "n0": [n0], "u1": [u1], "tie_sum": [ties], "z": [z],
+    })
+
+
+Q_MANN_WHITNEY_SQL = """
+WITH c AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                  CAST(COUNT(*) FILTER (user_id % 2 = 1) AS BIGINT) AS t1,
+                  CAST(COUNT(*) AS BIGINT) AS t
+           FROM events GROUP BY 1),
+r AS (SELECT v, t1, t,
+             CAST(SUM(t) OVER (ORDER BY v) - t AS BIGINT) AS c_start
+      FROM c),
+k AS (SELECT CAST(SUM(t1) AS BIGINT) AS n1,
+             CAST(SUM(t) AS BIGINT) AS n,
+             CAST(SUM(t1 * (2 * c_start + t + 1)) AS BIGINT) AS r1x2,
+             CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS BIGINT) AS ties
+      FROM r)
+SELECT n1, n - n1 AS n0,
+       (2 * n1 * (n - n1) + n1 * (n1 + 1) - r1x2) / 2.0 AS u1,
+       ties AS tie_sum,
+       CASE WHEN n1 = 0 OR n1 = n THEN 0.0
+            ELSE floor(((2 * n1 * (n - n1) + n1 * (n1 + 1) - r1x2) / 2.0
+                        - CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 2.0)
+                       / sqrt(CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+                              / 12.0
+                              * ((CAST(n AS DOUBLE) + 1.0)
+                                 - CAST(ties AS DOUBLE)
+                                 / (CAST(n AS DOUBLE)
+                                    * (CAST(n AS DOUBLE) - 1.0))))
+                       * 1000000 + 0.5005) / 1000000 END AS z
+FROM k
+"""
+
+
+def d_cross_source_dups(sf_dir: str):
+    """Cross-source exact-duplicate audit: which source PAIRS share
+    identical documents, and how many — the recipe question 'am I
+    paying for the same bytes twice'. The fixture corpus has no
+    natural cross-source dups, so both engines replay the same
+    deterministic injection (every doc_id % 37 == 0 re-enters under
+    the alphabetically NEXT source, id offset +10000001). Content
+    travels as md5 cells, never text; the exchange is
+    distinct-(hash, source)-sized."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    srcs = sorted(
+        ds.select_columns(["source"]).unique("source")
+    )
+    nxt = {s: srcs[(i + 1) % len(srcs)] for i, s in enumerate(srcs)}
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        txt = batch["text"].to_numpy(zero_copy_only=False)
+        h = np.array([hashlib.md5((t or "").encode()).hexdigest()
+                      for t in txt], object)
+        inj = ids % 37 == 0
+        out_h = np.concatenate([h, h[inj]])
+        out_s = np.concatenate([src, np.array([nxt[s] for s in src[inj]],
+                                              object)])
+        df = pd.DataFrame({"h": out_h, "source": out_s}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    v = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["h", "source"]).count()
+        .to_pandas()
+    )
+    rows = []
+    for _, g in v.groupby("h"):
+        ss = sorted(g["source"])
+        for a in range(len(ss)):
+            for b in range(a + 1, len(ss)):
+                rows.append((ss[a], ss[b]))
+    out = (
+        pd.DataFrame(rows, columns=["src_a", "src_b"])
+        .groupby(["src_a", "src_b"], as_index=False).size()
+        .rename(columns={"size": "n_shared"})
+        .sort_values(["src_a", "src_b"]).reset_index(drop=True)
+    )
+    return out
+
+
+D_CROSS_SOURCE_DUPS_SQL = """
+WITH smap AS (SELECT source, ROW_NUMBER() OVER (ORDER BY source) AS rn
+              FROM (SELECT DISTINCT source FROM documents)),
+ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM smap),
+allrows AS (
+  SELECT source, coalesce(text, '') AS text FROM documents
+  UNION ALL
+  SELECT s2.source, coalesce(d.text, '') AS text
+  FROM documents d
+  JOIN smap s1 ON s1.source = d.source
+  CROSS JOIN ns
+  JOIN smap s2 ON s2.rn = s1.rn % ns.k + 1
+  WHERE d.doc_id % 37 = 0),
+v AS (SELECT DISTINCT md5(text) AS h, source FROM allrows)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM v a JOIN v b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -14183,4 +14380,7 @@ QUERIES: dict[str, tuple] = {
     "d_hill_tail": (d_hill_tail, D_HILL_TAIL_SQL),
     "t_ljung_box": (t_ljung_box, T_LJUNG_BOX_SQL),
     "q_runs_test": (q_runs_test, Q_RUNS_TEST_SQL),
+    "q_theil_sen": (q_theil_sen, Q_THEIL_SEN_SQL),
+    "q_mann_whitney": (q_mann_whitney, Q_MANN_WHITNEY_SQL),
+    "d_cross_source_dups": (d_cross_source_dups, D_CROSS_SOURCE_DUPS_SQL),
 }
