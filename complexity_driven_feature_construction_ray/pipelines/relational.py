@@ -14090,6 +14090,193 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def t_changepoint(sf_dir: str):
+    """Single change-point detection on the hourly event-count series
+    (binary segmentation's first split): the split minimizing total
+    SSE maximizes S_L²/n_L + S_R²/n_R, which both engines evaluate as
+    IDENTICAL doubles from exact integer prefix sums — so the argmax
+    (smallest-hour tie-break) matches bit-for-bit and only the
+    reported means/gain quantize. O(hours) work over the dense cell
+    series; nothing scans events twice."""
+    y = _dense_hourly_counts(sf_dir)
+    n = len(y)
+    S = int(y.sum())
+    cs = np.cumsum(y)
+    k = np.arange(1, n)
+    sl = cs[:-1].astype(np.float64)
+    v = (sl * sl / k.astype(np.float64)
+         + (np.float64(S) - sl) * (np.float64(S) - sl)
+         / (np.float64(n) - k.astype(np.float64)))
+    best = int(np.argmax(v))  # first occurrence = smallest k on ties
+    kk = best + 1
+    s_l = int(cs[best])
+    base = np.float64(S) * np.float64(S) / np.float64(n)
+    return pd.DataFrame({
+        "split_k": [kk], "n_hours": [n],
+        "left_mean": [float(_q6(np.float64(s_l) / np.float64(kk)))],
+        "right_mean": [float(_q6(np.float64(S - s_l)
+                                 / np.float64(n - kk)))],
+        "gain": [float(_q6(np.float64(v[best]) - base))],
+    })
+
+
+T_CHANGEPOINT_SQL = """
+WITH b AS (SELECT MIN(epoch_us(ts)) // 3600000000 AS lo,
+                  MAX(epoch_us(ts)) // 3600000000 AS hi
+           FROM events),
+grid AS (SELECT unnest(generate_series(b.lo, b.hi)) AS h FROM b),
+c AS (SELECT epoch_us(ts) // 3600000000 AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+y AS (SELECT grid.h - b.lo + 1 AS x, COALESCE(c.n, 0) AS n
+      FROM grid CROSS JOIN b LEFT JOIN c USING (h)),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(n) AS BIGINT) AS s
+      FROM y),
+p AS (SELECT x AS k, CAST(SUM(n) OVER (ORDER BY x) AS BIGINT) AS sl
+      FROM y),
+v AS (SELECT p.k, p.sl, t.nn, t.s,
+             CAST(p.sl AS DOUBLE) * CAST(p.sl AS DOUBLE)
+               / CAST(p.k AS DOUBLE)
+             + (CAST(t.s AS DOUBLE) - CAST(p.sl AS DOUBLE))
+               * (CAST(t.s AS DOUBLE) - CAST(p.sl AS DOUBLE))
+               / (CAST(t.nn AS DOUBLE) - CAST(p.k AS DOUBLE)) AS val
+      FROM p CROSS JOIN t WHERE p.k < t.nn)
+SELECT k AS split_k, nn AS n_hours,
+       floor(CAST(sl AS DOUBLE) / CAST(k AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS left_mean,
+       floor(CAST(s - sl AS DOUBLE) / CAST(nn - k AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS right_mean,
+       floor((val - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                    / CAST(nn AS DOUBLE))
+             * 1000000 + 0.5005) / 1000000 AS gain
+FROM v ORDER BY val DESC, k LIMIT 1
+"""
+
+
+def q_abc(sf_dir: str):
+    """ABC / Pareto revenue classification of parts: gross revenue per
+    part folds as exact integer cents, parts order by (revenue DESC,
+    partkey) and the 80%/95% class boundaries are STRICT integer
+    comparisons (cum·5 ≤ 4·total, cum·20 ≤ 19·total) — no float ever
+    touches a boundary decision. The per-part aggregate streams; the
+    O(parts) class assignment is driver-side (at 100 TB the running
+    share would reuse the ordered-cumsum two-pass layout)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_partkey": batch["l_partkey"].to_numpy(),
+            "rev": np.floor(batch["l_extendedprice"].to_numpy() * 100
+                            + 0.5).astype(np.int64),
+        })
+        return pa.Table.from_pandas(
+            df.groupby("l_partkey", as_index=False).sum(),
+            preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("l_partkey").aggregate(Sum("rev", alias_name="rev"))
+        .to_pandas()
+        .sort_values(["rev", "l_partkey"], ascending=[False, True])
+    )
+    rev = g["rev"].to_numpy(np.int64)
+    total = int(rev.sum())
+    cum = np.cumsum(rev)
+    cls = np.where(cum * 5 <= 4 * total, "A",
+                   np.where(cum * 20 <= 19 * total, "B", "C"))
+    out = pd.DataFrame({"cls": cls, "rev": rev}) \
+        .groupby("cls", as_index=False) \
+        .agg(n_parts=("rev", "size"), revenue_cents=("rev", "sum"))
+    out["share"] = [
+        float(_q6(np.float64(int(r)) / np.float64(total)))
+        for r in out["revenue_cents"]
+    ]
+    return out.sort_values("cls").reset_index(drop=True)
+
+
+Q_ABC_SQL = """
+WITH p AS (SELECT l_partkey,
+                  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5)
+                                AS BIGINT)) AS BIGINT) AS rev
+           FROM lineitem GROUP BY l_partkey),
+t AS (SELECT CAST(SUM(rev) AS BIGINT) AS total FROM p),
+r AS (SELECT p.rev, t.total,
+             CAST(SUM(p.rev) OVER (ORDER BY p.rev DESC, p.l_partkey)
+                  AS BIGINT) AS cum
+      FROM p CROSS JOIN t),
+k AS (SELECT CASE WHEN cum * 5 <= 4 * total THEN 'A'
+                  WHEN cum * 20 <= 19 * total THEN 'B'
+                  ELSE 'C' END AS cls,
+             rev, total
+      FROM r)
+SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev) AS BIGINT) AS revenue_cents,
+       floor(CAST(SUM(rev) AS DOUBLE) / CAST(MAX(total) AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS share
+FROM k GROUP BY cls ORDER BY cls
+"""
+
+
+def t_integrity(sf_dir: str):
+    """Temporal referential-integrity audit of the event log: users
+    whose first purchase PRECEDES their first signup (clock skew /
+    pipeline bugs), purchasers with no signup at all, and signups that
+    never purchase — the three rot modes of an event stream, counted
+    from per-user firsts through one entity shuffle. Pure integer
+    timestamp comparisons; no quantizer."""
+    from ..stages.temporal import grouped_map
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"],
+               split=True)
+
+    def firsts(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({
+            "u": g["user_id"].to_numpy(np.int64), "t": us,
+            "et": g["event_type"].to_numpy(object),
+        })
+        s = df[df["et"] == "signup"].groupby("u")["t"].min()
+        p = df[df["et"] == "purchase"].groupby("u")["t"].min()
+        users = df["u"].unique()
+        out = pd.DataFrame({"u": users})
+        out["s"] = s.reindex(users).to_numpy()
+        out["p"] = p.reindex(users).to_numpy()
+        return out
+
+    f = grouped_map(ds, "user_id", firsts).to_pandas()
+    has_s = f["s"].notna().to_numpy()
+    has_p = f["p"].notna().to_numpy()
+    both = has_s & has_p
+    before = int((f.loc[both, "p"].to_numpy()
+                  < f.loc[both, "s"].to_numpy()).sum())
+    return pd.DataFrame({
+        "n_users": [len(f)],
+        "n_purchase_before_signup": [before],
+        "n_orphan_purchasers": [int((has_p & ~has_s).sum())],
+        "n_signup_only": [int((has_s & ~has_p).sum())],
+    })
+
+
+T_INTEGRITY_SQL = """
+WITH u AS (SELECT user_id,
+                  MIN(CASE WHEN event_type = 'signup'
+                           THEN epoch_us(ts) END) AS s,
+                  MIN(CASE WHEN event_type = 'purchase'
+                           THEN epoch_us(ts) END) AS p
+           FROM events GROUP BY user_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(*) FILTER (s IS NOT NULL AND p IS NOT NULL AND p < s)
+            AS BIGINT) AS n_purchase_before_signup,
+       CAST(COUNT(*) FILTER (p IS NOT NULL AND s IS NULL) AS BIGINT)
+         AS n_orphan_purchasers,
+       CAST(COUNT(*) FILTER (s IS NOT NULL AND p IS NULL) AS BIGINT)
+         AS n_signup_only
+FROM u
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -14383,4 +14570,7 @@ QUERIES: dict[str, tuple] = {
     "q_theil_sen": (q_theil_sen, Q_THEIL_SEN_SQL),
     "q_mann_whitney": (q_mann_whitney, Q_MANN_WHITNEY_SQL),
     "d_cross_source_dups": (d_cross_source_dups, D_CROSS_SOURCE_DUPS_SQL),
+    "t_changepoint": (t_changepoint, T_CHANGEPOINT_SQL),
+    "q_abc": (q_abc, Q_ABC_SQL),
+    "t_integrity": (t_integrity, T_INTEGRITY_SQL),
 }
