@@ -14277,6 +14277,253 @@ FROM u
 """
 
 
+def d_wasserstein(sf_dir: str):
+    """Per-source Wasserstein-1 (earth mover's) distance between the
+    source's document-length distribution and the WHOLE corpus — the
+    drift metric with units (chars) that KS's sup-norm lacks. Over the
+    corpus's merged value grid, |cumA·n_C − cumC·n_A|·gap folds as an
+    EXACT integer (the CDF difference never becomes a float), and W₁
+    is one quantized division by n_A·n_C. One (source, value)
+    count-cell exchange feeds everything."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": batch["source"].to_pandas(),
+            "v": batch["n_chars"].to_numpy(), "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["source", "v"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    jc = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["source", "v"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    grid = np.sort(jc["v"].unique())
+    gaps = np.diff(grid).astype(object)
+    corpus = jc.groupby("v")["n"].sum().reindex(grid, fill_value=0)
+    cum_c = np.cumsum(corpus.to_numpy(np.int64))[:-1].astype(object)
+    n_c = int(corpus.sum())
+    rows = []
+    for src, g in jc.groupby("source"):
+        a = g.set_index("v")["n"].reindex(grid, fill_value=0)
+        cum_a = np.cumsum(a.to_numpy(np.int64))[:-1].astype(object)
+        n_a = int(a.sum())
+        fold = int((np.abs(cum_a * n_c - cum_c * n_a) * gaps).sum())
+        rows.append((src, n_a,
+                     float(_q6(np.float64(fold)
+                               / (np.float64(n_a) * np.float64(n_c))))))
+    return pd.DataFrame(rows, columns=["source", "n", "w1"]) \
+        .sort_values("source").reset_index(drop=True)
+
+
+D_WASSERSTEIN_SQL = """
+WITH c AS (SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY source, n_chars),
+grid AS (SELECT DISTINCT v FROM c),
+srcs AS (SELECT source, CAST(SUM(n) AS BIGINT) AS na FROM c
+         GROUP BY source),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM documents),
+cc AS (SELECT g.v,
+              CAST(SUM(COALESCE(x.n, 0))
+                   OVER (ORDER BY g.v) AS BIGINT) AS cum_c,
+              LEAD(g.v) OVER (ORDER BY g.v) - g.v AS gap
+       FROM grid g LEFT JOIN (SELECT v, CAST(SUM(n) AS BIGINT) AS n
+                              FROM c GROUP BY v) x USING (v)),
+ca AS (SELECT s.source, g.v,
+              CAST(SUM(COALESCE(c.n, 0))
+                   OVER (PARTITION BY s.source ORDER BY g.v) AS BIGINT)
+                AS cum_a
+       FROM srcs s CROSS JOIN grid g
+       LEFT JOIN c ON c.source = s.source AND c.v = g.v),
+f AS (SELECT ca.source,
+             CAST(SUM(abs(CAST(ca.cum_a AS HUGEINT) * tot.nc
+                          - CAST(cc.cum_c AS HUGEINT) * srcs.na)
+                      * cc.gap) AS HUGEINT) AS fold
+      FROM ca JOIN cc USING (v)
+      CROSS JOIN tot JOIN srcs ON srcs.source = ca.source
+      WHERE cc.gap IS NOT NULL
+      GROUP BY ca.source)
+SELECT f.source, srcs.na AS n,
+       floor(CAST(f.fold AS DOUBLE)
+             / (CAST(srcs.na AS DOUBLE) * CAST(tot.nc AS DOUBLE))
+             * 1000000 + 0.5005) / 1000000 AS w1
+FROM f JOIN srcs USING (source) CROSS JOIN tot ORDER BY f.source
+"""
+
+
+def d_rbo(sf_dir: str):
+    """Rank-biased overlap (p=½) between the top-25 token rankings of
+    the odd- and even-doc_id halves of the corpus — the top-weighted
+    list-similarity IR uses where Kendall over-penalizes tail churn.
+    p=½ makes every geometric weight 2^(1−d), EXACT in IEEE, so each
+    depth's overlap/d·p^(d−1) term is the same double in both engines;
+    terms fold at 1e-12 resolution (SUM order immune) and normalize by
+    the exact 2−2^(1−k). Rankings derive from exact token counts with
+    token-text tie-break."""
+    from ray.data.aggregate import Sum
+
+    K = 25
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ids = pd.Series(batch["doc_id"].to_numpy())
+        ex = (pd.Series(batch["text"].to_numpy(zero_copy_only=False))
+              .fillna("").str.findall(r"\S+").explode().dropna())
+        half = (ids.iloc[ex.index.to_numpy(np.int64)].to_numpy() % 2) \
+            .astype(np.int64)
+        df = pd.DataFrame({"half": half, "tok": ex.to_numpy(), "n": 1})
+        return pa.Table.from_pandas(
+            df.groupby(["half", "tok"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["half", "tok"]).aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+
+    def topk(h):
+        t = g[g["half"] == h].sort_values(["n", "tok"],
+                                          ascending=[False, True])
+        return t["tok"].to_numpy(object)[:K]
+
+    a, b = topk(0), topk(1)
+    fold = 0
+    for d in range(1, K + 1):
+        ov = len(set(a[:d]) & set(b[:d]))
+        term = (np.float64(ov) / np.float64(d)) * (0.5 ** (d - 1))
+        fold += int(np.floor(term * 1e12 + 0.5005))
+    norm = 2.0 - 0.5 ** (K - 1)
+    rbo = float(_q6((np.float64(fold) / 1e12) / norm))
+    return pd.DataFrame({
+        "k": [K], "top1_match": [bool(a[0] == b[0])], "rbo": [rbo],
+    })
+
+
+D_RBO_SQL = """
+WITH u AS (SELECT doc_id % 2 AS half,
+                  unnest(regexp_extract_all(coalesce(text, ''), '\\S+'))
+                    AS tok
+           FROM documents),
+c AS (SELECT half, tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM u GROUP BY half, tok),
+r AS (SELECT half, tok,
+             ROW_NUMBER() OVER (PARTITION BY half
+                                ORDER BY n DESC, tok) AS rk
+      FROM c),
+a AS (SELECT tok, rk FROM r WHERE half = 0 AND rk <= 25),
+b AS (SELECT tok, rk FROM r WHERE half = 1 AND rk <= 25),
+m AS (SELECT a.rk AS ra, b.rk AS rb FROM a JOIN b USING (tok)),
+d AS (SELECT unnest(generate_series(1, 25)) AS d),
+t AS (SELECT d.d,
+             CAST(floor((CAST((SELECT COUNT(*) FROM m
+                               WHERE m.ra <= d.d AND m.rb <= d.d)
+                              AS DOUBLE) / CAST(d.d AS DOUBLE))
+                        * pow(0.5, d.d - 1)
+                        * 1000000000000 + 0.5005) AS BIGINT) AS term
+      FROM d)
+SELECT 25 AS k,
+       (SELECT a.tok = b.tok FROM a, b WHERE a.rk = 1 AND b.rk = 1)
+         AS top1_match,
+       floor((CAST(SUM(term) AS DOUBLE) / 1000000000000)
+             / (2.0 - pow(0.5, 24))
+             * 1000000 + 0.5005) / 1000000 AS rbo
+FROM t
+"""
+
+
+def q_anova(sf_dir: str):
+    """One-way ANOVA of event value (exact integer cents) across event
+    types: per-group (n, Σc, Σc²) partials fold exactly; each group's
+    S²/n term floors to integer micro-units so the between-group sum
+    is order-immune, and F / η² are single quantized expressions over
+    those shared doubles. The parametric sibling of q_mann_whitney."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pandas(),
+            "n": 1, "s": c, "q": c * c,
+        })
+        return pa.Table.from_pandas(
+            df.groupby("event_type", as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                   Sum("q", alias_name="q"))
+        .to_pandas()
+    )
+    k = len(g)
+    N = int(g["n"].sum())
+    S = int(g["s"].sum())
+    Q = int(g["q"].sum())
+    fold = int(sum(
+        int(np.floor(np.float64(int(r["s"])) * np.float64(int(r["s"]))
+                     / np.float64(int(r["n"])) * 1e6 + 0.5005))
+        for _, r in g.iterrows()
+    ))
+    grp = np.float64(fold) / 1e6
+    ssb = grp - np.float64(S) * np.float64(S) / np.float64(N)
+    ssw = np.float64(Q) - grp
+    f = (ssb / np.float64(k - 1)) / (ssw / np.float64(N - k))
+    eta2 = ssb / (ssb + ssw)
+    return pd.DataFrame({
+        "k": [k], "n": [N],
+        "ssb": [float(_q6(ssb))], "ssw": [float(_q6(ssw))],
+        "f_stat": [float(_q6(f))], "eta2": [float(_q6(eta2))],
+    })
+
+
+Q_ANOVA_SQL = """
+WITH g AS (SELECT event_type,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS s,
+                  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                           * CAST(floor(value * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS q
+           FROM events GROUP BY event_type),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(s) AS BIGINT) AS ss,
+             CAST(SUM(q) AS BIGINT) AS qq,
+             CAST(SUM(CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                 / CAST(n AS DOUBLE)
+                                 * 1000000 + 0.5005) AS BIGINT))
+                  AS BIGINT) AS fold
+      FROM g),
+e AS (SELECT k, nn,
+             CAST(fold AS DOUBLE) / 1000000
+               - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+                 / CAST(nn AS DOUBLE) AS ssb,
+             CAST(qq AS DOUBLE) - CAST(fold AS DOUBLE) / 1000000 AS ssw
+      FROM t)
+SELECT k, nn AS n,
+       floor(ssb * 1000000 + 0.5005) / 1000000 AS ssb,
+       floor(ssw * 1000000 + 0.5005) / 1000000 AS ssw,
+       floor((ssb / CAST(k - 1 AS DOUBLE))
+             / (ssw / CAST(nn - k AS DOUBLE))
+             * 1000000 + 0.5005) / 1000000 AS f_stat,
+       floor(ssb / (ssb + ssw) * 1000000 + 0.5005) / 1000000 AS eta2
+FROM e
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -14573,4 +14820,7 @@ QUERIES: dict[str, tuple] = {
     "t_changepoint": (t_changepoint, T_CHANGEPOINT_SQL),
     "q_abc": (q_abc, Q_ABC_SQL),
     "t_integrity": (t_integrity, T_INTEGRITY_SQL),
+    "d_wasserstein": (d_wasserstein, D_WASSERSTEIN_SQL),
+    "d_rbo": (d_rbo, D_RBO_SQL),
+    "q_anova": (q_anova, Q_ANOVA_SQL),
 }
