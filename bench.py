@@ -216,6 +216,40 @@ HEADLINE = [
     "t_peak_detect",
     "t_streak",
     "q_except_all",
+    "d_theil",
+    "d_mix_entropy",
+    "t_time_to_event",
+    "t_km",
+    "q_weighted_median",
+    "d_containment",
+    "q_interval_join",
+    "d_kmv_setops",
+    "q_grouped_ols",
+    "t_forecast_error",
+    "d_class_balance",
+    "t_nelson_aalen",
+    "t_did",
+    "fe_spline",
+    "q_trimmed_mean",
+    "t_rfm",
+    "t_time_split",
+    "q_pythagorean_means",
+    "d_vocab_overlap",
+    "t_logrank",
+    "q_assoc_rules",
+    "q_benford",
+    "d_hill_tail",
+    "t_ljung_box",
+    "q_runs_test",
+    "q_theil_sen",
+    "q_mann_whitney",
+    "d_cross_source_dups",
+    "t_changepoint",
+    "q_abc",
+    "t_integrity",
+    "d_wasserstein",
+    "d_rbo",
+    "q_anova",
 ]
 
 
