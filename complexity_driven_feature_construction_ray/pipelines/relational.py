@@ -14524,6 +14524,285 @@ FROM e
 """
 
 
+def t_spectral(sf_dir: str):
+    """Daily-cycle DFT coefficient of the hourly event-count series:
+    cos/sin weights repeat with period 24, so both engines build the
+    SAME 24-entry micro-quantized trig table (the 0.0005 guard band
+    absorbs libm ulp drift) and the a/b folds are EXACT integer sums
+    of count × table entries. Amplitude and the share of variance at
+    the 24h line then derive from shared doubles with one final
+    quantize each — a spectral seasonality score with no FFT and no
+    float accumulation anywhere."""
+    y = _dense_hourly_counts(sf_dir)
+    n = len(y)
+    k = np.arange(24, dtype=np.float64)
+    cos_m = np.floor(np.cos(2.0 * np.pi * k / 24.0) * 1e6 + 0.5005) \
+        .astype(np.int64)
+    sin_m = np.floor(np.sin(2.0 * np.pi * k / 24.0) * 1e6 + 0.5005) \
+        .astype(np.int64)
+    ph = np.arange(n) % 24
+    a_fold = int((y * cos_m[ph]).sum())
+    b_fold = int((y * sin_m[ph]).sum())
+    a = np.float64(a_fold) / 1e6
+    b = np.float64(b_fold) / 1e6
+    amp = 2.0 * np.sqrt(a * a + b * b) / np.float64(n)
+    S = int(y.sum())
+    Q = int((y.astype(object) * y.astype(object)).sum())
+    sst = np.float64(Q) - np.float64(S) * np.float64(S) / np.float64(n)
+    power = 2.0 * (a * a + b * b) / np.float64(n)
+    return pd.DataFrame({
+        "n_hours": [n],
+        "a": [float(_q6(a))], "b": [float(_q6(b))],
+        "amplitude": [float(_q6(amp))],
+        "power_share": [float(_q6(power / sst)) if sst > 0 else 0.0],
+    })
+
+
+T_SPECTRAL_SQL = """
+WITH b0 AS (SELECT MIN(epoch_us(ts)) // 3600000000 AS lo,
+                   MAX(epoch_us(ts)) // 3600000000 AS hi
+            FROM events),
+grid AS (SELECT unnest(generate_series(b0.lo, b0.hi)) AS h FROM b0),
+c AS (SELECT epoch_us(ts) // 3600000000 AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+y AS (SELECT grid.h - b0.lo AS x, COALESCE(c.n, 0) AS n
+      FROM grid CROSS JOIN b0 LEFT JOIN c USING (h)),
+trig AS (SELECT k,
+                CAST(floor(cos(2 * pi() * k / 24.0) * 1000000 + 0.5005)
+                     AS BIGINT) AS cm,
+                CAST(floor(sin(2 * pi() * k / 24.0) * 1000000 + 0.5005)
+                     AS BIGINT) AS sm
+         FROM (SELECT unnest(generate_series(0, 23)) AS k)),
+f AS (SELECT CAST(SUM(y.n * trig.cm) AS BIGINT) AS af,
+             CAST(SUM(y.n * trig.sm) AS BIGINT) AS bf,
+             CAST(COUNT(*) AS BIGINT) AS nn,
+             CAST(SUM(y.n) AS BIGINT) AS s,
+             CAST(SUM(CAST(y.n AS HUGEINT) * y.n) AS HUGEINT) AS q
+      FROM y JOIN trig ON trig.k = y.x % 24),
+e AS (SELECT nn,
+             CAST(af AS DOUBLE) / 1000000 AS a,
+             CAST(bf AS DOUBLE) / 1000000 AS b,
+             CAST(q AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                 / CAST(nn AS DOUBLE) AS sst
+      FROM f)
+SELECT nn AS n_hours,
+       floor(a * 1000000 + 0.5005) / 1000000 AS a,
+       floor(b * 1000000 + 0.5005) / 1000000 AS b,
+       floor(2.0 * sqrt(a * a + b * b) / CAST(nn AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS amplitude,
+       CASE WHEN sst <= 0 THEN 0.0
+            ELSE floor(2.0 * (a * a + b * b) / CAST(nn AS DOUBLE) / sst
+                       * 1000000 + 0.5005) / 1000000 END AS power_share
+FROM e
+"""
+
+
+def d_bootstrap_ci(sf_dir: str):
+    """Replayable bootstrap 90% CI of per-source mean document length:
+    every resample index is the PUBLIC affine hash mod 2^61−1 of a
+    (source-ordinal, replicate, draw) triple reduced mod n — so both
+    engines draw the identical 40×200 resamples, every replicate mean
+    is an exact integer sum with one quantized division, and the CI
+    bounds are ELEMENT selections from the identical sorted replicate
+    multiset. The bootstrap nobody can accuse of cherry-picked seeds:
+    the randomness is part of the spec. Values reach the driver as
+    (source, value) cells; at 100 TB you'd bootstrap a per-source
+    reservoir instead."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.text import _mulmod61
+
+    M = np.uint64((1 << 61) - 1)
+    A = np.uint64(1442695040888963407)
+    BB = np.uint64(6364136223846793005 % ((1 << 61) - 1))
+    REPS, DRAWS = 40, 200
+
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": batch["source"].to_pandas(),
+            "v": batch["n_chars"].to_numpy(), "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["source", "v"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    jc = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["source", "v"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas().sort_values(["source", "v"])
+    )
+    srcs = sorted(jc["source"].unique())
+    rows = []
+    for s_ord, src in enumerate(srcs, start=1):
+        g = jc[jc["source"] == src]
+        vals = np.repeat(g["v"].to_numpy(np.int64),
+                         g["n"].to_numpy(np.int64))  # ascending (sorted)
+        n = len(vals)
+        b, i = np.meshgrid(np.arange(1, REPS + 1),
+                           np.arange(1, DRAWS + 1), indexing="ij")
+        x = (s_ord * 1_000_000 + b * 1000 + i).astype(np.uint64)
+        h = _mulmod61(x.ravel(), np.broadcast_to(A, x.size)) + BB
+        h = np.where(h >= M, h - M, h).reshape(x.shape)
+        r = (h % np.uint64(n)).astype(np.int64)
+        means = np.sort(_q6(vals[r].sum(axis=1) / np.float64(DRAWS)))
+        rows.append((src, n,
+                     float(means[1]),                      # 2nd of 40 ≈ p5
+                     float(_q6(np.float64(int(vals.sum()))
+                               / np.float64(n))),
+                     float(means[REPS - 2])))              # 39th ≈ p95
+    return pd.DataFrame(
+        rows, columns=["source", "n", "ci_lo", "mean", "ci_hi"]
+    ).reset_index(drop=True)
+
+
+D_BOOTSTRAP_CI_SQL = """
+WITH smap AS (SELECT source, ROW_NUMBER() OVER (ORDER BY source) AS so,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM documents GROUP BY source),
+rv AS (SELECT source, n_chars AS v,
+              ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars)
+                AS rk
+       FROM documents),
+grid AS (SELECT smap.source, smap.so, smap.n, bb.b, ii.i
+         FROM smap
+         CROSS JOIN (SELECT unnest(generate_series(1, 40)) AS b) bb
+         CROSS JOIN (SELECT unnest(generate_series(1, 200)) AS i) ii),
+drw AS (SELECT g.source, g.b,
+               CAST((CAST(g.so * 1000000 + g.b * 1000 + g.i AS HUGEINT)
+                     * 1442695040888963407 + 1752450205419405103)
+                    % 2305843009213693951 % g.n + 1 AS BIGINT) AS rk
+        FROM grid g),
+mn AS (SELECT d.source, d.b,
+              floor(CAST(SUM(rv.v) AS DOUBLE) / 200.0
+                    * 1000000 + 0.5005) / 1000000 AS m
+       FROM drw d JOIN rv ON rv.source = d.source AND rv.rk = d.rk
+       GROUP BY d.source, d.b),
+rkd AS (SELECT source, m,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY m) AS r
+        FROM mn),
+agg AS (SELECT source,
+               MAX(CASE WHEN r = 2 THEN m END) AS ci_lo,
+               MAX(CASE WHEN r = 39 THEN m END) AS ci_hi
+        FROM rkd GROUP BY source),
+base AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                floor(CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                      * 1000000 + 0.5005) / 1000000 AS mean
+         FROM documents GROUP BY source)
+SELECT base.source, base.n, agg.ci_lo, base.mean, agg.ci_hi
+FROM base JOIN agg USING (source) ORDER BY base.source
+"""
+
+
+def d_js_divergence(sf_dir: str):
+    """Jensen–Shannon divergence of every source's unigram distribution
+    from the corpus distribution — the bounded, symmetric drift score
+    (0 ≤ JSD ≤ ln 2) data-mixture papers report where KL would blow up
+    on missing tokens. Every p·ln(p/m) and c·ln(c/m) term is a rational
+    of exact token counts evaluated as the same double in both engines
+    and floored to 1e-9 units, so the two half-sums fold exactly. One
+    (source, token) count exchange, vocabulary-sized."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        src = pd.Series(batch["source"].to_numpy(zero_copy_only=False))
+        ex = (pd.Series(batch["text"].to_numpy(zero_copy_only=False))
+              .fillna("").str.findall(r"\S+").explode().dropna())
+        df = pd.DataFrame({
+            "source": src.iloc[ex.index.to_numpy(np.int64)].to_numpy(),
+            "tok": ex.to_numpy(), "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["source", "tok"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["source", "tok"]).aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    corpus = g.groupby("tok")["n"].sum()
+    n_c = int(corpus.sum())
+    rows = []
+    for src, gg in g.groupby("source"):
+        a = gg.set_index("tok")["n"]
+        n_a = int(a.sum())
+        # per-token p, c, m over the union support (source tokens plus
+        # the rest of the corpus; tokens absent from the source only
+        # contribute to the c·ln(c/m) half)
+        toks = corpus.index
+        av = a.reindex(toks, fill_value=0).to_numpy(np.int64)
+        cv = corpus.to_numpy(np.int64)
+        p = av.astype(np.float64) / np.float64(n_a)
+        c = cv.astype(np.float64) / np.float64(n_c)
+        m = 0.5 * (p + c)
+        tp = np.where(p > 0, p * np.log(np.where(p > 0, p, 1.0) / m), 0.0)
+        tc = np.where(c > 0, c * np.log(np.where(c > 0, c, 1.0) / m), 0.0)
+        fp = int(np.where(p > 0,
+                          np.floor(tp * 1e9 + 0.5005), 0).astype(np.int64)
+                 .sum())
+        fc = int(np.where(c > 0,
+                          np.floor(tc * 1e9 + 0.5005), 0).astype(np.int64)
+                 .sum())
+        jsd = _q6(0.5 * (np.float64(fp) / 1e9)
+                  + 0.5 * (np.float64(fc) / 1e9))
+        rows.append((src, n_a, float(jsd)))
+    return pd.DataFrame(rows, columns=["source", "n_tok", "jsd"]) \
+        .sort_values("source").reset_index(drop=True)
+
+
+D_JS_DIVERGENCE_SQL = """
+WITH u AS (SELECT source,
+                  unnest(regexp_extract_all(coalesce(text, ''), '\\S+'))
+                    AS tok
+           FROM documents),
+c AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM u GROUP BY source, tok),
+ct AS (SELECT tok, CAST(SUM(n) AS BIGINT) AS nc FROM c GROUP BY tok),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_c FROM c),
+sa AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_a FROM c
+       GROUP BY source),
+grid AS (SELECT sa.source, sa.n_a, ct.tok, ct.nc,
+                COALESCE(c.n, 0) AS na
+         FROM sa CROSS JOIN ct
+         LEFT JOIN c ON c.source = sa.source AND c.tok = ct.tok),
+t AS (SELECT g.source,
+             CAST(SUM(CASE WHEN g.na > 0 THEN
+               CAST(floor((CAST(g.na AS DOUBLE) / CAST(g.n_a AS DOUBLE))
+                 * ln((CAST(g.na AS DOUBLE) / CAST(g.n_a AS DOUBLE))
+                      / (0.5 * (CAST(g.na AS DOUBLE)
+                                / CAST(g.n_a AS DOUBLE)
+                                + CAST(g.nc AS DOUBLE)
+                                  / CAST(tot.n_c AS DOUBLE))))
+                 * 1000000000 + 0.5005) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(
+               CAST(floor((CAST(g.nc AS DOUBLE) / CAST(tot.n_c AS DOUBLE))
+                 * ln((CAST(g.nc AS DOUBLE) / CAST(tot.n_c AS DOUBLE))
+                      / (0.5 * (CAST(g.na AS DOUBLE)
+                                / CAST(g.n_a AS DOUBLE)
+                                + CAST(g.nc AS DOUBLE)
+                                  / CAST(tot.n_c AS DOUBLE))))
+                 * 1000000000 + 0.5005) AS BIGINT)) AS BIGINT) AS fc,
+             MAX(g.n_a) AS n_a
+      FROM grid g CROSS JOIN tot
+      GROUP BY g.source)
+SELECT source, n_a AS n_tok,
+       floor((0.5 * (CAST(fp AS DOUBLE) / 1000000000)
+              + 0.5 * (CAST(fc AS DOUBLE) / 1000000000))
+             * 1000000 + 0.5005) / 1000000 AS jsd
+FROM t ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -14823,4 +15102,7 @@ QUERIES: dict[str, tuple] = {
     "d_wasserstein": (d_wasserstein, D_WASSERSTEIN_SQL),
     "d_rbo": (d_rbo, D_RBO_SQL),
     "q_anova": (q_anova, Q_ANOVA_SQL),
+    "t_spectral": (t_spectral, T_SPECTRAL_SQL),
+    "d_bootstrap_ci": (d_bootstrap_ci, D_BOOTSTRAP_CI_SQL),
+    "d_js_divergence": (d_js_divergence, D_JS_DIVERGENCE_SQL),
 }
