@@ -250,6 +250,12 @@ HEADLINE = [
     "d_wasserstein",
     "d_rbo",
     "q_anova",
+    "t_spectral",
+    "d_bootstrap_ci",
+    "d_js_divergence",
+    "q_kendall_tau",
+    "d_vocab_coverage",
+    "q_bowley",
 ]
 
 

@@ -14803,6 +14803,212 @@ FROM t ORDER BY source
 """
 
 
+def q_kendall_tau(sf_dir: str):
+    """Kendall τ-b between quantity and discount from the 50×11 joint
+    contingency grid — concordant/discordant pair counts and both tie
+    corrections are EXACT integer sums over cell pairs (the O(n²) pair
+    space never materializes; only O(cells²) over a tiny grid), and
+    τ-b is one quantized division. The rank-correlation sibling of
+    q_spearman that handles heavy ties honestly."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_discount"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "x": batch["l_quantity"].to_numpy().astype(np.int64),
+            "y": np.floor(batch["l_discount"].to_numpy() * 100 + 0.5)
+                .astype(np.int64),
+            "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["x", "y"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["x", "y"]).aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    x = g["x"].to_numpy(np.int64)
+    y = g["y"].to_numpy(np.int64)
+    cn = g["n"].to_numpy(np.int64).astype(object)
+    lt_x = x[:, None] < x[None, :]
+    lt_y = y[:, None] < y[None, :]
+    gt_y = y[:, None] > y[None, :]
+    pairprod = cn[:, None] * cn[None, :]
+    C = int(pairprod[lt_x & lt_y].sum())
+    D = int(pairprod[lt_x & gt_y].sum())
+    n = int(cn.sum())
+    n0 = n * (n - 1) // 2
+    tx = pd.Series(g["n"].to_numpy(np.int64)).groupby(x).sum()
+    ty = pd.Series(g["n"].to_numpy(np.int64)).groupby(y).sum()
+    n1 = int(sum(int(t) * (int(t) - 1) // 2 for t in tx))
+    n2 = int(sum(int(t) * (int(t) - 1) // 2 for t in ty))
+    tau = float(_q6(np.float64(C - D)
+                    / np.sqrt(np.float64(n0 - n1) * np.float64(n0 - n2))))
+    return pd.DataFrame({
+        "n": [n], "concordant": [C], "discordant": [D],
+        "ties_x": [n1], "ties_y": [n2], "tau_b": [tau],
+    })
+
+
+Q_KENDALL_TAU_SQL = """
+WITH c AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                  CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS y,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY 1, 2),
+cd AS (SELECT
+         CAST(SUM(CASE WHEN a.x < b.x AND a.y < b.y
+                       THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END)
+              AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN a.x < b.x AND a.y > b.y
+                       THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END)
+              AS BIGINT) AS d
+       FROM c a CROSS JOIN c b),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(n) * (SUM(n) - 1) // 2 AS BIGINT) AS n0
+      FROM c),
+tx AS (SELECT CAST(SUM(s * (s - 1) // 2) AS BIGINT) AS n1
+       FROM (SELECT CAST(SUM(n) AS BIGINT) AS s FROM c GROUP BY x)),
+ty AS (SELECT CAST(SUM(s * (s - 1) // 2) AS BIGINT) AS n2
+       FROM (SELECT CAST(SUM(n) AS BIGINT) AS s FROM c GROUP BY y))
+SELECT t.n, cd.c AS concordant, cd.d AS discordant,
+       tx.n1 AS ties_x, ty.n2 AS ties_y,
+       floor(CAST(cd.c - cd.d AS DOUBLE)
+             / sqrt(CAST(t.n0 - tx.n1 AS DOUBLE)
+                    * CAST(t.n0 - ty.n2 AS DOUBLE))
+             * 1000000 + 0.5005) / 1000000 AS tau_b
+FROM cd CROSS JOIN t CROSS JOIN tx CROSS JOIN ty
+"""
+
+
+def d_vocab_coverage(sf_dir: str):
+    """Vocabulary coverage curve: the share of total token mass the
+    top-k tokens capture, at k = 1,2,4,…,256 (clamped to the realized
+    vocabulary) — the plot that sizes a vocab before you train a
+    tokenizer. Ranking is exact counts with token-text tie-break;
+    cumulative mass is an exact integer; each coverage point is one
+    quantized division. Vocabulary-sized exchange."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ex = (pd.Series(batch["text"].to_numpy(zero_copy_only=False))
+              .fillna("").str.findall(r"\S+").explode().dropna())
+        df = pd.DataFrame({"tok": ex.to_numpy(), "n": 1})
+        return pa.Table.from_pandas(
+            df.groupby("tok", as_index=False).sum(), preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("tok").aggregate(Sum("n", alias_name="n"))
+        .to_pandas().sort_values(["n", "tok"], ascending=[False, True])
+    )
+    cum = np.cumsum(g["n"].to_numpy(np.int64))
+    total = int(cum[-1])
+    vocab = len(g)
+    rows = [(k, vocab, int(cum[k - 1]),
+             float(_q6(np.float64(int(cum[k - 1])) / np.float64(total))))
+            for k in (1, 2, 4, 8, 16, 32, 64, 128, 256) if k <= vocab]
+    return pd.DataFrame(rows, columns=["k", "vocab", "mass", "coverage"])
+
+
+D_VOCAB_COVERAGE_SQL = """
+WITH u AS (SELECT unnest(regexp_extract_all(coalesce(text, ''), '\\S+'))
+             AS tok
+           FROM documents),
+c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY tok),
+r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rk FROM c),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS vocab
+      FROM c),
+cm AS (SELECT rk, CAST(SUM(n) OVER (ORDER BY rk) AS BIGINT) AS cum
+       FROM r),
+ks AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128, 256]) AS k)
+SELECT ks.k, t.vocab, cm.cum AS mass,
+       floor(CAST(cm.cum AS DOUBLE) / CAST(t.total AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS coverage
+FROM ks JOIN cm ON cm.rk = ks.k CROSS JOIN t
+WHERE ks.k <= t.vocab
+ORDER BY ks.k
+"""
+
+
+def q_bowley(sf_dir: str):
+    """Bowley (quartile) skewness of price per returnflag: Q1/Q2/Q3
+    are EXACT ELEMENTS of the input selected by cumulative-count rank
+    over value cells (⌈n/4⌉, ⌈n/2⌉, ⌈3n/4⌉), so the only quantized
+    number is the final (Q1+Q3−2Q2)/(Q3−Q1) ratio — the robust
+    skewness that ignores everything outside the quartiles."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "f": batch["l_returnflag"].to_pandas(),
+            "v": np.floor(batch["l_extendedprice"].to_numpy() * 100 + 0.5)
+                .astype(np.int64),
+            "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["f", "v"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    jc = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["f", "v"]).aggregate(Sum("n", alias_name="n"))
+        .to_pandas().sort_values(["f", "v"])
+    )
+    rows = []
+    for f, g in jc.groupby("f"):
+        cnt = g["n"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        n = int(cnt.sum())
+        cum = np.cumsum(cnt)
+
+        def el(r):
+            return int(v[np.searchsorted(cum, r)])
+
+        q1 = el(-(-n // 4))        # ceil(n/4)
+        q2 = el(-(-n // 2))
+        q3 = el(-(-(3 * n) // 4))
+        skew = 0.0 if q3 == q1 else float(
+            _q6(np.float64(q1 + q3 - 2 * q2) / np.float64(q3 - q1)))
+        rows.append((f, n, q1, q2, q3, skew))
+    return pd.DataFrame(
+        rows, columns=["l_returnflag", "n", "q1", "q2", "q3", "bowley"]
+    ).sort_values("l_returnflag").reset_index(drop=True)
+
+
+Q_BOWLEY_SQL = """
+WITH c AS (SELECT l_returnflag AS f,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY 1, 2),
+t AS (SELECT f, CAST(SUM(n) AS BIGINT) AS nn FROM c GROUP BY f),
+r AS (SELECT c.f, c.v, t.nn,
+             CAST(SUM(c.n) OVER (PARTITION BY c.f ORDER BY c.v)
+                  AS BIGINT) AS cum
+      FROM c JOIN t USING (f)),
+q AS (SELECT f, nn,
+             MIN(CASE WHEN cum >= (nn + 3) // 4 THEN v END) AS q1,
+             MIN(CASE WHEN cum >= (nn + 1) // 2 THEN v END) AS q2,
+             MIN(CASE WHEN cum >= (3 * nn + 3) // 4 THEN v END) AS q3
+      FROM r GROUP BY f, nn)
+SELECT f AS l_returnflag, nn AS n, q1, q2, q3,
+       CASE WHEN q3 = q1 THEN 0.0
+            ELSE floor(CAST(q1 + q3 - 2 * q2 AS DOUBLE)
+                       / CAST(q3 - q1 AS DOUBLE)
+                       * 1000000 + 0.5005) / 1000000 END AS bowley
+FROM q ORDER BY f
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -15105,4 +15311,7 @@ QUERIES: dict[str, tuple] = {
     "t_spectral": (t_spectral, T_SPECTRAL_SQL),
     "d_bootstrap_ci": (d_bootstrap_ci, D_BOOTSTRAP_CI_SQL),
     "d_js_divergence": (d_js_divergence, D_JS_DIVERGENCE_SQL),
+    "q_kendall_tau": (q_kendall_tau, Q_KENDALL_TAU_SQL),
+    "d_vocab_coverage": (d_vocab_coverage, D_VOCAB_COVERAGE_SQL),
+    "q_bowley": (q_bowley, Q_BOWLEY_SQL),
 }
