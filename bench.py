@@ -256,6 +256,9 @@ HEADLINE = [
     "q_kendall_tau",
     "d_vocab_coverage",
     "q_bowley",
+    "q_cramers_v",
+    "t_fano",
+    "t_decayed_mean",
 ]
 
 

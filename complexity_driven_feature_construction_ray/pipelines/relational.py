@@ -15009,6 +15009,243 @@ FROM q ORDER BY f
 """
 
 
+def q_cramers_v(sf_dir: str):
+    """Cramér's V association between language and source — the
+    normalized χ² that says whether two categorical labelings are
+    redundant before you stratify on both. Expected cell counts are
+    rationals of exact marginals; each (o−e)²/e term evaluates as the
+    same double in both engines and floors to micro units, so χ² folds
+    exactly and V is one quantized sqrt-ratio. O(langs×sources)
+    exchange."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": batch["lang"].to_pandas(),
+            "source": batch["source"].to_pandas(), "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["lang", "source"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["lang", "source"]).aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    piv = g.pivot_table(index="lang", columns="source", values="n",
+                        fill_value=0, aggfunc="sum")
+    o = piv.to_numpy(np.int64)
+    row = o.sum(axis=1, keepdims=True).astype(np.int64)
+    col = o.sum(axis=0, keepdims=True).astype(np.int64)
+    n = int(o.sum())
+    e = row.astype(np.float64) * col.astype(np.float64) / np.float64(n)
+    term = (o.astype(np.float64) - e) * (o.astype(np.float64) - e) / e
+    fold = int(np.floor(term * 1e6 + 0.5005).astype(np.int64).sum())
+    chi2 = np.float64(fold) / 1e6
+    r, c = o.shape
+    v = np.sqrt(chi2 / (np.float64(n) * np.float64(min(r, c) - 1)))
+    return pd.DataFrame({
+        "n": [n], "n_lang": [r], "n_source": [c],
+        "chi2": [float(_q6(chi2))], "cramers_v": [float(_q6(v))],
+    })
+
+
+Q_CRAMERS_V_SQL = """
+WITH o AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY lang, source),
+rl AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS r FROM o GROUP BY lang),
+cl AS (SELECT source, CAST(SUM(n) AS BIGINT) AS c FROM o GROUP BY source),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST((SELECT COUNT(*) FROM rl) AS BIGINT) AS nr,
+             CAST((SELECT COUNT(*) FROM cl) AS BIGINT) AS nc
+      FROM o),
+grid AS (SELECT rl.lang, cl.source, rl.r, cl.c, COALESCE(o.n, 0) AS n
+         FROM rl CROSS JOIN cl
+         LEFT JOIN o ON o.lang = rl.lang AND o.source = cl.source),
+k AS (SELECT CAST(SUM(CAST(floor(
+               (CAST(g.n AS DOUBLE)
+                - CAST(g.r AS DOUBLE) * CAST(g.c AS DOUBLE)
+                  / CAST(t.nn AS DOUBLE))
+               * (CAST(g.n AS DOUBLE)
+                  - CAST(g.r AS DOUBLE) * CAST(g.c AS DOUBLE)
+                    / CAST(t.nn AS DOUBLE))
+               / (CAST(g.r AS DOUBLE) * CAST(g.c AS DOUBLE)
+                  / CAST(t.nn AS DOUBLE))
+               * 1000000 + 0.5005) AS BIGINT)) AS BIGINT) AS fold
+      FROM grid g CROSS JOIN t)
+SELECT t.nn AS n, t.nr AS n_lang, t.nc AS n_source,
+       floor(CAST(k.fold AS DOUBLE) / 1000000
+             * 1000000 + 0.5005) / 1000000 AS chi2,
+       floor(sqrt((CAST(k.fold AS DOUBLE) / 1000000)
+                  / (CAST(t.nn AS DOUBLE)
+                     * CAST(least(t.nr, t.nc) - 1 AS DOUBLE)))
+             * 1000000 + 0.5005) / 1000000 AS cramers_v
+FROM k CROSS JOIN t
+"""
+
+
+def t_fano(sf_dir: str):
+    """Fano factor (index of dispersion, var/mean) of each event
+    type's hourly arrival counts over the dense global hour grid —
+    the one-number test of whether arrivals are Poisson (≈1), bursty
+    (>1) or regular (<1). Per-type n, Σy, Σy² are exact integers
+    (silent hours are zeros both engines materialize); variance uses
+    the n−1 denominator and one quantized division each for var,
+    mean, fano."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ts = _read(sf_dir, "events", columns=["ts"])
+    mm = ts.aggregate(Min("ts"), Max("ts"))
+    lo = int(np.datetime64(mm["min(ts)"], "us").astype(np.int64)) \
+        // 3_600_000_000
+    hi = int(np.datetime64(mm["max(ts)"], "us").astype(np.int64)) \
+        // 3_600_000_000
+    H = hi - lo + 1
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pandas(),
+            "h": (us // 3_600_000_000).astype(np.int64), "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["event_type", "h"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["event_type", "h"]).aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for et, grp in g.groupby("event_type"):
+        y = np.zeros(H, np.int64)
+        y[grp["h"].to_numpy(np.int64) - lo] = grp["n"].to_numpy(np.int64)
+        S = int(y.sum())
+        Q = int((y.astype(object) * y.astype(object)).sum())
+        mean = _q6(np.float64(S) / np.float64(H))
+        var = _q6((np.float64(Q)
+                   - np.float64(S) * np.float64(S) / np.float64(H))
+                  / np.float64(H - 1))
+        fano = _q6(float(var) / float(mean)) if mean > 0 else 0.0
+        rows.append((et, H, S, float(mean), float(var), float(fano)))
+    return pd.DataFrame(
+        rows,
+        columns=["event_type", "n_hours", "total", "mean", "var", "fano"],
+    ).sort_values("event_type").reset_index(drop=True)
+
+
+T_FANO_SQL = """
+WITH b AS (SELECT MIN(epoch_us(ts)) // 3600000000 AS lo,
+                  MAX(epoch_us(ts)) // 3600000000 AS hi
+           FROM events),
+grid AS (SELECT t.event_type, g.h
+         FROM (SELECT DISTINCT event_type FROM events) t
+         CROSS JOIN (SELECT unnest(generate_series(b.lo, b.hi)) AS h
+                     FROM b) g),
+c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+y AS (SELECT grid.event_type, COALESCE(c.n, 0) AS n
+      FROM grid LEFT JOIN c USING (event_type, h)),
+s AS (SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS hh,
+             CAST(SUM(n) AS BIGINT) AS s,
+             CAST(SUM(CAST(n AS HUGEINT) * n) AS HUGEINT) AS q
+      FROM y GROUP BY event_type),
+e AS (SELECT event_type, hh, s,
+             floor(CAST(s AS DOUBLE) / CAST(hh AS DOUBLE)
+                   * 1000000 + 0.5005) / 1000000 AS mean,
+             floor((CAST(q AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                      / CAST(hh AS DOUBLE))
+                   / CAST(hh - 1 AS DOUBLE)
+                   * 1000000 + 0.5005) / 1000000 AS var
+      FROM s)
+SELECT event_type, hh AS n_hours, s AS total, mean, var,
+       CASE WHEN mean <= 0 THEN 0.0
+            ELSE floor(var / mean * 1000000 + 0.5005) / 1000000
+       END AS fano
+FROM e ORDER BY event_type
+"""
+
+
+def t_decayed_mean(sf_dir: str):
+    """Recency-weighted (time-decayed) mean event value per type with
+    a one-week half-life, the feature-store staple — made EXACT by
+    flooring age to whole weeks so every weight is a power of two:
+    v·2^(K−k) folds as an exact integer (K = max week bucket), the
+    weight fold likewise, and the decayed mean is ONE quantized
+    division. No exp(), no per-row float weight, no sum-order drift."""
+    from ray.data.aggregate import Max, Sum
+
+    mx = _read(sf_dir, "events", columns=["ts"]).aggregate(Max("ts"))["max(ts)"]
+    t_end = int(np.datetime64(mx, "us").astype(np.int64))
+    WEEK_US = 7 * 24 * 3_600_000_000
+    KMAX = 16  # clamp: weights below 2^-16 are dust
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        k = np.minimum((t_end - us) // WEEK_US, KMAX).astype(np.int64)
+        w = np.int64(1) << (KMAX - k)
+        v = np.floor(batch["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pandas(),
+            "num": v * w, "den": w,
+        })
+        return pa.Table.from_pandas(
+            df.groupby("event_type", as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("num", alias_name="num"), Sum("den", alias_name="den"))
+        .to_pandas().sort_values("event_type")
+    )
+    rows = []
+    for _, r in g.iterrows():
+        num, den = int(r["num"]), int(r["den"])
+        rows.append((r["event_type"], num, den,
+                     float(_q6(np.float64(num) / np.float64(den) / 100.0))))
+    return pd.DataFrame(
+        rows, columns=["event_type", "num", "den", "decayed_mean"]
+    ).reset_index(drop=True)
+
+
+T_DECAYED_MEAN_SQL = """
+WITH te AS (SELECT MAX(epoch_us(ts)) AS t_end FROM events),
+c AS (SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT)
+               * (CAST(1 AS BIGINT)
+                  << CAST(16 - least((te.t_end - epoch_us(ts))
+                                     // 604800000000, 16) AS INT))
+               AS num,
+             (CAST(1 AS BIGINT)
+              << CAST(16 - least((te.t_end - epoch_us(ts))
+                                 // 604800000000, 16) AS INT)) AS den
+      FROM events CROSS JOIN te)
+SELECT event_type,
+       CAST(SUM(num) AS BIGINT) AS num,
+       CAST(SUM(den) AS BIGINT) AS den,
+       floor(CAST(SUM(num) AS DOUBLE) / CAST(SUM(den) AS DOUBLE) / 100.0
+             * 1000000 + 0.5005) / 1000000 AS decayed_mean
+FROM c GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -15314,4 +15551,7 @@ QUERIES: dict[str, tuple] = {
     "q_kendall_tau": (q_kendall_tau, Q_KENDALL_TAU_SQL),
     "d_vocab_coverage": (d_vocab_coverage, D_VOCAB_COVERAGE_SQL),
     "q_bowley": (q_bowley, Q_BOWLEY_SQL),
+    "q_cramers_v": (q_cramers_v, Q_CRAMERS_V_SQL),
+    "t_fano": (t_fano, T_FANO_SQL),
+    "t_decayed_mean": (t_decayed_mean, T_DECAYED_MEAN_SQL),
 }
