@@ -259,6 +259,9 @@ HEADLINE = [
     "q_cramers_v",
     "t_fano",
     "t_decayed_mean",
+    "d_heaps",
+    "t_drawdown",
+    "t_growth_accounting",
 ]
 
 

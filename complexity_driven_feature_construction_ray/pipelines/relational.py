@@ -15246,6 +15246,218 @@ FROM c GROUP BY event_type ORDER BY event_type
 """
 
 
+def d_heaps(sf_dir: str):
+    """Heaps-law vocabulary-growth exponent from two checkpoints: the
+    corpus's first half (by doc_id order statistic, exact) vs the
+    whole — β = ln(V_full/V_half)/ln(N_full/N_half). Distinct-token
+    and token-total counts are exact integers in both engines, so β
+    is one quantized ratio of identical ln doubles. The two-point
+    estimate a tokenizer-budget planner needs without re-scanning at
+    every prefix."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    n_docs = _table_nrows(sf_dir, "documents")
+    # order statistic: the (n//2)-th smallest doc_id = half threshold
+    ids = ds.select_columns(["doc_id"]).to_pandas()["doc_id"] \
+        .to_numpy(np.int64)
+    thr = int(np.sort(ids)[n_docs // 2 - 1])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        idv = pd.Series(batch["doc_id"].to_numpy())
+        ex = (pd.Series(batch["text"].to_numpy(zero_copy_only=False))
+              .fillna("").str.findall(r"\S+").explode().dropna())
+        half = (idv.iloc[ex.index.to_numpy(np.int64)].to_numpy()
+                <= thr).astype(np.int64)
+        df = pd.DataFrame({"tok": ex.to_numpy(), "h": half, "n": 1})
+        return pa.Table.from_pandas(
+            df.groupby(["tok", "h"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["tok", "h"]).aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    n_full = int(g["n"].sum())
+    v_full = g["tok"].nunique()
+    gh = g[g["h"] == 1]
+    n_half = int(gh["n"].sum())
+    v_half = gh["tok"].nunique()
+    beta = _q6(np.log(np.float64(v_full) / np.float64(v_half))
+               / np.log(np.float64(n_full) / np.float64(n_half)))
+    return pd.DataFrame({
+        "n_half": [n_half], "v_half": [v_half],
+        "n_full": [n_full], "v_full": [v_full],
+        "beta": [float(beta)],
+    })
+
+
+D_HEAPS_SQL = """
+WITH thr AS (SELECT doc_id AS t FROM documents ORDER BY doc_id
+             LIMIT 1 OFFSET (SELECT COUNT(*) // 2 - 1 FROM documents)),
+u AS (SELECT doc_id,
+             unnest(regexp_extract_all(coalesce(text, ''), '\\S+')) AS tok
+      FROM documents),
+f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_full,
+             CAST(COUNT(DISTINCT tok) AS BIGINT) AS v_full
+      FROM u),
+h AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_half,
+             CAST(COUNT(DISTINCT u.tok) AS BIGINT) AS v_half
+      FROM u CROSS JOIN thr WHERE u.doc_id <= thr.t)
+SELECT h.n_half, h.v_half, f.n_full, f.v_full,
+       floor(ln(CAST(f.v_full AS DOUBLE) / CAST(h.v_half AS DOUBLE))
+             / ln(CAST(f.n_full AS DOUBLE) / CAST(h.n_half AS DOUBLE))
+             * 1000000 + 0.5005) / 1000000 AS beta
+FROM f CROSS JOIN h
+"""
+
+
+def t_drawdown(sf_dir: str):
+    """Maximum drawdown of the cumulative hourly event-value series:
+    running sum, running max and the drawdown itself are ALL exact
+    integer cents over the dense hour grid, and the peak/trough hours
+    break ties deterministically at first occurrence — the risk
+    metric with zero float anywhere except the final dollars
+    conversion."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ts = _read(sf_dir, "events", columns=["ts"])
+    mm = ts.aggregate(Min("ts"), Max("ts"))
+    lo = int(np.datetime64(mm["min(ts)"], "us").astype(np.int64)) \
+        // 3_600_000_000
+    hi = int(np.datetime64(mm["max(ts)"], "us").astype(np.int64)) \
+        // 3_600_000_000
+    H = hi - lo + 1
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "h": (us // 3_600_000_000).astype(np.int64),
+            "s": np.floor(batch["value"].to_numpy() * 100 + 0.5)
+                .astype(np.int64),
+        })
+        return pa.Table.from_pandas(
+            df.groupby("h", as_index=False).sum(), preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("h").aggregate(Sum("s", alias_name="s"))
+        .to_pandas()
+    )
+    y = np.zeros(H, np.int64)
+    y[g["h"].to_numpy(np.int64) - lo] = g["s"].to_numpy(np.int64)
+    run = np.cumsum(y)
+    runmax = np.maximum.accumulate(run)
+    dd = runmax - run
+    best = int(np.argmax(dd))  # first occurrence on ties
+    return pd.DataFrame({
+        "n_hours": [H],
+        "max_drawdown_cents": [int(dd[best])],
+        "trough_hour": [best + lo],
+        "final_cents": [int(run[-1])],
+    })
+
+
+T_DRAWDOWN_SQL = """
+WITH b AS (SELECT MIN(epoch_us(ts)) // 3600000000 AS lo,
+                  MAX(epoch_us(ts)) // 3600000000 AS hi
+           FROM events),
+grid AS (SELECT unnest(generate_series(b.lo, b.hi)) AS h FROM b),
+c AS (SELECT epoch_us(ts) // 3600000000 AS h,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS s
+      FROM events GROUP BY 1),
+y AS (SELECT grid.h, COALESCE(c.s, 0) AS s FROM grid LEFT JOIN c USING (h)),
+r0 AS (SELECT h, CAST(SUM(s) OVER (ORDER BY h) AS BIGINT) AS run FROM y),
+r AS (SELECT h, run,
+             CAST(MAX(run) OVER (ORDER BY h) AS BIGINT) AS runmax
+      FROM r0),
+d AS (SELECT h, runmax - run AS dd, run FROM r)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM y) AS n_hours,
+       d.dd AS max_drawdown_cents,
+       d.h AS trough_hour,
+       (SELECT run FROM r ORDER BY h DESC LIMIT 1) AS final_cents
+FROM d ORDER BY d.dd DESC, d.h LIMIT 1
+"""
+
+
+def t_growth_accounting(sf_dir: str):
+    """Weekly growth accounting — active / new / retained /
+    resurrected / churned users per week, the canonical product
+    health report — from one distinct (user, week) presence exchange:
+    active and new are per-week counts, retained is presence in both
+    w−1 and w, and churned/resurrected FOLLOW from the identity
+    (churned_w = active_{w−1} − retained_w; resurrected_w = active_w −
+    new_w − retained_w). Pure integer set logic; no quantizer."""
+    WEEK_US = 7 * 24 * 3_600_000_000
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(),
+            "w": (us // WEEK_US).astype(np.int64),
+        }).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    p = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["user_id", "w"]).count()
+        .to_pandas()[["user_id", "w"]]
+    )
+    first = p.groupby("user_id")["w"].min()
+    weeks = np.arange(int(p["w"].min()), int(p["w"].max()) + 1)
+    sets = {w: set(p.loc[p["w"] == w, "user_id"]) for w in weeks}
+    rows = []
+    prev: set = set()
+    for w in weeks:
+        cur = sets[w]
+        active = len(cur)
+        new = int((first == w).sum())
+        retained = len(cur & prev)
+        rows.append((int(w), active, new, retained,
+                     active - new - retained, len(prev) - retained))
+        prev = cur
+    return pd.DataFrame(
+        rows,
+        columns=["week", "active", "new", "retained", "resurrected",
+                 "churned"],
+    )
+
+
+T_GROWTH_ACCOUNTING_SQL = """
+WITH p AS (SELECT DISTINCT user_id,
+                  epoch_us(ts) // 604800000000 AS w
+           FROM events),
+f AS (SELECT user_id, MIN(w) AS fw FROM p GROUP BY user_id),
+b AS (SELECT MIN(w) AS lo, MAX(w) AS hi FROM p),
+grid AS (SELECT unnest(generate_series(b.lo, b.hi)) AS w FROM b),
+act AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS active FROM p GROUP BY w),
+nw AS (SELECT fw AS w, CAST(COUNT(*) AS BIGINT) AS new FROM f GROUP BY fw),
+ret AS (SELECT a.w, CAST(COUNT(*) AS BIGINT) AS retained
+        FROM p a JOIN p b2 ON b2.user_id = a.user_id AND b2.w = a.w - 1
+        GROUP BY a.w)
+SELECT grid.w AS week,
+       COALESCE(act.active, 0) AS active,
+       COALESCE(nw.new, 0) AS new,
+       COALESCE(ret.retained, 0) AS retained,
+       COALESCE(act.active, 0) - COALESCE(nw.new, 0)
+         - COALESCE(ret.retained, 0) AS resurrected,
+       COALESCE(LAG(act.active) OVER (ORDER BY grid.w), 0)
+         - COALESCE(ret.retained, 0) AS churned
+FROM grid
+LEFT JOIN act USING (w) LEFT JOIN nw USING (w) LEFT JOIN ret USING (w)
+ORDER BY week
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -15554,4 +15766,7 @@ QUERIES: dict[str, tuple] = {
     "q_cramers_v": (q_cramers_v, Q_CRAMERS_V_SQL),
     "t_fano": (t_fano, T_FANO_SQL),
     "t_decayed_mean": (t_decayed_mean, T_DECAYED_MEAN_SQL),
+    "d_heaps": (d_heaps, D_HEAPS_SQL),
+    "t_drawdown": (t_drawdown, T_DRAWDOWN_SQL),
+    "t_growth_accounting": (t_growth_accounting, T_GROWTH_ACCOUNTING_SQL),
 }
