@@ -262,6 +262,8 @@ HEADLINE = [
     "d_heaps",
     "t_drawdown",
     "t_growth_accounting",
+    "t_durbin_watson",
+    "q_jarque_bera",
 ]
 
 

@@ -15458,6 +15458,160 @@ ORDER BY week
 """
 
 
+def t_durbin_watson(sf_dir: str):
+    """Durbin–Watson autocorrelation test on the residuals of the
+    hourly-count time trend — with the residuals SCALED to exact
+    integers: R_t = n·den·y_t − n·num·t − (Sy·den − num·Sx) clears
+    both the slope and intercept denominators, so Σ(ΔR)² and ΣR² are
+    exact integer folds (HUGEINT in SQL, Python ints here) and DW is
+    ONE quantized division. The regression-diagnostics classic with
+    zero float residuals."""
+    y = _dense_hourly_counts(sf_dir)
+    n = len(y)
+    t = np.arange(n, dtype=np.int64)
+    Sx, Sy = int(t.sum()), int(y.sum())
+    Sxx = int((t * t).sum())
+    Sxy = int((t * y).sum())
+    num = n * Sxy - Sx * Sy
+    den = n * Sxx - Sx * Sx
+    c0 = Sy * den - num * Sx
+    R = [n * den * int(yv) - n * num * int(tv) - c0
+         for yv, tv in zip(y, t)]
+    sum_sq = sum(r * r for r in R)
+    sum_d2 = sum((R[i] - R[i - 1]) ** 2 for i in range(1, n))
+    dw = float(_q6(np.float64(sum_d2) / np.float64(sum_sq)))
+    return pd.DataFrame({
+        "n_hours": [n],
+        "slope": [float(_q6(np.float64(num) / np.float64(den)))],
+        "dw": [dw],
+    })
+
+
+T_DURBIN_WATSON_SQL = """
+WITH b AS (SELECT MIN(epoch_us(ts)) // 3600000000 AS lo,
+                  MAX(epoch_us(ts)) // 3600000000 AS hi
+           FROM events),
+grid AS (SELECT unnest(generate_series(b.lo, b.hi)) AS h FROM b),
+c AS (SELECT epoch_us(ts) // 3600000000 AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+y AS (SELECT grid.h - b.lo AS t, COALESCE(c.n, 0) AS n
+      FROM grid CROSS JOIN b LEFT JOIN c USING (h)),
+m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nn,
+             CAST(SUM(t) AS HUGEINT) AS sx,
+             CAST(SUM(n) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(t AS HUGEINT) * t) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(t AS HUGEINT) * n) AS HUGEINT) AS sxy
+      FROM y),
+k AS (SELECT nn, sx, sy,
+             nn * sxy - sx * sy AS num,
+             nn * sxx - sx * sx AS den
+      FROM m),
+r AS (SELECT y.t,
+             k.nn * k.den * y.n - k.nn * k.num * y.t
+               - (k.sy * k.den - k.num * k.sx) AS rr
+      FROM y CROSS JOIN k),
+d AS (SELECT rr, rr - LAG(rr) OVER (ORDER BY t) AS dr FROM r),
+s AS (SELECT CAST(SUM(rr * rr) AS HUGEINT) AS sum_sq,
+             CAST(SUM(dr * dr) AS HUGEINT) AS sum_d2
+      FROM d)
+SELECT CAST(k.nn AS BIGINT) AS n_hours,
+       floor(CAST(k.num AS DOUBLE) / CAST(k.den AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS slope,
+       floor(CAST(s.sum_d2 AS DOUBLE) / CAST(s.sum_sq AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS dw
+FROM s CROSS JOIN k
+"""
+
+
+def q_jarque_bera(sf_dir: str):
+    """Jarque–Bera normality test of document length per source: the
+    four raw power sums P1..P4 stream as exact int64 partials (v ≤
+    ~5k keeps Σv⁴ inside int64 at fixture scales; at 100 TB you'd
+    carry hi/lo limbs), central moments evaluate as token-identical
+    doubles in both engines, skewness/kurtosis quantize once, and JB
+    recomputes from the QUANTIZED pair so cross-engine agreement is
+    structural. The pre-modeling check that says whether a Gaussian
+    assumption is even on the table."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        v = batch["n_chars"].to_numpy().astype(np.int64)
+        df = pd.DataFrame({
+            "source": batch["source"].to_pandas(),
+            "n": 1, "p1": v, "p2": v * v, "p3": v * v * v,
+            "p4": v * v * v * v,
+        })
+        return pa.Table.from_pandas(
+            df.groupby("source", as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(*[Sum(c, alias_name=c)
+                     for c in ("n", "p1", "p2", "p3", "p4")])
+        .to_pandas().sort_values("source")
+    )
+    rows = []
+    for _, r in g.iterrows():
+        n = np.float64(int(r["n"]))
+        p1, p2 = np.float64(int(r["p1"])), np.float64(int(r["p2"]))
+        p3, p4 = np.float64(int(r["p3"])), np.float64(int(r["p4"]))
+        mu = p1 / n
+        m2 = p2 / n - mu * mu
+        m3 = p3 / n - 3.0 * mu * (p2 / n) + 2.0 * mu * mu * mu
+        m4 = (p4 / n - 4.0 * mu * (p3 / n) + 6.0 * mu * mu * (p2 / n)
+              - 3.0 * mu * mu * mu * mu)
+        skew = float(_q6(m3 / (m2 * np.sqrt(m2))))
+        kurt = float(_q6(m4 / (m2 * m2) - 3.0))
+        jb = float(_q6(n / 6.0 * (skew * skew + kurt * kurt / 4.0)))
+        rows.append((r["source"], int(r["n"]), skew, kurt, jb))
+    return pd.DataFrame(
+        rows, columns=["source", "n", "skew", "kurtosis", "jb"]
+    ).reset_index(drop=True)
+
+
+Q_JARQUE_BERA_SQL = """
+WITH g AS (SELECT source,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(n_chars) AS BIGINT) AS p1,
+                  CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT)
+                    AS p2,
+                  CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars * n_chars)
+                       AS HUGEINT) AS p3,
+                  CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars * n_chars
+                           * n_chars) AS HUGEINT) AS p4
+           FROM documents GROUP BY source),
+m AS (SELECT source, n,
+             CAST(p1 AS DOUBLE) / n AS mu,
+             CAST(p2 AS DOUBLE) / n AS q2,
+             CAST(p3 AS DOUBLE) / n AS q3,
+             CAST(p4 AS DOUBLE) / n AS q4
+      FROM g),
+c AS (SELECT source, n,
+             q2 - mu * mu AS m2,
+             q3 - 3.0 * mu * q2 + 2.0 * mu * mu * mu AS m3,
+             q4 - 4.0 * mu * q3 + 6.0 * mu * mu * q2
+               - 3.0 * mu * mu * mu * mu AS m4
+      FROM m),
+s AS (SELECT source, n,
+             floor(m3 / (m2 * sqrt(m2)) * 1000000 + 0.5005) / 1000000
+               AS skew,
+             floor((m4 / (m2 * m2) - 3.0) * 1000000 + 0.5005) / 1000000
+               AS kurtosis
+      FROM c)
+SELECT source, n, skew, kurtosis,
+       floor(CAST(n AS DOUBLE) / 6.0
+             * (skew * skew + kurtosis * kurtosis / 4.0)
+             * 1000000 + 0.5005) / 1000000 AS jb
+FROM s ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -15769,4 +15923,6 @@ QUERIES: dict[str, tuple] = {
     "d_heaps": (d_heaps, D_HEAPS_SQL),
     "t_drawdown": (t_drawdown, T_DRAWDOWN_SQL),
     "t_growth_accounting": (t_growth_accounting, T_GROWTH_ACCOUNTING_SQL),
+    "t_durbin_watson": (t_durbin_watson, T_DURBIN_WATSON_SQL),
+    "q_jarque_bera": (q_jarque_bera, Q_JARQUE_BERA_SQL),
 }
