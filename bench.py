@@ -264,6 +264,8 @@ HEADLINE = [
     "t_growth_accounting",
     "t_durbin_watson",
     "q_jarque_bera",
+    "t_cohort_ltv",
+    "q_median_test",
 ]
 
 

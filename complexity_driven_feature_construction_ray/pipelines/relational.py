@@ -15612,6 +15612,194 @@ FROM s ORDER BY source
 """
 
 
+def t_cohort_ltv(sf_dir: str):
+    """Cohort LTV curves: users grouped by signup week, cumulative
+    purchase revenue per cohort by week-age (purchases at-or-after the
+    signup week only) — the retention-economics triangle every growth
+    team reads. One entity shuffle tags each purchase with its user's
+    cohort and age, an O(cohorts×ages) cent-cell exchange feeds the
+    window cumsum, and LTV-per-user is the only quantized number."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.temporal import grouped_map
+
+    WEEK_US = 7 * 24 * 3_600_000_000
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type",
+                                          "value"],
+               split=True)
+
+    def tag(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({
+            "u": g["user_id"].to_numpy(np.int64),
+            "w": us // WEEK_US,
+            "et": g["event_type"].to_numpy(object),
+            "c": np.floor(g["value"].to_numpy() * 100 + 0.5)
+                .astype(np.int64),
+        })
+        cohort = df[df["et"] == "signup"].groupby("u")["w"].min()
+        p = df[df["et"] == "purchase"].merge(
+            cohort.rename("cw").reset_index(), on="u")
+        p = p[p["w"] >= p["cw"]]
+        cells = p.assign(age=p["w"] - p["cw"], n=1).groupby(
+            ["cw", "age"], as_index=False).agg(
+            n=("n", "sum"), rev=("c", "sum"))
+        sizes = cohort.reset_index().groupby("w", as_index=False) \
+            .agg(users=("u", "size")).rename(columns={"w": "cw"})
+        sizes["age"] = -1  # size marker rows share the exchange
+        sizes["n"] = sizes.pop("users")
+        sizes["rev"] = 0
+        return pd.concat([cells, sizes[["cw", "age", "n", "rev"]]],
+                         ignore_index=True)
+
+    cells = (
+        grouped_map(ds, "user_id", tag)
+        .groupby(["cw", "age"])
+        .aggregate(Sum("n", alias_name="n"), Sum("rev", alias_name="rev"))
+        .to_pandas()
+    )
+    sizes = cells[cells["age"] == -1].set_index("cw")["n"]
+    body = cells[cells["age"] >= 0].sort_values(["cw", "age"])
+    rows = []
+    for cw, g in body.groupby("cw"):
+        users = int(sizes.loc[cw])
+        cum = 0
+        for _, r in g.iterrows():
+            cum += int(r["rev"])
+            rows.append((int(cw), int(r["age"]), int(r["n"]),
+                         int(r["rev"]), cum, users,
+                         float(_q6(np.float64(cum) / np.float64(users)
+                                   / 100.0))))
+    return pd.DataFrame(
+        rows,
+        columns=["cohort_week", "age_weeks", "n_purchases",
+                 "revenue_cents", "cum_revenue_cents", "cohort_users",
+                 "ltv_per_user"],
+    )
+
+
+T_COHORT_LTV_SQL = """
+WITH s AS (SELECT user_id,
+                  MIN(epoch_us(ts) // 604800000000) AS cw
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+sz AS (SELECT cw, CAST(COUNT(*) AS BIGINT) AS users FROM s GROUP BY cw),
+p AS (SELECT s.cw,
+             epoch_us(e.ts) // 604800000000 - s.cw AS age,
+             CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS c
+      FROM s JOIN events e ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) // 604800000000 >= s.cw),
+cells AS (SELECT cw, age, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(c) AS BIGINT) AS rev
+          FROM p GROUP BY cw, age),
+k AS (SELECT cw, age, n, rev,
+             CAST(SUM(rev) OVER (PARTITION BY cw ORDER BY age)
+                  AS BIGINT) AS cum
+      FROM cells)
+SELECT k.cw AS cohort_week, k.age AS age_weeks, k.n AS n_purchases,
+       k.rev AS revenue_cents, k.cum AS cum_revenue_cents,
+       sz.users AS cohort_users,
+       floor(CAST(k.cum AS DOUBLE) / CAST(sz.users AS DOUBLE) / 100.0
+             * 1000000 + 0.5005) / 1000000 AS ltv_per_user
+FROM k JOIN sz USING (cw) ORDER BY cohort_week, age_weeks
+"""
+
+
+def q_median_test(sf_dir: str):
+    """Mood's median test: does any event type's value distribution
+    sit above or below the others' shared center? The global lower
+    median is an exact ELEMENT (rank ⌈n/2⌉ over value cells), the
+    types×2 above/at-or-below contingency is pure integer counts, and
+    χ² folds from micro-floored (o−e)²/e terms — the location test
+    that needs no distributional assumptions at all."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        v = np.floor(batch["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pandas(), "v": v, "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["event_type", "v"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    jc = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["event_type", "v"]).aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    vg = jc.groupby("v")["n"].sum().sort_index()
+    n = int(vg.sum())
+    cum = vg.cumsum()
+    med = int(vg.index[np.searchsorted(cum.to_numpy(), (n + 1) // 2)])
+    above = jc[jc["v"] > med].groupby("event_type")["n"].sum()
+    total = jc.groupby("event_type")["n"].sum()
+    types = sorted(total.index)
+    a = np.array([int(above.get(t, 0)) for t in types], np.int64)
+    tot = np.array([int(total.loc[t]) for t in types], np.int64)
+    b = tot - a
+    A, B = int(a.sum()), int(b.sum())
+    ea = tot.astype(np.float64) * np.float64(A) / np.float64(n)
+    eb = tot.astype(np.float64) * np.float64(B) / np.float64(n)
+    term = ((a - ea) * (a - ea) / ea) + ((b - eb) * (b - eb) / eb)
+    fold = int(np.floor(term * 1e6 + 0.5005).astype(np.int64).sum())
+    return pd.DataFrame({
+        "n": [n], "median_cents": [med], "k": [len(types)],
+        "n_above": [A],
+        "chi2": [float(_q6(np.float64(fold) / 1e6))],
+    })
+
+
+Q_MEDIAN_TEST_SQL = """
+WITH c AS (SELECT event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+vg AS (SELECT v, CAST(SUM(n) AS BIGINT) AS n FROM c GROUP BY v),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM vg),
+m AS (SELECT v AS med FROM
+        (SELECT v, CAST(SUM(n) OVER (ORDER BY v) AS BIGINT) AS cum
+         FROM vg) r CROSS JOIN t
+      WHERE r.cum >= (t.nn + 1) // 2 ORDER BY v LIMIT 1),
+g AS (SELECT c.event_type,
+             CAST(SUM(CASE WHEN c.v > m.med THEN c.n ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(SUM(c.n) AS BIGINT) AS tot
+      FROM c CROSS JOIN m GROUP BY c.event_type),
+agg AS (SELECT CAST(SUM(a) AS BIGINT) AS aa,
+               CAST(SUM(tot) AS BIGINT) AS nn,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM g),
+k AS (SELECT CAST(SUM(
+        CAST(floor((
+          (CAST(g.a AS DOUBLE)
+           - CAST(g.tot AS DOUBLE) * CAST(agg.aa AS DOUBLE)
+             / CAST(agg.nn AS DOUBLE))
+          * (CAST(g.a AS DOUBLE)
+             - CAST(g.tot AS DOUBLE) * CAST(agg.aa AS DOUBLE)
+               / CAST(agg.nn AS DOUBLE))
+          / (CAST(g.tot AS DOUBLE) * CAST(agg.aa AS DOUBLE)
+             / CAST(agg.nn AS DOUBLE))
+          + (CAST(g.tot - g.a AS DOUBLE)
+             - CAST(g.tot AS DOUBLE) * CAST(agg.nn - agg.aa AS DOUBLE)
+               / CAST(agg.nn AS DOUBLE))
+            * (CAST(g.tot - g.a AS DOUBLE)
+               - CAST(g.tot AS DOUBLE) * CAST(agg.nn - agg.aa AS DOUBLE)
+                 / CAST(agg.nn AS DOUBLE))
+            / (CAST(g.tot AS DOUBLE) * CAST(agg.nn - agg.aa AS DOUBLE)
+               / CAST(agg.nn AS DOUBLE))
+        ) * 1000000 + 0.5005) AS BIGINT)) AS BIGINT) AS fold
+      FROM g CROSS JOIN agg)
+SELECT agg.nn AS n, m.med AS median_cents, agg.k, agg.aa AS n_above,
+       floor(CAST(k.fold AS DOUBLE) / 1000000 * 1000000 + 0.5005)
+         / 1000000 AS chi2
+FROM k CROSS JOIN agg CROSS JOIN m
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -15925,4 +16113,6 @@ QUERIES: dict[str, tuple] = {
     "t_growth_accounting": (t_growth_accounting, T_GROWTH_ACCOUNTING_SQL),
     "t_durbin_watson": (t_durbin_watson, T_DURBIN_WATSON_SQL),
     "q_jarque_bera": (q_jarque_bera, Q_JARQUE_BERA_SQL),
+    "t_cohort_ltv": (t_cohort_ltv, T_COHORT_LTV_SQL),
+    "q_median_test": (q_median_test, Q_MEDIAN_TEST_SQL),
 }
