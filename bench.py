@@ -266,6 +266,8 @@ HEADLINE = [
     "q_jarque_bera",
     "t_cohort_ltv",
     "q_median_test",
+    "d_charclass",
+    "d_hash_collisions",
 ]
 
 

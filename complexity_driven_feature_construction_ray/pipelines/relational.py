@@ -15800,6 +15800,154 @@ FROM k CROSS JOIN agg CROSS JOIN m
 """
 
 
+def d_charclass(sf_dir: str):
+    """Character-class profile per source — uppercase / digit /
+    whitespace / non-ASCII fractions of the raw text, the cheap OCR-
+    artifact and wrong-language smoke alarm that runs before any
+    tokenizer. Per-class counts are exact integers from vectorized
+    regex counts (pandas str.count per batch; SQL length-difference
+    after regexp_replace), fractions quantize once each."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    CLS = {
+        "upper": r"[A-Z]",
+        "digit": r"[0-9]",
+        "space": r"\s",
+        "nonascii": r"[^\x00-\x7f]",
+    }
+
+    def cells(batch: pa.Table) -> pa.Table:
+        t = pd.Series(batch["text"].to_numpy(zero_copy_only=False)).fillna("")
+        df = pd.DataFrame({"source": batch["source"].to_pandas(),
+                           "chars": t.str.len().to_numpy(np.int64)})
+        for name, rx in CLS.items():
+            df[name] = t.str.count(rx).to_numpy(np.int64)
+        return pa.Table.from_pandas(
+            df.groupby("source", as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(*[Sum(c, alias_name=c)
+                     for c in ("chars", *CLS)])
+        .to_pandas().sort_values("source")
+    )
+    out = {"source": g["source"], "chars": g["chars"].astype(np.int64)}
+    tot = g["chars"].to_numpy(np.float64)
+    for name in CLS:
+        out[f"{name}_frac"] = _q6(g[name].to_numpy(np.float64) / tot)
+    return pd.DataFrame(out).reset_index(drop=True)
+
+
+D_CHARCLASS_SQL = """
+WITH t AS (SELECT source, coalesce(text, '') AS s FROM documents),
+c AS (SELECT source,
+             CAST(SUM(length(s)) AS BIGINT) AS chars,
+             CAST(SUM(length(s)
+                      - length(regexp_replace(s, '[A-Z]', '', 'g')))
+                  AS BIGINT) AS upper,
+             CAST(SUM(length(s)
+                      - length(regexp_replace(s, '[0-9]', '', 'g')))
+                  AS BIGINT) AS digit,
+             CAST(SUM(length(s)
+                      - length(regexp_replace(s, '\\s', '', 'g')))
+                  AS BIGINT) AS space,
+             CAST(SUM(length(s)
+                      - length(regexp_replace(s, '[^\\x00-\\x7f]', '', 'g')))
+                  AS BIGINT) AS nonascii
+      FROM t GROUP BY source)
+SELECT source, chars,
+       floor(CAST(upper AS DOUBLE) / CAST(chars AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS upper_frac,
+       floor(CAST(digit AS DOUBLE) / CAST(chars AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS digit_frac,
+       floor(CAST(space AS DOUBLE) / CAST(chars AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS space_frac,
+       floor(CAST(nonascii AS DOUBLE) / CAST(chars AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS nonascii_frac
+FROM c ORDER BY source
+"""
+
+
+def d_hash_collisions(sf_dir: str):
+    """Collision audit of the dim-64 hashing-trick feature space: per
+    bucket, how many DISTINCT vocabulary tokens share it (the same
+    horner_mod61 % 64 mapping d_hash_features ships), plus the
+    collision fraction — the number that says whether your hashed
+    features are features or soup. The exchange is vocabulary-sized
+    distinct hashes; the oracle re-derives every bucket through the
+    same recursive HUGEINT power table."""
+    from ..stages.text import horner_mod61
+
+    DIM = 64
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ex = (pd.Series(batch["text"].to_numpy(zero_copy_only=False))
+              .fillna("").str.findall(r"\S+").explode().dropna())
+        toks = pd.unique(ex.to_numpy(object))
+        if not len(toks):
+            return pa.table({"hv": pa.array([], pa.int64())})
+        hv = np.unique(horner_mod61(list(toks)).astype(np.int64))
+        return pa.table({"hv": pa.array(hv)})
+
+    hv = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("hv").count()
+        .to_pandas()["hv"].to_numpy(np.int64)
+    )
+    vocab = len(hv)
+    bucket = hv % DIM
+    loads = np.bincount(bucket, minlength=DIM)
+    used = int((loads > 0).sum())
+    colliding = int(loads[loads >= 2].sum())
+    return pd.DataFrame({
+        "dim": [DIM], "vocab": [vocab], "used_buckets": [used],
+        "max_load": [int(loads.max())],
+        "collision_frac": [float(_q6(np.float64(colliding)
+                                     / np.float64(vocab)))],
+    })
+
+
+D_HASH_COLLISIONS_SQL = """
+WITH RECURSIVE w AS (
+  SELECT DISTINCT unnest(regexp_extract_all(coalesce(text, ''), '\\S+'))
+    AS w
+  FROM documents),
+pw(k, v) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT k + 1, (v * 1000003) % 2305843009213693951 FROM pw
+  WHERE k < (SELECT COALESCE(max(length(w)), 0) FROM w)),
+ch AS (
+  SELECT w, length(w) AS L,
+         unnest(regexp_extract_all(w, '.')) AS c,
+         generate_subscripts(regexp_extract_all(w, '.'), 1) AS j
+  FROM w),
+h AS (
+  SELECT DISTINCT CAST(SUM(CAST(ord(c) AS HUGEINT) * pw.v)
+                       % 2305843009213693951 AS BIGINT) AS hv
+  FROM ch JOIN pw ON pw.k = L - j
+  GROUP BY w),
+loads AS (SELECT hv % 64 AS bucket, CAST(COUNT(*) AS BIGINT) AS load
+          FROM h GROUP BY 1),
+t AS (SELECT CAST((SELECT COUNT(*) FROM h) AS BIGINT) AS vocab,
+             CAST(COUNT(*) AS BIGINT) AS used,
+             CAST(MAX(load) AS BIGINT) AS max_load,
+             CAST(SUM(CASE WHEN load >= 2 THEN load ELSE 0 END)
+                  AS BIGINT) AS colliding
+      FROM loads)
+SELECT 64 AS dim, vocab, used AS used_buckets, max_load,
+       floor(CAST(colliding AS DOUBLE) / CAST(vocab AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS collision_frac
+FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -16115,4 +16263,6 @@ QUERIES: dict[str, tuple] = {
     "q_jarque_bera": (q_jarque_bera, Q_JARQUE_BERA_SQL),
     "t_cohort_ltv": (t_cohort_ltv, T_COHORT_LTV_SQL),
     "q_median_test": (q_median_test, Q_MEDIAN_TEST_SQL),
+    "d_charclass": (d_charclass, D_CHARCLASS_SQL),
+    "d_hash_collisions": (d_hash_collisions, D_HASH_COLLISIONS_SQL),
 }
