@@ -268,6 +268,8 @@ HEADLINE = [
     "q_median_test",
     "d_charclass",
     "d_hash_collisions",
+    "d_truncation_waste",
+    "q_share_of_parent",
 ]
 
 

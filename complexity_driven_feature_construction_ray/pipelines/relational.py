@@ -15948,6 +15948,124 @@ FROM t
 """
 
 
+def d_truncation_waste(sf_dir: str):
+    """Context-length truncation audit: for L ∈ {32,64,128,256}, what
+    fraction of the corpus's token mass survives truncating every
+    document at L tokens, and how many documents get cut — the curve
+    that picks a context length before you pay for one. One
+    (token-count value) cell exchange; kept mass Σ min(n,L) folds as
+    exact integers, fractions quantize once per L."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        t = pd.Series(batch["text"].to_numpy(zero_copy_only=False)).fillna("")
+        ntok = t.str.count(r"\S+").to_numpy(np.int64)
+        df = pd.DataFrame({"v": ntok, "n": 1})
+        return pa.Table.from_pandas(
+            df.groupby("v", as_index=False).sum(), preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("v").aggregate(Sum("n", alias_name="n"))
+        .to_pandas().sort_values("v")
+    )
+    v = g["v"].to_numpy(np.int64)
+    cnt = g["n"].to_numpy(np.int64)
+    total_docs = int(cnt.sum())
+    total_toks = int((v * cnt).sum())
+    rows = []
+    for L in (32, 64, 128, 256):
+        kept = int((np.minimum(v, L) * cnt).sum())
+        cut = int(cnt[v > L].sum())
+        rows.append((L, total_docs, total_toks, kept, cut,
+                     float(_q6(np.float64(kept) / np.float64(total_toks)))))
+    return pd.DataFrame(
+        rows,
+        columns=["ctx_len", "n_docs", "total_tokens", "kept_tokens",
+                 "docs_truncated", "kept_frac"],
+    )
+
+
+D_TRUNCATION_WASTE_SQL = """
+WITH d AS (SELECT CAST(len(regexp_extract_all(coalesce(text, ''), '\\S+'))
+                       AS BIGINT) AS v
+           FROM documents),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(v) AS BIGINT) AS total FROM d),
+ls AS (SELECT unnest([32, 64, 128, 256]) AS L)
+SELECT ls.L AS ctx_len, t.n_docs, t.total AS total_tokens,
+       (SELECT CAST(SUM(least(v, ls.L)) AS BIGINT) FROM d)
+         AS kept_tokens,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM d WHERE v > ls.L)
+         AS docs_truncated,
+       floor((SELECT CAST(SUM(least(v, ls.L)) AS DOUBLE) FROM d)
+             / CAST(t.total AS DOUBLE) * 1000000 + 0.5005) / 1000000
+         AS kept_frac
+FROM ls CROSS JOIN t ORDER BY ctx_len
+"""
+
+
+def q_share_of_parent(sf_dir: str):
+    """Two-level share-of-parent rollup: each (returnflag, linestatus)
+    leaf's revenue as a fraction of its returnflag parent and of the
+    grand total — the BI staple behind every treemap. Revenue folds as
+    exact integer cents at the leaf; parent and grand totals are
+    integer sums of leaves; each share is one quantized division."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "f": batch["l_returnflag"].to_pandas(),
+            "s": batch["l_linestatus"].to_pandas(),
+            "rev": np.floor(batch["l_extendedprice"].to_numpy() * 100
+                            + 0.5).astype(np.int64),
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["f", "s"], as_index=False).sum(),
+            preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["f", "s"]).aggregate(Sum("rev", alias_name="rev"))
+        .to_pandas().sort_values(["f", "s"])
+    )
+    parent = g.groupby("f")["rev"].sum()
+    total = int(g["rev"].sum())
+    rows = []
+    for _, r in g.iterrows():
+        rev, par = int(r["rev"]), int(parent.loc[r["f"]])
+        rows.append((r["f"], r["s"], rev, par,
+                     float(_q6(np.float64(rev) / np.float64(par))),
+                     float(_q6(np.float64(rev) / np.float64(total)))))
+    return pd.DataFrame(
+        rows,
+        columns=["l_returnflag", "l_linestatus", "revenue_cents",
+                 "parent_cents", "share_of_parent", "share_of_total"],
+    ).reset_index(drop=True)
+
+
+Q_SHARE_OF_PARENT_SQL = """
+WITH leaf AS (SELECT l_returnflag AS f, l_linestatus AS s,
+                     CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS rev
+              FROM lineitem GROUP BY 1, 2),
+p AS (SELECT f, CAST(SUM(rev) AS BIGINT) AS par FROM leaf GROUP BY f),
+t AS (SELECT CAST(SUM(rev) AS BIGINT) AS total FROM leaf)
+SELECT leaf.f AS l_returnflag, leaf.s AS l_linestatus,
+       leaf.rev AS revenue_cents, p.par AS parent_cents,
+       floor(CAST(leaf.rev AS DOUBLE) / CAST(p.par AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS share_of_parent,
+       floor(CAST(leaf.rev AS DOUBLE) / CAST(t.total AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS share_of_total
+FROM leaf JOIN p USING (f) CROSS JOIN t ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -16265,4 +16383,6 @@ QUERIES: dict[str, tuple] = {
     "q_median_test": (q_median_test, Q_MEDIAN_TEST_SQL),
     "d_charclass": (d_charclass, D_CHARCLASS_SQL),
     "d_hash_collisions": (d_hash_collisions, D_HASH_COLLISIONS_SQL),
+    "d_truncation_waste": (d_truncation_waste, D_TRUNCATION_WASTE_SQL),
+    "q_share_of_parent": (q_share_of_parent, Q_SHARE_OF_PARENT_SQL),
 }
