@@ -270,6 +270,8 @@ HEADLINE = [
     "d_hash_collisions",
     "d_truncation_waste",
     "q_share_of_parent",
+    "t_xcorr",
+    "q_ratio_delta",
 ]
 
 

@@ -16066,6 +16066,221 @@ FROM leaf JOIN p USING (f) CROSS JOIN t ORDER BY 1, 2
 """
 
 
+def t_xcorr(sf_dir: str):
+    """Lead–lag cross-correlation between the click and purchase
+    hourly series at lags −3…+3: every lagged cross-covariance clears
+    its means through the n²-scaling identity (n²·Σxy_k − n·Sy·Xhead −
+    n·Sx·Ytail + m·Sx·Sy — all exact integers), normalizes by the two
+    exact full-series variances, and quantizes once per lag. The 'do
+    purchases follow clicks, and by how many hours' answer with no
+    float accumulation."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ts = _read(sf_dir, "events", columns=["ts"])
+    mm = ts.aggregate(Min("ts"), Max("ts"))
+    lo = int(np.datetime64(mm["min(ts)"], "us").astype(np.int64)) \
+        // 3_600_000_000
+    hi = int(np.datetime64(mm["max(ts)"], "us").astype(np.int64)) \
+        // 3_600_000_000
+    H = hi - lo + 1
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"],
+               where=(pc.field("event_type") == "click")
+               | (pc.field("event_type") == "purchase"))
+
+    def cells(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pandas(),
+            "h": (us // 3_600_000_000).astype(np.int64), "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["event_type", "h"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["event_type", "h"]).aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+
+    def dense(et):
+        y = np.zeros(H, np.int64)
+        gg = g[g["event_type"] == et]
+        y[gg["h"].to_numpy(np.int64) - lo] = gg["n"].to_numpy(np.int64)
+        return y
+
+    x, y = dense("click"), dense("purchase")
+    n = H
+    Sx, Sy = int(x.sum()), int(y.sum())
+    cxx = n * n * int((x * x).sum()) - n * Sx * Sx
+    cyy = n * n * int((y * y).sum()) - n * Sy * Sy
+    rows = []
+    for k in range(-3, 4):
+        if k >= 0:
+            a, b = x[:n - k], y[k:]
+        else:
+            a, b = x[-k:], y[:n + k]
+        m = len(a)
+        pk = int((a * b).sum())
+        ck = n * n * pk - n * Sy * int(a.sum()) - n * Sx * int(b.sum()) \
+            + m * Sx * Sy
+        r = float(_q6(np.float64(ck)
+                      / np.sqrt(np.float64(cxx) * np.float64(cyy))))
+        rows.append((k, m, r))
+    return pd.DataFrame(rows, columns=["lag", "n_overlap", "r"])
+
+
+T_XCORR_SQL = """
+WITH b AS (SELECT MIN(epoch_us(ts)) // 3600000000 AS lo,
+                  MAX(epoch_us(ts)) // 3600000000 AS hi
+           FROM events),
+grid AS (SELECT unnest(generate_series(b.lo, b.hi)) AS h FROM b),
+cx AS (SELECT epoch_us(ts) // 3600000000 AS h,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM events WHERE event_type = 'click' GROUP BY 1),
+cy AS (SELECT epoch_us(ts) // 3600000000 AS h,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM events WHERE event_type = 'purchase' GROUP BY 1),
+x AS (SELECT grid.h, COALESCE(cx.n, 0) AS n
+      FROM grid LEFT JOIN cx USING (h)),
+y AS (SELECT grid.h, COALESCE(cy.n, 0) AS n
+      FROM grid LEFT JOIN cy USING (h)),
+t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nn,
+             CAST((SELECT SUM(n) FROM x) AS HUGEINT) AS sx,
+             CAST((SELECT SUM(n) FROM y) AS HUGEINT) AS sy,
+             CAST((SELECT SUM(CAST(n AS HUGEINT) * n) FROM x)
+                  AS HUGEINT) AS px2,
+             CAST((SELECT SUM(CAST(n AS HUGEINT) * n) FROM y)
+                  AS HUGEINT) AS py2
+      FROM x),
+lags AS (SELECT unnest(generate_series(-3, 3)) AS k),
+pk AS (SELECT lags.k,
+              CAST(COUNT(*) AS HUGEINT) AS m,
+              CAST(SUM(CAST(a.n AS HUGEINT) * bb.n) AS HUGEINT) AS p,
+              CAST(SUM(a.n) AS HUGEINT) AS ah,
+              CAST(SUM(bb.n) AS HUGEINT) AS bt
+       FROM lags JOIN x a ON TRUE JOIN y bb ON bb.h = a.h + lags.k
+       GROUP BY lags.k)
+SELECT pk.k AS lag, CAST(pk.m AS BIGINT) AS n_overlap,
+       floor(CAST(t.nn * t.nn * pk.p - t.nn * t.sy * pk.ah
+                  - t.nn * t.sx * pk.bt + pk.m * t.sx * t.sy AS DOUBLE)
+             / sqrt(CAST(t.nn * t.nn * t.px2 - t.nn * t.sx * t.sx
+                         AS DOUBLE)
+                    * CAST(t.nn * t.nn * t.py2 - t.nn * t.sy * t.sy
+                           AS DOUBLE))
+             * 1000000 + 0.5005) / 1000000 AS r
+FROM pk CROSS JOIN t ORDER BY lag
+"""
+
+
+def q_ratio_delta(sf_dir: str):
+    """Ratio-metric A/B test with the delta method — revenue per
+    event compared between odd and even users, the experimentation-
+    platform workhorse naive per-row t-tests get wrong. Per-user
+    (revenue cents, event count) pairs reduce through one entity
+    exchange into five exact integer moments per arm; the linearized
+    variance (var x + R²·var y − 2R·cov)/ (n·ȳ²) evaluates from
+    token-identical doubles; each arm's ratio and the z quantize
+    once."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def peruser(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(),
+            "x": np.floor(batch["value"].to_numpy() * 100 + 0.5)
+                .astype(np.int64),
+            "y": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby("user_id", as_index=False).sum(),
+            preserve_index=False)
+
+    u = (
+        ds.map_batches(peruser, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("x", alias_name="x"), Sum("y", alias_name="y"))
+        .to_pandas()
+    )
+    u["treat"] = u["user_id"].to_numpy(np.int64) % 2 == 1
+
+    def arm(t):
+        g = u[u["treat"] == t]
+        x = g["x"].to_numpy(np.int64)
+        y = g["y"].to_numpy(np.int64)
+        n = len(g)
+        Sx, Sy = int(x.sum()), int(y.sum())
+        Sxx = int((x.astype(object) * x.astype(object)).sum())
+        Syy = int((y.astype(object) * y.astype(object)).sum())
+        Sxy = int((x.astype(object) * y.astype(object)).sum())
+        nf = np.float64(n)
+        R = np.float64(Sx) / np.float64(Sy)
+        ybar = np.float64(Sy) / nf
+        vx = (np.float64(Sxx) - np.float64(Sx) * np.float64(Sx) / nf) \
+            / (nf - 1.0)
+        vy = (np.float64(Syy) - np.float64(Sy) * np.float64(Sy) / nf) \
+            / (nf - 1.0)
+        cxy = (np.float64(Sxy) - np.float64(Sx) * np.float64(Sy) / nf) \
+            / (nf - 1.0)
+        var_r = (vx + R * R * vy - 2.0 * R * cxy) / (nf * ybar * ybar)
+        return n, R, var_r
+
+    n_c, r_c, v_c = arm(False)
+    n_t, r_t, v_t = arm(True)
+    z = float(_q6((r_t - r_c) / np.sqrt(v_t + v_c)))
+    return pd.DataFrame({
+        "n_users_c": [n_c], "n_users_t": [n_t],
+        "ratio_c": [float(_q6(r_c / 100.0))],
+        "ratio_t": [float(_q6(r_t / 100.0))],
+        "z": [z],
+    })
+
+
+Q_RATIO_DELTA_SQL = """
+WITH u AS (SELECT user_id, user_id % 2 = 1 AS treat,
+                  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS x,
+                  CAST(COUNT(*) AS BIGINT) AS y
+           FROM events GROUP BY user_id),
+m AS (SELECT treat,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM u GROUP BY treat),
+e AS (SELECT treat, n,
+             CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS r,
+             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ybar,
+             (CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS vx,
+             (CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS vy,
+             (CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS cxy
+      FROM m),
+v AS (SELECT treat, n, r,
+             (vx + r * r * vy - 2.0 * r * cxy)
+               / (CAST(n AS DOUBLE) * ybar * ybar) AS var_r
+      FROM e)
+SELECT c.n AS n_users_c, t.n AS n_users_t,
+       floor(c.r / 100.0 * 1000000 + 0.5005) / 1000000 AS ratio_c,
+       floor(t.r / 100.0 * 1000000 + 0.5005) / 1000000 AS ratio_t,
+       floor((t.r - c.r) / sqrt(t.var_r + c.var_r)
+             * 1000000 + 0.5005) / 1000000 AS z
+FROM (SELECT * FROM v WHERE NOT treat) c
+CROSS JOIN (SELECT * FROM v WHERE treat) t
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -16385,4 +16600,6 @@ QUERIES: dict[str, tuple] = {
     "d_hash_collisions": (d_hash_collisions, D_HASH_COLLISIONS_SQL),
     "d_truncation_waste": (d_truncation_waste, D_TRUNCATION_WASTE_SQL),
     "q_share_of_parent": (q_share_of_parent, Q_SHARE_OF_PARENT_SQL),
+    "t_xcorr": (t_xcorr, T_XCORR_SQL),
+    "q_ratio_delta": (q_ratio_delta, Q_RATIO_DELTA_SQL),
 }
