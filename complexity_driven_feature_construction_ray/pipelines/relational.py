@@ -12299,8 +12299,6 @@ def q_weighted_median(sf_dir: str):
     median misses when row weights differ. One (group, value)
     weight-cell exchange; the pick is pure integer comparisons
     (2·cumw ≥ W), no quantizer anywhere."""
-    from ray.data.aggregate import Sum
-
     ds = _read(sf_dir, "lineitem",
                columns=["l_returnflag", "l_linestatus", "l_extendedprice",
                         "l_quantity"])
@@ -12318,11 +12316,13 @@ def q_weighted_median(sf_dir: str):
             preserve_index=False,
         )
 
+    # per-batch partials + a driver pandas fold: price cents are
+    # near-unique, so a generic 3-column Ray groupby shuffles ~every
+    # row (8-10s at sf0.1 where this path takes ~2)
     jc = (
         ds.map_batches(cells, batch_format="pyarrow")
-        .groupby(["f", "s", "v"])
-        .aggregate(Sum("w", alias_name="w"))
         .to_pandas()
+        .groupby(["f", "s", "v"], as_index=False)["w"].sum()
         .sort_values(["f", "s", "v"])
     )
     rows = []
@@ -12430,17 +12430,21 @@ FROM g ORDER BY a_id
 
 def q_interval_join(sf_dir: str):
     """Interval-OVERLAP self-join: each order becomes the interval
-    [orderdate, last shipdate] (end from a per-order Max cell exchange
-    joined back via the fact-x-fact shuffle_hash_join), then pairs of
-    the SAME customer whose intervals overlap are emitted with the
-    exact overlap in microseconds. Pair enumeration is per-customer
-    inside grouped_map (k≤ a few dozen orders → k² tiny per entity);
-    the all-to-all moves only (cust, okey, 2 ints). The overlap
-    predicate is the symmetric a.start≤b.end ∧ b.start≤a.end — a
-    range-band join neither equi- nor as-of joins express."""
+    [orderdate, last shipdate] (end from a per-order Max cell
+    exchange; the order dimension — key, customer, start — ships ONCE
+    as broadcast sorted arrays and attaches via searchsorted inside
+    map_batches, which replaced an 11s fact-×-fact shuffle join with
+    a ~4MB ray.put at bench scale; at 100 TB a giant orders table
+    would flip this back to shuffle_hash_join), then pairs of the
+    SAME customer whose intervals overlap are emitted with the exact
+    overlap in microseconds. Pair enumeration is one vectorized
+    self-merge per grouped_map bucket (k≤ a few dozen orders → k²
+    tiny per entity). The overlap predicate is the symmetric
+    a.start≤b.end ∧ b.start≤a.end — a range-band join neither equi-
+    nor as-of joins express."""
+    import ray
     from ray.data.aggregate import Max
 
-    from ..stages.partition import shuffle_hash_join
     from ..stages.temporal import grouped_map
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
@@ -12459,42 +12463,51 @@ def q_interval_join(sf_dir: str):
         li.map_batches(endcells, batch_format="pyarrow")
         .groupby("l_orderkey").aggregate(Max("e_us", alias_name="e_us"))
     )
-    orders = _read(sf_dir, "orders",
-                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = (
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        .to_pandas().sort_values("o_orderkey", kind="stable")
+    )
+    okeys = orders["o_orderkey"].to_numpy(np.int64)
+    lookup_ref = ray.put((
+        okeys,
+        orders["o_custkey"].to_numpy(np.int64),
+        orders["o_orderdate"].to_numpy("datetime64[us]").astype(np.int64),
+    ))
 
-    def startcols(batch: pa.Table) -> pa.Table:
-        s = batch["o_orderdate"].to_numpy().astype("datetime64[us]") \
-            .astype(np.int64)
+    def attach(batch: pa.Table) -> pa.Table:
+        from ..stages.arrowutil import sorted_lookup
+
+        ks, cust, s_us = ray.get(lookup_ref)
+        idx, found = sorted_lookup(ks, batch["l_orderkey"].to_numpy())
+        t = batch.filter(pa.array(found))
+        ix = idx[found]
         return pa.table({
-            "o_orderkey": batch["o_orderkey"],
-            "o_custkey": batch["o_custkey"],
-            "s_us": pa.array(s),
+            "o_orderkey": t["l_orderkey"],
+            "o_custkey": pa.array(cust[ix]),
+            "s_us": pa.array(s_us[ix]),
+            "e_us": t["e_us"],
         })
 
-    iv = shuffle_hash_join(
-        orders.map_batches(startcols, batch_format="pyarrow"), ends,
-        left_on="o_orderkey", right_on="l_orderkey",
-    )
+    iv = ends.map_batches(attach, batch_format="pyarrow")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for cust, grp in g.groupby("o_custkey", sort=False):
-            k = grp.sort_values("o_orderkey")
-            ok = k["o_orderkey"].to_numpy(np.int64)
-            s = k["s_us"].to_numpy(np.int64)
-            e = k["e_us"].to_numpy(np.int64)
-            n = len(ok)
-            ai, bi = np.triu_indices(n, k=1)
-            hit = (s[ai] <= e[bi]) & (s[bi] <= e[ai])
-            ov = np.minimum(e[ai], e[bi]) - np.maximum(s[ai], s[bi])
-            out.append(pd.DataFrame({
-                "o_custkey": cust, "a_key": ok[ai[hit]],
-                "b_key": ok[bi[hit]], "overlap_us": ov[hit],
-            }))
-        if not out:
-            return pd.DataFrame(columns=["o_custkey", "a_key", "b_key",
-                                         "overlap_us"]).astype(np.int64)
-        return pd.concat(out, ignore_index=True)
+        # ONE vectorized self-merge per bucket (a Python loop over
+        # customers cost several seconds at sf0.1); a<b and the
+        # overlap predicate filter the k² blowup per customer
+        k = g[["o_custkey", "o_orderkey", "s_us", "e_us"]]
+        m = k.merge(k, on="o_custkey", suffixes=("_a", "_b"))
+        m = m[(m["o_orderkey_a"] < m["o_orderkey_b"])
+              & (m["s_us_a"] <= m["e_us_b"])
+              & (m["s_us_b"] <= m["e_us_a"])]
+        return pd.DataFrame({
+            "o_custkey": m["o_custkey"].to_numpy(np.int64),
+            "a_key": m["o_orderkey_a"].to_numpy(np.int64),
+            "b_key": m["o_orderkey_b"].to_numpy(np.int64),
+            "overlap_us": (np.minimum(m["e_us_a"], m["e_us_b"])
+                           - np.maximum(m["s_us_a"], m["s_us_b"]))
+            .to_numpy(np.int64),
+        })
 
     return grouped_map(iv, "o_custkey", pairs)
 
@@ -14943,8 +14956,6 @@ def q_bowley(sf_dir: str):
     over value cells (⌈n/4⌉, ⌈n/2⌉, ⌈3n/4⌉), so the only quantized
     number is the final (Q1+Q3−2Q2)/(Q3−Q1) ratio — the robust
     skewness that ignores everything outside the quartiles."""
-    from ray.data.aggregate import Sum
-
     ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
 
     def cells(batch: pa.Table) -> pa.Table:
@@ -14959,10 +14970,13 @@ def q_bowley(sf_dir: str):
             preserve_index=False,
         )
 
+    # driver pandas fold for the same reason as q_weighted_median:
+    # near-unique cents make the 2-column Ray groupby shuffle-bound
     jc = (
         ds.map_batches(cells, batch_format="pyarrow")
-        .groupby(["f", "v"]).aggregate(Sum("n", alias_name="n"))
-        .to_pandas().sort_values(["f", "v"])
+        .to_pandas()
+        .groupby(["f", "v"], as_index=False)["n"].sum()
+        .sort_values(["f", "v"])
     )
     rows = []
     for f, g in jc.groupby("f"):
