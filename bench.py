@@ -272,6 +272,9 @@ HEADLINE = [
     "q_share_of_parent",
     "t_xcorr",
     "q_ratio_delta",
+    "t_sprt",
+    "d_dup_threshold_curve",
+    "q_cohens_d",
 ]
 
 

@@ -16295,6 +16295,203 @@ CROSS JOIN (SELECT * FROM v WHERE treat) t
 """
 
 
+def t_sprt(sf_dir: str):
+    """Wald's sequential probability ratio test replayed over the
+    event stream in (ts, event_id) order: is the purchase rate 0.2
+    (H1) rather than 0.1 (H0)? The two per-event log-likelihood
+    increments are CONSTANTS, micro-quantized once, so the running
+    LLR is an exact integer walk over cumulative counts and the first
+    boundary crossing (±ln 19, α=β=0.05) is a pure integer
+    comparison — the early-stopping monitor that reads a stream once
+    and stops the moment the evidence suffices. The ordered walk runs
+    driver-side at test scale; at 100 TB the crossing localizes to an
+    hour bucket via per-hour (n, k) cells (the LLR at a bucket
+    boundary is a·k + b·(n−k), monotone between refills) and one
+    filtered hour read refines — the t_time_split two-pass shape."""
+    P0, P1 = 0.1, 0.2
+    a_mic = int(np.floor(np.log(P1 / P0) * 1e6 + 0.5005))        # hit
+    b_mic = int(np.floor(np.log((1 - P1) / (1 - P0)) * 1e6 + 0.5005))
+    bound = int(np.floor(np.log(19.0) * 1e6 + 0.5005))
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+    rows = ds.select_columns(["event_id", "ts", "event_type"]).to_pandas()
+    us = rows["ts"].to_numpy("datetime64[us]").astype(np.int64)
+    order = np.lexsort((rows["event_id"].to_numpy(np.int64), us))
+    hit = (rows["event_type"].to_numpy(object)[order] == "purchase") \
+        .astype(np.int64)
+    llr = np.cumsum(np.where(hit == 1, a_mic, b_mic))
+    crossed = np.nonzero((llr >= bound) | (llr <= -bound))[0]
+    if len(crossed):
+        i = int(crossed[0])
+        decision = "accept_h1" if llr[i] >= bound else "accept_h0"
+    else:
+        i = len(llr) - 1
+        decision = "continue"
+    return pd.DataFrame({
+        "decision": [decision], "n_at_decision": [i + 1],
+        "k_at_decision": [int(hit[:i + 1].sum())],
+        "llr": [int(llr[i]) / 1e6],
+    })
+
+
+T_SPRT_SQL = """
+WITH k AS (SELECT CAST(floor(ln(0.2 / 0.1) * 1000000 + 0.5005)
+                       AS BIGINT) AS a,
+                  CAST(floor(ln(0.8 / 0.9) * 1000000 + 0.5005)
+                       AS BIGINT) AS b,
+                  CAST(floor(ln(19.0) * 1000000 + 0.5005) AS BIGINT)
+                    AS bound),
+o AS (SELECT event_type = 'purchase' AS hit,
+             ROW_NUMBER() OVER (ORDER BY epoch_us(ts), event_id) AS rk
+      FROM events),
+w AS (SELECT o.rk, o.hit,
+             CAST(SUM(CASE WHEN o.hit THEN k.a ELSE k.b END)
+                  OVER (ORDER BY o.rk) AS BIGINT) AS llr,
+             CAST(SUM(CASE WHEN o.hit THEN 1 ELSE 0 END)
+                  OVER (ORDER BY o.rk) AS BIGINT) AS kk
+      FROM o CROSS JOIN k),
+x AS (SELECT w.rk, w.llr, w.kk,
+             CASE WHEN w.llr >= k.bound THEN 'accept_h1'
+                  WHEN w.llr <= -k.bound THEN 'accept_h0' END AS dec
+      FROM w CROSS JOIN k),
+hitrow AS (SELECT * FROM x WHERE dec IS NOT NULL ORDER BY rk LIMIT 1),
+lastrow AS (SELECT rk, llr, kk, 'continue' AS dec FROM x
+            ORDER BY rk DESC LIMIT 1)
+SELECT COALESCE(h.dec, l.dec) AS decision,
+       CAST(COALESCE(h.rk, l.rk) AS BIGINT) AS n_at_decision,
+       COALESCE(h.kk, l.kk) AS k_at_decision,
+       COALESCE(h.llr, l.llr) / 1000000.0 AS llr
+FROM lastrow l LEFT JOIN hitrow h ON TRUE
+"""
+
+
+def d_dup_threshold_curve(sf_dir: str):
+    """Dedup yield curve: how many of the adjacent-pair candidates
+    (the d_jaccard convention) survive at each Jaccard threshold τ ∈
+    {0.1…0.9} — the knob-setting plot that turns 'pick a threshold'
+    into a measured trade-off. Reuses the exact pair similarities;
+    τ comparisons run against the 6dp-quantized values BOTH engines
+    share, so boundary pairs cannot flip."""
+    pairs = d_jaccard(sf_dir).to_pandas()
+    j = pairs["jaccard"].to_numpy(np.float64)
+    n = len(j)
+    rows = []
+    for t10 in range(1, 10):
+        tau = t10 / 10.0
+        kept = int((j >= tau).sum())
+        rows.append((float(tau), n, kept,
+                     float(_q6(np.float64(kept) / np.float64(n)))))
+    return pd.DataFrame(
+        rows, columns=["tau", "n_pairs", "n_dup", "dup_frac"])
+
+
+D_DUP_THRESHOLD_CURVE_SQL = """
+WITH docs AS (
+  SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\\S+') AS w
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.w AS wa, b.w AS wb
+  FROM docs a JOIN docs b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 50 = 0
+), g AS (
+  SELECT a_id,
+    list_distinct(list_transform(generate_series(1, greatest(len(wa) - 2, 0)),
+        i -> wa[i] || ' ' || wa[i+1] || ' ' || wa[i+2])) AS ga,
+    list_distinct(list_transform(generate_series(1, greatest(len(wb) - 2, 0)),
+        i -> wb[i] || ' ' || wb[i+1] || ' ' || wb[i+2])) AS gb
+  FROM pairs
+), jj AS (
+  SELECT round(CASE WHEN len(ga) = 0 AND len(gb) = 0 THEN 1.0
+               ELSE len(list_intersect(ga, gb)) * 1.0
+                    / greatest(len(list_distinct(ga || gb)), 1) END, 6)
+           AS j
+  FROM g
+), taus AS (SELECT unnest(generate_series(1, 9)) AS t10)
+SELECT t10 / 10.0 AS tau,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM jj) AS n_pairs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM jj WHERE j >= t10 / 10.0)
+         AS n_dup,
+       floor((SELECT CAST(COUNT(*) AS DOUBLE) FROM jj
+              WHERE j >= t10 / 10.0)
+             / (SELECT CAST(COUNT(*) AS DOUBLE) FROM jj)
+             * 1000000 + 0.5005) / 1000000 AS dup_frac
+FROM taus ORDER BY tau
+"""
+
+
+def q_cohens_d(sf_dir: str):
+    """Cohen's d effect size between odd- and even-user event values:
+    per-arm n/Σ/Σ² fold exactly, the pooled standard deviation and d
+    evaluate from token-identical doubles, and d quantizes once — the
+    practical-significance companion to the z/U tests (a tiny p-value
+    with d≈0 is a big-data artifact, not an effect)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "treat": (batch["user_id"].to_numpy() % 2 == 1),
+            "n": 1, "s": c, "q": c * c,
+        })
+        return pa.Table.from_pandas(
+            df.groupby("treat", as_index=False).sum(),
+            preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("treat")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                   Sum("q", alias_name="q"))
+        .to_pandas().set_index("treat")
+    )
+
+    def arm(t):
+        n = np.float64(int(g.loc[t, "n"]))
+        s = np.float64(int(g.loc[t, "s"]))
+        q = np.float64(int(g.loc[t, "q"]))
+        return n, s / n, (q - s * s / n) / (n - 1.0)
+
+    n0, m0, v0 = arm(False)
+    n1, m1, v1 = arm(True)
+    sp = np.sqrt(((n1 - 1.0) * v1 + (n0 - 1.0) * v0) / (n1 + n0 - 2.0))
+    return pd.DataFrame({
+        "n_c": [int(n0)], "n_t": [int(n1)],
+        "mean_c": [float(_q6(m0 / 100.0))],
+        "mean_t": [float(_q6(m1 / 100.0))],
+        "cohens_d": [float(_q6((m1 - m0) / sp))],
+    })
+
+
+Q_COHENS_D_SQL = """
+WITH g AS (SELECT user_id % 2 = 1 AS treat,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS s,
+                  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                           * CAST(floor(value * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS q
+           FROM events GROUP BY 1),
+e AS (SELECT treat, n,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+             (CAST(q AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) - 1.0) AS v
+      FROM g)
+SELECT c.n AS n_c, t.n AS n_t,
+       floor(c.m / 100.0 * 1000000 + 0.5005) / 1000000 AS mean_c,
+       floor(t.m / 100.0 * 1000000 + 0.5005) / 1000000 AS mean_t,
+       floor((t.m - c.m)
+             / sqrt(((CAST(t.n AS DOUBLE) - 1.0) * t.v
+                     + (CAST(c.n AS DOUBLE) - 1.0) * c.v)
+                    / (CAST(t.n AS DOUBLE) + CAST(c.n AS DOUBLE) - 2.0))
+             * 1000000 + 0.5005) / 1000000 AS cohens_d
+FROM (SELECT * FROM e WHERE NOT treat) c
+CROSS JOIN (SELECT * FROM e WHERE treat) t
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -16616,4 +16813,8 @@ QUERIES: dict[str, tuple] = {
     "q_share_of_parent": (q_share_of_parent, Q_SHARE_OF_PARENT_SQL),
     "t_xcorr": (t_xcorr, T_XCORR_SQL),
     "q_ratio_delta": (q_ratio_delta, Q_RATIO_DELTA_SQL),
+    "t_sprt": (t_sprt, T_SPRT_SQL),
+    "d_dup_threshold_curve": (d_dup_threshold_curve,
+                              D_DUP_THRESHOLD_CURVE_SQL),
+    "q_cohens_d": (q_cohens_d, Q_COHENS_D_SQL),
 }
