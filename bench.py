@@ -275,6 +275,8 @@ HEADLINE = [
     "t_sprt",
     "d_dup_threshold_curve",
     "q_cohens_d",
+    "d_c4_funnel",
+    "q_key_audit",
 ]
 
 

@@ -16492,6 +16492,143 @@ CROSS JOIN (SELECT * FROM e WHERE treat) t
 """
 
 
+def d_c4_funnel(sf_dir: str):
+    """Rule-attribution funnel for the C4 filter: survivors after each
+    successive rule (word count → mean word length → brace → lorem),
+    cumulatively — the decomposition d_c4_filter's aggregate hides,
+    and the first thing you read when a filter eats 40% of a crawl.
+    One map_batches computes all four cumulative masks per batch (the
+    same vectorized expressions stages/text.py:c4_keep_mask ships);
+    the exchange is five counters."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch["text"].to_pandas()).fillna("")
+        n_words = s.str.count(r"\S+").to_numpy(np.int64)
+        nonws = s.str.replace(r"\s+", "", regex=True).str.len() \
+            .to_numpy(np.int64)
+        m1 = (n_words >= 30) & (n_words <= 10000)
+        m2 = m1 & (nonws / np.maximum(n_words, 1) <= 4.6)
+        m3 = m2 & ~s.str.contains("{", regex=False).to_numpy()
+        m4 = m3 & ~s.str.lower().str.contains("lorem ipsum",
+                                              regex=False).to_numpy()
+        return pa.table({
+            "total": pa.array([len(s)]),
+            "word_count": pa.array([int(m1.sum())]),
+            "mean_wl": pa.array([int(m2.sum())]),
+            "brace": pa.array([int(m3.sum())]),
+            "lorem": pa.array([int(m4.sum())]),
+        })
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .sum(["total", "word_count", "mean_wl", "brace", "lorem"])
+    )
+    total = int(g["sum(total)"])
+    rows = []
+    for i, stage in enumerate(("word_count", "mean_wl", "brace", "lorem"),
+                              start=1):
+        kept = int(g[f"sum({stage})"])
+        rows.append((i, stage, kept,
+                     float(_q6(np.float64(kept) / np.float64(total)))))
+    return pd.DataFrame(
+        rows, columns=["stage_idx", "stage", "n_pass", "pass_frac"])
+
+
+D_C4_FUNNEL_SQL = """
+WITH d AS (
+  SELECT length(regexp_extract_all(coalesce(text, ''), '\\S+')) AS nw,
+         length(regexp_replace(coalesce(text, ''), '\\s+', '', 'g'))
+           AS nonws,
+         position('{' IN coalesce(text, '')) = 0 AS nobrace,
+         position('lorem ipsum' IN lower(coalesce(text, ''))) = 0
+           AS nolorem
+  FROM documents),
+m AS (SELECT nw BETWEEN 30 AND 10000 AS m1,
+             nw BETWEEN 30 AND 10000
+               AND nonws / greatest(nw, 1) <= 4.6 AS m2,
+             nw BETWEEN 30 AND 10000
+               AND nonws / greatest(nw, 1) <= 4.6 AND nobrace AS m3,
+             nw BETWEEN 30 AND 10000
+               AND nonws / greatest(nw, 1) <= 4.6 AND nobrace
+               AND nolorem AS m4
+      FROM d),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total,
+             CAST(COUNT(*) FILTER (m1) AS BIGINT) AS s1,
+             CAST(COUNT(*) FILTER (m2) AS BIGINT) AS s2,
+             CAST(COUNT(*) FILTER (m3) AS BIGINT) AS s3,
+             CAST(COUNT(*) FILTER (m4) AS BIGINT) AS s4
+      FROM m)
+SELECT u.stage_idx, u.stage, u.n_pass,
+       floor(CAST(u.n_pass AS DOUBLE) / CAST(t.total AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS pass_frac
+FROM t, (SELECT 1 AS stage_idx, 'word_count' AS stage, t2.s1 AS n_pass
+         FROM t t2
+         UNION ALL SELECT 2, 'mean_wl', t2.s2 FROM t t2
+         UNION ALL SELECT 3, 'brace', t2.s3 FROM t t2
+         UNION ALL SELECT 4, 'lorem', t2.s4 FROM t t2) u
+ORDER BY u.stage_idx
+"""
+
+
+def q_key_audit(sf_dir: str):
+    """Primary-key uniqueness audit of lineitem's (l_orderkey,
+    l_linenumber): duplicate key pairs, rows involved, and the worst
+    multiplicity — the data-quality check that catches a double-loaded
+    partition before it double-counts revenue (this fixture really
+    does carry ~2% duplicate keys). Per-batch key-count partials keep
+    the exchange at one row per (batch, key); the verdict is pure
+    integer counting."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": batch["l_orderkey"].to_numpy().astype(np.int64) * 16
+            + batch["l_linenumber"].to_numpy().astype(np.int64),
+            "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby("k", as_index=False).sum(), preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("k").aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    n = g["n"].to_numpy(np.int64)
+    total = int(n.sum())
+    dup_keys = int((n > 1).sum())
+    dup_rows = int(n[n > 1].sum())
+    return pd.DataFrame({
+        "n_rows": [total], "n_keys": [len(g)],
+        "dup_keys": [dup_keys], "dup_rows": [dup_rows],
+        "max_multiplicity": [int(n.max())],
+        "dup_frac": [float(_q6(np.float64(dup_rows) / np.float64(total)))],
+    })
+
+
+Q_KEY_AUDIT_SQL = """
+WITH k AS (SELECT l_orderkey * 16 + l_linenumber AS k,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(COUNT(*) FILTER (n > 1) AS BIGINT) AS dup_keys,
+             CAST(COALESCE(SUM(n) FILTER (n > 1), 0) AS BIGINT)
+               AS dup_rows,
+             CAST(MAX(n) AS BIGINT) AS max_multiplicity
+      FROM k)
+SELECT n_rows, n_keys, dup_keys, dup_rows, max_multiplicity,
+       floor(CAST(dup_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS dup_frac
+FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -16817,4 +16954,6 @@ QUERIES: dict[str, tuple] = {
     "d_dup_threshold_curve": (d_dup_threshold_curve,
                               D_DUP_THRESHOLD_CURVE_SQL),
     "q_cohens_d": (q_cohens_d, Q_COHENS_D_SQL),
+    "d_c4_funnel": (d_c4_funnel, D_C4_FUNNEL_SQL),
+    "q_key_audit": (q_key_audit, Q_KEY_AUDIT_SQL),
 }
