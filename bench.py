@@ -277,6 +277,8 @@ HEADLINE = [
     "q_cohens_d",
     "d_c4_funnel",
     "q_key_audit",
+    "q_pearson_residuals",
+    "q_cvar",
 ]
 
 

@@ -16629,6 +16629,163 @@ FROM t
 """
 
 
+def q_pearson_residuals(sf_dir: str):
+    """Adjusted (standardized) Pearson residuals for every cell of the
+    lang×source contingency table — the drill-down that says WHICH
+    cell drives the association Cramér's V only summarizes. Expected
+    counts and the (1−r/n)(1−c/n) adjustment are rationals of exact
+    marginals evaluated as token-identical doubles; each residual
+    quantizes once. Cells with |z| ≥ 2 are flagged."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": batch["lang"].to_pandas(),
+            "source": batch["source"].to_pandas(), "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["lang", "source"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["lang", "source"]).aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    piv = g.pivot_table(index="lang", columns="source", values="n",
+                        fill_value=0, aggfunc="sum").sort_index()
+    piv = piv[sorted(piv.columns)]
+    o = piv.to_numpy(np.int64)
+    row = o.sum(axis=1)
+    col = o.sum(axis=0)
+    n = int(o.sum())
+    rows = []
+    for i, lang in enumerate(piv.index):
+        for j, src in enumerate(piv.columns):
+            e = np.float64(int(row[i])) * np.float64(int(col[j])) \
+                / np.float64(n)
+            adj = (1.0 - np.float64(int(row[i])) / np.float64(n)) \
+                * (1.0 - np.float64(int(col[j])) / np.float64(n))
+            z = float(_q6((np.float64(int(o[i, j])) - e)
+                          / np.sqrt(e * adj)))
+            rows.append((lang, src, int(o[i, j]), float(_q6(e)), z,
+                         abs(z) >= 2.0))
+    return pd.DataFrame(
+        rows,
+        columns=["lang", "source", "observed", "expected", "z",
+                 "flagged"],
+    )
+
+
+Q_PEARSON_RESIDUALS_SQL = """
+WITH o AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY lang, source),
+rl AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS r FROM o GROUP BY lang),
+cl AS (SELECT source, CAST(SUM(n) AS BIGINT) AS c FROM o GROUP BY source),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM o),
+grid AS (SELECT rl.lang, cl.source, rl.r, cl.c, COALESCE(o.n, 0) AS n
+         FROM rl CROSS JOIN cl
+         LEFT JOIN o ON o.lang = rl.lang AND o.source = cl.source),
+e AS (SELECT g.lang, g.source, g.n,
+             CAST(g.r AS DOUBLE) * CAST(g.c AS DOUBLE)
+               / CAST(t.nn AS DOUBLE) AS ex,
+             (1.0 - CAST(g.r AS DOUBLE) / CAST(t.nn AS DOUBLE))
+               * (1.0 - CAST(g.c AS DOUBLE) / CAST(t.nn AS DOUBLE)) AS adj
+      FROM grid g CROSS JOIN t),
+z AS (SELECT lang, source, n AS observed,
+             floor(ex * 1000000 + 0.5005) / 1000000 AS expected,
+             floor((CAST(n AS DOUBLE) - ex) / sqrt(ex * adj)
+                   * 1000000 + 0.5005) / 1000000 AS z
+      FROM e)
+SELECT lang, source, observed, expected, z, abs(z) >= 2.0 AS flagged
+FROM z ORDER BY lang, source
+"""
+
+
+def q_cvar(sf_dir: str):
+    """Expected shortfall (CVaR) of hourly net event value at the 5%
+    tail: the mean of the worst k = ⌊n·5/100⌋ hourly cent sums, via
+    exact rank interval arithmetic over the hourly value cells (a
+    cell straddling the tail cut contributes its kept multiplicity) —
+    the coherent risk metric VaR isn't, with zero float until the one
+    division. Also reports VaR (the k-th worst hour, an exact
+    element)."""
+    y = _hourly_value_cents(sf_dir)
+    n = len(y)
+    k = n * 5 // 100
+    ys = np.sort(y)
+    var = int(ys[k - 1]) if k >= 1 else int(ys[0])
+    tail_sum = int(ys[:k].sum()) if k >= 1 else int(ys[0])
+    kk = max(k, 1)
+    return pd.DataFrame({
+        "n_hours": [n], "k_tail": [k],
+        "var_cents": [var],
+        "cvar_cents": [float(_q6(np.float64(tail_sum) / np.float64(kk)))],
+    })
+
+
+def _hourly_value_cents(sf_dir: str):
+    """Dense hourly net value (exact integer cents) — the value-sum
+    sibling of _dense_hourly_counts."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ts = _read(sf_dir, "events", columns=["ts"])
+    mm = ts.aggregate(Min("ts"), Max("ts"))
+    lo = int(np.datetime64(mm["min(ts)"], "us").astype(np.int64)) \
+        // 3_600_000_000
+    hi = int(np.datetime64(mm["max(ts)"], "us").astype(np.int64)) \
+        // 3_600_000_000
+    H = hi - lo + 1
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "h": (us // 3_600_000_000).astype(np.int64),
+            "s": np.floor(batch["value"].to_numpy() * 100 + 0.5)
+                .astype(np.int64),
+        })
+        return pa.Table.from_pandas(
+            df.groupby("h", as_index=False).sum(), preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("h").aggregate(Sum("s", alias_name="s"))
+        .to_pandas()
+    )
+    y = np.zeros(H, np.int64)
+    y[g["h"].to_numpy(np.int64) - lo] = g["s"].to_numpy(np.int64)
+    return y
+
+
+Q_CVAR_SQL = """
+WITH b AS (SELECT MIN(epoch_us(ts)) // 3600000000 AS lo,
+                  MAX(epoch_us(ts)) // 3600000000 AS hi
+           FROM events),
+grid AS (SELECT unnest(generate_series(b.lo, b.hi)) AS h FROM b),
+c AS (SELECT epoch_us(ts) // 3600000000 AS h,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS s
+      FROM events GROUP BY 1),
+y AS (SELECT grid.h, COALESCE(c.s, 0) AS s FROM grid LEFT JOIN c USING (h)),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) * 5 // 100 AS k
+      FROM y),
+r AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rk FROM y)
+SELECT t.n AS n_hours, t.k AS k_tail,
+       (SELECT s FROM r WHERE rk = greatest(t.k, 1)) AS var_cents,
+       floor((SELECT CAST(SUM(s) AS DOUBLE) FROM r
+              WHERE rk <= greatest(t.k, 1))
+             / CAST(greatest(t.k, 1) AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS cvar_cents
+FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -16956,4 +17113,6 @@ QUERIES: dict[str, tuple] = {
     "q_cohens_d": (q_cohens_d, Q_COHENS_D_SQL),
     "d_c4_funnel": (d_c4_funnel, D_C4_FUNNEL_SQL),
     "q_key_audit": (q_key_audit, Q_KEY_AUDIT_SQL),
+    "q_pearson_residuals": (q_pearson_residuals, Q_PEARSON_RESIDUALS_SQL),
+    "q_cvar": (q_cvar, Q_CVAR_SQL),
 }
