@@ -279,6 +279,8 @@ HEADLINE = [
     "q_key_audit",
     "q_pearson_residuals",
     "q_cvar",
+    "d_ngram_overlap_curve",
+    "q_welch_t",
 ]
 
 

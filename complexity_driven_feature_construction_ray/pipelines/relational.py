@@ -16786,6 +16786,173 @@ FROM t
 """
 
 
+def d_ngram_overlap_curve(sf_dir: str):
+    """Memorization-risk curve: for n = 1, 2, 3, the overlap between
+    the DISTINCT word-n-gram sets of the odd- and even-doc_id halves —
+    unigrams always overlap, long n-grams shouldn't; where the curve
+    stops falling is where your 'held-out' half stops being held out.
+    Grams build vectorized from the flat word stream (starts whose
+    (n−1)-th successor is still in the same doc, np.char.add over
+    shifted slices — no per-doc Python); per-batch dedup keeps the
+    exchange near vocabulary-sized; overlap fractions quantize once."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        texts = pd.Series(batch["text"].to_numpy(zero_copy_only=False)) \
+            .fillna("")
+        ex = texts.str.findall(r"\S+").explode().dropna()
+        if not len(ex):
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "half": pa.array([], pa.int64()),
+                             "gram": pa.array([], pa.string())})
+        row_of = ex.index.to_numpy(np.int64)
+        words = ex.to_numpy(object).astype(str)
+        half = (ids[row_of] % 2).astype(np.int64)
+        frames = []
+        for n in (1, 2, 3):
+            W = len(words)
+            if W < n:
+                continue
+            ok = row_of[: W - n + 1] == row_of[n - 1:]
+            gram = words[: W - n + 1].copy()
+            for j in range(1, n):
+                gram = np.char.add(np.char.add(gram, " "),
+                                   words[j: W - n + 1 + j])
+            frames.append(pd.DataFrame({
+                "n": n, "half": half[: W - n + 1][ok], "gram": gram[ok],
+            }).drop_duplicates())
+        df = pd.concat(frames, ignore_index=True)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    v = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["n", "half", "gram"]).count()
+        .to_pandas()[["n", "half", "gram"]]
+    )
+    rows = []
+    for n, g in v.groupby("n"):
+        a = set(g.loc[g["half"] == 0, "gram"])
+        b = set(g.loc[g["half"] == 1, "gram"])
+        inter = len(a & b)
+        rows.append((int(n), len(a), len(b), inter,
+                     float(_q6(np.float64(inter) / np.float64(len(a)))),
+                     float(_q6(np.float64(inter) / np.float64(len(b))))))
+    return pd.DataFrame(
+        rows,
+        columns=["n", "v_even", "v_odd", "overlap", "frac_even",
+                 "frac_odd"],
+    )
+
+
+D_NGRAM_OVERLAP_CURVE_SQL = """
+WITH w AS (SELECT doc_id % 2 AS half,
+                  regexp_extract_all(coalesce(text, ''), '\\S+') AS ws
+           FROM documents),
+g AS (
+  SELECT 1 AS n, half, unnest(ws) AS gram FROM w
+  UNION ALL
+  SELECT 2, half,
+         unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+                i -> ws[i] || ' ' || ws[i+1]))
+  FROM w
+  UNION ALL
+  SELECT 3, half,
+         unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+  FROM w),
+v AS (SELECT DISTINCT n, half, gram FROM g),
+s AS (SELECT n,
+             CAST(COUNT(*) FILTER (half = 0) AS BIGINT) AS v_even,
+             CAST(COUNT(*) FILTER (half = 1) AS BIGINT) AS v_odd
+      FROM v GROUP BY n),
+ov AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS overlap
+       FROM (SELECT n, gram FROM v GROUP BY n, gram HAVING COUNT(*) = 2)
+       GROUP BY n)
+SELECT s.n, s.v_even, s.v_odd, ov.overlap,
+       floor(CAST(ov.overlap AS DOUBLE) / CAST(s.v_even AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS frac_even,
+       floor(CAST(ov.overlap AS DOUBLE) / CAST(s.v_odd AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS frac_odd
+FROM s JOIN ov USING (n) ORDER BY s.n
+"""
+
+
+def q_welch_t(sf_dir: str):
+    """Welch's unequal-variance t between odd- and even-user event
+    values, with the Welch–Satterthwaite degrees of freedom — the
+    default two-sample test when nobody promised equal variances.
+    Exact per-arm power sums; t and ν evaluate from token-identical
+    doubles and quantize once each."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "treat": (batch["user_id"].to_numpy() % 2 == 1),
+            "n": 1, "s": c, "q": c * c,
+        })
+        return pa.Table.from_pandas(
+            df.groupby("treat", as_index=False).sum(),
+            preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("treat")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                   Sum("q", alias_name="q"))
+        .to_pandas().set_index("treat")
+    )
+
+    def arm(t):
+        n = np.float64(int(g.loc[t, "n"]))
+        s = np.float64(int(g.loc[t, "s"]))
+        q = np.float64(int(g.loc[t, "q"]))
+        v = (q - s * s / n) / (n - 1.0)
+        return n, s / n, v / n
+
+    n0, m0, se0 = arm(False)
+    n1, m1, se1 = arm(True)
+    t = (m1 - m0) / np.sqrt(se1 + se0)
+    nu = (se1 + se0) * (se1 + se0) \
+        / (se1 * se1 / (n1 - 1.0) + se0 * se0 / (n0 - 1.0))
+    return pd.DataFrame({
+        "n_c": [int(n0)], "n_t": [int(n1)],
+        "t_stat": [float(_q6(t))], "df": [float(_q6(nu))],
+    })
+
+
+Q_WELCH_T_SQL = """
+WITH g AS (SELECT user_id % 2 = 1 AS treat,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS s,
+                  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                           * CAST(floor(value * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS q
+           FROM events GROUP BY 1),
+e AS (SELECT treat, n,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+             ((CAST(q AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              / (CAST(n AS DOUBLE) - 1.0)) / CAST(n AS DOUBLE) AS se
+      FROM g)
+SELECT c.n AS n_c, t.n AS n_t,
+       floor((t.m - c.m) / sqrt(t.se + c.se) * 1000000 + 0.5005)
+         / 1000000 AS t_stat,
+       floor((t.se + c.se) * (t.se + c.se)
+             / (t.se * t.se / (CAST(t.n AS DOUBLE) - 1.0)
+                + c.se * c.se / (CAST(c.n AS DOUBLE) - 1.0))
+             * 1000000 + 0.5005) / 1000000 AS df
+FROM (SELECT * FROM e WHERE NOT treat) c
+CROSS JOIN (SELECT * FROM e WHERE treat) t
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -17115,4 +17282,7 @@ QUERIES: dict[str, tuple] = {
     "q_key_audit": (q_key_audit, Q_KEY_AUDIT_SQL),
     "q_pearson_residuals": (q_pearson_residuals, Q_PEARSON_RESIDUALS_SQL),
     "q_cvar": (q_cvar, Q_CVAR_SQL),
+    "d_ngram_overlap_curve": (d_ngram_overlap_curve,
+                              D_NGRAM_OVERLAP_CURVE_SQL),
+    "q_welch_t": (q_welch_t, Q_WELCH_T_SQL),
 }
