@@ -281,6 +281,8 @@ HEADLINE = [
     "q_cvar",
     "d_ngram_overlap_curve",
     "q_welch_t",
+    "q_hhi",
+    "t_hour_entropy",
 ]
 
 

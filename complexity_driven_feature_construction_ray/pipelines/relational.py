@@ -16953,6 +16953,135 @@ CROSS JOIN (SELECT * FROM e WHERE treat) t
 """
 
 
+def q_hhi(sf_dir: str):
+    """Herfindahl–Hirschman revenue concentration across customers:
+    HHI = Σ(shareᵢ)² over per-customer revenue, computed as ONE exact
+    integer ratio Σrevᵢ² / (Σrev)² — no per-customer share float ever
+    exists — plus the effective customer count 1/HHI. Per-customer
+    revenue reduces through one entity exchange (orders already carry
+    o_totalprice; exact cents)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_custkey": batch["o_custkey"].to_numpy(),
+            "rev": np.floor(batch["o_totalprice"].to_numpy() * 100 + 0.5)
+                .astype(np.int64),
+        })
+        return pa.Table.from_pandas(
+            df.groupby("o_custkey", as_index=False).sum(),
+            preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("o_custkey").aggregate(Sum("rev", alias_name="rev"))
+        .to_pandas()
+    )
+    rev = [int(r) for r in g["rev"]]
+    total = sum(rev)
+    sq = sum(r * r for r in rev)
+    hhi = _q6(np.float64(sq) / (np.float64(total) * np.float64(total)))
+    return pd.DataFrame({
+        "n_customers": [len(rev)],
+        "total_cents": [total],
+        "hhi": [float(hhi)],
+        "effective_n": [float(_q6(1.0 / hhi)) if hhi > 0 else 0.0],
+    })
+
+
+Q_HHI_SQL = """
+WITH c AS (SELECT o_custkey,
+                  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                                AS BIGINT)) AS BIGINT) AS rev
+           FROM orders GROUP BY o_custkey),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rev) AS HUGEINT) AS total,
+             CAST(SUM(CAST(rev AS HUGEINT) * rev) AS HUGEINT) AS sq
+      FROM c),
+h AS (SELECT n, total,
+             floor(CAST(sq AS DOUBLE)
+                   / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE))
+                   * 1000000 + 0.5005) / 1000000 AS hhi
+      FROM t)
+SELECT n AS n_customers, CAST(total AS BIGINT) AS total_cents, hhi,
+       CASE WHEN hhi > 0
+            THEN floor(1.0 / hhi * 1000000 + 0.5005) / 1000000
+            ELSE 0.0 END AS effective_n
+FROM h
+"""
+
+
+def t_hour_entropy(sf_dir: str):
+    """Behavioral-regularity score per user: Shannon entropy (nats) of
+    the user's hour-of-day activity histogram, normalized by ln 24 —
+    0 means a bot that fires at one fixed hour, 1 means uniformly
+    spread activity. One (user, hour) count exchange; each −p·ln p
+    term micro-floors from exact counts (the d_mix_entropy fold at
+    entity grain), one quantized division per user."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(),
+            "hr": ((us // 3_600_000_000) % 24).astype(np.int64),
+            "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["user_id", "hr"], as_index=False).sum(),
+            preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["user_id", "hr"]).aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for uid, grp in g.groupby("user_id"):
+        n = grp["n"].to_numpy(np.int64)
+        N = int(n.sum())
+        p = n.astype(np.float64) / np.float64(N)
+        fold = int(np.floor(-p * np.log(p) * 1e6 + 0.5005)
+                   .astype(np.int64).sum())
+        h = _q6(np.float64(fold) / 1e6)
+        rows.append((int(uid), N, len(n), float(h),
+                     float(_q6(h / np.log(np.float64(24.0))))))
+    return pd.DataFrame(
+        rows,
+        columns=["user_id", "n_events", "n_hours_used", "entropy",
+                 "regularity"],
+    ).sort_values("user_id").reset_index(drop=True)
+
+
+T_HOUR_ENTROPY_SQL = """
+WITH c AS (SELECT user_id, (epoch_us(ts) // 3600000000) % 24 AS hr,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+t AS (SELECT user_id, CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(COUNT(*) AS BIGINT) AS hrs
+      FROM c GROUP BY user_id),
+m AS (SELECT c.user_id,
+             CAST(SUM(CAST(floor(-(c.n / CAST(t.nn AS DOUBLE))
+                                 * ln(c.n / CAST(t.nn AS DOUBLE))
+                                 * 1000000 + 0.5005) AS BIGINT))
+                  AS BIGINT) AS fold
+      FROM c JOIN t USING (user_id) GROUP BY c.user_id),
+e AS (SELECT m.user_id, t.nn, t.hrs,
+             floor(CAST(m.fold AS DOUBLE) / 1000000
+                   * 1000000 + 0.5005) / 1000000 AS entropy
+      FROM m JOIN t USING (user_id))
+SELECT user_id, nn AS n_events, hrs AS n_hours_used, entropy,
+       floor(entropy / ln(24.0) * 1000000 + 0.5005) / 1000000
+         AS regularity
+FROM e ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -17285,4 +17414,6 @@ QUERIES: dict[str, tuple] = {
     "d_ngram_overlap_curve": (d_ngram_overlap_curve,
                               D_NGRAM_OVERLAP_CURVE_SQL),
     "q_welch_t": (q_welch_t, Q_WELCH_T_SQL),
+    "q_hhi": (q_hhi, Q_HHI_SQL),
+    "t_hour_entropy": (t_hour_entropy, T_HOUR_ENTROPY_SQL),
 }
