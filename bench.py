@@ -283,6 +283,8 @@ HEADLINE = [
     "q_welch_t",
     "q_hhi",
     "t_hour_entropy",
+    "q_tukey_fences",
+    "d_distinctive_tokens",
 ]
 
 

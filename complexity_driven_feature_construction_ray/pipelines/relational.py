@@ -17082,6 +17082,162 @@ FROM e ORDER BY user_id
 """
 
 
+def q_tukey_fences(sf_dir: str):
+    """Tukey-fence outlier census of price per returnflag: quartiles
+    are exact ELEMENTS (the q_bowley rank selection), and the 1.5·IQR
+    fences compare as PURE INTEGERS — a value is an outlier iff
+    2·v < 2·Q1 − 3·IQR or 2·v > 2·Q3 + 3·IQR — so there is no
+    quantizer anywhere in this operator, not even on the output. The
+    boxplot's outlier count, bit-exact."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "f": batch["l_returnflag"].to_pandas(),
+            "v": np.floor(batch["l_extendedprice"].to_numpy() * 100 + 0.5)
+                .astype(np.int64),
+            "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["f", "v"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    jc = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["f", "v"], as_index=False)["n"].sum()
+        .sort_values(["f", "v"])
+    )
+    rows = []
+    for f, g in jc.groupby("f"):
+        cnt = g["n"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        n = int(cnt.sum())
+        cum = np.cumsum(cnt)
+
+        def el(r):
+            return int(v[np.searchsorted(cum, r)])
+
+        q1 = el(-(-n // 4))
+        q3 = el(-(-(3 * n) // 4))
+        iqr = q3 - q1
+        lo_out = int(cnt[2 * v < 2 * q1 - 3 * iqr].sum())
+        hi_out = int(cnt[2 * v > 2 * q3 + 3 * iqr].sum())
+        rows.append((f, n, q1, q3, iqr, lo_out, hi_out))
+    return pd.DataFrame(
+        rows,
+        columns=["l_returnflag", "n", "q1", "q3", "iqr", "low_outliers",
+                 "high_outliers"],
+    ).sort_values("l_returnflag").reset_index(drop=True)
+
+
+Q_TUKEY_FENCES_SQL = """
+WITH c AS (SELECT l_returnflag AS f,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY 1, 2),
+t AS (SELECT f, CAST(SUM(n) AS BIGINT) AS nn FROM c GROUP BY f),
+r AS (SELECT c.f, c.v, c.n, t.nn,
+             CAST(SUM(c.n) OVER (PARTITION BY c.f ORDER BY c.v)
+                  AS BIGINT) AS cum
+      FROM c JOIN t USING (f)),
+q AS (SELECT f, nn,
+             MIN(CASE WHEN cum >= (nn + 3) // 4 THEN v END) AS q1,
+             MIN(CASE WHEN cum >= (3 * nn + 3) // 4 THEN v END) AS q3
+      FROM r GROUP BY f, nn),
+k AS (SELECT q.f, q.nn, q.q1, q.q3, q.q3 - q.q1 AS iqr,
+             CAST(COALESCE(SUM(c.n) FILTER (
+               2 * c.v < 2 * q.q1 - 3 * (q.q3 - q.q1)), 0) AS BIGINT)
+               AS low_outliers,
+             CAST(COALESCE(SUM(c.n) FILTER (
+               2 * c.v > 2 * q.q3 + 3 * (q.q3 - q.q1)), 0) AS BIGINT)
+               AS high_outliers
+      FROM q JOIN c USING (f)
+      GROUP BY q.f, q.nn, q.q1, q.q3)
+SELECT f AS l_returnflag, nn AS n, q1, q3, iqr, low_outliers,
+       high_outliers
+FROM k ORDER BY f
+"""
+
+
+def d_distinctive_tokens(sf_dir: str):
+    """The three most DISTINCTIVE tokens per source by lift —
+    (count_in_source/source_total) / (count_in_corpus/corpus_total),
+    min corpus count 5 — the 'what makes this slice different' summary
+    that raw top-k (d_top_tokens_by_source) can't give because common
+    words dominate it. Lifts are identical doubles from exact integer
+    ratios; ranking breaks ties on token text; one vocabulary-sized
+    exchange."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        src = pd.Series(batch["source"].to_numpy(zero_copy_only=False))
+        ex = (pd.Series(batch["text"].to_numpy(zero_copy_only=False))
+              .fillna("").str.findall(r"\S+").explode().dropna())
+        df = pd.DataFrame({
+            "source": src.iloc[ex.index.to_numpy(np.int64)].to_numpy(),
+            "tok": ex.to_numpy(), "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["source", "tok"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["source", "tok"]).aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    corpus = g.groupby("tok")["n"].sum()
+    n_c = int(corpus.sum())
+    totals = g.groupby("source")["n"].sum()
+    g = g[g["tok"].map(corpus) >= 5]
+    lift = (g["n"].to_numpy(np.float64)
+            / g["source"].map(totals).to_numpy(np.float64)) \
+        / (g["tok"].map(corpus).to_numpy(np.float64) / np.float64(n_c))
+    g = g.assign(lift=_q6(lift))
+    rows = []
+    for src, gg in g.groupby("source"):
+        top = gg.sort_values(["lift", "tok"],
+                             ascending=[False, True]).head(3)
+        for rk, (_, r) in enumerate(top.iterrows(), start=1):
+            rows.append((src, rk, r["tok"], int(r["n"]),
+                         float(r["lift"])))
+    return pd.DataFrame(
+        rows, columns=["source", "rank", "tok", "n_in_source", "lift"])
+
+
+D_DISTINCTIVE_TOKENS_SQL = """
+WITH u AS (SELECT source,
+                  unnest(regexp_extract_all(coalesce(text, ''), '\\S+'))
+                    AS tok
+           FROM documents),
+c AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM u GROUP BY source, tok),
+ct AS (SELECT tok, CAST(SUM(n) AS BIGINT) AS nc FROM c GROUP BY tok),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_c FROM c),
+st AS (SELECT source, CAST(SUM(n) AS BIGINT) AS ns FROM c
+       GROUP BY source),
+lf AS (SELECT c.source, c.tok, c.n,
+              floor((CAST(c.n AS DOUBLE) / CAST(st.ns AS DOUBLE))
+                    / (CAST(ct.nc AS DOUBLE) / CAST(tot.n_c AS DOUBLE))
+                    * 1000000 + 0.5005) / 1000000 AS lift
+       FROM c JOIN ct USING (tok) JOIN st USING (source) CROSS JOIN tot
+       WHERE ct.nc >= 5),
+r AS (SELECT source, tok, n, lift,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY lift DESC, tok) AS rk
+      FROM lf)
+SELECT source, CAST(rk AS BIGINT) AS rank, tok, n AS n_in_source, lift
+FROM r WHERE rk <= 3 ORDER BY source, rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -17416,4 +17572,7 @@ QUERIES: dict[str, tuple] = {
     "q_welch_t": (q_welch_t, Q_WELCH_T_SQL),
     "q_hhi": (q_hhi, Q_HHI_SQL),
     "t_hour_entropy": (t_hour_entropy, T_HOUR_ENTROPY_SQL),
+    "q_tukey_fences": (q_tukey_fences, Q_TUKEY_FENCES_SQL),
+    "d_distinctive_tokens": (d_distinctive_tokens,
+                             D_DISTINCTIVE_TOKENS_SQL),
 }
