@@ -285,6 +285,8 @@ HEADLINE = [
     "t_hour_entropy",
     "q_tukey_fences",
     "d_distinctive_tokens",
+    "t_ess",
+    "d_good_turing",
 ]
 
 

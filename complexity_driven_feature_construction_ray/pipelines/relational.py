@@ -17238,6 +17238,152 @@ FROM r WHERE rk <= 3 ORDER BY source, rank
 """
 
 
+def t_ess(sf_dir: str):
+    """Autocorrelation-adjusted effective sample size of the hourly
+    event-count series: ESS = n / (1 + 2·Σρ_k), summing lags 1…20 and
+    truncating at the first non-positive autocorrelation (Geyer's
+    initial-positive rule) — the honest n for any mean-of-the-series
+    confidence claim. Every ρ_k is the exact integer ratio from the
+    Ljung-Box n²-scaling identity, quantized once; the truncation
+    decision therefore lands identically in both engines; ESS is one
+    final quantized division."""
+    y = _dense_hourly_counts(sf_dir)
+    n = len(y)
+    S = int(y.sum())
+    P0 = int((y.astype(object) * y.astype(object)).sum())
+    c0 = n * n * P0 - n * S * S
+    rsum_micro = 0
+    k_used = 0
+    for k in range(1, 21):
+        a, b = y[:-k], y[k:]
+        Pk = int((a.astype(object) * b.astype(object)).sum())
+        ck = n * n * Pk - n * S * (int(a.sum()) + int(b.sum())) \
+            + (n - k) * S * S
+        r_micro = int(np.floor(np.float64(ck) / np.float64(c0) * 1e6
+                               + 0.5005))
+        if r_micro <= 0:
+            break
+        rsum_micro += r_micro
+        k_used = k
+    ess = _q6(np.float64(n)
+              / (1.0 + 2.0 * (np.float64(rsum_micro) / 1e6)))
+    return pd.DataFrame({
+        "n_hours": [n], "k_used": [k_used],
+        "rho_sum": [rsum_micro / 1e6], "ess": [float(ess)],
+    })
+
+
+T_ESS_SQL = """
+WITH b AS (SELECT MIN(epoch_us(ts)) // 3600000000 AS lo,
+                  MAX(epoch_us(ts)) // 3600000000 AS hi
+           FROM events),
+grid AS (SELECT unnest(generate_series(b.lo, b.hi)) AS h FROM b),
+c AS (SELECT epoch_us(ts) // 3600000000 AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+y AS (SELECT grid.h, COALESCE(c.n, 0) AS n FROM grid LEFT JOIN c USING (h)),
+tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nn,
+               CAST(SUM(n) AS HUGEINT) AS s,
+               CAST(SUM(CAST(n AS HUGEINT) * n) AS HUGEINT) AS p0
+        FROM y),
+lags AS (SELECT unnest(generate_series(1, 20)) AS k),
+pk AS (SELECT lags.k,
+              CAST(SUM(CAST(a.n AS HUGEINT) * bb.n) AS HUGEINT) AS p,
+              CAST(SUM(a.n) AS HUGEINT) AS sh,
+              CAST(SUM(bb.n) AS HUGEINT) AS st
+       FROM lags JOIN y a ON TRUE JOIN y bb ON bb.h = a.h + lags.k
+       GROUP BY lags.k),
+r AS (SELECT pk.k,
+             CAST(floor(CAST(tot.nn * tot.nn * pk.p
+                             - tot.nn * tot.s * (pk.sh + pk.st)
+                             + (tot.nn - pk.k) * tot.s * tot.s AS DOUBLE)
+                        / CAST(tot.nn * tot.nn * tot.p0
+                               - tot.nn * tot.s * tot.s AS DOUBLE)
+                        * 1000000 + 0.5005) AS BIGINT) AS r_micro
+      FROM pk CROSS JOIN tot),
+cut AS (SELECT COALESCE(MIN(k) - 1, 20) AS k_used
+        FROM r WHERE r_micro <= 0),
+agg AS (SELECT CAST(COALESCE(SUM(r.r_micro), 0) AS BIGINT) AS rsum
+        FROM r CROSS JOIN cut WHERE r.k <= cut.k_used)
+SELECT CAST(tot.nn AS BIGINT) AS n_hours,
+       CAST(cut.k_used AS BIGINT) AS k_used,
+       agg.rsum / 1000000.0 AS rho_sum,
+       floor(CAST(tot.nn AS DOUBLE)
+             / (1.0 + 2.0 * (CAST(agg.rsum AS DOUBLE) / 1000000))
+             * 1000000 + 0.5005) / 1000000 AS ess
+FROM tot CROSS JOIN cut CROSS JOIN agg
+"""
+
+
+def d_good_turing(sf_dir: str):
+    """Good–Turing unseen-mass estimate per source: the probability
+    the NEXT token is a never-seen type ≈ n₁/N (singleton fraction),
+    with vocabulary, singleton and doubleton counts — the sample-
+    coverage number that says whether a source's vocabulary is
+    anywhere near exhausted. All counts are exact integers from one
+    vocabulary-sized exchange; the two output rates quantize once
+    each."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        src = pd.Series(batch["source"].to_numpy(zero_copy_only=False))
+        ex = (pd.Series(batch["text"].to_numpy(zero_copy_only=False))
+              .fillna("").str.findall(r"\S+").explode().dropna())
+        df = pd.DataFrame({
+            "source": src.iloc[ex.index.to_numpy(np.int64)].to_numpy(),
+            "tok": ex.to_numpy(), "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["source", "tok"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["source", "tok"]).aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for src, gg in g.groupby("source"):
+        cnt = gg["n"].to_numpy(np.int64)
+        N = int(cnt.sum())
+        V = len(cnt)
+        n1 = int((cnt == 1).sum())
+        n2 = int((cnt == 2).sum())
+        rows.append((src, N, V, n1, n2,
+                     float(_q6(np.float64(n1) / np.float64(N))),
+                     float(_q6(1.0 - np.float64(n1) / np.float64(N)))))
+    return pd.DataFrame(
+        rows,
+        columns=["source", "n_tokens", "vocab", "singletons",
+                 "doubletons", "p_unseen", "coverage"],
+    ).sort_values("source").reset_index(drop=True)
+
+
+D_GOOD_TURING_SQL = """
+WITH u AS (SELECT source,
+                  unnest(regexp_extract_all(coalesce(text, ''), '\\S+'))
+                    AS tok
+           FROM documents),
+c AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM u GROUP BY source, tok),
+s AS (SELECT source,
+             CAST(SUM(n) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(COUNT(*) FILTER (n = 1) AS BIGINT) AS singletons,
+             CAST(COUNT(*) FILTER (n = 2) AS BIGINT) AS doubletons
+      FROM c GROUP BY source)
+SELECT source, n_tokens, vocab, singletons, doubletons,
+       floor(CAST(singletons AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS p_unseen,
+       floor((1.0 - CAST(singletons AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+             * 1000000 + 0.5005) / 1000000 AS coverage
+FROM s ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -17575,4 +17721,6 @@ QUERIES: dict[str, tuple] = {
     "q_tukey_fences": (q_tukey_fences, Q_TUKEY_FENCES_SQL),
     "d_distinctive_tokens": (d_distinctive_tokens,
                              D_DISTINCTIVE_TOKENS_SQL),
+    "t_ess": (t_ess, T_ESS_SQL),
+    "d_good_turing": (d_good_turing, D_GOOD_TURING_SQL),
 }
