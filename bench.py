@@ -287,6 +287,7 @@ HEADLINE = [
     "d_distinctive_tokens",
     "t_ess",
     "d_good_turing",
+    "t_circular_mean",
 ]
 
 

@@ -17384,6 +17384,88 @@ FROM s ORDER BY source
 """
 
 
+def t_circular_mean(sf_dir: str):
+    """Circular mean activity hour per event type, with the resultant
+    length R — the statistic that knows 23:00 and 01:00 average to
+    midnight, not noon. Reuses t_spectral's shared 24-entry
+    micro-quantized trig table so the Σcos/Σsin folds are exact
+    integer sums over (type, hour) cells; the mean hour comes from one
+    atan2 of identical doubles (mapped to [0, 24)) and R from one
+    sqrt, each quantized once."""
+    from ray.data.aggregate import Sum
+
+    k = np.arange(24, dtype=np.float64)
+    cos_m = np.floor(np.cos(2.0 * np.pi * k / 24.0) * 1e6 + 0.5005) \
+        .astype(np.int64)
+    sin_m = np.floor(np.sin(2.0 * np.pi * k / 24.0) * 1e6 + 0.5005) \
+        .astype(np.int64)
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pandas(),
+            "hr": ((us // 3_600_000_000) % 24).astype(np.int64),
+            "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["event_type", "hr"], as_index=False).sum(),
+            preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["event_type", "hr"]).aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for et, gg in g.groupby("event_type"):
+        hr = gg["hr"].to_numpy(np.int64)
+        n = gg["n"].to_numpy(np.int64)
+        N = int(n.sum())
+        cf = int((n * cos_m[hr]).sum())
+        sf = int((n * sin_m[hr]).sum())
+        a = np.float64(cf) / 1e6
+        b = np.float64(sf) / 1e6
+        ang = np.arctan2(b, a)
+        mean_hr = (ang / (2.0 * np.pi) * 24.0) % 24.0
+        R = np.sqrt(a * a + b * b) / np.float64(N)
+        rows.append((et, N, float(_q6(mean_hr)), float(_q6(R))))
+    return pd.DataFrame(
+        rows, columns=["event_type", "n", "mean_hour", "resultant_r"]
+    ).sort_values("event_type").reset_index(drop=True)
+
+
+T_CIRCULAR_MEAN_SQL = """
+WITH trig AS (SELECT k,
+                CAST(floor(cos(2 * pi() * k / 24.0) * 1000000 + 0.5005)
+                     AS BIGINT) AS cm,
+                CAST(floor(sin(2 * pi() * k / 24.0) * 1000000 + 0.5005)
+                     AS BIGINT) AS sm
+              FROM (SELECT unnest(generate_series(0, 23)) AS k)),
+c AS (SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+f AS (SELECT c.event_type,
+             CAST(SUM(c.n) AS BIGINT) AS nn,
+             CAST(SUM(c.n * trig.cm) AS BIGINT) AS cf,
+             CAST(SUM(c.n * trig.sm) AS BIGINT) AS sf
+      FROM c JOIN trig ON trig.k = c.hr
+      GROUP BY c.event_type),
+e AS (SELECT event_type, nn,
+             CAST(cf AS DOUBLE) / 1000000 AS a,
+             CAST(sf AS DOUBLE) / 1000000 AS b
+      FROM f)
+SELECT event_type, nn AS n,
+       floor(((atan2(b, a) / (2 * pi()) * 24.0) % 24.0 + 24.0) % 24.0
+             * 1000000 + 0.5005) / 1000000 AS mean_hour,
+       floor(sqrt(a * a + b * b) / CAST(nn AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS resultant_r
+FROM e ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -17723,4 +17805,5 @@ QUERIES: dict[str, tuple] = {
                              D_DISTINCTIVE_TOKENS_SQL),
     "t_ess": (t_ess, T_ESS_SQL),
     "d_good_turing": (d_good_turing, D_GOOD_TURING_SQL),
+    "t_circular_mean": (t_circular_mean, T_CIRCULAR_MEAN_SQL),
 }
