@@ -16579,10 +16579,10 @@ def q_key_audit(sf_dir: str):
     multiplicity — the data-quality check that catches a double-loaded
     partition before it double-counts revenue (this fixture really
     does carry ~2% duplicate keys). Per-batch key-count partials keep
-    the exchange at one row per (batch, key); the verdict is pure
-    integer counting."""
-    from ray.data.aggregate import Sum
-
+    the exchange at one row per (batch, key); the combine is a driver
+    pandas fold (keys are near-unique, so a Ray groupby sort-shuffled
+    essentially every row — 8.9s at sf0.1 where this takes ~1); the
+    verdict is pure integer counting."""
     ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
 
     def cells(batch: pa.Table) -> pa.Table:
@@ -16596,8 +16596,8 @@ def q_key_audit(sf_dir: str):
 
     g = (
         ds.map_batches(cells, batch_format="pyarrow")
-        .groupby("k").aggregate(Sum("n", alias_name="n"))
         .to_pandas()
+        .groupby("k", as_index=False)["n"].sum()
     )
     n = g["n"].to_numpy(np.int64)
     total = int(n.sum())
@@ -16827,10 +16827,14 @@ def d_ngram_overlap_curve(sf_dir: str):
         df = pd.concat(frames, ignore_index=True)
         return pa.Table.from_pandas(df, preserve_index=False)
 
+    # driver drop_duplicates instead of a 3-column Ray groupby over
+    # near-unique gram strings (the multi-key-groupby trap: 5.6s at
+    # sf0.1 where this takes ~2); per-batch dedup already shrank the
+    # stream
     v = (
         ds.map_batches(cells, batch_format="pyarrow")
-        .groupby(["n", "half", "gram"]).count()
-        .to_pandas()[["n", "half", "gram"]]
+        .to_pandas()
+        .drop_duplicates()
     )
     rows = []
     for n, g in v.groupby("n"):
