@@ -288,6 +288,8 @@ HEADLINE = [
     "t_ess",
     "d_good_turing",
     "t_circular_mean",
+    "q_mahalanobis",
+    "q_partial_corr",
 ]
 
 

@@ -17470,6 +17470,219 @@ FROM e ORDER BY event_type
 """
 
 
+def q_mahalanobis(sf_dir: str):
+    """Bivariate Mahalanobis outlier census over (quantity, price
+    cents): the 2×2 covariance comes from exact integer moments, every
+    row's d² evaluates from token-identical doubles against the shared
+    quantized-inverse-free closed form (d² = (a·dx² − 2b·dx·dy +
+    c·dy²)·n·(n−1)/det with a,b,c,det all rationals of exact sums),
+    and the census counts rows beyond the 3σ ellipse (d² > 9) — the
+    multivariate outlier check a per-column z-score can't do (it
+    misses the cheap-but-huge order). Two passes: one moment exchange,
+    one counting scan with the moments broadcast as plain closure
+    floats."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = batch["l_quantity"].to_numpy().astype(np.int64)
+        y = np.floor(batch["l_extendedprice"].to_numpy() * 100 + 0.5) \
+            .astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(x)]),
+            "sx": pa.array([int(x.sum())]),
+            "sy": pa.array([int(y.sum())]),
+            "sxx": pa.array([int((x * x).sum())]),
+            "syy": pa.array([int((y.astype(object)
+                                  * y.astype(object)).sum())]),
+            "sxy": pa.array([int((x * y).sum())]),
+        })
+
+    m = ds.map_batches(moments, batch_format="pyarrow") \
+        .sum(["n", "sx", "sy", "sxx", "syy", "sxy"])
+    n = int(m["sum(n)"])
+    sx, sy = int(m["sum(sx)"]), int(m["sum(sy)"])
+    sxx, syy, sxy = int(m["sum(sxx)"]), int(m["sum(syy)"]), \
+        int(m["sum(sxy)"])
+    nf = np.float64(n)
+    mx, my = np.float64(sx) / nf, np.float64(sy) / nf
+    # sample covariance entries (ddof=1), identical doubles both sides
+    a = (np.float64(sxx) - np.float64(sx) * np.float64(sx) / nf) \
+        / (nf - 1.0)
+    c = (np.float64(syy) - np.float64(sy) * np.float64(sy) / nf) \
+        / (nf - 1.0)
+    b = (np.float64(sxy) - np.float64(sx) * np.float64(sy) / nf) \
+        / (nf - 1.0)
+    det = a * c - b * b
+
+    def census(batch: pa.Table) -> pa.Table:
+        x = batch["l_quantity"].to_numpy().astype(np.float64)
+        y = np.floor(batch["l_extendedprice"].to_numpy() * 100 + 0.5)
+        dx, dy = x - mx, y - my
+        d2 = (c * dx * dx - 2.0 * b * dx * dy + a * dy * dy) / det
+        return pa.table({"out": pa.array([int((d2 > 9.0).sum())]),
+                         "tot": pa.array([len(x)])})
+
+    s = ds.map_batches(census, batch_format="pyarrow").sum(["out", "tot"])
+    return pd.DataFrame({
+        "n": [int(s["sum(tot)"])],
+        "n_outliers": [int(s["sum(out)"])],
+        "mean_qty": [float(_q6(mx))],
+        "mean_price_cents": [float(_q6(my))],
+        "corr": [float(_q6(b / np.sqrt(a * c)))],
+    })
+
+
+Q_MAHALANOBIS_SQL = """
+WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+           FROM lineitem),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM v),
+e AS (SELECT n,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+             (CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS a,
+             (CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS cc,
+             (CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS b
+      FROM m),
+k AS (SELECT e.n, e.mx, e.my, e.a, e.cc, e.b,
+             e.a * e.cc - e.b * e.b AS det
+      FROM e),
+cnt AS (SELECT CAST(COUNT(*) FILTER (
+          (k.cc * (CAST(v.x AS DOUBLE) - k.mx)
+                 * (CAST(v.x AS DOUBLE) - k.mx)
+           - 2.0 * k.b * (CAST(v.x AS DOUBLE) - k.mx)
+                   * (CAST(v.y AS DOUBLE) - k.my)
+           + k.a * (CAST(v.y AS DOUBLE) - k.my)
+                   * (CAST(v.y AS DOUBLE) - k.my)) / k.det > 9.0)
+          AS BIGINT) AS n_out
+        FROM v CROSS JOIN k)
+SELECT k.n, cnt.n_out AS n_outliers,
+       floor(k.mx * 1000000 + 0.5005) / 1000000 AS mean_qty,
+       floor(k.my * 1000000 + 0.5005) / 1000000 AS mean_price_cents,
+       floor(k.b / sqrt(k.a * k.cc) * 1000000 + 0.5005) / 1000000
+         AS corr
+FROM k CROSS JOIN cnt
+"""
+
+
+def q_partial_corr(sf_dir: str):
+    """Partial correlation of quantity and price CONTROLLING for
+    discount: r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) — the
+    'is this relationship real or is a third column driving both'
+    check. All three pairwise correlations derive from one exact
+    9-moment exchange, quantize once each, and the partial recomputes
+    from the QUANTIZED trio so cross-engine agreement is structural."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_extendedprice", "l_discount"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = batch["l_quantity"].to_numpy().astype(np.int64)
+        y = np.floor(batch["l_extendedprice"].to_numpy() * 100 + 0.5) \
+            .astype(np.int64)
+        z = np.floor(batch["l_discount"].to_numpy() * 100 + 0.5) \
+            .astype(np.int64)
+        yo = y.astype(object)
+        return pa.table({
+            "n": pa.array([len(x)]),
+            "sx": pa.array([int(x.sum())]),
+            "sy": pa.array([int(y.sum())]),
+            "sz": pa.array([int(z.sum())]),
+            "sxx": pa.array([int((x * x).sum())]),
+            "syy": pa.array([int((yo * yo).sum())]),
+            "szz": pa.array([int((z * z).sum())]),
+            "sxy": pa.array([int((x * y).sum())]),
+            "sxz": pa.array([int((x * z).sum())]),
+            "syz": pa.array([int((yo * z.astype(object)).sum())]),
+        })
+
+    cols = ["n", "sx", "sy", "sz", "sxx", "syy", "szz", "sxy", "sxz",
+            "syz"]
+    m = ds.map_batches(moments, batch_format="pyarrow").sum(cols)
+    v = {c: int(m[f"sum({c})"]) for c in cols}
+    n = np.float64(v["n"])
+
+    def corr(sa, sb, sab, saa, sbb):
+        num = n * np.float64(v[sab]) \
+            - np.float64(v[sa]) * np.float64(v[sb])
+        da = n * np.float64(v[saa]) \
+            - np.float64(v[sa]) * np.float64(v[sa])
+        db = n * np.float64(v[sbb]) \
+            - np.float64(v[sb]) * np.float64(v[sb])
+        return float(_q6(num / np.sqrt(da * db)))
+
+    r_xy = corr("sx", "sy", "sxy", "sxx", "syy")
+    r_xz = corr("sx", "sz", "sxz", "sxx", "szz")
+    r_yz = corr("sy", "sz", "syz", "syy", "szz")
+    part = float(_q6((r_xy - r_xz * r_yz)
+                     / np.sqrt((1.0 - r_xz * r_xz)
+                               * (1.0 - r_yz * r_yz))))
+    return pd.DataFrame({
+        "n": [v["n"]], "r_xy": [r_xy], "r_xz": [r_xz], "r_yz": [r_yz],
+        "partial_r": [part],
+    })
+
+
+Q_PARTIAL_CORR_SQL = """
+WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+                  CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS z
+           FROM lineitem),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(z) AS HUGEINT) AS sz,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             CAST(SUM(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * z) AS HUGEINT) AS sxz,
+             CAST(SUM(CAST(y AS HUGEINT) * z) AS HUGEINT) AS syz
+      FROM v),
+r AS (SELECT n,
+  floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        * 1000000 + 0.5005) / 1000000 AS r_xy,
+  floor((CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                  - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+        * 1000000 + 0.5005) / 1000000 AS r_xz,
+  floor((CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+         - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                  - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+        * 1000000 + 0.5005) / 1000000 AS r_yz
+  FROM m)
+SELECT n, r_xy, r_xz, r_yz,
+       floor((r_xy - r_xz * r_yz)
+             / sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz))
+             * 1000000 + 0.5005) / 1000000 AS partial_r
+FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -17810,4 +18023,6 @@ QUERIES: dict[str, tuple] = {
     "t_ess": (t_ess, T_ESS_SQL),
     "d_good_turing": (d_good_turing, D_GOOD_TURING_SQL),
     "t_circular_mean": (t_circular_mean, T_CIRCULAR_MEAN_SQL),
+    "q_mahalanobis": (q_mahalanobis, Q_MAHALANOBIS_SQL),
+    "q_partial_corr": (q_partial_corr, Q_PARTIAL_CORR_SQL),
 }
