@@ -290,6 +290,8 @@ HEADLINE = [
     "t_circular_mean",
     "q_mahalanobis",
     "q_partial_corr",
+    "t_pinball",
+    "q_odds_ratio",
 ]
 
 

@@ -17683,6 +17683,163 @@ FROM r
 """
 
 
+def t_pinball(sf_dir: str):
+    """Pinball (quantile) loss of the 24h seasonal-naive forecast at
+    q = 0.9 per event type — the metric that scores a forecast used
+    for CAPACITY (under-predicting costs 9× more than over). With
+    integer count errors the ×10-scaled loss 9·max(e,0) + 1·max(−e,0)
+    folds as an EXACT integer over the dense hourly grid; the mean
+    loss is one quantized division. Complements t_forecast_error's
+    MASE, which treats both error signs alike."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ts = _read(sf_dir, "events", columns=["ts"])
+    mm = ts.aggregate(Min("ts"), Max("ts"))
+    lo = int(np.datetime64(mm["min(ts)"], "us").astype(np.int64)) \
+        // 3_600_000_000
+    hi = int(np.datetime64(mm["max(ts)"], "us").astype(np.int64)) \
+        // 3_600_000_000
+    H = hi - lo + 1
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pandas(),
+            "h": (us // 3_600_000_000).astype(np.int64), "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["event_type", "h"], as_index=False).sum(),
+            preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["event_type", "h"]).aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for et, grp in g.groupby("event_type"):
+        y = np.zeros(H, np.int64)
+        y[grp["h"].to_numpy(np.int64) - lo] = grp["n"].to_numpy(np.int64)
+        e = y[24:] - y[:-24]            # actual − forecast, exact ints
+        loss10 = int((9 * np.maximum(e, 0) - np.minimum(e, 0)).sum())
+        m = H - 24
+        rows.append((et, m, loss10,
+                     float(_q6(np.float64(loss10)
+                               / (10.0 * np.float64(m))))))
+    return pd.DataFrame(
+        rows,
+        columns=["event_type", "n_forecasts", "loss_x10",
+                 "mean_pinball"],
+    ).sort_values("event_type").reset_index(drop=True)
+
+
+T_PINBALL_SQL = """
+WITH b AS (SELECT MIN(epoch_us(ts)) // 3600000000 AS lo,
+                  MAX(epoch_us(ts)) // 3600000000 AS hi
+           FROM events),
+grid AS (SELECT t.event_type, g.h
+         FROM (SELECT DISTINCT event_type FROM events) t
+         CROSS JOIN (SELECT unnest(generate_series(b.lo, b.hi)) AS h
+                     FROM b) g),
+c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+y AS (SELECT grid.event_type, grid.h, COALESCE(c.n, 0) AS n
+      FROM grid LEFT JOIN c USING (event_type, h)),
+l AS (SELECT event_type, n,
+             LAG(n, 24) OVER (PARTITION BY event_type ORDER BY h) AS n24
+      FROM y),
+s AS (SELECT event_type,
+             CAST(COUNT(*) FILTER (n24 IS NOT NULL) AS BIGINT) AS m,
+             CAST(SUM(9 * greatest(n - n24, 0)
+                      - least(n - n24, 0)) FILTER (n24 IS NOT NULL)
+                  AS BIGINT) AS loss10
+      FROM l GROUP BY event_type)
+SELECT event_type, m AS n_forecasts, loss10 AS loss_x10,
+       floor(CAST(loss10 AS DOUBLE) / (10.0 * CAST(m AS DOUBLE))
+             * 1000000 + 0.5005) / 1000000 AS mean_pinball
+FROM s ORDER BY event_type
+"""
+
+
+def q_odds_ratio(sf_dir: str):
+    """Odds ratio of ever-purchasing between odd- and even-user arms,
+    with the Woolf log-interval: the 2×2 table is pure integer counts
+    from one per-user reduction, OR = (a·d)/(b·c) is a ratio of exact
+    integer products, and the 95% CI exponentiates ln(OR) ±
+    1.96·√(1/a+1/b+1/c+1/d) from token-identical doubles — the
+    epidemiologist's effect size for binary outcomes."""
+    from ..stages.temporal import grouped_map
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"],
+               split=True)
+
+    def flags(g: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "u": g["user_id"].to_numpy(np.int64),
+            "p": (g["event_type"].to_numpy(object) == "purchase")
+            .astype(np.int64),
+        })
+        r = df.groupby("u", as_index=False)["p"].max()
+        return r
+
+    u = grouped_map(ds, "user_id", flags).to_pandas()
+    treat = u["u"].to_numpy(np.int64) % 2 == 1
+    buy = u["p"].to_numpy(np.int64) == 1
+    a = int((treat & buy).sum())        # treated purchasers
+    b = int((treat & ~buy).sum())
+    c = int((~treat & buy).sum())
+    d = int((~treat & ~buy).sum())
+    if min(a, b, c, d) == 0:
+        orr, lo, hi = 0.0, 0.0, 0.0
+    else:
+        orr_raw = np.float64(a * d) / np.float64(b * c)
+        se = np.sqrt(1.0 / np.float64(a) + 1.0 / np.float64(b)
+                     + 1.0 / np.float64(c) + 1.0 / np.float64(d))
+        orr = float(_q6(orr_raw))
+        lo = float(_q6(np.exp(np.log(orr_raw) - 1.96 * se)))
+        hi = float(_q6(np.exp(np.log(orr_raw) + 1.96 * se)))
+    return pd.DataFrame({
+        "a": [a], "b": [b], "c": [c], "d": [d],
+        "odds_ratio": [orr], "ci_lo": [lo], "ci_hi": [hi],
+    })
+
+
+Q_ODDS_RATIO_SQL = """
+WITH u AS (SELECT user_id, user_id % 2 = 1 AS treat,
+                  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS p
+           FROM events GROUP BY user_id),
+t AS (SELECT CAST(COUNT(*) FILTER (treat AND p = 1) AS BIGINT) AS a,
+             CAST(COUNT(*) FILTER (treat AND p = 0) AS BIGINT) AS b,
+             CAST(COUNT(*) FILTER (NOT treat AND p = 1) AS BIGINT) AS c,
+             CAST(COUNT(*) FILTER (NOT treat AND p = 0) AS BIGINT) AS d
+      FROM u)
+SELECT a, b, c, d,
+  CASE WHEN least(a, b, c, d) = 0 THEN 0.0
+       ELSE floor(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE)
+                  * 1000000 + 0.5005) / 1000000 END AS odds_ratio,
+  CASE WHEN least(a, b, c, d) = 0 THEN 0.0
+       ELSE floor(exp(ln(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE))
+                      - 1.96 * sqrt(1.0 / CAST(a AS DOUBLE)
+                                    + 1.0 / CAST(b AS DOUBLE)
+                                    + 1.0 / CAST(c AS DOUBLE)
+                                    + 1.0 / CAST(d AS DOUBLE)))
+                  * 1000000 + 0.5005) / 1000000 END AS ci_lo,
+  CASE WHEN least(a, b, c, d) = 0 THEN 0.0
+       ELSE floor(exp(ln(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE))
+                      + 1.96 * sqrt(1.0 / CAST(a AS DOUBLE)
+                                    + 1.0 / CAST(b AS DOUBLE)
+                                    + 1.0 / CAST(c AS DOUBLE)
+                                    + 1.0 / CAST(d AS DOUBLE)))
+                  * 1000000 + 0.5005) / 1000000 END AS ci_hi
+FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -18025,4 +18182,6 @@ QUERIES: dict[str, tuple] = {
     "t_circular_mean": (t_circular_mean, T_CIRCULAR_MEAN_SQL),
     "q_mahalanobis": (q_mahalanobis, Q_MAHALANOBIS_SQL),
     "q_partial_corr": (q_partial_corr, Q_PARTIAL_CORR_SQL),
+    "t_pinball": (t_pinball, T_PINBALL_SQL),
+    "q_odds_ratio": (q_odds_ratio, Q_ODDS_RATIO_SQL),
 }
