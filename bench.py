@@ -292,6 +292,8 @@ HEADLINE = [
     "q_partial_corr",
     "t_pinball",
     "q_odds_ratio",
+    "t_perm_entropy",
+    "q_iqv",
 ]
 
 

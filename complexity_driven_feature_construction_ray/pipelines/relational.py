@@ -17840,6 +17840,121 @@ FROM t
 """
 
 
+def t_perm_entropy(sf_dir: str):
+    """Order-3 permutation entropy of the hourly event-count series —
+    the model-free complexity score (low = predictable motif
+    structure, ln 6 ≈ 1.79 = white noise). Every consecutive triple
+    maps to a pattern id from three STRICT integer comparisons
+    ((y₁<y₂)·4 + (y₂<y₃)·2 + (y₁<y₃) — ties form their own
+    deterministic classes instead of being broken arbitrarily), the
+    pattern histogram is exact integer counts, and the entropy is the
+    d_mix_entropy micro-fold with one quantized division."""
+    y = _dense_hourly_counts(sf_dir)
+    n = len(y)
+    y1, y2, y3 = y[:-2], y[1:-1], y[2:]
+    pid = ((y1 < y2).astype(np.int64) * 4
+           + (y2 < y3).astype(np.int64) * 2
+           + (y1 < y3).astype(np.int64))
+    cnt = np.bincount(pid, minlength=8)
+    m = int(cnt.sum())
+    p = cnt[cnt > 0].astype(np.float64) / np.float64(m)
+    fold = int(np.floor(-p * np.log(p) * 1e6 + 0.5005)
+               .astype(np.int64).sum())
+    h = _q6(np.float64(fold) / 1e6)
+    return pd.DataFrame({
+        "n_triples": [m], "n_patterns": [int((cnt > 0).sum())],
+        "entropy": [float(h)],
+        "normalized": [float(_q6(h / np.log(np.float64(6.0))))],
+    })
+
+
+T_PERM_ENTROPY_SQL = """
+WITH b AS (SELECT MIN(epoch_us(ts)) // 3600000000 AS lo,
+                  MAX(epoch_us(ts)) // 3600000000 AS hi
+           FROM events),
+grid AS (SELECT unnest(generate_series(b.lo, b.hi)) AS h FROM b),
+c AS (SELECT epoch_us(ts) // 3600000000 AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+y AS (SELECT grid.h, COALESCE(c.n, 0) AS n FROM grid LEFT JOIN c USING (h)),
+w AS (SELECT n AS y1,
+             LEAD(n, 1) OVER (ORDER BY h) AS y2,
+             LEAD(n, 2) OVER (ORDER BY h) AS y3
+      FROM y),
+pid AS (SELECT CAST(CASE WHEN y1 < y2 THEN 4 ELSE 0 END
+                    + CASE WHEN y2 < y3 THEN 2 ELSE 0 END
+                    + CASE WHEN y1 < y3 THEN 1 ELSE 0 END AS BIGINT)
+          AS pid
+        FROM w WHERE y3 IS NOT NULL),
+cnt AS (SELECT pid, CAST(COUNT(*) AS BIGINT) AS n FROM pid GROUP BY pid),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS m,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM cnt),
+f AS (SELECT CAST(SUM(CAST(floor(-(cnt.n / CAST(t.m AS DOUBLE))
+                                 * ln(cnt.n / CAST(t.m AS DOUBLE))
+                                 * 1000000 + 0.5005) AS BIGINT))
+                  AS BIGINT) AS fold
+      FROM cnt CROSS JOIN t),
+e AS (SELECT t.m, t.k,
+             floor(CAST(f.fold AS DOUBLE) / 1000000
+                   * 1000000 + 0.5005) / 1000000 AS entropy
+      FROM f CROSS JOIN t)
+SELECT m AS n_triples, k AS n_patterns, entropy,
+       floor(entropy / ln(6.0) * 1000000 + 0.5005) / 1000000
+         AS normalized
+FROM e
+"""
+
+
+def q_iqv(sf_dir: str):
+    """Index of qualitative variation of the event-type mix:
+    IQV = (k/(k−1))·(1 − Σp²) — the categorical 'variance' that is 0
+    when one type dominates and 1 when all k types are equally common.
+    Σp² is ONE exact integer ratio Σn²/N² (no per-type share float
+    ever exists), so the whole operator is two exact integers and one
+    quantized expression."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type"]).aggregate([([], "count_all")])
+        return pa.table({"event_type": g["event_type"],
+                         "n": g["count_all"]})
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("event_type").aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    n = [int(x) for x in g["n"]]
+    N = sum(n)
+    sq = sum(x * x for x in n)
+    k = len(n)
+    iqv = _q6((np.float64(k) / np.float64(k - 1))
+              * (1.0 - np.float64(sq)
+                 / (np.float64(N) * np.float64(N))))
+    return pd.DataFrame({
+        "k": [k], "n": [N], "sum_sq": [sq], "iqv": [float(iqv)],
+    })
+
+
+Q_IQV_SQL = """
+WITH c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY event_type),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(CAST(n AS HUGEINT) * n) AS HUGEINT) AS sq
+      FROM c)
+SELECT k, nn AS n, CAST(sq AS BIGINT) AS sum_sq,
+       floor((CAST(k AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0))
+             * (1.0 - CAST(sq AS DOUBLE)
+                      / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)))
+             * 1000000 + 0.5005) / 1000000 AS iqv
+FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -18184,4 +18299,6 @@ QUERIES: dict[str, tuple] = {
     "q_partial_corr": (q_partial_corr, Q_PARTIAL_CORR_SQL),
     "t_pinball": (t_pinball, T_PINBALL_SQL),
     "q_odds_ratio": (q_odds_ratio, Q_ODDS_RATIO_SQL),
+    "t_perm_entropy": (t_perm_entropy, T_PERM_ENTROPY_SQL),
+    "q_iqv": (q_iqv, Q_IQV_SQL),
 }
