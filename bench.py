@@ -294,6 +294,7 @@ HEADLINE = [
     "q_odds_ratio",
     "t_perm_entropy",
     "q_iqv",
+    "d_token_dispersion",
 ]
 
 

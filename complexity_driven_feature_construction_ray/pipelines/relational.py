@@ -17955,6 +17955,101 @@ FROM t
 """
 
 
+def d_token_dispersion(sf_dir: str):
+    """Church–Gale burstiness of the top-10 corpus tokens: the
+    variance-to-mean ratio of PER-DOCUMENT counts (zero-docs included)
+    — a function word sits near 1 (Poisson), a topical word far above
+    (it clumps). Two passes: exact global top-10 selection
+    (count, token tie-break), then per-(token, doc) count cells
+    restricted to those ten; Σc and Σc² fold exactly with the zero
+    documents entering only through the total doc count, VMR is one
+    quantized expression."""
+    from ray.data.aggregate import Sum
+
+    n_docs = _table_nrows(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tok_cells(batch: pa.Table) -> pa.Table:
+        ex = (pd.Series(batch["text"].to_numpy(zero_copy_only=False))
+              .fillna("").str.findall(r"\S+").explode().dropna())
+        df = pd.DataFrame({"tok": ex.to_numpy(), "n": 1})
+        return pa.Table.from_pandas(
+            df.groupby("tok", as_index=False).sum(), preserve_index=False)
+
+    top = (
+        ds.map_batches(tok_cells, batch_format="pyarrow")
+        .groupby("tok").aggregate(Sum("n", alias_name="n"))
+        .to_pandas().sort_values(["n", "tok"], ascending=[False, True])
+        .head(10)
+    )
+    keep = set(top["tok"])
+
+    def doc_cells(batch: pa.Table) -> pa.Table:
+        ids = pd.Series(batch["doc_id"].to_numpy())
+        ex = (pd.Series(batch["text"].to_numpy(zero_copy_only=False))
+              .fillna("").str.findall(r"\S+").explode().dropna())
+        df = pd.DataFrame({
+            "doc": ids.iloc[ex.index.to_numpy(np.int64)].to_numpy(),
+            "tok": ex.to_numpy(), "n": 1,
+        })
+        df = df[df["tok"].isin(keep)]
+        g = df.groupby(["tok", "doc"], as_index=False).sum()
+        g["c2"] = g["n"] * g["n"]
+        return pa.Table.from_pandas(
+            g.groupby("tok", as_index=False)[["n", "c2"]].sum()
+            .assign(docs=g.groupby("tok").size().to_numpy(np.int64)),
+            preserve_index=False)
+
+    agg = (
+        ds.map_batches(doc_cells, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n"), Sum("c2", alias_name="c2"),
+                   Sum("docs", alias_name="docs"))
+        .to_pandas()
+    )
+    rows = []
+    for _, r in agg.iterrows():
+        S, Q = int(r["n"]), int(r["c2"])
+        D = np.float64(n_docs)
+        mean = np.float64(S) / D
+        var = (np.float64(Q) - np.float64(S) * np.float64(S) / D) \
+            / (D - 1.0)
+        rows.append((r["tok"], S, int(r["docs"]),
+                     float(_q6(mean)), float(_q6(var / mean))))
+    return pd.DataFrame(
+        rows, columns=["tok", "count", "doc_freq", "mean_per_doc", "vmr"]
+    ).sort_values("tok").reset_index(drop=True)
+
+
+D_TOKEN_DISPERSION_SQL = """
+WITH u AS (SELECT doc_id,
+                  unnest(regexp_extract_all(coalesce(text, ''), '\\S+'))
+                    AS tok
+           FROM documents),
+top AS (SELECT tok FROM (SELECT tok, COUNT(*) AS n FROM u GROUP BY tok)
+        ORDER BY n DESC, tok LIMIT 10),
+c AS (SELECT u.tok, u.doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM u JOIN top USING (tok) GROUP BY u.tok, u.doc_id),
+d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+s AS (SELECT tok,
+             CAST(SUM(n) AS BIGINT) AS cnt,
+             CAST(SUM(CAST(n AS HUGEINT) * n) AS HUGEINT) AS c2,
+             CAST(COUNT(*) AS BIGINT) AS docs
+      FROM c GROUP BY tok),
+e AS (SELECT s.tok, s.cnt, s.docs,
+             CAST(s.cnt AS DOUBLE) / CAST(d.n_docs AS DOUBLE) AS mean,
+             (CAST(s.c2 AS DOUBLE)
+              - CAST(s.cnt AS DOUBLE) * CAST(s.cnt AS DOUBLE)
+                / CAST(d.n_docs AS DOUBLE))
+               / (CAST(d.n_docs AS DOUBLE) - 1.0) AS var
+      FROM s CROSS JOIN d)
+SELECT tok, cnt AS count, docs AS doc_freq,
+       floor(mean * 1000000 + 0.5005) / 1000000 AS mean_per_doc,
+       floor(var / mean * 1000000 + 0.5005) / 1000000 AS vmr
+FROM e ORDER BY tok
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -18301,4 +18396,5 @@ QUERIES: dict[str, tuple] = {
     "q_odds_ratio": (q_odds_ratio, Q_ODDS_RATIO_SQL),
     "t_perm_entropy": (t_perm_entropy, T_PERM_ENTROPY_SQL),
     "q_iqv": (q_iqv, Q_IQV_SQL),
+    "d_token_dispersion": (d_token_dispersion, D_TOKEN_DISPERSION_SQL),
 }
