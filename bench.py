@@ -295,6 +295,7 @@ HEADLINE = [
     "t_perm_entropy",
     "q_iqv",
     "d_token_dispersion",
+    "q_assortativity",
 ]
 
 
