@@ -296,6 +296,7 @@ HEADLINE = [
     "q_iqv",
     "d_token_dispersion",
     "q_assortativity",
+    "d_js_matrix",
 ]
 
 

@@ -18122,6 +18122,105 @@ FROM m
 """
 
 
+def d_js_matrix(sf_dir: str):
+    """Pairwise Jensen–Shannon divergence matrix between all source
+    unigram distributions — the distance matrix you cluster before
+    deciding which corpora are interchangeable in a mix (d_js_divergence
+    gives each source's drift from the corpus; this gives the full
+    geometry). Same 1e-9 micro-fold discipline per (pair, token) term
+    over the union support; one vocabulary-sized exchange feeds all
+    O(sources²) pairs."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        src = pd.Series(batch["source"].to_numpy(zero_copy_only=False))
+        ex = (pd.Series(batch["text"].to_numpy(zero_copy_only=False))
+              .fillna("").str.findall(r"\S+").explode().dropna())
+        df = pd.DataFrame({
+            "source": src.iloc[ex.index.to_numpy(np.int64)].to_numpy(),
+            "tok": ex.to_numpy(), "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["source", "tok"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["source", "tok"]).aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    piv = g.pivot_table(index="tok", columns="source", values="n",
+                        fill_value=0, aggfunc="sum").sort_index()
+    srcs = sorted(piv.columns)
+    counts = {s: piv[s].to_numpy(np.int64) for s in srcs}
+    totals = {s: int(counts[s].sum()) for s in srcs}
+    rows = []
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1:]:
+            na, nb = counts[sa], counts[sb]
+            sup = (na > 0) | (nb > 0)
+            p = na[sup].astype(np.float64) / np.float64(totals[sa])
+            q = nb[sup].astype(np.float64) / np.float64(totals[sb])
+            m = 0.5 * (p + q)
+            tp = np.where(p > 0, p * np.log(np.where(p > 0, p, 1.0) / m),
+                          0.0)
+            tq = np.where(q > 0, q * np.log(np.where(q > 0, q, 1.0) / m),
+                          0.0)
+            fp = int(np.where(p > 0, np.floor(tp * 1e9 + 0.5005), 0)
+                     .astype(np.int64).sum())
+            fq = int(np.where(q > 0, np.floor(tq * 1e9 + 0.5005), 0)
+                     .astype(np.int64).sum())
+            jsd = _q6(0.5 * (np.float64(fp) / 1e9)
+                      + 0.5 * (np.float64(fq) / 1e9))
+            rows.append((sa, sb, float(jsd)))
+    return pd.DataFrame(rows, columns=["src_a", "src_b", "jsd"])
+
+
+D_JS_MATRIX_SQL = """
+WITH u AS (SELECT source,
+                  unnest(regexp_extract_all(coalesce(text, ''), '\\S+'))
+                    AS tok
+           FROM documents),
+c AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM u GROUP BY source, tok),
+st AS (SELECT source, CAST(SUM(n) AS BIGINT) AS ns FROM c
+       GROUP BY source),
+pairs AS (SELECT a.source AS sa, b.source AS sb
+          FROM st a JOIN st b ON a.source < b.source),
+sup AS (SELECT p.sa, p.sb, t.tok,
+               COALESCE(ca.n, 0) AS na, COALESCE(cb.n, 0) AS nb
+        FROM pairs p
+        CROSS JOIN (SELECT DISTINCT tok FROM c) t
+        LEFT JOIN c ca ON ca.source = p.sa AND ca.tok = t.tok
+        LEFT JOIN c cb ON cb.source = p.sb AND cb.tok = t.tok
+        WHERE COALESCE(ca.n, 0) > 0 OR COALESCE(cb.n, 0) > 0),
+term AS (SELECT s.sa, s.sb,
+  CASE WHEN s.na > 0 THEN
+    CAST(floor((CAST(s.na AS DOUBLE) / CAST(ta.ns AS DOUBLE))
+      * ln((CAST(s.na AS DOUBLE) / CAST(ta.ns AS DOUBLE))
+           / (0.5 * (CAST(s.na AS DOUBLE) / CAST(ta.ns AS DOUBLE)
+                     + CAST(s.nb AS DOUBLE) / CAST(tb.ns AS DOUBLE))))
+      * 1000000000 + 0.5005) AS BIGINT) ELSE 0 END AS fp,
+  CASE WHEN s.nb > 0 THEN
+    CAST(floor((CAST(s.nb AS DOUBLE) / CAST(tb.ns AS DOUBLE))
+      * ln((CAST(s.nb AS DOUBLE) / CAST(tb.ns AS DOUBLE))
+           / (0.5 * (CAST(s.na AS DOUBLE) / CAST(ta.ns AS DOUBLE)
+                     + CAST(s.nb AS DOUBLE) / CAST(tb.ns AS DOUBLE))))
+      * 1000000000 + 0.5005) AS BIGINT) ELSE 0 END AS fq
+  FROM sup s
+  JOIN st ta ON ta.source = s.sa
+  JOIN st tb ON tb.source = s.sb)
+SELECT sa AS src_a, sb AS src_b,
+       floor((0.5 * (CAST(SUM(fp) AS DOUBLE) / 1000000000)
+              + 0.5 * (CAST(SUM(fq) AS DOUBLE) / 1000000000))
+             * 1000000 + 0.5005) / 1000000 AS jsd
+FROM term GROUP BY sa, sb ORDER BY sa, sb
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -18470,4 +18569,5 @@ QUERIES: dict[str, tuple] = {
     "q_iqv": (q_iqv, Q_IQV_SQL),
     "d_token_dispersion": (d_token_dispersion, D_TOKEN_DISPERSION_SQL),
     "q_assortativity": (q_assortativity, Q_ASSORTATIVITY_SQL),
+    "d_js_matrix": (d_js_matrix, D_JS_MATRIX_SQL),
 }
