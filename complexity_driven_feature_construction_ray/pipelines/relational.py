@@ -61,6 +61,49 @@ def _q6(x):
     return np.floor(x * 1e6 + 0.5005) / 1e6
 
 
+def _exact_dot(a, b) -> int:
+    """Overflow-proof integer dot product for driver-side moment folds
+    (sum of a[i]*b[i] as a true arbitrary-precision int). numpy int64
+    wraps SILENTLY on overflow while the SQL twins accumulate HUGEINT
+    (DuckDB raises) — at very large scale the two engines would
+    silently diverge instead of failing loudly. A worst-case bound
+    check (n * |a|max * |b|max) picks the fast int64 kernel when
+    provably safe at every prefix, else folds through Python ints via
+    object dtype."""
+    n = len(a)
+    if n == 0:
+        return 0
+    amax = int(np.abs(a).max())
+    bmax = int(np.abs(b).max())
+    if amax * bmax * n < (1 << 62):
+        return int(np.dot(a.astype(np.int64), b.astype(np.int64)))
+    return int(np.dot(a.astype(object), b.astype(object)))
+
+
+def _exact_sum(a) -> int:
+    """Overflow-proof integer sum — same HUGEINT discipline as
+    _exact_dot for plain sums of driver-side integer vectors."""
+    n = len(a)
+    if n == 0:
+        return 0
+    if int(np.abs(a).max()) * n < (1 << 62):
+        return int(a.astype(np.int64).sum())
+    return int(a.astype(object).sum())
+
+
+def _guard_i64(bound: int, what: str) -> None:
+    """Raise (like DuckDB's HUGEINT->BIGINT cast) instead of letting a
+    distributed int64 fold wrap silently: callers pass the worst-case
+    magnitude of a per-batch partial that downstream Ray Sum
+    aggregates accumulate in int64."""
+    if bound >= (1 << 62):
+        raise OverflowError(
+            f"{what}: worst-case partial {bound} would overflow the "
+            "int64 exchange; rescale the units (the SQL twin would "
+            "raise on its HUGEINT->BIGINT cast here too)"
+        )
+
+
 def _read(sf_dir: str, table: str, columns=None, split: bool | None = None, where=None):
     """Column-pruned parquet read. The test tables are single-row-group
     files, so Ray reads each as ONE block and every downstream map stage
@@ -12431,20 +12474,21 @@ FROM g ORDER BY a_id
 def q_interval_join(sf_dir: str):
     """Interval-OVERLAP self-join: each order becomes the interval
     [orderdate, last shipdate] (end from a per-order Max cell
-    exchange; the order dimension — key, customer, start — ships ONCE
-    as broadcast sorted arrays and attaches via searchsorted inside
-    map_batches, which replaced an 11s fact-×-fact shuffle join with
-    a ~4MB ray.put at bench scale; at 100 TB a giant orders table
-    would flip this back to shuffle_hash_join), then pairs of the
-    SAME customer whose intervals overlap are emitted with the exact
-    overlap in microseconds. Pair enumeration is one vectorized
-    self-merge per grouped_map bucket (k≤ a few dozen orders → k²
-    tiny per entity). The overlap predicate is the symmetric
-    a.start≤b.end ∧ b.start≤a.end — a range-band join neither equi-
-    nor as-of joins express."""
-    import ray
+    exchange; the order dimension — key, customer, start — attaches
+    via the size-thresholded `auto_join` planner: under
+    BROADCAST_MAX_ROWS the orders side ships ONCE as one ray.put and
+    probes zero-shuffle, above it the planner flips to the bucketed
+    shuffle_hash_join — orders is a FACT table, so at 100 TB the
+    shuffle path engages automatically instead of a driver-side
+    materialization), then pairs of the SAME customer whose intervals
+    overlap are emitted with the exact overlap in microseconds. Pair
+    enumeration is one vectorized self-merge per grouped_map bucket
+    (k≤ a few dozen orders → k² tiny per entity). The overlap
+    predicate is the symmetric a.start≤b.end ∧ b.start≤a.end — a
+    range-band join neither equi- nor as-of joins express."""
     from ray.data.aggregate import Max
 
+    from ..stages.partition import auto_join
     from ..stages.temporal import grouped_map
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
@@ -12463,33 +12507,27 @@ def q_interval_join(sf_dir: str):
         li.map_batches(endcells, batch_format="pyarrow")
         .groupby("l_orderkey").aggregate(Max("e_us", alias_name="e_us"))
     )
-    orders = (
-        _read(sf_dir, "orders",
-              columns=["o_orderkey", "o_custkey", "o_orderdate"])
-        .to_pandas().sort_values("o_orderkey", kind="stable")
+    orders_ds = _read(sf_dir, "orders",
+                      columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    joined = auto_join(
+        ends, orders_ds, left_on="l_orderkey", right_on="o_orderkey",
+        # known statically: .schema() on the aggregate lineage would
+        # execute the whole upstream shuffle once, then the probe again
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("e_us", pa.int64())]),
     )
-    okeys = orders["o_orderkey"].to_numpy(np.int64)
-    lookup_ref = ray.put((
-        okeys,
-        orders["o_custkey"].to_numpy(np.int64),
-        orders["o_orderdate"].to_numpy("datetime64[us]").astype(np.int64),
-    ))
 
-    def attach(batch: pa.Table) -> pa.Table:
-        from ..stages.arrowutil import sorted_lookup
-
-        ks, cust, s_us = ray.get(lookup_ref)
-        idx, found = sorted_lookup(ks, batch["l_orderkey"].to_numpy())
-        t = batch.filter(pa.array(found))
-        ix = idx[found]
+    def to_interval(batch: pa.Table) -> pa.Table:
+        s_us = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
         return pa.table({
-            "o_orderkey": t["l_orderkey"],
-            "o_custkey": pa.array(cust[ix]),
-            "s_us": pa.array(s_us[ix]),
-            "e_us": t["e_us"],
+            "o_orderkey": batch["l_orderkey"],
+            "o_custkey": batch["o_custkey"],
+            "s_us": pa.array(s_us),
+            "e_us": batch["e_us"],
         })
 
-    iv = ends.map_batches(attach, batch_format="pyarrow")
+    iv = joined.map_batches(to_interval, batch_format="pyarrow")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         # ONE vectorized self-merge per bucket (a Python loop over
@@ -13544,11 +13582,18 @@ def q_assoc_rules(sf_dir: str):
     a single exchange — an order marker, each distinct part once, and
     every within-order pair (k≤lines → k² tiny) — and each bucket
     pre-aggregates its OWN pair counts, so the exchange carries at
-    most one row per (bucket, pair) and the final combine is a tiny
-    driver-side fold (a generic two-key Ray groupby over the raw pair
-    stream measured 60s where this takes ~2). Pairs with support
-    count ≥3 report support, both confidences and lift, each one
-    quantized division of exact integers."""
+    most one row per (bucket, pair). The final combine is DISTRIBUTED:
+    cells re-bucket by a deterministic mix of (a,b) — every cell of a
+    pair lands in exactly one bucket, mix collisions only co-locate
+    extra pairs — and each bucket folds its counts with one C-level
+    pandas groupby and applies the support≥3 filter LOCALLY, so what
+    reaches the driver is only the surviving rule set plus the
+    dimension-sized singles table (needed for confidences; ≤|part|
+    rows, the same broadcastable dimension the rest of the repo
+    ray.puts). A generic two-key Ray sort-groupby over the raw pair
+    stream measured 60s where the bucketed fold takes ~2. Pairs with
+    support count ≥3 report support, both confidences and lift, each
+    one quantized division of exact integers."""
     from ..stages.temporal import grouped_map
 
     ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
@@ -13569,10 +13614,24 @@ def q_assoc_rules(sf_dir: str):
         })
         return df.groupby(["a", "b"], as_index=False).sum()
 
-    counts = (
-        grouped_map(ds, "l_orderkey", cells).to_pandas()
-        .groupby(["a", "b"], as_index=False).sum()
-    )
+    def enc(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # deterministic wrap-mix: collisions harmless (combine groups
+        # by the real (a,b) inside the bucket), co-location guaranteed
+        with np.errstate(over="ignore"):
+            pk = a * np.int64(1_000_003) + b
+        return batch.append_column("__pk", pa.array(pk))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["a", "b"], as_index=False)["n"].sum()
+        return s[(s["a"] == -1) | (s["b"] == -1) | (s["n"] >= 3)]
+
+    counts = grouped_map(
+        grouped_map(ds, "l_orderkey", cells)
+        .map_batches(enc, batch_format="pyarrow"),
+        "__pk", combine,
+    ).to_pandas()
     N = int(counts.loc[(counts["a"] == -1) & (counts["b"] == -1), "n"]
             .iloc[0])
     singles = counts[(counts["a"] >= 0) & (counts["b"] == -1)] \
@@ -15214,6 +15273,9 @@ def t_decayed_mean(sf_dir: str):
         k = np.minimum((t_end - us) // WEEK_US, KMAX).astype(np.int64)
         w = np.int64(1) << (KMAX - k)
         v = np.floor(batch["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        if len(v):
+            _guard_i64(int(np.abs(v).max()) * (1 << KMAX) * len(v),
+                       "t_decayed_mean v*w fold")
         df = pd.DataFrame({
             "event_type": batch["event_type"].to_pandas(),
             "num": v * w, "den": w,
@@ -18077,9 +18139,9 @@ def q_assortativity(sf_dir: str):
     x = np.bincount(sinv)[sinv]          # supplier degree per edge
     y = np.bincount(pinv)[pinv]          # part degree per edge
     n = len(edges)
-    sx, sy = int(x.sum()), int(y.sum())
-    sxx, syy = int((x * x).sum()), int((y * y).sum())
-    sxy = int((x * y).sum())
+    sx, sy = _exact_sum(x), _exact_sum(y)
+    sxx, syy = _exact_dot(x, x), _exact_dot(y, y)
+    sxy = _exact_dot(x, y)
     num = n * sxy - sx * sy
     dx = n * sxx - sx * sx
     dy = n * syy - sy * sy

@@ -1,14 +1,18 @@
 """Multimodal column stages (image/audio/video as opaque binary).
 
 Two codec tiers:
-- REAL, in-container: PPM (P6) and BMP (24-bpp uncompressed) decode,
-  nearest-neighbor resize, and PPM encode are pure-numpy — no image
-  library needed — so the real-codec path is exercisable end-to-end
-  here (decode -> luminance histogram features, resize -> re-encode).
-- STUBBED: compressed formats (PNG/JPEG/WAV/...) need codecs absent
-  from this container; those payloads raise a clearly-marked
-  NotImplementedError in real mode, and `fake=True` provides the
-  deterministic content-derived test double for plumbing tests.
+- REAL, in-container, pure numpy (+stdlib zlib for PNG) — no image/
+  audio library needed: PNG (zlib inflate + all 5 filter types), PPM
+  (P6), BMP (24-bpp uncompressed) and baseline JPEG (huffman + IDCT)
+  decode; WAV (PCM16) decode + FFT spectral features; Y4M frame
+  sampling; nearest-neighbor resize; PPM/PNG encode. The real-codec
+  path is exercisable end-to-end here (decode -> luminance histogram
+  features, resize -> re-encode).
+- STUBBED: compressed video (H.264 etc.) and progressive/arithmetic
+  JPEG need codecs absent from this container; those payloads raise a
+  clearly-marked NotImplementedError in real mode, and `fake=True`
+  provides the deterministic content-derived test double for
+  plumbing tests.
 
 Contract: a multimodal table carries `(item_id:string, payload:binary,
 media_type:string, meta:string-json)`. Decode stages are actor pools

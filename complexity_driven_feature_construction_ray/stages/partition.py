@@ -110,6 +110,8 @@ def shuffle_hash_join(
     join_type: str = "inner",
     num_buckets: int | None = None,
     suffix: str = "_r",
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ):
     """Large x large partitioned equi-join (the join for two FACT tables).
 
@@ -144,8 +146,12 @@ def shuffle_hash_join(
     # metadata-known schemas when available (read_parquet lineages);
     # .schema() on a lazy map lineage EXECUTES a limit-1 pass which,
     # behind a repartition, is a full scan — only fall back to it
-    _ls = left.schema(fetch_if_missing=False) or left.schema()
-    _rs = right.schema(fetch_if_missing=False) or right.schema()
+    # a caller-supplied schema skips the fetch: .schema() on a lazy
+    # map/aggregate lineage EXECUTES the upstream plan once just to
+    # see names, then the probe executes it AGAIN (measured 2x on
+    # aggregate-fed joins)
+    _ls = left_schema or left.schema(fetch_if_missing=False) or left.schema()
+    _rs = right_schema or right.schema(fetch_if_missing=False) or right.schema()
     from .temporal import _as_arrow_schema
 
     left_schema = _as_arrow_schema(_ls)
@@ -342,6 +348,7 @@ def broadcast_join(
     right_on: str | None = None,
     join_type: str = "inner",
     suffix: str = "_r",
+    left_schema: pa.Schema | None = None,
 ):
     """Small-side broadcast equi-join: the RIGHT side is collected as
     one Arrow table, shipped ONCE via ray.put, and every left batch
@@ -363,7 +370,8 @@ def broadcast_join(
         else pa.Table.from_pylist([], schema=_aas(right.schema()))
     )
 
-    l_schema = _aas(left.schema(fetch_if_missing=False) or left.schema())
+    l_schema = _aas(left_schema or left.schema(fetch_if_missing=False)
+                    or left.schema())
     left_names = list(l_schema.names)
     left_out = [n for n in left_names if n != left_on]
     right_payload = [n for n in right_tbl.column_names if n != right_on]
@@ -400,6 +408,7 @@ def auto_join(
     suffix: str = "_r",
     broadcast_max_rows: int = BROADCAST_MAX_ROWS,
     hot_threshold: int | None = None,
+    left_schema: pa.Schema | None = None,
 ):
     """Strategy-dispatching equi-join — the one entry point callers
     should use unless they know better:
@@ -421,7 +430,7 @@ def auto_join(
     if n_right is not None and n_right <= broadcast_max_rows:
         return broadcast_join(
             left, right, left_on=left_on, right_on=right_on,
-            join_type=join_type, suffix=suffix,
+            join_type=join_type, suffix=suffix, left_schema=left_schema,
         )
     if hot_threshold is not None:
         if join_type != "inner":
@@ -432,7 +441,7 @@ def auto_join(
         )
     return shuffle_hash_join(
         left, right, left_on=left_on, right_on=right_on,
-        join_type=join_type, suffix=suffix,
+        join_type=join_type, suffix=suffix, left_schema=left_schema,
     )
 
 

@@ -868,3 +868,54 @@ def test_broadcast_and_auto_join_parity(ray_session):
         .to_pandas().sort_values(["k", "a"]).reset_index(drop=True)
     )
     assert len(got_lo) == 5 and got_lo.loc[got_lo["k"] == 5, "b"].isna().all()
+
+
+def test_auto_join_flips_to_shuffle_above_threshold(ray_session, monkeypatch):
+    """The planner must pick broadcast only under broadcast_max_rows
+    and flip to the bucketed shuffle above it — the guard that keeps a
+    fact-sized right side from materializing driver-side (the
+    q_interval_join scale fix). Spies record which strategy ran; both
+    paths must return identical rows."""
+    import pandas as pd
+
+    from complexity_driven_feature_construction_ray.stages import partition
+
+    left = pd.DataFrame({"k": np.arange(50) % 7, "a": np.arange(50.0)})
+    right = pd.DataFrame({"k": np.arange(7), "b": np.arange(7) * 10})
+    lds = ray.data.from_pandas(left).repartition(3)
+    rds = ray.data.from_pandas(right).repartition(2)
+
+    calls = []
+    real_b, real_s = partition.broadcast_join, partition.shuffle_hash_join
+    monkeypatch.setattr(
+        partition, "broadcast_join",
+        lambda *a, **kw: calls.append("broadcast") or real_b(*a, **kw))
+    monkeypatch.setattr(
+        partition, "shuffle_hash_join",
+        lambda *a, **kw: calls.append("shuffle") or real_s(*a, **kw))
+
+    def norm(ds):
+        return (ds.to_pandas().sort_values(["k", "a"])
+                .reset_index(drop=True)[["k", "a", "b"]])
+
+    want = (left.merge(right, on="k").sort_values(["k", "a"])
+            .reset_index(drop=True)[["k", "a", "b"]])
+    got_small = norm(partition.auto_join(lds, rds, left_on="k"))
+    assert calls == ["broadcast"]
+    # right side bigger than the threshold -> planner flips to shuffle
+    got_big = norm(partition.auto_join(
+        lds, rds, left_on="k", broadcast_max_rows=3))
+    assert calls == ["broadcast", "shuffle"]
+    pd.testing.assert_frame_equal(got_small, want.astype(got_small.dtypes.to_dict()))
+    pd.testing.assert_frame_equal(got_big, want.astype(got_big.dtypes.to_dict()))
+
+    # left_schema passthrough (skips the lineage-executing schema
+    # fetch) must not change results on either path
+    sch = pa.schema([("k", pa.int64()), ("a", pa.float64())])
+    lmap = lds.map_batches(lambda t: t, batch_format="pyarrow")
+    got_sch_b = norm(partition.auto_join(
+        lmap, rds, left_on="k", left_schema=sch))
+    got_sch_s = norm(partition.auto_join(
+        lmap, rds, left_on="k", left_schema=sch, broadcast_max_rows=3))
+    pd.testing.assert_frame_equal(got_sch_b, want.astype(got_sch_b.dtypes.to_dict()))
+    pd.testing.assert_frame_equal(got_sch_s, want.astype(got_sch_s.dtypes.to_dict()))
