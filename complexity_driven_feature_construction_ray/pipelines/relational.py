@@ -4813,18 +4813,23 @@ def m_decode_png(sf_dir: str):
         sf_dir.rstrip("/").split("/")[-1], 256
     )
     ds = ray.data.from_arrow(synthetic_png_table(n)).repartition(8)
+    # fractional CPUs: two chained 2-actor pools at num_cpus=1 would pin
+    # every core of a 4-CPU session and starve the upstream repartition
+    # tasks (observed deadlock); 0.5 leaves task slots free
     out = ds.map_batches(
         ImageResize,
         fn_constructor_kwargs={"scale": 0.5, "fake": False},
         batch_format="pyarrow",
         batch_size=32,
         concurrency=2,
+        num_cpus=0.5,
     ).map_batches(
         ImageDecode,
         fn_constructor_args=(False,),
         batch_format="pyarrow",
         batch_size=32,
         concurrency=2,
+        num_cpus=0.5,
     )
 
     def summarize(batch: pa.Table) -> pa.Table:
@@ -4840,6 +4845,69 @@ def m_decode_png(sf_dir: str):
                 "feat_dim": pa.array([len(f) for f in feats], type=pa.int32()),
                 "feat_sum": pa.array(
                     [round(float(np.sum(f)), 6) for f in feats], type=pa.float64()
+                ),
+            }
+        )
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
+def m_decode_jpeg(sf_dir: str):
+    """REAL baseline-JPEG path: deterministic JPEG payloads (pure-numpy
+    huffman+IDCT codec, stages/jpeg.py — the last formerly-stubbed
+    codec tier) through the same actor-pool resize -> decode ->
+    luminance-histogram stages as the PNG twin; payloads alternate
+    4:4:4 and 4:2:0 so the MCU interleave and chroma-upsample decode
+    paths both run. Resize transcodes JPEG -> PPM; decode dispatches on
+    payload magic. Rows-only check (DuckDB cannot decode JPEG); the
+    codec itself is golden-tested in tests/test_multimodal_codecs.py
+    against independent naive-DCT math."""
+    import ray.data
+
+    from ..stages.multimodal import (
+        ImageDecode,
+        ImageResize,
+        synthetic_jpeg_table,
+    )
+
+    n = {"sf0.001": 64, "sf0.01": 256, "sf0.1": 1024}.get(
+        sf_dir.rstrip("/").split("/")[-1], 256
+    )
+    ds = ray.data.from_arrow(synthetic_jpeg_table(n)).repartition(8)
+    # fractional CPUs: two chained 2-actor pools at num_cpus=1 would pin
+    # every core of a 4-CPU session and starve the upstream repartition
+    # tasks (observed deadlock); 0.5 leaves task slots free
+    out = ds.map_batches(
+        ImageResize,
+        fn_constructor_kwargs={"scale": 0.5, "fake": False},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+        num_cpus=0.5,
+    ).map_batches(
+        ImageDecode,
+        fn_constructor_args=(False,),
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+        num_cpus=0.5,
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        import json as _json
+
+        feats = batch["features"].to_pylist()
+        metas = [_json.loads(m) for m in batch["meta"].to_pylist()]
+        return pa.table(
+            {
+                "item_id": batch["item_id"],
+                "w": pa.array([m["w"] for m in metas], type=pa.int32()),
+                "h": pa.array([m["h"] for m in metas], type=pa.int32()),
+                "subsample": pa.array([m["subsample"] for m in metas]),
+                "feat_dim": pa.array([len(f) for f in feats], type=pa.int32()),
+                "feat_sum": pa.array(
+                    [round(float(np.sum(f)), 6) for f in feats],
+                    type=pa.float64(),
                 ),
             }
         )
@@ -18328,6 +18396,7 @@ QUERIES: dict[str, tuple] = {
     "q_skew_report": (q_skew_report, Q_SKEW_REPORT_SQL),
     "d_span_mask": (d_span_mask, D_SPAN_MASK_SQL),
     "m_decode_png": (m_decode_png, None),
+    "m_decode_jpeg": (m_decode_jpeg, None),
     "m_audio_spectral": (m_audio_spectral, None),
     "m_phash_dedup": (m_phash_dedup, None),
     "q_three_way_join": (q_three_way_join, Q_THREE_WAY_JOIN_SQL),

@@ -78,3 +78,38 @@ def list_to_binary(col) -> pa.Array:
         # from an empty list under downstream grouping — SQL semantics
         out = pc.if_else(arr.is_null(), pa.scalar(None, pa.large_binary()), out)
     return out
+
+
+def cast_fixed_list(ds, col: str, dim: int, dtype: pa.DataType | None = None):
+    """Ingestion-time cast of a variable `list<T>` column to
+    `fixed_size_list<T, dim>` so every downstream stage can read the
+    embedding width from METADATA instead of partially executing the
+    pipeline (the retired ds.take(1) fallback). Ragged rows fail loudly
+    inside the map task. Returns a new Dataset; zero-copy on the values
+    buffer (only the offsets are dropped)."""
+
+    def cast(batch: pa.Table) -> pa.Table:
+        c = batch[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        if isinstance(c, pa.FixedSizeListArray):
+            return batch
+        if isinstance(c, (pa.ListArray, pa.LargeListArray)):
+            offs = c.offsets.to_numpy(zero_copy_only=False)
+            widths = np.diff(offs)
+            if len(widths) and (widths != dim).any():
+                raise ValueError(
+                    f"cast_fixed_list: column {col!r} has rows of width "
+                    f"{set(int(w) for w in widths[widths != dim][:3])}, "
+                    f"expected {dim}"
+                )
+            flat = c.flatten()
+            if dtype is not None:
+                flat = flat.cast(dtype)
+            fixed = pa.FixedSizeListArray.from_arrays(flat, dim)
+            return batch.set_column(
+                batch.column_names.index(col), col, fixed
+            )
+        raise ValueError(f"cast_fixed_list: {col!r} is not a list column")
+
+    return ds.map_batches(cast, batch_format="pyarrow")

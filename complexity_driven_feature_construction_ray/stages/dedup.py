@@ -452,8 +452,10 @@ def embedding_dedup(
     Random-hyperplane LSH buckets + exact cosine verify per bucket.
 
     `dim`: embedding width. Read from the schema when the column is a
-    fixed-size list; for variable list columns pass it explicitly —
-    the ds.take(1) fallback partially executes the upstream pipeline."""
+    fixed-size list; for variable list columns either pass it
+    explicitly or cast at ingestion with arrowutil.cast_fixed_list —
+    there is deliberately NO ds.take(1) fallback (it would partially
+    execute the upstream pipeline before the bucket pass)."""
     if dim is None:
         sch = ds.schema(fetch_if_missing=False)
         base = getattr(sch, "base_schema", sch)
@@ -461,8 +463,23 @@ def embedding_dedup(
             t = base.field(emb_col).type
             if pa.types.is_fixed_size_list(t):
                 dim = t.list_size
+            elif len(getattr(t, "shape", ())) == 1:
+                # Ray's ArrowTensorType (from_pandas of ndarray cells)
+                # carries the width in the extension type's shape
+                dim = int(t.shape[0])
+        elif emb_col in getattr(base, "names", ()):
+            # pandas-block lineage: TensorDtype carries element_shape
+            t = base.types[list(base.names).index(emb_col)]
+            shape = getattr(t, "element_shape", None)
+            if shape is not None and len(shape) == 1:
+                dim = int(shape[0])
     if dim is None:
-        dim = len(ds.take(1)[0][emb_col])
+        raise ValueError(
+            f"embedding_dedup: {emb_col!r} is a variable-width list and "
+            "dim was not given; pass dim=... or cast the column to "
+            "FixedSizeList at ingestion (stages/arrowutil.py:"
+            "cast_fixed_list) so the width is schema metadata"
+        )
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(dim, n_planes))
 

@@ -207,8 +207,8 @@ def resize_nearest(img: np.ndarray, scale: float) -> np.ndarray:
 
 def decode_image(payload: bytes, media_type: str | None = None) -> np.ndarray:
     """Dispatch on payload magic (authoritative) with media_type as the
-    error-message hint. PPM/BMP decode in pure numpy; anything else is
-    the declared stub."""
+    error-message hint. PPM/BMP/PNG/baseline-JPEG decode in pure numpy
+    (+stdlib zlib for PNG); anything else is the declared stub."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:2] == b"BM":
@@ -220,10 +220,18 @@ def decode_image(payload: bytes, media_type: str | None = None) -> np.ndarray:
         elif img.shape[2] == 4:  # drop alpha
             img = img[:, :, :3].copy()
         return img
+    if payload[:3] == b"\xff\xd8\xff":
+        from .jpeg import decode_jpeg
+
+        img = decode_jpeg(payload)
+        if img.shape[2] == 1:
+            img = np.repeat(img, 3, axis=2)
+        return img
     raise NotImplementedError(
         f"no in-container codec for payload (media_type={media_type!r}); "
-        "PPM (P6), 24-bpp BMP and 8-bit PNG decode here; JPEG needs an "
-        "image library absent from this environment"
+        "PPM (P6), 24-bpp BMP, 8-bit PNG and baseline JPEG decode here; "
+        "progressive JPEG / compressed video need libraries absent from "
+        "this environment"
     )
 
 
@@ -276,6 +284,39 @@ def synthetic_png_table(n_rows: int, seed: int = 43, w: int = 32, h: int = 24) -
             "item_id": ids,
             "payload": payloads,
             "media_type": ["image/png"] * n_rows,
+            "meta": metas,
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def synthetic_jpeg_table(n_rows: int, seed: int = 44, w: int = 32,
+                         h: int = 24) -> pa.Table:
+    """Deterministic REAL baseline-JPEG payloads (pure-numpy codec,
+    stages/jpeg.py) — same gradient+noise pattern as the PNG twin;
+    alternating 4:4:4 / 4:2:0 subsampling so the decoder's MCU
+    interleave + chroma upsample paths are both exercised."""
+    from .jpeg import encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    ids, payloads, metas = [], [], []
+    gx = np.linspace(0, 255, w, dtype=np.float64)
+    for i in range(n_rows):
+        base = np.zeros((h, w, 3), dtype=np.float64)
+        base[:, :, 0] = gx[None, :]
+        base[:, :, 1] = np.linspace(0, 255, h)[:, None]
+        base[:, :, 2] = (i * 53) % 256
+        noise = rng.integers(0, 32, size=(h, w, 3))
+        img = np.clip(base + noise, 0, 255).astype(np.uint8)
+        sub = "420" if i % 2 else "444"
+        ids.append(f"jpg-{i:08d}")
+        payloads.append(encode_jpeg(img, quality=90, subsample=sub))
+        metas.append(json.dumps({"w": w, "h": h, "subsample": sub}))
+    return pa.table(
+        {
+            "item_id": ids,
+            "payload": payloads,
+            "media_type": ["image/jpeg"] * n_rows,
             "meta": metas,
         },
         schema=MEDIA_SCHEMA,

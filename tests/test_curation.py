@@ -326,3 +326,52 @@ class TestRepetitionAndPII:
         assert texts[0] == "mail me at [EMAIL] or [EMAIL] thanks"
         assert "[PHONE]" in texts[1] and "555" not in texts[1]
         assert texts[2] == "no pii here"
+
+
+class TestFixedListIngestion:
+    def test_cast_fixed_list_and_no_partial_execution(self, ray_session):
+        """Variable list<float> columns must NOT silently take(1): the
+        dedup raises with a pointer, and cast_fixed_list at ingestion
+        makes the width schema metadata so the same call then works."""
+        import pyarrow as pa
+        import pytest as _pytest
+
+        from complexity_driven_feature_construction_ray.stages.arrowutil import (
+            cast_fixed_list,
+        )
+
+        rng = np.random.default_rng(3)
+        m = rng.normal(size=(40, 8))
+        tbl = pa.table({
+            "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+            "embedding": pa.array([row.tolist() for row in m],
+                                  type=pa.list_(pa.float32())),
+        })
+        ds = ray.data.from_arrow(tbl)
+        with _pytest.raises(ValueError, match="cast_fixed_list"):
+            embedding_dedup(ds, threshold=0.999)
+
+        both = pa.table({
+            "vec_id": pa.array(
+                np.concatenate([np.arange(40), [100000]]).astype(np.int64)),
+            "embedding": pa.array(
+                [row.tolist() for row in m] + [(m[0] * 1.001).tolist()],
+                type=pa.list_(pa.float32())),
+        })
+        # cast at ingestion + materialize: the fixed width becomes
+        # schema METADATA, so dedup infers dim with no data peek
+        fixed = cast_fixed_list(
+            ray.data.from_arrow(both), "embedding", 8).materialize()
+        out = embedding_dedup(fixed, threshold=0.999)
+        reps = out.set_index("id")["rep_id"]
+        assert reps[100000] == 0
+
+        # ragged rows fail loudly inside the cast, not with a wrong
+        # reshape downstream
+        ragged = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array([0, 1], type=pa.int64()),
+            "embedding": pa.array([[1.0, 2.0], [1.0, 2.0, 3.0]],
+                                  type=pa.list_(pa.float32())),
+        }))
+        with _pytest.raises(Exception, match="width|ragged"):
+            cast_fixed_list(ragged, "embedding", 2).materialize()

@@ -439,3 +439,169 @@ class TestPHashDedup:
         # plane; ensure at least the planted pairs drive the clusters
         # and the cluster map stays small (no everything-matches blowup)
         assert len(out) <= 4 * len(planted)
+
+
+class TestJpegCodec:
+    """Baseline JPEG (stages/jpeg.py). The round-trip tests are backed
+    by an INDEPENDENT naive float DCT/quantize/dequantize/IDCT oracle
+    written here with double loops — it shares no code with the codec,
+    so a zigzag/huffman/table inconsistency in the implementation
+    cannot cancel itself out in the comparison."""
+
+    @staticmethod
+    def _naive_dct_roundtrip(plane, q):
+        """Per-8x8-block: DCT-II -> quantize -> dequantize -> IDCT,
+        written as explicit double loops (the test's own math)."""
+        import math
+
+        h, w = plane.shape
+        out = np.zeros((h, w))
+        for by in range(0, h, 8):
+            for bx in range(0, w, 8):
+                blk = plane[by:by + 8, bx:bx + 8] - 128.0
+                coef = np.zeros((8, 8))
+                for u in range(8):
+                    for v in range(8):
+                        s = 0.0
+                        for y in range(8):
+                            for x in range(8):
+                                s += (blk[y, x]
+                                      * math.cos((2 * y + 1) * u * math.pi / 16)
+                                      * math.cos((2 * x + 1) * v * math.pi / 16))
+                        cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                        coef[u, v] = 0.25 * cu * cv * s
+                coef = np.round(coef / q) * q
+                rec = np.zeros((8, 8))
+                for y in range(8):
+                    for x in range(8):
+                        s = 0.0
+                        for u in range(8):
+                            for v in range(8):
+                                cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                                cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                                s += (cu * cv * coef[u, v]
+                                      * math.cos((2 * y + 1) * u * math.pi / 16)
+                                      * math.cos((2 * x + 1) * v * math.pi / 16))
+                        rec[y, x] = 0.25 * s + 128.0
+                out[by:by + 8, bx:bx + 8] = rec
+        return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+    def test_gray_matches_independent_dct_oracle(self):
+        """Grayscale 16x16 at quality 50: decode(encode(img)) must equal
+        the naive-loop DCT round trip EXACTLY (same quant table, exact
+        integer coefficient stream in between — any huffman / zigzag /
+        dequant slip shows as a pixel diff)."""
+        from complexity_driven_feature_construction_ray.stages.jpeg import (
+            _QBASE_L,
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.default_rng(5)
+        img = np.clip(
+            np.linspace(40, 215, 16)[None, :]
+            + np.linspace(0, 30, 16)[:, None]
+            + rng.integers(-20, 21, (16, 16)),
+            0, 255,
+        ).astype(np.uint8)
+        got = decode_jpeg(encode_jpeg(img, quality=50))[:, :, 0]
+        want = self._naive_dct_roundtrip(
+            img.astype(np.float64), _QBASE_L.reshape(8, 8).astype(np.float64)
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_flat_field_is_exact(self):
+        from complexity_driven_feature_construction_ray.stages.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        for v in (0, 128, 200, 255):
+            img = np.full((24, 16, 3), v, np.uint8)
+            out = decode_jpeg(encode_jpeg(img, quality=50))
+            assert int(np.abs(out.astype(int) - v).max()) <= 1, v
+
+    def test_color_roundtrip_444_and_420(self):
+        from complexity_driven_feature_construction_ray.stages.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        rng = np.random.default_rng(7)
+        yy, xx = np.mgrid[0:41, 0:67]
+        img = np.stack(
+            [np.clip(40 + xx * 2.0, 0, 255),
+             np.clip(20 + yy * 3.0, 0, 255),
+             np.clip(60 + xx + yy, 0, 255)], axis=2
+        )
+        img = np.clip(img + rng.integers(-4, 5, img.shape), 0, 255).astype(np.uint8)
+        for sub, tol in (("444", 3.0), ("420", 4.0)):
+            payload = encode_jpeg(img, quality=90, subsample=sub)
+            out = decode_jpeg(payload)
+            assert out.shape == img.shape
+            err = np.abs(out.astype(np.int64) - img.astype(np.int64))
+            assert err.mean() < tol, (sub, err.mean())
+
+    def test_non_multiple_of_mcu_dims(self):
+        """Odd sizes force edge padding + crop on both paths."""
+        from complexity_driven_feature_construction_ray.stages.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        for h, w in ((9, 13), (17, 8), (8, 8), (23, 31)):
+            img = np.clip(
+                np.linspace(0, 255, w)[None, :, None]
+                + np.zeros((h, w, 3)), 0, 255
+            ).astype(np.uint8)
+            out = decode_jpeg(encode_jpeg(img, quality=92, subsample="420"))
+            assert out.shape == (h, w, 3)
+            assert np.abs(out.astype(int) - img.astype(int)).mean() < 4.0
+
+    def test_progressive_and_garbage_are_declared(self):
+        import pytest as _pytest
+
+        from complexity_driven_feature_construction_ray.stages.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        img = np.full((8, 8), 99, np.uint8)
+        payload = bytearray(encode_jpeg(img))
+        # flip SOF0 (FFC0) to SOF2 (FFC2): declared NotImplementedError
+        i = payload.find(b"\xff\xc0")
+        payload[i + 1] = 0xC2
+        with _pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(payload))
+        with _pytest.raises(ValueError):
+            decode_jpeg(b"\x00\x01\x02")
+
+    def test_dispatch_via_decode_image(self):
+        from complexity_driven_feature_construction_ray.stages.multimodal import (
+            decode_image,
+        )
+        from complexity_driven_feature_construction_ray.stages.jpeg import (
+            encode_jpeg,
+        )
+
+        img = np.full((16, 16, 3), 77, np.uint8)
+        out = decode_image(encode_jpeg(img, quality=75), "image/jpeg")
+        assert out.shape == (16, 16, 3)
+        assert np.abs(out.astype(int) - 77).max() <= 1
+
+    def test_query_runs_deterministically(self, ray_session):
+        from complexity_driven_feature_construction_ray.pipelines.relational import (
+            m_decode_jpeg,
+        )
+
+        a = m_decode_jpeg("/root/testdata/sf0.001").to_pandas() \
+            .sort_values("item_id").reset_index(drop=True)
+        b = m_decode_jpeg("/root/testdata/sf0.001").to_pandas() \
+            .sort_values("item_id").reset_index(drop=True)
+        assert len(a) == 64
+        assert set(a["subsample"]) == {"444", "420"}
+        assert (a["feat_dim"] == 16).all()
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(a, b)
