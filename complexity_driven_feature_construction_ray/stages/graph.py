@@ -44,29 +44,36 @@ def _tag_edge(batch: pa.Table) -> pa.Table:
     })
 
 
-def _emit(g: pd.DataFrame) -> pd.DataFrame:
+def _emit(g: pd.DataFrame) -> pa.Table:
     """Per node-hash bucket: join edges with labels, emit neighbor
-    messages plus each node's own current label."""
+    messages plus each node's own current label. Emits ARROW blocks:
+    the output feeds a Ray hash aggregate (Min), which runs ~10x
+    slower on pandas-format blocks."""
     lab = g[g["v"].isna()][["k", "lbl"]]
     edg = g[g["lbl"].isna()][["k", "v"]]
     m = edg.merge(lab, on="k", how="inner")
-    return pd.concat([
-        pd.DataFrame({"id": m["v"].to_numpy(np.int64),
-                      "cand": m["lbl"].to_numpy(np.int64)}),
-        pd.DataFrame({"id": lab["k"].to_numpy(np.int64),
-                      "cand": lab["lbl"].to_numpy(np.int64)}),
-    ])
+    ids = np.concatenate(
+        [m["v"].to_numpy(np.int64), lab["k"].to_numpy(np.int64)]
+    ).astype(np.int64, copy=False)
+    cand = np.concatenate(
+        [m["lbl"].to_numpy(np.int64), lab["lbl"].to_numpy(np.int64)]
+    ).astype(np.int64, copy=False)
+    return pa.table({"id": pa.array(ids), "cand": pa.array(cand)})
 
 
-def _jump(g: pd.DataFrame) -> pd.DataFrame:
-    """Per label-hash bucket: label(v) <- label(label(v))."""
+def _jump(g: pd.DataFrame) -> pa.Table:
+    """Per label-hash bucket: label(v) <- label(label(v)). Arrow out:
+    the result streams straight into the parquet checkpoint."""
     mapping = g[g["node"].isna()][["k", "lbl2"]]
     holders = g[g["lbl2"].isna()][["k", "node"]]
     m = holders.merge(mapping, on="k", how="left")
     # every label value is itself a labeled node, so lbl2 exists; keep
     # the old label defensively if not
     lbl = np.where(m["lbl2"].isna(), m["k"], m["lbl2"]).astype(np.int64)
-    return pd.DataFrame({"id": m["node"].to_numpy(np.int64), "component": lbl})
+    return pa.table({
+        "id": pa.array(m["node"].to_numpy(np.int64)),
+        "component": pa.array(lbl),
+    })
 
 
 def connected_components(
@@ -218,12 +225,12 @@ def pagerank(
 
     uv = edges.map_batches(to_uv, batch_format="pyarrow")
 
-    def weigh(g: pd.DataFrame) -> pd.DataFrame:
+    def weigh(g: pd.DataFrame) -> pa.Table:
         deg = g.groupby("u")["v"].transform("size").to_numpy(np.float64)
-        return pd.DataFrame({
-            "u": g["u"].to_numpy(np.int64),
-            "v": g["v"].to_numpy(np.int64),
-            "w": 1.0 / deg,
+        return pa.table({
+            "u": pa.array(g["u"].to_numpy(np.int64)),
+            "v": pa.array(g["v"].to_numpy(np.int64)),
+            "w": pa.array(1.0 / deg),
         })
 
     grouped_map(uv, "u", weigh).write_parquet(f"{ckpt}/edges_w")
@@ -246,11 +253,11 @@ def pagerank(
         uv.map_batches(tag_ids(False), batch_format="pyarrow")
     )
 
-    def resolve_nodes(g: pd.DataFrame) -> pd.DataFrame:
+    def resolve_nodes(g: pd.DataFrame) -> pa.Table:
         agg = g.groupby("id")["has_out"].any()
-        return pd.DataFrame({
-            "id": agg.index.to_numpy(np.int64),
-            "dangling": ~agg.to_numpy(bool),
+        return pa.table({
+            "id": pa.array(agg.index.to_numpy(np.int64)),
+            "dangling": pa.array(~agg.to_numpy(bool)),
         })
 
     nodes = grouped_map(both_ids, "id", resolve_nodes)
@@ -281,24 +288,33 @@ def pagerank(
             "dangling": batch["dangling"],
         })
 
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
+    def emit(g: pd.DataFrame) -> pa.Table:
+        # arrow out: the messages go through another hash-bucket shuffle
         holders = g[g["v"].isna()]
         edg = g[g["rank"].isna()]
         m = edg[["k", "v", "w"]].merge(holders[["k", "rank"]], on="k", how="inner")
-        return pd.concat([
-            pd.DataFrame({
-                "id": m["v"].to_numpy(np.int64),
-                "contrib": (m["w"] * m["rank"]).to_numpy(np.float64),
-                "dangling": pd.array([pd.NA] * len(m), dtype="boolean"),
-            }),
-            # zero-contribution carrier rows keep every node (and its
-            # dangling flag) alive through the combine pass
-            pd.DataFrame({
-                "id": holders["k"].to_numpy(np.int64),
-                "contrib": np.zeros(len(holders)),
-                "dangling": pd.array(holders["dangling"].to_numpy(bool), dtype="boolean"),
-            }),
-        ])
+        ids = np.concatenate(
+            [m["v"].to_numpy(np.int64), holders["k"].to_numpy(np.int64)]
+        ).astype(np.int64, copy=False)
+        contrib = np.concatenate(
+            [(m["w"] * m["rank"]).to_numpy(np.float64), np.zeros(len(holders))]
+        )
+        # zero-contribution carrier rows keep every node (and its
+        # dangling flag) alive through the combine pass; message rows
+        # carry a NULL dangling flag
+        dang = pa.array(
+            np.concatenate(
+                [np.zeros(len(m), bool), holders["dangling"].to_numpy(bool)]
+            ),
+            mask=np.concatenate(
+                [np.ones(len(m), bool), np.zeros(len(holders), bool)]
+            ),
+        )
+        return pa.table({
+            "id": pa.array(ids),
+            "contrib": pa.array(contrib),
+            "dangling": dang,
+        })
 
     for step in range(1, n_iter + 1):
         # dangling mass: one scalar off the stream
@@ -315,14 +331,19 @@ def pagerank(
         )
         msgs = grouped_map(both, "k", emit, batch_format="pandas")
 
-        def combine(g: pd.DataFrame, base=base) -> pd.DataFrame:
+        def combine(g: pd.DataFrame, base=base) -> pa.Table:
+            # arrow out: streams straight into the parquet checkpoint
             agg = g.groupby("id").agg(
                 contrib=("contrib", "sum"), dangling=("dangling", "max")
             )
-            return pd.DataFrame({
-                "id": agg.index.to_numpy(np.int64),
-                "dangling": agg["dangling"].to_numpy(bool),
-                "rank": base + d * agg["contrib"].to_numpy(np.float64),
+            return pa.table({
+                "id": pa.array(agg.index.to_numpy(np.int64)),
+                "dangling": pa.array(
+                    pd.array(agg["dangling"], dtype="boolean").to_numpy(
+                        dtype=bool, na_value=False
+                    )
+                ),
+                "rank": pa.array(base + d * agg["contrib"].to_numpy(np.float64)),
             })
 
         grouped_map(msgs, "id", combine).write_parquet(f"{ckpt}/step_{step}")
