@@ -300,6 +300,57 @@ HEADLINE = [
 ]
 
 
+# --smoke tier: ~40 representative queries, one per operator family
+# (flagship/search, relational joins+aggregates, temporal/windows,
+# survival, time-series diagnostics, dedup, ANN, text quality, mixture,
+# feature encoders, fairness). Every name is also in HEADLINE so smoke
+# timings are directly comparable with full-tier rounds.
+SMOKE = [
+    "tok_backfill",
+    "tok_search",
+    "tok_pmi",
+    "q_pricing_summary",
+    "q_top_revenue",
+    "q_shuffle_join",
+    "q_broadcast_join",
+    "q_salted_agg",
+    "q_three_way_join",
+    "q_interval_join",
+    "q_cube",
+    "q_grouped_median",
+    "q_skew_report",
+    "q_approx_distinct",
+    "q_assoc_rules",
+    "t_asof",
+    "t_sessionize",
+    "t_rolling",
+    "t_ntile",
+    "t_fill_forward",
+    "t_km",
+    "t_ljung_box",
+    "t_rfm",
+    "t_spectral",
+    "d_exact_dedup",
+    "d_minhash_dedup",
+    "d_norm_dedup",
+    "d_embed_decontaminate",
+    "d_knn",
+    "d_knn_pq",
+    "d_tfidf",
+    "d_c4_filter",
+    "d_quality",
+    "d_lang_id",
+    "d_mixture_sample",
+    "d_pack",
+    "d_dsir",
+    "d_js_matrix",
+    "fe_winsorize",
+    "fe_target_encode",
+    "fe_woe",
+    "f_rod",
+]
+
+
 def _disable_thp() -> None:
     """Disable transparent huge pages for this process tree (inherited by
     the raylet and all Ray workers forked after ray.init). The sandbox
@@ -422,7 +473,7 @@ def run_backfill_job(n_rows: int) -> dict:
     return {"rows": rows, "sec": elapsed, "rows_per_sec": rows / elapsed}
 
 
-def run_headline(sf_dir: str, num_cpus: int) -> dict:
+def run_headline(sf_dir: str, num_cpus: int, tier: str = "full") -> dict:
     from complexity_driven_feature_construction_ray.pipelines.relational import QUERIES
 
     # session warmup: one tiny pipeline so worker startup / imports are
@@ -440,7 +491,7 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
     reps = max(1, int(os.environ.get("GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in (SMOKE if tier == "smoke" else HEADLINE):
         fn, _sql = QUERIES[name]
         runs: list[float] = []
         for rep in range(reps):
@@ -460,6 +511,7 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         "metric": "headline pipeline wall time (flagship backfill + operator families)",
         "value": round(sum(timings.values()) + bf["sec"], 3),
         "unit": "sec",
+        "tier": tier,
         "queries": timings,
         "query_spread": spread,
         "bench_reps": reps,
@@ -514,6 +566,11 @@ def run_scaling(sf_dir: str, low: int, high: int, n_rows: int | None = None) -> 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument(
+        "--smoke",
+        action="store_true",
+        help="run the ~40-query representative tier instead of the full headline set",
+    )
     ap.add_argument("--job", choices=["backfill"], default=None)
     ap.add_argument("--rows", type=int, default=None)
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
@@ -536,7 +593,9 @@ def main() -> None:
         out = run_scaling(args.sf_dir, args.low_cpus, args.high_cpus, args.rows)
     else:
         _init_ray(DEFAULT_CPUS)
-        out = run_headline(args.sf_dir, DEFAULT_CPUS)
+        out = run_headline(
+            args.sf_dir, DEFAULT_CPUS, tier="smoke" if args.smoke else "full"
+        )
 
     print(json.dumps(out))
     if ray.is_initialized():
