@@ -123,12 +123,20 @@ def minhash_signatures(
     out = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=_U64)
     if len(sh) == 0:
         return out
-    with np.errstate(over="ignore"):
-        hashed = np.multiply(sh[:, None], a[None, :])  # (n_shingles, num_perm)
-        hashed += b[None, :]  # in-place: avoids a second ~n_shingles x perm temp
     starts = offsets[:-1]
     nonempty = offsets[1:] > starts
-    mins = np.minimum.reduceat(hashed, starts[nonempty], axis=0)
+    st = starts[nonempty]
+    # one permutation at a time over the flat shingle array: the
+    # (n_shingles, num_perm) matrix formulation allocates an
+    # ~n_shingles*perm*8B temp and reduceat strides across it, which
+    # measured 35x slower (5.3s vs 0.15s on 1.56M shingles x 64 perms)
+    # than num_perm contiguous 1D multiply+reduceat passes
+    mins = np.empty((len(st), num_perm), dtype=_U64)
+    with np.errstate(over="ignore"):
+        for j in range(num_perm):
+            h = sh * a[j]
+            h += b[j]
+            mins[:, j] = np.minimum.reduceat(h, st)
     out[nonempty] = mins
     return out
 
