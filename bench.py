@@ -526,16 +526,104 @@ def run_headline(sf_dir: str, num_cpus: int, tier: str = "full") -> dict:
 SCALING_ROWS = 3_000_000  # big enough that per-row compute, not driver
 # overhead, dominates at both parallelism levels (~30s at 32 CPUs)
 
+MINHASH_DOCS = 3_000_000  # dedup-family scaling corpus size
 
-def run_scaling(sf_dir: str, low: int, high: int, n_rows: int | None = None) -> dict:
-    """Same backfill job at two parallelism levels, each in a fresh
-    process/Ray session; efficiency = speedup / cpu-ratio."""
-    n_rows = n_rows or SCALING_ROWS
+
+def _write_minhash_corpus(n_docs: int) -> str:
+    """Deterministic synthetic corpus for the dedup scaling bench,
+    written ONCE to /tmp and shared by both parallelism levels so they
+    measure the same input. 60-word docs over a 4096-word vocabulary;
+    every 25th doc is a near-duplicate of its predecessor (~2 of 60
+    words mutated, true 3-shingle Jaccard ~0.8) and every 100th an
+    exact duplicate, so the LSH banding, hot-bucket filter and pair
+    scan all do real work. Pure numpy+pyarrow (no Ray): the generator
+    runs in the parent before the fresh-session workers fork."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from complexity_driven_feature_construction_ray.sources.token_table import _mix64
+
+    out_dir = f"/tmp/bench_minhash_corpus_{n_docs}"
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    W, V = 60, 4096
+    vocab = np.array([f"w{i:04d}" for i in range(V)], dtype=object)
+    pos = np.arange(W, dtype=np.uint64)
+    chunk = 200_000
+    for f0 in range(0, n_docs, chunk):
+        ids = np.arange(f0, min(f0 + chunk, n_docs), dtype=np.int64)
+        u = ids.view(np.uint64)
+        base = u.copy()
+        near = ids % 25 == 1
+        exact = ids % 100 == 2
+        base[near] -= np.uint64(1)   # near-dup of the preceding clean doc
+        base[exact] -= np.uint64(2)  # exact dup of a clean doc
+        with np.errstate(over="ignore"):
+            h = _mix64(base[:, None] * np.uint64(0x9E3779B97F4A7C15) + pos[None, :] + np.uint64(7))
+            widx = (h % np.uint64(V)).astype(np.int64)
+            mut = _mix64(u[:, None] * np.uint64(0xBF58476D1CE4E5B9) + pos[None, :]) % np.uint64(30) == 0
+            mut &= near[:, None]
+            widx[mut] = (h[mut] // np.uint64(V) % np.uint64(V)).astype(np.int64)
+        flat = vocab[widx.reshape(-1)]
+        offsets = np.arange(0, (len(ids) + 1) * W, W, dtype=np.int32)
+        lst = pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat, type=pa.string()))
+        text = pc.binary_join(lst, " ")
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids), "text": text}),
+            os.path.join(out_dir, f"part_{f0:09d}.parquet"),
+        )
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return out_dir
+
+
+def run_minhash_job(n_docs: int) -> dict:
+    """Dedup-family scaling job: MinHash+LSH near-dup detection over the
+    shared synthetic corpus (signatures -> banding -> hot-bucket count
+    pass -> candidate-pair scan -> cluster fold). Measures the dedup
+    pipeline only; corpus generation is cached outside the timer."""
+    import ray.data
+
+    from complexity_driven_feature_construction_ray.stages.dedup import minhash_lsh_dedup
+
+    corpus = _write_minhash_corpus(n_docs)
+    # warmup: same pipeline, tiny slice — pay the worker import storm
+    # before the timer (same rationale as the backfill job)
+    warm = ray.data.read_parquet(corpus).limit(20_000)
+    minhash_lsh_dedup(warm, text_col="text", id_col="doc_id")
+
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(corpus)
+    clusters = minhash_lsh_dedup(ds, text_col="text", id_col="doc_id")
+    elapsed = time.perf_counter() - t0
+    n_dup = int(clusters["is_dup"].sum()) if len(clusters) else 0
+    return {
+        "rows": n_docs,
+        "sec": elapsed,
+        "rows_per_sec": n_docs / elapsed,
+        "dup_docs": n_dup,
+    }
+
+
+def run_scaling(
+    sf_dir: str, low: int, high: int, n_rows: int | None = None, job: str = "backfill"
+) -> dict:
+    """Same job at two parallelism levels, each in a fresh process/Ray
+    session; efficiency = speedup / cpu-ratio. job='backfill' is the
+    flagship feature-backfill path; job='minhash' is the dedup family
+    (MinHash+LSH over the shared 3M-doc synthetic corpus)."""
+    n_rows = n_rows or (MINHASH_DOCS if job == "minhash" else SCALING_ROWS)
+    if job == "minhash":
+        _write_minhash_corpus(n_rows)  # generate once, outside both timers
     results = {}
     for cpus in (low, high):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--job", "backfill",
+            [sys.executable, os.path.abspath(__file__), "--job", job,
              "--rows", str(n_rows)],
             capture_output=True,
             text=True,
@@ -549,9 +637,10 @@ def run_scaling(sf_dir: str, low: int, high: int, n_rows: int | None = None) -> 
     ratio = high / low
     speedup = results[high]["rows_per_sec"] / results[low]["rows_per_sec"]
     return {
-        "metric": "flagship backfill N->4N scaling (fresh ray sessions)",
+        "metric": f"{job} N->4N scaling (fresh ray sessions)",
         "value": round(speedup / ratio, 3),
         "unit": "efficiency",
+        "job": job,
         "sf": sf_dir.rstrip("/").split("/")[-1],
         "rows": n_rows,
         "low_cpus": low,
@@ -571,7 +660,13 @@ def main() -> None:
         action="store_true",
         help="run the ~40-query representative tier instead of the full headline set",
     )
-    ap.add_argument("--job", choices=["backfill"], default=None)
+    ap.add_argument("--job", choices=["backfill", "minhash"], default=None)
+    ap.add_argument(
+        "--scaling-job",
+        choices=["backfill", "minhash"],
+        default="backfill",
+        help="which job --scaling measures at both parallelism levels",
+    )
     ap.add_argument("--rows", type=int, default=None)
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     # N vs 4N parallelism levels. Default 2->8, not 8->32: a raw
@@ -589,8 +684,13 @@ def main() -> None:
     if args.job == "backfill":
         _init_ray(DEFAULT_CPUS)
         out = run_backfill_job(args.rows or _backfill_rows(args.sf_dir))
+    elif args.job == "minhash":
+        _init_ray(DEFAULT_CPUS)
+        out = run_minhash_job(args.rows or MINHASH_DOCS)
     elif args.scaling:
-        out = run_scaling(args.sf_dir, args.low_cpus, args.high_cpus, args.rows)
+        out = run_scaling(
+            args.sf_dir, args.low_cpus, args.high_cpus, args.rows, job=args.scaling_job
+        )
     else:
         _init_ray(DEFAULT_CPUS)
         out = run_headline(

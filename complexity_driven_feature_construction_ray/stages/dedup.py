@@ -267,26 +267,40 @@ def _pairs_from_hot_buckets(bands_ds, bucket_pairs, id_col: str) -> pd.DataFrame
 
     A naive groupby(bucket).map_groups pays a per-group Python call for
     EVERY bucket — almost all of which are singletons (5000 docs × 16
-    bands = 80k groups; 118s at sf0.1). Instead: a vectorized
-    groupby(bucket).count() finds the (rare) buckets with >= 2 members,
-    the band stream is re-derived and filtered to those with np.isin
-    (broadcast small side), and only collided buckets reach map_groups.
-    The band stream is recomputed rather than materialized — at corpus
-    scale recomputing cheap hashes beats pinning O(corpus) band rows.
+    bands = 80k groups; 118s at sf0.1). And a Ray groupby(bucket).count()
+    is no better at corpus scale: its sort-based shuffle keys on ~one
+    distinct value per row (measured 25s of a 34s pipeline on 1.6M
+    bucket rows). Instead the count pass is a coarse hash-bucket fold:
+    per-batch np.unique partials (bucket, partial count) shuffle into
+    ~2xCPU partition groups (tiny key cardinality, same bytes), each
+    group sums partials vectorized and emits only buckets with >= 2
+    members. The band stream is then re-derived and filtered to the hot
+    set with np.isin (broadcast small side); only collided buckets
+    reach map_groups. The band stream is recomputed rather than
+    materialized — at corpus scale recomputing cheap hashes beats
+    pinning O(corpus) band rows.
     """
-    import pyarrow.compute as pc
-
     import ray
 
-    def hot_only(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.greater_equal(batch["count()"], 2)).select(["bucket"])
+    from .temporal import grouped_map
 
-    # count pass shuffles ONLY the 8-byte bucket column — the wide band
-    # rows (ids + signatures, ~0.5 KB/row for minhash) would multiply
-    # the counting shuffle's bytes ~50x for no benefit; the band stream
-    # is recomputed for the pair pass anyway
-    counts = bands_ds.select_columns(["bucket"]).groupby("bucket").count()
-    hot = counts.map_batches(hot_only, batch_format="pyarrow", batch_size=None)
+    def count_partials(batch: pa.Table) -> pa.Table:
+        uniq, cnt = np.unique(batch["bucket"].to_numpy(), return_counts=True)
+        return pa.table({"bucket": pa.array(uniq), "c": pa.array(cnt)})
+
+    def hot_in_group(g: pa.Table) -> pa.Table:
+        b = g["bucket"].to_numpy()
+        order = np.argsort(b, kind="stable")
+        bs = b[order]
+        cs = g["c"].to_numpy()[order]
+        starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+        totals = np.add.reduceat(cs, starts)
+        return pa.table({"bucket": pa.array(bs[starts][totals >= 2])})
+
+    partials = bands_ds.select_columns(["bucket"]).map_batches(
+        count_partials, batch_format="pyarrow"
+    )
+    hot = grouped_map(partials, "bucket", hot_in_group, batch_format="pyarrow")
     hot_keys = np.sort(hot.to_pandas()["bucket"].to_numpy().astype(np.int64))
     if len(hot_keys) == 0:
         return pd.DataFrame({"a": [], "b": [], "est": []})
