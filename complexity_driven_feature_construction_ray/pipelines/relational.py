@@ -4752,6 +4752,33 @@ def m_decode_y4m(sf_dir: str):
     return out.to_pandas().sort_values("media_id").reset_index(drop=True)
 
 
+def m_decode_mjpeg(sf_dir: str):
+    """REAL compressed-video path: deterministic MJPEG-in-AVI clips
+    (RIFF container walk + per-frame baseline-JPEG decode via the
+    pure-numpy codec, stages/jpeg.py) through the same actor-pool
+    frame-sample stage as the Y4M twin — the stage dispatches on the
+    payload magic, strides BEFORE decoding so skipped frames never pay
+    the huffman+IDCT cost. Rows-only check (DuckDB cannot parse AVI);
+    the container+codec roundtrip is golden-tested in
+    tests/test_multimodal_codecs.py."""
+    import ray.data
+
+    from ..stages.multimodal import VideoFrameSample, synthetic_mjpeg_table
+
+    n = {"sf0.001": 32, "sf0.01": 128, "sf0.1": 512}.get(
+        sf_dir.rstrip("/").split("/")[-1], 128
+    )
+    ds = ray.data.from_arrow(synthetic_mjpeg_table(n)).repartition(8)
+    out = ds.map_batches(
+        VideoFrameSample,
+        fn_constructor_kwargs={"stride": 4},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=2,
+    )
+    return out.to_pandas().sort_values("media_id").reset_index(drop=True)
+
+
 def m_decode_ppm(sf_dir: str):
     """REAL codec path: deterministic P6 PPM payloads decoded in-
     container (pure-numpy PPM/BMP codecs) through the actor-pool
@@ -18494,6 +18521,7 @@ QUERIES: dict[str, tuple] = {
     "m_decode": (m_decode, None),
     "m_decode_ppm": (m_decode_ppm, None),
     "m_decode_y4m": (m_decode_y4m, None),
+    "m_decode_mjpeg": (m_decode_mjpeg, None),
     "tok_search": (tok_search, None),
     "tok_search_explorekit": (tok_search_explorekit, None),
     "tok_search_tree": (tok_search_tree, None),

@@ -4,12 +4,14 @@ Two codec tiers:
 - REAL, in-container, pure numpy (+stdlib zlib for PNG) — no image/
   audio library needed: PNG (zlib inflate + all 5 filter types), PPM
   (P6), BMP (24-bpp uncompressed) and baseline JPEG (huffman + IDCT)
-  decode; WAV (PCM16) decode + FFT spectral features; Y4M frame
-  sampling; nearest-neighbor resize; PPM/PNG encode. The real-codec
+  decode; WAV (PCM16) decode + FFT spectral features; Y4M and
+  MJPEG-in-AVI (RIFF parse + per-frame JPEG decode) frame sampling;
+  nearest-neighbor resize; PPM/PNG/JPEG/AVI encode. The real-codec
   path is exercisable end-to-end here (decode -> luminance histogram
   features, resize -> re-encode).
-- STUBBED: compressed video (H.264 etc.) and progressive/arithmetic
-  JPEG need codecs absent from this container; those payloads raise a
+- STUBBED: inter-frame compressed video (H.264 etc.) and
+  progressive/arithmetic JPEG need codecs absent from this container;
+  those payloads raise a
   clearly-marked NotImplementedError in real mode, and `fake=True`
   provides the deterministic content-derived test double for
   plumbing tests.
@@ -800,25 +802,168 @@ def synthetic_y4m_table(
     })
 
 
+# ---------------------------------------------------------------------------
+# video: MJPEG-in-AVI — a REAL compressed-video path. The RIFF/AVI
+# container is pure struct parsing and every '00dc' chunk is a complete
+# baseline JPEG, decoded by the in-repo pure-numpy codec (stages/jpeg.py)
+# — no external video library.
+
+
+def _riff_chunks(buf: bytes, pos: int, end: int):
+    """Yield (fourcc, payload_start, payload_size) walking a RIFF chunk
+    sequence; chunks are word-aligned (odd sizes pad one byte)."""
+    while pos + 8 <= end:
+        fourcc = buf[pos : pos + 4]
+        size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def encode_avi_mjpeg(frames: np.ndarray, fps: int = 25, quality: int = 90) -> bytes:
+    """(n, h, w) uint8 luma frames -> minimal MJPEG AVI: RIFF('AVI ')
+    with an hdrl LIST (avih + one 'vids'/'MJPG' stream), a movi LIST of
+    '00dc' chunks (one grayscale baseline JPEG per frame, word-padded)
+    and an idx1 index."""
+    import struct
+
+    from .jpeg import encode_jpeg
+
+    n, h, w = frames.shape
+    jpegs = [encode_jpeg(frames[i], quality=quality) for i in range(n)]
+    max_sz = max(len(j) for j in jpegs)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // max(fps, 1),  # MicroSecPerFrame
+        max_sz * fps,  # MaxBytesPerSec
+        0,  # PaddingGranularity
+        0x10,  # AVIF_HASINDEX
+        n, 0, 1,  # TotalFrames, InitialFrames, Streams
+        max_sz, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0,
+        1, fps,  # Scale, Rate (Rate/Scale = fps)
+        0, n, max_sz, 0xFFFFFFFF, 0,  # Start, Length, BufSize, Quality, SampleSize
+        0, 0, w, h,  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + len(body).to_bytes(4, "little") + body + (b"\x00" * (len(body) & 1))
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+
+    movi_body = b"movi"
+    idx = []
+    for j in jpegs:
+        idx.append((len(movi_body), len(j)))
+        movi_body += chunk(b"00dc", j)
+    movi = chunk(b"LIST", movi_body)
+    idx1 = chunk(
+        b"idx1",
+        b"".join(
+            struct.pack("<4sIII", b"00dc", 0x10, off, sz) for off, sz in idx
+        ),
+    )
+    return chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def decode_avi_mjpeg(payload: bytes) -> tuple[list[bytes], int, int, int]:
+    """MJPEG AVI -> (list of per-frame JPEG payloads, fps, w, h). Walks
+    the RIFF tree; frames are the '..dc'/'..db' chunks of the movi LIST
+    (each a standalone baseline JPEG for MJPG streams)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    fps, w, h = 25, 0, 0
+    frames: list[bytes] = []
+    for cc, start, size in _riff_chunks(payload, 12, len(payload)):
+        if cc != b"LIST":
+            continue
+        kind = payload[start : start + 4]
+        if kind == b"hdrl":
+            for cc2, s2, sz2 in _riff_chunks(payload, start + 4, start + size):
+                if cc2 == b"avih" and sz2 >= 40:
+                    usec = int.from_bytes(payload[s2 : s2 + 4], "little")
+                    fps = max(1, round(1_000_000 / usec)) if usec else 25
+                    w = int.from_bytes(payload[s2 + 32 : s2 + 36], "little")
+                    h = int.from_bytes(payload[s2 + 36 : s2 + 40], "little")
+        elif kind == b"movi":
+            for cc2, s2, sz2 in _riff_chunks(payload, start + 4, start + size):
+                if cc2[2:4] in (b"dc", b"db"):
+                    frames.append(payload[s2 : s2 + sz2])
+    if not frames:
+        raise ValueError("no MJPEG frames in AVI")
+    return frames, fps, w, h
+
+
+def synthetic_mjpeg_table(
+    n_rows: int, seed: int = 45, w: int = 32, h: int = 24, n_frames: int = 8
+) -> pa.Table:
+    """Deterministic MJPEG-AVI clips — same moving-bright-square luma
+    pattern as the Y4M twin, so frame stats are analytically checkable
+    (within baseline-JPEG quantization loss)."""
+    rng = np.random.default_rng(seed)
+    payloads, ids = [], []
+    for i in range(n_rows):
+        base = int(rng.integers(20, 120))
+        frames = np.full((n_frames, h, w), base, dtype=np.uint8)
+        for k in range(n_frames):
+            x = (3 * k) % (w - 8)
+            frames[k, 4:12, x : x + 8] = 235
+        payloads.append(encode_avi_mjpeg(frames, fps=25))
+        ids.append(i)
+    return pa.table({
+        "media_id": pa.array(ids, type=pa.int64()),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "media_type": pa.array(["video/x-msvideo"] * n_rows),
+    })
+
+
 class VideoFrameSample:
-    """Actor-pool stage: decode Y4M, sample every `stride`-th frame,
-    emit per-item clip stats + per-sampled-frame luma means. Stateful
-    setup (none needed for Y4M, but the class shape matches the
-    image/audio stages so a real codec lib slots in via __init__)."""
+    """Actor-pool stage: decode video (dispatch on payload magic — Y4M
+    uncompressed or MJPEG-AVI via the pure-numpy JPEG codec), sample
+    every `stride`-th frame, emit per-item clip stats + per-sampled-
+    frame luma means. Stateful setup (none needed here, but the class
+    shape matches the image/audio stages so a codec lib slots in via
+    __init__)."""
 
     def __init__(self, stride: int = 4):
         self.stride = stride
+
+    def _luma_frames(self, payload: bytes) -> tuple[np.ndarray, int, int]:
+        """(sampled luma planes, fps, total frame count)."""
+        if payload[:4] == b"RIFF":
+            from .jpeg import decode_jpeg
+
+            jpegs, fps, _w, _h = decode_avi_mjpeg(payload)
+            decoded = []
+            for j in jpegs[:: self.stride]:
+                img = decode_jpeg(j)
+                decoded.append(img[:, :, 0] if img.ndim == 3 else img)
+            # keep (total frame count, sampled planes) semantics: the
+            # stride is applied BEFORE decode so skipped frames never
+            # pay the JPEG huffman+IDCT cost
+            return np.stack(decoded), fps, len(jpegs)
+        frames, fps = decode_y4m(payload)
+        return frames[:: self.stride], fps, len(frames)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_numpy(zero_copy_only=False)
         n_frames, fpss, means, dims = [], [], [], []
         for payload in batch["payload"].to_pylist():
-            frames, fps = decode_y4m(payload)
-            sampled = frames[:: self.stride]
-            n_frames.append(len(frames))
+            sampled, fps, total = self._luma_frames(payload)
+            n_frames.append(total)
             fpss.append(fps)
             means.append(sampled.reshape(len(sampled), -1).mean(axis=1))
-            dims.append((frames.shape[2], frames.shape[1]))
+            dims.append((sampled.shape[2], sampled.shape[1]))
         return pa.table({
             "media_id": pa.array(ids),
             "n_frames": pa.array(np.array(n_frames, dtype=np.int64)),

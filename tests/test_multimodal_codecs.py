@@ -605,3 +605,77 @@ class TestJpegCodec:
         import pandas as pd
 
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestMjpegAvi:
+    def test_container_roundtrip(self):
+        from complexity_driven_feature_construction_ray.stages.jpeg import decode_jpeg
+        from complexity_driven_feature_construction_ray.stages.multimodal import (
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+        )
+
+        rng = np.random.default_rng(11)
+        # smooth frames (JPEG-friendly): per-frame constant + mild ramp
+        base = rng.integers(40, 200, 5)
+        ramp = np.tile(np.arange(16, dtype=np.uint8) // 4, (16, 1))
+        frames = np.stack([(np.full((16, 16), b, np.uint8) + ramp) for b in base])
+        avi = encode_avi_mjpeg(frames, fps=30, quality=95)
+        jpegs, fps, w, h = decode_avi_mjpeg(avi)
+        assert (len(jpegs), fps, w, h) == (5, 30, 16, 16)
+        for k, j in enumerate(jpegs):
+            img = decode_jpeg(j)
+            img = img[:, :, 0] if img.ndim == 3 else img
+            assert np.abs(img.astype(int) - frames[k].astype(int)).max() <= 2
+
+    def test_rejects_non_avi(self):
+        import pytest
+
+        from complexity_driven_feature_construction_ray.stages.multimodal import (
+            decode_avi_mjpeg,
+        )
+
+        with pytest.raises(ValueError):
+            decode_avi_mjpeg(b"YUV4MPEG2 W8 H8\nFRAME\n")
+        with pytest.raises(ValueError):
+            decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+
+    def test_frame_sample_golden_vs_source(self, ray_session):
+        # sampled-frame luma means must match the SOURCE frames within
+        # baseline-JPEG quantization loss; stride semantics match Y4M
+        import ray.data
+
+        from complexity_driven_feature_construction_ray.stages.multimodal import (
+            VideoFrameSample,
+            synthetic_mjpeg_table,
+        )
+
+        t = synthetic_mjpeg_table(6, w=32, h=24, n_frames=8)
+        out = (
+            ray.data.from_arrow(t)
+            .map_batches(VideoFrameSample, fn_constructor_kwargs={"stride": 4},
+                         batch_format="pyarrow", concurrency=1)
+            .to_pandas().sort_values("media_id").reset_index(drop=True)
+        )
+        assert (out["n_frames"] == 8).all() and (out["n_sampled"] == 2).all()
+        assert (out["fps"] == 25).all()
+        assert (out["width"] == 32).all() and (out["height"] == 24).all()
+        # analytic source mean: base gray + (235-base) * 64px / (32*24)
+        rng = np.random.default_rng(45)
+        for mid, means in zip(out["media_id"], out["frame_luma_mean"]):
+            base = int(rng.integers(20, 120))
+            want = base + (235 - base) * 64.0 / (32 * 24)
+            for m in means:
+                assert abs(m - want) < 1.5, (mid, m, want)
+
+    def test_query_runs_deterministically(self, ray_session):
+        from complexity_driven_feature_construction_ray.pipelines.relational import (
+            m_decode_mjpeg,
+        )
+
+        a = m_decode_mjpeg("/root/testdata/sf0.001")
+        b = m_decode_mjpeg("/root/testdata/sf0.001")
+        assert len(a) == 32
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(a, b)
