@@ -255,15 +255,38 @@ def minhash_lsh_dedup(
             ids, sigs, lambda s: _sig_est_matrix(s), lambda est: est >= threshold
         )
 
+    def est2(ra: pd.DataFrame, rb: pd.DataFrame) -> np.ndarray:
+        A = np.stack(ra["sig"].to_numpy())
+        B = np.stack(rb["sig"].to_numpy())
+        return (A == B).mean(axis=1)
+
     bands_ds = ds.map_batches(to_bands, batch_format="pyarrow")
-    pairs = _pairs_from_hot_buckets(bands_ds, bucket_pairs, id_col)
+    pairs = _pairs_from_hot_buckets(
+        bands_ds, bucket_pairs, id_col, fast2=(est2, lambda e: e >= threshold)
+    )
     if return_pairs:
         return pairs
     return _clusters_from_pairs(pairs)
 
 
-def _pairs_from_hot_buckets(bands_ds, bucket_pairs, id_col: str) -> pd.DataFrame:
+def _hamming_elementwise(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-row Hamming distance between two aligned uint64 vectors."""
+    x = (a ^ b).view(np.uint8).reshape(len(a), 8)
+    return _POP[x].sum(axis=1).astype(float)
+
+
+def _pairs_from_hot_buckets(
+    bands_ds, bucket_pairs, id_col: str, fast2=None
+) -> pd.DataFrame:
     """Candidate pairs from LSH bucket rows, scalably.
+
+    fast2, when given, is (est2, keep2): est2(rows_a, rows_b) returns
+    the per-pair estimate for two aligned DataFrames of bucket members
+    and keep2(est) the boolean keep mask. It vectorizes the dominant
+    case — hot buckets with exactly TWO members — across a whole
+    partition group in one call (a 3M-doc corpus has ~400k hot buckets;
+    one pandas bucket_pairs call each measured ~90s of a 140s pipeline,
+    the size-2 path removes all but the rare >=3-member buckets).
 
     A naive groupby(bucket).map_groups pays a per-group Python call for
     EVERY bucket — almost all of which are singletons (5000 docs × 16
@@ -318,21 +341,58 @@ def _pairs_from_hot_buckets(bands_ds, bucket_pairs, id_col: str) -> pd.DataFrame
     P = max(64, len(hot_keys) // 1024 + 1)
 
     def only_hot(batch: pa.Table) -> pa.Table:
-        hk = ray.get(hot_ref)
-        mask = np.isin(batch["bucket"].to_numpy(), hk)
+        hk = ray.get(hot_ref)  # SORTED; searchsorted membership avoids
+        # np.isin's per-call re-sort of the full hot set on every batch
+        b = batch["bucket"].to_numpy()
+        pos = np.searchsorted(hk, b)
+        mask = (pos < len(hk)) & (hk[np.minimum(pos, len(hk) - 1)] == b)
         t = batch.filter(pa.array(mask))
         part = (t["bucket"].to_numpy() % P).astype(np.int32)
         return t.append_column("__part", pa.array(part))
 
     def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        outs = [
-            bucket_pairs(b.drop(columns=["__part"]))
-            for _, b in g.groupby("bucket", sort=False)
-        ]
-        return (
-            pd.concat(outs, ignore_index=True)
-            if outs
-            else pd.DataFrame({"a": [], "b": [], "est": []})
+        g = g.drop(columns=["__part"])
+        outs = []
+        if fast2 is not None and len(g):
+            est2, keep2 = fast2
+            g = g.sort_values(["bucket", id_col], kind="stable")
+            b = g["bucket"].to_numpy()
+            starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+            sizes = np.diff(np.r_[starts, len(b)])
+            ids_all = g[id_col].to_numpy()
+            two = sizes == 2
+            i0 = starts[two]
+            ok = ids_all[i0] != ids_all[i0 + 1]  # dup input ids -> fallback
+            if ok.any():
+                ra, rb = g.iloc[i0[ok]], g.iloc[i0[ok] + 1]
+                est = np.asarray(est2(ra, rb), dtype=float)
+                keep = keep2(est)
+                if keep.any():
+                    a = ids_all[i0[ok]][keep]
+                    bb = ids_all[i0[ok] + 1][keep]
+                    outs.append(pd.DataFrame({
+                        "a": np.minimum(a, bb),
+                        "b": np.maximum(a, bb),
+                        "est": est[keep],
+                    }))
+            fallback = np.concatenate([
+                np.flatnonzero(~two), np.flatnonzero(two)[~ok]
+            ])
+            for si in fallback:
+                s = starts[si]
+                outs.append(bucket_pairs(g.iloc[s : s + sizes[si]]))
+        else:
+            outs = [
+                bucket_pairs(bdf) for _, bdf in g.groupby("bucket", sort=False)
+            ]
+        if not outs:
+            return pd.DataFrame({"a": [], "b": [], "est": []})
+        # a true near-dup pair collides in MANY bands and its est is
+        # band-independent (computed from the full signatures), so the
+        # per-group dedup is lossless and shrinks what reaches the
+        # driver by up to the band count
+        return pd.concat(outs, ignore_index=True).drop_duplicates(
+            subset=["a", "b"], ignore_index=True
         )
 
     return (
@@ -344,29 +404,37 @@ def _pairs_from_hot_buckets(bands_ds, bucket_pairs, id_col: str) -> pd.DataFrame
 
 
 def _clusters_from_pairs(pairs: pd.DataFrame) -> pd.DataFrame:
-    """Driver-side union-find over the (small) candidate pair set."""
-    parent: dict = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    def union(x, y):
-        rx, ry = find(x), find(y)
-        if rx != ry:
-            if ry < rx:
-                rx, ry = ry, rx
-            parent[ry] = rx
-
-    for a, b in zip(pairs["a"], pairs["b"]):
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
-        union(a, b)
-    ids = sorted(parent)
-    reps = [find(i) for i in ids]
-    return pd.DataFrame({"id": ids, "rep_id": reps, "is_dup": [i != r for i, r in zip(ids, reps)]})
+    """Driver-side union-find over the (dup-rate-sized) candidate pair
+    set. Vectorized min-label propagation: hook every edge's larger
+    root onto the smaller via np.minimum.at, then pointer-jump to a
+    fixpoint — each round is whole-array numpy, and rounds are
+    O(log diameter) (dup clusters are near-cliques, so 2-3 rounds).
+    The per-edge Python dict walk this replaces measured tens of
+    seconds serial on multi-million-pair corpora — the driver tail
+    that capped the measured N->4N scaling efficiency."""
+    if not len(pairs):
+        return pd.DataFrame({"id": [], "rep_id": [], "is_dup": []})
+    a = pairs["a"].to_numpy()
+    b = pairs["b"].to_numpy()
+    ids = np.unique(np.concatenate([a, b]))  # any orderable id type
+    ia = np.searchsorted(ids, a)
+    ib = np.searchsorted(ids, b)
+    parent = np.arange(len(ids), dtype=np.int64)
+    while True:
+        ra, rb = parent[ia], parent[ib]
+        lo = np.minimum(ra, rb)
+        hi = np.maximum(ra, rb)
+        before = parent.copy()
+        np.minimum.at(parent, hi, lo)
+        while True:
+            pp = parent[parent]
+            if np.array_equal(pp, parent):
+                break
+            parent = pp
+        if np.array_equal(parent, before):
+            break
+    reps = ids[parent]
+    return pd.DataFrame({"id": ids, "rep_id": reps, "is_dup": ids != reps})
 
 
 # ---------------------------------------------------------------------------
@@ -449,8 +517,16 @@ def simhash_dedup(
             chain_est_val=0.0,
         )
 
+    def est2(ra: pd.DataFrame, rb: pd.DataFrame) -> np.ndarray:
+        return _hamming_elementwise(
+            ra["simhash"].to_numpy().astype(np.int64).view(_U64),
+            rb["simhash"].to_numpy().astype(np.int64).view(_U64),
+        )
+
     bands_ds = ds.map_batches(to_bands, batch_format="pyarrow")
-    pairs = _pairs_from_hot_buckets(bands_ds, bucket_pairs, id_col)
+    pairs = _pairs_from_hot_buckets(
+        bands_ds, bucket_pairs, id_col, fast2=(est2, lambda d: d <= max_hamming)
+    )
     if return_pairs:
         return pairs
     return _clusters_from_pairs(pairs)
@@ -537,8 +613,15 @@ def embedding_dedup(
             ids, e, lambda u: u @ u.T, lambda sim: sim >= threshold
         )
 
+    def est2(ra: pd.DataFrame, rb: pd.DataFrame) -> np.ndarray:
+        A = np.stack(ra["emb_n"].to_numpy())
+        B = np.stack(rb["emb_n"].to_numpy())
+        return (A * B).sum(axis=1)
+
     bands_ds = ds.map_batches(to_bucket, batch_format="pyarrow")
-    pairs = _pairs_from_hot_buckets(bands_ds, bucket_pairs, id_col)
+    pairs = _pairs_from_hot_buckets(
+        bands_ds, bucket_pairs, id_col, fast2=(est2, lambda s: s >= threshold)
+    )
     return _clusters_from_pairs(pairs)
 
 
@@ -767,8 +850,16 @@ def phash_dedup(
             chain_est_val=0.0,
         )
 
+    def est2(ra: pd.DataFrame, rb: pd.DataFrame) -> np.ndarray:
+        return _hamming_elementwise(
+            ra["phash"].to_numpy().astype(np.int64).view(_U64),
+            rb["phash"].to_numpy().astype(np.int64).view(_U64),
+        )
+
     bands_ds = ds.map_batches(to_bands, batch_format="pyarrow")
-    pairs = _pairs_from_hot_buckets(bands_ds, bucket_pairs, id_col)
+    pairs = _pairs_from_hot_buckets(
+        bands_ds, bucket_pairs, id_col, fast2=(est2, lambda d: d <= max_hamming)
+    )
     if return_pairs:
         return pairs
     return _clusters_from_pairs(pairs)
