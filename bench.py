@@ -532,7 +532,10 @@ MINHASH_DOCS = 3_000_000  # dedup-family scaling corpus size
 def _write_minhash_corpus(n_docs: int) -> str:
     """Deterministic synthetic corpus for the dedup scaling bench,
     written ONCE to /tmp and shared by both parallelism levels so they
-    measure the same input. 60-word docs over a 4096-word vocabulary;
+    measure the same input. 120-word docs over a 4096-word vocabulary
+    (C4-like median length — doc length sets the compute:shuffle ratio
+    the scaling measurement sees, and 60-word docs under-weighted the
+    shingle/signature compute a real corpus pays);
     every 25th doc is a near-duplicate of its predecessor (~2 of 60
     words mutated, true 3-shingle Jaccard ~0.8) and every 100th an
     exact duplicate, so the LSH banding, hot-bucket filter and pair
@@ -545,15 +548,16 @@ def _write_minhash_corpus(n_docs: int) -> str:
 
     from complexity_driven_feature_construction_ray.sources.token_table import _mix64
 
-    out_dir = f"/tmp/bench_minhash_corpus_{n_docs}"
+    W, V = 120, 4096
+    out_dir = f"/tmp/bench_minhash_corpus_{n_docs}_w{W}"
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
-    W, V = 60, 4096
     vocab = np.array([f"w{i:04d}" for i in range(V)], dtype=object)
     pos = np.arange(W, dtype=np.uint64)
-    chunk = 200_000
+    chunk = 100_000  # 30 files at 3M docs: enough read/map blocks for
+    # smooth waves at both parallelism levels
     for f0 in range(0, n_docs, chunk):
         ids = np.arange(f0, min(f0 + chunk, n_docs), dtype=np.int64)
         u = ids.view(np.uint64)

@@ -211,7 +211,10 @@ def minhash_lsh_dedup(
     (a, b, est) instead — the edge list for the distributed
     connected-components path (stages/graph.py)."""
 
-    def to_bands(batch: pa.Table) -> pa.Table:
+    def band_arrays(batch: pa.Table):
+        """(flat doc-major buckets, per-doc ids, per-doc signatures) —
+        the band-replicated (id, sig) stream is never materialized;
+        _pairs_from_band_arrays gathers features for HOT rows only."""
         texts = batch[text_col].to_pylist()
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         sigs = minhash_signatures(texts, num_perm, seed=seed)
@@ -224,20 +227,7 @@ def minhash_lsh_dedup(
             bucket = (keys.reshape(-1).view(_U64) * _U64(bands * 2 + 1) + band_id).view(
                 np.int64
             )
-        # sig as a FixedSizeList over the flat repeated buffer (the
-        # inverse of arrowutil.list_column_matrix) — no Python list of
-        # numpy arrays materializes on the way into Arrow
-        rep = np.repeat(sigs.astype(np.int64), bands, axis=0)
-        sig_arr = pa.FixedSizeListArray.from_arrays(
-            pa.array(rep.reshape(-1)), num_perm
-        )
-        return pa.table(
-            {
-                "bucket": pa.array(bucket),
-                id_col: pa.array(np.repeat(ids, bands)),
-                "sig": sig_arr,
-            }
-        )
+        return bucket, ids, sigs.astype(np.int64)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
@@ -260,9 +250,9 @@ def minhash_lsh_dedup(
         B = np.stack(rb["sig"].to_numpy())
         return (A == B).mean(axis=1)
 
-    bands_ds = ds.map_batches(to_bands, batch_format="pyarrow")
-    pairs = _pairs_from_hot_buckets(
-        bands_ds, bucket_pairs, id_col, fast2=(est2, lambda e: e >= threshold)
+    pairs = _pairs_from_band_arrays(
+        ds, band_arrays, "sig", bands, bucket_pairs, id_col,
+        fast2=(est2, lambda e: e >= threshold),
     )
     if return_pairs:
         return pairs
@@ -273,6 +263,139 @@ def _hamming_elementwise(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Per-row Hamming distance between two aligned uint64 vectors."""
     x = (a ^ b).view(np.uint8).reshape(len(a), 8)
     return _POP[x].sum(axis=1).astype(float)
+
+
+def _pairs_from_band_arrays(
+    ds, band_arrays, feat_col: str, bands: int, bucket_pairs, id_col: str, fast2=None
+) -> pd.DataFrame:
+    """Candidate pairs without EVER materializing the band-replicated
+    feature stream.
+
+    The original shape (to_bands emits (bucket, id, feature) with the
+    feature np.repeat-ed once per band, then counts/filters that) moves
+    feature_bytes x bands through memory twice — for 64-perm MinHash at
+    3M docs that is ~24 GB of pure memcpy per pass, which saturates
+    node memory bandwidth and shows up as a NON-SCALING serial
+    component in the N->4N protocol (measured efficiency 0.69).
+    Contract instead: band_arrays(batch) -> (bucket_flat doc-major
+    (n*bands,), ids (n,), feat (n,) or (n,d)); this helper derives
+
+    - count pass: per-batch np.unique over the flat buckets only (no
+      id/feature replication at all), coarse hash-bucket fold, hot set
+      = buckets with >= 2 members (broadcast via one ray.put);
+    - pair pass: recompute buckets, searchsorted-filter to hot rows,
+      and GATHER ids/features only for those (dup-rate-sized), then
+      the partitioned bucket scan (vectorized size-2 fast path via
+      fast2, per-bucket fallback otherwise) with in-cluster pair dedup.
+    """
+    import ray
+
+    from .temporal import grouped_map
+
+    def count_partials(batch: pa.Table) -> pa.Table:
+        bucket, _ids, _f = band_arrays(batch)
+        uniq, cnt = np.unique(bucket, return_counts=True)
+        # the fold only asks "global count >= 2", so per-batch counts
+        # clip to 2 and ship as uint8 — halves the shuffled bytes with
+        # identical hot sets (2 + anything >= 2; 1 + 1 = 2)
+        return pa.table({
+            "bucket": pa.array(uniq),
+            "c": pa.array(np.minimum(cnt, 2).astype(np.uint8)),
+        })
+
+    def hot_in_group(g: pa.Table) -> pa.Table:
+        b = g["bucket"].to_numpy()
+        order = np.argsort(b, kind="stable")
+        bs = b[order]
+        cs = g["c"].to_numpy()[order].astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+        totals = np.add.reduceat(cs, starts)
+        return pa.table({"bucket": pa.array(bs[starts][totals >= 2])})
+
+    partials = ds.map_batches(count_partials, batch_format="pyarrow")
+    hot = grouped_map(partials, "bucket", hot_in_group, batch_format="pyarrow")
+    hot_keys = np.sort(hot.to_pandas()["bucket"].to_numpy().astype(np.int64))
+    if len(hot_keys) == 0:
+        return pd.DataFrame({"a": [], "b": [], "est": []})
+    hot_ref = ray.put(hot_keys)
+    P = max(64, len(hot_keys) // 1024 + 1)
+
+    def hot_rows(batch: pa.Table) -> pa.Table:
+        bucket, ids, feat = band_arrays(batch)
+        hk = ray.get(hot_ref)
+        pos = np.searchsorted(hk, bucket)
+        mask = (pos < len(hk)) & (hk[np.minimum(pos, len(hk) - 1)] == bucket)
+        sel = np.flatnonzero(mask)
+        doc = sel // bands
+        bsel = bucket[sel]
+        fsel = feat[doc]
+        if fsel.ndim == 2:
+            farr = pa.FixedSizeListArray.from_arrays(
+                pa.array(np.ascontiguousarray(fsel).reshape(-1)), fsel.shape[1]
+            )
+        else:
+            farr = pa.array(fsel)
+        return pa.table({
+            "bucket": pa.array(bsel),
+            id_col: pa.array(np.asarray(ids)[doc]),
+            feat_col: farr,
+            "__part": pa.array((bsel % P).astype(np.int32)),
+        })
+
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return _partition_pairs_impl(g, bucket_pairs, id_col, fast2)
+
+    return (
+        ds.map_batches(hot_rows, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(partition_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def _partition_pairs_impl(g: pd.DataFrame, bucket_pairs, id_col: str, fast2) -> pd.DataFrame:
+    """Shared per-partition-group scan: vectorized size-2 fast path
+    (fast2=(est2, keep2)), per-bucket fallback for >=3-member or
+    dup-id buckets, and lossless (a, b) pair dedup before emission (a
+    true near-dup pair collides in many bands with band-independent
+    est)."""
+    g = g.drop(columns=["__part"])
+    outs = []
+    if fast2 is not None and len(g):
+        est2, keep2 = fast2
+        g = g.sort_values(["bucket", id_col], kind="stable")
+        b = g["bucket"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        sizes = np.diff(np.r_[starts, len(b)])
+        ids_all = g[id_col].to_numpy()
+        two = sizes == 2
+        i0 = starts[two]
+        ok = ids_all[i0] != ids_all[i0 + 1]  # dup input ids -> fallback
+        if ok.any():
+            ra, rb = g.iloc[i0[ok]], g.iloc[i0[ok] + 1]
+            est = np.asarray(est2(ra, rb), dtype=float)
+            keep = keep2(est)
+            if keep.any():
+                a = ids_all[i0[ok]][keep]
+                bb = ids_all[i0[ok] + 1][keep]
+                outs.append(pd.DataFrame({
+                    "a": np.minimum(a, bb),
+                    "b": np.maximum(a, bb),
+                    "est": est[keep],
+                }))
+        fallback = np.concatenate([
+            np.flatnonzero(~two), np.flatnonzero(two)[~ok]
+        ])
+        for si in fallback:
+            s = starts[si]
+            outs.append(bucket_pairs(g.iloc[s : s + sizes[si]]))
+    else:
+        outs = [bucket_pairs(bdf) for _, bdf in g.groupby("bucket", sort=False)]
+    if not outs:
+        return pd.DataFrame({"a": [], "b": [], "est": []})
+    return pd.concat(outs, ignore_index=True).drop_duplicates(
+        subset=["a", "b"], ignore_index=True
+    )
 
 
 def _pairs_from_hot_buckets(
@@ -351,49 +474,7 @@ def _pairs_from_hot_buckets(
         return t.append_column("__part", pa.array(part))
 
     def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop(columns=["__part"])
-        outs = []
-        if fast2 is not None and len(g):
-            est2, keep2 = fast2
-            g = g.sort_values(["bucket", id_col], kind="stable")
-            b = g["bucket"].to_numpy()
-            starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
-            sizes = np.diff(np.r_[starts, len(b)])
-            ids_all = g[id_col].to_numpy()
-            two = sizes == 2
-            i0 = starts[two]
-            ok = ids_all[i0] != ids_all[i0 + 1]  # dup input ids -> fallback
-            if ok.any():
-                ra, rb = g.iloc[i0[ok]], g.iloc[i0[ok] + 1]
-                est = np.asarray(est2(ra, rb), dtype=float)
-                keep = keep2(est)
-                if keep.any():
-                    a = ids_all[i0[ok]][keep]
-                    bb = ids_all[i0[ok] + 1][keep]
-                    outs.append(pd.DataFrame({
-                        "a": np.minimum(a, bb),
-                        "b": np.maximum(a, bb),
-                        "est": est[keep],
-                    }))
-            fallback = np.concatenate([
-                np.flatnonzero(~two), np.flatnonzero(two)[~ok]
-            ])
-            for si in fallback:
-                s = starts[si]
-                outs.append(bucket_pairs(g.iloc[s : s + sizes[si]]))
-        else:
-            outs = [
-                bucket_pairs(bdf) for _, bdf in g.groupby("bucket", sort=False)
-            ]
-        if not outs:
-            return pd.DataFrame({"a": [], "b": [], "est": []})
-        # a true near-dup pair collides in MANY bands and its est is
-        # band-independent (computed from the full signatures), so the
-        # per-group dedup is lossless and shrinks what reaches the
-        # driver by up to the band count
-        return pd.concat(outs, ignore_index=True).drop_duplicates(
-            subset=["a", "b"], ignore_index=True
-        )
+        return _partition_pairs_impl(g, bucket_pairs, id_col, fast2)
 
     return (
         bands_ds.map_batches(only_hot, batch_format="pyarrow", batch_size=None)
@@ -483,7 +564,7 @@ def simhash_dedup(
     return_pairs=True returns the raw (a, b, est) candidate-pair frame
     for the distributed connected-components path."""
 
-    def to_bands(batch: pa.Table) -> pa.Table:
+    def band_arrays(batch: pa.Table):
         texts = batch[text_col].to_pylist()
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         sh = simhash_values(texts)
@@ -493,12 +574,7 @@ def simhash_dedup(
             band_key[b::4] = ((sh >> _U64(16 * b)) & _U64(0xFFFF)).astype(np.int64)
         # fold (band_id, 16-bit key) into one int64 bucket key
         bucket = band_key * 4 + np.tile(np.arange(4, dtype=np.int64), n)
-        rows = {
-            "bucket": bucket,
-            id_col: np.repeat(ids, 4),
-            "simhash": np.repeat(sh.astype(np.int64), 4),
-        }
-        return pa.table({k: pa.array(v) for k, v in rows.items()})
+        return bucket, ids, sh.astype(np.int64)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
@@ -523,9 +599,9 @@ def simhash_dedup(
             rb["simhash"].to_numpy().astype(np.int64).view(_U64),
         )
 
-    bands_ds = ds.map_batches(to_bands, batch_format="pyarrow")
-    pairs = _pairs_from_hot_buckets(
-        bands_ds, bucket_pairs, id_col, fast2=(est2, lambda d: d <= max_hamming)
+    pairs = _pairs_from_band_arrays(
+        ds, band_arrays, "simhash", 4, bucket_pairs, id_col,
+        fast2=(est2, lambda d: d <= max_hamming),
     )
     if return_pairs:
         return pairs
@@ -581,7 +657,7 @@ def embedding_dedup(
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(dim, n_planes))
 
-    def to_bucket(batch: pa.Table) -> pa.Table:
+    def band_arrays(batch: pa.Table):
         embs = list_column_matrix(batch[emb_col])
         norm = np.linalg.norm(embs, axis=1, keepdims=True)
         embs = embs / np.maximum(norm, 1e-12)
@@ -589,17 +665,8 @@ def embedding_dedup(
         key = np.zeros(len(embs), dtype=np.uint64)
         for j in range(n_planes):
             key = (key << _U64(1)) | bits[:, j]
-        return pa.table(
-            {
-                "bucket": pa.array(key.astype(np.int64)),
-                id_col: batch[id_col],
-                # fixed-size list over the flat normalized buffer — no
-                # Python list of row arrays
-                "emb_n": pa.FixedSizeListArray.from_arrays(
-                    pa.array(np.ascontiguousarray(embs).reshape(-1)), dim
-                ),
-            }
-        )
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return key.astype(np.int64), ids, embs
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
@@ -618,9 +685,9 @@ def embedding_dedup(
         B = np.stack(rb["emb_n"].to_numpy())
         return (A * B).sum(axis=1)
 
-    bands_ds = ds.map_batches(to_bucket, batch_format="pyarrow")
-    pairs = _pairs_from_hot_buckets(
-        bands_ds, bucket_pairs, id_col, fast2=(est2, lambda s: s >= threshold)
+    pairs = _pairs_from_band_arrays(
+        ds, band_arrays, "emb_n", 1, bucket_pairs, id_col,
+        fast2=(est2, lambda s: s >= threshold),
     )
     return _clusters_from_pairs(pairs)
 
@@ -821,7 +888,7 @@ def phash_dedup(
     per batch); only small (bucket, id, hash) rows shuffle."""
     from .multimodal import phash64_batch
 
-    def to_bands(batch: pa.Table) -> pa.Table:
+    def band_arrays(batch: pa.Table):
         payloads = batch[payload_col].to_pylist()
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         ph = phash64_batch(payloads)
@@ -830,11 +897,7 @@ def phash_dedup(
         for b in range(4):
             band_key[b::4] = ((ph >> _U64(16 * b)) & _U64(0xFFFF)).astype(np.int64)
         bucket = band_key * 4 + np.tile(np.arange(4, dtype=np.int64), n)
-        return pa.table({
-            "bucket": pa.array(bucket),
-            id_col: pa.array(np.repeat(ids, 4)),
-            "phash": pa.array(np.repeat(ph.astype(np.int64), 4)),
-        })
+        return bucket, ids, ph.astype(np.int64)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
@@ -856,9 +919,9 @@ def phash_dedup(
             rb["phash"].to_numpy().astype(np.int64).view(_U64),
         )
 
-    bands_ds = ds.map_batches(to_bands, batch_format="pyarrow")
-    pairs = _pairs_from_hot_buckets(
-        bands_ds, bucket_pairs, id_col, fast2=(est2, lambda d: d <= max_hamming)
+    pairs = _pairs_from_band_arrays(
+        ds, band_arrays, "phash", 4, bucket_pairs, id_col,
+        fast2=(est2, lambda d: d <= max_hamming),
     )
     if return_pairs:
         return pairs
