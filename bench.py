@@ -614,30 +614,42 @@ def run_minhash_job(n_docs: int) -> dict:
 
 
 def run_scaling(
-    sf_dir: str, low: int, high: int, n_rows: int | None = None, job: str = "backfill"
+    sf_dir: str, low: int, high: int, n_rows: int | None = None, job: str = "backfill",
+    reps: int = 2,
 ) -> dict:
     """Same job at two parallelism levels, each in a fresh process/Ray
     session; efficiency = speedup / cpu-ratio. job='backfill' is the
     flagship feature-backfill path; job='minhash' is the dedup family
-    (MinHash+LSH over the shared 3M-doc synthetic corpus)."""
+    (MinHash+LSH over the shared 3M-doc synthetic corpus).
+
+    Each level runs `reps` times and keeps the best throughput — the
+    same variance discipline as the min-of-3 headline: a single worker
+    invocation varies up to ~40% run-to-run on this sandbox (page
+    cache, Ray session setup/teardown of the PREVIOUS worker still
+    draining), which is noise about the host, not the engine."""
     n_rows = n_rows or (MINHASH_DOCS if job == "minhash" else SCALING_ROWS)
     if job == "minhash":
         _write_minhash_corpus(n_rows)  # generate once, outside both timers
     results = {}
     for cpus in (low, high):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--job", job,
-             "--rows", str(n_rows)],
-            capture_output=True,
-            text=True,
-            env=env,
-            cwd=REPO,
-        )
-        if proc.returncode != 0:
-            sys.stderr.write(proc.stderr)
-            raise RuntimeError(f"scaling worker (cpus={cpus}) failed")
-        results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+        best = None
+        for _ in range(reps):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--job", job,
+                 "--rows", str(n_rows)],
+                capture_output=True,
+                text=True,
+                env=env,
+                cwd=REPO,
+            )
+            if proc.returncode != 0:
+                sys.stderr.write(proc.stderr)
+                raise RuntimeError(f"scaling worker (cpus={cpus}) failed")
+            rep = json.loads(proc.stdout.strip().splitlines()[-1])
+            if best is None or rep["rows_per_sec"] > best["rows_per_sec"]:
+                best = rep
+        results[cpus] = best
     ratio = high / low
     speedup = results[high]["rows_per_sec"] / results[low]["rows_per_sec"]
     return {

@@ -19,12 +19,28 @@ documents) and the candidate pair list leave the stream.
 
 from __future__ import annotations
 
+import os
+import sys
+import time
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 from .arrowutil import list_column_matrix
 from .bucketing import default_buckets
+
+# GRAFT_DEDUP_PROFILE=1 prints per-phase wall times (count pass, pair
+# pass, cluster fold) to stderr — the diagnostic the N->4N scaling
+# protocol needs to localize a non-scaling component.
+_PROFILE = os.environ.get("GRAFT_DEDUP_PROFILE") == "1"
+
+
+def _prof(label: str, t0: float) -> float:
+    t1 = time.perf_counter()
+    if _PROFILE:
+        sys.stderr.write(f"[dedup-profile] {label}: {t1 - t0:.2f}s\n")
+    return t1
 
 _U64 = np.uint64
 _PRIME = _U64((1 << 61) - 1)
@@ -209,17 +225,40 @@ def minhash_lsh_dedup(
     cluster representative (min id); is_dup marks non-representatives.
     With return_pairs=True, returns the raw candidate-pair frame
     (a, b, est) instead — the edge list for the distributed
-    connected-components path (stages/graph.py)."""
+    connected-components path (stages/graph.py).
 
-    def band_arrays(batch: pa.Table):
-        """(flat doc-major buckets, per-doc ids, per-doc signatures) —
-        the band-replicated (id, sig) stream is never materialized;
-        _pairs_from_band_arrays gathers features for HOT rows only."""
+    Signatures are computed ONCE into a materialized signature table
+    (id, sig) — num_perm x 8 bytes per doc, the artifact production
+    MinHash pipelines persist (10-25x smaller than a real 2-5 KB-doc
+    corpus; Ray spills it under memory pressure). Both the hot-bucket
+    count pass and the candidate-pair pass then map over the signature
+    table, so the corpus text is scanned and shingled exactly once —
+    recomputing signatures per pass measured ~55s of each pass at 3M
+    docs / 8 CPUs, pure duplicated compute."""
+
+    def featurize(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         sigs = minhash_signatures(texts, num_perm, seed=seed)
-        keys = _band_keys(sigs, bands)  # (n, bands) int64
-        n = len(texts)
+        return pa.table({
+            id_col: pa.array(np.asarray(ids)),
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs.astype(np.int64).reshape(-1)), num_perm
+            ),
+        })
+
+    sig_ds = ds.map_batches(featurize, batch_format="pyarrow").materialize()
+
+    def band_arrays(batch: pa.Table):
+        """(flat doc-major buckets, per-doc ids, per-doc signatures)
+        from the signature table — band keys re-derive from the stored
+        signatures (a few cheap integer folds), never from text."""
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sigs = np.ascontiguousarray(
+            list_column_matrix(batch["sig"], dtype=np.int64)
+        )
+        keys = _band_keys(sigs.view(_U64), bands)  # (n, bands) int64
+        n = len(ids)
         # fold (band_id, band_key) into one int64 bucket key so the
         # downstream count/filter/groupby is single-column + vectorized
         band_id = np.tile(np.arange(bands, dtype=np.uint64), n)
@@ -227,7 +266,7 @@ def minhash_lsh_dedup(
             bucket = (keys.reshape(-1).view(_U64) * _U64(bands * 2 + 1) + band_id).view(
                 np.int64
             )
-        return bucket, ids, sigs.astype(np.int64)
+        return bucket, ids, sigs
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
@@ -251,7 +290,7 @@ def minhash_lsh_dedup(
         return (A == B).mean(axis=1)
 
     pairs = _pairs_from_band_arrays(
-        ds, band_arrays, "sig", bands, bucket_pairs, id_col,
+        sig_ds, band_arrays, "sig", bands, bucket_pairs, id_col,
         fast2=(est2, lambda e: e >= threshold),
     )
     if return_pairs:
@@ -312,9 +351,11 @@ def _pairs_from_band_arrays(
         totals = np.add.reduceat(cs, starts)
         return pa.table({"bucket": pa.array(bs[starts][totals >= 2])})
 
+    t0 = time.perf_counter()
     partials = ds.map_batches(count_partials, batch_format="pyarrow")
     hot = grouped_map(partials, "bucket", hot_in_group, batch_format="pyarrow")
     hot_keys = np.sort(hot.to_pandas()["bucket"].to_numpy().astype(np.int64))
+    t0 = _prof(f"count pass ({len(hot_keys)} hot buckets)", t0)
     if len(hot_keys) == 0:
         return pd.DataFrame({"a": [], "b": [], "est": []})
     hot_ref = ray.put(hot_keys)
@@ -345,12 +386,14 @@ def _pairs_from_band_arrays(
     def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
         return _partition_pairs_impl(g, bucket_pairs, id_col, fast2)
 
-    return (
+    pairs = (
         ds.map_batches(hot_rows, batch_format="pyarrow", batch_size=None)
         .groupby("__part")
         .map_groups(partition_pairs, batch_format="pandas")
         .to_pandas()
     )
+    _prof(f"pair pass ({len(pairs)} pairs)", t0)
+    return pairs
 
 
 def _partition_pairs_impl(g: pd.DataFrame, bucket_pairs, id_col: str, fast2) -> pd.DataFrame:
@@ -495,6 +538,7 @@ def _clusters_from_pairs(pairs: pd.DataFrame) -> pd.DataFrame:
     that capped the measured N->4N scaling efficiency."""
     if not len(pairs):
         return pd.DataFrame({"id": [], "rep_id": [], "is_dup": []})
+    t0 = time.perf_counter()
     a = pairs["a"].to_numpy()
     b = pairs["b"].to_numpy()
     ids = np.unique(np.concatenate([a, b]))  # any orderable id type
@@ -515,6 +559,7 @@ def _clusters_from_pairs(pairs: pd.DataFrame) -> pd.DataFrame:
         if np.array_equal(parent, before):
             break
     reps = ids[parent]
+    _prof(f"cluster fold ({len(ids)} ids)", t0)
     return pd.DataFrame({"id": ids, "rep_id": reps, "is_dup": ids != reps})
 
 
@@ -562,13 +607,28 @@ def simhash_dedup(
     """Near-dup clusters where SimHash Hamming distance <= max_hamming.
     Bucketing: 4 x 16-bit bands (any pair within distance 3 shares a band).
     return_pairs=True returns the raw (a, b, est) candidate-pair frame
-    for the distributed connected-components path."""
+    for the distributed connected-components path.
 
-    def band_arrays(batch: pa.Table):
+    Fingerprints are computed ONCE into a materialized (id, simhash)
+    table — 16 bytes per doc — so the corpus text is hashed exactly
+    once; both passes map over the fingerprint table (same rationale
+    as minhash_lsh_dedup's signature table)."""
+
+    def featurize(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         sh = simhash_values(texts)
-        n = len(texts)
+        return pa.table({
+            id_col: pa.array(np.asarray(ids)),
+            "simhash": pa.array(sh.astype(np.int64)),
+        })
+
+    sig_ds = ds.map_batches(featurize, batch_format="pyarrow").materialize()
+
+    def band_arrays(batch: pa.Table):
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sh = batch["simhash"].to_numpy(zero_copy_only=False).view(_U64)
+        n = len(ids)
         band_key = np.empty(4 * n, dtype=np.int64)
         for b in range(4):
             band_key[b::4] = ((sh >> _U64(16 * b)) & _U64(0xFFFF)).astype(np.int64)
@@ -600,7 +660,7 @@ def simhash_dedup(
         )
 
     pairs = _pairs_from_band_arrays(
-        ds, band_arrays, "simhash", 4, bucket_pairs, id_col,
+        sig_ds, band_arrays, "simhash", 4, bucket_pairs, id_col,
         fast2=(est2, lambda d: d <= max_hamming),
     )
     if return_pairs:
@@ -885,14 +945,28 @@ def phash_dedup(
     are verified when the pair happens to collide, the standard
     banded-LSH recall trade), mega-bucket guard, hot-bucket routing.
     The DCT + hashing streams through map_batches (one batched einsum
-    per batch); only small (bucket, id, hash) rows shuffle."""
+    per batch); only small (bucket, id, hash) rows shuffle.
+
+    Hashes are computed ONCE into a materialized (id, phash) table —
+    decoding an image payload is by far the most expensive step of
+    this family, so the decode must never run once per pass."""
     from .multimodal import phash64_batch
 
-    def band_arrays(batch: pa.Table):
+    def featurize(batch: pa.Table) -> pa.Table:
         payloads = batch[payload_col].to_pylist()
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         ph = phash64_batch(payloads)
-        n = len(payloads)
+        return pa.table({
+            id_col: pa.array(np.asarray(ids)),
+            "phash": pa.array(ph.astype(np.int64)),
+        })
+
+    sig_ds = ds.map_batches(featurize, batch_format="pyarrow").materialize()
+
+    def band_arrays(batch: pa.Table):
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        ph = batch["phash"].to_numpy(zero_copy_only=False).view(_U64)
+        n = len(ids)
         band_key = np.empty(4 * n, dtype=np.int64)
         for b in range(4):
             band_key[b::4] = ((ph >> _U64(16 * b)) & _U64(0xFFFF)).astype(np.int64)
@@ -920,7 +994,7 @@ def phash_dedup(
         )
 
     pairs = _pairs_from_band_arrays(
-        ds, band_arrays, "phash", 4, bucket_pairs, id_col,
+        sig_ds, band_arrays, "phash", 4, bucket_pairs, id_col,
         fast2=(est2, lambda d: d <= max_hamming),
     )
     if return_pairs:
