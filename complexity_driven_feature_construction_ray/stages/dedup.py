@@ -284,9 +284,8 @@ def minhash_lsh_dedup(
             ids, sigs, lambda s: _sig_est_matrix(s), lambda est: est >= threshold
         )
 
-    def est2(ra: pd.DataFrame, rb: pd.DataFrame) -> np.ndarray:
-        A = np.stack(ra["sig"].to_numpy())
-        B = np.stack(rb["sig"].to_numpy())
+    def est2(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+        # aligned (m, num_perm) signature matrices for the size-2 buckets
         return (A == B).mean(axis=1)
 
     pairs = _pairs_from_band_arrays(
@@ -352,7 +351,12 @@ def _pairs_from_band_arrays(
         return pa.table({"bucket": pa.array(bs[starts][totals >= 2])})
 
     t0 = time.perf_counter()
-    partials = ds.map_batches(count_partials, batch_format="pyarrow")
+    # materialize the (clipped-count, vocabulary-sized) partials before
+    # the grouped_map sort — same chained-map->Sort pathology note as
+    # the hot-row stream below
+    partials = ds.map_batches(
+        count_partials, batch_format="pyarrow"
+    ).materialize()
     hot = grouped_map(partials, "bucket", hot_in_group, batch_format="pyarrow")
     hot_keys = np.sort(hot.to_pandas()["bucket"].to_numpy().astype(np.int64))
     t0 = _prof(f"count pass ({len(hot_keys)} hot buckets)", t0)
@@ -383,17 +387,200 @@ def _pairs_from_band_arrays(
             "__part": pa.array((bsel % P).astype(np.int32)),
         })
 
-    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return _partition_pairs_impl(g, bucket_pairs, id_col, fast2)
+    def partition_pairs(g: pa.Table) -> pa.Table:
+        return _partition_pairs_arrow(g, bucket_pairs, id_col, feat_col, fast2)
 
+    # Materialize the (dup-rate-sized) hot-row stream before the sort:
+    # Ray 2.49 chained map->Sort in ONE streaming plan measured 70-90s
+    # where sort-over-materialized-blocks takes ~12s on the same 2.6M
+    # rows (the same chained-sort pathology the graph supersteps
+    # checkpoint around, stages/graph.py). The stream is bounded by the
+    # duplicate rate (only collided-bucket rows), so pinning it in the
+    # object store is proportional to dups, not corpus.
+    hot_stream = ds.map_batches(
+        hot_rows, batch_format="pyarrow", batch_size=None
+    ).materialize()
     pairs = (
-        ds.map_batches(hot_rows, batch_format="pyarrow", batch_size=None)
-        .groupby("__part")
-        .map_groups(partition_pairs, batch_format="pandas")
+        hot_stream.groupby("__part")
+        .map_groups(partition_pairs, batch_format="pyarrow")
         .to_pandas()
     )
     _prof(f"pair pass ({len(pairs)} pairs)", t0)
     return pairs
+
+
+def _concat_aranges(cnt: np.ndarray) -> np.ndarray:
+    """[0..cnt[0]), [0..cnt[1]), ... concatenated, vectorized."""
+    total = int(cnt.sum())
+    return np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+
+
+def _small_bucket_pairs_vec(
+    feat, ids_all, starts, sizes, sel, est2, keep2, chain_est_val
+):
+    """Vectorized _grouped_bucket_pairs over MANY small buckets at once.
+
+    `sel` indexes buckets (into starts/sizes) whose rows are id-sorted
+    and id-distinct. Reproduces the per-bucket semantics exactly:
+    rows with byte-identical features chain to their clone group's min
+    id at est=chain_est_val; one representative per clone class enters
+    the all-pairs est2/keep2 scan. A pandas bucket_pairs call per
+    bucket measured ~0.2ms — at 3M docs the ~235k 3-member buckets
+    were ~50s of an 85s pipeline; this does them all in a handful of
+    whole-partition numpy passes."""
+    cnt = sizes[sel]
+    row_idx = starts[sel].repeat(cnt) + _concat_aranges(cnt)
+    sub = feat[row_idx]
+    if sub.ndim == 2:
+        subc = np.ascontiguousarray(sub)
+        v = subc.view(
+            np.dtype((np.void, subc.dtype.itemsize * subc.shape[1]))
+        ).ravel()
+    else:
+        v = sub
+    _, cls = np.unique(v, return_inverse=True)
+    bl = np.repeat(np.arange(len(sel)), cnt)
+    ids_sub = ids_all[row_idx]
+    order = np.lexsort((ids_sub, cls, bl))
+    r = row_idx[order]
+    blo, clso = bl[order], cls[order]
+    rs = np.r_[True, (blo[1:] != blo[:-1]) | (clso[1:] != clso[:-1])]
+    head = np.flatnonzero(rs)
+    run_id = np.cumsum(rs) - 1
+    head_row = r[head][run_id]
+    outs = []
+    nonrep = ~rs
+    if nonrep.any():
+        a = ids_all[head_row[nonrep]]  # run head = min id in clone run
+        b = ids_all[r[nonrep]]
+        outs.append(pd.DataFrame({
+            "a": a, "b": b,
+            "est": np.full(len(a), float(chain_est_val)),
+        }))
+    # representatives per bucket, bucket-ordered; all-pairs per rep count
+    rep_rows = r[head]
+    u = np.bincount(blo[head], minlength=len(sel))
+    hstart = np.cumsum(u) - u
+    for k in np.unique(u):
+        if k < 2:
+            continue
+        gsel = np.flatnonzero(u == k)
+        M = rep_rows[hstart[gsel][:, None] + np.arange(k)]
+        for i in range(k):
+            for j in range(i + 1, k):
+                est = np.asarray(est2(feat[M[:, i]], feat[M[:, j]]), dtype=float)
+                keep = keep2(est)
+                if keep.any():
+                    a = ids_all[M[:, i]][keep]
+                    b = ids_all[M[:, j]][keep]
+                    outs.append(pd.DataFrame({
+                        "a": np.minimum(a, b),
+                        "b": np.maximum(a, b),
+                        "est": est[keep],
+                    }))
+    return outs
+
+
+def _partition_pairs_arrow(
+    t: pa.Table, bucket_pairs, id_col: str, feat_col: str, fast2
+) -> pa.Table:
+    """Arrow-native per-partition-group scan for the band_arrays path.
+
+    The pandas map_groups variant (_partition_pairs_impl) boxes every
+    FixedSizeList feature row into its own numpy object — at 3M docs
+    the pair pass carries ~2.6M hot rows x 64-element signatures, and
+    the per-row boxing plus np.stack on object arrays measured as the
+    bulk of a 50s phase. Here the group arrives as an Arrow table, the
+    feature column converts zero-copy to ONE (n, d) matrix
+    (list_column_matrix), and both the size-2 fast path and the rare
+    >= 3-member fallback index into that matrix; output goes back out
+    as an Arrow block (pandas-format blocks measured ~10x slower
+    through downstream Ray ops)."""
+    idtype = t.schema.field(id_col).type
+    out_schema = pa.schema(
+        [("a", idtype), ("b", idtype), ("est", pa.float64())]
+    )
+    n = len(t)
+    if n == 0:
+        return out_schema.empty_table()
+    bucket = t["bucket"].to_numpy(zero_copy_only=False)
+    ids_raw = t[id_col].to_numpy(zero_copy_only=False)
+    ftype = t.schema.field(feat_col).type
+    if (
+        pa.types.is_fixed_size_list(ftype)
+        or pa.types.is_list(ftype)
+        or pa.types.is_large_list(ftype)
+    ):
+        feat = list_column_matrix(
+            t[feat_col], dtype=ftype.value_type.to_pandas_dtype()
+        )
+    else:
+        feat = t[feat_col].to_numpy(zero_copy_only=False)
+
+    # stable (bucket, id) ordering without pandas sort_values
+    o1 = np.argsort(ids_raw, kind="stable")
+    order = o1[np.argsort(bucket[o1], kind="stable")]
+    bucket = bucket[order]
+    ids_all = ids_raw[order]
+    feat = feat[order]
+
+    outs = []
+    starts = np.flatnonzero(np.r_[True, bucket[1:] != bucket[:-1]])
+    sizes = np.diff(np.r_[starts, n])
+    if fast2 is not None:
+        if len(fast2) == 3:
+            est2, keep2, chain_est = fast2
+        else:
+            est2, keep2 = fast2
+            chain_est = 1.0
+        # buckets containing duplicate input ids route to the pandas
+        # fallback (ids are id-sorted within a bucket, so dup ids are
+        # neighbors)
+        eqprev = np.r_[False, ids_all[1:] == ids_all[:-1]]
+        eqprev[starts] = False
+        dupb = np.add.reduceat(eqprev.astype(np.int64), starts) > 0
+        two = sizes == 2
+        i0 = starts[two]
+        ok = ~dupb[two]
+        if ok.any():
+            sel = i0[ok]
+            est = np.asarray(est2(feat[sel], feat[sel + 1]), dtype=float)
+            keep = keep2(est)
+            if keep.any():
+                a = ids_all[sel][keep]
+                bb = ids_all[sel + 1][keep]
+                outs.append(pd.DataFrame({
+                    "a": np.minimum(a, bb),
+                    "b": np.maximum(a, bb),
+                    "est": est[keep],
+                }))
+        VMAX = 8  # 3..VMAX-member buckets vectorize; bigger ones are
+        # rare enough for the per-bucket mega-bucket-guarded fallback
+        vec = np.flatnonzero((sizes >= 3) & (sizes <= VMAX) & ~dupb)
+        if len(vec):
+            outs.extend(_small_bucket_pairs_vec(
+                feat, ids_all, starts, sizes, vec, est2, keep2, chain_est
+            ))
+        fallback = np.flatnonzero((sizes >= 2) & (dupb | (sizes > VMAX)))
+    else:
+        fallback = np.arange(len(starts))
+    for si in fallback:
+        s = starts[si]
+        sl = slice(s, s + sizes[si])
+        sub = pd.DataFrame({id_col: ids_all[sl]})
+        fsl = feat[sl]
+        sub[feat_col] = list(fsl) if fsl.ndim == 2 else fsl
+        outs.append(bucket_pairs(sub))
+    if not outs:
+        return out_schema.empty_table()
+    res = pd.concat(outs, ignore_index=True).drop_duplicates(
+        subset=["a", "b"], ignore_index=True
+    )
+    return pa.table({
+        "a": pa.array(res["a"].to_numpy(), type=idtype),
+        "b": pa.array(res["b"].to_numpy(), type=idtype),
+        "est": pa.array(res["est"].to_numpy(np.float64)),
+    })
 
 
 def _partition_pairs_impl(g: pd.DataFrame, bucket_pairs, id_col: str, fast2) -> pd.DataFrame:
@@ -653,15 +840,15 @@ def simhash_dedup(
             chain_est_val=0.0,
         )
 
-    def est2(ra: pd.DataFrame, rb: pd.DataFrame) -> np.ndarray:
+    def est2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         return _hamming_elementwise(
-            ra["simhash"].to_numpy().astype(np.int64).view(_U64),
-            rb["simhash"].to_numpy().astype(np.int64).view(_U64),
+            np.ascontiguousarray(a, dtype=np.int64).view(_U64),
+            np.ascontiguousarray(b, dtype=np.int64).view(_U64),
         )
 
     pairs = _pairs_from_band_arrays(
         sig_ds, band_arrays, "simhash", 4, bucket_pairs, id_col,
-        fast2=(est2, lambda d: d <= max_hamming),
+        fast2=(est2, lambda d: d <= max_hamming, 0.0),
     )
     if return_pairs:
         return pairs
@@ -740,9 +927,8 @@ def embedding_dedup(
             ids, e, lambda u: u @ u.T, lambda sim: sim >= threshold
         )
 
-    def est2(ra: pd.DataFrame, rb: pd.DataFrame) -> np.ndarray:
-        A = np.stack(ra["emb_n"].to_numpy())
-        B = np.stack(rb["emb_n"].to_numpy())
+    def est2(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+        # aligned (m, dim) L2-normalized embedding matrices
         return (A * B).sum(axis=1)
 
     pairs = _pairs_from_band_arrays(
@@ -987,15 +1173,15 @@ def phash_dedup(
             chain_est_val=0.0,
         )
 
-    def est2(ra: pd.DataFrame, rb: pd.DataFrame) -> np.ndarray:
+    def est2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         return _hamming_elementwise(
-            ra["phash"].to_numpy().astype(np.int64).view(_U64),
-            rb["phash"].to_numpy().astype(np.int64).view(_U64),
+            np.ascontiguousarray(a, dtype=np.int64).view(_U64),
+            np.ascontiguousarray(b, dtype=np.int64).view(_U64),
         )
 
     pairs = _pairs_from_band_arrays(
         sig_ds, band_arrays, "phash", 4, bucket_pairs, id_col,
-        fast2=(est2, lambda d: d <= max_hamming),
+        fast2=(est2, lambda d: d <= max_hamming, 0.0),
     )
     if return_pairs:
         return pairs

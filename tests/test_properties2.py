@@ -4,6 +4,7 @@ the LSH mega-bucket shortcut, and SMOTE interpolation bounds."""
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from hypothesis import given, settings, strategies as st
 
 from complexity_driven_feature_construction_ray.stages.bucketing import (
@@ -143,3 +144,60 @@ class TestSmoteBounds:
         Xm = X[y == 1]
         lo, hi = Xm.min(axis=0), Xm.max(axis=0)
         assert (new >= lo - 1e-9).all() and (new <= hi + 1e-9).all()
+
+
+class TestPartitionPairsArrow:
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(min_value=0, max_value=10**6), st.floats(min_value=0.1, max_value=0.9))
+    def test_equals_pandas_impl(self, seed, threshold):
+        """The Arrow partition-group scan (vectorized size-2 fast path +
+        vectorized 3..8-member clone-chain kernel + pandas fallback)
+        must emit the exact same (a, b, est) pair set as the per-bucket
+        pandas implementation, on clone-heavy buckets of sizes 1..12."""
+        from complexity_driven_feature_construction_ray.stages.dedup import (
+            _grouped_bucket_pairs,
+            _partition_pairs_arrow,
+            _partition_pairs_impl,
+            _sig_est_matrix,
+        )
+
+        rng = np.random.default_rng(seed)
+        nb = 60
+        sizes = rng.integers(1, 13, nb)
+        n = int(sizes.sum())
+        bucket = np.repeat(rng.choice(10**9, nb, replace=False), sizes)
+        ids = rng.choice(10**7, n, replace=False)
+        pool = rng.integers(0, 2**40, (15, 16)).astype(np.int64)
+        feat = pool[rng.integers(0, 15, n)]
+
+        def est2(A, B):
+            return (A == B).mean(axis=1)
+
+        def est2_pd(ra, rb):
+            A = np.stack(ra["sig"].to_numpy())
+            B = np.stack(rb["sig"].to_numpy())
+            return (A == B).mean(axis=1)
+
+        def bucket_pairs(g):
+            if len(g) < 2:
+                return pd.DataFrame({"a": [], "b": [], "est": []})
+            g = g.drop_duplicates(subset=["doc_id"]).sort_values("doc_id", kind="stable")
+            i = g["doc_id"].to_numpy()
+            s = np.stack(g["sig"].to_numpy())
+            return _grouped_bucket_pairs(i, s, _sig_est_matrix, lambda e: e >= threshold)
+
+        t = pa.table({
+            "bucket": pa.array(bucket),
+            "doc_id": pa.array(ids),
+            "sig": pa.FixedSizeListArray.from_arrays(pa.array(feat.reshape(-1)), 16),
+            "__part": pa.array(np.zeros(n, dtype=np.int32)),
+        })
+        out_a = _partition_pairs_arrow(
+            t, bucket_pairs, "doc_id", "sig", (est2, lambda e: e >= threshold)
+        ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        out_p = _partition_pairs_impl(
+            t.to_pandas(), bucket_pairs, "doc_id", (est2_pd, lambda e: e >= threshold)
+        ).sort_values(["a", "b"]).reset_index(drop=True)
+        out_p["a"] = out_p["a"].astype(np.int64)
+        out_p["b"] = out_p["b"].astype(np.int64)
+        pd.testing.assert_frame_equal(out_a, out_p, check_dtype=False)
