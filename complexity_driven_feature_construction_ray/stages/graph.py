@@ -149,7 +149,13 @@ def connected_components(
         both = dir_edges.map_batches(_tag_edge, batch_format="pyarrow").union(
             labels.map_batches(tag_label, batch_format="pyarrow")
         )
-        msgs = grouped_map(both, "k", _emit, batch_format="pandas")
+        # materialize before every Sort in the superstep: Ray 2.49's
+        # planner degrades super-linearly on Sort-behind-deep-map plans
+        # (the dedup pair scan measured 70-90s vs ~12s materialized);
+        # per-step state here is label/message-sized, not corpus-sized
+        msgs = grouped_map(
+            both, "k", _emit, batch_format="pandas", materialize_input=True
+        ).materialize()
         hopped = msgs.groupby("id").aggregate(Min("cand", alias_name="component"))
         if node_col != "id":
             hopped = hopped.map_batches(
@@ -160,7 +166,9 @@ def connected_components(
         jp = hopped.map_batches(tag_holder, batch_format="pyarrow").union(
             hopped.map_batches(tag_mapping, batch_format="pyarrow")
         )
-        jumped = grouped_map(jp, "k", _jump, batch_format="pandas")
+        jumped = grouped_map(
+            jp, "k", _jump, batch_format="pandas", materialize_input=True
+        )
         if node_col != "id":
             jumped = jumped.map_batches(
                 lambda t: t.rename_columns([node_col, "component"]),
@@ -329,7 +337,9 @@ def pagerank(
         both = edges_w.map_batches(tag_edge, batch_format="pyarrow").union(
             ranks.map_batches(tag_rank, batch_format="pyarrow")
         )
-        msgs = grouped_map(both, "k", emit, batch_format="pandas")
+        msgs = grouped_map(
+            both, "k", emit, batch_format="pandas", materialize_input=True
+        )
 
         def combine(g: pd.DataFrame, base=base) -> pa.Table:
             # arrow out: streams straight into the parquet checkpoint
@@ -346,7 +356,9 @@ def pagerank(
                 "rank": pa.array(base + d * agg["contrib"].to_numpy(np.float64)),
             })
 
-        grouped_map(msgs, "id", combine).write_parquet(f"{ckpt}/step_{step}")
+        grouped_map(msgs, "id", combine, materialize_input=True).write_parquet(
+            f"{ckpt}/step_{step}"
+        )
         ranks = ray.data.read_parquet(f"{ckpt}/step_{step}")
         shutil.rmtree(f"{ckpt}/step_{step - 1}", ignore_errors=True)
 

@@ -287,7 +287,8 @@ def rolling_agg(
     )
 
 
-def grouped_map(ds, key: str, fn, *, num_buckets: int | None = None, batch_format="pandas"):
+def grouped_map(ds, key: str, fn, *, num_buckets: int | None = None, batch_format="pandas",
+                materialize_input: bool = False):
     """Apply `fn` to hash-bucket partitions co-grouped by `key`.
 
     For per-entity logic that is already vectorized across entities
@@ -295,6 +296,15 @@ def grouped_map(ds, key: str, fn, *, num_buckets: int | None = None, batch_forma
     — which pays a Python call per DISTINCT KEY (10k users = 10k calls)
     — with one call per bucket (~2xCPUs). `fn` must group by `key`
     itself; every row of a key lands in exactly one bucket.
+
+    materialize_input=True snapshots the bucket-tagged stream into the
+    object store BEFORE the groupby's sort exchange. Ray 2.49's
+    streaming planner degrades super-linearly when a Sort is chained
+    behind a deep map/union plan (measured 70–90s vs ~12s over the
+    same 2.6M rows in the dedup pair scan); use it when grouped_map
+    sits mid-superstep in an iterative pipeline whose per-step input
+    is bounded (labels/messages), NOT on corpus-sized one-shot streams
+    where holding a full copy in the object store is the real cost.
     """
     B = num_buckets or default_buckets(ds)
 
@@ -308,11 +318,10 @@ def grouped_map(ds, key: str, fn, *, num_buckets: int | None = None, batch_forma
         g = g.drop(columns=["__gm_bucket"]) if hasattr(g, "drop") else g.drop_columns(["__gm_bucket"])
         return fn(g)
 
-    return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__gm_bucket")
-        .map_groups(run, batch_format=batch_format)
-    )
+    tagged = ds.map_batches(add_bucket, batch_format="pyarrow")
+    if materialize_input:
+        tagged = tagged.materialize()
+    return tagged.groupby("__gm_bucket").map_groups(run, batch_format=batch_format)
 
 
 def asof_join(
