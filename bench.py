@@ -297,6 +297,9 @@ HEADLINE = [
     "d_token_dispersion",
     "q_assortativity",
     "d_js_matrix",
+    "q_spearman_price",
+    "q_theil_u",
+    "q_gini",
 ]
 
 

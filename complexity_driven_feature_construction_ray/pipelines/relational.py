@@ -18378,6 +18378,246 @@ FROM term GROUP BY sa, sb ORDER BY sa, sb
 """
 
 
+def q_spearman_price(sf_dir: str):
+    """Spearman rank correlation between quantity and extended price
+    (cents) with average-rank ties, computed ENTIRELY on marginal and
+    joint contingency cells — the O(n) global rank sort never happens.
+    Doubled average ranks R2(v) = 2·cum_before + n_v + 1 keep tied
+    half-ranks integral, so all five weighted moments fold as exact
+    Python ints (HUGEINT twins on the SQL side) and ρ quantizes once.
+    Per-batch (qty, cent) partials fold driver-side — the price-cent
+    key is near-unique and the multi-column Ray groupby measured
+    8–22 s on sibling ops for a sort-shuffle that compresses nothing;
+    at 100 TB the fold goes back through a keyed cell exchange."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_extendedprice"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "x": np.floor(batch["l_quantity"].to_numpy() + 0.5)
+                .astype(np.int64),
+            "y": np.floor(batch["l_extendedprice"].to_numpy() * 100 + 0.5)
+                .astype(np.int64),
+            "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["x", "y"], as_index=False).sum(),
+            preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["x", "y"], as_index=False)["n"].sum()
+    )
+
+    def dranks(col: str) -> pd.Series:
+        m = g.groupby(col)["n"].sum().sort_index()
+        nv = m.to_numpy(np.int64)
+        cum = np.concatenate(([np.int64(0)], np.cumsum(nv)[:-1]))
+        return pd.Series(2 * cum + nv + 1, index=m.index)
+
+    rx, ry = dranks("x"), dranks("y")
+    w = g["n"].to_numpy(np.int64)
+    ax = rx.loc[g["x"]].to_numpy(np.int64)
+    ay = ry.loc[g["y"]].to_numpy(np.int64)
+    n = int(w.sum())
+    if (2 * n + 1) ** 2 >= (1 << 62):  # doubled-rank square would wrap
+        ax, ay = ax.astype(object), ay.astype(object)
+    swx, swy = _exact_dot(w, ax), _exact_dot(w, ay)
+    swxx, swyy = _exact_dot(w, ax * ax), _exact_dot(w, ay * ay)
+    swxy = _exact_dot(w, ax * ay)
+    num = n * swxy - swx * swy
+    dx = n * swxx - swx * swx
+    dy = n * swyy - swy * swy
+    rho = 0.0 if dx == 0 or dy == 0 else float(_q6(
+        np.float64(float(num))
+        / np.sqrt(np.float64(float(dx)) * np.float64(float(dy)))))
+    return pd.DataFrame({"n": [n], "spearman_rho": [rho]})
+
+
+Q_SPEARMAN_PRICE_SQL = """
+WITH v AS (SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+           FROM lineitem),
+cell AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY x, y),
+xm AS (SELECT x, CAST(SUM(n) AS BIGINT) AS nv FROM cell GROUP BY x),
+xr AS (SELECT x, 2 * (SUM(nv) OVER (ORDER BY x) - nv) + nv + 1 AS rx
+       FROM xm),
+ym AS (SELECT y, CAST(SUM(n) AS BIGINT) AS nv FROM cell GROUP BY y),
+yr AS (SELECT y, 2 * (SUM(nv) OVER (ORDER BY y) - nv) + nv + 1 AS ry
+       FROM ym),
+m AS (SELECT CAST(SUM(c.n) AS HUGEINT) AS n,
+             CAST(SUM(CAST(c.n AS HUGEINT) * xr.rx) AS HUGEINT) AS swx,
+             CAST(SUM(CAST(c.n AS HUGEINT) * yr.ry) AS HUGEINT) AS swy,
+             CAST(SUM(CAST(c.n AS HUGEINT) * xr.rx * xr.rx) AS HUGEINT)
+               AS swxx,
+             CAST(SUM(CAST(c.n AS HUGEINT) * yr.ry * yr.ry) AS HUGEINT)
+               AS swyy,
+             CAST(SUM(CAST(c.n AS HUGEINT) * xr.rx * yr.ry) AS HUGEINT)
+               AS swxy
+      FROM cell c JOIN xr USING (x) JOIN yr USING (y))
+SELECT CAST(n AS BIGINT) AS n,
+       CASE WHEN n * swxx - swx * swx = 0 OR n * swyy - swy * swy = 0
+            THEN 0.0
+            ELSE floor(CAST(n * swxy - swx * swy AS DOUBLE)
+                       / sqrt(CAST(n * swxx - swx * swx AS DOUBLE)
+                              * CAST(n * swyy - swy * swy AS DOUBLE))
+                       * 1000000 + 0.5005) / 1000000 END AS spearman_rho
+FROM m
+"""
+
+
+def q_theil_u(sf_dir: str):
+    """Theil's uncertainty coefficient U(lang|source) =
+    I(lang;source) / H(lang): the ASYMMETRIC "how much does knowing
+    the source reduce uncertainty about the language" association —
+    the categorical feature-selection number the symmetric Cramér's V
+    (q_cramers_v) cannot give. Contingency counts are exact integers
+    through one lang×source cell exchange; every MI term
+    (n_ij/n)·ln(n·n_ij/(r_i·c_j)) and marginal-entropy term floors to
+    1e-9 micro-units so both folds are summation-order immune, and U
+    is one quantized division of the two folded doubles."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": batch["lang"].to_pandas(),
+            "source": batch["source"].to_pandas(), "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["lang", "source"], as_index=False).sum(),
+            preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["lang", "source"]).aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    piv = g.pivot_table(index="lang", columns="source", values="n",
+                        fill_value=0, aggfunc="sum")
+    o = piv.to_numpy(np.int64)
+    row = o.sum(axis=1, keepdims=True)
+    col = o.sum(axis=0, keepdims=True)
+    n = int(o.sum())
+    nf = np.float64(n)
+    nz = o > 0
+    pij = o.astype(np.float64) / nf
+    arg = np.where(nz,
+                   nf * o.astype(np.float64)
+                   / (row.astype(np.float64) * col.astype(np.float64)),
+                   1.0)
+    t = np.where(nz, pij * np.log(arg), 0.0)
+    mi = np.float64(
+        int(np.floor(t * 1e9 + 0.5005).astype(np.int64).sum())) / 1e9
+    pr = row.astype(np.float64).ravel() / nf  # marginals are all > 0
+    th = -pr * np.log(pr)
+    hx = np.float64(
+        int(np.floor(th * 1e9 + 0.5005).astype(np.int64).sum())) / 1e9
+    u = 0.0 if hx <= 0 else float(_q6(mi / hx))
+    return pd.DataFrame({
+        "n": [n], "h_lang": [float(_q6(hx))], "mi": [float(_q6(mi))],
+        "theil_u": [u],
+    })
+
+
+Q_THEIL_U_SQL = """
+WITH o AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY lang, source),
+rl AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS r FROM o GROUP BY lang),
+cl AS (SELECT source, CAST(SUM(n) AS BIGINT) AS c FROM o GROUP BY source),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM o),
+mi AS (SELECT CAST(SUM(CAST(floor(
+          (CAST(o.n AS DOUBLE) / CAST(t.nn AS DOUBLE))
+          * ln(CAST(t.nn AS DOUBLE) * CAST(o.n AS DOUBLE)
+               / (CAST(rl.r AS DOUBLE) * CAST(cl.c AS DOUBLE)))
+          * 1000000000 + 0.5005) AS BIGINT)) AS HUGEINT) AS f
+      FROM o JOIN rl USING (lang) JOIN cl USING (source) CROSS JOIN t),
+hx AS (SELECT CAST(SUM(CAST(floor(
+          -(CAST(r AS DOUBLE) / CAST(t.nn AS DOUBLE))
+          * ln(CAST(r AS DOUBLE) / CAST(t.nn AS DOUBLE))
+          * 1000000000 + 0.5005) AS BIGINT)) AS HUGEINT) AS f
+       FROM rl CROSS JOIN t)
+SELECT CAST(t.nn AS BIGINT) AS n,
+       floor(CAST(hx.f AS DOUBLE) / 1000000000 * 1000000 + 0.5005)
+         / 1000000 AS h_lang,
+       floor(CAST(mi.f AS DOUBLE) / 1000000000 * 1000000 + 0.5005)
+         / 1000000 AS mi,
+       CASE WHEN CAST(hx.f AS DOUBLE) <= 0 THEN 0.0
+            ELSE floor((CAST(mi.f AS DOUBLE) / 1000000000)
+                       / (CAST(hx.f AS DOUBLE) / 1000000000)
+                       * 1000000 + 0.5005) / 1000000 END AS theil_u
+FROM t CROSS JOIN mi CROSS JOIN hx
+"""
+
+
+def q_gini(sf_dir: str):
+    """Gini coefficient of per-customer revenue — the inequality
+    summary behind every "top X% of customers drive Y%" claim (the
+    scalar twin of q_abc's Pareto classes). Per-customer cents reduce
+    through one entity exchange; the driver fold sorts the
+    customer-dimension-sized totals ascending and evaluates
+    G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) with exact integer sums — the
+    sum Σ i·xᵢ is invariant to tie order because equal values commute
+    inside a tie block, so no tie-break is needed. One quantized
+    division. At 100 TB the rank-weighted sum distributes as a
+    two-pass prefix count over value cells."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_custkey": batch["o_custkey"].to_numpy(),
+            "rev": np.floor(batch["o_totalprice"].to_numpy() * 100 + 0.5)
+                .astype(np.int64),
+        })
+        return pa.Table.from_pandas(
+            df.groupby("o_custkey", as_index=False).sum(),
+            preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("o_custkey").aggregate(Sum("rev", alias_name="rev"))
+        .to_pandas()
+    )
+    x = np.sort(g["rev"].to_numpy(np.int64))
+    n = len(x)
+    ranks = np.arange(1, n + 1, dtype=np.int64)
+    s1 = _exact_dot(ranks, x)
+    sx = _exact_sum(x)
+    num = 2 * s1 - (n + 1) * sx
+    den = n * sx
+    gini = 0.0 if den == 0 else float(_q6(
+        np.float64(float(num)) / np.float64(float(den))))
+    return pd.DataFrame({
+        "n_cust": [n], "total_cents": [sx], "gini": [gini],
+    })
+
+
+Q_GINI_SQL = """
+WITH r AS (SELECT o_custkey,
+                  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                                AS BIGINT)) AS BIGINT) AS cents
+           FROM orders GROUP BY o_custkey),
+rk AS (SELECT cents,
+              ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i
+       FROM r),
+m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CAST(i AS HUGEINT) * cents) AS HUGEINT) AS s1,
+             CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS sx
+      FROM rk)
+SELECT CAST(n AS BIGINT) AS n_cust,
+       CAST(sx AS BIGINT) AS total_cents,
+       CASE WHEN n * sx = 0 THEN 0.0
+            ELSE floor(CAST(2 * s1 - (n + 1) * sx AS DOUBLE)
+                       / CAST(n * sx AS DOUBLE)
+                       * 1000000 + 0.5005) / 1000000 END AS gini
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -18729,4 +18969,7 @@ QUERIES: dict[str, tuple] = {
     "d_token_dispersion": (d_token_dispersion, D_TOKEN_DISPERSION_SQL),
     "q_assortativity": (q_assortativity, Q_ASSORTATIVITY_SQL),
     "d_js_matrix": (d_js_matrix, D_JS_MATRIX_SQL),
+    "q_spearman_price": (q_spearman_price, Q_SPEARMAN_PRICE_SQL),
+    "q_theil_u": (q_theil_u, Q_THEIL_U_SQL),
+    "q_gini": (q_gini, Q_GINI_SQL),
 }
