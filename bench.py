@@ -300,6 +300,9 @@ HEADLINE = [
     "q_spearman_price",
     "q_theil_u",
     "q_gini",
+    "t_hazard",
+    "q_entropy_rate",
+    "d_burrows_delta",
 ]
 
 

@@ -18618,6 +18618,236 @@ FROM m
 """
 
 
+def t_hazard(sf_dir: str):
+    """Discrete-time weekly conversion hazard over the shared
+    signup→purchase survival labels (_surv_labels, one entity
+    exchange): for every week k since signup, h_k = d_k / n_k where
+    n_k counts users whose duration reaches week k (converted OR
+    censored later) and d_k counts conversions landing in week k —
+    the life-table view product teams read next to the KM curve
+    (t_km), including zero-event weeks. Counts are exact integers
+    from one bincount + suffix cumsum over the O(users) label frame;
+    each hazard is one quantized division."""
+    WEEK_US = 604_800_000_000
+    u = _surv_labels(sf_dir)
+    wk = (u["dur"].to_numpy(np.int64) // WEEK_US)
+    ev = u["ev"].to_numpy(bool)
+    kmax = int(wk.max())
+    per = np.bincount(wk, minlength=kmax + 1).astype(np.int64)
+    n_risk = per[::-1].cumsum()[::-1]          # users reaching week k
+    d = np.bincount(wk[ev], minlength=kmax + 1).astype(np.int64)
+    haz = _q6(d.astype(np.float64) / n_risk.astype(np.float64))
+    return pd.DataFrame({
+        "week": np.arange(kmax + 1, dtype=np.int64),
+        "n_risk": n_risk, "d_events": d,
+        "hazard": haz.astype(np.float64),
+    })
+
+
+T_HAZARD_SQL = """
+WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS t0
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT s.user_id, MIN(epoch_us(e.ts)) AS t1
+      FROM s JOIN events e ON e.user_id = s.user_id
+       AND e.event_type = 'purchase' AND epoch_us(e.ts) >= s.t0
+      GROUP BY s.user_id),
+u AS (SELECT s.user_id,
+             COALESCE(p.t1, (SELECT MAX(epoch_us(ts)) FROM events)) - s.t0
+               AS dur,
+             p.t1 IS NOT NULL AS ev
+      FROM s LEFT JOIN p USING (user_id)),
+w AS (SELECT dur // 604800000000 AS wk, ev FROM u),
+ks AS (SELECT unnest(generate_series(0, (SELECT MAX(wk) FROM w))) AS k),
+h AS (SELECT ks.k,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM w WHERE w.wk >= ks.k)
+               AS n_risk,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM w
+              WHERE w.wk = ks.k AND w.ev) AS d_events
+      FROM ks)
+SELECT k AS week, n_risk, d_events,
+       floor(CAST(d_events AS DOUBLE) / CAST(n_risk AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS hazard
+FROM h ORDER BY k
+"""
+
+
+def q_entropy_rate(sf_dir: str):
+    """First-order Markov entropy rate of the per-user event-type
+    stream: H(next|cur) = −Σ p(cur,next)·log₂ p(next|cur) over
+    transitions counted within each user's (ts, event_id)-ordered
+    sequence — the sequence-predictability number that separates
+    scripted bots (near 0 bits) from organic sessions. Transitions
+    reduce to an O(types²) cell exchange through one entity shuffle
+    (per-bucket partials emitted arrow); every ln term floors to 1e-9
+    micro-units and the nats→bits conversion multiplies both engines'
+    identical folded double by the same 1/ln2 literal."""
+    from ..stages.temporal import grouped_map
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"],
+               split=True)
+
+    def trans(g: pd.DataFrame) -> pa.Table:
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({
+            "u": g["user_id"].to_numpy(np.int64), "t": us,
+            "e": g["event_id"].to_numpy(np.int64),
+            "et": g["event_type"].to_numpy(object),
+        }).sort_values(["u", "t", "e"], kind="stable")
+        same = df["u"].to_numpy()[1:] == df["u"].to_numpy()[:-1]
+        cur = df["et"].to_numpy(object)[:-1][same]
+        nxt = df["et"].to_numpy(object)[1:][same]
+        out = pd.DataFrame({"cur": cur, "nxt": nxt, "n": 1})
+        return pa.Table.from_pandas(
+            out.groupby(["cur", "nxt"], as_index=False).sum(),
+            preserve_index=False)
+
+    g = (
+        grouped_map(ds, "user_id", trans)
+        .to_pandas()
+        .groupby(["cur", "nxt"], as_index=False)["n"].sum()
+    )
+    n_all = int(g["n"].sum())
+    row = g.groupby("cur")["n"].sum()
+    nc = row.loc[g["cur"]].to_numpy(np.int64)
+    ncx = g["n"].to_numpy(np.int64)
+    t = -(ncx.astype(np.float64) / np.float64(n_all)) * np.log(
+        ncx.astype(np.float64) / nc.astype(np.float64))
+    h_nats = np.float64(
+        int(np.floor(t * 1e9 + 0.5005).astype(np.int64).sum())) / 1e9
+    h_bits = _q6(h_nats * 1.4426950408889634)
+    return pd.DataFrame({
+        "n_transitions": [n_all], "n_cells": [len(g)],
+        "h_bits": [float(h_bits)],
+    })
+
+
+Q_ENTROPY_RATE_SQL = """
+WITH s AS (SELECT event_type AS cur,
+                  LEAD(event_type) OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS nxt
+           FROM events),
+c AS (SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+      FROM s WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+rc AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS ncur FROM c GROUP BY cur),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(COUNT(*) AS BIGINT) AS cells FROM c),
+f AS (SELECT CAST(SUM(CAST(floor(
+          -(CAST(c.n AS DOUBLE) / CAST(t.nn AS DOUBLE))
+          * ln(CAST(c.n AS DOUBLE) / CAST(rc.ncur AS DOUBLE))
+          * 1000000000 + 0.5005) AS BIGINT)) AS HUGEINT) AS v
+      FROM c JOIN rc USING (cur) CROSS JOIN t)
+SELECT t.nn AS n_transitions, t.cells AS n_cells,
+       floor(CAST(f.v AS DOUBLE) / 1000000000 * 1.4426950408889634
+             * 1000000 + 0.5005) / 1000000 AS h_bits
+FROM t CROSS JOIN f
+"""
+
+
+def d_burrows_delta(sf_dir: str):
+    """Burrows' Delta stylometric distance between every source pair
+    (Burrows 2002): over the corpus top-K=30 tokens, z-score each
+    source's relative frequency across sources and average |z_a−z_b|
+    — the authorship/register distance that token-overlap measures
+    (d_js_matrix) blur because it weights every marker word equally.
+    Scaled relative frequencies r = n_st·10⁹ // n_s are EXACT
+    integers, the per-token mean cancels inside |z_a−z_b| =
+    |r_a−r_b|·S / sqrt(S·Σr²−(Σr)²) so each term is one division of
+    identical doubles built from exact HUGEINT moments, micro-floored
+    at 1e-9; one vocabulary-sized exchange feeds all O(S²) pairs."""
+    from ray.data.aggregate import Sum
+
+    K = 30
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        src = pd.Series(batch["source"].to_numpy(zero_copy_only=False))
+        ex = (pd.Series(batch["text"].to_numpy(zero_copy_only=False))
+              .fillna("").str.findall(r"\S+").explode().dropna())
+        df = pd.DataFrame({
+            "source": src.iloc[ex.index.to_numpy(np.int64)].to_numpy(),
+            "tok": ex.to_numpy(), "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["source", "tok"], as_index=False).sum(),
+            preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["source", "tok"]).aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    tot = g.groupby("tok")["n"].sum().reset_index()
+    tot = tot.sort_values(["n", "tok"], ascending=[False, True],
+                          kind="stable")
+    top = tot["tok"].head(K).tolist()
+    k = len(top)
+    ns = g.groupby("source")["n"].sum()
+    srcs = sorted(ns.index)
+    S = len(srcs)
+    sub = g[g["tok"].isin(top)].pivot_table(
+        index="tok", columns="source", values="n", fill_value=0,
+        aggfunc="sum").reindex(index=top, columns=srcs, fill_value=0)
+    r = {s: [(int(v) * 10**9) // int(ns[s]) for v in sub[s]]
+         for s in srcs}
+    rows = []
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1:]:
+            fold = 0
+            for ti in range(k):
+                vals = [r[s][ti] for s in srcs]
+                d_t = S * sum(v * v for v in vals) - sum(vals) ** 2
+                if d_t == 0:
+                    continue
+                term = (np.float64(float(abs(r[sa][ti] - r[sb][ti]) * S))
+                        / np.sqrt(np.float64(float(d_t))))
+                fold += int(np.floor(term * 1e9 + 0.5005))
+            rows.append((sa, sb, float(_q6(
+                np.float64(fold) / 1e9 / np.float64(k)))))
+    return pd.DataFrame(rows, columns=["src_a", "src_b", "delta"])
+
+
+D_BURROWS_DELTA_SQL = """
+WITH u AS (SELECT source,
+                  unnest(regexp_extract_all(coalesce(text, ''), '\\S+'))
+                    AS tok
+           FROM documents),
+c AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM u GROUP BY source, tok),
+st AS (SELECT source, CAST(SUM(n) AS BIGINT) AS ns FROM c
+       GROUP BY source),
+top AS (SELECT tok FROM
+          (SELECT tok, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY tok
+           ORDER BY tot DESC, tok LIMIT 30)),
+kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM top),
+grid AS (SELECT st.source, st.ns, top.tok FROM st CROSS JOIN top),
+r AS (SELECT grid.source, grid.tok,
+             CAST(COALESCE(c.n, 0) AS HUGEINT) * 1000000000 // grid.ns
+               AS rv
+      FROM grid LEFT JOIN c
+        ON c.source = grid.source AND c.tok = grid.tok),
+d AS (SELECT tok, CAST(COUNT(*) AS HUGEINT) AS s,
+             CAST(SUM(rv * rv) AS HUGEINT) AS srr,
+             CAST(SUM(rv) AS HUGEINT) AS sr
+      FROM r GROUP BY tok),
+pair AS (SELECT a.source AS sa, b.source AS sb, a.tok,
+                abs(a.rv - b.rv) AS dr
+         FROM r a JOIN r b ON a.tok = b.tok AND a.source < b.source),
+term AS (SELECT p.sa, p.sb,
+           CASE WHEN d.s * d.srr - d.sr * d.sr = 0 THEN 0
+                ELSE CAST(floor(CAST(p.dr * d.s AS DOUBLE)
+                                / sqrt(CAST(d.s * d.srr - d.sr * d.sr
+                                            AS DOUBLE))
+                                * 1000000000 + 0.5005) AS BIGINT) END AS f
+         FROM pair p JOIN d USING (tok))
+SELECT sa AS src_a, sb AS src_b,
+       floor(CAST(SUM(f) AS DOUBLE) / 1000000000
+             / CAST((SELECT k FROM kk) AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS delta
+FROM term GROUP BY sa, sb ORDER BY sa, sb
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -18972,4 +19202,7 @@ QUERIES: dict[str, tuple] = {
     "q_spearman_price": (q_spearman_price, Q_SPEARMAN_PRICE_SQL),
     "q_theil_u": (q_theil_u, Q_THEIL_U_SQL),
     "q_gini": (q_gini, Q_GINI_SQL),
+    "t_hazard": (t_hazard, T_HAZARD_SQL),
+    "q_entropy_rate": (q_entropy_rate, Q_ENTROPY_RATE_SQL),
+    "d_burrows_delta": (d_burrows_delta, D_BURROWS_DELTA_SQL),
 }
