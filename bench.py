@@ -303,6 +303,9 @@ HEADLINE = [
     "t_hazard",
     "q_entropy_rate",
     "d_burrows_delta",
+    "q_lorenz",
+    "q_mcnemar",
+    "d_novelty_curve",
 ]
 
 

@@ -18848,6 +18848,216 @@ FROM term GROUP BY sa, sb ORDER BY sa, sb
 """
 
 
+def q_lorenz(sf_dir: str):
+    """Lorenz curve of per-customer revenue at customer-count deciles
+    — the curve q_gini integrates: cumulative revenue share held by
+    the poorest k/10 of customers. Prefix sums at the fixed cut
+    positions p_k = ⌊k·n/10⌋ are tie-order invariant (equal values
+    commute inside a tie block), so the sorted driver fold needs no
+    tie-break; every cut's cumulative cents is an exact integer and
+    the share is one quantized division. Same single entity exchange
+    as q_gini; at 100 TB the prefix sums distribute as a two-pass
+    order statistic over value cells."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_custkey": batch["o_custkey"].to_numpy(),
+            "rev": np.floor(batch["o_totalprice"].to_numpy() * 100 + 0.5)
+                .astype(np.int64),
+        })
+        return pa.Table.from_pandas(
+            df.groupby("o_custkey", as_index=False).sum(),
+            preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("o_custkey").aggregate(Sum("rev", alias_name="rev"))
+        .to_pandas()
+    )
+    x = np.sort(g["rev"].to_numpy(np.int64))
+    n = len(x)
+    total = _exact_sum(x)
+    rows = []
+    for k in range(1, 11):
+        pk = (k * n) // 10
+        cum = _exact_sum(x[:pk])
+        rows.append((k, pk, cum, float(_q6(
+            np.float64(float(cum)) / np.float64(float(total))))))
+    return pd.DataFrame(
+        rows, columns=["decile", "n_below", "cum_cents", "cum_share"])
+
+
+Q_LORENZ_SQL = """
+WITH r AS (SELECT o_custkey,
+                  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                                AS BIGINT)) AS BIGINT) AS cents
+           FROM orders GROUP BY o_custkey),
+rk AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS i FROM r),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS total
+      FROM r),
+ks AS (SELECT unnest(generate_series(1, 10)) AS k)
+SELECT ks.k AS decile,
+       (ks.k * t.n) // 10 AS n_below,
+       (SELECT CAST(COALESCE(SUM(CAST(cents AS HUGEINT)), 0) AS BIGINT)
+        FROM rk WHERE rk.i <= (ks.k * t.n) // 10) AS cum_cents,
+       floor(CAST((SELECT COALESCE(SUM(CAST(cents AS HUGEINT)), 0)
+                   FROM rk WHERE rk.i <= (ks.k * t.n) // 10) AS DOUBLE)
+             / CAST(t.total AS DOUBLE) * 1000000 + 0.5005) / 1000000
+         AS cum_share
+FROM ks CROSS JOIN t ORDER BY ks.k
+"""
+
+
+def q_mcnemar(sf_dir: str):
+    """McNemar's test for paired binary outcomes: does the per-user
+    ever-clicked flag disagree symmetrically with the ever-purchased
+    flag? Only the discordant cells matter — b = clicked-never-
+    purchased, c = purchased-never-clicked — and the continuity-
+    corrected statistic (|b−c|−1)²/(b+c) is a pure integer ratio
+    quantized once (the paired test an unpaired two-proportion z gets
+    wrong because both flags live on the same user). Per-user flags
+    reduce through one entity exchange of per-batch OR-partials."""
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def flags(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy().astype(np.int64),
+            "clk": (et == "click").astype(np.int64),
+            "pur": (et == "purchase").astype(np.int64),
+        })
+        return pa.Table.from_pandas(
+            df.groupby("user_id", as_index=False).max(),
+            preserve_index=False)
+
+    g = (
+        ds.map_batches(flags, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("clk", alias_name="clk"),
+                   Max("pur", alias_name="pur"))
+        .to_pandas()
+    )
+    clk = g["clk"].to_numpy(np.int64)
+    pur = g["pur"].to_numpy(np.int64)
+    b = int(((clk == 1) & (pur == 0)).sum())
+    c = int(((clk == 0) & (pur == 1)).sum())
+    both = int(((clk == 1) & (pur == 1)).sum())
+    neither = int(((clk == 0) & (pur == 0)).sum())
+    num = (abs(b - c) - 1) ** 2 if b + c > 0 else 0
+    chi2 = 0.0 if b + c == 0 else float(_q6(
+        np.float64(num) / np.float64(b + c)))
+    return pd.DataFrame({
+        "n_users": [len(g)], "both_cnt": [both], "click_only": [b],
+        "purchase_only": [c], "neither": [neither], "mcnemar_chi2": [chi2],
+    })
+
+
+Q_MCNEMAR_SQL = """
+WITH f AS (SELECT user_id,
+                  MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS clk,
+                  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS pur
+           FROM events GROUP BY user_id),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(COUNT(*) FILTER (clk = 1 AND pur = 1) AS BIGINT)
+               AS both_cnt,
+             CAST(COUNT(*) FILTER (clk = 1 AND pur = 0) AS BIGINT) AS b,
+             CAST(COUNT(*) FILTER (clk = 0 AND pur = 1) AS BIGINT) AS c,
+             CAST(COUNT(*) FILTER (clk = 0 AND pur = 0) AS BIGINT)
+               AS neither
+      FROM f)
+SELECT n_users, both_cnt, b AS click_only, c AS purchase_only,
+       neither,
+       CASE WHEN b + c = 0 THEN 0.0
+            ELSE floor(CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+                       / CAST(b + c AS DOUBLE)
+                       * 1000000 + 0.5005) / 1000000 END AS mcnemar_chi2
+FROM m
+"""
+
+
+def d_novelty_curve(sf_dir: str):
+    """Corpus novelty curve by ingestion-order decile: bucket docs by
+    doc_id value into tenths of the id range (doc_id is monotone with
+    ingestion in this corpus), then for each bucket report what
+    fraction of its token occurrences belong to vocabulary that FIRST
+    appears in that bucket — the diminishing-novelty signal that says
+    when additional data stops adding new language (the flow twin of
+    d_heaps' stock view). Per-batch (bucket, token) count partials
+    fold driver-side (vocab×10 cells — the near-unique-key Ray
+    groupby trap); first-bucket per token is a vocabulary-sized min.
+    Exact integer masses, one quantized share per bucket."""
+    from ray.data.aggregate import Max
+
+    mx = _read(sf_dir, "documents", columns=["doc_id"]).aggregate(
+        Max("doc_id"))["max(doc_id)"]
+    m1 = int(mx) + 1
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        b = (ids * 10) // m1
+        ex = (pd.Series(batch["text"].to_numpy(zero_copy_only=False))
+              .fillna("").str.findall(r"\S+").explode().dropna())
+        df = pd.DataFrame({
+            "b": b[ex.index.to_numpy(np.int64)],
+            "tok": ex.to_numpy(), "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["b", "tok"], as_index=False).sum(),
+            preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["b", "tok"], as_index=False)["n"].sum()
+    )
+    first = g.groupby("tok")["b"].min()
+    fb = first.loc[g["tok"]].to_numpy(np.int64)
+    bb = g["b"].to_numpy(np.int64)
+    nn = g["n"].to_numpy(np.int64)
+    novel = fb == bb
+    rows = []
+    for b in sorted(g["b"].unique()):
+        sel = bb == b
+        total = int(nn[sel].sum())
+        nv = int(nn[sel & novel].sum())
+        nt = int((sel & novel).sum())
+        rows.append((int(b), total, nv, nt, float(_q6(
+            np.float64(nv) / np.float64(total)))))
+    return pd.DataFrame(rows, columns=[
+        "bucket", "total_toks", "novel_toks", "novel_types",
+        "novel_share"])
+
+
+D_NOVELTY_CURVE_SQL = """
+WITH mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+u AS (SELECT doc_id * 10 // mx.m AS b,
+             unnest(regexp_extract_all(coalesce(text, ''), '\\S+')) AS tok
+      FROM documents CROSS JOIN mx),
+c AS (SELECT b, tok, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY b, tok),
+f AS (SELECT tok, MIN(b) AS fb FROM c GROUP BY tok)
+SELECT c.b AS bucket,
+       CAST(SUM(c.n) AS BIGINT) AS total_toks,
+       CAST(COALESCE(SUM(c.n) FILTER (f.fb = c.b), 0) AS BIGINT)
+         AS novel_toks,
+       CAST(COUNT(*) FILTER (f.fb = c.b) AS BIGINT) AS novel_types,
+       floor(CAST(COALESCE(SUM(c.n) FILTER (f.fb = c.b), 0) AS DOUBLE)
+             / CAST(SUM(c.n) AS DOUBLE) * 1000000 + 0.5005) / 1000000
+         AS novel_share
+FROM c JOIN f USING (tok)
+GROUP BY c.b ORDER BY c.b
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -19205,4 +19415,7 @@ QUERIES: dict[str, tuple] = {
     "t_hazard": (t_hazard, T_HAZARD_SQL),
     "q_entropy_rate": (q_entropy_rate, Q_ENTROPY_RATE_SQL),
     "d_burrows_delta": (d_burrows_delta, D_BURROWS_DELTA_SQL),
+    "q_lorenz": (q_lorenz, Q_LORENZ_SQL),
+    "q_mcnemar": (q_mcnemar, Q_MCNEMAR_SQL),
+    "d_novelty_curve": (d_novelty_curve, D_NOVELTY_CURVE_SQL),
 }
