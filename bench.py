@@ -306,6 +306,9 @@ HEADLINE = [
     "q_lorenz",
     "q_mcnemar",
     "d_novelty_curve",
+    "q_cochran_armitage",
+    "q_capture_recapture",
+    "t_markov_stationary",
 ]
 
 

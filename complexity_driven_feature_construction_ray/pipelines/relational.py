@@ -18671,16 +18671,12 @@ FROM h ORDER BY k
 """
 
 
-def q_entropy_rate(sf_dir: str):
-    """First-order Markov entropy rate of the per-user event-type
-    stream: H(next|cur) = −Σ p(cur,next)·log₂ p(next|cur) over
-    transitions counted within each user's (ts, event_id)-ordered
-    sequence — the sequence-predictability number that separates
-    scripted bots (near 0 bits) from organic sessions. Transitions
-    reduce to an O(types²) cell exchange through one entity shuffle
-    (per-bucket partials emitted arrow); every ln term floors to 1e-9
-    micro-units and the nats→bits conversion multiplies both engines'
-    identical folded double by the same 1/ln2 literal."""
+def _event_transitions(sf_dir: str) -> pd.DataFrame:
+    """Exact (cur, nxt, n) transition counts of the per-user
+    event-type stream, ordered by (ts, event_id) within each user —
+    the O(types²) cell table shared by q_entropy_rate and
+    t_markov_stationary. One entity shuffle; per-bucket partials
+    emitted arrow; tiny driver fold."""
     from ..stages.temporal import grouped_map
 
     ds = _read(sf_dir, "events",
@@ -18702,11 +18698,24 @@ def q_entropy_rate(sf_dir: str):
             out.groupby(["cur", "nxt"], as_index=False).sum(),
             preserve_index=False)
 
-    g = (
+    return (
         grouped_map(ds, "user_id", trans)
         .to_pandas()
         .groupby(["cur", "nxt"], as_index=False)["n"].sum()
     )
+
+
+def q_entropy_rate(sf_dir: str):
+    """First-order Markov entropy rate of the per-user event-type
+    stream: H(next|cur) = −Σ p(cur,next)·log₂ p(next|cur) over
+    transitions counted within each user's (ts, event_id)-ordered
+    sequence — the sequence-predictability number that separates
+    scripted bots (near 0 bits) from organic sessions. Transitions
+    reduce to an O(types²) cell exchange through one entity shuffle
+    (per-bucket partials emitted arrow); every ln term floors to 1e-9
+    micro-units and the nats→bits conversion multiplies both engines'
+    identical folded double by the same 1/ln2 literal."""
+    g = _event_transitions(sf_dir)
     n_all = int(g["n"].sum())
     row = g.groupby("cur")["n"].sum()
     nc = row.loc[g["cur"]].to_numpy(np.int64)
@@ -19056,6 +19065,232 @@ SELECT c.b AS bucket,
 FROM c JOIN f USING (tok)
 GROUP BY c.b ORDER BY c.b
 """
+
+
+def q_cochran_armitage(sf_dir: str):
+    """Cochran–Armitage trend test: does the return rate
+    (l_returnflag = 'R') trend monotonically across ordered quantity
+    groups? Weights are the quantity values themselves; the numerator
+    clears all means into the exact integer T* = Σwᵢ(N·rᵢ − nᵢ·R) and
+    the variance factor A = R·(N−R)·(N·Σw²n − (Σwn)²) is an exact
+    Python-int product (HUGEINT twin — far beyond int64), so
+    z = T*·√N / √A is built from identical doubles and quantizes
+    once. The whole reduction is a 50-cell exchange of per-batch
+    (quantity, n, r) partials."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_returnflag"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        rf = batch["l_returnflag"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "w": np.floor(batch["l_quantity"].to_numpy() + 0.5)
+                .astype(np.int64),
+            "n": 1,
+            "r": (rf == "R").astype(np.int64),
+        })
+        return pa.Table.from_pandas(
+            df.groupby("w", as_index=False).sum(), preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("w", as_index=False)[["n", "r"]].sum()
+    )
+    w = [int(v) for v in g["w"]]
+    n = [int(v) for v in g["n"]]
+    r = [int(v) for v in g["r"]]
+    N, R = sum(n), sum(r)
+    t_star = sum(wi * (N * ri - ni * R) for wi, ni, ri in zip(w, n, r))
+    swn = sum(wi * ni for wi, ni in zip(w, n))
+    swwn = sum(wi * wi * ni for wi, ni in zip(w, n))
+    a = R * (N - R) * (N * swwn - swn * swn)
+    z = 0.0 if a == 0 else float(_q6(
+        np.float64(float(t_star)) * np.sqrt(np.float64(N))
+        / np.sqrt(np.float64(float(a)))))
+    return pd.DataFrame({
+        "n_rows": [N], "n_success": [R], "n_groups": [len(w)],
+        "trend_z": [z],
+    })
+
+
+Q_COCHRAN_ARMITAGE_SQL = """
+WITH c AS (SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS w,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(COUNT(*) FILTER (l_returnflag = 'R') AS BIGINT)
+                    AS r
+           FROM lineitem GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS HUGEINT) AS nn,
+             CAST(SUM(r) AS HUGEINT) AS rr FROM c),
+m AS (SELECT CAST(SUM(CAST(c.w AS HUGEINT)
+                     * (t.nn * c.r - c.n * t.rr)) AS HUGEINT) AS tstar,
+             CAST(SUM(CAST(c.w AS HUGEINT) * c.n) AS HUGEINT) AS swn,
+             CAST(SUM(CAST(c.w AS HUGEINT) * c.w * c.n) AS HUGEINT)
+               AS swwn,
+             CAST(COUNT(*) AS BIGINT) AS ngrp
+      FROM c CROSS JOIN t),
+a AS (SELECT t.nn, t.rr, m.ngrp, m.tstar,
+             t.rr * (t.nn - t.rr) * (t.nn * m.swwn - m.swn * m.swn) AS av
+      FROM t CROSS JOIN m)
+SELECT CAST(nn AS BIGINT) AS n_rows, CAST(rr AS BIGINT) AS n_success,
+       ngrp AS n_groups,
+       CASE WHEN av = 0 THEN 0.0
+            ELSE floor(CAST(tstar AS DOUBLE) * sqrt(CAST(nn AS DOUBLE))
+                       / sqrt(CAST(av AS DOUBLE))
+                       * 1000000 + 0.5005) / 1000000 END AS trend_z
+FROM a
+"""
+
+
+def q_capture_recapture(sf_dir: str):
+    """Chapman capture–recapture estimate of the distinct part
+    population from two overlapping "samples" — parts touched by
+    odd-keyed vs even-keyed orders: N̂ = (n₁+1)(n₂+1)/(m+1) − 1
+    (Chapman 1951, the bias-corrected Lincoln–Petersen). The estimate
+    every dedup/coverage audit wants when neither sample alone sees
+    the whole population. Per-part seen-in-odd/seen-in-even OR-flags
+    reduce through one part-keyed exchange; the estimator is one
+    quantized rational of exact integer counts."""
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_orderkey"])
+
+    def flags(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy()
+        df = pd.DataFrame({
+            "l_partkey": batch["l_partkey"].to_numpy(),
+            "odd": (ok % 2 == 1).astype(np.int64),
+            "even": (ok % 2 == 0).astype(np.int64),
+        })
+        return pa.Table.from_pandas(
+            df.groupby("l_partkey", as_index=False).max(),
+            preserve_index=False)
+
+    g = (
+        ds.map_batches(flags, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Max("odd", alias_name="odd"),
+                   Max("even", alias_name="even"))
+        .to_pandas()
+    )
+    odd = g["odd"].to_numpy(np.int64)
+    even = g["even"].to_numpy(np.int64)
+    n1 = int((odd == 1).sum())
+    n2 = int((even == 1).sum())
+    m = int(((odd == 1) & (even == 1)).sum())
+    est = float(_q6(np.float64((n1 + 1) * (n2 + 1))
+                    / np.float64(m + 1) - 1.0))
+    return pd.DataFrame({
+        "n_sample1": [n1], "n_sample2": [n2], "n_both": [m],
+        "n_true_distinct": [len(g)], "chapman_estimate": [est],
+    })
+
+
+Q_CAPTURE_RECAPTURE_SQL = """
+WITH f AS (SELECT l_partkey,
+                  MAX(CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+                    AS odd,
+                  MAX(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                    AS even
+           FROM lineitem GROUP BY l_partkey),
+m AS (SELECT CAST(COUNT(*) FILTER (odd = 1) AS BIGINT) AS n1,
+             CAST(COUNT(*) FILTER (even = 1) AS BIGINT) AS n2,
+             CAST(COUNT(*) FILTER (odd = 1 AND even = 1) AS BIGINT) AS mm,
+             CAST(COUNT(*) AS BIGINT) AS nt
+      FROM f)
+SELECT n1 AS n_sample1, n2 AS n_sample2, mm AS n_both,
+       nt AS n_true_distinct,
+       floor((CAST((n1 + 1) * (n2 + 1) AS DOUBLE) / CAST(mm + 1 AS DOUBLE)
+              - 1.0) * 1000000 + 0.5005) / 1000000 AS chapman_estimate
+FROM m
+"""
+
+
+_MS_ITERS = 20
+
+
+def t_markov_stationary(sf_dir: str):
+    """Stationary distribution of the per-user event-type Markov
+    chain by EXACT INTEGER power iteration: the state vector lives in
+    1e-9 micro-units and every step is v′[x] = Σ_c (v[c]·T[c,x]) ⫽
+    row[c] — integer multiply and floor-divide only, so after
+    _MS_ITERS = 20 replayed steps both engines hold the bit-identical
+    vector (the SQL twin unrolls the same 20 steps as generated CTE
+    layers; no float ever enters the iteration). States with no
+    outgoing transition keep their mass (self-loop convention,
+    applied identically). The long-run visit mix a raw event-type
+    histogram misestimates when sessions are short."""
+    from ray.data.aggregate import Count
+
+    g = _event_transitions(sf_dir)
+    states = sorted(
+        r["event_type"]
+        for r in _read(sf_dir, "events", columns=["event_type"])
+        .groupby("event_type").aggregate(Count()).take_all()
+    )
+    T = {(c, x): int(n)
+         for c, x, n in zip(g["cur"], g["nxt"], g["n"])}
+    row = {}
+    for (c, _x), n in T.items():
+        row[c] = row.get(c, 0) + n
+    S = len(states)
+    v = {s: 10**9 // S for s in states}
+    for _ in range(_MS_ITERS):
+        nv = {}
+        for x in states:
+            acc = sum((v[c] * T[(c, x)]) // row[c]
+                      for c in states if (c, x) in T and row.get(c, 0) > 0)
+            if row.get(x, 0) == 0:
+                acc += v[x]
+            nv[x] = acc
+        v = nv
+    tot = sum(v.values())
+    return pd.DataFrame({
+        "event_type": states,
+        "v_micro": [v[s] for s in states],
+        "stationary_p": [float(_q6(np.float64(v[s]) / np.float64(tot)))
+                         for s in states],
+    })
+
+
+def _markov_stationary_sql() -> str:
+    """Unroll the exact-integer power iteration as _MS_ITERS chained
+    CTE layers (recursive CTEs disallow the per-step aggregate)."""
+    layers = [
+        """states AS MATERIALIZED (SELECT DISTINCT event_type AS state FROM events),
+sq AS MATERIALIZED (SELECT event_type AS cur,
+              LEAD(event_type) OVER (PARTITION BY user_id
+                ORDER BY epoch_us(ts), event_id) AS nxt
+       FROM events),
+tr AS MATERIALIZED (SELECT cur, nxt, CAST(COUNT(*) AS HUGEINT) AS n
+       FROM sq WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+ro AS MATERIALIZED (SELECT cur, CAST(SUM(n) AS HUGEINT) AS rn FROM tr GROUP BY cur),
+v0 AS MATERIALIZED (SELECT state,
+              CAST(1000000000 AS HUGEINT)
+                // (SELECT COUNT(*) FROM states) AS v
+       FROM states)"""
+    ]
+    for k in range(1, _MS_ITERS + 1):
+        layers.append(f"""v{k} AS MATERIALIZED (
+  SELECT s.state,
+         COALESCE((SELECT SUM((vp.v * tr.n) // ro.rn)
+                   FROM v{k - 1} vp
+                   JOIN tr ON tr.cur = vp.state AND tr.nxt = s.state
+                   JOIN ro ON ro.cur = vp.state), 0)
+         + CASE WHEN NOT EXISTS (SELECT 1 FROM ro WHERE ro.cur = s.state)
+                THEN (SELECT vp.v FROM v{k - 1} vp
+                      WHERE vp.state = s.state)
+                ELSE 0 END AS v
+  FROM states s)""")
+    final = f"""
+SELECT state AS event_type,
+       CAST(v AS BIGINT) AS v_micro,
+       floor(CAST(v AS DOUBLE)
+             / CAST((SELECT SUM(v) FROM v{_MS_ITERS}) AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS stationary_p
+FROM v{_MS_ITERS} ORDER BY state"""
+    return "WITH " + ",\n".join(layers) + final
+
+
+T_MARKOV_STATIONARY_SQL = _markov_stationary_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -19418,4 +19653,7 @@ QUERIES: dict[str, tuple] = {
     "q_lorenz": (q_lorenz, Q_LORENZ_SQL),
     "q_mcnemar": (q_mcnemar, Q_MCNEMAR_SQL),
     "d_novelty_curve": (d_novelty_curve, D_NOVELTY_CURVE_SQL),
+    "q_cochran_armitage": (q_cochran_armitage, Q_COCHRAN_ARMITAGE_SQL),
+    "q_capture_recapture": (q_capture_recapture, Q_CAPTURE_RECAPTURE_SQL),
+    "t_markov_stationary": (t_markov_stationary, T_MARKOV_STATIONARY_SQL),
 }
