@@ -309,6 +309,9 @@ HEADLINE = [
     "q_cochran_armitage",
     "q_capture_recapture",
     "t_markov_stationary",
+    "q_funnel_ordered",
+    "q_mde",
+    "d_doc_cooccur",
 ]
 
 

@@ -19293,6 +19293,260 @@ FROM v{_MS_ITERS} ORDER BY state"""
 T_MARKOV_STATIONARY_SQL = _markov_stationary_sql()
 
 
+def q_funnel_ordered(sf_dir: str):
+    """Strictly-ORDERED per-user funnel view→click→purchase: a click
+    counts only at-or-after the user's first view, a purchase only
+    at-or-after that first qualifying click — the sequencing
+    constraint a naive per-stage distinct-user count ignores (a user
+    who purchased before ever viewing is not funnel conversion).
+    Stage timestamps are value-compared (>= on epoch µs), so no
+    ordering ambiguity exists; per-bucket vectorized min/merge
+    partials reduce to four integers and one quantized rate."""
+    from ..stages.temporal import grouped_map
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"],
+               split=True)
+
+    def stage(g: pd.DataFrame) -> pa.Table:
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({
+            "u": g["user_id"].to_numpy(np.int64), "t": us,
+            "et": g["event_type"].to_numpy(object),
+        })
+        tv = df[df["et"] == "view"].groupby("u")["t"].min()
+        c = df[df["et"] == "click"].merge(
+            tv.rename("tv").reset_index(), on="u")
+        tc = c[c["t"] >= c["tv"]].groupby("u")["t"].min()
+        p = df[df["et"] == "purchase"].merge(
+            tc.rename("tc").reset_index(), on="u")
+        tp = p[p["t"] >= p["tc"]].groupby("u")["t"].min()
+        return pa.table({
+            "n_users": pa.array([df["u"].nunique()], pa.int64()),
+            "n_view": pa.array([len(tv)], pa.int64()),
+            "n_view_click": pa.array([len(tc)], pa.int64()),
+            "n_full_funnel": pa.array([len(tp)], pa.int64()),
+        })
+
+    g = grouped_map(ds, "user_id", stage).to_pandas().sum()
+    nv, nf = int(g["n_view"]), int(g["n_full_funnel"])
+    return pd.DataFrame({
+        "n_users": [int(g["n_users"])], "n_view": [nv],
+        "n_view_click": [int(g["n_view_click"])], "n_full_funnel": [nf],
+        "funnel_rate": [0.0 if nv == 0 else float(_q6(
+            np.float64(nf) / np.float64(nv)))],
+    })
+
+
+Q_FUNNEL_ORDERED_SQL = """
+WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS t FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+      FROM events e JOIN v ON v.user_id = e.user_id
+       AND e.event_type = 'click' AND epoch_us(e.ts) >= v.t
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+      FROM events e JOIN c ON c.user_id = e.user_id
+       AND e.event_type = 'purchase' AND epoch_us(e.ts) >= c.t
+      GROUP BY e.user_id),
+m AS (SELECT (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+               AS n_users,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_view_click,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_full_funnel)
+SELECT n_users, n_view, n_view_click, n_full_funnel,
+       CASE WHEN n_view = 0 THEN 0.0
+            ELSE floor(CAST(n_full_funnel AS DOUBLE)
+                       / CAST(n_view AS DOUBLE)
+                       * 1000000 + 0.5005) / 1000000 END AS funnel_rate
+FROM m
+"""
+
+
+def q_mde(sf_dir: str):
+    """Minimum detectable effect of an odd/even-user A/B split on
+    event value, per event type — the pre-experiment power number
+    (α = 0.05 two-sided, power 0.80, so the z-sum literal is
+    1.959963985 + 0.841621234 = 2.801585219 in BOTH engines):
+    MDE = 2.801585219·√(s²_pooled·(1/n_a + 1/n_b)). Per-arm counts
+    and cent power sums fold as exact integers through one tiny cell
+    exchange; the pooled variance and MDE are built from identical
+    doubles and quantize once per type."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id", "value"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        v = np.floor(batch["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pandas(),
+            "arm": (batch["user_id"].to_numpy() % 2).astype(np.int64),
+            "n": 1, "s": v, "ss": v * v,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["event_type", "arm"], as_index=False).sum(),
+            preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["event_type", "arm"], as_index=False)[["n", "s", "ss"]]
+        .sum()
+    )
+    rows = []
+    for et in sorted(g["event_type"].unique()):
+        sub = g[g["event_type"] == et].set_index("arm")
+        if 0 not in sub.index or 1 not in sub.index:
+            continue
+        na, nb = int(sub.loc[1, "n"]), int(sub.loc[0, "n"])
+        if na < 2 or nb < 2:
+            continue
+        ssa = int(na) * int(sub.loc[1, "ss"]) - int(sub.loc[1, "s"]) ** 2
+        ssb = int(nb) * int(sub.loc[0, "ss"]) - int(sub.loc[0, "s"]) ** 2
+        pooled = (np.float64(float(ssa)) / np.float64(na)
+                  + np.float64(float(ssb)) / np.float64(nb)) \
+            / np.float64(na + nb - 2)
+        mde = _q6(2.801585219
+                  * np.sqrt(pooled * (1.0 / np.float64(na)
+                                      + 1.0 / np.float64(nb))) / 100.0)
+        rows.append((et, na, nb, float(mde)))
+    return pd.DataFrame(rows, columns=["event_type", "n_odd", "n_even",
+                                       "mde_value"])
+
+
+Q_MDE_SQL = """
+WITH c AS (SELECT event_type, user_id % 2 AS arm,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                       AS HUGEINT) AS s,
+                  CAST(SUM(CAST(floor(value * 100 + 0.5) AS HUGEINT)
+                           * CAST(floor(value * 100 + 0.5) AS HUGEINT))
+                       AS HUGEINT) AS ss
+           FROM events GROUP BY event_type, user_id % 2),
+j AS (SELECT a.event_type,
+             a.n AS na, b.n AS nb,
+             a.n * a.ss - a.s * a.s AS ssa,
+             b.n * b.ss - b.s * b.s AS ssb
+      FROM c a JOIN c b ON a.event_type = b.event_type
+       AND a.arm = 1 AND b.arm = 0
+      WHERE a.n >= 2 AND b.n >= 2)
+SELECT event_type, CAST(na AS BIGINT) AS n_odd,
+       CAST(nb AS BIGINT) AS n_even,
+       floor(2.801585219
+             * sqrt((CAST(ssa AS DOUBLE) / CAST(na AS DOUBLE)
+                     + CAST(ssb AS DOUBLE) / CAST(nb AS DOUBLE))
+                    / CAST(na + nb - 2 AS DOUBLE)
+                    * (1.0 / CAST(na AS DOUBLE)
+                       + 1.0 / CAST(nb AS DOUBLE)))
+             / 100.0 * 1000000 + 0.5005) / 1000000 AS mde_value
+FROM j ORDER BY event_type
+"""
+
+
+def d_doc_cooccur(sf_dir: str):
+    """Document-level co-occurrence PMI between the corpus top-10
+    tokens: pmi(a,b) = ln(N·df_ab / (df_a·df_b)) over document
+    presence — positive means the two anchors travel together across
+    documents (topical coupling), negative means they partition the
+    corpus; the DOCUMENT-grain complement of tok_pmi's adjacent-
+    bigram association. Top tokens resolve from exact corpus counts
+    (count-desc, token tie-break); presence flags reduce per batch to
+    a 10×10 upper-triangle int partial via one boolean matmul, so
+    the exchange is O(batches·k²); each PMI is one ln of an exact
+    integer ratio, quantized once."""
+    from ray.data.aggregate import Sum
+
+    K = 10
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tok_cells(batch: pa.Table) -> pa.Table:
+        ex = (pd.Series(batch["text"].to_numpy(zero_copy_only=False))
+              .fillna("").str.findall(r"\S+").explode().dropna())
+        df = pd.DataFrame({"tok": ex.to_numpy(), "n": 1})
+        return pa.Table.from_pandas(
+            df.groupby("tok", as_index=False).sum(), preserve_index=False)
+
+    tot = (
+        ds.map_batches(tok_cells, batch_format="pyarrow")
+        .groupby("tok").aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    tot = tot.sort_values(["n", "tok"], ascending=[False, True],
+                          kind="stable")
+    top = tot["tok"].head(K).tolist()
+    ti = {t: i for i, t in enumerate(top)}
+    k = len(top)
+
+    def pair_part(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch["text"].to_numpy(zero_copy_only=False)) \
+            .fillna("")
+        ex = texts.str.findall(r"\S+").explode().dropna()
+        hit = ex[ex.isin(ti)]
+        pres = np.zeros((len(texts), k), dtype=np.int64)
+        pres[hit.index.to_numpy(np.int64),
+             hit.map(ti).to_numpy(np.int64)] = 1
+        co = pres.T @ pres  # df_ab on off-diagonal, df_a on diagonal
+        return pa.table({
+            "i": pa.array(np.repeat(np.arange(k), k), pa.int64()),
+            "j": pa.array(np.tile(np.arange(k), k), pa.int64()),
+            "c": pa.array(co.ravel(), pa.int64()),
+            "docs": pa.array([len(texts)] + [0] * (k * k - 1), pa.int64()),
+        })
+
+    g = (
+        ds.map_batches(pair_part, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["i", "j"], as_index=False)[["c", "docs"]].sum()
+    )
+    n_docs = int(g["docs"].sum())
+    co = np.zeros((k, k), dtype=np.int64)
+    co[g["i"].to_numpy(), g["j"].to_numpy()] = g["c"].to_numpy(np.int64)
+    rows = []
+    for a in range(k):
+        for b in range(a + 1, k):
+            cab = int(co[a, b])
+            if cab == 0:
+                continue
+            ca, cb = int(co[a, a]), int(co[b, b])
+            pmi = _q6(np.log(np.float64(n_docs * cab)
+                             / np.float64(ca * cb)))
+            ta, tb = top[a], top[b]
+            if tb < ta:
+                ta, tb = tb, ta
+            rows.append((ta, tb, cab, float(pmi)))
+    out = pd.DataFrame(rows, columns=["tok_a", "tok_b", "df_ab", "pmi"])
+    return out.sort_values(["tok_a", "tok_b"]).reset_index(drop=True)
+
+
+D_DOC_COOCCUR_SQL = """
+WITH u AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(regexp_extract_all(coalesce(text, ''), '\\S+')) AS tok
+  FROM documents),
+top AS MATERIALIZED (
+  SELECT tok FROM
+    (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY tok
+     ORDER BY n DESC, tok LIMIT 10)),
+pres AS MATERIALIZED (
+  SELECT DISTINCT doc_id, tok FROM u
+  WHERE tok IN (SELECT tok FROM top)),
+df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM pres GROUP BY tok),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+pair AS (SELECT least(a.tok, b.tok) AS tok_a,
+                greatest(a.tok, b.tok) AS tok_b,
+                CAST(COUNT(*) AS BIGINT) AS df_ab
+         FROM pres a JOIN pres b
+           ON a.doc_id = b.doc_id AND a.tok < b.tok
+         GROUP BY 1, 2)
+SELECT p.tok_a, p.tok_b, p.df_ab,
+       floor(ln(CAST(nd.n * p.df_ab AS DOUBLE)
+                / CAST(da.c * db.c AS DOUBLE))
+             * 1000000 + 0.5005) / 1000000 AS pmi
+FROM pair p
+JOIN df da ON da.tok = p.tok_a
+JOIN df db ON db.tok = p.tok_b
+CROSS JOIN nd
+ORDER BY p.tok_a, p.tok_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -19656,4 +19910,7 @@ QUERIES: dict[str, tuple] = {
     "q_cochran_armitage": (q_cochran_armitage, Q_COCHRAN_ARMITAGE_SQL),
     "q_capture_recapture": (q_capture_recapture, Q_CAPTURE_RECAPTURE_SQL),
     "t_markov_stationary": (t_markov_stationary, T_MARKOV_STATIONARY_SQL),
+    "q_funnel_ordered": (q_funnel_ordered, Q_FUNNEL_ORDERED_SQL),
+    "q_mde": (q_mde, Q_MDE_SQL),
+    "d_doc_cooccur": (d_doc_cooccur, D_DOC_COOCCUR_SQL),
 }
