@@ -312,6 +312,9 @@ HEADLINE = [
     "q_funnel_ordered",
     "q_mde",
     "d_doc_cooccur",
+    "q_kruskal_wallis",
+    "q_gumbel_maxima",
+    "q_neyman_alloc",
 ]
 
 

@@ -19547,6 +19547,272 @@ ORDER BY p.tok_a, p.tok_b
 """
 
 
+def q_kruskal_wallis(sf_dir: str):
+    """Kruskal–Wallis rank test of event value across event types —
+    the k-group generalization of q_mann_whitney (is ANY type's value
+    distribution shifted?). Doubled average ranks over the merged
+    value-cent cells keep every group rank sum R2_j an exact integer;
+    Σ R2_j²/n_j micro-floors per group (order-immune fold), the tie
+    correction Σ(t³−t) is exact, and H and its tie-corrected form
+    each quantize once. The exchange is per-batch (type, cent, n)
+    partials folded driver-side (near-unique cent key — the
+    multi-column Ray groupby trap). SQL twin holds in HUGEINT at
+    test scale; the Python ints are unbounded."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "et": batch["event_type"].to_pandas(),
+            "v": np.floor(batch["value"].to_numpy() * 100 + 0.5)
+                .astype(np.int64),
+            "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["et", "v"], as_index=False).sum(),
+            preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["et", "v"], as_index=False)["n"].sum()
+    )
+    marg = g.groupby("v")["n"].sum().sort_index()
+    nv = marg.to_numpy(np.int64)
+    cum = np.concatenate(([np.int64(0)], np.cumsum(nv)[:-1]))
+    r2 = pd.Series(2 * cum + nv + 1, index=marg.index)
+    g["r2"] = r2.loc[g["v"]].to_numpy(np.int64)
+    N = int(nv.sum())
+    fold = 0
+    groups = []
+    for et in sorted(g["et"].unique()):
+        sub = g[g["et"] == et]
+        n_j = int(sub["n"].sum())
+        r2_j = sum(int(a) * int(b) for a, b in zip(sub["n"], sub["r2"]))
+        groups.append((et, n_j))
+        fold += int(np.floor(
+            np.float64(float(r2_j * r2_j)) / np.float64(n_j)
+            * 1e9 + 0.5005))
+    srr = np.float64(float(fold)) / 1e9
+    nf = np.float64(N)
+    h = 3.0 * srr / (nf * (nf + 1.0)) - 3.0 * (nf + 1.0)
+    ties = sum(int(t) ** 3 - int(t) for t in nv)
+    c = 1.0 - np.float64(float(ties)) / (nf * nf * nf - nf)
+    return pd.DataFrame({
+        "n": [N], "n_groups": [len(groups)],
+        "h": [float(_q6(h))],
+        "h_tie_corrected": [float(_q6(h / c)) if c > 0 else 0.0],
+    })
+
+
+Q_KRUSKAL_WALLIS_SQL = """
+WITH v AS (SELECT event_type AS et,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS val
+           FROM events),
+cell AS (SELECT et, val, CAST(COUNT(*) AS BIGINT) AS n
+         FROM v GROUP BY et, val),
+m AS (SELECT val, CAST(SUM(n) AS BIGINT) AS nv FROM cell GROUP BY val),
+r AS (SELECT val, 2 * (SUM(nv) OVER (ORDER BY val) - nv) + nv + 1 AS r2
+      FROM m),
+gj AS (SELECT c.et, CAST(SUM(c.n) AS HUGEINT) AS nj,
+              CAST(SUM(CAST(c.n AS HUGEINT) * r.r2) AS HUGEINT) AS r2j
+       FROM cell c JOIN r USING (val) GROUP BY c.et),
+t AS (SELECT CAST(SUM(nj) AS HUGEINT) AS nn,
+             CAST(COUNT(*) AS BIGINT) AS ngrp FROM gj),
+fold AS (SELECT CAST(SUM(CAST(floor(
+             CAST(r2j * r2j AS DOUBLE) / CAST(nj AS DOUBLE)
+             * 1000000000 + 0.5005) AS HUGEINT)) AS HUGEINT) AS f
+         FROM gj),
+ties AS (SELECT CAST(SUM(CAST(nv AS HUGEINT) * nv * nv - nv) AS HUGEINT)
+           AS tt FROM m),
+hh AS (SELECT t.nn, t.ngrp,
+              3.0 * (CAST(fold.f AS DOUBLE) / 1000000000)
+                / (CAST(t.nn AS DOUBLE) * (CAST(t.nn AS DOUBLE) + 1.0))
+                - 3.0 * (CAST(t.nn AS DOUBLE) + 1.0) AS h,
+              1.0 - CAST(ties.tt AS DOUBLE)
+                / (CAST(t.nn AS DOUBLE) * CAST(t.nn AS DOUBLE)
+                   * CAST(t.nn AS DOUBLE) - CAST(t.nn AS DOUBLE)) AS c
+       FROM t CROSS JOIN fold CROSS JOIN ties)
+SELECT CAST(nn AS BIGINT) AS n, ngrp AS n_groups,
+       floor(h * 1000000 + 0.5005) / 1000000 AS h,
+       CASE WHEN c > 0
+            THEN floor(h / c * 1000000 + 0.5005) / 1000000
+            ELSE 0.0 END AS h_tie_corrected
+FROM hh
+"""
+
+
+def q_gumbel_maxima(sf_dir: str):
+    """Gumbel fit to weekly block maxima of hourly net event value —
+    the extreme-value capacity question ("how big is a 1-in-K-week
+    hour?") that tail percentiles under-answer. Hourly cent sums
+    zero-fill the dense grid (silent hours are real zeros), weekly
+    maxima over consecutive 168-hour blocks are exact integers, and
+    the method-of-moments fit uses the same literals in both engines:
+    scale = s·√6/π (0.7796968012336761), loc = mean − γ·scale
+    (γ = 0.5772156649015329). One O(hours) cell exchange; moments
+    exact; loc/scale quantize once each."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "h": us // 3_600_000_000,
+            "c": np.floor(batch["value"].to_numpy() * 100 + 0.5)
+                .astype(np.int64),
+        })
+        return pa.Table.from_pandas(
+            df.groupby("h", as_index=False).sum(), preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("h").aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    h0, h1 = int(g["h"].min()), int(g["h"].max())
+    grid = np.zeros(h1 - h0 + 1, dtype=np.int64)
+    grid[g["h"].to_numpy(np.int64) - h0] = g["c"].to_numpy(np.int64)
+    kw = len(grid) // 168
+    if kw < 2:
+        return pd.DataFrame({"n_weeks": [kw], "mean_max": [0.0],
+                             "gumbel_loc": [0.0], "gumbel_scale": [0.0]})
+    mx = grid[:kw * 168].reshape(kw, 168).max(axis=1)
+    sm = _exact_sum(mx)
+    sq = _exact_dot(mx, mx)
+    mean = np.float64(float(sm)) / np.float64(kw)
+    var = np.float64(float(kw * sq - sm * sm)) \
+        / (np.float64(kw) * np.float64(kw - 1))
+    scale = 0.7796968012336761 * np.sqrt(var)
+    loc = mean - 0.5772156649015329 * scale
+    return pd.DataFrame({
+        "n_weeks": [kw],
+        "mean_max": [float(_q6(mean / 100.0))],
+        "gumbel_loc": [float(_q6(loc / 100.0))],
+        "gumbel_scale": [float(_q6(scale / 100.0))],
+    })
+
+
+Q_GUMBEL_MAXIMA_SQL = """
+WITH b AS (SELECT epoch_us(ts) // 3600000000 AS h,
+                  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS c
+           FROM events GROUP BY 1),
+lim AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM b),
+grid AS (SELECT gs.hh AS h, COALESCE(b.c, 0) AS c
+         FROM lim, unnest(generate_series(lim.h0, lim.h1)) AS gs(hh)
+         LEFT JOIN b ON b.h = gs.hh),
+wk AS (SELECT (h - (SELECT h0 FROM lim)) // 168 AS w, MAX(c) AS mx
+       FROM grid
+       WHERE (h - (SELECT h0 FROM lim)) // 168
+             < ((SELECT h1 - h0 + 1 FROM lim) // 168)
+       GROUP BY 1),
+m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS k,
+             CAST(SUM(CAST(mx AS HUGEINT)) AS HUGEINT) AS sm,
+             CAST(SUM(CAST(mx AS HUGEINT) * mx) AS HUGEINT) AS sq
+      FROM wk),
+f AS (SELECT CAST(k AS BIGINT) AS n_weeks,
+             CAST(sm AS DOUBLE) / CAST(k AS DOUBLE) AS mean,
+             0.7796968012336761
+               * sqrt(CAST(k * sq - sm * sm AS DOUBLE)
+                      / (CAST(k AS DOUBLE) * CAST(k - 1 AS DOUBLE)))
+               AS scale
+      FROM m)
+SELECT n_weeks,
+       floor(mean / 100.0 * 1000000 + 0.5005) / 1000000 AS mean_max,
+       floor((mean - 0.5772156649015329 * scale) / 100.0
+             * 1000000 + 0.5005) / 1000000 AS gumbel_loc,
+       floor(scale / 100.0 * 1000000 + 0.5005) / 1000000 AS gumbel_scale
+FROM f
+"""
+
+
+def q_neyman_alloc(sf_dir: str):
+    """Neyman allocation of a 10,000-row sample budget across event
+    types: n_h ∝ N_h·s_h — the variance-optimal stratified design
+    that beats proportional allocation whenever strata variances
+    differ. Per-stratum counts and cent power sums fold exactly; each
+    stratum weight x_h = N_h·s_h quantizes ONCE to an integer
+    milli-weight, after which seats are pure integer arithmetic:
+    base = B·xq_h ⫽ Σxq, leftovers by largest remainder with
+    event-type tie-break — so both engines land the identical
+    allocation with no float comparison anywhere."""
+    B = 10_000
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        v = np.floor(batch["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "et": batch["event_type"].to_pandas(),
+            "n": 1, "s": v, "ss": v * v,
+        })
+        return pa.Table.from_pandas(
+            df.groupby("et", as_index=False).sum(), preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("et", as_index=False)[["n", "s", "ss"]].sum()
+        .sort_values("et")
+    )
+    ets = g["et"].tolist()
+    xq = []
+    for _, r in g.iterrows():
+        n_h, s_h, ss_h = int(r["n"]), int(r["s"]), int(r["ss"])
+        var = np.float64(float(n_h * ss_h - s_h * s_h)) \
+            / (np.float64(n_h) * np.float64(n_h - 1))
+        x = np.float64(n_h) * np.sqrt(var)
+        xq.append(int(np.floor(x * 1e3 + 0.5005)))
+    tot = sum(xq)
+    base = [(B * x) // tot for x in xq]
+    rem = [(B * x) % tot for x in xq]
+    left = B - sum(base)
+    order = sorted(range(len(ets)), key=lambda i: (-rem[i], ets[i]))
+    alloc = list(base)
+    for i in order[:left]:
+        alloc[i] += 1
+    return pd.DataFrame({
+        "event_type": ets,
+        "stratum_n": [int(v) for v in g["n"]],
+        "weight_milli": xq,
+        "alloc": alloc,
+    })
+
+
+Q_NEYMAN_ALLOC_SQL = """
+WITH c AS (SELECT event_type AS et,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                       AS HUGEINT) AS s,
+                  CAST(SUM(CAST(floor(value * 100 + 0.5) AS HUGEINT)
+                           * CAST(floor(value * 100 + 0.5) AS HUGEINT))
+                       AS HUGEINT) AS ss
+           FROM events GROUP BY event_type),
+x AS (SELECT et, n,
+             CAST(floor(CAST(n AS DOUBLE)
+                        * sqrt(CAST(n * ss - s * s AS DOUBLE)
+                               / (CAST(n AS DOUBLE)
+                                  * CAST(n - 1 AS DOUBLE)))
+                        * 1000 + 0.5005) AS HUGEINT) AS xq
+      FROM c),
+t AS (SELECT CAST(SUM(xq) AS HUGEINT) AS tot FROM x),
+b AS (SELECT x.et, x.n, x.xq,
+             (10000 * x.xq) // t.tot AS base,
+             (10000 * x.xq) % t.tot AS rem
+      FROM x CROSS JOIN t),
+lft AS (SELECT 10000 - CAST(SUM(base) AS BIGINT) AS l FROM b),
+rk AS (SELECT et, n, xq, base,
+              ROW_NUMBER() OVER (ORDER BY rem DESC, et) AS pos
+       FROM b)
+SELECT et AS event_type, n AS stratum_n,
+       CAST(xq AS BIGINT) AS weight_milli,
+       CAST(base + CASE WHEN pos <= (SELECT l FROM lft)
+                        THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM rk ORDER BY et
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -19913,4 +20179,7 @@ QUERIES: dict[str, tuple] = {
     "q_funnel_ordered": (q_funnel_ordered, Q_FUNNEL_ORDERED_SQL),
     "q_mde": (q_mde, Q_MDE_SQL),
     "d_doc_cooccur": (d_doc_cooccur, D_DOC_COOCCUR_SQL),
+    "q_kruskal_wallis": (q_kruskal_wallis, Q_KRUSKAL_WALLIS_SQL),
+    "q_gumbel_maxima": (q_gumbel_maxima, Q_GUMBEL_MAXIMA_SQL),
+    "q_neyman_alloc": (q_neyman_alloc, Q_NEYMAN_ALLOC_SQL),
 }
