@@ -315,6 +315,9 @@ HEADLINE = [
     "q_kruskal_wallis",
     "q_gumbel_maxima",
     "q_neyman_alloc",
+    "q_elasticity",
+    "t_retention_rate",
+    "d_completeness_audit",
 ]
 
 

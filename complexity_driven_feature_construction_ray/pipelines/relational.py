@@ -19813,6 +19813,222 @@ FROM rk ORDER BY et
 """
 
 
+def q_elasticity(sf_dir: str):
+    """Price elasticity of demand: the log–log OLS slope
+    d ln(quantity)/d ln(price cents) over lineitem — the pricing
+    number a linear q-on-p regression (q_grouped_ols) cannot give
+    because elasticity is the exponent, not the slope. Both logs are
+    taken ONCE per distinct (quantity, cent) cell and micro-floored
+    to 1e-9 integers, so the five weighted regression moments fold as
+    exact Python ints (HUGEINT twins) over the cell weights and the
+    slope is one quantized ratio; the exchange is per-batch cell
+    partials folded driver-side (near-unique cent key)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_extendedprice"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "q": np.floor(batch["l_quantity"].to_numpy() + 0.5)
+                .astype(np.int64),
+            "p": np.floor(batch["l_extendedprice"].to_numpy() * 100 + 0.5)
+                .astype(np.int64),
+            "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["q", "p"], as_index=False).sum(),
+            preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["q", "p"], as_index=False)["n"].sum()
+    )
+    lx = np.floor(np.log(g["p"].to_numpy(np.float64)) * 1e9 + 0.5005) \
+        .astype(np.int64)
+    ly = np.floor(np.log(g["q"].to_numpy(np.float64)) * 1e9 + 0.5005) \
+        .astype(np.int64)
+    w = g["n"].to_numpy(np.int64)
+    n = int(w.sum())
+    sx = _exact_dot(w, lx)
+    sy = _exact_dot(w, ly)
+    sxx = _exact_dot(w, lx.astype(object) * lx.astype(object))
+    sxy = _exact_dot(w, lx.astype(object) * ly.astype(object))
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    slope = 0.0 if den == 0 else float(_q6(
+        np.float64(float(num)) / np.float64(float(den))))
+    return pd.DataFrame({"n": [n], "elasticity": [slope]})
+
+
+Q_ELASTICITY_SQL = """
+WITH cell AS (SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+                     CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS p,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM lineitem GROUP BY 1, 2),
+lg AS (SELECT n,
+              CAST(floor(ln(CAST(p AS DOUBLE)) * 1000000000 + 0.5005)
+                   AS HUGEINT) AS lx,
+              CAST(floor(ln(CAST(q AS DOUBLE)) * 1000000000 + 0.5005)
+                   AS HUGEINT) AS ly
+       FROM cell),
+m AS (SELECT CAST(SUM(n) AS HUGEINT) AS nn,
+             CAST(SUM(n * lx) AS HUGEINT) AS sx,
+             CAST(SUM(n * ly) AS HUGEINT) AS sy,
+             CAST(SUM(n * lx * lx) AS HUGEINT) AS sxx,
+             CAST(SUM(n * lx * ly) AS HUGEINT) AS sxy
+      FROM lg)
+SELECT CAST(nn AS BIGINT) AS n,
+       CASE WHEN nn * sxx - sx * sx = 0 THEN 0.0
+            ELSE floor(CAST(nn * sxy - sx * sy AS DOUBLE)
+                       / CAST(nn * sxx - sx * sx AS DOUBLE)
+                       * 1000000 + 0.5005) / 1000000 END AS elasticity
+FROM m
+"""
+
+
+def t_retention_rate(sf_dir: str):
+    """Weekly cohort retention matrix: for each signup-week cohort
+    and week-age a, the share of the cohort with ANY event in
+    calendar week (cohort_week + a) — the table t_cohort_ltv prices
+    and t_growth_accounting nets out, at the grain retention curves
+    are actually read. One entity shuffle emits per-user (cohort
+    week, distinct active week-age) pairs plus cohort-size markers;
+    the fold is an O(cohorts × ages) cell sum and one quantized rate
+    per cell (week indices are absolute epoch-week integers)."""
+    from ..stages.temporal import grouped_map
+
+    WEEK_US = 604_800_000_000
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"],
+               split=True)
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({
+            "u": g["user_id"].to_numpy(np.int64),
+            "w": us // WEEK_US,
+            "et": g["event_type"].to_numpy(object),
+        })
+        ws = df[df["et"] == "signup"].groupby("u")["w"].min()
+        act = df.merge(ws.rename("ws").reset_index(), on="u")
+        act = act[act["w"] >= act["ws"]]
+        act["age"] = act["w"] - act["ws"]
+        cells = (act[["ws", "age", "u"]].drop_duplicates()
+                 .groupby(["ws", "age"], as_index=False)
+                 .agg(n=("u", "size")))
+        sizes = ws.value_counts().rename_axis("ws").reset_index(name="n")
+        sizes["age"] = -1  # cohort-size marker rows
+        out = pd.concat([cells, sizes[["ws", "age", "n"]]],
+                        ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    g = (
+        grouped_map(ds, "user_id", pairs)
+        .to_pandas()
+        .groupby(["ws", "age"], as_index=False)["n"].sum()
+    )
+    sizes = g[g["age"] == -1].set_index("ws")["n"]
+    cells = g[g["age"] >= 0].copy()
+    cells["cohort_size"] = sizes.loc[cells["ws"]].to_numpy(np.int64)
+    cells["retention"] = _q6(
+        cells["n"].to_numpy(np.float64)
+        / cells["cohort_size"].to_numpy(np.float64))
+    out = cells.rename(columns={"ws": "cohort_week",
+                                "n": "active_users"})
+    return out[["cohort_week", "age", "active_users", "cohort_size",
+                "retention"]].sort_values(
+        ["cohort_week", "age"]).reset_index(drop=True)
+
+
+T_RETENTION_RATE_SQL = """
+WITH s AS (SELECT user_id,
+                  MIN(epoch_us(ts)) // 604800000000 AS ws
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+a AS (SELECT DISTINCT e.user_id, s.ws,
+             epoch_us(e.ts) // 604800000000 - s.ws AS age
+      FROM events e JOIN s USING (user_id)
+      WHERE epoch_us(e.ts) // 604800000000 >= s.ws),
+cs AS (SELECT ws, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY ws)
+SELECT a.ws AS cohort_week, a.age,
+       CAST(COUNT(*) AS BIGINT) AS active_users,
+       cs.n AS cohort_size,
+       floor(CAST(COUNT(*) AS DOUBLE) / CAST(cs.n AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS retention
+FROM a JOIN cs USING (ws)
+GROUP BY a.ws, a.age, cs.n
+ORDER BY a.ws, a.age
+"""
+
+
+def d_completeness_audit(sf_dir: str):
+    """Column-completeness profile of the documents table — the
+    data-quality gate every ingestion runs before anything else:
+    NULL text, empty-string text, whitespace-only text, NULL lang,
+    duplicate doc_id multiplicity (rows minus distinct keys), and
+    the usable-row rate. Pure integer counters from vectorized
+    per-batch partials (one regex for whitespace-only); the only
+    float is the final quantized rate."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        txt = pd.Series(batch["text"].to_numpy(zero_copy_only=False))
+        lang = pd.Series(batch["lang"].to_numpy(zero_copy_only=False))
+        isnull = txt.isna()
+        empty = (~isnull) & (txt == "")
+        wsonly = (~isnull) & txt.str.fullmatch(r"\s+").fillna(False)
+        ids = pd.Series(batch["doc_id"].to_numpy())
+        dd = ids.drop_duplicates()
+        return pa.table({
+            "rows": pa.array([len(txt)], pa.int64()),
+            "null_text": pa.array([int(isnull.sum())], pa.int64()),
+            "empty_text": pa.array([int(empty.sum())], pa.int64()),
+            "ws_only_text": pa.array([int(wsonly.sum())], pa.int64()),
+            "null_lang": pa.array([int(lang.isna().sum())], pa.int64()),
+            "batch_dup_ids": pa.array([len(ids) - len(dd)], pa.int64()),
+        })
+
+    from ray.data.aggregate import Count
+
+    g = ds.map_batches(part, batch_format="pyarrow").to_pandas().sum()
+    n_ids = _read(sf_dir, "documents", columns=["doc_id"]) \
+        .groupby("doc_id").aggregate(Count()).count()
+    n = int(g["rows"])
+    bad = int(g["null_text"]) + int(g["empty_text"]) \
+        + int(g["ws_only_text"])
+    return pd.DataFrame({
+        "rows": [n],
+        "null_text": [int(g["null_text"])],
+        "empty_text": [int(g["empty_text"])],
+        "ws_only_text": [int(g["ws_only_text"])],
+        "null_lang": [int(g["null_lang"])],
+        "dup_doc_ids": [n - int(n_ids)],
+        "usable_rate": [float(_q6(np.float64(n - bad) / np.float64(n)))],
+    })
+
+
+D_COMPLETENESS_AUDIT_SQL = """
+WITH m AS (SELECT CAST(COUNT(*) AS BIGINT) AS rows_,
+                  CAST(COUNT(*) FILTER (text IS NULL) AS BIGINT)
+                    AS null_text,
+                  CAST(COUNT(*) FILTER (text = '') AS BIGINT)
+                    AS empty_text,
+                  CAST(COUNT(*) FILTER (text IS NOT NULL
+                        AND regexp_matches(text, '^\\s+$')) AS BIGINT)
+                    AS ws_only_text,
+                  CAST(COUNT(*) FILTER (lang IS NULL) AS BIGINT)
+                    AS null_lang,
+                  CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT)
+                    AS dup_doc_ids
+           FROM documents)
+SELECT rows_ AS rows, null_text, empty_text, ws_only_text, null_lang,
+       dup_doc_ids,
+       floor(CAST(rows_ - null_text - empty_text - ws_only_text
+                  AS DOUBLE) / CAST(rows_ AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS usable_rate
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -20182,4 +20398,8 @@ QUERIES: dict[str, tuple] = {
     "q_kruskal_wallis": (q_kruskal_wallis, Q_KRUSKAL_WALLIS_SQL),
     "q_gumbel_maxima": (q_gumbel_maxima, Q_GUMBEL_MAXIMA_SQL),
     "q_neyman_alloc": (q_neyman_alloc, Q_NEYMAN_ALLOC_SQL),
+    "q_elasticity": (q_elasticity, Q_ELASTICITY_SQL),
+    "t_retention_rate": (t_retention_rate, T_RETENTION_RATE_SQL),
+    "d_completeness_audit": (d_completeness_audit,
+                             D_COMPLETENESS_AUDIT_SQL),
 }
