@@ -318,6 +318,9 @@ HEADLINE = [
     "q_elasticity",
     "t_retention_rate",
     "d_completeness_audit",
+    "t_reorder_gap",
+    "d_char_entropy",
+    "t_seasonal_strength",
 ]
 
 

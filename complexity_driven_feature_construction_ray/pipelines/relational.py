@@ -20029,6 +20029,245 @@ FROM m
 """
 
 
+def t_reorder_gap(sf_dir: str):
+    """Inter-order gap distribution: day gaps between each customer's
+    consecutive orders, summarized by EXACT element selections —
+    median and p90 are the rank-⌈q·n⌉ members of the global gap
+    multiset (no quantizer touches them; the multiset is invariant to
+    same-day tie order because equal days diff to zero). Per-customer
+    diffs run inside one entity shuffle; day gaps are small integers,
+    so the exchange is an O(distinct gaps) value-cell fold and the
+    percentiles resolve from cumulative counts. Only the mean
+    quantizes."""
+    from ..stages.temporal import grouped_map
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"],
+               split=True)
+
+    def gaps(g: pd.DataFrame) -> pa.Table:
+        day = (g["o_orderdate"].to_numpy("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        df = pd.DataFrame({
+            "u": g["o_custkey"].to_numpy(np.int64), "d": day,
+        }).sort_values(["u", "d"], kind="stable")
+        u = df["u"].to_numpy()
+        d = df["d"].to_numpy()
+        same = u[1:] == u[:-1]
+        gap = (d[1:] - d[:-1])[same]
+        out = pd.DataFrame({"gap": gap, "n": 1})
+        return pa.Table.from_pandas(
+            out.groupby("gap", as_index=False).sum(), preserve_index=False)
+
+    g = (
+        grouped_map(ds, "o_custkey", gaps)
+        .to_pandas()
+        .groupby("gap", as_index=False)["n"].sum()
+        .sort_values("gap")
+    )
+    vals = g["gap"].to_numpy(np.int64)
+    cnt = g["n"].to_numpy(np.int64)
+    n = int(cnt.sum())
+    cum = np.cumsum(cnt)
+
+    def at_rank(r: int) -> int:
+        return int(vals[np.searchsorted(cum, r, side="left")])
+
+    med = at_rank((n + 1) // 2)
+    p90 = at_rank((9 * n + 9) // 10)
+    tot = _exact_dot(vals, cnt)
+    return pd.DataFrame({
+        "n_gaps": [n], "median_gap_days": [med], "p90_gap_days": [p90],
+        "mean_gap_days": [float(_q6(np.float64(float(tot))
+                                    / np.float64(n)))],
+    })
+
+
+T_REORDER_GAP_SQL = """
+WITH d AS (SELECT o_custkey,
+                  epoch_us(o_orderdate) // 86400000000 AS day,
+                  o_orderkey
+           FROM orders),
+l AS (SELECT o_custkey,
+             day - LAG(day) OVER (PARTITION BY o_custkey
+                                  ORDER BY day, o_orderkey) AS gap
+      FROM d),
+gp AS (SELECT gap FROM l WHERE gap IS NOT NULL),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(gap AS HUGEINT)) AS HUGEINT) AS s FROM gp),
+rk AS (SELECT gap, ROW_NUMBER() OVER (ORDER BY gap) AS i FROM gp)
+SELECT t.n AS n_gaps,
+       (SELECT gap FROM rk WHERE i = (t.n + 1) // 2)
+         AS median_gap_days,
+       (SELECT gap FROM rk WHERE i = (9 * t.n + 9) // 10)
+         AS p90_gap_days,
+       floor(CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS mean_gap_days
+FROM t
+"""
+
+
+def d_char_entropy(sf_dir: str):
+    """Per-source CHARACTER-level Shannon entropy in bits — the
+    alphabet-health audit below d_doc_entropy's word grain: OCR
+    noise, encoding mojibake and binary bleed-through all push char
+    entropy away from the source's baseline. Per-batch per-source
+    Counter folds (C-speed over the concatenated text; code-point
+    grain in both engines) reduce to an O(sources × alphabet) cell
+    exchange; ln terms micro-floor at 1e-9 and the bits conversion
+    multiplies identical doubles by the same 1/ln2 literal."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": batch["source"].to_numpy(zero_copy_only=False),
+            "text": pd.Series(
+                batch["text"].to_numpy(zero_copy_only=False)).fillna(""),
+        })
+        rows = []
+        for src, g in df.groupby("source"):
+            for ch, n in Counter("".join(g["text"])).items():
+                rows.append((src, ch, n))
+        out = pd.DataFrame(rows, columns=["source", "ch", "n"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["source", "ch"]).aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for src in sorted(g["source"].unique()):
+        sub = g[g["source"] == src]
+        n = sub["n"].to_numpy(np.int64)
+        tot = int(n.sum())
+        p = n.astype(np.float64) / np.float64(tot)
+        t = -p * np.log(p)
+        fold = int(np.floor(t * 1e9 + 0.5005).astype(np.int64).sum())
+        rows.append((src, tot, len(sub), float(_q6(
+            np.float64(fold) / 1e9 * 1.4426950408889634))))
+    return pd.DataFrame(rows, columns=["source", "n_chars",
+                                       "n_distinct_chars", "h_bits"])
+
+
+D_CHAR_ENTROPY_SQL = """
+WITH u AS (SELECT source,
+                  unnest(string_split(coalesce(text, ''), '')) AS ch
+           FROM documents),
+c AS (SELECT source, ch, CAST(COUNT(*) AS BIGINT) AS n
+      FROM u WHERE ch <> '' GROUP BY source, ch),
+st AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tot,
+              CAST(COUNT(*) AS BIGINT) AS k FROM c GROUP BY source),
+f AS (SELECT c.source,
+             CAST(SUM(CAST(floor(
+                 -(CAST(c.n AS DOUBLE) / CAST(st.tot AS DOUBLE))
+                 * ln(CAST(c.n AS DOUBLE) / CAST(st.tot AS DOUBLE))
+                 * 1000000000 + 0.5005) AS BIGINT)) AS HUGEINT) AS v
+      FROM c JOIN st USING (source) GROUP BY c.source)
+SELECT st.source, st.tot AS n_chars, st.k AS n_distinct_chars,
+       floor(CAST(f.v AS DOUBLE) / 1000000000 * 1.4426950408889634
+             * 1000000 + 0.5005) / 1000000 AS h_bits
+FROM st JOIN f USING (source) ORDER BY st.source
+"""
+
+
+def t_seasonal_strength(sf_dir: str):
+    """Hour-of-day seasonal strength of the hourly value series:
+    η² = SSB/SST of the 24 hour-of-day groups over the DENSE
+    zero-filled grid — 1 means the daily cycle explains everything,
+    0 means no cycle (the scalar t_seasonality's 24-row profile
+    summarizes). Exactized by the variance-decomposition identity:
+    every per-group term (S_h²·10⁹) ⫽ n_h is an exact integer floor
+    division (NO float enters the fold), SSB and SST clear the grand
+    mean as exact integers, and η² plus the peak hour (argmax by the
+    same integer mean key, hour tie-break) are the only quantized /
+    selected outputs. One O(hours) cell exchange."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "h": us // 3_600_000_000,
+            "c": np.floor(batch["value"].to_numpy() * 100 + 0.5)
+                .astype(np.int64),
+        })
+        return pa.Table.from_pandas(
+            df.groupby("h", as_index=False).sum(), preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("h").aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    h0, h1 = int(g["h"].min()), int(g["h"].max())
+    grid = np.zeros(h1 - h0 + 1, dtype=np.int64)
+    grid[g["h"].to_numpy(np.int64) - h0] = g["c"].to_numpy(np.int64)
+    hod = (np.arange(h0, h1 + 1, dtype=np.int64)) % 24
+    N = len(grid)
+    sx = _exact_sum(grid)
+    sxx = _exact_dot(grid, grid)
+    a = 0
+    best = None
+    for h in range(24):
+        sel = hod == h
+        n_h = int(sel.sum())
+        if n_h == 0:
+            continue
+        s_h = _exact_sum(grid[sel])
+        a += (s_h * s_h * 10**9) // n_h
+        key = (s_h * 10**9) // n_h  # integer mean in nano-cents
+        if best is None or key > best[0]:
+            best = (key, h)
+    ssb = N * a - sx * sx * 10**9
+    sst = (N * sxx - sx * sx) * 10**9
+    eta2 = 0.0 if sst == 0 else float(_q6(
+        np.float64(float(ssb)) / np.float64(float(sst))))
+    return pd.DataFrame({
+        "n_hours": [N], "seasonal_strength": [eta2],
+        "peak_hour": [int(best[1])],
+    })
+
+
+T_SEASONAL_STRENGTH_SQL = """
+WITH b AS (SELECT epoch_us(ts) // 3600000000 AS h,
+                  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS c
+           FROM events GROUP BY 1),
+lim AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM b),
+grid AS MATERIALIZED (
+  SELECT gs.hh AS h, gs.hh % 24 AS hod,
+         CAST(COALESCE(b.c, 0) AS HUGEINT) AS c
+  FROM lim, unnest(generate_series(lim.h0, lim.h1)) AS gs(hh)
+  LEFT JOIN b ON b.h = gs.hh),
+t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(c) AS HUGEINT) AS sx,
+             CAST(SUM(c * c) AS HUGEINT) AS sxx FROM grid),
+hg AS (SELECT hod, CAST(COUNT(*) AS HUGEINT) AS nh,
+              CAST(SUM(c) AS HUGEINT) AS sh
+       FROM grid GROUP BY hod),
+agg AS (SELECT CAST(SUM((sh * sh * 1000000000) // nh) AS HUGEINT) AS a
+        FROM hg),
+pk AS (SELECT hod FROM hg
+       ORDER BY (sh * 1000000000) // nh DESC, hod LIMIT 1)
+SELECT CAST(t.n AS BIGINT) AS n_hours,
+       CASE WHEN (t.n * t.sxx - t.sx * t.sx) = 0 THEN 0.0
+            ELSE floor(CAST(t.n * agg.a - t.sx * t.sx * 1000000000
+                            AS DOUBLE)
+                       / CAST((t.n * t.sxx - t.sx * t.sx)
+                              * 1000000000 AS DOUBLE)
+                       * 1000000 + 0.5005) / 1000000 END
+         AS seasonal_strength,
+       (SELECT CAST(hod AS BIGINT) FROM pk) AS peak_hour
+FROM t CROSS JOIN agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -20402,4 +20641,7 @@ QUERIES: dict[str, tuple] = {
     "t_retention_rate": (t_retention_rate, T_RETENTION_RATE_SQL),
     "d_completeness_audit": (d_completeness_audit,
                              D_COMPLETENESS_AUDIT_SQL),
+    "t_reorder_gap": (t_reorder_gap, T_REORDER_GAP_SQL),
+    "d_char_entropy": (d_char_entropy, D_CHAR_ENTROPY_SQL),
+    "t_seasonal_strength": (t_seasonal_strength, T_SEASONAL_STRENGTH_SQL),
 }
