@@ -321,6 +321,9 @@ HEADLINE = [
     "t_reorder_gap",
     "d_char_entropy",
     "t_seasonal_strength",
+    "q_simpson_check",
+    "t_peak_window",
+    "t_segment_migration",
 ]
 
 

@@ -20268,6 +20268,274 @@ FROM t CROSS JOIN agg
 """
 
 
+def q_simpson_check(sf_dir: str):
+    """Simpson's-paradox audit: Pearson correlation of quantity vs
+    discount per returnflag group NEXT TO the aggregate correlation,
+    flagging groups whose sign flips — the confounding trap a single
+    pooled corr (q_corr) hides. Discounts scale to exact basis
+    points, all five moments per group fold as exact integers
+    (aggregate moments are their exact sums), each correlation
+    quantizes once, and the flip flag is a sign product of the two
+    quantized doubles — identical in both engines."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_discount"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        x = np.floor(batch["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        y = np.floor(batch["l_discount"].to_numpy() * 10000 + 0.5) \
+            .astype(np.int64)
+        df = pd.DataFrame({
+            "rf": batch["l_returnflag"].to_pandas(),
+            "n": 1, "sx": x, "sy": y,
+            "sxx": x * x, "syy": y * y, "sxy": x * y,
+        })
+        return pa.Table.from_pandas(
+            df.groupby("rf", as_index=False).sum(), preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("rf", as_index=False)[["n", "sx", "sy", "sxx", "syy",
+                                        "sxy"]].sum()
+    )
+
+    def corr(n, sx, sy, sxx, syy, sxy):
+        num = n * sxy - sx * sy
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        if dx == 0 or dy == 0:
+            return 0.0
+        return float(_q6(np.float64(float(num))
+                         / np.sqrt(np.float64(float(dx))
+                                   * np.float64(float(dy)))))
+
+    tot = [int(g[c].sum()) for c in ["n", "sx", "sy", "sxx", "syy", "sxy"]]
+    c_all = corr(*tot)
+    rows = []
+    for _, r in g.sort_values("rf").iterrows():
+        cg = corr(*(int(r[c]) for c in ["n", "sx", "sy", "sxx", "syy",
+                                        "sxy"]))
+        rows.append((r["rf"], int(r["n"]), cg, c_all,
+                     int(cg * c_all < 0)))
+    return pd.DataFrame(rows, columns=["returnflag", "n", "group_corr",
+                                       "agg_corr", "sign_flip"])
+
+
+Q_SIMPSON_CHECK_SQL = """
+WITH v AS (SELECT l_returnflag AS rf,
+                  CAST(floor(l_quantity + 0.5) AS HUGEINT) AS x,
+                  CAST(floor(l_discount * 10000 + 0.5) AS HUGEINT) AS y
+           FROM lineitem),
+m AS (SELECT rf, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x * x) AS HUGEINT) AS sxx,
+             CAST(SUM(y * y) AS HUGEINT) AS syy,
+             CAST(SUM(x * y) AS HUGEINT) AS sxy
+      FROM v GROUP BY rf),
+t AS (SELECT CAST(SUM(n) AS HUGEINT) AS n,
+             CAST(SUM(sx) AS HUGEINT) AS sx,
+             CAST(SUM(sy) AS HUGEINT) AS sy,
+             CAST(SUM(sxx) AS HUGEINT) AS sxx,
+             CAST(SUM(syy) AS HUGEINT) AS syy,
+             CAST(SUM(sxy) AS HUGEINT) AS sxy FROM m),
+ca AS (SELECT CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                   THEN 0.0
+                   ELSE floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                              / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                     * CAST(n * syy - sy * sy AS DOUBLE))
+                              * 1000000 + 0.5005) / 1000000 END AS c
+       FROM t),
+cg AS (SELECT rf, CAST(n AS BIGINT) AS n,
+              CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                   THEN 0.0
+                   ELSE floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                              / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                     * CAST(n * syy - sy * sy AS DOUBLE))
+                              * 1000000 + 0.5005) / 1000000 END AS c
+       FROM m)
+SELECT cg.rf AS returnflag, cg.n, cg.c AS group_corr, ca.c AS agg_corr,
+       CAST(cg.c * ca.c < 0 AS BIGINT) AS sign_flip
+FROM cg CROSS JOIN ca ORDER BY cg.rf
+"""
+
+
+def t_peak_window(sf_dir: str):
+    """Peak 6-hour window: the maximum number of events in any six
+    consecutive hours of the dense zero-filled grid, with its
+    earliest start hour — the burst-capacity number a per-hour max
+    understates (bursts straddle hour boundaries). Rolling sums over
+    the O(hours) count-cell exchange are exact integers; the argmax
+    takes the earliest window on ties in both engines; peak-to-mean
+    is the one quantized ratio of exact integers."""
+    from ray.data.aggregate import Sum
+
+    W = 6
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        df = pd.DataFrame({"h": us // 3_600_000_000, "n": 1})
+        return pa.Table.from_pandas(
+            df.groupby("h", as_index=False).sum(), preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("h").aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    h0, h1 = int(g["h"].min()), int(g["h"].max())
+    grid = np.zeros(h1 - h0 + 1, dtype=np.int64)
+    grid[g["h"].to_numpy(np.int64) - h0] = g["n"].to_numpy(np.int64)
+    total = int(grid.sum())
+    n_hours = len(grid)
+    cs = np.concatenate(([np.int64(0)], np.cumsum(grid)))
+    win = cs[W:] - cs[:-W] if n_hours >= W else cs[-1:] - cs[:1]
+    peak = int(win.max())
+    start = h0 + int(np.argmax(win))  # earliest on ties
+    ptm = float(_q6(np.float64(peak * n_hours)
+                    / np.float64(W * total)))
+    return pd.DataFrame({
+        "n_hours": [n_hours], "window_hours": [W],
+        "peak_events": [peak], "peak_start_hour": [start],
+        "peak_to_mean": [ptm],
+    })
+
+
+T_PEAK_WINDOW_SQL = """
+WITH b AS (SELECT epoch_us(ts) // 3600000000 AS h,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+lim AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM b),
+grid AS MATERIALIZED (
+  SELECT gs.hh AS h, COALESCE(b.n, 0) AS n
+  FROM lim, unnest(generate_series(lim.h0, lim.h1)) AS gs(hh)
+  LEFT JOIN b ON b.h = gs.hh),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(n) AS BIGINT) AS total FROM grid),
+w AS (SELECT h,
+             SUM(n) OVER (ORDER BY h
+                          ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING)
+               AS s
+      FROM grid),
+wf AS (SELECT h, s FROM w
+       WHERE h <= (SELECT h1 - 5 FROM lim) OR (SELECT h1 - h0 + 1 < 6
+                                               FROM lim)),
+pk AS (SELECT h, s FROM wf ORDER BY s DESC, h LIMIT 1)
+SELECT t.n_hours, 6 AS window_hours,
+       CAST(pk.s AS BIGINT) AS peak_events,
+       pk.h AS peak_start_hour,
+       floor(CAST(pk.s * t.n_hours AS DOUBLE)
+             / CAST(6 * t.total AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS peak_to_mean
+FROM pk CROSS JOIN t
+"""
+
+
+def _ntile5(rank: np.ndarray, n: int) -> np.ndarray:
+    """SQL NTILE(5) replicated in integer arithmetic: the first
+    n mod 5 buckets take the ceiling size (the t_rfm pattern)."""
+    c, m = n // 5, n % 5
+    big = m * (c + 1)
+    return np.where(rank <= big,
+                    (rank - 1) // (c + 1) + 1,
+                    m + (rank - big - 1) // max(c, 1) + 1).astype(np.int64)
+
+
+def t_segment_migration(sf_dir: str):
+    """Monetary-quintile migration matrix: each user's purchase-spend
+    NTILE(5) in the first half of the observation window vs the
+    second (split at the exact integer midpoint µs), counted over
+    users who purchased in BOTH halves — the segment-churn table
+    behind "do our whales stay whales?". Quintiles replay SQL
+    NTILE semantics with pure integer rank arithmetic over the
+    deterministic (spend, user_id) order; per-user half-spends reduce
+    through one entity exchange; every output is an integer count."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    lim = _read(sf_dir, "events", columns=["ts"]).aggregate(
+        Min("ts"), Max("ts"))
+    t0 = int(np.datetime64(lim["min(ts)"], "us").astype(np.int64))
+    t1 = int(np.datetime64(lim["max(ts)"], "us").astype(np.int64))
+    mid = (t0 + t1) // 2
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type",
+                                          "value"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        keep = et == "purchase"
+        v = np.floor(batch["value"].to_numpy() * 100 + 0.5) \
+            .astype(np.int64)[keep]
+        u = batch["user_id"].to_numpy()[keep]
+        first = (us[keep] < mid)
+        df = pd.DataFrame({
+            "u": u,
+            "s1": np.where(first, v, 0), "c1": first.astype(np.int64),
+            "s2": np.where(first, 0, v),
+            "c2": (~first).astype(np.int64),
+        })
+        return pa.Table.from_pandas(
+            df.groupby("u", as_index=False).sum(), preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("u")
+        .aggregate(Sum("s1", alias_name="s1"), Sum("c1", alias_name="c1"),
+                   Sum("s2", alias_name="s2"), Sum("c2", alias_name="c2"))
+        .to_pandas()
+    )
+    both = g[(g["c1"] > 0) & (g["c2"] > 0)].copy()
+    n = len(both)
+    order1 = np.lexsort((both["u"].to_numpy(np.int64),
+                         both["s1"].to_numpy(np.int64)))
+    order2 = np.lexsort((both["u"].to_numpy(np.int64),
+                         both["s2"].to_numpy(np.int64)))
+    r1 = np.empty(n, dtype=np.int64)
+    r1[order1] = np.arange(1, n + 1)
+    r2 = np.empty(n, dtype=np.int64)
+    r2[order2] = np.arange(1, n + 1)
+    both["q1"] = _ntile5(r1, n)
+    both["q2"] = _ntile5(r2, n)
+    out = (both.groupby(["q1", "q2"], as_index=False)
+           .agg(n_users=("u", "size"))
+           .sort_values(["q1", "q2"]).reset_index(drop=True))
+    return out
+
+
+T_SEGMENT_MIGRATION_SQL = """
+WITH lim AS (SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1
+             FROM events),
+p AS (SELECT user_id,
+             CAST(SUM(CASE WHEN epoch_us(ts)
+                              < (SELECT (t0 + t1) // 2 FROM lim)
+                           THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS s1,
+             CAST(COUNT(*) FILTER (epoch_us(ts)
+                              < (SELECT (t0 + t1) // 2 FROM lim))
+                  AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN epoch_us(ts)
+                              >= (SELECT (t0 + t1) // 2 FROM lim)
+                           THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS s2,
+             CAST(COUNT(*) FILTER (epoch_us(ts)
+                              >= (SELECT (t0 + t1) // 2 FROM lim))
+                  AS BIGINT) AS c2
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+b AS (SELECT user_id, s1, s2 FROM p WHERE c1 > 0 AND c2 > 0),
+q AS (SELECT user_id,
+             NTILE(5) OVER (ORDER BY s1, user_id) AS q1,
+             NTILE(5) OVER (ORDER BY s2, user_id) AS q2
+      FROM b)
+SELECT CAST(q1 AS BIGINT) AS q1, CAST(q2 AS BIGINT) AS q2,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM q GROUP BY q1, q2 ORDER BY q1, q2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -20644,4 +20912,7 @@ QUERIES: dict[str, tuple] = {
     "t_reorder_gap": (t_reorder_gap, T_REORDER_GAP_SQL),
     "d_char_entropy": (d_char_entropy, D_CHAR_ENTROPY_SQL),
     "t_seasonal_strength": (t_seasonal_strength, T_SEASONAL_STRENGTH_SQL),
+    "q_simpson_check": (q_simpson_check, Q_SIMPSON_CHECK_SQL),
+    "t_peak_window": (t_peak_window, T_PEAK_WINDOW_SQL),
+    "t_segment_migration": (t_segment_migration, T_SEGMENT_MIGRATION_SQL),
 }
