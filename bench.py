@@ -324,6 +324,9 @@ HEADLINE = [
     "q_simpson_check",
     "t_peak_window",
     "t_segment_migration",
+    "q_price_index",
+    "t_acf_half_life",
+    "t_seasonal_mk",
 ]
 
 

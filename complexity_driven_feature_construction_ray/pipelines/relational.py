@@ -20536,6 +20536,276 @@ FROM q GROUP BY q1, q2 ORDER BY q1, q2
 """
 
 
+def q_price_index(sf_dir: str):
+    """Laspeyres, Paasche and Fisher price indices between the first
+    and second halves of the shipping window (split at the exact
+    integer midpoint µs), over parts traded in BOTH halves — the
+    index-number econometrics a plain average-price delta gets wrong
+    under mix shift. Per-part half prices are rationals C/Q of exact
+    cent and quantity sums; every cross term (C1·Q0) ⫽ Q1 is an exact
+    integer FLOOR DIVISION (no float enters the folds), the Laspeyres
+    denominator collapses to ΣC0 exactly, and Fisher is one sqrt of
+    the product of the two once-quantized indices."""
+    from ray.data.aggregate import Max, Min
+
+    lim = _read(sf_dir, "lineitem", columns=["l_shipdate"]).aggregate(
+        Min("l_shipdate"), Max("l_shipdate"))
+    t0 = int(np.datetime64(lim["min(l_shipdate)"], "us").astype(np.int64))
+    t1 = int(np.datetime64(lim["max(l_shipdate)"], "us").astype(np.int64))
+    mid = (t0 + t1) // 2
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_shipdate", "l_quantity",
+                        "l_extendedprice"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["l_shipdate"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        first = us < mid
+        q = np.floor(batch["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        c = np.floor(batch["l_extendedprice"].to_numpy() * 100 + 0.5) \
+            .astype(np.int64)
+        df = pd.DataFrame({
+            "p": batch["l_partkey"].to_numpy(),
+            "q0": np.where(first, q, 0), "c0": np.where(first, c, 0),
+            "q1": np.where(first, 0, q), "c1": np.where(first, 0, c),
+        })
+        return pa.Table.from_pandas(
+            df.groupby("p", as_index=False).sum(), preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("p", as_index=False)[["q0", "c0", "q1", "c1"]].sum()
+    )
+    both = g[(g["q0"] > 0) & (g["q1"] > 0)]
+    sum_c0 = sum(int(v) for v in both["c0"])
+    sum_c1 = sum(int(v) for v in both["c1"])
+    lnum = sum((int(c1) * int(q0)) // int(q1)
+               for c1, q0, q1 in zip(both["c1"], both["q0"], both["q1"]))
+    pden = sum((int(c0) * int(q1)) // int(q0)
+               for c0, q1, q0 in zip(both["c0"], both["q1"], both["q0"]))
+    lasp = float(_q6(np.float64(float(lnum)) / np.float64(float(sum_c0))))
+    paas = float(_q6(np.float64(float(sum_c1)) / np.float64(float(pden))))
+    fisher = float(_q6(np.sqrt(np.float64(lasp) * np.float64(paas))))
+    return pd.DataFrame({
+        "n_parts_both": [len(both)], "laspeyres": [lasp],
+        "paasche": [paas], "fisher": [fisher],
+    })
+
+
+Q_PRICE_INDEX_SQL = """
+WITH lim AS (SELECT MIN(epoch_us(l_shipdate)) AS t0,
+                    MAX(epoch_us(l_shipdate)) AS t1 FROM lineitem),
+c AS (SELECT l_partkey AS p,
+             CAST(SUM(CASE WHEN epoch_us(l_shipdate)
+                              < (SELECT (t0 + t1) // 2 FROM lim)
+                           THEN CAST(floor(l_quantity + 0.5) AS BIGINT)
+                           ELSE 0 END) AS HUGEINT) AS q0,
+             CAST(SUM(CASE WHEN epoch_us(l_shipdate)
+                              < (SELECT (t0 + t1) // 2 FROM lim)
+                           THEN CAST(floor(l_extendedprice * 100 + 0.5)
+                                     AS BIGINT) ELSE 0 END) AS HUGEINT)
+               AS c0,
+             CAST(SUM(CASE WHEN epoch_us(l_shipdate)
+                              >= (SELECT (t0 + t1) // 2 FROM lim)
+                           THEN CAST(floor(l_quantity + 0.5) AS BIGINT)
+                           ELSE 0 END) AS HUGEINT) AS q1,
+             CAST(SUM(CASE WHEN epoch_us(l_shipdate)
+                              >= (SELECT (t0 + t1) // 2 FROM lim)
+                           THEN CAST(floor(l_extendedprice * 100 + 0.5)
+                                     AS BIGINT) ELSE 0 END) AS HUGEINT)
+               AS c1
+      FROM lineitem GROUP BY l_partkey),
+b AS (SELECT * FROM c WHERE q0 > 0 AND q1 > 0),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS np,
+             CAST(SUM(c0) AS HUGEINT) AS sc0,
+             CAST(SUM(c1) AS HUGEINT) AS sc1,
+             CAST(SUM((c1 * q0) // q1) AS HUGEINT) AS lnum,
+             CAST(SUM((c0 * q1) // q0) AS HUGEINT) AS pden
+      FROM b),
+ix AS (SELECT np,
+              floor(CAST(lnum AS DOUBLE) / CAST(sc0 AS DOUBLE)
+                    * 1000000 + 0.5005) / 1000000 AS lasp,
+              floor(CAST(sc1 AS DOUBLE) / CAST(pden AS DOUBLE)
+                    * 1000000 + 0.5005) / 1000000 AS paas
+       FROM m)
+SELECT np AS n_parts_both, lasp AS laspeyres, paas AS paasche,
+       floor(sqrt(lasp * paas) * 1000000 + 0.5005) / 1000000 AS fisher
+FROM ix
+"""
+
+
+def t_acf_half_life(sf_dir: str):
+    """Autocorrelation half-life of the dense hourly count series:
+    the first lag k (≤ 48) where r_k < ½ — and the decision is a PURE
+    INTEGER comparison, 2·(n²C_k) < n²C_0, using the same
+    mean-clearing identity t_ljung_box ships, so no quantizer can
+    flip the selected lag. The memory-horizon number that tells you
+    how far back a forecasting feature window must reach. Reports
+    the half-life (-1 if autocorrelation never decays below ½ by 48),
+    with r₁ and r at the half-life quantized for display."""
+    y = _dense_hourly_counts(sf_dir)
+    n = len(y)
+    S = int(y.sum())
+    P0 = int((y.astype(object) * y.astype(object)).sum())
+    c0 = n * n * P0 - n * S * S
+
+    def ck(k: int) -> int:
+        a, b = y[:-k], y[k:]
+        Pk = int((a.astype(object) * b.astype(object)).sum())
+        return (n * n * Pk - n * S * (int(a.sum()) + int(b.sum()))
+                + (n - k) * S * S)
+
+    c1 = ck(1)
+    half = -1
+    r_half = 0.0
+    for k in range(1, 49):
+        v = ck(k) if k != 1 else c1
+        if 2 * v < c0:  # r_k < 1/2, exact
+            half = k
+            r_half = float(_q6(np.float64(float(v))
+                               / np.float64(float(c0))))
+            break
+    return pd.DataFrame({
+        "n_hours": [n],
+        "r1": [float(_q6(np.float64(float(c1)) / np.float64(float(c0))))],
+        "half_life_hours": [half],
+        "r_at_half_life": [r_half],
+    })
+
+
+T_ACF_HALF_LIFE_SQL = """
+WITH b AS (SELECT MIN(epoch_us(ts)) // 3600000000 AS lo,
+                  MAX(epoch_us(ts)) // 3600000000 AS hi FROM events),
+grid AS (SELECT unnest(generate_series(b.lo, b.hi)) AS h FROM b),
+c AS (SELECT epoch_us(ts) // 3600000000 AS h,
+             CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),
+y AS MATERIALIZED (SELECT grid.h, COALESCE(c.n, 0) AS n
+                   FROM grid LEFT JOIN c USING (h)),
+tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nn,
+               CAST(SUM(n) AS HUGEINT) AS s,
+               CAST(SUM(CAST(n AS HUGEINT) * n) AS HUGEINT) AS p0
+        FROM y),
+lags AS (SELECT unnest(generate_series(1, 48)) AS k),
+pk AS (SELECT lags.k,
+              CAST(SUM(CAST(a.n AS HUGEINT) * bb.n) AS HUGEINT) AS p,
+              CAST(SUM(a.n) AS HUGEINT) AS sh,
+              CAST(SUM(bb.n) AS HUGEINT) AS st
+       FROM lags JOIN y a ON TRUE JOIN y bb ON bb.h = a.h + lags.k
+       GROUP BY lags.k),
+cks AS (SELECT pk.k,
+               tot.nn * tot.nn * pk.p
+                 - tot.nn * tot.s * (pk.sh + pk.st)
+                 + (tot.nn - pk.k) * tot.s * tot.s AS ck,
+               tot.nn * tot.nn * tot.p0 - tot.nn * tot.s * tot.s AS c0
+        FROM pk CROSS JOIN tot),
+hl AS (SELECT k, ck, c0 FROM cks WHERE 2 * ck < c0 ORDER BY k LIMIT 1)
+SELECT CAST(tot.nn AS BIGINT) AS n_hours,
+       floor(CAST(c1.ck AS DOUBLE) / CAST(c1.c0 AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS r1,
+       COALESCE((SELECT k FROM hl), -1) AS half_life_hours,
+       COALESCE((SELECT floor(CAST(ck AS DOUBLE) / CAST(c0 AS DOUBLE)
+                              * 1000000 + 0.5005) / 1000000 FROM hl),
+                0.0) AS r_at_half_life
+FROM tot CROSS JOIN (SELECT ck, c0 FROM cks WHERE k = 1) c1
+"""
+
+
+def t_seasonal_mk(sf_dir: str):
+    """Seasonal Mann–Kendall trend test (Hirsch–Slack): the MK S
+    statistic summed over 24 hour-of-day seasons of the daily value
+    series — immune to the daily cycle that inflates the plain MK
+    test (t_mann_kendall). Every within-season S is a pure integer
+    sign-pair count over the dense zero-filled (day, hour) grid, the
+    variance numerator 18·V = Σ[n(n−1)(2n+5) − Σt(t−1)(2t+5)] folds
+    exactly with tie corrections, and the continuity-corrected
+    z = (S∓1)/√(num/18) is built from identical doubles, quantized
+    once."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "h": us // 3_600_000_000,
+            "c": np.floor(batch["value"].to_numpy() * 100 + 0.5)
+                .astype(np.int64),
+        })
+        return pa.Table.from_pandas(
+            df.groupby("h", as_index=False).sum(), preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("h").aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    h0, h1 = int(g["h"].min()), int(g["h"].max())
+    grid = np.zeros(h1 - h0 + 1, dtype=np.int64)
+    grid[g["h"].to_numpy(np.int64) - h0] = g["c"].to_numpy(np.int64)
+    hours = np.arange(h0, h1 + 1, dtype=np.int64)
+    hod = hours % 24
+    s_total = 0
+    var18 = 0
+    for h in range(24):
+        x = grid[hod == h]  # day-ordered within the season
+        nh = len(x)
+        if nh < 2:
+            continue
+        diff = np.sign(x[None, :] - x[:, None])
+        s_total += int(np.triu(diff, 1).sum())
+        var18 += nh * (nh - 1) * (2 * nh + 5)
+        _v, t = np.unique(x, return_counts=True)
+        var18 -= sum(int(c) * (int(c) - 1) * (2 * int(c) + 5) for c in t)
+    if var18 == 0:
+        z = 0.0
+    else:
+        delta = 1 if s_total > 0 else (-1 if s_total < 0 else 0)
+        z = float(_q6(np.float64(s_total - delta)
+                      / np.sqrt(np.float64(float(var18)) / 18.0)))
+    return pd.DataFrame({
+        "s_stat": [s_total], "var18": [var18], "z": [z],
+    })
+
+
+T_SEASONAL_MK_SQL = """
+WITH b AS (SELECT MIN(epoch_us(ts)) // 3600000000 AS lo,
+                  MAX(epoch_us(ts)) // 3600000000 AS hi FROM events),
+grid AS (SELECT unnest(generate_series(b.lo, b.hi)) AS h FROM b),
+c AS (SELECT epoch_us(ts) // 3600000000 AS h,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS v
+      FROM events GROUP BY 1),
+y AS MATERIALIZED (SELECT grid.h, grid.h % 24 AS hod,
+                          COALESCE(c.v, 0) AS v
+                   FROM grid LEFT JOIN c USING (h)),
+s AS (SELECT CAST(SUM(CASE WHEN bb.v > a.v THEN 1
+                           WHEN bb.v < a.v THEN -1 ELSE 0 END)
+                  AS HUGEINT) AS st
+      FROM y a JOIN y bb ON a.hod = bb.hod AND a.h < bb.h),
+sz AS (SELECT hod, CAST(COUNT(*) AS HUGEINT) AS n FROM y GROUP BY hod),
+vn AS (SELECT CAST(SUM(n * (n - 1) * (2 * n + 5)) AS HUGEINT) AS v
+       FROM sz WHERE n >= 2),
+tie AS (SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)
+                    AS HUGEINT) AS v
+        FROM (SELECT hod, v, CAST(COUNT(*) AS HUGEINT) AS t
+              FROM y GROUP BY hod, v)
+        WHERE hod IN (SELECT hod FROM sz WHERE n >= 2)),
+m AS (SELECT s.st, vn.v - tie.v AS var18
+      FROM s CROSS JOIN vn CROSS JOIN tie)
+SELECT CAST(st AS BIGINT) AS s_stat, CAST(var18 AS BIGINT) AS var18,
+       CASE WHEN var18 = 0 THEN 0.0
+            ELSE floor(CAST(st - CASE WHEN st > 0 THEN 1
+                                      WHEN st < 0 THEN -1
+                                      ELSE 0 END AS DOUBLE)
+                       / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                       * 1000000 + 0.5005) / 1000000 END AS z
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -20915,4 +21185,7 @@ QUERIES: dict[str, tuple] = {
     "q_simpson_check": (q_simpson_check, Q_SIMPSON_CHECK_SQL),
     "t_peak_window": (t_peak_window, T_PEAK_WINDOW_SQL),
     "t_segment_migration": (t_segment_migration, T_SEGMENT_MIGRATION_SQL),
+    "q_price_index": (q_price_index, Q_PRICE_INDEX_SQL),
+    "t_acf_half_life": (t_acf_half_life, T_ACF_HALF_LIFE_SQL),
+    "t_seasonal_mk": (t_seasonal_mk, T_SEASONAL_MK_SQL),
 }
