@@ -327,6 +327,9 @@ HEADLINE = [
     "q_price_index",
     "t_acf_half_life",
     "t_seasonal_mk",
+    "d_embed_adjacent_sim",
+    "q_dup_orders",
+    "t_event_trigrams",
 ]
 
 

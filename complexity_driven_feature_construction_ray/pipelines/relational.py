@@ -20806,6 +20806,221 @@ FROM m
 """
 
 
+def d_embed_adjacent_sim(sf_dir: str):
+    """Cosine-similarity profile of consecutive embedding pairs
+    (vec_id, vec_id+1) — the quick anisotropy/duplication smoke test
+    before any ANN build: a healthy random corpus centers near 0, a
+    collapsed or near-dup-riddled one drifts high. Each cosine is
+    ROW-LOCAL and floor-quantized at 1e-6 (the d_knn discipline, so
+    BLAS-vs-sequential dot drift cannot move a value), after which
+    the mean folds exactly over quantized micro-ints and p10/p50/p90
+    are exact rank-⌈q·n⌉ elements. Pairing ships each vector to its
+    two pair groups (2× exchange) through one grouped_map — no
+    global sort."""
+    from ..stages.temporal import grouped_map
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+               split=True)
+    mx = int(_read(sf_dir, "embeddings", columns=["vec_id"])
+             .max("vec_id"))
+
+    def fan(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        keep_left = ids < mx          # left member of pair id
+        keep_right = ids > 0          # right member of pair id-1
+        pair = np.concatenate([ids[keep_left], ids[keep_right] - 1])
+        role = np.concatenate([np.zeros(int(keep_left.sum()), np.int64),
+                               np.ones(int(keep_right.sum()), np.int64)])
+        emb = batch["embedding"]
+        idx = np.concatenate([np.flatnonzero(keep_left),
+                              np.flatnonzero(keep_right)])
+        return pa.table({
+            "pair": pa.array(pair, pa.int64()),
+            "role": pa.array(role, pa.int64()),
+            "embedding": emb.take(pa.array(idx, pa.int64())),
+        })
+
+    def sim(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["pair", "role"])
+        m = np.vstack(g["embedding"].to_numpy()).astype(np.float64)
+        pair = g["pair"].to_numpy(np.int64)
+        # complete pairs appear as consecutive (role 0, role 1) rows
+        ok = (pair[:-1] == pair[1:]) \
+            & (g["role"].to_numpy(np.int64)[:-1] == 0)
+        i = np.flatnonzero(ok)
+        a, b = m[i], m[i + 1]
+        dot = (a * b).sum(axis=1)
+        na = np.sqrt((a * a).sum(axis=1))
+        nb = np.sqrt((b * b).sum(axis=1))
+        c = dot / (na * nb)
+        q = np.floor(c * 1e6 + 0.5005).astype(np.int64)
+        out = pd.DataFrame({"q": q, "n": 1})
+        return pa.Table.from_pandas(
+            out.groupby("q", as_index=False).sum(), preserve_index=False)
+
+    g = (
+        grouped_map(ds.map_batches(fan, batch_format="pyarrow"), "pair",
+                    sim)
+        .to_pandas()
+        .groupby("q", as_index=False)["n"].sum()
+        .sort_values("q")
+    )
+    vals = g["q"].to_numpy(np.int64)
+    cnt = g["n"].to_numpy(np.int64)
+    n = int(cnt.sum())
+    cum = np.cumsum(cnt)
+
+    def at(qq: int) -> float:
+        r = (qq * n + 9) // 10 if qq < 10 else n
+        return float(vals[np.searchsorted(cum, max(r, 1), "left")]) / 1e6
+
+    tot = _exact_dot(vals, cnt)
+    return pd.DataFrame({
+        "n_pairs": [n],
+        "mean_sim": [float(_q6(np.float64(float(tot)) / 1e6
+                               / np.float64(n)))],
+        "p10": [at(1)], "p50": [at(5)], "p90": [at(9)],
+    })
+
+
+D_EMBED_ADJACENT_SIM_SQL = """
+WITH s AS (SELECT a.vec_id,
+                  CAST(floor(list_cosine_similarity(
+                         CAST(a.embedding AS DOUBLE[]),
+                         CAST(b.embedding AS DOUBLE[]))
+                       * 1000000 + 0.5005) AS BIGINT) AS q
+           FROM embeddings a JOIN embeddings b
+             ON b.vec_id = a.vec_id + 1),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS HUGEINT) AS s FROM s),
+rk AS (SELECT q, ROW_NUMBER() OVER (ORDER BY q) AS i FROM s)
+SELECT t.n AS n_pairs,
+       floor(CAST(t.s AS DOUBLE) / 1000000 / CAST(t.n AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS mean_sim,
+       (SELECT q FROM rk WHERE i = greatest((1 * t.n + 9) // 10, 1))
+         / 1000000.0 AS p10,
+       (SELECT q FROM rk WHERE i = greatest((5 * t.n + 9) // 10, 1))
+         / 1000000.0 AS p50,
+       (SELECT q FROM rk WHERE i = greatest((9 * t.n + 9) // 10, 1))
+         / 1000000.0 AS p90
+FROM t
+"""
+
+
+def q_dup_orders(sf_dir: str):
+    """Duplicate-invoice audit: orders sharing (customer, exact total
+    cents) — the double-billing / double-ingestion signal an
+    order-key uniqueness check (q_key_audit) cannot see because the
+    keys differ. Per-batch (custkey, cents) count partials fold
+    driver-side (near-unique key — the multi-column Ray groupby
+    trap); every output is an exact integer plus one quantized
+    dup-row share."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "u": batch["o_custkey"].to_numpy(),
+            "c": np.floor(batch["o_totalprice"].to_numpy() * 100 + 0.5)
+                .astype(np.int64),
+            "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["u", "c"], as_index=False).sum(),
+            preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["u", "c"], as_index=False)["n"].sum()
+    )
+    n = int(g["n"].sum())
+    dup = g[g["n"] >= 2]
+    return pd.DataFrame({
+        "n_orders": [n],
+        "dup_groups": [len(dup)],
+        "dup_rows": [int(dup["n"].sum())],
+        "max_group": [int(g["n"].max())],
+        "dup_share": [float(_q6(np.float64(int(dup["n"].sum()))
+                                / np.float64(n)))],
+    })
+
+
+Q_DUP_ORDERS_SQL = """
+WITH g AS (SELECT o_custkey,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1, 2),
+m AS (SELECT CAST(SUM(n) AS BIGINT) AS n_orders,
+             CAST(COUNT(*) FILTER (n >= 2) AS BIGINT) AS dup_groups,
+             CAST(COALESCE(SUM(n) FILTER (n >= 2), 0) AS BIGINT)
+               AS dup_rows,
+             CAST(MAX(n) AS BIGINT) AS max_group
+      FROM g)
+SELECT n_orders, dup_groups, dup_rows, max_group,
+       floor(CAST(dup_rows AS DOUBLE) / CAST(n_orders AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS dup_share
+FROM m
+"""
+
+
+def t_event_trigrams(sf_dir: str):
+    """Top-10 event-type trigrams across per-user (ts, event_id)-
+    ordered streams — the behavioral-motif miner above
+    q_entropy_rate's pairwise transitions (view→click→purchase vs
+    view→view→view tell different product stories). Trigram counts
+    are exact integers from vectorized double-shift extraction inside
+    one entity shuffle; the top-10 selects by (count desc, trigram
+    asc) so ties are deterministic in both engines."""
+    from ..stages.temporal import grouped_map
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"],
+               split=True)
+
+    def tri(g: pd.DataFrame) -> pa.Table:
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({
+            "u": g["user_id"].to_numpy(np.int64), "t": us,
+            "e": g["event_id"].to_numpy(np.int64),
+            "et": g["event_type"].to_numpy(object),
+        }).sort_values(["u", "t", "e"], kind="stable")
+        u = df["u"].to_numpy()
+        et = df["et"].to_numpy(object)
+        same = (u[2:] == u[:-2])
+        a, b, c = et[:-2][same], et[1:-1][same], et[2:][same]
+        out = pd.DataFrame({
+            "tri": pd.Series(a).str.cat([pd.Series(b), pd.Series(c)],
+                                        sep=">"),
+            "n": 1,
+        })
+        return pa.Table.from_pandas(
+            out.groupby("tri", as_index=False).sum(), preserve_index=False)
+
+    g = (
+        grouped_map(ds, "user_id", tri)
+        .to_pandas()
+        .groupby("tri", as_index=False)["n"].sum()
+    )
+    g = g.sort_values(["n", "tri"], ascending=[False, True],
+                      kind="stable").head(10)
+    return g.rename(columns={"tri": "trigram"}).reset_index(drop=True)
+
+
+T_EVENT_TRIGRAMS_SQL = """
+WITH s AS (SELECT user_id, event_type AS a,
+                  LEAD(event_type, 1) OVER w AS b,
+                  LEAD(event_type, 2) OVER w AS c
+           FROM events
+           WINDOW w AS (PARTITION BY user_id
+                        ORDER BY epoch_us(ts), event_id)),
+t AS (SELECT a || '>' || b || '>' || c AS trigram,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM s WHERE b IS NOT NULL AND c IS NOT NULL
+      GROUP BY 1)
+SELECT trigram, n FROM t ORDER BY n DESC, trigram LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -21188,4 +21403,8 @@ QUERIES: dict[str, tuple] = {
     "q_price_index": (q_price_index, Q_PRICE_INDEX_SQL),
     "t_acf_half_life": (t_acf_half_life, T_ACF_HALF_LIFE_SQL),
     "t_seasonal_mk": (t_seasonal_mk, T_SEASONAL_MK_SQL),
+    "d_embed_adjacent_sim": (d_embed_adjacent_sim,
+                             D_EMBED_ADJACENT_SIM_SQL),
+    "q_dup_orders": (q_dup_orders, Q_DUP_ORDERS_SQL),
+    "t_event_trigrams": (t_event_trigrams, T_EVENT_TRIGRAMS_SQL),
 }
