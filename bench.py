@@ -330,6 +330,9 @@ HEADLINE = [
     "d_embed_adjacent_sim",
     "q_dup_orders",
     "t_event_trigrams",
+    "t_burstiness",
+    "t_stickiness",
+    "d_sentence_dedup",
 ]
 
 

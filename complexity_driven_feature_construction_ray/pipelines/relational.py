@@ -21021,6 +21021,197 @@ SELECT trigram, n FROM t ORDER BY n DESC, trigram LIMIT 10
 """
 
 
+def t_burstiness(sf_dir: str):
+    """Goh–Barabási burstiness B = (σ−μ)/(σ+μ) of inter-arrival
+    times per event type: −1 is a metronome, 0 a Poisson process,
+    →1 heavy bursts — the single number that says whether t_fano's
+    over-dispersion comes from clumped arrivals. Inter-arrival µs
+    diffs are exact integers from each type's (ts, event_id)-ordered
+    stream (one type-keyed shuffle; types are few so each group sorts
+    locally); the three moments fold exactly and B quantizes once
+    per type."""
+    from ..stages.temporal import grouped_map
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "event_id"],
+               split=True)
+
+    def gaps(g: pd.DataFrame) -> pa.Table:
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({
+            "et": g["event_type"].to_numpy(object), "t": us,
+            "e": g["event_id"].to_numpy(np.int64),
+        }).sort_values(["et", "t", "e"], kind="stable")
+        et = df["et"].to_numpy(object)
+        t = df["t"].to_numpy(np.int64)
+        same = et[1:] == et[:-1]
+        d = (t[1:] - t[:-1])[same]
+        out = pd.DataFrame({
+            "et": et[1:][same], "n": 1, "s": d,
+            "ss": d.astype(object) * d.astype(object),
+        })
+        agg = out.groupby("et", as_index=False).sum()
+        # Σd² exceeds both int64 and float64's exact range (gap² alone
+        # can pass 2^53): ship it split into two exact int64 limbs
+        ss = agg.pop("ss")
+        agg["ss_hi"] = [int(v) >> 62 for v in ss]
+        agg["ss_lo"] = [int(v) & ((1 << 62) - 1) for v in ss]
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    # each event type lives entirely in one grouped_map bucket, so the
+    # per-bucket partials ARE the per-type exact totals
+    g = grouped_map(ds, "event_type", gaps).to_pandas()
+    rows = []
+    for _, r in g.sort_values("et").iterrows():
+        n, s = int(r["n"]), int(r["s"])
+        ss = (int(r["ss_hi"]) << 62) + int(r["ss_lo"])
+        if n < 2:
+            continue
+        mu = np.float64(s) / np.float64(n)
+        var = np.float64(n * ss - s * s) / (np.float64(n) * np.float64(n))
+        sig = np.sqrt(var)
+        b = float(_q6((sig - mu) / (sig + mu)))
+        rows.append((r["et"], n, float(_q6(mu / 1e6)), b))
+    return pd.DataFrame(rows, columns=["event_type", "n_gaps",
+                                       "mean_gap_sec", "burstiness"])
+
+
+T_BURSTINESS_SQL = """
+WITH s AS (SELECT event_type,
+                  epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                    (PARTITION BY event_type
+                     ORDER BY epoch_us(ts), event_id) AS d
+           FROM events),
+g AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CAST(d AS HUGEINT)) AS HUGEINT) AS sd,
+             CAST(SUM(CAST(d AS HUGEINT) * d) AS HUGEINT) AS ss
+      FROM s WHERE d IS NOT NULL GROUP BY event_type
+      HAVING COUNT(*) >= 2),
+f AS (SELECT event_type, n,
+             CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+             sqrt(CAST(n * ss - sd * sd AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS sig
+      FROM g)
+SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+       floor(mu / 1000000 * 1000000 + 0.5005) / 1000000 AS mean_gap_sec,
+       floor((sig - mu) / (sig + mu) * 1000000 + 0.5005) / 1000000
+         AS burstiness
+FROM f ORDER BY event_type
+"""
+
+
+def t_stickiness(sf_dir: str):
+    """DAU/WAU stickiness per calendar week: mean daily active users
+    over the week's 7 day slots divided by the week's distinct
+    actives — the habit-strength ratio (1/7 = everyone shows up once,
+    1.0 = everyone every day) that t_growth_accounting's flows don't
+    expose. Distinct (user, day) presence reduces per batch; the
+    fold is O(user-days); DAU sums and WAU counts are exact integers
+    and each week's ratio quantizes once."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "u": batch["user_id"].to_numpy(),
+            "d": us // 86_400_000_000,
+        }).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    g["w"] = g["d"] // 7
+    dau_sum = g.groupby("w").size()                      # Σ daily actives
+    wau = g.drop_duplicates(["u", "w"]).groupby("w").size()
+    rows = []
+    for w in sorted(wau.index):
+        ds_ = int(dau_sum[w])
+        wa = int(wau[w])
+        rows.append((int(w), ds_, wa, float(_q6(
+            np.float64(ds_) / 7.0 / np.float64(wa)))))
+    return pd.DataFrame(rows, columns=["week", "user_days", "wau",
+                                       "stickiness"])
+
+
+T_STICKINESS_SQL = """
+WITH ud AS (SELECT DISTINCT user_id,
+                   epoch_us(ts) // 86400000000 AS d
+            FROM events),
+w AS (SELECT user_id, d, d // 7 AS wk FROM ud),
+m AS (SELECT wk, CAST(COUNT(*) AS BIGINT) AS user_days,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      FROM w GROUP BY wk)
+SELECT wk AS week, user_days, wau,
+       floor(CAST(user_days AS DOUBLE) / 7.0 / CAST(wau AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS stickiness
+FROM m ORDER BY wk
+"""
+
+
+def d_sentence_dedup(sf_dir: str):
+    """Sentence-level boilerplate audit: split every document on '.',
+    trim, keep sentences of ≥ 3 words, and measure how much of the
+    corpus' sentence mass is REPEATED text (occurrences beyond each
+    sentence's first) plus the single most-repeated sentence — the
+    grain between d_exact_dedup's whole-document hash and
+    d_dup_passages' n-gram windows, where legal footers and cookie
+    banners actually live. Per-batch sentence-count partials bound
+    the exchange to distinct sentences; all counts exact; one
+    quantized share."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        s = (pd.Series(batch["text"].to_numpy(zero_copy_only=False))
+             .fillna("").str.split(".").explode().str.strip(" "))
+        s = s[s.str.count(r"\S+") >= 3]
+        df = pd.DataFrame({"sent": s.to_numpy(), "n": 1})
+        return pa.Table.from_pandas(
+            df.groupby("sent", as_index=False).sum(), preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("sent").aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    n = g["n"].to_numpy(np.int64)
+    total = int(n.sum())
+    rep = int((n - 1).sum())  # occurrences beyond each first
+    top = g.sort_values(["n", "sent"], ascending=[False, True],
+                        kind="stable").iloc[0]
+    return pd.DataFrame({
+        "n_sentences": [total],
+        "n_distinct": [len(g)],
+        "repeated_occurrences": [rep],
+        "top_count": [int(top["n"])],
+        "repeat_share": [float(_q6(np.float64(rep) / np.float64(total)))],
+    })
+
+
+D_SENTENCE_DEDUP_SQL = """
+WITH s AS (SELECT trim(unnest(string_split(coalesce(text, ''), '.')))
+             AS sent
+           FROM documents),
+k AS (SELECT sent FROM s
+      WHERE array_length(regexp_extract_all(sent, '\\S+')) >= 3),
+c AS (SELECT sent, CAST(COUNT(*) AS BIGINT) AS n FROM k GROUP BY sent),
+m AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS nd,
+             CAST(SUM(n - 1) AS BIGINT) AS rep FROM c),
+t AS (SELECT n FROM c ORDER BY n DESC, sent LIMIT 1)
+SELECT m.total AS n_sentences, m.nd AS n_distinct,
+       m.rep AS repeated_occurrences,
+       (SELECT n FROM t) AS top_count,
+       floor(CAST(m.rep AS DOUBLE) / CAST(m.total AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS repeat_share
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -21407,4 +21598,7 @@ QUERIES: dict[str, tuple] = {
                              D_EMBED_ADJACENT_SIM_SQL),
     "q_dup_orders": (q_dup_orders, Q_DUP_ORDERS_SQL),
     "t_event_trigrams": (t_event_trigrams, T_EVENT_TRIGRAMS_SQL),
+    "t_burstiness": (t_burstiness, T_BURSTINESS_SQL),
+    "t_stickiness": (t_stickiness, T_STICKINESS_SQL),
+    "d_sentence_dedup": (d_sentence_dedup, D_SENTENCE_DEDUP_SQL),
 }
