@@ -333,6 +333,9 @@ HEADLINE = [
     "t_burstiness",
     "t_stickiness",
     "d_sentence_dedup",
+    "q_supply_concentration",
+    "t_conversion_lag",
+    "q_basket_diversity",
 ]
 
 

@@ -21212,6 +21212,192 @@ FROM m
 """
 
 
+def q_supply_concentration(sf_dir: str):
+    """Supply-chain concentration audit: per part, the supplier-share
+    HHI of shipped quantity plus the single/dual/multi-sourced part
+    census — the procurement-risk table a plain supplier count
+    misses (two suppliers at 99/1 is still single-sourced risk). Each
+    part's HHI Σq_s²/(Σq_s)² is a rational of exact integer quantity
+    sums, floored to 1e-9 micro-units before the order-immune fold;
+    per-batch (part, supplier, qty) partials fold driver-side (the
+    near-unique two-key exchange; at 100 TB the fold goes back
+    through a part-keyed exchange)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_quantity"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "p": batch["l_partkey"].to_numpy(),
+            "s": batch["l_suppkey"].to_numpy(),
+            "q": np.floor(batch["l_quantity"].to_numpy() + 0.5)
+                .astype(np.int64),
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["p", "s"], as_index=False).sum(),
+            preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["p", "s"], as_index=False)["q"].sum()
+    )
+    per = g.groupby("p").agg(ns=("s", "size"), tq=("q", "sum"))
+    sq = g.assign(q2=g["q"].astype(object) * g["q"].astype(object)) \
+        .groupby("p")["q2"].sum()
+    n_parts = len(per)
+    single = int((per["ns"] == 1).sum())
+    dual = int((per["ns"] == 2).sum())
+    multi = n_parts - single - dual
+    fold = 0
+    for p, row in per.iterrows():
+        tq = int(row["tq"])
+        hhi = np.float64(float(int(sq[p]))) \
+            / (np.float64(tq) * np.float64(tq))
+        fold += int(np.floor(hhi * 1e9 + 0.5005))
+    return pd.DataFrame({
+        "n_parts": [n_parts], "single_sourced": [single],
+        "dual_sourced": [dual], "multi_sourced": [multi],
+        "mean_hhi": [float(_q6(np.float64(fold) / 1e9
+                               / np.float64(n_parts)))],
+    })
+
+
+Q_SUPPLY_CONCENTRATION_SQL = """
+WITH c AS (SELECT l_partkey AS p, l_suppkey AS s,
+                  CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                       AS HUGEINT) AS q
+           FROM lineitem GROUP BY 1, 2),
+per AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS ns,
+               CAST(SUM(q) AS HUGEINT) AS tq,
+               CAST(SUM(q * q) AS HUGEINT) AS sq
+        FROM c GROUP BY p),
+f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(COUNT(*) FILTER (ns = 1) AS BIGINT) AS single_sourced,
+             CAST(COUNT(*) FILTER (ns = 2) AS BIGINT) AS dual_sourced,
+             CAST(SUM(CAST(floor(CAST(sq AS DOUBLE)
+                                 / (CAST(tq AS DOUBLE)
+                                    * CAST(tq AS DOUBLE))
+                                 * 1000000000 + 0.5005) AS BIGINT))
+                  AS HUGEINT) AS fold
+      FROM per)
+SELECT n_parts, single_sourced, dual_sourced,
+       n_parts - single_sourced - dual_sourced AS multi_sourced,
+       floor(CAST(fold AS DOUBLE) / 1000000000 / CAST(n_parts AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS mean_hhi
+FROM f
+"""
+
+
+def t_conversion_lag(sf_dir: str):
+    """Signup→purchase conversion-lag distribution for CONVERTED
+    users: median and p90 lag (hours) are exact rank-⌈q·n⌉ elements
+    of the duration multiset the survival family (_surv_labels)
+    already builds — censored users never enter, so this is the
+    answer to "how long until the median converter converts", not
+    KM's hazard view. Durations floor to whole hours (exact integer
+    µs ⫽ 3.6e9); only the mean quantizes."""
+    u = _surv_labels(sf_dir)
+    dur = np.sort(u.loc[u["ev"], "dur"].to_numpy(np.int64)
+                  // 3_600_000_000)
+    n = len(dur)
+    med = int(dur[(n + 1) // 2 - 1])
+    p90 = int(dur[(9 * n + 9) // 10 - 1])
+    tot = _exact_sum(dur)
+    return pd.DataFrame({
+        "n_converted": [n], "median_lag_hours": [med],
+        "p90_lag_hours": [p90],
+        "mean_lag_hours": [float(_q6(np.float64(float(tot))
+                                     / np.float64(n)))],
+    })
+
+
+T_CONVERSION_LAG_SQL = """
+WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS t0
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT s.user_id, MIN(epoch_us(e.ts)) AS t1
+      FROM s JOIN events e ON e.user_id = s.user_id
+       AND e.event_type = 'purchase' AND epoch_us(e.ts) >= s.t0
+      GROUP BY s.user_id),
+d AS (SELECT (p.t1 - s.t0) // 3600000000 AS lag
+      FROM p JOIN s USING (user_id)),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(lag AS HUGEINT)) AS HUGEINT) AS tot FROM d),
+rk AS (SELECT lag, ROW_NUMBER() OVER (ORDER BY lag) AS i FROM d)
+SELECT t.n AS n_converted,
+       (SELECT lag FROM rk WHERE i = (t.n + 1) // 2)
+         AS median_lag_hours,
+       (SELECT lag FROM rk WHERE i = (9 * t.n + 9) // 10)
+         AS p90_lag_hours,
+       floor(CAST(t.tot AS DOUBLE) / CAST(t.n AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS mean_lag_hours
+FROM t
+"""
+
+
+def q_basket_diversity(sf_dir: str):
+    """Basket brand diversity: distinct part brands per order, as a
+    histogram plus the quantized mean — the assortment-breadth
+    number behind cross-sell health (one-brand baskets vs explorers).
+    The part→brand dimension broadcasts ONCE via ray.put (the
+    broadcast-attach pattern — parts are a dimension, never
+    shuffled); per-batch distinct (order, brand) partials dedup
+    before one order-keyed exchange, and the histogram is an exact
+    integer fold."""
+    import ray as _ray
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]) \
+        .to_pandas()
+    bmap_ref = _ray.put(dict(zip(part["p_partkey"].to_numpy(np.int64),
+                                 part["p_brand"].to_numpy(object))))
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    class Attach:
+        def __init__(self, ref=bmap_ref):
+            self.bmap = _ray.get(ref) if isinstance(
+                ref, _ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "o": batch["l_orderkey"].to_numpy(),
+                "b": pd.Series(batch["l_partkey"].to_numpy())
+                    .map(self.bmap).to_numpy(object),
+            }).drop_duplicates()
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+    g = (
+        # fractional num_cpus: the pool must never absorb every core of
+        # a small session (read tasks starve and the pipeline deadlocks)
+        ds.map_batches(Attach, batch_format="pyarrow", concurrency=2,
+                       num_cpus=0.5)
+        .to_pandas()
+        .drop_duplicates()
+        .groupby("o").size()
+    )
+    hist = g.value_counts().sort_index()
+    n_orders = len(g)
+    tot = int(g.sum())
+    rows = [(int(k), int(v)) for k, v in hist.items()]
+    out = pd.DataFrame(rows, columns=["n_brands", "n_orders"])
+    out["mean_brands"] = float(_q6(np.float64(tot)
+                                   / np.float64(n_orders)))
+    return out
+
+
+Q_BASKET_DIVERSITY_SQL = """
+WITH d AS (SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+k AS (SELECT o, CAST(COUNT(*) AS BIGINT) AS nb FROM d GROUP BY o),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(nb) AS HUGEINT) AS tot FROM k)
+SELECT k.nb AS n_brands, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       floor(CAST(t.tot AS DOUBLE) / CAST(t.n_orders AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS mean_brands
+FROM k CROSS JOIN t
+GROUP BY k.nb, t.tot, t.n_orders ORDER BY k.nb
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -21601,4 +21787,8 @@ QUERIES: dict[str, tuple] = {
     "t_burstiness": (t_burstiness, T_BURSTINESS_SQL),
     "t_stickiness": (t_stickiness, T_STICKINESS_SQL),
     "d_sentence_dedup": (d_sentence_dedup, D_SENTENCE_DEDUP_SQL),
+    "q_supply_concentration": (q_supply_concentration,
+                               Q_SUPPLY_CONCENTRATION_SQL),
+    "t_conversion_lag": (t_conversion_lag, T_CONVERSION_LAG_SQL),
+    "q_basket_diversity": (q_basket_diversity, Q_BASKET_DIVERSITY_SQL),
 }
