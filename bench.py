@@ -336,6 +336,9 @@ HEADLINE = [
     "q_supply_concentration",
     "t_conversion_lag",
     "q_basket_diversity",
+    "q_ship_delay",
+    "t_error_recovery",
+    "d_casing_profile",
 ]
 
 

@@ -21398,6 +21398,237 @@ GROUP BY k.nb, t.tot, t.n_orders ORDER BY k.nb
 """
 
 
+def q_ship_delay(sf_dir: str):
+    """Order-to-ship delay distribution: days between o_orderdate and
+    each line's l_shipdate, through the orderkey-keyed FACT×FACT
+    shuffle join (auto_join picks the hash path — the order side is
+    corpus-scale, never broadcast). Median and p90 delay are exact
+    rank-⌈q·n⌉ elements of the day-gap multiset via an O(distinct
+    gaps) value-cell fold; only the mean quantizes. Negative delays
+    (data bugs) are counted, not dropped."""
+    from ..stages.partition import auto_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    od = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    j = auto_join(li, od, left_on="l_orderkey", right_on="o_orderkey")
+
+    def cells(batch: pa.Table) -> pa.Table:
+        s = pc.cast(pc.cast(batch["l_shipdate"], pa.timestamp("us")),
+                    pa.int64()).to_numpy() // 86_400_000_000
+        o = pc.cast(pc.cast(batch["o_orderdate"], pa.timestamp("us")),
+                    pa.int64()).to_numpy() // 86_400_000_000
+        df = pd.DataFrame({"gap": s - o, "n": 1})
+        return pa.Table.from_pandas(
+            df.groupby("gap", as_index=False).sum(), preserve_index=False)
+
+    g = (
+        j.map_batches(cells, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("gap", as_index=False)["n"].sum()
+        .sort_values("gap")
+    )
+    vals = g["gap"].to_numpy(np.int64)
+    cnt = g["n"].to_numpy(np.int64)
+    n = int(cnt.sum())
+    cum = np.cumsum(cnt)
+    med = int(vals[np.searchsorted(cum, (n + 1) // 2, "left")])
+    p90 = int(vals[np.searchsorted(cum, (9 * n + 9) // 10, "left")])
+    tot = _exact_dot(vals, cnt)
+    neg = int(cnt[vals < 0].sum())
+    return pd.DataFrame({
+        "n_lines": [n], "negative_delays": [neg],
+        "median_delay_days": [med], "p90_delay_days": [p90],
+        "mean_delay_days": [float(_q6(np.float64(float(tot))
+                                      / np.float64(n)))],
+    })
+
+
+Q_SHIP_DELAY_SQL = """
+WITH d AS (SELECT epoch_us(l.l_shipdate) // 86400000000
+                    - epoch_us(o.o_orderdate) // 86400000000 AS gap
+           FROM lineitem l JOIN orders o
+             ON o.o_orderkey = l.l_orderkey),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(gap AS HUGEINT)) AS HUGEINT) AS tot,
+             CAST(COUNT(*) FILTER (gap < 0) AS BIGINT) AS neg FROM d),
+rk AS (SELECT gap, ROW_NUMBER() OVER (ORDER BY gap) AS i FROM d)
+SELECT t.n AS n_lines, t.neg AS negative_delays,
+       (SELECT gap FROM rk WHERE i = (t.n + 1) // 2)
+         AS median_delay_days,
+       (SELECT gap FROM rk WHERE i = (9 * t.n + 9) // 10)
+         AS p90_delay_days,
+       floor(CAST(t.tot AS DOUBLE) / CAST(t.n AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS mean_delay_days
+FROM t
+"""
+
+
+def t_error_recovery(sf_dir: str):
+    """Error-recovery time: for every 'error' event, the gap to the
+    user's NEXT event in (ts, event_id) stream order — the UX-health
+    number ("after something breaks, how fast do users act again?")
+    with unrecovered errors (stream ends) counted separately. Gaps
+    are exact integer µs from one entity shuffle; median/p90 recovery
+    seconds are exact element selections over the whole-second gap
+    multiset; only the mean quantizes."""
+    from ..stages.temporal import grouped_map
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"],
+               split=True)
+
+    def rec(g: pd.DataFrame) -> pa.Table:
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({
+            "u": g["user_id"].to_numpy(np.int64), "t": us,
+            "e": g["event_id"].to_numpy(np.int64),
+            "et": g["event_type"].to_numpy(object),
+        }).sort_values(["u", "t", "e"], kind="stable")
+        u = df["u"].to_numpy()
+        t = df["t"].to_numpy()
+        iserr = df["et"].to_numpy(object) == "error"
+        same = np.concatenate([u[1:] == u[:-1], [False]])
+        has_next = iserr & same
+        gap_sec = (np.concatenate([t[1:], [0]]) - t)[has_next] \
+            // 1_000_000
+        unrec = int((iserr & ~same).sum())
+        out = pd.DataFrame({"gap": gap_sec, "n": 1})
+        out = out.groupby("gap", as_index=False).sum()
+        out["unrec"] = 0
+        marker = pd.DataFrame({"gap": [-1], "n": [0], "unrec": [unrec]})
+        return pa.Table.from_pandas(
+            pd.concat([out, marker], ignore_index=True),
+            preserve_index=False)
+
+    g = (
+        grouped_map(ds, "user_id", rec)
+        .to_pandas()
+        .groupby("gap", as_index=False)[["n", "unrec"]].sum()
+    )
+    unrec = int(g["unrec"].sum())
+    g = g[g["gap"] >= 0].sort_values("gap")
+    vals = g["gap"].to_numpy(np.int64)
+    cnt = g["n"].to_numpy(np.int64)
+    n = int(cnt.sum())
+    cum = np.cumsum(cnt)
+    med = int(vals[np.searchsorted(cum, (n + 1) // 2, "left")])
+    p90 = int(vals[np.searchsorted(cum, (9 * n + 9) // 10, "left")])
+    tot = _exact_dot(vals, cnt)
+    return pd.DataFrame({
+        "n_recovered": [n], "n_unrecovered": [unrec],
+        "median_recovery_sec": [med], "p90_recovery_sec": [p90],
+        "mean_recovery_sec": [float(_q6(np.float64(float(tot))
+                                        / np.float64(n)))],
+    })
+
+
+T_ERROR_RECOVERY_SQL = """
+WITH s AS (SELECT event_type,
+                  LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS nxt,
+                  epoch_us(ts) AS t
+           FROM events),
+e AS (SELECT (nxt - t) // 1000000 AS gap, nxt IS NULL AS unrec
+      FROM s WHERE event_type = 'error'),
+r AS (SELECT gap FROM e WHERE NOT unrec),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(gap AS HUGEINT)) AS HUGEINT) AS tot FROM r),
+u AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM e WHERE unrec),
+rk AS (SELECT gap, ROW_NUMBER() OVER (ORDER BY gap) AS i FROM r)
+SELECT t.n AS n_recovered, u.k AS n_unrecovered,
+       (SELECT gap FROM rk WHERE i = (t.n + 1) // 2)
+         AS median_recovery_sec,
+       (SELECT gap FROM rk WHERE i = (9 * t.n + 9) // 10)
+         AS p90_recovery_sec,
+       floor(CAST(t.tot AS DOUBLE) / CAST(t.n AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS mean_recovery_sec
+FROM t CROSS JOIN u
+"""
+
+
+def d_casing_profile(sf_dir: str):
+    """Token-casing profile per source: shares of lowercase,
+    TitleCase, ALLCAPS, numeric and other tokens — the WORD-level
+    register/shouting audit complementing d_charclass's char grain
+    (a source drifting toward ALLCAPS is ads or OCR, TitleCase-heavy
+    is headlines). One vectorized regex pass per batch; counts fold
+    as exact integers through a tiny per-source exchange; shares
+    quantize once each."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        src = pd.Series(batch["source"].to_numpy(zero_copy_only=False))
+        ex = (pd.Series(batch["text"].to_numpy(zero_copy_only=False))
+              .fillna("").str.findall(r"\S+").explode().dropna())
+        tok = ex.astype(str)
+        lower = tok.str.fullmatch(r"[a-z]+").to_numpy()
+        title = tok.str.fullmatch(r"[A-Z][a-z]+").to_numpy()
+        caps = tok.str.fullmatch(r"[A-Z]{2,}").to_numpy()
+        num = tok.str.fullmatch(r"[0-9]+").to_numpy()
+        df = pd.DataFrame({
+            "source": src.iloc[ex.index.to_numpy(np.int64)].to_numpy(),
+            "n": 1,
+            "lo": lower.astype(np.int64), "ti": title.astype(np.int64),
+            "ca": caps.astype(np.int64), "nu": num.astype(np.int64),
+        })
+        return pa.Table.from_pandas(
+            df.groupby("source", as_index=False).sum(),
+            preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n"), Sum("lo", alias_name="lo"),
+                   Sum("ti", alias_name="ti"), Sum("ca", alias_name="ca"),
+                   Sum("nu", alias_name="nu"))
+        .to_pandas().sort_values("source")
+    )
+    rows = []
+    for _, r in g.iterrows():
+        n = int(r["n"])
+        sh = [float(_q6(np.float64(int(r[c])) / np.float64(n)))
+              for c in ["lo", "ti", "ca", "nu"]]
+        other = n - int(r["lo"]) - int(r["ti"]) - int(r["ca"]) \
+            - int(r["nu"])
+        rows.append((r["source"], n, *sh,
+                     float(_q6(np.float64(other) / np.float64(n)))))
+    return pd.DataFrame(rows, columns=[
+        "source", "n_tokens", "lower_share", "title_share",
+        "caps_share", "numeric_share", "other_share"])
+
+
+D_CASING_PROFILE_SQL = """
+WITH u AS (SELECT source,
+                  unnest(regexp_extract_all(coalesce(text, ''), '\\S+'))
+                    AS tok
+           FROM documents),
+c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) FILTER (regexp_matches(tok, '^[a-z]+$'))
+                  AS BIGINT) AS lo,
+             CAST(COUNT(*) FILTER (regexp_matches(tok, '^[A-Z][a-z]+$'))
+                  AS BIGINT) AS ti,
+             CAST(COUNT(*) FILTER (regexp_matches(tok, '^[A-Z]{2,}$'))
+                  AS BIGINT) AS ca,
+             CAST(COUNT(*) FILTER (regexp_matches(tok, '^[0-9]+$'))
+                  AS BIGINT) AS nu
+      FROM u GROUP BY source)
+SELECT source, n AS n_tokens,
+       floor(CAST(lo AS DOUBLE) / CAST(n AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS lower_share,
+       floor(CAST(ti AS DOUBLE) / CAST(n AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS title_share,
+       floor(CAST(ca AS DOUBLE) / CAST(n AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS caps_share,
+       floor(CAST(nu AS DOUBLE) / CAST(n AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS numeric_share,
+       floor(CAST(n - lo - ti - ca - nu AS DOUBLE) / CAST(n AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS other_share
+FROM c ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -21791,4 +22022,7 @@ QUERIES: dict[str, tuple] = {
                                Q_SUPPLY_CONCENTRATION_SQL),
     "t_conversion_lag": (t_conversion_lag, T_CONVERSION_LAG_SQL),
     "q_basket_diversity": (q_basket_diversity, Q_BASKET_DIVERSITY_SQL),
+    "q_ship_delay": (q_ship_delay, Q_SHIP_DELAY_SQL),
+    "t_error_recovery": (t_error_recovery, T_ERROR_RECOVERY_SQL),
+    "d_casing_profile": (d_casing_profile, D_CASING_PROFILE_SQL),
 }
