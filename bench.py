@@ -339,6 +339,9 @@ HEADLINE = [
     "q_ship_delay",
     "t_error_recovery",
     "d_casing_profile",
+    "t_activity_heatmap",
+    "d_keyness_g2",
+    "d_mix_budget",
 ]
 
 

@@ -21629,6 +21629,245 @@ FROM c ORDER BY source
 """
 
 
+def t_activity_heatmap(sf_dir: str):
+    """Day-of-week × hour-of-day activity heatmap with a chi-square
+    uniformity test — the on-call staffing grid (t_seasonality sees
+    hours only; weekday structure hides from it). Cell counts are
+    exact integers over the 7×24 grid (epoch day 0 = Thursday, so
+    dow = (day+4) % 7 gives 0 = Sunday in both engines); expected
+    counts under uniformity are the rational N/168, each chi² term
+    micro-floors at 1e-6, and the statistic quantizes once. Output is
+    the 168-cell grid plus per-cell share."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        day = us // 86_400_000_000
+        df = pd.DataFrame({
+            "dow": (day + 4) % 7,
+            "hod": (us // 3_600_000_000) % 24,
+            "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["dow", "hod"], as_index=False).sum(),
+            preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["dow", "hod"]).aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    full = pd.MultiIndex.from_product([range(7), range(24)],
+                                      names=["dow", "hod"]).to_frame(
+        index=False)
+    g = full.merge(g, on=["dow", "hod"], how="left").fillna(0)
+    g["n"] = g["n"].astype(np.int64)
+    n = int(g["n"].sum())
+    e = np.float64(n) / 168.0
+    t = (g["n"].to_numpy(np.float64) - e) ** 2 / e
+    chi2 = np.float64(
+        int(np.floor(t * 1e6 + 0.5005).astype(np.int64).sum())) / 1e6
+    g["share"] = _q6(g["n"].to_numpy(np.float64) / np.float64(n))
+    g["chi2_uniform"] = float(_q6(chi2))
+    return g.sort_values(["dow", "hod"]).reset_index(drop=True)
+
+
+T_ACTIVITY_HEATMAP_SQL = """
+WITH e AS (SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+                  (epoch_us(ts) // 3600000000) % 24 AS hod
+           FROM events),
+grid AS (SELECT d.dow, h.hod
+         FROM (SELECT unnest(generate_series(0, 6)) AS dow) d
+         CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS hod) h),
+c AS (SELECT grid.dow, grid.hod,
+             CAST(COALESCE(k.n, 0) AS BIGINT) AS n
+      FROM grid LEFT JOIN (SELECT dow, hod,
+                                  CAST(COUNT(*) AS BIGINT) AS n
+                           FROM e GROUP BY dow, hod) k
+        USING (dow, hod)),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+x AS (SELECT CAST(SUM(CAST(floor(
+          (CAST(c.n AS DOUBLE) - CAST(t.total AS DOUBLE) / 168.0)
+          * (CAST(c.n AS DOUBLE) - CAST(t.total AS DOUBLE) / 168.0)
+          / (CAST(t.total AS DOUBLE) / 168.0)
+          * 1000000 + 0.5005) AS BIGINT)) AS HUGEINT) AS f
+      FROM c CROSS JOIN t)
+SELECT c.dow, c.hod, c.n,
+       floor(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS share,
+       floor(CAST(x.f AS DOUBLE) / 1000000 * 1000000 + 0.5005) / 1000000
+         AS chi2_uniform
+FROM c CROSS JOIN t CROSS JOIN x
+ORDER BY c.dow, c.hod
+"""
+
+
+def d_keyness_g2(sf_dir: str):
+    """Dunning log-likelihood (G²) keyness: the top-10 tokens whose
+    frequency most significantly differs between the odd- and
+    even-doc_id corpus halves — the statistically-grounded version of
+    d_distinctive_tokens' raw lift (G² does not over-reward rare
+    tokens). Every observed/expected term is built from exact integer
+    counts (min 5 occurrences overall), each token's G² quantizes
+    once, and the top-10 ranks by (G² desc, token asc) so ties are
+    deterministic. One vocabulary-sized exchange."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        ex = (pd.Series(batch["text"].to_numpy(zero_copy_only=False))
+              .fillna("").str.findall(r"\S+").explode().dropna())
+        df = pd.DataFrame({
+            "h": (ids % 2)[ex.index.to_numpy(np.int64)],
+            "tok": ex.to_numpy(), "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["h", "tok"], as_index=False).sum(),
+            preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["h", "tok"]).aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    piv = g.pivot_table(index="tok", columns="h", values="n",
+                        fill_value=0, aggfunc="sum")
+    a = piv.get(1, pd.Series(0, index=piv.index)).to_numpy(np.int64)
+    b = piv.get(0, pd.Series(0, index=piv.index)).to_numpy(np.int64)
+    na, nb = int(a.sum()), int(b.sum())
+    keep = (a + b) >= 5
+    toks = piv.index.to_numpy(object)[keep]
+    a, b = a[keep], b[keep]
+    naf, nbf = np.float64(na), np.float64(nb)
+    ea = (a + b).astype(np.float64) * naf / (naf + nbf)
+    eb = (a + b).astype(np.float64) * nbf / (naf + nbf)
+    ta = np.where(a > 0,
+                  a * np.log(np.where(a > 0, a, 1).astype(np.float64)
+                             / ea), 0.0)
+    tb = np.where(b > 0,
+                  b * np.log(np.where(b > 0, b, 1).astype(np.float64)
+                             / eb), 0.0)
+    g2 = _q6(2.0 * (ta + tb))
+    df = pd.DataFrame({"token": toks, "n_odd": a, "n_even": b,
+                       "g2": g2.astype(np.float64)})
+    df = df.sort_values(["g2", "token"], ascending=[False, True],
+                        kind="stable").head(10)
+    return df.reset_index(drop=True)
+
+
+D_KEYNESS_G2_SQL = """
+WITH u AS (SELECT doc_id % 2 AS h,
+                  unnest(regexp_extract_all(coalesce(text, ''), '\\S+'))
+                    AS tok
+           FROM documents),
+c AS (SELECT tok,
+             CAST(SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b
+      FROM u GROUP BY tok HAVING SUM(1) >= 5),
+t AS (SELECT CAST(SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS na,
+             CAST(SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb
+      FROM u),
+g AS (SELECT c.tok, c.a, c.b,
+             floor(2.0 * (
+               CASE WHEN c.a > 0 THEN c.a * ln(CAST(c.a AS DOUBLE)
+                 / (CAST(c.a + c.b AS DOUBLE) * CAST(t.na AS DOUBLE)
+                    / (CAST(t.na AS DOUBLE) + CAST(t.nb AS DOUBLE))))
+                 ELSE 0.0 END
+               + CASE WHEN c.b > 0 THEN c.b * ln(CAST(c.b AS DOUBLE)
+                 / (CAST(c.a + c.b AS DOUBLE) * CAST(t.nb AS DOUBLE)
+                    / (CAST(t.na AS DOUBLE) + CAST(t.nb AS DOUBLE))))
+                 ELSE 0.0 END) * 1000000 + 0.5005) / 1000000 AS g2
+      FROM c CROSS JOIN t)
+SELECT tok AS token, a AS n_odd, b AS n_even, g2
+FROM g ORDER BY g2 DESC, tok LIMIT 10
+"""
+
+
+def d_mix_budget(sf_dir: str):
+    """Temperature-reweighted token-budget ALLOCATION (τ = 0.7; the
+    existing d_temperature_mix gives α=0.5 weights only — this turns
+    weights into integer seats; the multilingual
+    /multi-source data-mixing staple): w_s ∝ p_s^0.7 upweights small
+    sources relative to raw proportional sampling, and a 1M-token
+    budget is allocated by the same integer largest-remainder
+    machinery as q_neyman_alloc — each weight quantizes ONCE to a
+    nano-weight, after which seats are pure integer arithmetic. Token
+    counts are exact from one source-cell exchange; the pow(·, 0.7)
+    evaluates on identical doubles in both engines."""
+    from ray.data.aggregate import Sum
+
+    B = 1_000_000
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        src = pd.Series(batch["source"].to_numpy(zero_copy_only=False))
+        cnt = (pd.Series(batch["text"].to_numpy(zero_copy_only=False))
+               .fillna("").str.count(r"\S+").to_numpy(np.int64))
+        df = pd.DataFrame({"source": src.to_numpy(), "n": cnt})
+        return pa.Table.from_pandas(
+            df.groupby("source", as_index=False).sum(),
+            preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("source").aggregate(Sum("n", alias_name="n"))
+        .to_pandas().sort_values("source")
+    )
+    tot = int(g["n"].sum())
+    xq = [int(np.floor(np.power(np.float64(int(n)) / np.float64(tot),
+                                0.7) * 1e9 + 0.5005))
+          for n in g["n"]]
+    sq = sum(xq)
+    base = [(B * x) // sq for x in xq]
+    rem = [(B * x) % sq for x in xq]
+    left = B - sum(base)
+    srcs = g["source"].tolist()
+    order = sorted(range(len(srcs)), key=lambda i: (-rem[i], srcs[i]))
+    alloc = list(base)
+    for i in order[:left]:
+        alloc[i] += 1
+    return pd.DataFrame({
+        "source": srcs,
+        "n_tokens": [int(v) for v in g["n"]],
+        "weight_nano": xq,
+        "token_budget": alloc,
+    })
+
+
+D_MIX_BUDGET_SQL = """
+WITH c AS (SELECT source,
+                  CAST(SUM(array_length(regexp_extract_all(
+                        coalesce(text, ''), '\\S+'))) AS BIGINT) AS n
+           FROM documents GROUP BY source),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c),
+x AS (SELECT c.source, c.n,
+             CAST(floor(pow(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE),
+                            0.7) * 1000000000 + 0.5005) AS HUGEINT)
+               AS xq
+      FROM c CROSS JOIN t),
+s AS (SELECT CAST(SUM(xq) AS HUGEINT) AS sq FROM x),
+b AS (SELECT x.source, x.n, x.xq,
+             (1000000 * x.xq) // s.sq AS base,
+             (1000000 * x.xq) % s.sq AS rem
+      FROM x CROSS JOIN s),
+lft AS (SELECT 1000000 - CAST(SUM(base) AS BIGINT) AS l FROM b),
+rk AS (SELECT source, n, xq, base,
+              ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS pos
+       FROM b)
+SELECT source, n AS n_tokens, CAST(xq AS BIGINT) AS weight_nano,
+       CAST(base + CASE WHEN pos <= (SELECT l FROM lft)
+                        THEN 1 ELSE 0 END AS BIGINT) AS token_budget
+FROM rk ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -22025,4 +22264,7 @@ QUERIES: dict[str, tuple] = {
     "q_ship_delay": (q_ship_delay, Q_SHIP_DELAY_SQL),
     "t_error_recovery": (t_error_recovery, T_ERROR_RECOVERY_SQL),
     "d_casing_profile": (d_casing_profile, D_CASING_PROFILE_SQL),
+    "t_activity_heatmap": (t_activity_heatmap, T_ACTIVITY_HEATMAP_SQL),
+    "d_keyness_g2": (d_keyness_g2, D_KEYNESS_G2_SQL),
+    "d_mix_budget": (d_mix_budget, D_MIX_BUDGET_SQL),
 }
