@@ -342,6 +342,9 @@ HEADLINE = [
     "t_activity_heatmap",
     "d_keyness_g2",
     "d_mix_budget",
+    "q_revenue_decomposition",
+    "q_interval_coverage",
+    "t_quiet_hours",
 ]
 
 

@@ -21868,6 +21868,289 @@ FROM rk ORDER BY source
 """
 
 
+def q_revenue_decomposition(sf_dir: str):
+    """Revenue-bridge decomposition between shipping-window halves
+    over parts traded in both: ΔR = price effect + volume effect +
+    interaction — the "why did revenue move" waterfall finance reads
+    next to q_price_index. With per-part prices the rationals C/Q,
+    price effect Σ((C1·Q0)⫽Q1 − C0) and volume effect
+    Σ((C0·Q1)⫽Q0 − C0) are exact integer floor-division folds and the
+    interaction term is defined as the exact remainder ΔR − price −
+    volume, so the bridge closes to the cent by construction. Shares
+    of |ΔR| quantize once each."""
+    from ray.data.aggregate import Max, Min
+
+    lim = _read(sf_dir, "lineitem", columns=["l_shipdate"]).aggregate(
+        Min("l_shipdate"), Max("l_shipdate"))
+    t0 = int(np.datetime64(lim["min(l_shipdate)"], "us").astype(np.int64))
+    t1 = int(np.datetime64(lim["max(l_shipdate)"], "us").astype(np.int64))
+    mid = (t0 + t1) // 2
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_shipdate", "l_quantity",
+                        "l_extendedprice"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["l_shipdate"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        first = us < mid
+        q = np.floor(batch["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        c = np.floor(batch["l_extendedprice"].to_numpy() * 100 + 0.5) \
+            .astype(np.int64)
+        df = pd.DataFrame({
+            "p": batch["l_partkey"].to_numpy(),
+            "q0": np.where(first, q, 0), "c0": np.where(first, c, 0),
+            "q1": np.where(first, 0, q), "c1": np.where(first, 0, c),
+        })
+        return pa.Table.from_pandas(
+            df.groupby("p", as_index=False).sum(), preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("p", as_index=False)[["q0", "c0", "q1", "c1"]].sum()
+    )
+    both = g[(g["q0"] > 0) & (g["q1"] > 0)]
+    c0 = sum(int(v) for v in both["c0"])
+    c1 = sum(int(v) for v in both["c1"])
+    delta = c1 - c0
+    price = sum((int(a) * int(b)) // int(d) - int(e)
+                for a, b, d, e in zip(both["c1"], both["q0"],
+                                      both["q1"], both["c0"]))
+    volume = sum((int(a) * int(b)) // int(d) - int(e)
+                 for a, b, d, e in zip(both["c0"], both["q1"],
+                                       both["q0"], both["c0"]))
+    interaction = delta - price - volume
+    ad = abs(delta) if delta != 0 else 1
+    return pd.DataFrame({
+        "delta_cents": [delta], "price_effect_cents": [price],
+        "volume_effect_cents": [volume],
+        "interaction_cents": [interaction],
+        "price_share": [float(_q6(np.float64(price) / np.float64(ad)))],
+        "volume_share": [float(_q6(np.float64(volume) / np.float64(ad)))],
+    })
+
+
+Q_REVENUE_DECOMPOSITION_SQL = """
+WITH lim AS (SELECT MIN(epoch_us(l_shipdate)) AS t0,
+                    MAX(epoch_us(l_shipdate)) AS t1 FROM lineitem),
+c AS (SELECT l_partkey AS p,
+             CAST(SUM(CASE WHEN epoch_us(l_shipdate)
+                              < (SELECT (t0 + t1) // 2 FROM lim)
+                           THEN CAST(floor(l_quantity + 0.5) AS BIGINT)
+                           ELSE 0 END) AS HUGEINT) AS q0,
+             CAST(SUM(CASE WHEN epoch_us(l_shipdate)
+                              < (SELECT (t0 + t1) // 2 FROM lim)
+                           THEN CAST(floor(l_extendedprice * 100 + 0.5)
+                                     AS BIGINT) ELSE 0 END) AS HUGEINT)
+               AS c0,
+             CAST(SUM(CASE WHEN epoch_us(l_shipdate)
+                              >= (SELECT (t0 + t1) // 2 FROM lim)
+                           THEN CAST(floor(l_quantity + 0.5) AS BIGINT)
+                           ELSE 0 END) AS HUGEINT) AS q1,
+             CAST(SUM(CASE WHEN epoch_us(l_shipdate)
+                              >= (SELECT (t0 + t1) // 2 FROM lim)
+                           THEN CAST(floor(l_extendedprice * 100 + 0.5)
+                                     AS BIGINT) ELSE 0 END) AS HUGEINT)
+               AS c1
+      FROM lineitem GROUP BY l_partkey),
+b AS (SELECT * FROM c WHERE q0 > 0 AND q1 > 0),
+m AS (SELECT CAST(SUM(c1 - c0) AS HUGEINT) AS delta,
+             CAST(SUM((c1 * q0) // q1 - c0) AS HUGEINT) AS price,
+             CAST(SUM((c0 * q1) // q0 - c0) AS HUGEINT) AS volume
+      FROM b),
+f AS (SELECT delta, price, volume, delta - price - volume AS inter,
+             CASE WHEN delta = 0 THEN 1 ELSE abs(delta) END AS ad
+      FROM m)
+SELECT CAST(delta AS BIGINT) AS delta_cents,
+       CAST(price AS BIGINT) AS price_effect_cents,
+       CAST(volume AS BIGINT) AS volume_effect_cents,
+       CAST(inter AS BIGINT) AS interaction_cents,
+       floor(CAST(price AS DOUBLE) / CAST(ad AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS price_share,
+       floor(CAST(volume AS DOUBLE) / CAST(ad AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS volume_share
+FROM f
+"""
+
+
+def q_interval_coverage(sf_dir: str):
+    """Interval-UNION coverage: merge each customer's overlapping
+    [orderdate, shipdate] intervals (order → latest line ship) and
+    report covered days vs span days — the open-exposure number
+    q_interval_join's pairwise overlaps can't give (union length is
+    not a pairwise property). The merge is a per-customer sweep over
+    (start, end) day pairs inside one entity shuffle (classic
+    gaps-and-islands: an island breaks where start > running max
+    end); covered/span sums are exact integer days; one quantized
+    utilization ratio."""
+    from ..stages.temporal import grouped_map
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def line_cells(batch: pa.Table) -> pa.Table:
+        d = pc.cast(pc.cast(batch["l_shipdate"], pa.timestamp("us")),
+                    pa.int64()).to_numpy() // 86_400_000_000
+        df = pd.DataFrame({"o": batch["l_orderkey"].to_numpy(), "e": d})
+        return pa.Table.from_pandas(
+            df.groupby("o", as_index=False).max(), preserve_index=False)
+
+    from ray.data.aggregate import Max
+
+    ship = (
+        li.map_batches(line_cells, batch_format="pyarrow")
+        .groupby("o").aggregate(Max("e", alias_name="e"))
+    )
+    od = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey",
+                                          "o_orderdate"])
+    from ..stages.partition import auto_join
+
+    j = auto_join(od, ship, left_on="o_orderkey", right_on="o")
+
+    def sweep(g: pd.DataFrame) -> pa.Table:
+        s = (g["o_orderdate"].to_numpy("datetime64[us]")
+             .astype(np.int64) // 86_400_000_000)
+        df = pd.DataFrame({
+            "u": g["o_custkey"].to_numpy(np.int64),
+            "s": s, "e": g["e"].to_numpy(np.int64),
+        }).sort_values(["u", "s", "e"], kind="stable")
+        covered = spans = merged = 0
+        for _u, sub in df.groupby("u", sort=False):
+            ss = sub["s"].to_numpy()
+            ee = sub["e"].to_numpy()
+            cur_s, cur_e = int(ss[0]), int(ee[0])
+            for i in range(1, len(ss)):
+                if int(ss[i]) > cur_e:
+                    covered += cur_e - cur_s + 1
+                    merged += 1
+                    cur_s, cur_e = int(ss[i]), int(ee[i])
+                else:
+                    cur_e = max(cur_e, int(ee[i]))
+            covered += cur_e - cur_s + 1
+            merged += 1
+            spans += int(ee.max()) - int(ss.min()) + 1
+        return pa.table({
+            "covered": pa.array([covered], pa.int64()),
+            "span": pa.array([spans], pa.int64()),
+            "merged": pa.array([merged], pa.int64()),
+            "cust": pa.array([df["u"].nunique()], pa.int64()),
+        })
+
+    g = grouped_map(j, "o_custkey", sweep).to_pandas().sum()
+    covered, span = int(g["covered"]), int(g["span"])
+    return pd.DataFrame({
+        "n_customers": [int(g["cust"])],
+        "merged_intervals": [int(g["merged"])],
+        "covered_days": [covered], "span_days": [span],
+        "utilization": [float(_q6(np.float64(covered)
+                                  / np.float64(span)))],
+    })
+
+
+Q_INTERVAL_COVERAGE_SQL = """
+WITH iv AS (SELECT o.o_custkey AS u,
+                   epoch_us(o.o_orderdate) // 86400000000 AS s,
+                   MAX(epoch_us(l.l_shipdate) // 86400000000) AS e
+            FROM orders o JOIN lineitem l
+              ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_custkey, o.o_orderkey, o.o_orderdate),
+w AS (SELECT u, s, e,
+             MAX(e) OVER (PARTITION BY u ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max
+      FROM iv),
+isl AS (SELECT u, s, e,
+               SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY u ORDER BY s, e) AS island
+        FROM w),
+mrg AS (SELECT u, island, MIN(s) AS ms, MAX(e) AS me
+        FROM isl GROUP BY u, island),
+per AS (SELECT u, CAST(SUM(me - ms + 1) AS BIGINT) AS covered,
+               CAST(COUNT(*) AS BIGINT) AS merged,
+               CAST(MAX(me) - MIN(ms) + 1 AS BIGINT) AS span
+        FROM mrg GROUP BY u)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(merged) AS BIGINT) AS merged_intervals,
+       CAST(SUM(covered) AS BIGINT) AS covered_days,
+       CAST(SUM(span) AS BIGINT) AS span_days,
+       floor(CAST(SUM(covered) AS DOUBLE) / CAST(SUM(span) AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS utilization
+FROM per
+"""
+
+
+def t_quiet_hours(sf_dir: str):
+    """Quiet-hours profile: the longest run of consecutive
+    zero-activity hours on the dense grid, plus the census of silent
+    runs ≥ 6h — the maintenance-window planner's complement to
+    t_peak_window. Runs resolve by the gaps-and-islands identity
+    (silent hour h minus its silent-rank is constant within a run);
+    all outputs are exact integers except one quantized silent
+    share."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        df = pd.DataFrame({"h": us // 3_600_000_000, "n": 1})
+        return pa.Table.from_pandas(
+            df.groupby("h", as_index=False).sum(), preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("h").aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    h0, h1 = int(g["h"].min()), int(g["h"].max())
+    grid = np.zeros(h1 - h0 + 1, dtype=np.int64)
+    grid[g["h"].to_numpy(np.int64) - h0] = g["n"].to_numpy(np.int64)
+    silent = np.flatnonzero(grid == 0)
+    n_hours = len(grid)
+    if len(silent) == 0:
+        return pd.DataFrame({
+            "n_hours": [n_hours], "silent_hours": [0],
+            "longest_quiet_run": [0], "runs_ge_6h": [0],
+            "silent_share": [0.0],
+        })
+    island = silent - np.arange(len(silent))
+    _ids, counts = np.unique(island, return_counts=True)
+    return pd.DataFrame({
+        "n_hours": [n_hours], "silent_hours": [int(len(silent))],
+        "longest_quiet_run": [int(counts.max())],
+        "runs_ge_6h": [int((counts >= 6).sum())],
+        "silent_share": [float(_q6(np.float64(len(silent))
+                                   / np.float64(n_hours)))],
+    })
+
+
+T_QUIET_HOURS_SQL = """
+WITH b AS (SELECT epoch_us(ts) // 3600000000 AS h,
+                  CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),
+lim AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM b),
+grid AS (SELECT gs.hh AS h, COALESCE(b.n, 0) AS n
+         FROM lim, unnest(generate_series(lim.h0, lim.h1)) AS gs(hh)
+         LEFT JOIN b ON b.h = gs.hh),
+s AS (SELECT h, h - ROW_NUMBER() OVER (ORDER BY h) AS island
+      FROM grid WHERE n = 0),
+runs AS (SELECT island, CAST(COUNT(*) AS BIGINT) AS len
+         FROM s GROUP BY island),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hours FROM grid),
+m AS (SELECT CAST(COALESCE(SUM(len), 0) AS BIGINT) AS silent,
+             CAST(COALESCE(MAX(len), 0) AS BIGINT) AS longest,
+             CAST(COALESCE(COUNT(*) FILTER (len >= 6), 0) AS BIGINT)
+               AS ge6
+      FROM runs)
+SELECT t.n_hours, m.silent AS silent_hours,
+       m.longest AS longest_quiet_run, m.ge6 AS runs_ge_6h,
+       floor(CAST(m.silent AS DOUBLE) / CAST(t.n_hours AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS silent_share
+FROM t CROSS JOIN m
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -22267,4 +22550,8 @@ QUERIES: dict[str, tuple] = {
     "t_activity_heatmap": (t_activity_heatmap, T_ACTIVITY_HEATMAP_SQL),
     "d_keyness_g2": (d_keyness_g2, D_KEYNESS_G2_SQL),
     "d_mix_budget": (d_mix_budget, D_MIX_BUDGET_SQL),
+    "q_revenue_decomposition": (q_revenue_decomposition,
+                                Q_REVENUE_DECOMPOSITION_SQL),
+    "q_interval_coverage": (q_interval_coverage, Q_INTERVAL_COVERAGE_SQL),
+    "t_quiet_hours": (t_quiet_hours, T_QUIET_HOURS_SQL),
 }
