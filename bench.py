@@ -345,6 +345,9 @@ HEADLINE = [
     "q_revenue_decomposition",
     "q_interval_coverage",
     "t_quiet_hours",
+    "t_hhi_trend",
+    "q_tail_dependence",
+    "q_month_end_load",
 ]
 
 

@@ -22151,6 +22151,226 @@ FROM t CROSS JOIN m
 """
 
 
+def t_hhi_trend(sf_dir: str):
+    """Weekly customer-revenue concentration trend: per-week HHI
+    (q_hhi's exact integer ratio Σrev²/(Σrev)², quantized to micro
+    units) plus the OLS slope over (week index, HHI micro-int) —
+    "is revenue concentrating?" as one number. Because each weekly
+    HHI is an INTEGER after its single quantize, the regression
+    moments fold exactly and the slope is one quantized ratio; the
+    exchange is per-batch (week, customer) revenue partials folded
+    through one keyed reduction."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["o_orderdate"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "w": us // 604_800_000_000,
+            "u": batch["o_custkey"].to_numpy(),
+            "rev": np.floor(batch["o_totalprice"].to_numpy() * 100 + 0.5)
+                .astype(np.int64),
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["w", "u"], as_index=False).sum(),
+            preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["w", "u"]).aggregate(Sum("rev", alias_name="rev"))
+        .to_pandas()
+    )
+    rows = []
+    for w in sorted(g["w"].unique()):
+        rev = [int(v) for v in g.loc[g["w"] == w, "rev"]]
+        tot = sum(rev)
+        sq = sum(r * r for r in rev)
+        hhi_micro = int(np.floor(
+            np.float64(float(sq))
+            / (np.float64(float(tot)) * np.float64(float(tot)))
+            * 1e6 + 0.5005))
+        rows.append((int(w), len(rev), hhi_micro))
+    out = pd.DataFrame(rows, columns=["week", "n_customers",
+                                      "hhi_micro"])
+    x = [int(v) for v in out["week"] - int(out["week"].min())]
+    y = [int(v) for v in out["hhi_micro"]]
+    n = len(x)
+    sx, sy = sum(x), sum(y)
+    sxx = sum(a * a for a in x)
+    sxy = sum(a * b for a, b in zip(x, y))
+    den = n * sxx - sx * sx
+    slope = 0.0 if den == 0 else float(_q6(
+        np.float64(float(n * sxy - sx * sy)) / np.float64(float(den))
+        / 1e6))
+    out["hhi"] = out["hhi_micro"].to_numpy(np.float64) / 1e6
+    out["slope_per_week"] = slope
+    return out[["week", "n_customers", "hhi", "slope_per_week"]]
+
+
+T_HHI_TREND_SQL = """
+WITH c AS (SELECT epoch_us(o_orderdate) // 604800000000 AS w,
+                  o_custkey,
+                  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                                AS BIGINT)) AS HUGEINT) AS rev
+           FROM orders GROUP BY 1, 2),
+h AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(floor(CAST(SUM(rev * rev) AS DOUBLE)
+                        / (CAST(SUM(rev) AS DOUBLE)
+                           * CAST(SUM(rev) AS DOUBLE))
+                        * 1000000 + 0.5005) AS BIGINT) AS hhi_micro
+      FROM c GROUP BY w),
+m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(w - (SELECT MIN(w) FROM h)) AS HUGEINT) AS sx,
+             CAST(SUM(hhi_micro) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(w - (SELECT MIN(w) FROM h) AS HUGEINT)
+                      * (w - (SELECT MIN(w) FROM h))) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(w - (SELECT MIN(w) FROM h) AS HUGEINT)
+                      * hhi_micro) AS HUGEINT) AS sxy
+      FROM h),
+sl AS (SELECT CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                   ELSE floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                              / CAST(n * sxx - sx * sx AS DOUBLE)
+                              / 1000000 * 1000000 + 0.5005) / 1000000
+              END AS slope FROM m)
+SELECT h.w AS week, h.n_customers,
+       h.hhi_micro / 1000000.0 AS hhi,
+       sl.slope AS slope_per_week
+FROM h CROSS JOIN sl ORDER BY h.w
+"""
+
+
+def q_tail_dependence(sf_dir: str):
+    """Upper-tail dependence of quantity and extended price: with
+    both thresholds the EXACT rank-⌈0.9·n⌉ elements of their margins,
+    λ̂ = P(X > x₉₀ ∧ Y > y₉₀) / P(Y > y₉₀) — the joint-extremes
+    number Pearson/Spearman miss (two measures can correlate 0.3 yet
+    always spike together). Thresholds select by pure integer rank
+    over value cells (tie-order invariant); the joint exceedance is
+    one exact count; λ̂ quantizes once."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_extendedprice"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "x": np.floor(batch["l_quantity"].to_numpy() + 0.5)
+                .astype(np.int64),
+            "y": np.floor(batch["l_extendedprice"].to_numpy() * 100 + 0.5)
+                .astype(np.int64),
+            "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["x", "y"], as_index=False).sum(),
+            preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["x", "y"], as_index=False)["n"].sum()
+    )
+    n = int(g["n"].sum())
+    r90 = (9 * n + 9) // 10
+
+    def thresh(col: str) -> int:
+        m = g.groupby(col)["n"].sum().sort_index()
+        cum = m.cumsum()
+        return int(m.index[np.searchsorted(cum.to_numpy(), r90, "left")])
+
+    x90, y90 = thresh("x"), thresh("y")
+    joint = int(g.loc[(g["x"] > x90) & (g["y"] > y90), "n"].sum())
+    ytail = int(g.loc[g["y"] > y90, "n"].sum())
+    lam = 0.0 if ytail == 0 else float(_q6(
+        np.float64(joint) / np.float64(ytail)))
+    return pd.DataFrame({
+        "n": [n], "x90": [x90], "y90": [y90],
+        "joint_exceed": [joint], "y_exceed": [ytail],
+        "tail_lambda": [lam],
+    })
+
+
+Q_TAIL_DEPENDENCE_SQL = """
+WITH v AS (SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    AS y
+           FROM lineitem),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+xr AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS i FROM v),
+yr AS (SELECT y, ROW_NUMBER() OVER (ORDER BY y) AS i FROM v),
+th AS (SELECT
+         (SELECT x FROM xr WHERE i = (9 * t.n + 9) // 10) AS x90,
+         (SELECT y FROM yr WHERE i = (9 * t.n + 9) // 10) AS y90
+       FROM t),
+m AS (SELECT CAST(COUNT(*) FILTER (v.x > th.x90 AND v.y > th.y90)
+                  AS BIGINT) AS joint,
+             CAST(COUNT(*) FILTER (v.y > th.y90) AS BIGINT) AS ytail
+      FROM v CROSS JOIN th)
+SELECT t.n, th.x90, th.y90, m.joint AS joint_exceed,
+       m.ytail AS y_exceed,
+       CASE WHEN m.ytail = 0 THEN 0.0
+            ELSE floor(CAST(m.joint AS DOUBLE) / CAST(m.ytail AS DOUBLE)
+                       * 1000000 + 0.5005) / 1000000 END AS tail_lambda
+FROM t CROSS JOIN th CROSS JOIN m
+"""
+
+
+def q_month_end_load(sf_dir: str):
+    """Month-end load concentration: per calendar month, the share of
+    order revenue landing in the month's LAST three civil days — the
+    quota-stuffing / batch-settlement fingerprint a uniform-by-day
+    assumption misses. Month boundaries come from the civil calendar
+    in both engines (pandas Timestamp vs DuckDB last_day agree by
+    construction); per-month cent sums are exact integers and each
+    share quantizes once."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ts = pd.Series(batch["o_orderdate"].to_pandas())
+        ym = ts.dt.year * 100 + ts.dt.month
+        last3 = (ts.dt.days_in_month - ts.dt.day) < 3
+        df = pd.DataFrame({
+            "ym": ym.to_numpy(np.int64),
+            "c": np.floor(batch["o_totalprice"].to_numpy() * 100 + 0.5)
+                .astype(np.int64),
+            "c3": np.where(last3.to_numpy(),
+                           np.floor(batch["o_totalprice"].to_numpy()
+                                    * 100 + 0.5).astype(np.int64), 0),
+        })
+        return pa.Table.from_pandas(
+            df.groupby("ym", as_index=False).sum(), preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("ym", as_index=False)[["c", "c3"]].sum()
+        .sort_values("ym")
+    )
+    g["share_last3"] = _q6(g["c3"].to_numpy(np.float64)
+                           / g["c"].to_numpy(np.float64))
+    return g.rename(columns={"c": "total_cents", "c3": "last3_cents"}) \
+        .reset_index(drop=True)
+
+
+Q_MONTH_END_LOAD_SQL = """
+WITH o AS (SELECT CAST(date_part('year', o_orderdate) * 100
+                       + date_part('month', o_orderdate) AS BIGINT)
+             AS ym,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+                  date_diff('day', CAST(o_orderdate AS DATE),
+                            last_day(CAST(o_orderdate AS DATE))) < 3
+                    AS is_last3
+           FROM orders)
+SELECT ym, CAST(SUM(c) AS BIGINT) AS total_cents,
+       CAST(COALESCE(SUM(c) FILTER (is_last3), 0) AS BIGINT)
+         AS last3_cents,
+       floor(CAST(COALESCE(SUM(c) FILTER (is_last3), 0) AS DOUBLE)
+             / CAST(SUM(c) AS DOUBLE) * 1000000 + 0.5005) / 1000000
+         AS share_last3
+FROM o GROUP BY ym ORDER BY ym
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -22554,4 +22774,7 @@ QUERIES: dict[str, tuple] = {
                                 Q_REVENUE_DECOMPOSITION_SQL),
     "q_interval_coverage": (q_interval_coverage, Q_INTERVAL_COVERAGE_SQL),
     "t_quiet_hours": (t_quiet_hours, T_QUIET_HOURS_SQL),
+    "t_hhi_trend": (t_hhi_trend, T_HHI_TREND_SQL),
+    "q_tail_dependence": (q_tail_dependence, Q_TAIL_DEPENDENCE_SQL),
+    "q_month_end_load": (q_month_end_load, Q_MONTH_END_LOAD_SQL),
 }
