@@ -348,6 +348,9 @@ HEADLINE = [
     "t_hhi_trend",
     "q_tail_dependence",
     "q_month_end_load",
+    "t_periodogram",
+    "t_user_lifetime",
+    "d_embed_label_purity",
 ]
 
 

@@ -22371,6 +22371,253 @@ FROM o GROUP BY ym ORDER BY ym
 """
 
 
+def t_periodogram(sf_dir: str):
+    """Coarse integer periodogram of the hourly value series at
+    candidate periods {6, 12, 24, 168}: per period, the fundamental's
+    power a²+b² where a = Σ xₜ·cosq(2πkₜ/P) folds as an EXACT integer
+    against a micro-quantized trig table (the shared-table discipline
+    of the daily-cycle DFT, generalized) over the series truncated to
+    whole cycles — so the winning period is a PURE INTEGER power
+    comparison (period tie-break) and only each period's power share
+    quantizes. No demeaning: the DC leak is bounded by the quantized
+    table's row sum and is identical in both engines."""
+    from ray.data.aggregate import Sum
+
+    PERIODS = [6, 12, 24, 168]
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "h": us // 3_600_000_000,
+            "c": np.floor(batch["value"].to_numpy() * 100 + 0.5)
+                .astype(np.int64),
+        })
+        return pa.Table.from_pandas(
+            df.groupby("h", as_index=False).sum(), preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("h").aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    h0, h1 = int(g["h"].min()), int(g["h"].max())
+    grid = np.zeros(h1 - h0 + 1, dtype=np.int64)
+    grid[g["h"].to_numpy(np.int64) - h0] = g["c"].to_numpy(np.int64)
+    powers = {}
+    for p in PERIODS:
+        m = (len(grid) // p) * p
+        if m == 0:
+            powers[p] = 0
+            continue
+        x = grid[:m]
+        k = np.arange(m, dtype=np.int64) % p
+        cq = np.floor(np.cos(2 * np.pi * np.arange(p) / p) * 1e6
+                      + 0.5005).astype(np.int64)
+        sq = np.floor(np.sin(2 * np.pi * np.arange(p) / p) * 1e6
+                      + 0.5005).astype(np.int64)
+        a = _exact_dot(x, cq[k])
+        b = _exact_dot(x, sq[k])
+        powers[p] = a * a + b * b
+    tot = sum(powers.values())
+    top = min((p for p in PERIODS
+               if powers[p] == max(powers.values())))
+    rows = []
+    for p in PERIODS:
+        share = 0.0 if tot == 0 else float(_q6(
+            np.float64(float(powers[p])) / np.float64(float(tot))))
+        rows.append((p, share, top))
+    return pd.DataFrame(rows, columns=["period_hours", "power_share",
+                                       "top_period"])
+
+
+T_PERIODOGRAM_SQL = """
+WITH b AS (SELECT epoch_us(ts) // 3600000000 AS h,
+                  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS c
+           FROM events GROUP BY 1),
+lim AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM b),
+grid AS MATERIALIZED (
+  SELECT gs.hh - lim.h0 AS t, CAST(COALESCE(b.c, 0) AS HUGEINT) AS c
+  FROM lim, unnest(generate_series(lim.h0, lim.h1)) AS gs(hh)
+  LEFT JOIN b ON b.h = gs.hh),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS len FROM grid),
+per AS (SELECT unnest([6, 12, 24, 168]) AS p),
+tab AS (SELECT per.p, gs.k,
+               CAST(floor(cos(2 * pi() * gs.k / per.p) * 1000000
+                          + 0.5005) AS HUGEINT) AS cq,
+               CAST(floor(sin(2 * pi() * gs.k / per.p) * 1000000
+                          + 0.5005) AS HUGEINT) AS sq
+        FROM per, unnest(generate_series(0, per.p - 1)) AS gs(k)),
+f AS (SELECT tab.p,
+             CAST(SUM(grid.c * tab.cq) AS HUGEINT) AS a,
+             CAST(SUM(grid.c * tab.sq) AS HUGEINT) AS bb
+      FROM grid
+      JOIN tab ON tab.k = grid.t % tab.p
+      WHERE grid.t < ((SELECT len FROM n) // tab.p) * tab.p
+      GROUP BY tab.p),
+pw AS (SELECT p, a * a + bb * bb AS power FROM f),
+t AS (SELECT CAST(SUM(power) AS HUGEINT) AS tot FROM pw),
+top AS (SELECT p FROM pw ORDER BY power DESC, p LIMIT 1)
+SELECT pw.p AS period_hours,
+       CASE WHEN t.tot = 0 THEN 0.0
+            ELSE floor(CAST(pw.power AS DOUBLE) / CAST(t.tot AS DOUBLE)
+                       * 1000000 + 0.5005) / 1000000 END AS power_share,
+       (SELECT p FROM top) AS top_period
+FROM pw CROSS JOIN t ORDER BY pw.p
+"""
+
+
+def t_user_lifetime(sf_dir: str):
+    """Observed user lifetime (last event day − first event day)
+    distribution: exact element median/p90, one-day-wonder share, and
+    the quantized mean — the audience-age profile retention matrices
+    summarize per cohort but never as one multiset. Per-user min/max
+    day reduce through one entity exchange; lifetimes are small
+    integers so the fold is an O(distinct lifetimes) value-cell
+    sum."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "u": batch["user_id"].to_numpy(),
+            "lo": us // 86_400_000_000,
+            "hi": us // 86_400_000_000,
+        })
+        gg = df.groupby("u", as_index=False).agg(
+            lo=("lo", "min"), hi=("hi", "max"))
+        return pa.Table.from_pandas(gg, preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("u")
+        .aggregate(Min("lo", alias_name="lo"), Max("hi", alias_name="hi"))
+        .to_pandas()
+    )
+    life = np.sort(g["hi"].to_numpy(np.int64) - g["lo"].to_numpy(np.int64))
+    n = len(life)
+    med = int(life[(n + 1) // 2 - 1])
+    p90 = int(life[(9 * n + 9) // 10 - 1])
+    one_day = int((life == 0).sum())
+    tot = _exact_sum(life)
+    return pd.DataFrame({
+        "n_users": [n], "median_lifetime_days": [med],
+        "p90_lifetime_days": [p90], "one_day_users": [one_day],
+        "mean_lifetime_days": [float(_q6(np.float64(float(tot))
+                                         / np.float64(n)))],
+    })
+
+
+T_USER_LIFETIME_SQL = """
+WITH u AS (SELECT user_id,
+                  MAX(epoch_us(ts) // 86400000000)
+                    - MIN(epoch_us(ts) // 86400000000) AS life
+           FROM events GROUP BY user_id),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(life AS HUGEINT)) AS HUGEINT) AS tot,
+             CAST(COUNT(*) FILTER (life = 0) AS BIGINT) AS od FROM u),
+rk AS (SELECT life, ROW_NUMBER() OVER (ORDER BY life) AS i FROM u)
+SELECT t.n AS n_users,
+       (SELECT life FROM rk WHERE i = (t.n + 1) // 2)
+         AS median_lifetime_days,
+       (SELECT life FROM rk WHERE i = (9 * t.n + 9) // 10)
+         AS p90_lifetime_days,
+       t.od AS one_day_users,
+       floor(CAST(t.tot AS DOUBLE) / CAST(t.n AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS mean_lifetime_days
+FROM t
+"""
+
+
+def d_embed_label_purity(sf_dir: str):
+    """Label purity of a sign-bit embedding quantization: bucket each
+    vector by the sign pattern of its first 8 dimensions (the
+    cheapest possible LSH cell) and measure the majority-label share
+    per occupied bucket plus the size-weighted overall purity — the
+    two-minute answer to "do these embeddings separate the labels at
+    all?" before training a probe. Sign comparisons are exact in both
+    engines; counts are exact integers through an O(256 × labels)
+    cell exchange; smallest-label tie-break; purities quantize
+    once."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        m = np.vstack(batch["embedding"].to_pandas().to_numpy())
+        bits = (m[:, :8] > 0).astype(np.int64)
+        bucket = (bits << np.arange(8, dtype=np.int64)).sum(axis=1)
+        df = pd.DataFrame({
+            "b": bucket,
+            "lab": batch["label"].to_numpy().astype(np.int64),
+            "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["b", "lab"], as_index=False).sum(),
+            preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["b", "lab"]).aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    maj_total = 0
+    n_total = int(g["n"].sum())
+    for b in sorted(g["b"].unique()):
+        sub = g[g["b"] == b].sort_values(["n", "lab"],
+                                         ascending=[False, True],
+                                         kind="stable")
+        nb = int(sub["n"].sum())
+        maj = int(sub["n"].iloc[0])
+        maj_total += maj
+        rows.append((int(b), nb, int(sub["lab"].iloc[0]),
+                     float(_q6(np.float64(maj) / np.float64(nb)))))
+    out = pd.DataFrame(rows, columns=["bucket", "n", "majority_label",
+                                      "purity"])
+    out["overall_purity"] = float(_q6(np.float64(maj_total)
+                                      / np.float64(n_total)))
+    return out
+
+
+D_EMBED_LABEL_PURITY_SQL = """
+WITH v AS (SELECT (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+                  + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+                  + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+                  + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+                  + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+                  + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+                  + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END)
+                    AS b,
+                  CAST(label AS BIGINT) AS lab
+           FROM embeddings),
+c AS (SELECT b, lab, CAST(COUNT(*) AS BIGINT) AS n
+      FROM v GROUP BY b, lab),
+mj AS (SELECT b, lab AS majority_label, n AS maj,
+              ROW_NUMBER() OVER (PARTITION BY b
+                                 ORDER BY n DESC, lab) AS r
+       FROM c),
+bt AS (SELECT b, CAST(SUM(n) AS BIGINT) AS nb FROM c GROUP BY b),
+t AS (SELECT CAST(SUM(maj) AS BIGINT) AS mt FROM mj WHERE r = 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM c)
+SELECT CAST(bt.b AS BIGINT) AS bucket, bt.nb AS n,
+       mj.majority_label,
+       floor(CAST(mj.maj AS DOUBLE) / CAST(bt.nb AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS purity,
+       floor(CAST(t.mt AS DOUBLE) / CAST(tot.nt AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS overall_purity
+FROM bt JOIN mj ON mj.b = bt.b AND mj.r = 1
+CROSS JOIN t CROSS JOIN tot
+ORDER BY bt.b
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -22777,4 +23024,8 @@ QUERIES: dict[str, tuple] = {
     "t_hhi_trend": (t_hhi_trend, T_HHI_TREND_SQL),
     "q_tail_dependence": (q_tail_dependence, Q_TAIL_DEPENDENCE_SQL),
     "q_month_end_load": (q_month_end_load, Q_MONTH_END_LOAD_SQL),
+    "t_periodogram": (t_periodogram, T_PERIODOGRAM_SQL),
+    "t_user_lifetime": (t_user_lifetime, T_USER_LIFETIME_SQL),
+    "d_embed_label_purity": (d_embed_label_purity,
+                             D_EMBED_LABEL_PURITY_SQL),
 }
