@@ -351,6 +351,9 @@ HEADLINE = [
     "t_periodogram",
     "t_user_lifetime",
     "d_embed_label_purity",
+    "q_topk_churn",
+    "q_price_stickiness",
+    "q_mantissa_ks",
 ]
 
 

@@ -22618,6 +22618,249 @@ ORDER BY bt.b
 """
 
 
+def q_topk_churn(sf_dir: str):
+    """Top-20 customer churn between observation halves: how many of
+    the first half's top-20 revenue customers are still top-20 in the
+    second (overlap count + Jaccard) — the key-account stability
+    number a whole-base retention rate hides. Halves split at the
+    exact midpoint µs of o_orderdate; each half's top set selects by
+    (revenue desc, custkey asc) over exact cent sums, so membership
+    is deterministic; all outputs are integers plus one quantized
+    Jaccard."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    K = 20
+    lim = _read(sf_dir, "orders", columns=["o_orderdate"]).aggregate(
+        Min("o_orderdate"), Max("o_orderdate"))
+    t0 = int(np.datetime64(lim["min(o_orderdate)"], "us")
+             .astype(np.int64))
+    t1 = int(np.datetime64(lim["max(o_orderdate)"], "us")
+             .astype(np.int64))
+    mid = (t0 + t1) // 2
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["o_orderdate"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        first = us < mid
+        c = np.floor(batch["o_totalprice"].to_numpy() * 100 + 0.5) \
+            .astype(np.int64)
+        df = pd.DataFrame({
+            "u": batch["o_custkey"].to_numpy(),
+            "r0": np.where(first, c, 0), "r1": np.where(first, 0, c),
+        })
+        return pa.Table.from_pandas(
+            df.groupby("u", as_index=False).sum(), preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("u")
+        .aggregate(Sum("r0", alias_name="r0"), Sum("r1", alias_name="r1"))
+        .to_pandas()
+    )
+
+    def topset(col: str) -> set:
+        s = g[g[col] > 0].sort_values([col, "u"],
+                                      ascending=[False, True],
+                                      kind="stable")
+        return set(int(v) for v in s["u"].head(K))
+
+    a, b = topset("r0"), topset("r1")
+    inter = len(a & b)
+    union = len(a | b)
+    return pd.DataFrame({
+        "k": [K], "top_h1": [len(a)], "top_h2": [len(b)],
+        "stayed": [inter],
+        "jaccard": [float(_q6(np.float64(inter) / np.float64(union)))],
+    })
+
+
+Q_TOPK_CHURN_SQL = """
+WITH lim AS (SELECT MIN(epoch_us(o_orderdate)) AS t0,
+                    MAX(epoch_us(o_orderdate)) AS t1 FROM orders),
+c AS (SELECT o_custkey AS u,
+             CAST(SUM(CASE WHEN epoch_us(o_orderdate)
+                              < (SELECT (t0 + t1) // 2 FROM lim)
+                           THEN CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS r0,
+             CAST(SUM(CASE WHEN epoch_us(o_orderdate)
+                              >= (SELECT (t0 + t1) // 2 FROM lim)
+                           THEN CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS r1
+      FROM orders GROUP BY o_custkey),
+a AS (SELECT u FROM c WHERE r0 > 0 ORDER BY r0 DESC, u LIMIT 20),
+b AS (SELECT u FROM c WHERE r1 > 0 ORDER BY r1 DESC, u LIMIT 20),
+m AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS na,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS nb,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM a JOIN b USING (u)) AS inter)
+SELECT 20 AS k, na AS top_h1, nb AS top_h2, inter AS stayed,
+       floor(CAST(inter AS DOUBLE)
+             / CAST(na + nb - inter AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS jaccard
+FROM m
+"""
+
+
+def q_price_stickiness(sf_dir: str):
+    """Price stickiness: per part, the share of its lineitem rows at
+    its MODAL extended-price cent (mode picked by count desc, price
+    asc) — then the census of sticky parts (modal share ≥ 0.8) and
+    the mean modal share. List-price-driven catalogs score high;
+    negotiated pricing scores low. Per-batch (part, cent) count
+    partials fold driver-side (near-unique key); modal selection is
+    deterministic integer comparison; shares micro-floor at 1e-9
+    before the mean fold."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "p": batch["l_partkey"].to_numpy(),
+            "c": np.floor(batch["l_extendedprice"].to_numpy() * 100 + 0.5)
+                .astype(np.int64),
+            "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["p", "c"], as_index=False).sum(),
+            preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["p", "c"], as_index=False)["n"].sum()
+    )
+    g = g.sort_values(["p", "n", "c"], ascending=[True, False, True],
+                      kind="stable")
+    first = g.drop_duplicates("p")
+    tot = g.groupby("p")["n"].sum()
+    n_parts = len(first)
+    sticky = 0
+    fold = 0
+    for p, mode_n in zip(first["p"], first["n"]):
+        t = int(tot[p])
+        m = int(mode_n)
+        if 5 * m >= 4 * t:  # share >= 0.8 as a pure integer test
+            sticky += 1
+        fold += int(np.floor(np.float64(m) / np.float64(t) * 1e9
+                             + 0.5005))
+    return pd.DataFrame({
+        "n_parts": [n_parts], "sticky_parts": [sticky],
+        "sticky_share": [float(_q6(np.float64(sticky)
+                                   / np.float64(n_parts)))],
+        "mean_modal_share": [float(_q6(np.float64(fold) / 1e9
+                                       / np.float64(n_parts)))],
+    })
+
+
+Q_PRICE_STICKINESS_SQL = """
+WITH c AS (SELECT l_partkey AS p,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    AS cent,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY 1, 2),
+md AS (SELECT p, n AS mode_n,
+              ROW_NUMBER() OVER (PARTITION BY p
+                                 ORDER BY n DESC, cent) AS r
+       FROM c),
+tt AS (SELECT p, CAST(SUM(n) AS BIGINT) AS t FROM c GROUP BY p),
+j AS (SELECT md.p, md.mode_n, tt.t FROM md JOIN tt USING (p)
+      WHERE md.r = 1),
+f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(COUNT(*) FILTER (5 * mode_n >= 4 * t) AS BIGINT)
+               AS sticky,
+             CAST(SUM(CAST(floor(CAST(mode_n AS DOUBLE)
+                                 / CAST(t AS DOUBLE)
+                                 * 1000000000 + 0.5005) AS BIGINT))
+                  AS HUGEINT) AS fold
+      FROM j)
+SELECT n_parts, sticky AS sticky_parts,
+       floor(CAST(sticky AS DOUBLE) / CAST(n_parts AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS sticky_share,
+       floor(CAST(fold AS DOUBLE) / 1000000000
+             / CAST(n_parts AS DOUBLE) * 1000000 + 0.5005) / 1000000
+         AS mean_modal_share
+FROM f
+"""
+
+
+def q_mantissa_ks(sf_dir: str):
+    """Log-mantissa uniformity test — the stronger form of the
+    Benford first-digit audit (q_benford): under Benford's law the
+    fractional part of log₁₀(price) is Uniform[0,1), and the KS
+    distance D = sup|ECDF − u| detects deviations first digits blur.
+    Each distinct cent's mantissa quantizes once to a micro-int; the
+    two-sided sup then evaluates as a PURE INTEGER maximum
+    max(|cum·10⁶ − m_q·n|, |(cum−cnt)·10⁶ − m_q·n|) over sorted
+    mantissa cells, and D quantizes once."""
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "c": np.floor(batch["l_extendedprice"].to_numpy() * 100 + 0.5)
+                .astype(np.int64),
+            "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby("c", as_index=False).sum(), preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("c", as_index=False)["n"].sum()
+    )
+    lg = np.log10(g["c"].to_numpy(np.float64))
+    mant = lg - np.floor(lg)
+    g["m"] = np.floor(mant * 1e6 + 0.5005).astype(np.int64)
+    agg = g.groupby("m", as_index=False)["n"].sum().sort_values("m")
+    mq = agg["m"].to_numpy(np.int64)
+    cnt = agg["n"].to_numpy(np.int64)
+    n = int(cnt.sum())
+    cum = np.cumsum(cnt)
+    hi = np.abs(cum * 10**6 - mq * n)
+    lo = np.abs((cum - cnt) * 10**6 - mq * n)
+    d_scaled = int(max(int(hi.max()), int(lo.max())))
+    return pd.DataFrame({
+        "n": [n], "n_mantissa_cells": [len(agg)],
+        "ks_d": [float(_q6(np.float64(d_scaled)
+                           / (np.float64(n) * 1e6)))],
+    })
+
+
+Q_MANTISSA_KS_SQL = """
+WITH c AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             AS cent,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY 1),
+m AS (SELECT CAST(floor((log10(CAST(cent AS DOUBLE))
+                         - floor(log10(CAST(cent AS DOUBLE))))
+                        * 1000000 + 0.5005) AS BIGINT) AS mq,
+             CAST(SUM(n) AS BIGINT) AS n
+      FROM c GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS HUGEINT) AS nn,
+             CAST(COUNT(*) AS BIGINT) AS cells FROM m),
+w AS (SELECT mq, n,
+             SUM(n) OVER (ORDER BY mq) AS cum
+      FROM m),
+d AS (SELECT MAX(greatest(
+               abs(CAST(cum AS HUGEINT) * 1000000
+                   - CAST(mq AS HUGEINT) * (SELECT nn FROM t)),
+               abs(CAST(cum - n AS HUGEINT) * 1000000
+                   - CAST(mq AS HUGEINT) * (SELECT nn FROM t))))
+         AS ds
+      FROM w)
+SELECT CAST(t.nn AS BIGINT) AS n, t.cells AS n_mantissa_cells,
+       floor(CAST(d.ds AS DOUBLE)
+             / (CAST(t.nn AS DOUBLE) * 1000000)
+             * 1000000 + 0.5005) / 1000000 AS ks_d
+FROM t CROSS JOIN d
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -23028,4 +23271,7 @@ QUERIES: dict[str, tuple] = {
     "t_user_lifetime": (t_user_lifetime, T_USER_LIFETIME_SQL),
     "d_embed_label_purity": (d_embed_label_purity,
                              D_EMBED_LABEL_PURITY_SQL),
+    "q_topk_churn": (q_topk_churn, Q_TOPK_CHURN_SQL),
+    "q_price_stickiness": (q_price_stickiness, Q_PRICE_STICKINESS_SQL),
+    "q_mantissa_ks": (q_mantissa_ks, Q_MANTISSA_KS_SQL),
 }
