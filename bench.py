@@ -354,6 +354,9 @@ HEADLINE = [
     "q_topk_churn",
     "q_price_stickiness",
     "q_mantissa_ks",
+    "q_psych_pricing",
+    "t_priority_mix_drift",
+    "q_discount_ladder",
 ]
 
 

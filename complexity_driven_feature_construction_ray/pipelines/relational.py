@@ -22861,6 +22861,205 @@ FROM t CROSS JOIN d
 """
 
 
+def q_psych_pricing(sf_dir: str):
+    """Psychological-pricing audit: the share of extended prices whose
+    cent remainder ends in .00, .95 or .99 against the 3/100 rate a
+    cent-uniform price process would produce, with a binomial z —
+    catalog prices are set by humans, costs are not, and this is the
+    cheapest detector of which one a column is. Counts are exact
+    integers from a 100-cell remainder exchange; the z is built from
+    identical doubles of exact integers and quantizes once."""
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["l_extendedprice"].to_numpy() * 100 + 0.5) \
+            .astype(np.int64)
+        df = pd.DataFrame({"r": c % 100, "n": 1})
+        return pa.Table.from_pandas(
+            df.groupby("r", as_index=False).sum(), preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("r", as_index=False)["n"].sum()
+    )
+    n = int(g["n"].sum())
+    k = int(g.loc[g["r"].isin([0, 95, 99]), "n"].sum())
+    # H0: p = 3/100; z = (k - 0.03n)/sqrt(n p (1-p)) = (100k - 3n)
+    # / sqrt(3 * 97 * n) with an exact integer numerator
+    num = 100 * k - 3 * n
+    z = float(_q6(np.float64(num)
+                  / np.sqrt(3.0 * 97.0 * np.float64(n))))
+    return pd.DataFrame({
+        "n": [n], "charm_count": [k],
+        "charm_share": [float(_q6(np.float64(k) / np.float64(n)))],
+        "z_vs_uniform": [z],
+    })
+
+
+Q_PSYCH_PRICING_SQL = """
+WITH c AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    % 100 AS r
+           FROM lineitem),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) FILTER (r IN (0, 95, 99)) AS BIGINT) AS k
+      FROM c)
+SELECT n, k AS charm_count,
+       floor(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS charm_share,
+       floor(CAST(100 * k - 3 * n AS DOUBLE)
+             / sqrt(3.0 * 97.0 * CAST(n AS DOUBLE))
+             * 1000000 + 0.5005) / 1000000 AS z_vs_uniform
+FROM m
+"""
+
+
+def t_priority_mix_drift(sf_dir: str):
+    """Order-priority mix drift by month: PSI of each month's
+    priority distribution against the global mix — the categorical
+    drift alarm for a slowly rotting upstream enum (new code paths
+    shift the mix long before volumes move). Counts are exact through
+    one (month, priority) cell exchange; each PSI term
+    (pₘ−p)·ln(pₘ/p) evaluates on identical doubles of exact integer
+    ratios, micro-floored at 1e-9 per (month, priority) before the
+    order-immune fold; zero cells get the standard 1e-6 floor in both
+    engines."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate",
+                                          "o_orderpriority"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ts = pd.Series(batch["o_orderdate"].to_pandas())
+        df = pd.DataFrame({
+            "ym": (ts.dt.year * 100 + ts.dt.month).to_numpy(np.int64),
+            "pr": batch["o_orderpriority"].to_pandas(),
+            "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["ym", "pr"], as_index=False).sum(),
+            preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["ym", "pr"]).aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    pri = sorted(g["pr"].unique())
+    glob = g.groupby("pr")["n"].sum()
+    n_all = int(glob.sum())
+    rows = []
+    for ym in sorted(g["ym"].unique()):
+        sub = g[g["ym"] == ym].set_index("pr")["n"]
+        nm = int(sub.sum())
+        fold = 0
+        for p in pri:
+            pm = max(np.float64(int(sub.get(p, 0))) / np.float64(nm),
+                     1e-6)
+            pg = max(np.float64(int(glob[p])) / np.float64(n_all), 1e-6)
+            t = (pm - pg) * np.log(pm / pg)
+            fold += int(np.floor(t * 1e9 + 0.5005))
+        rows.append((int(ym), nm, float(_q6(np.float64(fold) / 1e9))))
+    return pd.DataFrame(rows, columns=["ym", "n_orders", "psi"])
+
+
+T_PRIORITY_MIX_DRIFT_SQL = """
+WITH c AS (SELECT CAST(date_part('year', o_orderdate) * 100
+                       + date_part('month', o_orderdate) AS BIGINT)
+             AS ym,
+                  o_orderpriority AS pr,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1, 2),
+pri AS (SELECT DISTINCT pr FROM c),
+mt AS (SELECT ym, CAST(SUM(n) AS BIGINT) AS nm FROM c GROUP BY ym),
+gl AS (SELECT pr, CAST(SUM(n) AS BIGINT) AS n FROM c GROUP BY pr),
+ga AS (SELECT CAST(SUM(n) AS BIGINT) AS na FROM gl),
+grid AS (SELECT mt.ym, mt.nm, pri.pr,
+                COALESCE(c.n, 0) AS n, gl.n AS gn, ga.na
+         FROM mt CROSS JOIN pri
+         LEFT JOIN c ON c.ym = mt.ym AND c.pr = pri.pr
+         JOIN gl ON gl.pr = pri.pr CROSS JOIN ga),
+term AS (SELECT ym, nm,
+           CAST(floor(
+             (greatest(CAST(n AS DOUBLE) / CAST(nm AS DOUBLE), 0.000001)
+              - greatest(CAST(gn AS DOUBLE) / CAST(na AS DOUBLE),
+                         0.000001))
+             * ln(greatest(CAST(n AS DOUBLE) / CAST(nm AS DOUBLE),
+                           0.000001)
+                  / greatest(CAST(gn AS DOUBLE) / CAST(na AS DOUBLE),
+                             0.000001))
+             * 1000000000 + 0.5005) AS BIGINT) AS f
+         FROM grid)
+SELECT ym, nm AS n_orders,
+       floor(CAST(SUM(f) AS DOUBLE) / 1000000000 * 1000000 + 0.5005)
+         / 1000000 AS psi
+FROM term GROUP BY ym, nm ORDER BY ym
+"""
+
+
+def q_discount_ladder(sf_dir: str):
+    """Discount-ladder monotonicity: does mean quantity rise with
+    every step up the discount ladder? Adjacent-level comparisons
+    S_{i+1}·n_i > S_i·n_{i+1} are PURE INTEGER cross-multiplications
+    of exact cell sums — no mean is ever formed as a float — so the
+    inversion census (steps where quantity DROPS as discount deepens)
+    is quantizer-free; per-level means quantize only for display.
+    One O(levels) cell exchange."""
+    ds = _read(sf_dir, "lineitem", columns=["l_discount", "l_quantity"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "d": np.floor(batch["l_discount"].to_numpy() * 100 + 0.5)
+                .astype(np.int64),
+            "n": 1,
+            "s": np.floor(batch["l_quantity"].to_numpy() + 0.5)
+                .astype(np.int64),
+        })
+        return pa.Table.from_pandas(
+            df.groupby("d", as_index=False).sum(), preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("d", as_index=False)[["n", "s"]].sum()
+        .sort_values("d")
+    )
+    d = [int(v) for v in g["d"]]
+    n = [int(v) for v in g["n"]]
+    s = [int(v) for v in g["s"]]
+    inversions = sum(
+        1 for i in range(len(d) - 1)
+        if s[i + 1] * n[i] < s[i] * n[i + 1])
+    rows = []
+    for i in range(len(d)):
+        rows.append((d[i], n[i], float(_q6(
+            np.float64(s[i]) / np.float64(n[i])))))
+    out = pd.DataFrame(rows, columns=["discount_pct", "n",
+                                      "mean_quantity"])
+    out["ladder_inversions"] = inversions
+    return out
+
+
+Q_DISCOUNT_LADDER_SQL = """
+WITH c AS (SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                       AS HUGEINT) AS s
+           FROM lineitem GROUP BY 1),
+w AS (SELECT d, n, s,
+             LEAD(n) OVER (ORDER BY d) AS n2,
+             LEAD(s) OVER (ORDER BY d) AS s2
+      FROM c),
+inv AS (SELECT CAST(COUNT(*) FILTER (s2 * n < s * n2) AS BIGINT) AS k
+        FROM w WHERE n2 IS NOT NULL)
+SELECT c.d AS discount_pct, c.n,
+       floor(CAST(c.s AS DOUBLE) / CAST(c.n AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS mean_quantity,
+       inv.k AS ladder_inversions
+FROM c CROSS JOIN inv ORDER BY c.d
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -23274,4 +23473,8 @@ QUERIES: dict[str, tuple] = {
     "q_topk_churn": (q_topk_churn, Q_TOPK_CHURN_SQL),
     "q_price_stickiness": (q_price_stickiness, Q_PRICE_STICKINESS_SQL),
     "q_mantissa_ks": (q_mantissa_ks, Q_MANTISSA_KS_SQL),
+    "q_psych_pricing": (q_psych_pricing, Q_PSYCH_PRICING_SQL),
+    "t_priority_mix_drift": (t_priority_mix_drift,
+                             T_PRIORITY_MIX_DRIFT_SQL),
+    "q_discount_ladder": (q_discount_ladder, Q_DISCOUNT_LADDER_SQL),
 }
