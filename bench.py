@@ -357,6 +357,9 @@ HEADLINE = [
     "q_psych_pricing",
     "t_priority_mix_drift",
     "q_discount_ladder",
+    "q_trade_flows",
+    "t_props_value_corr",
+    "d_dup_locality",
 ]
 
 

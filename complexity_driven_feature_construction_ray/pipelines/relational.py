@@ -23060,6 +23060,244 @@ FROM c CROSS JOIN inv ORDER BY c.d
 """
 
 
+def q_trade_flows(sf_dir: str):
+    """Customer-nation × supplier-nation revenue flow matrix (top 10
+    cells): lineitem joins orders through the FACT×FACT orderkey
+    shuffle (auto_join), while the customer→nation and
+    supplier→nation lookups broadcast once via ray.put — the
+    dimension sides never shuffle. Cent sums are exact integers;
+    the top-10 ranks by (revenue desc, nation pair asc) so ties are
+    deterministic. The imbalance diagnostic every sourcing review
+    starts from."""
+    import ray as _ray
+
+    from ..stages.partition import auto_join
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]).to_pandas()
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name"]).to_pandas()
+    nmap = dict(zip(nat["n_nationkey"].to_numpy(np.int64),
+                    nat["n_name"].to_numpy(object)))
+    cmap_ref = _ray.put(dict(zip(cust["c_custkey"].to_numpy(np.int64),
+                                 cust["c_nationkey"].to_numpy(np.int64))))
+    smap_ref = _ray.put(dict(zip(supp["s_suppkey"].to_numpy(np.int64),
+                                 supp["s_nationkey"].to_numpy(np.int64))))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice"])
+    od = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    j = auto_join(li, od, left_on="l_orderkey", right_on="o_orderkey")
+
+    class Flow:
+        def __init__(self, cref=cmap_ref, sref=smap_ref):
+            self.cmap = _ray.get(cref) if isinstance(
+                cref, _ray.ObjectRef) else cref
+            self.smap = _ray.get(sref) if isinstance(
+                sref, _ray.ObjectRef) else sref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "cn": pd.Series(batch["o_custkey"].to_numpy())
+                    .map(self.cmap).to_numpy(np.int64),
+                "sn": pd.Series(batch["l_suppkey"].to_numpy())
+                    .map(self.smap).to_numpy(np.int64),
+                "rev": np.floor(batch["l_extendedprice"].to_numpy()
+                                * 100 + 0.5).astype(np.int64),
+            })
+            return pa.Table.from_pandas(
+                df.groupby(["cn", "sn"], as_index=False).sum(),
+                preserve_index=False)
+
+    g = (
+        j.map_batches(Flow, batch_format="pyarrow", concurrency=2,
+                      num_cpus=0.5)
+        .to_pandas()
+        .groupby(["cn", "sn"], as_index=False)["rev"].sum()
+    )
+    g["cust_nation"] = g["cn"].map(nmap)
+    g["supp_nation"] = g["sn"].map(nmap)
+    g = g.sort_values(["rev", "cust_nation", "supp_nation"],
+                      ascending=[False, True, True],
+                      kind="stable").head(10)
+    return g[["cust_nation", "supp_nation", "rev"]].rename(
+        columns={"rev": "rev_cents"}).reset_index(drop=True)
+
+
+Q_TRADE_FLOWS_SQL = """
+WITH f AS (SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+                  CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5)
+                                AS BIGINT)) AS BIGINT) AS rev_cents
+           FROM lineitem l
+           JOIN orders o ON o.o_orderkey = l.l_orderkey
+           JOIN customer c ON c.c_custkey = o.o_custkey
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+           JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+           GROUP BY 1, 2)
+SELECT cust_nation, supp_nation, rev_cents
+FROM f ORDER BY rev_cents DESC, cust_nation, supp_nation LIMIT 10
+"""
+
+
+def t_props_value_corr(sf_dir: str):
+    """Pearson correlation between the JSON payload's numeric k
+    property and event value, per event type — the does-this-
+    unparsed-field-carry-signal triage before promoting a JSON prop
+    to a real column. k extracts by the same regex in both engines
+    (rows without a parse are dropped on both sides); k and cent
+    values are exact integers so all five moments fold exactly and
+    each correlation quantizes once."""
+    ds = _read(sf_dir, "events", columns=["event_type", "props",
+                                          "value"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        props = pd.Series(batch["props"].to_numpy(zero_copy_only=False))
+        k = props.str.extract(r'"k": (\d+)', expand=False)
+        ok = k.notna().to_numpy()
+        x = k[ok].astype(np.int64).to_numpy()
+        y = np.floor(batch["value"].to_numpy() * 100 + 0.5) \
+            .astype(np.int64)[ok]
+        df = pd.DataFrame({
+            "et": pd.Series(batch["event_type"].to_numpy(
+                zero_copy_only=False))[ok].to_numpy(),
+            "n": 1, "sx": x, "sy": y,
+            "sxx": x * x, "syy": y * y, "sxy": x * y,
+        })
+        return pa.Table.from_pandas(
+            df.groupby("et", as_index=False).sum(), preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("et", as_index=False)[["n", "sx", "sy", "sxx", "syy",
+                                        "sxy"]].sum()
+    )
+    rows = []
+    for _, r in g.sort_values("et").iterrows():
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        num = n * int(r["sxy"]) - sx * sy
+        dx = n * int(r["sxx"]) - sx * sx
+        dy = n * int(r["syy"]) - sy * sy
+        corr = 0.0 if dx == 0 or dy == 0 else float(_q6(
+            np.float64(float(num))
+            / np.sqrt(np.float64(float(dx)) * np.float64(float(dy)))))
+        rows.append((r["et"], n, corr))
+    return pd.DataFrame(rows, columns=["event_type", "n_parsed",
+                                       "k_value_corr"])
+
+
+T_PROPS_VALUE_CORR_SQL = """
+WITH v AS (SELECT event_type AS et,
+                  CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1),
+                              '') AS HUGEINT) AS x,
+                  CAST(floor(value * 100 + 0.5) AS HUGEINT) AS y
+           FROM events),
+m AS (SELECT et, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x * x) AS HUGEINT) AS sxx,
+             CAST(SUM(y * y) AS HUGEINT) AS syy,
+             CAST(SUM(x * y) AS HUGEINT) AS sxy
+      FROM v WHERE x IS NOT NULL GROUP BY et)
+SELECT et AS event_type, CAST(n AS BIGINT) AS n_parsed,
+       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+            THEN 0.0
+            ELSE floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE))
+                       * 1000000 + 0.5005) / 1000000 END AS k_value_corr
+FROM m ORDER BY et
+"""
+
+
+def d_dup_locality(sf_dir: str):
+    """Ingestion locality of exact duplicates: within each exact-dup
+    text group, the doc_id gaps between consecutive members — near-
+    zero gaps mean double-ingest at write time, huge gaps mean
+    re-crawls, and the fix differs. Content travels as md5 digests
+    (never text); per-group consecutive gaps are exact integers
+    through one digest-keyed exchange; median gap is an exact
+    element, adjacency share (gap ≤ 10) a pure integer test."""
+    import hashlib
+
+    from ..stages.temporal import grouped_map
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               split=True)
+
+    def digest(batch: pa.Table) -> pa.Table:
+        txt = pd.Series(batch["text"].to_numpy(zero_copy_only=False)) \
+            .fillna("")
+        h = [hashlib.md5(t.encode()).hexdigest() for t in txt]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "h": pa.array(h, pa.string()),
+        })
+
+    def gaps(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["h", "doc_id"], kind="stable")
+        hh = g["h"].to_numpy(object)
+        ids = g["doc_id"].to_numpy(np.int64)
+        same = hh[1:] == hh[:-1]
+        d = (ids[1:] - ids[:-1])[same]
+        out = pd.DataFrame({"gap": d, "n": 1})
+        out = out.groupby("gap", as_index=False).sum()
+        # marker row keeps the block schema stable when a bucket (or
+        # the whole corpus) has no exact-dup pairs at all
+        out = pd.concat([out, pd.DataFrame({"gap": [-1], "n": [0]})],
+                        ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    g = (
+        grouped_map(ds.map_batches(digest, batch_format="pyarrow"), "h",
+                    gaps)
+        .to_pandas()
+        .groupby("gap", as_index=False)["n"].sum()
+        .sort_values("gap")
+    )
+    g = g[g["gap"] >= 0]
+    if len(g) == 0 or int(g["n"].sum()) == 0:
+        return pd.DataFrame({
+            "n_gap_pairs": [0], "median_gap": [0], "adjacent_pairs": [0],
+            "adjacent_share": [0.0],
+        })
+    vals = g["gap"].to_numpy(np.int64)
+    cnt = g["n"].to_numpy(np.int64)
+    n = int(cnt.sum())
+    cum = np.cumsum(cnt)
+    med = int(vals[np.searchsorted(cum, (n + 1) // 2, "left")])
+    adj = int(cnt[vals <= 10].sum())
+    return pd.DataFrame({
+        "n_gap_pairs": [n], "median_gap": [med], "adjacent_pairs": [adj],
+        "adjacent_share": [float(_q6(np.float64(adj) / np.float64(n)))],
+    })
+
+
+D_DUP_LOCALITY_SQL = """
+WITH h AS (SELECT doc_id, md5(coalesce(text, '')) AS hh
+           FROM documents),
+s AS (SELECT doc_id - LAG(doc_id) OVER (PARTITION BY hh
+                                        ORDER BY doc_id) AS gap
+      FROM h),
+d AS (SELECT gap FROM s WHERE gap IS NOT NULL),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) FILTER (gap <= 10) AS BIGINT) AS adj FROM d),
+rk AS (SELECT gap, ROW_NUMBER() OVER (ORDER BY gap) AS i FROM d)
+SELECT t.n AS n_gap_pairs,
+       COALESCE((SELECT gap FROM rk WHERE i = (t.n + 1) // 2), 0)
+         AS median_gap,
+       t.adj AS adjacent_pairs,
+       CASE WHEN t.n = 0 THEN 0.0
+            ELSE floor(CAST(t.adj AS DOUBLE) / CAST(t.n AS DOUBLE)
+                       * 1000000 + 0.5005) / 1000000 END
+         AS adjacent_share
+FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -23477,4 +23715,7 @@ QUERIES: dict[str, tuple] = {
     "t_priority_mix_drift": (t_priority_mix_drift,
                              T_PRIORITY_MIX_DRIFT_SQL),
     "q_discount_ladder": (q_discount_ladder, Q_DISCOUNT_LADDER_SQL),
+    "q_trade_flows": (q_trade_flows, Q_TRADE_FLOWS_SQL),
+    "t_props_value_corr": (t_props_value_corr, T_PROPS_VALUE_CORR_SQL),
+    "d_dup_locality": (d_dup_locality, D_DUP_LOCALITY_SQL),
 }
