@@ -360,6 +360,9 @@ HEADLINE = [
     "q_trade_flows",
     "t_props_value_corr",
     "d_dup_locality",
+    "t_dormant_share",
+    "d_partition_balance",
+    "q_margin_audit",
 ]
 
 

@@ -23298,6 +23298,220 @@ FROM t
 """
 
 
+def t_dormant_share(sf_dir: str):
+    """Dormancy census at observation end: the share of ever-active
+    users whose LAST event is ≥ 14 days old (plus the 7-day and
+    30-day rings) — the at-risk base a weekly churn flow
+    (t_growth_accounting) understates because dormancy accrues
+    silently. Per-user last-event day reduces through one entity
+    exchange; ring membership is pure integer day comparison; shares
+    quantize once each."""
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "u": batch["user_id"].to_numpy(),
+            "d": us // 86_400_000_000,
+        })
+        return pa.Table.from_pandas(
+            df.groupby("u", as_index=False).max(), preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("u").aggregate(Max("d", alias_name="d"))
+        .to_pandas()
+    )
+    last = g["d"].to_numpy(np.int64)
+    end = int(last.max())
+    n = len(last)
+    age = end - last
+    d7 = int((age >= 7).sum())
+    d14 = int((age >= 14).sum())
+    d30 = int((age >= 30).sum())
+    return pd.DataFrame({
+        "n_users": [n],
+        "dormant_7d": [d7], "dormant_14d": [d14], "dormant_30d": [d30],
+        "share_14d": [float(_q6(np.float64(d14) / np.float64(n)))],
+    })
+
+
+T_DORMANT_SHARE_SQL = """
+WITH u AS (SELECT user_id,
+                  MAX(epoch_us(ts) // 86400000000) AS d
+           FROM events GROUP BY user_id),
+e AS (SELECT MAX(d) AS endd FROM u),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) FILTER (e.endd - u.d >= 7) AS BIGINT) AS d7,
+             CAST(COUNT(*) FILTER (e.endd - u.d >= 14) AS BIGINT)
+               AS d14,
+             CAST(COUNT(*) FILTER (e.endd - u.d >= 30) AS BIGINT)
+               AS d30
+      FROM u CROSS JOIN e)
+SELECT n AS n_users, d7 AS dormant_7d, d14 AS dormant_14d,
+       d30 AS dormant_30d,
+       floor(CAST(d14 AS DOUBLE) / CAST(n AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS share_14d
+FROM m
+"""
+
+
+def d_partition_balance(sf_dir: str):
+    """Partition-balance audit of the engine's own key hashing: load
+    per bucket when user_id hashes into B = 64 partitions via the
+    public affine map ((u·2654435761 + 12345) mod (2⁶¹−1)) mod 64 —
+    the pre-flight check that tells you whether an entity shuffle
+    will hot-spot BEFORE you pay for it. The product exceeds int64 at
+    real id ranges, so the Ray side folds Python ints / the SQL twin
+    HUGEINT; loads are exact event counts; CV and the max/mean
+    imbalance factor quantize once each."""
+    M61 = (1 << 61) - 1
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy().astype(object)
+        b = ((u * 2654435761 + 12345) % M61 % 64).astype(np.int64)
+        df = pd.DataFrame({"b": b, "n": 1})
+        return pa.Table.from_pandas(
+            df.groupby("b", as_index=False).sum(), preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("b", as_index=False)["n"].sum()
+    )
+    full = pd.DataFrame({"b": range(64)}).merge(g, on="b", how="left") \
+        .fillna(0)
+    n = full["n"].astype(np.int64).to_numpy()
+    total = int(n.sum())
+    mx, mn = int(n.max()), int(n.min())
+    sq = _exact_dot(n, n)
+    var64 = 64 * sq - total * total  # 64² · population variance
+    cv = float(_q6(np.sqrt(np.float64(float(var64)))
+                   / np.float64(total)))
+    return pd.DataFrame({
+        "n_buckets": [64], "total": [total], "max_load": [mx],
+        "min_load": [mn],
+        "imbalance": [float(_q6(np.float64(mx) * 64.0
+                                / np.float64(total)))],
+        "cv": [cv],
+    })
+
+
+D_PARTITION_BALANCE_SQL = """
+WITH h AS (SELECT ((CAST(user_id AS HUGEINT) * 2654435761 + 12345)
+                   % 2305843009213693951) % 64 AS b
+           FROM events),
+g AS (SELECT gs.bb AS b,
+             CAST(COALESCE(k.n, 0) AS BIGINT) AS n
+      FROM unnest(generate_series(0, 63)) AS gs(bb)
+      LEFT JOIN (SELECT b, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM h GROUP BY b) k ON k.b = gs.bb),
+m AS (SELECT CAST(SUM(n) AS HUGEINT) AS total,
+             CAST(MAX(n) AS BIGINT) AS mx,
+             CAST(MIN(n) AS BIGINT) AS mn,
+             CAST(SUM(CAST(n AS HUGEINT) * n) AS HUGEINT) AS sq
+      FROM g)
+SELECT 64 AS n_buckets, CAST(total AS BIGINT) AS total,
+       mx AS max_load, mn AS min_load,
+       floor(CAST(mx AS DOUBLE) * 64.0 / CAST(total AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS imbalance,
+       floor(sqrt(CAST(64 * sq - total * total AS DOUBLE))
+             / CAST(total AS DOUBLE) * 1000000 + 0.5005) / 1000000 AS cv
+FROM m
+"""
+
+
+def q_margin_audit(sf_dir: str):
+    """Retail-margin audit: per part, compare the average realized
+    unit price (ΣextPrice / Σqty, a rational of exact integers)
+    against the catalog p_retailprice — the below-retail census is a
+    PURE INTEGER cross-multiplication C·100 < R·Q (no unit price is
+    ever formed as a float) and the mean realized/retail ratio
+    micro-floors per part before the fold. The part dimension
+    broadcasts once via ray.put; per-batch (part, qty, cents)
+    partials fold through one part-keyed reduction."""
+    import ray as _ray
+
+    from ray.data.aggregate import Sum
+
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_retailprice"]).to_pandas()
+    rmap_ref = _ray.put(dict(zip(
+        part["p_partkey"].to_numpy(np.int64),
+        np.floor(part["p_retailprice"].to_numpy() * 100 + 0.5)
+        .astype(np.int64))))
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "p": batch["l_partkey"].to_numpy(),
+            "q": np.floor(batch["l_quantity"].to_numpy() + 0.5)
+                .astype(np.int64),
+            "c": np.floor(batch["l_extendedprice"].to_numpy() * 100 + 0.5)
+                .astype(np.int64),
+        })
+        return pa.Table.from_pandas(
+            df.groupby("p", as_index=False).sum(), preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("p").aggregate(Sum("q", alias_name="q"),
+                                Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    rmap = _ray.get(rmap_ref)
+    below = 0
+    fold = 0
+    n_parts = len(g)
+    for p, q, c in zip(g["p"], g["q"], g["c"]):
+        r = int(rmap[int(p)])
+        qi, ci = int(q), int(c)
+        if ci * 100 < r * qi:  # avg unit cents < retail cents, exact
+            below += 1
+        ratio = np.float64(ci * 100) / np.float64(r * qi)
+        fold += int(np.floor(ratio * 1e9 + 0.5005))
+    return pd.DataFrame({
+        "n_parts": [n_parts], "below_retail": [below],
+        "below_share": [float(_q6(np.float64(below)
+                                  / np.float64(n_parts)))],
+        "mean_price_ratio": [float(_q6(np.float64(fold) / 1e9
+                                       / np.float64(n_parts)))],
+    })
+
+
+Q_MARGIN_AUDIT_SQL = """
+WITH s AS (SELECT l_partkey AS p,
+                  CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                       AS HUGEINT) AS q,
+                  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5)
+                                AS BIGINT)) AS HUGEINT) AS c
+           FROM lineitem GROUP BY 1),
+j AS (SELECT s.p, s.q, s.c,
+             CAST(floor(pt.p_retailprice * 100 + 0.5) AS HUGEINT) AS r
+      FROM s JOIN part pt ON pt.p_partkey = s.p),
+f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(COUNT(*) FILTER (c * 100 < r * q) AS BIGINT) AS below,
+             CAST(SUM(CAST(floor(CAST(c * 100 AS DOUBLE)
+                                 / CAST(r * q AS DOUBLE)
+                                 * 1000000000 + 0.5005) AS BIGINT))
+                  AS HUGEINT) AS fold
+      FROM j)
+SELECT n_parts, below AS below_retail,
+       floor(CAST(below AS DOUBLE) / CAST(n_parts AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS below_share,
+       floor(CAST(fold AS DOUBLE) / 1000000000
+             / CAST(n_parts AS DOUBLE) * 1000000 + 0.5005) / 1000000
+         AS mean_price_ratio
+FROM f
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -23718,4 +23932,7 @@ QUERIES: dict[str, tuple] = {
     "q_trade_flows": (q_trade_flows, Q_TRADE_FLOWS_SQL),
     "t_props_value_corr": (t_props_value_corr, T_PROPS_VALUE_CORR_SQL),
     "d_dup_locality": (d_dup_locality, D_DUP_LOCALITY_SQL),
+    "t_dormant_share": (t_dormant_share, T_DORMANT_SHARE_SQL),
+    "d_partition_balance": (d_partition_balance, D_PARTITION_BALANCE_SQL),
+    "q_margin_audit": (q_margin_audit, Q_MARGIN_AUDIT_SQL),
 }
