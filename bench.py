@@ -363,6 +363,9 @@ HEADLINE = [
     "t_dormant_share",
     "d_partition_balance",
     "q_margin_audit",
+    "d_dup_by_length",
+    "d_core_vocab",
+    "t_weekend_mix",
 ]
 
 

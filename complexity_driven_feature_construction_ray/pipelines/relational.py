@@ -23512,6 +23512,213 @@ FROM f
 """
 
 
+def d_dup_by_length(sf_dir: str):
+    """Duplication rate by document-length decile: are long documents
+    more (or less) duplicated than short ones? Exact-dup membership
+    comes from md5 groups of size ≥ 2 (content travels as digests);
+    decile CUT VALUES are exact rank-⌈k·n/10⌉ elements of the n_chars
+    multiset and a doc's decile is the count of cuts strictly below
+    its length (value-based, so ties land together deterministically).
+    Counts are exact integers; one quantized rate per decile — the
+    curve that decides whether dedup should run before or after
+    length filtering."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["text", "n_chars"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        txt = pd.Series(batch["text"].to_numpy(zero_copy_only=False)) \
+            .fillna("")
+        h = [hashlib.md5(t.encode()).hexdigest() for t in txt]
+        df = pd.DataFrame({
+            "h": h,
+            "len": batch["n_chars"].to_numpy().astype(np.int64),
+            "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["h", "len"], as_index=False).sum(),
+            preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["h", "len"]).aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    # value cells of the length multiset (weights = doc counts)
+    lc = g.groupby("len")["n"].sum().sort_index()
+    vals = lc.index.to_numpy(np.int64)
+    cnt = lc.to_numpy(np.int64)
+    n = int(cnt.sum())
+    cum = np.cumsum(cnt)
+    cuts = [int(vals[np.searchsorted(cum, (k * n + 9) // 10, "left")])
+            for k in range(1, 10)]
+    dup_mask = g["n"].to_numpy(np.int64) >= 2
+    dec = np.searchsorted(np.array(cuts), g["len"].to_numpy(np.int64),
+                          side="left")
+    rows = []
+    for d in range(10):
+        sel = dec == d
+        nd = int(g["n"].to_numpy(np.int64)[sel].sum())
+        dd = int(g["n"].to_numpy(np.int64)[sel & dup_mask].sum())
+        if nd == 0:
+            continue
+        rows.append((d, nd, dd, float(_q6(np.float64(dd)
+                                          / np.float64(nd)))))
+    return pd.DataFrame(rows, columns=["decile", "n_docs", "dup_docs",
+                                       "dup_rate"])
+
+
+D_DUP_BY_LENGTH_SQL = """
+WITH h AS (SELECT md5(coalesce(text, '')) AS hh, n_chars
+           FROM documents),
+grp AS (SELECT hh, n_chars, CAST(COUNT(*) AS BIGINT) AS n
+        FROM h GROUP BY hh, n_chars),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+rk AS (SELECT n_chars, ROW_NUMBER() OVER (ORDER BY n_chars) AS i
+       FROM documents),
+cuts AS (SELECT ks.k,
+                (SELECT n_chars FROM rk
+                 WHERE i = (ks.k * (SELECT n FROM t) + 9) // 10) AS cv
+         FROM (SELECT unnest(generate_series(1, 9)) AS k) ks),
+dg AS (SELECT grp.hh, grp.n_chars, grp.n,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM cuts
+               WHERE cuts.cv < grp.n_chars) AS decile
+       FROM grp)
+SELECT decile, CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(n) FILTER (n >= 2), 0) AS BIGINT) AS dup_docs,
+       floor(CAST(COALESCE(SUM(n) FILTER (n >= 2), 0) AS DOUBLE)
+             / CAST(SUM(n) AS DOUBLE) * 1000000 + 0.5005) / 1000000
+         AS dup_rate
+FROM dg GROUP BY decile ORDER BY decile
+"""
+
+
+def d_core_vocab(sf_dir: str):
+    """Core-vocabulary census: tokens present in EVERY source, their
+    count, and the share of total corpus token mass they carry — the
+    transfer-learning floor ("what does every sub-corpus agree on")
+    that pairwise overlap matrices (d_vocab_overlap) only show two
+    sources at a time. Presence and mass are exact integers from one
+    vocabulary-sized (token → source-presence count, corpus count)
+    exchange; the mass share quantizes once."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        src = pd.Series(batch["source"].to_numpy(zero_copy_only=False))
+        ex = (pd.Series(batch["text"].to_numpy(zero_copy_only=False))
+              .fillna("").str.findall(r"\S+").explode().dropna())
+        df = pd.DataFrame({
+            "source": src.iloc[ex.index.to_numpy(np.int64)].to_numpy(),
+            "tok": ex.to_numpy(), "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["source", "tok"], as_index=False).sum(),
+            preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["source", "tok"]).aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    n_sources = g["source"].nunique()
+    per = g.groupby("tok").agg(ns=("source", "size"), mass=("n", "sum"))
+    total = int(per["mass"].sum())
+    core = per[per["ns"] == n_sources]
+    core_mass = int(core["mass"].sum())
+    return pd.DataFrame({
+        "n_sources": [n_sources],
+        "vocab_size": [len(per)],
+        "core_vocab": [len(core)],
+        "core_mass_share": [float(_q6(np.float64(core_mass)
+                                      / np.float64(total)))],
+    })
+
+
+D_CORE_VOCAB_SQL = """
+WITH u AS (SELECT source,
+                  unnest(regexp_extract_all(coalesce(text, ''), '\\S+'))
+                    AS tok
+           FROM documents),
+c AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM u GROUP BY source, tok),
+s AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS ns FROM c),
+per AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS pres,
+               CAST(SUM(n) AS BIGINT) AS mass
+        FROM c GROUP BY tok),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(SUM(mass) AS HUGEINT) AS total,
+             CAST(COUNT(*) FILTER (pres = (SELECT ns FROM s))
+                  AS BIGINT) AS core,
+             CAST(COALESCE(SUM(mass) FILTER (pres = (SELECT ns FROM s)),
+                           0) AS HUGEINT) AS core_mass
+      FROM per)
+SELECT (SELECT ns FROM s) AS n_sources, vocab AS vocab_size,
+       core AS core_vocab,
+       floor(CAST(core_mass AS DOUBLE) / CAST(total AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS core_mass_share
+FROM m
+"""
+
+
+def t_weekend_mix(sf_dir: str):
+    """Weekend activity mix per event type: the share of each type's
+    events landing on Saturday/Sunday (epoch-anchored dow, Sunday=0
+    as in t_activity_heatmap) next to the 2/7 uniform baseline — the
+    usage-profile split (leisure vs work product?) per funnel stage.
+    Pure integer counts through an O(types) cell exchange; one
+    quantized share and one quantized lift per type."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        dow = ((us // 86_400_000_000) + 4) % 7
+        wknd = ((dow == 0) | (dow == 6)).astype(np.int64)
+        df = pd.DataFrame({
+            "et": batch["event_type"].to_pandas(),
+            "n": 1, "w": wknd,
+        })
+        return pa.Table.from_pandas(
+            df.groupby("et", as_index=False).sum(), preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("et").aggregate(Sum("n", alias_name="n"),
+                                 Sum("w", alias_name="w"))
+        .to_pandas().sort_values("et")
+    )
+    rows = []
+    for _, r in g.iterrows():
+        n, w = int(r["n"]), int(r["w"])
+        share = np.float64(w) / np.float64(n)
+        rows.append((r["et"], n, w, float(_q6(share)),
+                     float(_q6(share * 7.0 / 2.0))))
+    return pd.DataFrame(rows, columns=["event_type", "n", "weekend_n",
+                                       "weekend_share", "weekend_lift"])
+
+
+T_WEEKEND_MIX_SQL = """
+WITH e AS (SELECT event_type,
+                  ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow
+           FROM events),
+m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) FILTER (dow = 0 OR dow = 6) AS BIGINT) AS w
+      FROM e GROUP BY event_type)
+SELECT event_type, n, w AS weekend_n,
+       floor(CAST(w AS DOUBLE) / CAST(n AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS weekend_share,
+       floor(CAST(w AS DOUBLE) / CAST(n AS DOUBLE) * 7.0 / 2.0
+             * 1000000 + 0.5005) / 1000000 AS weekend_lift
+FROM m ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -23935,4 +24142,7 @@ QUERIES: dict[str, tuple] = {
     "t_dormant_share": (t_dormant_share, T_DORMANT_SHARE_SQL),
     "d_partition_balance": (d_partition_balance, D_PARTITION_BALANCE_SQL),
     "q_margin_audit": (q_margin_audit, Q_MARGIN_AUDIT_SQL),
+    "d_dup_by_length": (d_dup_by_length, D_DUP_BY_LENGTH_SQL),
+    "d_core_vocab": (d_core_vocab, D_CORE_VOCAB_SQL),
+    "t_weekend_mix": (t_weekend_mix, T_WEEKEND_MIX_SQL),
 }
