@@ -366,6 +366,9 @@ HEADLINE = [
     "d_dup_by_length",
     "d_core_vocab",
     "t_weekend_mix",
+    "q_order_size_hist",
+    "d_token_length_profile",
+    "d_embed_dim_variance",
 ]
 
 

@@ -23719,6 +23719,194 @@ FROM m ORDER BY event_type
 """
 
 
+def q_order_size_hist(sf_dir: str):
+    """Order-size distribution: how many lineitems each order carries
+    (including ZERO-lineitem orders, which a lineitem-only groupby can
+    never see) — the basket-width histogram that sizes the per-order
+    exchange every orderkey-keyed join pays. Per-batch (orderkey, n)
+    partials fold driver-side (near-unique key — the multi-column Ray
+    groupby trap q_dup_orders documents; at 100 TB this goes back
+    through a keyed exchange); the orders side contributes only its
+    exact row count, so no second fact table ever ships."""
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_orderkey"]).aggregate([([], "count_all")])
+        return pa.table({"k": g["l_orderkey"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    per = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("k")["n"].sum()
+    )
+    tot = int(_read(sf_dir, "orders", columns=["o_orderkey"]).count())
+    sizes = per.to_numpy(np.int64)
+    empty = tot - len(per)
+    hist = np.bincount(sizes)
+    rows = []
+    if empty > 0:
+        rows.append((0, empty))
+    for s in range(1, len(hist)):
+        if hist[s] > 0:
+            rows.append((int(s), int(hist[s])))
+    out = pd.DataFrame(rows, columns=["size", "n_orders"])
+    out["share"] = [float(_q6(np.float64(c) / np.float64(tot)))
+                    for c in out["n_orders"]]
+    return out
+
+
+Q_ORDER_SIZE_HIST_SQL = """
+WITH c AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY 1),
+a AS (SELECT COALESCE(c.n, 0) AS sz
+      FROM orders LEFT JOIN c ON o_orderkey = l_orderkey),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM orders)
+SELECT sz AS size, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       floor(CAST(COUNT(*) AS DOUBLE) / CAST(tot AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS share
+FROM a, t GROUP BY sz, tot ORDER BY sz
+"""
+
+
+def d_token_length_profile(sf_dir: str):
+    """Per-source token-length census: token count, exact mean length,
+    the exact-rank-element p90 length, and the ≥10-char long-token
+    share — the tokenizer-cost fingerprint (long-token-heavy sources
+    explode BPE fertility; a p90 shift between sources flags encoding
+    junk or agglutinative text d_charclass's char grain smooths over).
+    Per-batch (source, len) count partials feed one O(sources ×
+    distinct-lengths) exchange; length sums fold as exact Python ints
+    and only mean/share quantize."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        src = pd.Series(batch["source"].to_numpy(zero_copy_only=False))
+        ex = (pd.Series(batch["text"].to_numpy(zero_copy_only=False))
+              .fillna("").str.findall(r"\S+").explode().dropna())
+        df = pd.DataFrame({
+            "source": src.iloc[ex.index.to_numpy(np.int64)].to_numpy(),
+            "len": ex.str.len().to_numpy(np.int64), "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["source", "len"], as_index=False).sum(),
+            preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .groupby(["source", "len"]).aggregate(Sum("n", alias_name="n"))
+        .to_pandas().sort_values(["source", "len"])
+    )
+    rows = []
+    for src, grp in g.groupby("source", sort=True):
+        lens = grp["len"].to_numpy(np.int64)
+        ns = grp["n"].to_numpy(np.int64)
+        nt = int(ns.sum())
+        sl = sum(int(a) * int(b) for a, b in zip(lens, ns))
+        cum = np.cumsum(ns)
+        p90 = int(lens[np.searchsorted(cum, (9 * nt + 9) // 10)])
+        lng = int(ns[lens >= 10].sum())
+        rows.append((src, nt,
+                     float(_q6(np.float64(sl) / np.float64(nt))),
+                     p90,
+                     float(_q6(np.float64(lng) / np.float64(nt)))))
+    return pd.DataFrame(rows, columns=["source", "n_tokens", "mean_len",
+                                       "p90_len", "long_share"])
+
+
+D_TOKEN_LENGTH_PROFILE_SQL = """
+WITH u AS (SELECT source,
+                  unnest(regexp_extract_all(coalesce(text, ''), '\\S+'))
+                    AS tok
+           FROM documents),
+c AS (SELECT source, CAST(length(tok) AS BIGINT) AS len,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM u GROUP BY 1, 2),
+s AS (SELECT source, CAST(SUM(n) AS BIGINT) AS nt,
+             CAST(SUM(CAST(len AS HUGEINT) * n) AS HUGEINT) AS sl,
+             CAST(COALESCE(SUM(n) FILTER (len >= 10), 0) AS BIGINT)
+               AS lng
+      FROM c GROUP BY 1),
+w AS (SELECT source, len,
+             SUM(n) OVER (PARTITION BY source ORDER BY len) AS cum
+      FROM c),
+p AS (SELECT w.source, CAST(MIN(w.len) AS BIGINT) AS p90
+      FROM w JOIN s ON w.source = s.source
+      WHERE w.cum >= (9 * s.nt + 9) // 10
+      GROUP BY 1)
+SELECT s.source, s.nt AS n_tokens,
+       floor(CAST(sl AS DOUBLE) / CAST(nt AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS mean_len,
+       p.p90 AS p90_len,
+       floor(CAST(lng AS DOUBLE) / CAST(nt AS DOUBLE)
+             * 1000000 + 0.5005) / 1000000 AS long_share
+FROM s JOIN p ON s.source = p.source ORDER BY s.source
+"""
+
+
+def d_embed_dim_variance(sf_dir: str):
+    """Per-dimension embedding variance census: mean and variance of
+    every coordinate over the whole corpus — the dead-dimension /
+    dominant-axis audit (a near-zero-variance dim wastes index width,
+    one huge dim means the encoder collapsed) that d_embed_centroid's
+    per-label means cannot show. Each float quantizes ONCE to a
+    micro-int (floor(x·1e6 + 0.5)); per-batch per-dim (n, Σq, Σq²)
+    int64 partials fold driver-side as exact Python ints (HUGEINT on
+    the SQL side — an int64 Σq² wraps silently at corpus scale), and
+    mean/variance quantize once per dim."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def parts(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        d = len(col[0])
+        q = np.floor(flat.astype(np.float64) * 1e6 + 0.5).astype(
+            np.int64).reshape(-1, d)
+        return pa.table({
+            "dim": np.arange(d, dtype=np.int64),
+            "n": np.full(d, q.shape[0], dtype=np.int64),
+            "s1": q.sum(axis=0),
+            "s2": (q * q).sum(axis=0),
+        })
+
+    g = ds.map_batches(parts, batch_format="pyarrow").to_pandas()
+    rows = []
+    for dim, grp in g.groupby("dim", sort=True):
+        n = int(grp["n"].sum())
+        s1 = sum(int(v) for v in grp["s1"])
+        s2 = sum(int(v) for v in grp["s2"])
+        var = np.float64(n * s2 - s1 * s1) / (np.float64(n)
+                                              * np.float64(n) * 1e12)
+        rows.append((int(dim), n,
+                     float(_q6(np.float64(s1) / (np.float64(n) * 1e6))),
+                     float(_q6(var))))
+    return pd.DataFrame(rows, columns=["dim", "n", "mean_v", "var_v"])
+
+
+D_EMBED_DIM_VARIANCE_SQL = """
+WITH u AS (SELECT unnest(embedding) AS e,
+                  unnest(range(0, len(embedding))) AS dim
+           FROM embeddings),
+m AS (SELECT CAST(dim AS BIGINT) AS dim,
+             CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+               AS q
+      FROM u),
+s AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS HUGEINT) AS s1,
+             CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT) AS s2
+      FROM m GROUP BY 1)
+SELECT dim, n,
+       floor(CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+             * 1000000 + 0.5005) / 1000000 AS mean_v,
+       floor(CAST(n * s2 - s1 * s1 AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12)
+             * 1000000 + 0.5005) / 1000000 AS var_v
+FROM s ORDER BY dim
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -24145,4 +24333,9 @@ QUERIES: dict[str, tuple] = {
     "d_dup_by_length": (d_dup_by_length, D_DUP_BY_LENGTH_SQL),
     "d_core_vocab": (d_core_vocab, D_CORE_VOCAB_SQL),
     "t_weekend_mix": (t_weekend_mix, T_WEEKEND_MIX_SQL),
+    "q_order_size_hist": (q_order_size_hist, Q_ORDER_SIZE_HIST_SQL),
+    "d_token_length_profile": (d_token_length_profile,
+                               D_TOKEN_LENGTH_PROFILE_SQL),
+    "d_embed_dim_variance": (d_embed_dim_variance,
+                             D_EMBED_DIM_VARIANCE_SQL),
 }
