@@ -369,6 +369,9 @@ HEADLINE = [
     "q_order_size_hist",
     "d_token_length_profile",
     "d_embed_dim_variance",
+    "q_order_reconcile",
+    "t_hour_levene",
+    "q_linenumber_audit",
 ]
 
 

@@ -23907,6 +23907,292 @@ FROM s ORDER BY dim
 """
 
 
+def q_order_reconcile(sf_dir: str):
+    """Header-vs-detail reconciliation audit: does o_totalprice equal
+    the order's Σ extendedprice·(1−discount)·(1+tax)? Every charge is
+    the PURE INTEGER product cents·(100−d)·(100+t) in ten-thousandths
+    of a cent — no float ever enters the fold — so match/over/under
+    and the gap sums are exact. Per-batch partials pre-sum, one
+    orderkey-keyed Ray aggregate builds per-order charges, and the
+    header attaches through auto_join's FACT×FACT hash path (orders
+    is corpus-scale — never broadcast); the final census folds
+    driver-side as Python ints from O(batches) partial rows."""
+    from ray.data.aggregate import Sum
+    from ..stages.partition import auto_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_tax"])
+    od = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def charges(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["l_extendedprice"].to_numpy() * 100
+                     + 0.5).astype(np.int64)
+        d = np.floor(batch["l_discount"].to_numpy() * 100
+                     + 0.5).astype(np.int64)
+        t = np.floor(batch["l_tax"].to_numpy() * 100 + 0.5).astype(
+            np.int64)
+        df = pd.DataFrame({
+            "k": batch["l_orderkey"].to_numpy(),
+            "chg": c * (100 - d) * (100 + t),
+        })
+        return pa.Table.from_pandas(
+            df.groupby("k", as_index=False).sum(), preserve_index=False)
+
+    per = (
+        li.map_batches(charges, batch_format="pyarrow")
+        .groupby("k").aggregate(Sum("chg", alias_name="chg"))
+    )
+
+    def hdr(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "hc": pa.array(
+                np.floor(batch["o_totalprice"].to_numpy() * 100
+                         + 0.5).astype(np.int64) * 10000),
+        })
+
+    j = auto_join(per, od.map_batches(hdr, batch_format="pyarrow"),
+                  left_on="k", right_on="o_orderkey")
+
+    def stats(batch: pa.Table) -> pa.Table:
+        gap = (batch["chg"].to_numpy(zero_copy_only=False)
+               - batch["hc"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "n": [np.int64(len(gap))],
+            "match": [np.int64((gap == 0).sum())],
+            "over": [np.int64((gap > 0).sum())],
+            "under": [np.int64((gap < 0).sum())],
+            "sabs": [np.int64(np.abs(gap).sum())],
+            "mabs": [np.int64(np.abs(gap).max()) if len(gap)
+                     else np.int64(0)],
+        })
+
+    parts = j.map_batches(stats, batch_format="pyarrow").to_pandas()
+    n = sum(int(v) for v in parts["n"])
+    sabs = sum(int(v) for v in parts["sabs"])
+    return pd.DataFrame({
+        "n_orders": [n],
+        "matched": [sum(int(v) for v in parts["match"])],
+        "over": [sum(int(v) for v in parts["over"])],
+        "under": [sum(int(v) for v in parts["under"])],
+        "mean_abs_gap": [float(_q6(np.float64(sabs)
+                                   / (np.float64(n) * 1e6)))],
+        "max_abs_gap": [float(_q6(np.float64(
+            max(int(v) for v in parts["mabs"])) / 1e6))],
+    })
+
+
+Q_ORDER_RECONCILE_SQL = """
+WITH chg AS (SELECT l_orderkey,
+                    CAST(SUM(
+                      CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT)
+                      * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                    AS BIGINT))
+                      * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT))
+                    ) AS HUGEINT) AS c
+             FROM lineitem GROUP BY 1),
+g AS (SELECT c - CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT)
+               * 10000 AS gap
+      FROM chg JOIN orders ON l_orderkey = o_orderkey)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) FILTER (gap = 0) AS BIGINT) AS matched,
+       CAST(COUNT(*) FILTER (gap > 0) AS BIGINT) AS over,
+       CAST(COUNT(*) FILTER (gap < 0) AS BIGINT) AS under,
+       floor(CAST(SUM(abs(gap)) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE)
+             * 1e6) * 1000000 + 0.5005) / 1000000 AS mean_abs_gap,
+       floor(CAST(MAX(abs(gap)) AS DOUBLE) / 1e6
+             * 1000000 + 0.5005) / 1000000 AS max_abs_gap
+FROM g
+"""
+
+
+def t_hour_levene(sf_dir: str):
+    """Brown–Forsythe variance-equality test of event value across the
+    24 hours of day: one-way ANOVA on |x − median(hour)| — is value
+    VOLATILITY time-of-day dependent (q_anova asks only about means,
+    t_seasonal_strength only about hourly count levels)? Each hour's
+    doubled median (lo+hi rank elements) is exact, every deviation
+    z = |2·cents − m2_h| is a pure integer, and the F statistic folds
+    from exact (n, Σz, Σz²) with q_anova's per-group micro-floor.
+    Cells are per-batch (hour, cent, n) partials folded driver-side
+    (near-unique cent key — the multi-column Ray groupby trap; at
+    100 TB this goes back through a keyed exchange)."""
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "h": (us // 3_600_000_000) % 24,
+            "v": np.floor(batch["value"].to_numpy() * 100 + 0.5)
+                .astype(np.int64),
+            "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["h", "v"], as_index=False).sum(),
+            preserve_index=False)
+
+    g = (
+        ds.map_batches(cells, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["h", "v"], as_index=False)["n"].sum()
+        .sort_values(["h", "v"])
+    )
+    fold = 0
+    N = 0
+    Sz = 0
+    Qz = 0
+    best = None
+    for h, sub in g.groupby("h", sort=True):
+        v = sub["v"].to_numpy(np.int64)
+        nn = sub["n"].to_numpy(np.int64)
+        n_h = int(nn.sum())
+        cum = np.cumsum(nn)
+        lo = int(v[np.searchsorted(cum, (n_h + 1) // 2)])
+        hi = int(v[np.searchsorted(cum, n_h // 2 + 1)])
+        m2 = lo + hi
+        z = np.abs(2 * v - m2)
+        s_h = sum(int(a) * int(b) for a, b in zip(z, nn))
+        q_h = sum(int(a) * int(a) * int(b) for a, b in zip(z, nn))
+        N += n_h
+        Sz += s_h
+        Qz += q_h
+        fold += int(np.floor(np.float64(float(s_h * s_h))
+                             / np.float64(n_h) * 1e6 + 0.5005))
+        # most-volatile hour by mean |dev|, quantized ONCE to a
+        # micro-int so the argmax (hour-asc tie-break) is structural
+        # in both engines
+        mq = int(np.floor(np.float64(float(s_h))
+                          / (2.0 * np.float64(n_h)) * 1e6 + 0.5005))
+        if best is None or mq > best[1]:
+            best = (int(h), mq)
+    k = 24
+    grp = np.float64(float(fold)) / 1e6
+    ssb = grp - np.float64(float(Sz * Sz)) / np.float64(N)
+    ssw = np.float64(float(Qz)) - grp
+    f = (ssb / np.float64(k - 1)) / (ssw / np.float64(N - k))
+    return pd.DataFrame({
+        "k": [k], "n": [N], "f_stat": [float(_q6(f))],
+        "top_hour": [best[0]],
+        "top_mad_cents": [np.float64(best[1]) / 1e6],
+    })
+
+
+T_HOUR_LEVENE_SQL = """
+WITH c AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS h,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+s AS (SELECT h, CAST(SUM(n) AS BIGINT) AS n_h FROM c GROUP BY 1),
+w AS (SELECT h, v, n, SUM(n) OVER (PARTITION BY h ORDER BY v) AS cum
+      FROM c),
+med AS (SELECT s.h,
+          (SELECT MIN(v) FROM w WHERE w.h = s.h
+             AND w.cum >= (s.n_h + 1) // 2)
+          + (SELECT MIN(v) FROM w WHERE w.h = s.h
+               AND w.cum >= s.n_h // 2 + 1) AS m2
+        FROM s),
+z AS (SELECT c.h, abs(2 * c.v - med.m2) AS z, c.n
+      FROM c JOIN med ON c.h = med.h),
+grp AS (SELECT h, CAST(SUM(CAST(z AS HUGEINT) * n) AS HUGEINT) AS s_h,
+               CAST(SUM(CAST(z AS HUGEINT) * z * n) AS HUGEINT) AS q_h,
+               CAST(SUM(n) AS BIGINT) AS n_h
+        FROM z GROUP BY 1),
+fold AS (SELECT CAST(SUM(CAST(floor(CAST(s_h AS DOUBLE)
+                    * CAST(s_h AS DOUBLE) / CAST(n_h AS DOUBLE)
+                    * 1e6 + 0.5005) AS HUGEINT)) AS HUGEINT) AS fm,
+                CAST(SUM(s_h) AS HUGEINT) AS sz,
+                CAST(SUM(q_h) AS HUGEINT) AS qz,
+                CAST(SUM(n_h) AS BIGINT) AS nn,
+                CAST(COUNT(*) AS BIGINT) AS k
+         FROM grp),
+top AS (SELECT h,
+               CAST(floor(CAST(s_h AS DOUBLE)
+                    / (2.0 * CAST(n_h AS DOUBLE)) * 1e6 + 0.5005)
+                    AS BIGINT) AS mq
+        FROM grp ORDER BY mq DESC, h LIMIT 1)
+SELECT k, nn AS n,
+       floor(((CAST(fm AS DOUBLE) / 1e6
+               - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+                 / CAST(nn AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+             / ((CAST(qz AS DOUBLE) - CAST(fm AS DOUBLE) / 1e6)
+                / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)))
+             * 1000000 + 0.5005) / 1000000 AS f_stat,
+       (SELECT h FROM top) AS top_hour,
+       (SELECT CAST(mq AS DOUBLE) / 1e6 FROM top) AS top_mad_cents
+FROM fold
+"""
+
+
+def q_linenumber_audit(sf_dir: str):
+    """Line-number contiguity audit: within each order, l_linenumber
+    must run 1..n with no gaps or duplicates — the detail-table
+    integrity invariant CDC re-ingestion breaks first (t_integrity
+    covers the event stream; q_key_audit only header keys). Per-batch
+    (orderkey, linenumber) pairs dedup locally and fold driver-side
+    (near-unique key); contiguity is the pure integer test
+    distinct == max == count with min == 1. All outputs exact ints
+    plus one quantized violation share."""
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": batch["l_orderkey"].to_numpy(),
+            "ln": batch["l_linenumber"].to_numpy(),
+            "n": 1,
+        })
+        return pa.Table.from_pandas(
+            df.groupby(["k", "ln"], as_index=False).sum(),
+            preserve_index=False)
+
+    g = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["k", "ln"], as_index=False)["n"].sum()
+    )
+    per = g.groupby("k").agg(
+        rows=("n", "sum"), distinct=("ln", "size"),
+        mx=("ln", "max"), mn=("ln", "min"))
+    n_orders = len(per)
+    dup = per["rows"] > per["distinct"]
+    ok = (~dup) & (per["mn"] == 1) & (per["mx"] == per["distinct"])
+    gap = (~dup) & ~ok
+    bad = n_orders - int(ok.sum())
+    return pd.DataFrame({
+        "n_orders": [n_orders],
+        "contiguous": [int(ok.sum())],
+        "dup_line_orders": [int(dup.sum())],
+        "gap_orders": [int(gap.sum())],
+        "max_linenumber": [int(per["mx"].max())],
+        "violation_share": [float(_q6(np.float64(bad)
+                                      / np.float64(n_orders)))],
+    })
+
+
+Q_LINENUMBER_AUDIT_SQL = """
+WITH per AS (SELECT l_orderkey,
+                    CAST(COUNT(*) AS BIGINT) AS rows_,
+                    CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS d,
+                    CAST(MAX(l_linenumber) AS BIGINT) AS mx,
+                    CAST(MIN(l_linenumber) AS BIGINT) AS mn
+             FROM lineitem GROUP BY 1),
+f AS (SELECT rows_ > d AS dup,
+             rows_ = d AND mn = 1 AND mx = d AS ok, mx
+      FROM per)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) FILTER (ok) AS BIGINT) AS contiguous,
+       CAST(COUNT(*) FILTER (dup) AS BIGINT) AS dup_line_orders,
+       CAST(COUNT(*) FILTER (NOT ok AND NOT dup) AS BIGINT)
+         AS gap_orders,
+       CAST(MAX(mx) AS BIGINT) AS max_linenumber,
+       floor(CAST(COUNT(*) FILTER (NOT ok) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) * 1000000 + 0.5005) / 1000000
+         AS violation_share
+FROM f
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -24338,4 +24624,7 @@ QUERIES: dict[str, tuple] = {
                                D_TOKEN_LENGTH_PROFILE_SQL),
     "d_embed_dim_variance": (d_embed_dim_variance,
                              D_EMBED_DIM_VARIANCE_SQL),
+    "q_order_reconcile": (q_order_reconcile, Q_ORDER_RECONCILE_SQL),
+    "t_hour_levene": (t_hour_levene, T_HOUR_LEVENE_SQL),
+    "q_linenumber_audit": (q_linenumber_audit, Q_LINENUMBER_AUDIT_SQL),
 }
