@@ -372,6 +372,9 @@ HEADLINE = [
     "q_order_reconcile",
     "t_hour_levene",
     "q_linenumber_audit",
+    "t_events_per_userday",
+    "t_mix_entropy_trend",
+    "d_hapax_profile",
 ]
 
 
