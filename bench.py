@@ -375,6 +375,9 @@ HEADLINE = [
     "t_events_per_userday",
     "t_mix_entropy_trend",
     "d_hapax_profile",
+    "q_segment_revenue",
+    "t_transition_asymmetry",
+    "q_priority_sla",
 ]
 
 
