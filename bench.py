@@ -378,6 +378,9 @@ HEADLINE = [
     "q_segment_revenue",
     "t_transition_asymmetry",
     "q_priority_sla",
+    "d_dedup_mix_shift",
+    "d_lang_length_chi2",
+    "q_acctbal_revenue_corr",
 ]
 
 
