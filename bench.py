@@ -381,6 +381,9 @@ HEADLINE = [
     "d_dedup_mix_shift",
     "d_lang_length_chi2",
     "q_acctbal_revenue_corr",
+    "q_order_status_age",
+    "q_status_consistency",
+    "d_sentence_positions",
 ]
 
 
