@@ -384,6 +384,9 @@ HEADLINE = [
     "q_order_status_age",
     "q_status_consistency",
     "d_sentence_positions",
+    "t_cold_start",
+    "t_signup_dow_retention",
+    "q_price_variance_split",
 ]
 
 
