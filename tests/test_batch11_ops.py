@@ -78,3 +78,15 @@ def test_gains_matches_bruteforce(ray_session):
     assert abs(top["capture"].iloc[-1] - 1.0) < 2e-6
     exp_capture = int(pos[decile == top.index[0]].sum()) / P
     assert abs(top["capture"].iloc[0] - exp_capture) < 2e-6
+
+
+def test_gains_sketch_path_matches_exact(ray_session):
+    """The 100TB edge-selection mode (mergeable weighted-value sketch,
+    percentile_disc picks over merged partials) must agree with the
+    exact value-histogram mode whenever per-batch distincts fit the
+    sketch — which they do at test scale, so equality is exact."""
+    from complexity_driven_feature_construction_ray.pipelines.relational import d_gains
+
+    a = d_gains(SF, exact_edges=True).reset_index(drop=True)
+    b = d_gains(SF, exact_edges=False).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
