@@ -597,7 +597,7 @@ def run_headline(sf_dir: str, num_cpus: int, tier: str = "full") -> dict:
     n_rows = _backfill_rows(sf_dir)
     bf = run_backfill_job(n_rows)
 
-    return {
+    out = {
         "metric": "headline pipeline wall time (flagship backfill + operator families)",
         "value": round(sum(timings.values()) + bf["sec"], 3),
         "unit": "sec",
@@ -611,6 +611,16 @@ def run_headline(sf_dir: str, num_cpus: int, tier: str = "full") -> dict:
         "backfill_sec": round(bf["sec"], 3),
         "backfill_rows_per_sec": round(bf["rows_per_sec"], 1),
     }
+    if tier == "full":
+        # SMOKE ⊆ HEADLINE, so the full run already timed every smoke
+        # query — embed the smoke-tier aggregate so each round's
+        # BENCH_r{N}.json carries a stable cross-round subset whose
+        # total doesn't depend on headline-list growth.
+        out["smoke_value"] = round(
+            sum(timings[n] for n in SMOKE if n in timings) + bf["sec"], 3)
+        out["smoke_queries"] = {
+            n: timings[n] for n in SMOKE if n in timings}
+    return out
 
 
 SCALING_ROWS = 3_000_000  # big enough that per-row compute, not driver
