@@ -3,18 +3,18 @@
 Two codec tiers:
 - REAL, in-container, pure numpy (+stdlib zlib for PNG) — no image/
   audio library needed: PNG (zlib inflate + all 5 filter types), PPM
-  (P6), BMP (24-bpp uncompressed) and baseline JPEG (huffman + IDCT)
+  (P6), BMP (24-bpp uncompressed) and baseline + progressive JPEG
+  (huffman + spectral-selection/successive-approximation scans + IDCT)
   decode; WAV (PCM16) decode + FFT spectral features; Y4M and
   MJPEG-in-AVI (RIFF parse + per-frame JPEG decode) frame sampling;
-  nearest-neighbor resize; PPM/PNG/JPEG/AVI encode. The real-codec
-  path is exercisable end-to-end here (decode -> luminance histogram
-  features, resize -> re-encode).
+  nearest-neighbor resize; PPM/PNG/JPEG (baseline + progressive)/AVI
+  encode. The real-codec path is exercisable end-to-end here (decode
+  -> luminance histogram features, resize -> re-encode).
 - STUBBED: inter-frame compressed video (H.264 etc.) and
-  progressive/arithmetic JPEG need codecs absent from this container;
-  those payloads raise a
-  clearly-marked NotImplementedError in real mode, and `fake=True`
-  provides the deterministic content-derived test double for
-  plumbing tests.
+  arithmetic-coded JPEG need codecs absent from this container; those
+  payloads raise a clearly-marked NotImplementedError in real mode,
+  and `fake=True` provides the deterministic content-derived test
+  double for plumbing tests.
 
 Contract: a multimodal table carries `(item_id:string, payload:binary,
 media_type:string, meta:string-json)`. Decode stages are actor pools
@@ -231,9 +231,9 @@ def decode_image(payload: bytes, media_type: str | None = None) -> np.ndarray:
         return img
     raise NotImplementedError(
         f"no in-container codec for payload (media_type={media_type!r}); "
-        "PPM (P6), 24-bpp BMP, 8-bit PNG and baseline JPEG decode here; "
-        "progressive JPEG / compressed video need libraries absent from "
-        "this environment"
+        "PPM (P6), 24-bpp BMP, 8-bit PNG and baseline+progressive JPEG "
+        "decode here; compressed video needs libraries absent from this "
+        "environment"
     )
 
 
@@ -293,13 +293,17 @@ def synthetic_png_table(n_rows: int, seed: int = 43, w: int = 32, h: int = 24) -
 
 
 def synthetic_jpeg_table(n_rows: int, seed: int = 44, w: int = 32,
-                         h: int = 24) -> pa.Table:
-    """Deterministic REAL baseline-JPEG payloads (pure-numpy codec,
+                         h: int = 24, progressive: bool = False) -> pa.Table:
+    """Deterministic REAL JPEG payloads (pure-numpy codec,
     stages/jpeg.py) — same gradient+noise pattern as the PNG twin;
     alternating 4:4:4 / 4:2:0 subsampling so the decoder's MCU
-    interleave + chroma upsample paths are both exercised."""
-    from .jpeg import encode_jpeg
+    interleave + chroma upsample paths are both exercised.
+    progressive=True emits SOF2 multi-scan streams instead — the SAME
+    coefficients reordered, so decode output is bit-identical to the
+    baseline table's."""
+    from .jpeg import encode_jpeg, encode_jpeg_progressive
 
+    enc = encode_jpeg_progressive if progressive else encode_jpeg
     rng = np.random.default_rng(seed)
     ids, payloads, metas = [], [], []
     gx = np.linspace(0, 255, w, dtype=np.float64)
@@ -312,7 +316,7 @@ def synthetic_jpeg_table(n_rows: int, seed: int = 44, w: int = 32,
         img = np.clip(base + noise, 0, 255).astype(np.uint8)
         sub = "420" if i % 2 else "444"
         ids.append(f"jpg-{i:08d}")
-        payloads.append(encode_jpeg(img, quality=90, subsample=sub))
+        payloads.append(enc(img, quality=90, subsample=sub))
         metas.append(json.dumps({"w": w, "h": h, "subsample": sub}))
     return pa.table(
         {

@@ -569,10 +569,17 @@ class TestJpegCodec:
 
         img = np.full((8, 8), 99, np.uint8)
         payload = bytearray(encode_jpeg(img))
-        # flip SOF0 (FFC0) to SOF2 (FFC2): declared NotImplementedError
+        # flip SOF0 (FFC0) to SOF9 (FFC9, arithmetic): declared
+        # NotImplementedError (SOF2 is now a REAL tier — see
+        # TestProgressiveJpeg)
         i = payload.find(b"\xff\xc0")
-        payload[i + 1] = 0xC2
+        payload[i + 1] = 0xC9
         with _pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(payload))
+        # a baseline scan mislabeled SOF2 is malformed (Ss=0, Se=63
+        # is not a legal progressive scan): loud ValueError
+        payload[i + 1] = 0xC2
+        with _pytest.raises(ValueError):
             decode_jpeg(bytes(payload))
         with _pytest.raises(ValueError):
             decode_jpeg(b"\x00\x01\x02")
@@ -678,4 +685,183 @@ class TestMjpegAvi:
         assert len(a) == 32
         import pandas as pd
 
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestProgressiveJpeg:
+    """Progressive (SOF2) tier of stages/jpeg.py. Two independent
+    checks: (1) a HAND-BUILT golden progressive stream (DQT/SOF2/DHT
+    and every entropy bit written by the test itself from T.81) must
+    decode to the naive-loop IDCT of the hand-picked coefficients —
+    this verifies the decoder with no code shared with the encoder, so
+    a paired encoder/decoder bug cannot cancel out; (2) progressive
+    encode→decode must equal BASELINE encode→decode pixel-for-pixel on
+    the same input/quality, because progressive only reorders the same
+    coefficient stream."""
+
+    @staticmethod
+    def _naive_idct_plus128(coef_natural):
+        import math
+
+        out = np.zeros((8, 8))
+        for y in range(8):
+            for x in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                        s += (cu * cv * coef_natural[u, v]
+                              * math.cos((2 * y + 1) * u * math.pi / 16)
+                              * math.cos((2 * x + 1) * v * math.pi / 16))
+                out[y, x] = 0.25 * s + 128.0
+        return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+    def test_golden_handbuilt_progressive_stream(self):
+        """8×8 gray, identity quant table, coefficients DC=6 and
+        zigzag[1]=5, delivered over THREE scans (DC first Al=1, DC
+        refinement Al=0, AC first Ss=1..63): every byte below is
+        derived by hand from T.81 — canonical one/two-symbol huffman
+        tables, magnitude bits, EOB — and written literally."""
+        from complexity_driven_feature_construction_ray.stages.jpeg import decode_jpeg
+
+        out = bytearray(b"\xff\xd8")
+        # DQT: table 0, all ones (identity dequant)
+        out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + b"\x01" * 64
+        # SOF2: 8-bit, 8x8, 1 component (id 1, h=v=1, tq 0)
+        out += b"\xff\xc2" + (11).to_bytes(2, "big") + b"\x08"
+        out += (8).to_bytes(2, "big") + (8).to_bytes(2, "big") + b"\x01"
+        out += bytes([1, 0x11, 0])
+        # --- scan 1: DC first, Ah=0 Al=1. value = 6>>1 = 3, diff=3,
+        # size 2, bits '11'. DHT class0/slot0: one code of length 1
+        # ('0') for symbol 2.
+        out += b"\xff\xc4" + (20).to_bytes(2, "big") + b"\x00"
+        out += bytes([1] + [0] * 15) + bytes([2])
+        out += b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01"
+        out += bytes([1, 0x00]) + bytes([0, 0, 0x01])
+        # bits: '0' (huffman sym 2) + '11' (magnitude 3) + pad '11111'
+        out += bytes([0b01111111])
+        # --- scan 2: DC refinement, Ah=1 Al=0. bit = 6 & 1 = 0.
+        out += b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01"
+        out += bytes([1, 0x00]) + bytes([0, 0, 0x10])
+        out += bytes([0b01111111])  # '0' + pad
+        # --- scan 3: AC first, Ss=1 Se=63 Ah=0 Al=0. zigzag k=1 is 5:
+        # (run 0, size 3, bits '101'), then EOB (sym 0x00). DHT
+        # class1/slot0: canonical codes '0'->0x03, '10'->0x00.
+        out += b"\xff\xc4" + (21).to_bytes(2, "big") + b"\x10"
+        out += bytes([1, 1] + [0] * 14) + bytes([0x03, 0x00])
+        out += b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01"
+        out += bytes([1, 0x00]) + bytes([1, 63, 0x00])
+        # bits: '0' (rs=0x03) + '101' (mag 5) + '10' (EOB) + pad '11'
+        out += bytes([0b01011011])
+        out += b"\xff\xd9"
+
+        got = decode_jpeg(bytes(out))[:, :, 0]
+        coef = np.zeros((8, 8))
+        coef[0, 0] = 6.0  # DC
+        coef[0, 1] = 5.0  # zigzag position 1 = natural (0, 1)
+        want = self._naive_idct_plus128(coef)
+        assert np.array_equal(got, want)
+
+    def test_progressive_equals_baseline_gray(self):
+        from complexity_driven_feature_construction_ray.stages.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        rng = np.random.default_rng(42)
+        for shape in [(8, 8), (16, 16), (24, 17), (33, 29)]:
+            img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            for q in (35, 50, 90):
+                base = decode_jpeg(encode_jpeg(img, quality=q))
+                prog = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+                assert np.array_equal(base, prog), (shape, q)
+
+    def test_progressive_equals_baseline_rgb_444_420(self):
+        from complexity_driven_feature_construction_ray.stages.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        rng = np.random.default_rng(7)
+        for shape in [(16, 16, 3), (24, 17, 3), (34, 30, 3), (19, 21, 3)]:
+            img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            for q in (50, 90):
+                for sub in ("444", "420"):
+                    base = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+                    prog = decode_jpeg(
+                        encode_jpeg_progressive(img, quality=q, subsample=sub))
+                    assert np.array_equal(base, prog), (shape, q, sub)
+
+    def test_progressive_smooth_content_eob_runs(self):
+        """Smooth gradients quantize to long zero runs — the content
+        class that exercises EOB-run coding across many blocks."""
+        from complexity_driven_feature_construction_ray.stages.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        y, x = np.mgrid[0:40, 0:48]
+        img = np.stack([(x * 5) % 256, (y * 3) % 256,
+                        ((x + y) * 2) % 256], axis=2).astype(np.uint8)
+        for q in (30, 75, 95):
+            base = decode_jpeg(encode_jpeg(img, quality=q))
+            prog = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+            assert np.array_equal(base, prog), q
+        flat = np.full((32, 32), 200, np.uint8)  # all-EOB corner case
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(flat, quality=80)),
+            decode_jpeg(encode_jpeg_progressive(flat, quality=80)))
+
+    def test_sof2_marker_present_and_arith_still_stubbed(self):
+        from complexity_driven_feature_construction_ray.stages.jpeg import (
+            decode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        payload = encode_jpeg_progressive(
+            np.zeros((8, 8), np.uint8), quality=80)
+        assert b"\xff\xc2" in payload  # SOF2
+        # arithmetic-coded SOF9 remains a declared stub
+        bad = bytearray(payload)
+        i = bad.index(b"\xff\xc2")
+        bad[i + 1] = 0xC9
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(bad))
+
+    def test_decode_media_dispatches_progressive(self):
+        """The multimodal dispatch path feeds progressive payloads to
+        the same decoder (JPEG sniffing is container-level)."""
+        from complexity_driven_feature_construction_ray.stages.jpeg import (
+            decode_jpeg,
+            encode_jpeg_progressive,
+        )
+        from complexity_driven_feature_construction_ray.stages.multimodal import (
+            decode_image,
+        )
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        payload = encode_jpeg_progressive(img, quality=85)
+        got = decode_image(payload, "image/jpeg")
+        assert np.array_equal(got, decode_jpeg(payload))
+
+    def test_progressive_query_matches_baseline_query(self, ray_session):
+        """m_decode_jpeg_progressive must produce the EXACT same
+        feature table as m_decode_jpeg: the payloads carry the same
+        coefficients, only the scan order differs."""
+        import pandas as pd
+
+        from complexity_driven_feature_construction_ray.pipelines.relational import (
+            m_decode_jpeg,
+            m_decode_jpeg_progressive,
+        )
+
+        a = m_decode_jpeg("/root/testdata/sf0.001").to_pandas() \
+            .sort_values("item_id").reset_index(drop=True)
+        b = m_decode_jpeg_progressive("/root/testdata/sf0.001").to_pandas() \
+            .sort_values("item_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
