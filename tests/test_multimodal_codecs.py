@@ -865,3 +865,43 @@ class TestProgressiveJpeg:
         b = m_decode_jpeg_progressive("/root/testdata/sf0.001").to_pandas() \
             .sort_values("item_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+    def test_golden_progressive_with_restart_markers(self):
+        """Hand-built 16×8 gray progressive stream with DRI=1 and RST0
+        between the two blocks: the DC predictor MUST reset at the
+        restart (block 2 decodes 24, not 40+24) and the AC scan's
+        segment walk must resync. Every byte derived by hand from
+        T.81; identity quant table, DC-only blocks → two flat 8×8
+        tiles at round(40/8+128)=133 and round(24/8+128)=131."""
+        from complexity_driven_feature_construction_ray.stages.jpeg import decode_jpeg
+
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + b"\x01" * 64
+        out += b"\xff\xdd" + (4).to_bytes(2, "big") + (1).to_bytes(2, "big")
+        out += b"\xff\xc2" + (11).to_bytes(2, "big") + b"\x08"
+        out += (8).to_bytes(2, "big") + (16).to_bytes(2, "big") + b"\x01"
+        out += bytes([1, 0x11, 0])
+        # DC first scan, Al=0: DHT class0 canonical '0'->size6, '10'->size5
+        out += b"\xff\xc4" + (21).to_bytes(2, "big") + b"\x00"
+        out += bytes([1, 1] + [0] * 14) + bytes([6, 5])
+        out += b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01"
+        out += bytes([1, 0x00]) + bytes([0, 0, 0x00])
+        # block 1: diff=40 -> '0' + '101000', pad '1' = 0x51
+        out += bytes([0b01010001])
+        out += b"\xff\xd0"  # RST0 — predictor resets here
+        # block 2: diff=24 (post-reset) -> '10' + '11000', pad '1' = 0xB1
+        out += bytes([0b10110001])
+        # AC scan 1..63, all-EOB per block, restart applies here too
+        out += b"\xff\xc4" + (20).to_bytes(2, "big") + b"\x10"
+        out += bytes([1] + [0] * 15) + bytes([0x00])
+        out += b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01"
+        out += bytes([1, 0x00]) + bytes([1, 63, 0x00])
+        out += bytes([0b01111111])  # EOB, pad
+        out += b"\xff\xd0"
+        out += bytes([0b01111111])  # EOB, pad
+        out += b"\xff\xd9"
+
+        got = decode_jpeg(bytes(out))[:, :, 0]
+        assert got.shape == (8, 16)
+        assert (got[:, :8] == 133).all()   # 40/8 + 128 = 133
+        assert (got[:, 8:] == 131).all()   # 24/8 + 128 = 131 (pred reset)
