@@ -905,3 +905,39 @@ class TestProgressiveJpeg:
         assert got.shape == (8, 16)
         assert (got[:, :8] == 133).all()   # 40/8 + 128 = 133
         assert (got[:, 8:] == 131).all()   # 24/8 + 128 = 131 (pred reset)
+
+    def test_progressive_prefix_decodability(self):
+        """THE defining progressive property: truncating the stream at
+        any scan boundary (+EOI) still decodes to a full-size image,
+        and each additional scan refines toward the final result
+        (monotone non-increasing mean-abs-error, hitting 0 at the full
+        stream). Exercises every partial coefficient state the
+        refinement scans pass through."""
+        from complexity_driven_feature_construction_ray.stages.jpeg import (
+            decode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+        payload = encode_jpeg_progressive(img, quality=60)
+        # scan boundaries = every SOS marker after the first
+        cuts = []
+        i = payload.find(b"\xff\xda")
+        j = payload.find(b"\xff\xda", i + 2)
+        while j != -1:
+            cuts.append(j)
+            j = payload.find(b"\xff\xda", j + 2)
+        assert len(cuts) >= 5  # the IJG color script has 10 scans
+        full = decode_jpeg(payload).astype(np.float64)
+        maes = []
+        for cut in cuts:
+            part = decode_jpeg(payload[:cut] + b"\xff\xd9")
+            assert part.shape == full.shape
+            maes.append(float(np.abs(part.astype(np.float64) - full).mean()))
+        maes.append(0.0)  # the full stream
+        # refinement must never move AWAY from the final image by more
+        # than rounding noise between consecutive prefixes
+        for a, b in zip(maes, maes[1:]):
+            assert b <= a + 0.75, maes
+        assert maes[0] > maes[-2] or maes[0] == 0.0  # scans actually refine
