@@ -581,7 +581,12 @@ def run_headline(sf_dir: str, num_cpus: int, tier: str = "full") -> dict:
     reps = max(1, int(os.environ.get("GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
-    for name in (SMOKE if tier == "smoke" else HEADLINE):
+    names = (
+        SMOKE
+        if tier == "smoke"
+        else (list(QUERIES) if tier == "all" else HEADLINE)
+    )
+    for name in names:
         fn, _sql = QUERIES[name]
         runs: list[float] = []
         for rep in range(reps):
@@ -611,7 +616,7 @@ def run_headline(sf_dir: str, num_cpus: int, tier: str = "full") -> dict:
         "backfill_sec": round(bf["sec"], 3),
         "backfill_rows_per_sec": round(bf["rows_per_sec"], 1),
     }
-    if tier == "full":
+    if tier in ("full", "all"):
         # SMOKE ⊆ HEADLINE, so the full run already timed every smoke
         # query — embed the smoke-tier aggregate so each round's
         # BENCH_r{N}.json carries a stable cross-round subset whose
@@ -776,6 +781,17 @@ def main() -> None:
         action="store_true",
         help="run the ~40-query representative tier instead of the full headline set",
     )
+    ap.add_argument(
+        "--all",
+        action="store_true",
+        dest="all_queries",
+        help=(
+            "time EVERY queries() entry (669) instead of the 349-query "
+            "headline list — the one-off whole-registry perf artifact; "
+            "the driver-run default stays 'full' so cross-round "
+            "comparison is unaffected"
+        ),
+    )
     ap.add_argument("--job", choices=["backfill", "minhash"], default=None)
     ap.add_argument(
         "--scaling-job",
@@ -809,9 +825,8 @@ def main() -> None:
         )
     else:
         _init_ray(DEFAULT_CPUS)
-        out = run_headline(
-            args.sf_dir, DEFAULT_CPUS, tier="smoke" if args.smoke else "full"
-        )
+        tier = "smoke" if args.smoke else ("all" if args.all_queries else "full")
+        out = run_headline(args.sf_dir, DEFAULT_CPUS, tier=tier)
 
     print(json.dumps(out))
     if ray.is_initialized():

@@ -164,6 +164,14 @@ def correlation_matrix(ds, columns: list[str]) -> "pd.DataFrame":
         n += pn
         s += ps
         c += pc
+    if n == 0:
+        # zero input rows: SQL's GROUP BY over an empty union has no
+        # groups, so corr() emits no rows at all — match that instead
+        # of emitting k*(k-1)/2 NaN rows (the silent-wrong-shape class
+        # the empty-input gate caught).
+        return pd.DataFrame({"col_a": pd.Series(dtype=object),
+                             "col_b": pd.Series(dtype=object),
+                             "corr": pd.Series(dtype=np.float64)})
     mean = s / max(n, 1)
     cov = c / max(n, 1) - np.outer(mean, mean)
     sd = np.sqrt(np.maximum(np.diag(cov), 0.0))
@@ -338,7 +346,30 @@ def profile_columns(ds, cols: list[str]):
             }
         )
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    out = agg.map_batches(finish, batch_format="pyarrow")
+    # O(cols)-row result: finish on the driver so a zero-row input
+    # still yields one (n=0, NULL extremes) row per requested column —
+    # SQL's UNION ALL of scalar aggregates always emits every column's
+    # row; Ray drops 0-row blocks, so the missing rows are rebuilt here.
+    import pandas as pd
+    import ray.data
+
+    pdf = out.to_pandas()
+    seen = set(pdf["col"]) if "col" in pdf.columns else set()
+    missing = [c for c in cols if c not in seen]
+    if missing:
+        pad = pd.DataFrame(
+            {
+                "col": missing,
+                "n": np.zeros(len(missing), dtype=np.int64),
+                "n_null": np.zeros(len(missing), dtype=np.int64),
+                "v_min": np.full(len(missing), np.nan),
+                "v_max": np.full(len(missing), np.nan),
+                "v_mean": np.full(len(missing), np.nan),
+            }
+        )
+        pdf = pd.concat([pdf, pad], ignore_index=True) if len(pdf) else pad
+    return ray.data.from_pandas(pdf.sort_values("col").reset_index(drop=True))
 
 
 def covariance_matrix_list(ds, col: str) -> "pd.DataFrame":

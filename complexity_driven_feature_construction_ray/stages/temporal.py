@@ -1177,7 +1177,22 @@ def funnel(
 
     parts = grouped_map(ds, key, per_bucket, num_buckets=num_buckets)
     out = parts.groupby(["step", "event_type"]).aggregate(Sum("n_users", alias_name="n_users"))
-    return out.sort("step")
+    # K-row result: finish on the driver (a Sort exchange over K rows
+    # bought nothing), and pin the empty-input shape — the SQL twin's
+    # UNION ALL of scalar counts always emits one row per step, so a
+    # zero-event stream must yield K zero rows, not zero blocks.
+    import ray.data
+
+    pdf = out.to_pandas()
+    if len(pdf) == 0:
+        pdf = pd.DataFrame(
+            {
+                "step": np.arange(1, len(step_names) + 1, dtype=np.int64),
+                "event_type": step_names,
+                "n_users": np.zeros(len(step_names), dtype=np.int64),
+            }
+        )
+    return ray.data.from_pandas(pdf.sort_values("step").reset_index(drop=True))
 
 
 def retention_cohorts(
