@@ -718,6 +718,109 @@ def run_minhash_job(n_docs: int) -> dict:
     }
 
 
+SESSIONIZE_ROWS = 20_000_000  # ~40 events/user over 500k users: the
+# entity-hash exchange (every row ships to its user's bucket) dominates
+# the job, which is exactly the axis the map-heavy backfill and the
+# banded minhash job don't stress.
+
+
+def _write_session_stream(n_rows: int) -> str:
+    """Deterministic synthetic event stream for the shuffle-heavy
+    scaling job, written ONCE to /tmp and shared by both parallelism
+    levels. user_id is a splitmix64 draw over n_rows/40 users with a
+    hot tier (1% of users absorb ~20% of events — enough skew to make
+    the exchange realistic, not enough to turn the job into a
+    single-straggler measurement); ts is uniform over a 30-day window,
+    so gap-based sessionization (30-min gap) yields a real mix of
+    multi-session and single-session users. Pure numpy+pyarrow in the
+    parent process — generation never counts toward either timer."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from complexity_driven_feature_construction_ray.sources.token_table import _mix64
+
+    out_dir = f"/tmp/bench_session_stream_{n_rows}"
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    n_users = max(1000, n_rows // 40)
+    hot = max(10, n_users // 100)
+    chunk = 1_000_000
+    for f0 in range(0, n_rows, chunk):
+        ids = np.arange(f0, min(f0 + chunk, n_rows), dtype=np.uint64)
+        h1 = _mix64(ids * np.uint64(3) + np.uint64(11))
+        h2 = _mix64(ids * np.uint64(5) + np.uint64(29))
+        # 20% of events route to the hot 1% of users
+        is_hot = (h1 % np.uint64(5)) == 0
+        uid = np.where(
+            is_hot, h2 % np.uint64(hot), hot + h2 % np.uint64(n_users - hot)
+        ).astype(np.int64)
+        ts_s = (h1 % np.uint64(30 * 86400)).astype(np.int64)
+        ts = (np.int64(1_704_067_200) + ts_s) * np.int64(1_000_000)  # 2024-01-01 base, us
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array(uid),
+                    "ts": pa.array(ts).cast(pa.timestamp("us")),
+                }
+            ),
+            os.path.join(out_dir, f"part_{f0:09d}.parquet"),
+        )
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return out_dir
+
+
+def run_sessionize_job(n_rows: int) -> dict:
+    """Shuffle-heavy scaling job: gap-based sessionization of the
+    shared synthetic event stream. Unlike the backfill (map-dominated)
+    and minhash (banded small exchanges) jobs, EVERY row must cross the
+    entity-hash exchange to meet the rest of its user's history — the
+    honest worst case for N->4N scaling. Consumption folds per-batch
+    (rows, session-start count) partials so the result is a verifiable
+    scalar and nothing corpus-sized reaches the driver."""
+    import pyarrow as pa
+    import ray.data
+
+    from complexity_driven_feature_construction_ray.stages.temporal import sessionize
+
+    stream = _write_session_stream(n_rows)
+
+    def consume(ds) -> tuple[int, int]:
+        def part(batch: pa.Table) -> pa.Table:
+            s = batch["session_idx"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "rows": pa.array([len(s)], type=pa.int64()),
+                    "idx_sum": pa.array([int(s.sum())], type=pa.int64()),
+                }
+            )
+
+        rows = idx_sum = 0
+        for r in ds.map_batches(part, batch_format="pyarrow").take_all():
+            rows += r["rows"]
+            idx_sum += r["idx_sum"]
+        return rows, idx_sum
+
+    # warmup: same pipeline over a small slice — pay the worker import
+    # storm and the groupby planner warm-up before the timer
+    warm = ray.data.read_parquet(stream).limit(100_000)
+    consume(sessionize(warm, key="user_id", ts="ts", gap=1800))
+
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(stream)
+    rows, idx_sum = consume(sessionize(ds, key="user_id", ts="ts", gap=1800))
+    elapsed = time.perf_counter() - t0
+    return {
+        "rows": rows,
+        "sec": elapsed,
+        "rows_per_sec": rows / elapsed,
+        "session_idx_sum": idx_sum,
+    }
+
+
 def run_scaling(
     sf_dir: str, low: int, high: int, n_rows: int | None = None, job: str = "backfill",
     reps: int = 2,
@@ -725,16 +828,23 @@ def run_scaling(
     """Same job at two parallelism levels, each in a fresh process/Ray
     session; efficiency = speedup / cpu-ratio. job='backfill' is the
     flagship feature-backfill path; job='minhash' is the dedup family
-    (MinHash+LSH over the shared 3M-doc synthetic corpus).
+    (MinHash+LSH over the shared 3M-doc synthetic corpus);
+    job='sessionize' is the shuffle-heavy axis (every row crosses an
+    entity-hash exchange to meet its user's history).
 
     Each level runs `reps` times and keeps the best throughput — the
     same variance discipline as the min-of-3 headline: a single worker
     invocation varies up to ~40% run-to-run on this sandbox (page
     cache, Ray session setup/teardown of the PREVIOUS worker still
     draining), which is noise about the host, not the engine."""
-    n_rows = n_rows or (MINHASH_DOCS if job == "minhash" else SCALING_ROWS)
+    n_rows = n_rows or {
+        "minhash": MINHASH_DOCS,
+        "sessionize": SESSIONIZE_ROWS,
+    }.get(job, SCALING_ROWS)
     if job == "minhash":
         _write_minhash_corpus(n_rows)  # generate once, outside both timers
+    elif job == "sessionize":
+        _write_session_stream(n_rows)  # generate once, outside both timers
     results = {}
     for cpus in (low, high):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
@@ -792,10 +902,10 @@ def main() -> None:
             "comparison is unaffected"
         ),
     )
-    ap.add_argument("--job", choices=["backfill", "minhash"], default=None)
+    ap.add_argument("--job", choices=["backfill", "minhash", "sessionize"], default=None)
     ap.add_argument(
         "--scaling-job",
-        choices=["backfill", "minhash"],
+        choices=["backfill", "minhash", "sessionize"],
         default="backfill",
         help="which job --scaling measures at both parallelism levels",
     )
@@ -819,6 +929,9 @@ def main() -> None:
     elif args.job == "minhash":
         _init_ray(DEFAULT_CPUS)
         out = run_minhash_job(args.rows or MINHASH_DOCS)
+    elif args.job == "sessionize":
+        _init_ray(DEFAULT_CPUS)
+        out = run_sessionize_job(args.rows or SESSIONIZE_ROWS)
     elif args.scaling:
         out = run_scaling(
             args.sf_dir, args.low_cpus, args.high_cpus, args.rows, job=args.scaling_job
