@@ -718,10 +718,18 @@ def run_minhash_job(n_docs: int) -> dict:
     }
 
 
-SESSIONIZE_ROWS = 20_000_000  # ~40 events/user over 500k users: the
+SESSIONIZE_ROWS = 120_000_000  # ~40 events/user over 3M users: the
 # entity-hash exchange (every row ships to its user's bucket) dominates
 # the job, which is exactly the axis the map-heavy backfill and the
-# banded minhash job don't stress.
+# banded minhash job don't stress. 120M rows sizes the job so the
+# exchange's fixed sampling/barrier cost is amortized at the high
+# parallelism level (at 20M rows that fixed cost alone halves the
+# measured efficiency).
+
+SESSIONIZE_TARGET_ROWS_PER_BLOCK = 1_000_000  # data-sized read blocks
+# (~20MB): Ray's default split produced 100k-row/2MB blocks, and the
+# sort exchange's cost grows with in_blocks x out_blocks fragments —
+# measured 2x wall at BOTH parallelism levels vs data-sized blocks.
 
 
 def _write_session_stream(n_rows: int) -> str:
@@ -804,13 +812,15 @@ def run_sessionize_job(n_rows: int) -> dict:
             idx_sum += r["idx_sum"]
         return rows, idx_sum
 
+    nb = max(16, n_rows // SESSIONIZE_TARGET_ROWS_PER_BLOCK)
+
     # warmup: same pipeline over a small slice — pay the worker import
     # storm and the groupby planner warm-up before the timer
-    warm = ray.data.read_parquet(stream).limit(100_000)
+    warm = ray.data.read_parquet(stream, override_num_blocks=nb).limit(100_000)
     consume(sessionize(warm, key="user_id", ts="ts", gap=1800))
 
     t0 = time.perf_counter()
-    ds = ray.data.read_parquet(stream)
+    ds = ray.data.read_parquet(stream, override_num_blocks=nb)
     rows, idx_sum = consume(sessionize(ds, key="user_id", ts="ts", gap=1800))
     elapsed = time.perf_counter() - t0
     return {
@@ -880,6 +890,14 @@ def run_scaling(
         "high_rows_per_sec": round(results[high]["rows_per_sec"], 1),
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(speedup / ratio, 3),
+        # result checksums at each level: both parallelism levels must
+        # compute the IDENTICAL answer, or the speedup is meaningless
+        **{
+            f"{lvl}_{k}": results[c][k]
+            for lvl, c in (("low", low), ("high", high))
+            for k in ("session_idx_sum", "dup_docs")
+            if k in results[c]
+        },
     }
 
 
