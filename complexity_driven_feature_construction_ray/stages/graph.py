@@ -76,6 +76,32 @@ def _jump(g: pd.DataFrame) -> pa.Table:
     })
 
 
+def _components_numpy(u: np.ndarray, v: np.ndarray, extra_ids: np.ndarray):
+    """Exact small-graph kernel: min-label propagation + full pointer
+    jumping over compacted ids, fully vectorized (O(E) per round,
+    O(log diameter) rounds). Same fixpoint as the distributed engine —
+    component = min node id — so the two paths are interchangeable."""
+    ids = np.unique(np.concatenate([u, v, extra_ids]))
+    if len(ids) == 0:
+        return pd.DataFrame({"id": pd.Series(dtype=np.int64),
+                             "component": pd.Series(dtype=np.int64)})
+    su = np.searchsorted(ids, u)
+    sv = np.searchsorted(ids, v)
+    lbl = np.arange(len(ids), dtype=np.int64)
+    while True:
+        old = lbl.copy()
+        np.minimum.at(lbl, sv, lbl[su])
+        np.minimum.at(lbl, su, lbl[sv])
+        while True:  # pointer-jump to this round's fixpoint
+            nl = lbl[lbl]
+            if np.array_equal(nl, lbl):
+                break
+            lbl = nl
+        if np.array_equal(lbl, old):
+            break
+    return pd.DataFrame({"id": ids, "component": ids[lbl]})
+
+
 def connected_components(
     edges,
     nodes=None,
@@ -85,11 +111,21 @@ def connected_components(
     node_col: str = "id",
     max_iter: int = 50,
     checkpoint_dir: str | None = None,
+    small_edge_budget: int | None = 2_000_000,
 ):
     """edges: Dataset[(src, dst)] (int64 node ids, undirected);
     nodes: optional Dataset[(id,)] adding isolated vertices.
     Returns Dataset[(id, component)] with component = min node id of
-    the component (backed by the final checkpoint)."""
+    the component (backed by the final checkpoint).
+
+    Size-aware planner (the auto_join discipline): a `limit(budget+1)`
+    probe pulls the edge set; if it fits `small_edge_budget` (default
+    2M edges ≈ 32 MB) the exact numpy kernel answers driver-side —
+    the distributed Pregel engine pays ~3 exchanges + a checkpoint
+    PER SUPERSTEP of fixed overhead that dwarfs a small graph. Above
+    the budget (or with `small_edge_budget=0/None`) the probe cost is
+    bounded by the budget and the checkpointed superstep path runs —
+    the 100 TB shape where the edge set outgrows every single node."""
     import shutil
     import tempfile
 
@@ -97,6 +133,27 @@ def connected_components(
     from ray.data.aggregate import Min
 
     from .temporal import grouped_map
+
+    if small_edge_budget:
+        probe = edges.limit(small_edge_budget + 1).to_pandas()
+        if len(probe) <= small_edge_budget:
+            extra = np.array([], dtype=np.int64)
+            ok = True
+            if nodes is not None:
+                nprobe = nodes.limit(4 * small_edge_budget + 1).to_pandas()
+                if len(nprobe) <= 4 * small_edge_budget:
+                    extra = nprobe[node_col].to_numpy(np.int64)
+                else:
+                    ok = False  # tiny edges, corpus-sized node set
+            if ok:
+                out = _components_numpy(
+                    probe[src_col].to_numpy(np.int64),
+                    probe[dst_col].to_numpy(np.int64),
+                    extra,
+                )
+                if node_col != "id":
+                    out = out.rename(columns={"id": node_col})
+                return ray.data.from_pandas(out)
 
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="cc_", dir="/tmp")
 
@@ -187,6 +244,31 @@ def connected_components(
     return labels
 
 
+def _pagerank_numpy(
+    u: np.ndarray, v: np.ndarray, d: float, n_iter: int
+) -> pd.DataFrame:
+    """Exact small-graph kernel: the same power iteration with
+    dangling-mass redistribution as the distributed engine, over
+    compacted ids (np.add.at scatter per step; O(E) per iteration)."""
+    ids = np.unique(np.concatenate([u, v]))
+    if len(ids) == 0:
+        return pd.DataFrame({"id": pd.Series(dtype=np.int64),
+                             "rank": pd.Series(dtype=np.float64)})
+    su = np.searchsorted(ids, u)
+    sv = np.searchsorted(ids, v)
+    N = len(ids)
+    outdeg = np.bincount(su, minlength=N).astype(np.float64)
+    w = 1.0 / outdeg[su]
+    dangling = outdeg == 0
+    r = np.full(N, 1.0 / N)
+    for _ in range(n_iter):
+        D = r[dangling].sum()
+        contrib = np.zeros(N)
+        np.add.at(contrib, sv, r[su] * w)
+        r = (1.0 - d) / N + d * (contrib + D / N)
+    return pd.DataFrame({"id": ids, "rank": r})
+
+
 def pagerank(
     edges,
     *,
@@ -195,6 +277,7 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 20,
     checkpoint_dir: str | None = None,
+    small_edge_budget: int | None = 2_000_000,
 ):
     """Distributed PageRank with dangling-node redistribution
     (Brin & Page 1998; the power-iteration formulation):
@@ -221,8 +304,24 @@ def pagerank(
 
     from .temporal import grouped_map
 
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="pr_", dir="/tmp")
     d = float(damping)
+
+    if small_edge_budget:
+        # size-aware planner, same discipline as connected_components:
+        # below the budget the exact numpy power iteration answers
+        # driver-side; the checkpointed superstep engine is the path
+        # for edge sets that outgrow one node.
+        probe = edges.limit(small_edge_budget + 1).to_pandas()
+        if len(probe) <= small_edge_budget:
+            out = _pagerank_numpy(
+                probe[src_col].to_numpy(np.int64),
+                probe[dst_col].to_numpy(np.int64),
+                d,
+                n_iter,
+            )
+            return ray.data.from_pandas(out)
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="pr_", dir="/tmp")
 
     # --- one-time precompute: per-edge weight 1/outdeg(src) ----------------
     def to_uv(batch: pa.Table) -> pa.Table:

@@ -331,7 +331,7 @@ class TestPageRank:
         edges = ray.data.from_pandas(
             pd.DataFrame({"src": src.astype(np.int64), "dst": dst.astype(np.int64)})
         ).repartition(4)
-        out = pagerank(edges, n_iter=25).to_pandas().sort_values("id").reset_index(drop=True)
+        out = pagerank(edges, n_iter=25, small_edge_budget=0).to_pandas().sort_values("id").reset_index(drop=True)
 
         ids = np.unique(np.concatenate([src, dst]))
         idx = {v: i for i, v in enumerate(ids)}
@@ -359,7 +359,7 @@ class TestPageRank:
         edges = ray.data.from_pandas(
             pd.DataFrame({"src": np.zeros(4, np.int64), "dst": np.arange(1, 5, dtype=np.int64)})
         )
-        out = pagerank(edges, n_iter=30).to_pandas().set_index("id")["rank"]
+        out = pagerank(edges, n_iter=30, small_edge_budget=0).to_pandas().set_index("id")["rank"]
         assert abs(out.sum() - 1.0) < 1e-9
         # symmetry: the four leaves tie exactly; hub gets less than a leaf
         leaves = out.loc[[1, 2, 3, 4]].to_numpy()

@@ -671,7 +671,7 @@ class TestConnectedComponents:
             "dst": pa.array([b for _, b in edges], type=pa.int64()),
         })).repartition(4)
         nds = ray.data.from_arrow(pa.table({"id": pa.array(nodes, type=pa.int64())}))
-        got = connected_components(eds, nds).to_pandas()
+        got = connected_components(eds, nds, small_edge_budget=0).to_pandas()
         got_map = dict(zip(got["id"], got["component"]))
         assert got_map == exp
 
@@ -689,7 +689,7 @@ class TestConnectedComponents:
             "src": pa.array(list(range(n - 1)), type=pa.int64()),
             "dst": pa.array(list(range(1, n)), type=pa.int64()),
         }))
-        got = connected_components(eds).to_pandas()
+        got = connected_components(eds, small_edge_budget=0).to_pandas()
         assert (got["component"] == 0).all()
         assert len(got) == n
 
