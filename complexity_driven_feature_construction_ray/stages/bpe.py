@@ -151,7 +151,12 @@ def bpe_train(
     cur = ds
     last_ckpt = None
     for rank in range(n_merges):
-        top = bigram_pair_counts(cur, tokens_col=tokens_col, k=1).take_all()
+        # next_id is a strict bound on every live token id, so the
+        # byte-level shape (the standard BPE start) rides the dense
+        # small-alphabet count path — no pair-hash exchange per merge
+        top = bigram_pair_counts(
+            cur, tokens_col=tokens_col, k=1, alphabet_bound=next_id
+        ).take_all()
         if not top or top[0]["n"] < 2:
             break
         a, b, n = int(top[0]["a"]), int(top[0]["b"]), int(top[0]["n"])

@@ -80,7 +80,9 @@ def numpy_base_columns(batch: pa.Table, needed: list[str]) -> dict[str, np.ndarr
     return cols
 
 
-def bigram_pair_counts(ds, *, tokens_col: str = "tokens", k: int = 50):
+def bigram_pair_counts(
+    ds, *, tokens_col: str = "tokens", k: int = 50, alphabet_bound: int | None = None
+):
     """Corpus-wide adjacent token-pair frequencies, exact top-k — the
     counting step of one BPE merge (Sennrich et al. 2016) and the
     bigram table vocabulary analyses start from.
@@ -97,6 +99,68 @@ def bigram_pair_counts(ds, *, tokens_col: str = "tokens", k: int = 50):
     import pandas as pd
 
     from .temporal import grouped_map
+
+    if alphabet_bound is not None and alphabet_bound * alphabet_bound <= (1 << 18):
+        # Dense small-alphabet path (the BPE merge loop's shape: byte
+        # alphabet + a few learned ids). The whole pair space is
+        # bound² ≤ 256k cells, so the pair-hash exchange buys nothing:
+        # each block emits ONE fixed-size bincount blob (bound²·8 B ≤
+        # 2 MB), a map_batches pass tree-reduces blob rows 32:1 so the
+        # driver folds O(blocks/32) blobs, and top-k comes off the
+        # dense vector. Ids must be < alphabet_bound (guarded).
+        import ray.data
+
+        A = int(alphabet_bound)
+
+        def dense_partial(batch: pa.Table) -> pa.Table:
+            arr = batch[tokens_col]
+            arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+            lengths = pc.list_value_length(arr).to_numpy().astype(np.int64)
+            flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            n = len(flat)
+            if n == 0:
+                blob = np.zeros(A * A, dtype=np.int64)
+            else:
+                if flat.max() >= A or flat.min() < 0:
+                    raise ValueError(
+                        f"token id outside [0, {A}) — alphabet_bound too small"
+                    )
+                ends = np.cumsum(lengths)
+                valid = np.ones(n, dtype=bool)
+                valid[ends - 1] = False
+                pos = np.flatnonzero(valid)
+                blob = np.bincount(
+                    flat[pos] * A + flat[pos + 1], minlength=A * A
+                ).astype(np.int64)
+            return pa.table({"blob": pa.array([blob.tobytes()], type=pa.binary())})
+
+        def merge_blobs(batch: pa.Table) -> pa.Table:
+            tot = np.zeros(A * A, dtype=np.int64)
+            for b in batch["blob"]:
+                tot += np.frombuffer(b.as_py(), dtype=np.int64)
+            return pa.table({"blob": pa.array([tot.tobytes()], type=pa.binary())})
+
+        reduced = (
+            ds.map_batches(dense_partial, batch_format="pyarrow")
+            .map_batches(merge_blobs, batch_format="pyarrow", batch_size=32)
+        )
+        tot = np.zeros(A * A, dtype=np.int64)
+        for row in reduced.take_all():
+            tot += np.frombuffer(row["blob"], dtype=np.int64)
+        nz = np.flatnonzero(tot)
+        # same deterministic order as the bucketed path:
+        # n desc, then (a, b) asc == pair key asc
+        order = np.lexsort((nz, -tot[nz]))[:k]
+        sel = nz[order]
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array(sel // A),
+                    "b": pa.array(sel % A),
+                    "n": pa.array(tot[sel]),
+                }
+            )
+        )
 
     def partials(batch: pa.Table) -> pa.Table:
         arr = batch[tokens_col]
