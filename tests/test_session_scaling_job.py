@@ -42,13 +42,15 @@ def _checksum(ds) -> tuple[int, int]:
 
 
 def test_stream_generator_is_replayable(ray_session):
+    def first_part(d):
+        return sorted(f for f in os.listdir(d) if f.startswith("part_"))[0]
+
     d1 = bench._write_session_stream(N)
-    files = sorted(os.listdir(d1))
-    t1 = pq.read_table(os.path.join(d1, files[0]))
+    t1 = pq.read_table(os.path.join(d1, first_part(d1)))
     # force a rebuild into the same path and compare bytes
     shutil.rmtree(d1)
     d2 = bench._write_session_stream(N)
-    t2 = pq.read_table(os.path.join(d2, sorted(os.listdir(d2))[0]))
+    t2 = pq.read_table(os.path.join(d2, first_part(d2)))
     assert t1.equals(t2)
     # schema and the hot-tier skew shape
     assert t1.schema.names == ["user_id", "ts"]
